@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Total-order sort — the reference engine's entire capability surface.
+  *
+  * The reference (`internal/sort/external_sort.go:61-201,292-363`) hand-rolls
+  * a two-phase external merge sort: chunk → in-memory sort → spill →
+  * k-way min-heap merge, under a ~2 GB cap. In Spark that whole file is the
+  * built-in `SortExec`: `orderBy` range-partitions the input (sampled range
+  * boundaries ⇒ balanced partitions at any scale), sorts each partition with
+  * the Tungsten `UnsafeExternalSorter` (which spills sorted runs and merges
+  * them with a priority queue — byte-for-byte the reference's design, but
+  * memory-pressure-driven and codegen'd), and the partition index gives the
+  * global order. On a 1000-executor cluster the same plan holds: the range
+  * exchange is the only shuffle, and each output partition is written
+  * independently — no single-node merge bottleneck like the reference's
+  * one Kafka sink (its own README flags that limit, `README.md:539-542`).
+  *
+  * Semantics preserved (SURVEY.md §2.3):
+  *  - numeric keys sort as numbers, never strings ("10" < "9" trap);
+  *  - string keys use Spark's default UTF8String *binary* comparison ≙ Go
+  *    `<` on bytes (`external_sort.go:146-147`) — no ICU collation;
+  *  - full payload passthrough — no columns projected away;
+  *  - the reference sort is unstable with no tie-break (`sort.Slice`,
+  *    `external_sort.go:140`), so graded variants take extra tie-break keys
+  *    to make output deterministic for hash comparison.
+  */
+object Sorting {
+
+  /** Globally total-ordered copy of `df` — ≙ `ExternalSort`
+    * (`external_sort.go:69-201`). Payload passthrough: all columns kept. */
+  def totalSort(df: DataFrame, keys: Column*): DataFrame =
+    df.orderBy(keys: _*)
+
+  /** Scale path for "one totally ordered output": explicit range
+    * repartition + per-partition sort, so each of `numPartitions` outputs
+    * is written in parallel and partition i holds keys ≤ partition i+1.
+    * Identical plan shape to `orderBy` but makes the partition count an
+    * explicit knob for sizing output files at 100 TB. */
+  def totalSortPartitioned(df: DataFrame, numPartitions: Int, keys: Column*): DataFrame =
+    df.repartitionByRange(numPartitions, keys: _*).sortWithinPartitions(keys: _*)
+
+  /** Top-k by key — the scalable replacement for "sort then take first k":
+    * Spark plans `orderBy.limit` as `TakeOrderedAndProject`, a per-partition
+    * bounded heap + driver-side merge of k rows — no global shuffle at all. */
+  def topK(df: DataFrame, k: Int, keys: Column*): DataFrame =
+    df.orderBy(keys: _*).limit(k)
+
+  /** Order-validation as a query — the reference's `test_validation.sh`
+    * monotonicity check (`scripts/test_validation.sh:38-55,87-104`) done
+    * properly: over ALL rows (not a 1000-row sample) count inversions of
+    * `key` in the order given by `ord`, and check row-count conservation
+    * (the reference never did — SURVEY.md §5.1). Returns one row
+    * `(n_rows, n_inversions)`; sorted input ⇒ `n_inversions = 0`. */
+  def monotonicCheck(df: DataFrame, key: Column, ord: Column*): DataFrame = {
+    val w = Window.orderBy(ord: _*)
+    df.withColumn("__k", key)
+      .withColumn("__prev", lag(col("__k"), 1).over(w))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(when(col("__prev") > col("__k"), 1)).as("n_inversions"))
+  }
+}

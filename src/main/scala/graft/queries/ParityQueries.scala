@@ -1,0 +1,93 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+
+import graft.functions.CsvCodec
+import graft.operators.Sorting
+import graft.sources.Tables
+
+/** Reference-parity queries: the three graded total sorts, the CSV
+  * encode→decode→sort chain, and order-validation-as-a-query.
+  *
+  * Fixture mapping (FIXTURES.md): numeric-key sort → `events(user_id)`,
+  * lexicographic-key sort → `customer(c_name)`, low-cardinality enum sort
+  * (≙ `continent`, 6 values over 50 M rows — massive ties) →
+  * `customer(c_mktsegment)`. Every query carries a full tie-break order
+  * because the reference sort is unstable (`external_sort.go:140`) and the
+  * driver hash-compares row sequences.
+  *
+  * `ts` is emitted as epoch milliseconds (`unix_millis`) rather than a raw
+  * timestamp so the Spark/DuckDB comparison is integer-exact regardless of
+  * parquet ns/µs unit handling.
+  */
+object ParityQueries {
+
+  private def eventsProjected(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).select(
+      col("event_id"), col("ts_ms"),
+      col("user_id"), col("event_type"), col("value"), col("props"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // O7–O9: numeric-key global total sort, payload passthrough.
+    "sort_by_id" -> ((s, dir) =>
+      Sorting.totalSort(eventsProjected(s, dir), col("user_id"), col("event_id"))),
+
+    // O7–O9: lexicographic (binary-collation) sort.
+    "sort_by_name" -> ((s, dir) =>
+      Sorting.totalSort(Tables.customer(s, dir), col("c_name"), col("c_custkey"))),
+
+    // O7–O9: low-cardinality enum key (≙ continent, heavy duplicate keys).
+    "sort_by_continent" -> ((s, dir) =>
+      Sorting.totalSort(Tables.customer(s, dir), col("c_mktsegment"), col("c_custkey"))),
+
+    // O1/O5 + O7–O9: full reference chain — encode rows as comma-joined CSV
+    // lines (generator.go:44-56), re-extract typed fields positionally
+    // (external_sort.go:365-425), sort numerically on the parsed key.
+    "csv_roundtrip_sort" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val lines = c.select(CsvCodec.encode(
+        col("c_custkey"), col("c_name"), col("c_nationkey"), col("c_mktsegment")).as("line"))
+      val decoded = CsvCodec.decode(lines, col("line"), Seq(
+        "id" -> LongType, "name" -> StringType,
+        "nationkey" -> IntegerType, "segment" -> StringType))
+        .select("id", "name", "nationkey", "segment")
+      Sorting.totalSort(decoded, col("id"), col("name"))
+    }),
+
+    // O12: the reference's test_validation.sh monotonicity check as a query,
+    // over all rows, plus row-count conservation (SURVEY.md §5.1 gap).
+    "validate_monotonic" -> ((s, dir) =>
+      Sorting.monotonicCheck(
+        Tables.events(s, dir), col("user_id"), col("user_id"), col("event_id"))),
+
+    // Top-k without a global sort: TakeOrderedAndProject (bounded per-
+    // partition heaps + driver merge of k rows — no shuffle of the data).
+    "sort_topk" -> ((s, dir) =>
+      Sorting.topK(
+        Tables.orders(s, dir).select("o_orderkey", "o_custkey", "o_totalprice"),
+        100, col("o_totalprice").desc, col("o_orderkey"))))
+
+  val oracles: Map[String, String] = Map(
+    "sort_by_id" ->
+      """SELECT event_id, epoch_ms(ts) AS ts_ms, user_id, event_type, value, props
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+    "sort_by_name" ->
+      "SELECT * FROM customer ORDER BY c_name, c_custkey",
+    "sort_by_continent" ->
+      "SELECT * FROM customer ORDER BY c_mktsegment, c_custkey",
+    "csv_roundtrip_sort" ->
+      """SELECT c_custkey AS id, c_name AS name,
+        |       c_nationkey AS nationkey, c_mktsegment AS segment
+        |FROM customer ORDER BY id, name""".stripMargin,
+    "validate_monotonic" ->
+      """SELECT count(*) AS n_rows,
+        |       count(CASE WHEN prev > k THEN 1 END) AS n_inversions
+        |FROM (SELECT user_id AS k,
+        |             lag(user_id) OVER (ORDER BY user_id, event_id) AS prev
+        |      FROM events) t""".stripMargin,
+    "sort_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin)
+}

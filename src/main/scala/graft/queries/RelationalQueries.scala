@@ -1,0 +1,320 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** The general relational query surface the reference lacks entirely
+  * (SURVEY.md §2.2): aggregation, joins of every flavor, window functions,
+  * grouping sets, set operations, scalar/JSON functions, event-time
+  * windows, sessionization. All declared via the DataFrame API so Catalyst
+  * supplies pushdown/pruning/join-selection; broadcast hints are given
+  * only where a side is a genuine dimension table (nation: 25 rows at any
+  * scale factor — safe to broadcast at 100 TB too).
+  *
+  * Determinism contract: every query ends in a full tie-break ORDER BY and
+  * every floating-point aggregate is rounded, so the driver's hash compare
+  * against DuckDB is stable (SURVEY.md §7.4 risk 2).
+  */
+object RelationalQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q1 shape: scan-heavy partial-agg-friendly aggregation. At scale
+    // the groupBy keys are tiny (6 groups) so map-side partial aggregation
+    // collapses nearly all rows before the shuffle.
+    "q1_agg" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          round(avg(col("l_extendedprice")), 4).as("avg_price"),
+          round(avg(col("l_discount")), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))),
+
+    // TPC-H Q3 shape: selective filters pushed to all three scans, then
+    // shuffle joins on the keys; top-10 via TakeOrderedAndProject.
+    "q3_join_topk" -> ((s, dir) => {
+      val cust = Tables.customer(s, dir)
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey")
+      val ord = Tables.orders(s, dir)
+        .filter(col("o_orderdate") < lit("1998-03-15").cast("timestamp"))
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+      val li = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") > lit("1998-03-15").cast("timestamp"))
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      cust.join(ord, cust("c_custkey") === ord("o_custkey"))
+        .join(li, ord("o_orderkey") === li("l_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .select(col("l_orderkey"), to_date(col("o_orderdate")).as("o_orderdate"), col("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // Broadcast hash join against a true dimension (nation ≤ 25 rows at
+    // every SF — broadcastable on a 1000-executor cluster too).
+    "q_broadcast_join" -> ((s, dir) =>
+      Tables.customer(s, dir)
+        .join(broadcast(Tables.nation(s, dir)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_cust"),
+          round(sum(col("c_acctbal")), 2).as("sum_bal"))
+        .orderBy(col("n_name"))),
+
+    // Left-semi join: customers with ≥1 order in 2001 (filter pushed to the
+    // orders scan; no duplication of the probe side).
+    "q_semi_join" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("2001-01-01").cast("timestamp"))
+        .select("o_custkey")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+
+    // Left-anti join: customers with no 2001 orders.
+    "q_anti_join" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("2001-01-01").cast("timestamp"))
+        .select("o_custkey")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+
+    // Left outer join + aggregation, preserving zero-order customers.
+    "q_outer_join_agg" -> ((s, dir) => {
+      val c = Tables.customer(s, dir).select("c_custkey")
+      val o = Tables.orders(s, dir).select("o_custkey", "o_orderkey")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // Window functions: per-customer top-3 orders by price.
+    "q_window_rank" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, dir)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          row_number().over(w).as("rn"))
+        .filter(col("rn") <= 3)
+        .orderBy(col("o_custkey"), col("rn"))
+    }),
+
+    // ROLLUP grouping sets (explicit NULLS FIRST so both engines order the
+    // subtotal rows identically).
+    "q_rollup" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
+
+    // DISTINCT over a pair of columns.
+    "q_distinct" -> ((s, dir) =>
+      Tables.events(s, dir).select("user_id", "event_type").distinct()
+        .orderBy("user_id", "event_type")),
+
+    // Exact COUNT(DISTINCT) per group (expand + two-phase agg in Spark).
+    "q_count_distinct" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"))
+        .orderBy(col("event_type"))),
+
+    // Set ops: INTERSECT (distinct semantics in both engines).
+    "q_intersect" -> ((s, dir) =>
+      Tables.events(s, dir).select(col("user_id").as("k"))
+        .intersect(Tables.customer(s, dir).select(col("c_custkey").as("k")))
+        .orderBy("k")),
+
+    // Set ops: EXCEPT (customers minus those with 2001 orders).
+    "q_except" -> ((s, dir) =>
+      Tables.customer(s, dir).select(col("c_custkey").as("k"))
+        .except(Tables.orders(s, dir)
+          .filter(col("o_orderdate") >= lit("2001-01-01").cast("timestamp"))
+          .select(col("o_custkey").as("k")))
+        .orderBy("k")),
+
+    // Scalar function battery: string / date / math / conditional.
+    "q_scalar_funcs" -> ((s, dir) =>
+      Tables.orders(s, dir).select(
+        col("o_orderkey"),
+        upper(col("o_orderpriority")).as("prio_up"),
+        length(col("o_orderpriority")).as("prio_len"),
+        substring(col("o_orderpriority"), 1, 1).as("prio_1"),
+        concat_ws("-", col("o_orderstatus"), col("o_orderpriority")).as("status_prio"),
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"),
+        dayofmonth(col("o_orderdate")).as("dy"),
+        date_add(to_date(col("o_orderdate")), 7).as("plus7"),
+        round(abs(col("o_totalprice") * -1), 1).as("abs_price"),
+        when(col("o_orderstatus") === "O", "open")
+          .when(col("o_orderstatus") === "F", "filled")
+          .otherwise("other").as("status_word"))
+        .orderBy(col("o_orderkey"))),
+
+    // JSON extraction from the events.props column.
+    "q_json_extract" -> ((s, dir) =>
+      Tables.events(s, dir).select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .orderBy(col("event_id"))),
+
+    // Event-time tumbling window aggregation (batch form of the streaming
+    // windowed agg — same date_trunc bucketing Structured Streaming uses).
+    // `ts` is epoch nanos (Long); hour bucket = integer-floor to the hour.
+    "q_time_window" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(expr("(ts div 3600000000000) * 3600000").as("window_start_ms"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value")), 2).as("sum_value"))
+        .orderBy(col("window_start_ms"), col("event_type"))),
+
+    // Sessionization: 30-minute inactivity gap, pure window functions —
+    // shuffle once on user_id, then two window passes over the same
+    // partitioning (no second exchange).
+    "q_sessionize" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts_ms"))
+        .withColumn("prev_ms", lag(col("ts_ms"), 1).over(
+          Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))))
+        .withColumn("new_sess",
+          when(col("prev_ms").isNull || col("ts_ms") - col("prev_ms") > 1800000L, 1)
+            .otherwise(0))
+        .withColumn("session_id", sum(col("new_sess")).over(
+          Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      e.groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts_ms")).as("sess_start_ms"),
+          max(col("ts_ms")).as("sess_end_ms"))
+        .orderBy(col("user_id"), col("session_id"))
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       round(sum(l_quantity), 2) AS sum_qty,
+        |       round(sum(l_extendedprice), 2) AS sum_base_price,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+        |       round(avg(l_quantity), 4) AS avg_qty,
+        |       round(avg(l_extendedprice), 4) AS avg_price,
+        |       round(avg(l_discount), 4) AS avg_disc,
+        |       count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_join_topk" ->
+      """SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q_broadcast_join" ->
+      """SELECT n_name, count(*) AS n_cust, round(sum(c_acctbal), 2) AS sum_bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+        |              AND o.o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+        |ORDER BY c_custkey""".stripMargin,
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+        |                  AND o.o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+        |ORDER BY c_custkey""".stripMargin,
+    "q_outer_join_agg" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    "q_window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |       round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q_distinct" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin,
+    "q_count_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_intersect" ->
+      """SELECT user_id AS k FROM events
+        |INTERSECT SELECT c_custkey AS k FROM customer ORDER BY k""".stripMargin,
+    "q_except" ->
+      """SELECT c_custkey AS k FROM customer
+        |EXCEPT SELECT o_custkey AS k FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '2001-01-01 00:00:00' ORDER BY k""".stripMargin,
+    "q_scalar_funcs" ->
+      """SELECT o_orderkey,
+        |       upper(o_orderpriority) AS prio_up,
+        |       length(o_orderpriority) AS prio_len,
+        |       substring(o_orderpriority, 1, 1) AS prio_1,
+        |       concat_ws('-', o_orderstatus, o_orderpriority) AS status_prio,
+        |       year(o_orderdate) AS yr,
+        |       month(o_orderdate) AS mo,
+        |       day(o_orderdate) AS dy,
+        |       CAST(o_orderdate AS DATE) + 7 AS plus7,
+        |       round(abs(o_totalprice * -1), 1) AS abs_price,
+        |       CASE WHEN o_orderstatus = 'O' THEN 'open'
+        |            WHEN o_orderstatus = 'F' THEN 'filled'
+        |            ELSE 'other' END AS status_word
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_json_extract" ->
+      """SELECT event_id,
+        |       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_time_window" ->
+      """SELECT epoch_ms(date_trunc('hour', ts)) AS window_start_ms, event_type,
+        |       count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY window_start_ms, event_type""".stripMargin,
+    "q_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+        |         lag(epoch_ms(ts)) OVER (PARTITION BY user_id
+        |                                 ORDER BY epoch_ms(ts), event_id) AS prev_ms
+        |  FROM events),
+        |s AS (
+        |  SELECT *, CASE WHEN prev_ms IS NULL OR ts_ms - prev_ms > 1800000
+        |                 THEN 1 ELSE 0 END AS new_sess FROM e),
+        |t AS (
+        |  SELECT user_id, ts_ms,
+        |         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+        |                             ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM s)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |       min(ts_ms) AS sess_start_ms, max(ts_ms) AS sess_end_ms
+        |FROM t GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin)
+}

@@ -1,0 +1,121 @@
+#!/usr/bin/env python3
+"""Local differential check mimicking the driver's DuckDB oracle compare.
+
+Usage: python3 tools/selfcheck.py [sfDir] [outDir] [--skip-verify] [names...]
+
+1. Runs `graft.Verify` (unless --skip-verify) writing each query's result
+   parquet + oracle_sql.json to outDir.
+2. Registers every fixture table as a DuckDB view over the same sfDir.
+3. Runs each oracle SQL, compares against the Spark parquet: column names
+   (sorted), row count, and per-row values in result order.
+
+Exit 0 iff all queries match.
+"""
+import json
+import math
+import subprocess
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def values_equal(a, b):
+    if a is None or b is None:
+        return a is None and b is None
+    if isinstance(a, float) or isinstance(b, float):
+        try:
+            fa, fb = float(a), float(b)
+        except (TypeError, ValueError):
+            return False
+        if math.isnan(fa) and math.isnan(fb):
+            return True
+        return fa == fb or abs(fa - fb) <= 1e-9 * max(1.0, abs(fa), abs(fb))
+    if isinstance(a, (list, tuple)) and isinstance(b, (list, tuple)):
+        return len(a) == len(b) and all(values_equal(x, y) for x, y in zip(a, b))
+    return a == b
+
+
+def main():
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    flags = [a for a in sys.argv[1:] if a.startswith("--")]
+    sf_dir = args[0] if len(args) > 0 else "/root/testdata/sf0.01"
+    out_dir = args[1] if len(args) > 1 else "/tmp/graft_verify"
+    only = set(args[2:])
+
+    if "--skip-verify" not in flags:
+        r = subprocess.run(
+            ["sbt", "-batch", f'runMain graft.Verify {sf_dir} {out_dir}'],
+            cwd="/root/repo", capture_output=True, text=True)
+        sys.stdout.write(r.stdout[-4000:])
+        if r.returncode != 0:
+            sys.stderr.write(r.stderr[-4000:])
+            print("VERIFY RUN FAILED")
+            return 1
+
+    with open(f"{out_dir}/oracle_sql.json") as f:
+        oracles = json.load(f)
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    n_pass = n_fail = 0
+    for name in sorted(oracles):
+        if only and name not in only:
+            continue
+        sql = oracles[name]
+        try:
+            oracle = con.execute(sql)
+            o_cols = [d[0] for d in oracle.description]
+            o_rows = oracle.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {e}")
+            n_fail += 1
+            continue
+        try:
+            spark = con.execute(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+            s_cols = [d[0] for d in spark.description]
+            s_rows = spark.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: spark result unreadable: {e}")
+            n_fail += 1
+            continue
+
+        if sorted(o_cols) != sorted(s_cols):
+            print(f"FAIL {name}: columns differ\n  oracle: {sorted(o_cols)}\n  spark:  {sorted(s_cols)}")
+            n_fail += 1
+            continue
+        if len(o_rows) != len(s_rows):
+            print(f"FAIL {name}: row count oracle={len(o_rows)} spark={len(s_rows)}")
+            n_fail += 1
+            continue
+        # Compare with columns aligned by (sorted) name, rows in result order.
+        o_ix = [o_cols.index(c) for c in sorted(o_cols)]
+        s_ix = [s_cols.index(c) for c in sorted(s_cols)]
+        bad = None
+        for i, (orow, srow) in enumerate(zip(o_rows, s_rows)):
+            for oc, sc in zip(o_ix, s_ix):
+                if not values_equal(orow[oc], srow[sc]):
+                    bad = (i, sorted(o_cols)[o_ix.index(oc)], orow[oc], srow[sc])
+                    break
+            if bad:
+                break
+        if bad:
+            i, cname, ov, sv = bad
+            print(f"FAIL {name}: row {i} col {cname}: oracle={ov!r} spark={sv!r}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(o_rows)} rows)")
+            n_pass += 1
+
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    return 0 if n_fail == 0 else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
