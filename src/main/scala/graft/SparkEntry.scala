@@ -22,10 +22,10 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ParityQueries.queries ++ RelationalQueries.queries
+    ParityQueries.queries ++ RelationalQueries.queries ++ TrainingDataQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    ParityQueries.oracles ++ RelationalQueries.oracles
+    ParityQueries.oracles ++ RelationalQueries.oracles ++ TrainingDataQueries.oracles
 }

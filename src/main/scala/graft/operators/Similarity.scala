@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+/** Similarity search over an embedding column (`ArrayType(FloatType)`).
+  *
+  * Two paths, as a 100 TB design demands:
+  *  - [[bruteForceTopK]]: exact cosine top-k of a SMALL query set against
+  *    the full corpus. The query side is broadcast, so the corpus is
+  *    scanned once with zero shuffle of the big side; per-query ranking
+  *    is a window over (query, candidate) rows — |Q|×N rows total, which
+  *    is the right baseline whenever |Q| is bounded.
+  *  - [[lshBuckets]] / [[lshTopK]]: approximate path — deterministic
+  *    random-hyperplane signatures band the corpus into buckets; queries
+  *    only score candidates sharing a band, cutting the scored pairs by
+  *    ~bands/bucket-count. This is the shape that survives unbounded |Q|
+  *    (pair generation becomes an equi-join on band key, a plain shuffle).
+  *
+  * Cosine arithmetic is a sequential double fold (VectorFunctions.dot),
+  * mirrored exactly by the DuckDB oracle's `list_inner_product`.
+  */
+object Similarity {
+
+  /** Exact top-k cosine neighbors for each row of `queries` (small,
+    * broadcastable) against `corpus`. Ranking uses the similarity rounded
+    * to 6 decimals with candidate-id tie-break, so results are
+    * deterministic and engine-portable. Self-matches are excluded. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+    val c = corpus.select(col(idCol).as("c_id"), col(vecCol).as("c_vec"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("c_id") =!= col("q_id"))
+      .select(col("q_id"), col("c_id"),
+        round(VectorFunctions.cosine(col("q_vec"), col("c_vec")), 6).as("cos_sim"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("c_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Deterministic ±1 random hyperplanes: plane p, component i is the
+    * parity of a hash of (p, i). Constant-folded into the plan — every
+    * executor and every engine derives the identical planes. */
+  private def planeLit(p: Int, dim: Int): Column = {
+    val signs = (0 until dim).map { i =>
+      // Deterministic pseudo-random sign from (p, i); any fixed mixing
+      // function works — this is scala.util.hashing.MurmurHash3 on a pair.
+      val h = scala.util.hashing.MurmurHash3.productHash((p, i))
+      if ((h & 1) == 0) 1.0 else -1.0
+    }
+    array(signs.map(lit): _*)
+  }
+
+  /** Random-hyperplane LSH signature: `numPlanes` sign bits, banded into
+    * `numBands` integer band keys. Output: (id, band, band_key). */
+  def lshBuckets(df: DataFrame, numPlanes: Int = 16, numBands: Int = 4,
+                 dim: Int = 64,
+                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val bitCols: Seq[Column] = (0 until numPlanes).map { p =>
+      when(VectorFunctions.dot(col(vecCol), planeLit(p, dim)) >= 0, 1L).otherwise(0L)
+    }
+    val perBand = numPlanes / numBands
+    val bandKeys: Seq[Column] = (0 until numBands).map { b =>
+      (0 until perBand).map(i => bitCols(b * perBand + i) * lit(1L << i))
+        .reduce(_ + _).as(s"bk$b")
+    }
+    df.select(col(idCol).as("id") +: bandKeys: _*)
+      .select(col("id"), explode(array((0 until numBands).map(b =>
+        struct(lit(b).as("band"), col(s"bk$b").as("band_key"))): _*)).as("s"))
+      .select(col("id"), col("s.band"), col("s.band_key"))
+  }
+
+  /** Approximate top-k: score only (query, candidate) pairs that share an
+    * LSH band. Same output shape as [[bruteForceTopK]] (rank may differ —
+    * that is the accuracy/cost trade; measure recall in tests). */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              numPlanes: Int = 16, numBands: Int = 4, dim: Int = 64,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cb = lshBuckets(corpus, numPlanes, numBands, dim, idCol, vecCol)
+    val qb = lshBuckets(queries, numPlanes, numBands, dim, idCol, vecCol)
+    val cand = cb.alias("c").join(qb.alias("q"),
+        col("c.band") === col("q.band") && col("c.band_key") === col("q.band_key"))
+      .select(col("q.id").as("q_id"), col("c.id").as("c_id"))
+      .filter(col("q_id") =!= col("c_id"))
+      .distinct()
+    val qv = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+    val cv = corpus.select(col(idCol).as("c_id"), col(vecCol).as("c_vec"))
+    val scored = cand.join(broadcast(qv), "q_id").join(cv, "c_id")
+      .select(col("q_id"), col("c_id"),
+        round(VectorFunctions.cosine(col("q_vec"), col("c_vec")), 6).as("cos_sim"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("c_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Embedding-cosine near-duplicate pairs within a blocking key (e.g. a
+    * cluster/label column — the IVF idea: only intra-cell pairs are
+    * scored). Output (id_a, id_b, cos_sim) with id_a < id_b. */
+  def embeddingNearDupPairs(df: DataFrame, blockCol: String, minCos: Double,
+                            idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val e = df.select(col(blockCol).as("blk"), col(idCol).as("id"), col(vecCol).as("v"))
+    e.alias("a").join(e.alias("b"),
+        col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        round(VectorFunctions.cosine(col("a.v"), col("b.v")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= minCos)
+  }
+}

@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Text analysis for training-data curation: token counting, quality
+  * scoring, language identification, document fingerprinting. All pure
+  * column expressions over the text column — one narrow map stage, no
+  * shuffle, fully codegen'd; at 100 TB this runs at scan speed.
+  */
+object TextAnalysis {
+
+  /** Stopwords for the quality score (ratio of function words — a classic
+    * fluency signal). */
+  val Stopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "for", "on", "with", "as", "at")
+
+  /** Per-language marker words for the n-gram/stopword language-ID
+    * heuristic. Order = tie-break precedence. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "of", "and", "to", "in", "is", "that", "for"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los", "las", "una"),
+    "fr" -> Seq("le", "les", "des", "et", "est", "une", "dans", "pour"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit"))
+
+  /** Token & character counts. */
+  def tokenCounts(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+      size(TextFunctions.words(col(textCol))).as("n_tokens"),
+      length(col(textCol)).as("n_chars"))
+
+  /** Quality metrics: punctuation / alphabetic / stopword ratios and mean
+    * word length, each rounded for engine-portable comparison. */
+  def quality(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("__w", TextFunctions.words(t))
+      .select(col(idCol),
+        round(length(regexp_replace(t, "[^.!?,;:]", "")).cast("double") /
+          length(t), 4).as("punct_ratio"),
+        round(length(regexp_replace(t, "[^A-Za-z]", "")).cast("double") /
+          length(t), 4).as("alpha_ratio"),
+        round(TextFunctions.countIn("__w", Stopwords).cast("double") /
+          size(col("__w")), 4).as("stopword_ratio"),
+        round(length(regexp_replace(t, "\\s+", "")).cast("double") /
+          size(col("__w")), 4).as("mean_word_len"))
+  }
+
+  /** Language ID: count marker-word hits per language, argmax with the
+    * declaration order of [[LangMarkers]] as tie-break. */
+  def languageId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val withScores = LangMarkers.foldLeft(
+      df.withColumn("__w", TextFunctions.words(col(textCol)))) {
+      case (acc, (lang, markers)) =>
+        acc.withColumn(s"__s_$lang", TextFunctions.countIn("__w", markers))
+    }
+    val langs = LangMarkers.map(_._1)
+    // argmax with earlier-language precedence on ties
+    val pred = langs.zipWithIndex.init.foldRight(lit(langs.last): Column) {
+      case ((lang, i), elseCol) =>
+        val later = langs.drop(i + 1)
+        val isMax = later.map(o => col(s"__s_$lang") >= col(s"__s_$o")).reduce(_ && _)
+        when(isMax, lang).otherwise(elseCol)
+    }
+    val outCols = col(idCol) +: pred.as("pred_lang") +:
+      langs.map(l => col(s"__s_$l").as(s"score_$l"))
+    withScores.select(outCols: _*)
+  }
+
+  /** Canonical md5 fingerprint per document. */
+  def fingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), TextFunctions.fingerprint(col(textCol)).as("fingerprint"))
+}
