@@ -67,7 +67,13 @@ object ParityQueries {
     "sort_topk" -> ((s, dir) =>
       Sorting.topK(
         Tables.orders(s, dir).select("o_orderkey", "o_custkey", "o_totalprice"),
-        100, col("o_totalprice").desc, col("o_orderkey"))))
+        100, col("o_totalprice").desc, col("o_orderkey"))),
+
+    // O1/O2: the reference's synthetic producer — deterministic seeded
+    // records from spark.range partition parallelism (domains from
+    // generator.go:9-13,24-42), replayed exactly by the DuckDB oracle.
+    "generate_records" -> ((s, _) =>
+      graft.sources.RecordGenerator.records(s, 1000, seed = 42).orderBy("row_id")))
 
   val oracles: Map[String, String] = Map(
     "sort_by_id" ->
@@ -89,5 +95,7 @@ object ParityQueries {
         |      FROM events) t""".stripMargin,
     "sort_topk" ->
       """SELECT o_orderkey, o_custkey, o_totalprice
-        |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin)
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    "generate_records" ->
+      graft.sources.RecordGenerator.oracleSql(1000, seed = 42))
 }

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+import graft.sources.Tables
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, sf("sf0.001")).cache()
+
+  test("exact dedup keeps the min id per duplicate key") {
+    val df = Seq((5L, "x"), (2L, "x"), (9L, "y")).toDF("doc_id", "text")
+    val got = Dedup.exact(df, "doc_id", Seq("text"))
+      .orderBy("doc_id").collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text")))
+    assert(got.toSeq === Seq((2L, "x"), (9L, "y")))
+  }
+
+  test("fingerprint dedup collapses case/whitespace variants") {
+    val df = Seq((1L, "Hello  World"), (2L, "hello world"), (3L, "other"))
+      .toDF("doc_id", "text")
+    val got = Dedup.byFingerprint(df, "doc_id", "text")
+    assert(got.count() === 2)
+    assert(got.filter(col("n_dups") === 2).select("doc_id").as[Long].head() === 1L)
+  }
+
+  test("minhash LSH finds every identical-signature pair and estimates match exact jaccard") {
+    val exact = Dedup.shingleJaccardPairs(docs, "doc_id", "text", minJaccard = 0.0)
+      .filter(col("jaccard") >= 0.999)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val mh = Dedup.minhashPairs(docs, "doc_id", "text", minEstimate = 0.5)
+    val mhPairs = mh.select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(exact.subsetOf(mhPairs),
+      s"jaccard=1.0 pairs must always collide in every band: missing ${exact -- mhPairs}")
+  }
+
+  test("simhash: identical token sequences get identical simhash") {
+    val df = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "totally different words here now")).toDF("doc_id", "text")
+    val sh = Dedup.simhash(df, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc") -> r.getAs[Long]("simhash")).toMap
+    assert(sh(1L) === sh(2L))
+    assert(sh(1L) !== sh(3L))
+  }
+
+  test("simhashPairs reports hamming 0 for identical docs") {
+    val df = Seq((1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"),
+      (3L, "zeta eta theta iota kappa")).toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(df, "doc_id", "text", maxHamming = 4)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Int]("hamming")))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0))
+  }
+
+  test("planted near-dups in the fixtures are found by all three near-dup paths") {
+    val exact = Dedup.shingleJaccardPairs(docs, "doc_id", "text", minJaccard = 0.8).count()
+    val mh = Dedup.minhashPairs(docs, "doc_id", "text", minEstimate = 0.5).count()
+    assert(exact > 0, "fixtures contain planted near-dups")
+    assert(mh > 0)
+  }
+}

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+import graft.sources.Tables
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = Tables.embeddings(spark, sf("sf0.001")).cache()
+  private lazy val queries = emb.filter(col("vec_id") < 10).cache()
+
+  test("bruteForceTopK: k results per query, ranked by descending similarity") {
+    val got = Similarity.bruteForceTopK(emb, queries, 5).cache()
+    assert(got.count() === 10 * 5)
+    val ranks = got.groupBy("q_id").agg(collect_list("rank")).collect()
+    assert(ranks.forall(_.getSeq[Int](1).sorted == Seq(1, 2, 3, 4, 5)))
+    // descending similarity within each query
+    val byQ = got.orderBy("q_id", "rank")
+      .select("q_id", "cos_sim").as[(Long, Double)].collect().grouped(5)
+    assert(byQ.forall(g => g.map(-_._2).sameElements(g.map(-_._2).sorted)))
+  }
+
+  test("bruteForceTopK agrees with a driver-side exact computation for one query") {
+    val q = emb.filter(col("vec_id") === 0).select("embedding")
+      .as[Array[Float]].head().map(_.toDouble)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val all = emb.filter(col("vec_id") =!= 0)
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+    val expectTop = all
+      .map { case (id, v) =>
+        (id, BigDecimal(cos(q, v.map(_.toDouble))).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+      .sortBy { case (id, c) => (-c, id) }.take(3).map(_._1)
+    val got = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") === 0), 3)
+      .orderBy("rank").select("c_id").as[Long].collect()
+    assert(got.sameElements(expectTop))
+  }
+
+  test("LSH recall: banded hyperplane candidates recover most true top-1 neighbors") {
+    val bf = Similarity.bruteForceTopK(emb, queries, 1)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toMap
+    val lsh = Similarity.lshTopK(emb, queries, 10, numPlanes = 8, numBands = 4)
+      .select("q_id", "c_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val hits = bf.count { case (q, top1) => lsh.getOrElse(q, Set.empty).contains(top1) }
+    assert(hits >= 5, s"top-1 recall in approximate candidates: $hits/10")
+  }
+
+  test("embeddingNearDupPairs only pairs within a block and respects the threshold") {
+    val pairs = Similarity.embeddingNearDupPairs(emb, "label", 0.3).cache()
+    val labels = emb.select("vec_id", "label").as[(Long, Int)].collect().toMap
+    val rows = pairs.select("id_a", "id_b", "cos_sim").as[(Long, Long, Double)].collect()
+    assert(rows.forall { case (a, b, c) => labels(a) == labels(b) && c >= 0.3 && a < b })
+  }
+}

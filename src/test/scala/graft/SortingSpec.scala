@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+
+import graft.functions.CsvCodec
+import graft.operators.Sorting
+import graft.sources.RecordGenerator
+
+/** Reference-parity sort semantics (SURVEY.md §2.3 traps + §5.2
+  * properties): monotone output, multiset conservation, payload
+  * passthrough, binary collation, numeric-vs-lexicographic ordering. */
+class SortingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val records = RecordGenerator.records(spark, 2000, seed = 7).cache()
+
+  test("totalSort by numeric id is monotone and conserves the multiset") {
+    val sorted = Sorting.totalSort(records, col("id"), col("row_id"))
+    val ids = sorted.select("id").as[Int].collect()
+    assert(ids.sameElements(ids.sorted), "ids must be non-decreasing")
+    // multiset conservation: the reference never checked this (§5.1)
+    assert(sorted.count() === records.count())
+    val inBag = records.select("row_id", "id", "name", "address", "continent")
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val outBag = sorted.select("row_id", "id", "name", "address", "continent")
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(inBag.sameElements(outBag), "payload passthrough must keep every row intact")
+  }
+
+  test("string sort uses binary collation: 'Z' < 'a' (Go byte-order parity)") {
+    val df = Seq("apple", "Zebra", "banana", "Apple").toDF("name")
+    val got = Sorting.totalSort(df, col("name")).as[String].collect()
+    assert(got.sameElements(Array("Apple", "Zebra", "apple", "banana")))
+  }
+
+  test("numeric ids must not sort lexicographically ('10' < '9' trap)") {
+    val df = Seq(9, 10, 2, 100).toDF("id")
+    val got = Sorting.totalSort(df, col("id")).as[Int].collect()
+    assert(got.sameElements(Array(2, 9, 10, 100)))
+  }
+
+  test("negative ids sort as signed numbers (sign-aware extractID parity)") {
+    val lines = Seq("-5,a", "3,b", "-100,c", "0,d").toDF("line")
+    val decoded = CsvCodec.decode(lines, col("line"),
+      Seq("id" -> LongType, "tag" -> StringType))
+    val got = Sorting.totalSort(decoded, col("id")).select("id").as[Long].collect()
+    assert(got.sameElements(Array(-100L, -5L, 0L, 3L)))
+  }
+
+  test("CSV encode/decode round-trips every generated record") {
+    val lines = records.select(CsvCodec.encode(
+      col("id"), col("name"), col("address"), col("continent")).as("line"))
+    val back = CsvCodec.decode(lines, col("line"), Seq(
+      "id" -> IntegerType, "name" -> StringType,
+      "address" -> StringType, "continent" -> StringType))
+      .select("id", "name", "address", "continent")
+    val inBag = records.select("id", "name", "address", "continent")
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val outBag = back.collect().map(_.toSeq).sortBy(_.toString)
+    assert(inBag.sameElements(outBag))
+  }
+
+  test("monotonicCheck: zero inversions on sorted input, positive on scrambled") {
+    val sorted = Sorting.monotonicCheck(
+      records.orderBy("id"), col("id"), col("id"), col("row_id"))
+      .collect().head
+    assert(sorted.getAs[Long]("n_inversions") === 0L)
+    assert(sorted.getAs[Long]("n_rows") === 2000L)
+    // scrambled: order by an unrelated hash but check monotonicity of id
+    val scrambled = Sorting.monotonicCheck(
+      records, col("id"), md5(col("name")))
+      .collect().head
+    assert(scrambled.getAs[Long]("n_inversions") > 0L)
+  }
+
+  test("topK equals full-sort-take-k") {
+    val viaTopK = Sorting.topK(records, 25, col("id").desc, col("row_id"))
+      .select("row_id").as[Long].collect()
+    val viaSort = records.orderBy(col("id").desc, col("row_id"))
+      .limit(25).select("row_id").as[Long].collect()
+    assert(viaTopK.sameElements(viaSort))
+  }
+
+  test("totalSortPartitioned: partition i holds keys <= partition i+1") {
+    val parted = Sorting.totalSortPartitioned(records, 8, col("id"))
+    val perPart = parted.select(col("id"), spark_partition_id().as("p"))
+      .groupBy("p").agg(min("id").as("lo"), max("id").as("hi"))
+      .orderBy("p").collect()
+    val ok = perPart.sliding(2).forall {
+      case Array(a, b) => a.getAs[Int]("hi") <= b.getAs[Int]("lo")
+      case _ => true
+    }
+    assert(ok, "range partitions must not overlap")
+  }
+}

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Multimodal, TextAnalysis}
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "The cat and the dog sat on the mat."),
+    (2L, "el perro y el gato que corren en la casa"),
+    (3L, "aaaa bbbb cccc")).toDF("doc_id", "text").cache()
+
+  test("tokenCounts") {
+    val got = TextAnalysis.tokenCounts(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(got(0).getAs[Int]("n_tokens") === 9)
+    assert(got(2).getAs[Int]("n_tokens") === 3)
+    assert(got(2).getAs[Int]("n_chars") === 14)
+  }
+
+  test("quality ratios are in [0,1] and mean word length is sane") {
+    val got = TextAnalysis.quality(docs, "doc_id", "text").collect()
+    got.foreach { r =>
+      assert(r.getAs[Double]("punct_ratio") >= 0 && r.getAs[Double]("punct_ratio") < 1)
+      assert(r.getAs[Double]("alpha_ratio") > 0 && r.getAs[Double]("alpha_ratio") <= 1)
+      assert(r.getAs[Double]("stopword_ratio") >= 0 && r.getAs[Double]("stopword_ratio") <= 1)
+      assert(r.getAs[Double]("mean_word_len") >= 1)
+    }
+    val noStop = TextAnalysis.quality(docs, "doc_id", "text")
+      .filter(col("doc_id") === 3).collect().head
+    assert(noStop.getAs[Double]("stopword_ratio") === 0.0)
+  }
+
+  test("languageId picks en for English and es for Spanish text") {
+    val got = TextAnalysis.languageId(docs, "doc_id", "text")
+      .select("doc_id", "pred_lang").as[(Long, String)].collect().toMap
+    assert(got(1L) === "en")
+    assert(got(2L) === "es")
+  }
+
+  test("fingerprints: whitespace/case variants collide, different text does not") {
+    val df = Seq((1L, "A  B\tC"), (2L, "a b c"), (3L, "a b d")).toDF("doc_id", "text")
+    val fp = TextAnalysis.fingerprints(df, "doc_id", "text")
+      .select("doc_id", "fingerprint").as[(Long, String)].collect().toMap
+    assert(fp(1L) === fp(2L))
+    assert(fp(1L) !== fp(3L))
+  }
+
+  test("multimodal: binary payload + deterministic metadata + feature extraction") {
+    val withBin = Multimodal.attachBinary(docs, "doc_id", "text").cache()
+    val meta = withBin.select("media_id", "meta.n_bytes", "meta.width", "meta.height")
+      .collect()
+    meta.foreach { r =>
+      assert(r.getAs[Int]("n_bytes") > 0)
+      assert(r.getAs[Long]("width") >= 0 && r.getAs[Long]("width") < 640)
+      assert(r.getAs[Long]("height") >= 0 && r.getAs[Long]("height") < 480)
+    }
+    val feats = Multimodal.extractFeatures(spark, withBin, dim = 8).collect()
+    assert(feats.length === 3)
+    assert(feats.forall(_.features.length === 8))
+    // deterministic stub: same input bytes => same features
+    val again = Multimodal.extractFeatures(spark, withBin, dim = 8).collect()
+    assert(feats.sortBy(_.media_id).zip(again.sortBy(_.media_id))
+      .forall { case (a, b) => a.features.sameElements(b.features) })
+  }
+}
