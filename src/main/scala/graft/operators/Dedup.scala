@@ -33,17 +33,31 @@ object Dedup {
       .groupBy(col("fp"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_dups"))
 
-  /** MinHash signatures: one row per (doc, seed) with the min md5 over the
-    * doc's word-3-gram shingles. `numHashes` seeds ⇒ signature length. */
+  /** Universal-hash family for MinHash: h_s(x) = (a_s·h0(x) + b_s) mod
+    * M61, with h0 = first 48 md5 bits of the shingle. One md5 per
+    * shingle — the per-seed hashes are integer arithmetic, so the
+    * dominant cost at scale (cryptographic hashing of the shingle
+    * explosion) is paid once, not `numHashes` times. M61 keeps every
+    * intermediate < 2^62 (no signed-64 overflow in either engine). */
+  val MinhashPrime = 2305843009213693951L // 2^61 - 1
+
+  /** MinHash signatures: one row per (doc, seed) with the min universal
+    * hash over the doc's word-3-gram shingles. Numeric — not hex-string —
+    * signatures matter at scale: `min(BIGINT)` is a mutable-buffer
+    * HashAggregate with map-side partial combine, whereas `min(STRING)`
+    * forces SortAggregate (a sort of the whole shingle×seed explosion
+    * before every aggregation). */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         numHashes: Int = 16): DataFrame = {
     val sh = df
       .select(col(idCol).as("doc"), TextFunctions.words(col(textCol)).as("w"))
       .select(col("doc"), explode(TextFunctions.shingles("w")).as("shingle"))
-    sh.select(col("doc"), col("shingle"),
+    sh.withColumn("h0",
+        expr("cast(conv(substr(md5(shingle), 1, 12), 16, 10) as bigint)"))
+      .select(col("doc"), col("h0"),
         explode(expr(s"sequence(0, ${numHashes - 1})")).as("seed"))
       .select(col("doc"), col("seed"),
-        md5(concat(col("seed").cast("string"), lit(":"), col("shingle"))).as("h"))
+        expr(s"((2 * seed + 1) * h0 + (1000003 * seed + 12345)) % $MinhashPrime").as("h"))
       .groupBy(col("doc"), col("seed"))
       .agg(min(col("h")).as("minh"))
   }
@@ -55,7 +69,7 @@ object Dedup {
     sig.withColumn("band", expr(s"seed div $rowsPerBand"))
       .groupBy(col("doc"), col("band"))
       .agg(md5(concat_ws(",",
-        expr("transform(array_sort(collect_list(struct(seed, minh))), x -> x.minh)")))
+        expr("transform(array_sort(collect_list(struct(seed, minh))), x -> cast(x.minh as string))")))
         .as("band_key"))
   }
 

@@ -31,12 +31,18 @@ object Similarity {
     * deterministic and engine-portable. Self-matches are excluded. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
-    val c = corpus.select(col(idCol).as("c_id"), col(vecCol).as("c_vec"))
+    // double-cast and norm are computed ONCE per input row, not per pair
+    val q = queries.select(col(idCol).as("q_id"),
+      VectorFunctions.asDouble(col(vecCol)).as("q_vec"))
+      .withColumn("q_nrm", VectorFunctions.norm(col("q_vec")))
+    val c = corpus.select(col(idCol).as("c_id"),
+      VectorFunctions.asDouble(col(vecCol)).as("c_vec"))
+      .withColumn("c_nrm", VectorFunctions.norm(col("c_vec")))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("c_id") =!= col("q_id"))
       .select(col("q_id"), col("c_id"),
-        round(VectorFunctions.cosine(col("q_vec"), col("c_vec")), 6).as("cos_sim"))
+        round(VectorFunctions.dot(col("q_vec"), col("c_vec")) /
+          (col("q_nrm") * col("c_nrm")), 6).as("cos_sim"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos_sim").desc, col("c_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -61,15 +67,17 @@ object Similarity {
   def lshBuckets(df: DataFrame, numPlanes: Int = 16, numBands: Int = 4,
                  dim: Int = 64,
                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val withV = df.select(col(idCol).as("id"),
+      VectorFunctions.asDouble(col(vecCol)).as("__v"))
     val bitCols: Seq[Column] = (0 until numPlanes).map { p =>
-      when(VectorFunctions.dot(col(vecCol), planeLit(p, dim)) >= 0, 1L).otherwise(0L)
+      when(VectorFunctions.dot(col("__v"), planeLit(p, dim)) >= 0, 1L).otherwise(0L)
     }
     val perBand = numPlanes / numBands
     val bandKeys: Seq[Column] = (0 until numBands).map { b =>
       (0 until perBand).map(i => bitCols(b * perBand + i) * lit(1L << i))
         .reduce(_ + _).as(s"bk$b")
     }
-    df.select(col(idCol).as("id") +: bandKeys: _*)
+    withV.select(col("id") +: bandKeys: _*)
       .select(col("id"), explode(array((0 until numBands).map(b =>
         struct(lit(b).as("band"), col(s"bk$b").as("band_key"))): _*)).as("s"))
       .select(col("id"), col("s.band"), col("s.band_key"))
@@ -88,11 +96,16 @@ object Similarity {
       .select(col("q.id").as("q_id"), col("c.id").as("c_id"))
       .filter(col("q_id") =!= col("c_id"))
       .distinct()
-    val qv = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
-    val cv = corpus.select(col(idCol).as("c_id"), col(vecCol).as("c_vec"))
+    val qv = queries.select(col(idCol).as("q_id"),
+      VectorFunctions.asDouble(col(vecCol)).as("q_vec"))
+      .withColumn("q_nrm", VectorFunctions.norm(col("q_vec")))
+    val cv = corpus.select(col(idCol).as("c_id"),
+      VectorFunctions.asDouble(col(vecCol)).as("c_vec"))
+      .withColumn("c_nrm", VectorFunctions.norm(col("c_vec")))
     val scored = cand.join(broadcast(qv), "q_id").join(cv, "c_id")
       .select(col("q_id"), col("c_id"),
-        round(VectorFunctions.cosine(col("q_vec"), col("c_vec")), 6).as("cos_sim"))
+        round(VectorFunctions.dot(col("q_vec"), col("c_vec")) /
+          (col("q_nrm") * col("c_nrm")), 6).as("cos_sim"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos_sim").desc, col("c_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -104,11 +117,14 @@ object Similarity {
     * scored). Output (id_a, id_b, cos_sim) with id_a < id_b. */
   def embeddingNearDupPairs(df: DataFrame, blockCol: String, minCos: Double,
                             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val e = df.select(col(blockCol).as("blk"), col(idCol).as("id"), col(vecCol).as("v"))
+    val e = df.select(col(blockCol).as("blk"), col(idCol).as("id"),
+      VectorFunctions.asDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", VectorFunctions.norm(col("v")))
     e.alias("a").join(e.alias("b"),
         col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        round(VectorFunctions.cosine(col("a.v"), col("b.v")), 6).as("cos_sim"))
+        round(VectorFunctions.dot(col("a.v"), col("b.v")) /
+          (col("a.nrm") * col("b.nrm")), 6).as("cos_sim"))
       .filter(col("cos_sim") >= minCos)
   }
 }

@@ -51,16 +51,42 @@ object Sorting {
 
   /** Order-validation as a query — the reference's `test_validation.sh`
     * monotonicity check (`scripts/test_validation.sh:38-55,87-104`) done
-    * properly: over ALL rows (not a 1000-row sample) count inversions of
-    * `key` in the order given by `ord`, and check row-count conservation
-    * (the reference never did — SURVEY.md §5.1). Returns one row
-    * `(n_rows, n_inversions)`; sorted input ⇒ `n_inversions = 0`. */
+    * properly: over ALL rows (not a 1000-row sample) count adjacent
+    * inversions of `key` in the (ascending) order given by `ord`, and
+    * report the row count for conservation checking (the reference never
+    * did — SURVEY.md §5.1). Returns one row `(n_rows, n_inversions)`;
+    * sorted input ⇒ `n_inversions = 0`.
+    *
+    * Scale design: a naive `lag` over a global `Window.orderBy` funnels
+    * the whole dataset through ONE partition. Instead the sequence is
+    * range-partitioned on `ord`; adjacent pairs are then either inside a
+    * partition (counted by a per-partition window) or across one
+    * partition seam (one `min_by`/`max_by` row per partition, joined
+    * pid→pid+1). Every stage is distributed; the seam check touches
+    * #partitions rows, not N. */
   def monotonicCheck(df: DataFrame, key: Column, ord: Column*): DataFrame = {
-    val w = Window.orderBy(ord: _*)
-    df.withColumn("__k", key)
+    val t = df
+      .withColumn("__k", key)
+      .withColumn("__ord", struct(ord: _*))
+      .repartitionByRange(ord: _*)
+      .withColumn("__pid", spark_partition_id())
+    val w = Window.partitionBy(col("__pid")).orderBy(col("__ord"))
+    val perPart = t
       .withColumn("__prev", lag(col("__k"), 1).over(w))
+      .groupBy(col("__pid"))
       .agg(
-        count(lit(1)).as("n_rows"),
-        count(when(col("__prev") > col("__k"), 1)).as("n_inversions"))
+        count(lit(1)).as("n"),
+        count(when(col("__prev") > col("__k"), 1)).as("inv"),
+        min_by(col("__k"), col("__ord")).as("first_k"),
+        max_by(col("__k"), col("__ord")).as("last_k"))
+    val seams = perPart.alias("x").join(perPart.alias("y"),
+        col("x.__pid") + 1 === col("y.__pid"))
+      .agg(coalesce(sum(when(col("x.last_k") > col("y.first_k"), 1L).otherwise(0L)), lit(0L))
+        .as("binv"))
+    val within = perPart.agg(
+      coalesce(sum(col("n")), lit(0L)).as("n_rows"),
+      coalesce(sum(col("inv")), lit(0L)).as("winv"))
+    within.crossJoin(seams)
+      .select(col("n_rows"), (col("winv") + col("binv")).as("n_inversions"))
   }
 }

@@ -29,9 +29,14 @@ object TrainingDataQueries {
        |         unnest(list_distinct(list_transform(generate_series(1, len(l) - 2),
        |           i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]))) AS shingle
        |       FROM w)""".stripMargin
-  private val cosSql =
-    "list_inner_product(%s, %s) / (sqrt(list_inner_product(%s, %s)) * sqrt(list_inner_product(%s, %s)))"
-  private def cos(a: String, b: String) = cosSql.format(a, b, a, a, b, b)
+  // Embedding CTE with the norm precomputed once per vector — mirrors the
+  // Spark side, which norms each side before the pairwise join.
+  private val embCte =
+    """e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v,
+      |         sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      |       FROM embeddings)""".stripMargin
+  private def cos(a: String, b: String) =
+    s"list_inner_product($a.v, $b.v) / ($a.nrm * $b.nrm)"
 
   // Programmatically built SimHash SQL (32 sum columns + bit recombine),
   // guaranteed in sync with Dedup.simhash.
@@ -133,11 +138,13 @@ object TrainingDataQueries {
 
     "dedup_minhash" ->
       s"""WITH $shingleCte,
-         |sig AS (SELECT doc_id, seed, min(md5(seed::VARCHAR || ':' || shingle)) AS minh
-         |        FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS seed) seeds
+         |sig AS (SELECT doc_id, seed,
+         |          min(((2 * seed + 1) * h0 + (1000003 * seed + 12345)) % 2305843009213693951) AS minh
+         |        FROM (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 12))::BIGINT AS h0 FROM sh) s
+         |        CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS seed) seeds
          |        GROUP BY doc_id, seed),
          |bands AS (SELECT doc_id, seed // 4 AS band,
-         |            md5(string_agg(minh, ',' ORDER BY seed)) AS band_key
+         |            md5(string_agg(minh::VARCHAR, ',' ORDER BY seed)) AS band_key
          |          FROM sig GROUP BY doc_id, seed // 4),
          |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
          |         FROM bands x JOIN bands y
@@ -180,17 +187,17 @@ object TrainingDataQueries {
          |ORDER BY doc_a, doc_b""".stripMargin,
 
     "dedup_embedding" ->
-      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      s"""WITH $embCte,
          |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         |        round(${cos("a.v", "b.v")}, 6) AS cos_sim
+         |        round(${cos("a", "b")}, 6) AS cos_sim
          |      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
          |SELECT * FROM p WHERE cos_sim >= 0.4 ORDER BY id_a, id_b""".stripMargin,
 
     "ann_bruteforce" ->
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      s"""WITH $embCte,
          |q AS (SELECT * FROM e WHERE vec_id < 10),
          |sc AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
-         |         round(${cos("q.v", "c.v")}, 6) AS cos_sim
+         |         round(${cos("q", "c")}, 6) AS cos_sim
          |       FROM q JOIN e c ON c.vec_id <> q.vec_id),
          |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
          |                ORDER BY cos_sim DESC, c_id) AS rank FROM sc)

@@ -50,6 +50,21 @@ class SimilaritySpec extends SparkSpec {
     assert(hits >= 5, s"top-1 recall in approximate candidates: $hits/10")
   }
 
+  test("native codegen DotProduct is bit-identical to the interpreted HOF fold") {
+    import graft.functions.VectorFunctions
+    val pairs = emb.alias("a").crossJoin(emb.limit(20).alias("b"))
+      .select(
+        VectorFunctions.asDouble(col("a.embedding")).as("x"),
+        VectorFunctions.asDouble(col("b.embedding")).as("y"))
+      .select(
+        VectorFunctions.dot(col("x"), col("y")).as("native"),
+        VectorFunctions.dotHof(col("x"), col("y")).as("hof"))
+      .as[(Double, Double)].collect()
+    assert(pairs.nonEmpty)
+    assert(pairs.forall { case (n, h) => n == h },
+      "codegen and interpreted dot products must agree bit-for-bit")
+  }
+
   test("embeddingNearDupPairs only pairs within a block and respects the threshold") {
     val pairs = Similarity.embeddingNearDupPairs(emb, "label", 0.3).cache()
     val labels = emb.select("vec_id", "label").as[(Long, Int)].collect().toMap
