@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.operators.AsOfJoin
 import graft.sources.Tables
 
 /** The general relational query surface the reference lacks entirely
@@ -187,6 +188,56 @@ object RelationalQueries {
           round(sum(col("value")), 2).as("sum_value"))
         .orderBy(col("window_start_ms"), col("event_type"))),
 
+    // As-of join (no native Spark equivalent): latest order at-or-before
+    // each event, via the union-window technique (one shuffle on the key,
+    // linear cost — see operators.AsOfJoin).
+    "q_asof_join" -> ((s, dir) => {
+      val e = Tables.events(s, dir).select("event_id", "user_id", "ts_ms")
+      val r = Tables.orders(s, dir)
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max(col("o_orderkey")).as("o_orderkey"))
+        .withColumn("o_ms", unix_millis(col("o_orderdate").cast("timestamp")))
+      AsOfJoin.asofLeft(e, r, "user_id", "ts_ms", "o_custkey", "o_ms",
+          Seq("o_orderkey"))
+        .orderBy("event_id")
+    }),
+
+    // Range (band) join against a tiny interval dimension — broadcast
+    // nested-loop on a 3-row side, so the fact table is scanned once.
+    "q_range_join" -> ((s, dir) => {
+      import s.implicits._
+      val bands = Seq(
+        (0.0, 100000.0, "low"),
+        (100000.0, 200000.0, "mid"),
+        (200000.0, 1000000000000.0, "high")).toDF("lo", "hi", "band")
+      Tables.orders(s, dir)
+        .join(broadcast(bands),
+          col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("sum_tp"))
+        .orderBy(col("band"))
+    }),
+
+    // Exact interpolated percentiles per group (Spark `percentile` and
+    // DuckDB `quantile_cont` share (n-1)*q linear interpolation).
+    "q_percentiles" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("round(percentile(l_quantity, 0.5), 4)").as("p50_qty"),
+          expr("round(percentile(l_quantity, 0.9), 4)").as("p90_qty"),
+          expr("round(percentile(l_extendedprice, 0.5), 4)").as("p50_price"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))),
+
+    // CUBE grouping sets over two low-cardinality dimensions.
+    "q_cube" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)),
+
     // Sessionization: 30-minute inactivity gap, pure window functions —
     // shuffle once on user_id, then two window passes over the same
     // partitioning (no second exchange).
@@ -300,6 +351,32 @@ object RelationalQueries {
       """SELECT epoch_ms(date_trunc('hour', ts)) AS window_start_ms, event_type,
         |       count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY window_start_ms, event_type""".stripMargin,
+    "q_asof_join" ->
+      """WITH r AS (SELECT o_custkey, epoch_ms(o_orderdate) AS o_ms,
+        |                  max(o_orderkey) AS o_orderkey
+        |           FROM orders GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, epoch_ms(e.ts) AS ts_ms, r.o_orderkey
+        |FROM events e ASOF LEFT JOIN r
+        |  ON e.user_id = r.o_custkey AND epoch_ms(e.ts) >= r.o_ms
+        |ORDER BY event_id""".stripMargin,
+    "q_range_join" ->
+      """SELECT band, count(*) AS n, round(sum(o_totalprice), 2) AS sum_tp
+        |FROM orders JOIN (VALUES (0.0, 100000.0, 'low'),
+        |                         (100000.0, 200000.0, 'mid'),
+        |                         (200000.0, 1000000000000.0, 'high')) b(lo, hi, band)
+        |  ON o_totalprice >= lo AND o_totalprice < hi
+        |GROUP BY band ORDER BY band""".stripMargin,
+    "q_percentiles" ->
+      """SELECT l_returnflag,
+        |       round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
+        |       round(quantile_cont(l_quantity, 0.9), 4) AS p90_qty,
+        |       round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_price,
+        |       count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
     "q_sessionize" ->
       """WITH e AS (
         |  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
