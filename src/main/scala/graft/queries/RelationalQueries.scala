@@ -138,6 +138,17 @@ object RelationalQueries {
           count(lit(1)).as("n_events"))
         .orderBy(col("event_type"))),
 
+    // Sketch-based approximate distinct (HyperLogLog++). No oracle — the
+    // estimate is algorithm-specific — so the driver applies its rows-only
+    // check; the exact count sits alongside for sanity, and the relative
+    // error is asserted in ScalaTest.
+    "q_approx_distinct" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+          countDistinct(col("user_id")).as("exact_users"))
+        .orderBy(col("event_type"))),
+
     // Set ops: INTERSECT (distinct semantics in both engines).
     "q_intersect" -> ((s, dir) =>
       Tables.events(s, dir).select(col("user_id").as("k"))

@@ -1,0 +1,71 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType}
+
+import graft.functions.CsvCodec
+import graft.sources.RecordGenerator
+
+/** The reference's END-TO-END workload at its published scale: generate
+  * N CSV records (default 50 M ≙ `cmd/producer/main.go:21`), persist them
+  * as the bounded "topic", then produce three globally totally-ordered
+  * copies — by id (numeric), name, continent (binary lexicographic) —
+  * each re-reading the full source like the reference's three sorter runs
+  * (`scripts/run.sh:32-35`). Transport is Parquet (no Kafka connector in
+  * this offline build); the sort path — scan → key extraction → range
+  * shuffle → external sort → sink — is identical work per record.
+  *
+  * Reference baselines (BASELINE.md): producer 60–75 k rec/s; sorter
+  * 500–600 k rec/s per key on 4 cores / 2 GB.
+  *
+  * Usage: runMain graft.tools.RefBench [n] [outDir]
+  */
+object RefBench {
+  def main(args: Array[String]): Unit = {
+    val n = if (args.length > 0) args(0).toLong else 50000000L
+    val base = if (args.length > 1) args(1) else "/tmp/graft_refbench"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+
+    val src = s"$base/source"
+    val (_, tGen) = timed {
+      RecordGenerator.recordsFast(spark, n, seed = 42, numPartitions = cpus.toInt * 4)
+        .select(CsvCodec.encode(col("id"), col("name"), col("address"), col("continent"))
+          .as("line"))
+        .write.mode("overwrite").parquet(src)
+    }
+
+    // (key name, CSV field position, key type) ≙ cmd/sorter/main.go:24
+    val keys = Seq(("id", 0, LongType), ("name", 1, StringType), ("continent", 3, StringType))
+    val sortSecs = keys.map { case (key, fieldPos, dt) =>
+      val (_, t) = timed {
+        spark.read.parquet(src)
+          .withColumn("__key", CsvCodec.fieldAs(col("line"), fieldPos, dt))
+          .orderBy(col("__key"))
+          .select(col("line"))
+          .write.mode("overwrite").parquet(s"$base/sorted_$key")
+      }
+      key -> t
+    }
+
+    val rates = sortSecs.map { case (k, t) => s""""$k":${(n / t).toLong}""" }.mkString(",")
+    val times = sortSecs.map { case (k, t) => s""""$k":$t""" }.mkString(",")
+    println(
+      s"""{"n":$n,"gen_sec":$tGen,"gen_rate":${(n / tGen).toLong},""" +
+        s""""sort_sec":{$times},"sort_rate_rec_per_sec":{$rates}}""")
+    spark.stop()
+  }
+}

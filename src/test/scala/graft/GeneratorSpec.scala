@@ -45,4 +45,31 @@ class GeneratorSpec extends SparkSpec {
     val lines = RecordGenerator.csvLines(spark, 100).collect()
     assert(lines.forall(_.getAs[String]("line").split(",", -1).length === 4))
   }
+
+  test("recordsFast (volume generator) honors the same domains") {
+    val rows = RecordGenerator.recordsFast(spark, 500, seed = 42).collect()
+    val enums = RecordGenerator.Continents.toSet
+    assert(rows.forall { r =>
+      val n = r.getAs[String]("name")
+      val a = r.getAs[String]("address")
+      r.getAs[Int]("id") >= 0 &&
+        n.length >= 10 && n.length <= 15 && n.forall(_.isLetter) &&
+        a.length >= 15 && a.length <= 20 &&
+        a.forall(c => c.isLetterOrDigit || c == ' ') &&
+        enums.contains(r.getAs[String]("continent"))
+    })
+    // deterministic
+    val again = RecordGenerator.recordsFast(spark, 500, seed = 42).collect()
+    assert(rows.map(_.toSeq).sameElements(again.map(_.toSeq)))
+  }
+
+  test("approx distinct stays within 5% of exact on the events fixture") {
+    import org.apache.spark.sql.functions._
+    val got = graft.sources.Tables.events(spark, sf("sf0.01"))
+      .agg(approx_count_distinct(col("user_id")).as("a"),
+        countDistinct(col("user_id")).as("e"))
+      .collect().head
+    val (a, e) = (got.getAs[Long]("a").toDouble, got.getAs[Long]("e").toDouble)
+    assert(math.abs(a - e) / e < 0.05, s"approx=$a exact=$e")
+  }
 }
