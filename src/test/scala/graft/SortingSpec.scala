@@ -82,6 +82,25 @@ class SortingSpec extends SparkSpec {
     assert(viaTopK.sameElements(viaSort))
   }
 
+  test("TopKLongs UDAF matches orderBy.limit per group and globally") {
+    import graft.functions.TopKLongs
+    val topk = udaf(new TopKLongs(5))
+    val global = records.agg(topk(col("id").cast("long")).as("t"))
+      .collect().head.getSeq[Long](0)
+    val expected = records.orderBy(col("id").desc).limit(5)
+      .select(col("id").cast("long")).as[Long].collect().toSeq
+    assert(global === expected)
+    // grouped: top-3 ids per continent
+    val topk3 = udaf(new TopKLongs(3))
+    val grouped = records.groupBy("continent")
+      .agg(topk3(col("id").cast("long")).as("t"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val byHand = records.select("continent", "id").as[(String, Int)].collect()
+      .groupBy(_._1).view
+      .mapValues(_.map(_._2.toLong).sorted(Ordering[Long].reverse).take(3).toSeq).toMap
+    assert(grouped === byHand)
+  }
+
   test("totalSortPartitioned: partition i holds keys <= partition i+1") {
     val parted = Sorting.totalSortPartitioned(records, 8, col("id"))
     val perPart = parted.select(col("id"), spark_partition_id().as("p"))
