@@ -101,6 +101,25 @@ class SortingSpec extends SparkSpec {
     assert(grouped === byHand)
   }
 
+  test("salted join and salted distinct equal their unsalted forms") {
+    import graft.operators.Skew
+    val big = records.select(col("continent"), col("id"))
+    val small = records.select(col("continent")).distinct()
+      .withColumn("tag", md5(col("continent")))
+    val direct = big.join(small, Seq("continent"))
+      .agg(count(lit(1)), sum(col("id").cast("long"))).collect().head
+    val salted = Skew.saltedJoin(big, small, Seq("continent"), 8)
+      .agg(count(lit(1)), sum(col("id").cast("long"))).collect().head
+    assert(direct.toSeq === salted.toSeq)
+
+    val directD = records.groupBy("continent")
+      .agg(countDistinct(col("name")).as("n_distinct"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val saltedD = Skew.saltedDistinctCount(records, Seq("continent"), "name", 8)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(directD === saltedD)
+  }
+
   test("totalSortPartitioned: partition i holds keys <= partition i+1") {
     val parted = Sorting.totalSortPartitioned(records, 8, col("id"))
     val perPart = parted.select(col("id"), spark_partition_id().as("p"))
