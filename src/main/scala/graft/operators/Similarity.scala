@@ -112,6 +112,67 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** IVF (inverted-file) index: pick `numCells` deterministic seed
+    * vectors as centroids (hash-ordered sample — broadcastable at any
+    * corpus size), assign every vector to its nearest centroid. One
+    * corpus pass; the index is just (id → cell). */
+  def ivfIndex(corpus: DataFrame, numCells: Int,
+               idCol: String = "vec_id", vecCol: String = "embedding"): (DataFrame, DataFrame) = {
+    val c = corpus.select(col(idCol).as("c_id"),
+      VectorFunctions.asDouble(col(vecCol)).as("c_vec"))
+      .withColumn("c_nrm", VectorFunctions.norm(col("c_vec")))
+    val centroids = c.orderBy(md5(col("c_id").cast("string")), col("c_id"))
+      .limit(numCells)
+      .select(col("c_id").as("cell_id"), col("c_vec").as("cell_vec"),
+        col("c_nrm").as("cell_nrm"))
+    val w = Window.partitionBy(col("c_id"))
+      .orderBy(col("__sim").desc, col("cell_id"))
+    val assign = c.crossJoin(broadcast(centroids))
+      .withColumn("__sim",
+        VectorFunctions.dot(col("c_vec"), col("cell_vec")) /
+          (col("c_nrm") * col("cell_nrm")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("c_id"), col("cell_id"))
+    (centroids, assign)
+  }
+
+  /** IVF approximate top-k: per query, rank the `nProbe` nearest cells,
+    * then score only vectors assigned to those cells. Scanned fraction ≈
+    * nProbe / numCells of the corpus; candidate generation is an
+    * equi-join on cell_id (a plain shuffle — no cross product). */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              numCells: Int = 16, nProbe: Int = 4,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val (centroids, assign) = ivfIndex(corpus, numCells, idCol, vecCol)
+    val q = queries.select(col(idCol).as("q_id"),
+      VectorFunctions.asDouble(col(vecCol)).as("q_vec"))
+      .withColumn("q_nrm", VectorFunctions.norm(col("q_vec")))
+    val wq = Window.partitionBy(col("q_id"))
+      .orderBy(col("__csim").desc, col("cell_id"))
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("__csim",
+        VectorFunctions.dot(col("q_vec"), col("cell_vec")) /
+          (col("q_nrm") * col("cell_nrm")))
+      .withColumn("__rn", row_number().over(wq))
+      .filter(col("__rn") <= nProbe)
+      .select(col("q_id"), col("cell_id"))
+    val cv = corpus.select(col(idCol).as("c_id"),
+      VectorFunctions.asDouble(col(vecCol)).as("c_vec"))
+      .withColumn("c_nrm", VectorFunctions.norm(col("c_vec")))
+    val cand = probes.join(assign, "cell_id")
+      .select(col("q_id"), col("c_id"))
+      .filter(col("q_id") =!= col("c_id"))
+    val scored = cand.join(broadcast(q), "q_id").join(cv, "c_id")
+      .select(col("q_id"), col("c_id"),
+        round(VectorFunctions.dot(col("q_vec"), col("c_vec")) /
+          (col("q_nrm") * col("c_nrm")), 6).as("cos_sim"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("c_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Embedding-cosine near-duplicate pairs within a blocking key (e.g. a
     * cluster/label column — the IVF idea: only intra-cell pairs are
     * scored). Output (id_a, id_b, cos_sim) with id_a < id_b. */

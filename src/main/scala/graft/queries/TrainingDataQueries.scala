@@ -98,6 +98,15 @@ object TrainingDataQueries {
         .orderBy("q_id", "rank")
     }),
 
+    // IVF approximate ANN — rows-only (centroid choice is engine-side);
+    // recall vs brute force asserted in ScalaTest.
+    "ann_ivf" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), 10,
+          numCells = 16, nProbe = 6)
+        .orderBy("q_id", "rank")
+    }),
+
     "text_tokens" -> ((s, dir) =>
       TextAnalysis.tokenCounts(Tables.documents(s, dir), "doc_id", "text")
         .orderBy("doc_id")),

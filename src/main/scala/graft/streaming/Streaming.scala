@@ -59,6 +59,17 @@ object Streaming {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Streaming exact dedup — the training-data dedup operator in its
+    * streaming form: keep the first occurrence of each key, with state
+    * bounded by the watermark horizon (late duplicates beyond it are
+    * beyond-watermark and dropped along with their state). */
+  def dedupStream(df: DataFrame, keyCols: Seq[String],
+                  tsMsCol: String = "ts_ms",
+                  watermark: String = "1 hour"): DataFrame =
+    df.withColumn("event_time", timestamp_millis(col(tsMsCol)))
+      .withWatermark("event_time", watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   case class Evt(user_id: Long, event_id: Long, ts_ms: Long)
   case class SessionState(startMs: Long, endMs: Long, n: Long)
   case class Session(user_id: Long, sess_start_ms: Long, sess_end_ms: Long,

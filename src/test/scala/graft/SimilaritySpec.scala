@@ -65,6 +65,19 @@ class SimilaritySpec extends SparkSpec {
       "codegen and interpreted dot products must agree bit-for-bit")
   }
 
+  test("IVF: assignments cover the corpus; probes recover most true top-1s") {
+    val (centroids, assign) = Similarity.ivfIndex(emb, numCells = 16)
+    assert(centroids.count() === 16)
+    assert(assign.count() === emb.count(), "every vector lands in exactly one cell")
+    val bf = Similarity.bruteForceTopK(emb, queries, 1)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toMap
+    val ivf = Similarity.ivfTopK(emb, queries, 10, numCells = 16, nProbe = 6)
+      .select("q_id", "c_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val hits = bf.count { case (q, top1) => ivf.getOrElse(q, Set.empty).contains(top1) }
+    assert(hits >= 5, s"IVF top-1 recall: $hits/10 at nProbe=6/16")
+  }
+
   test("embeddingNearDupPairs only pairs within a block and respects the threshold") {
     val pairs = Similarity.embeddingNearDupPairs(emb, "label", 0.3).cache()
     val labels = emb.select("vec_id", "label").as[(Long, Int)].collect().toMap

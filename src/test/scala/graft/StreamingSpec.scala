@@ -58,6 +58,23 @@ class StreamingSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("dedupStream: duplicate keys within the watermark are dropped") {
+    val input = MemoryStream[(Long, String, Long)](spark)
+    input.addData(
+      (1L, "a", 1000L), (2L, "b", 2000L),
+      (1L, "a-dup", 3000L), (3L, "c", 4000L), (2L, "b-dup", 2500L))
+    val deduped = Streaming.dedupStream(
+      input.toDF().toDF("doc_id", "text", "ts_ms"), Seq("doc_id"))
+    val q = deduped.writeStream.format("memory").queryName("dedup")
+      .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("dedup").select("doc_id", "text")
+      .as[(Long, String)].collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq === Seq(1L, 2L, 3L))
+    // first-in-batch occurrence survives
+    assert(got.toMap === Map(1L -> "a", 2L -> "b", 3L -> "c"))
+  }
+
   test("sessionize: flatMapGroupsWithState emits gap-closed sessions") {
     val input = MemoryStream[Streaming.Evt](spark)
     val gap = 1000L
