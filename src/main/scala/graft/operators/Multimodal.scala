@@ -51,6 +51,37 @@ object Multimodal {
     out
   }
 
+  /** STUB resize: real codecs would decode → scale → re-encode; the stub
+    * deterministically re-cuts the payload to the target byte budget and
+    * rewrites the metadata — keeping the column-level contract (payload +
+    * meta stay consistent) testable. Pure column expressions: resize at
+    * scan speed, no shuffle. */
+  def resize(withBinary: DataFrame, width: Int, height: Int): DataFrame = {
+    val budget = (width.toLong * height.toLong / 256L).toInt max 1
+    withBinary.select(
+      col("media_id"),
+      // ??? <- real decode+scale+encode goes here (no codecs in build)
+      substring(col("payload"), 1, budget).as("payload"),
+      struct(
+        least(col("meta.n_bytes"), lit(budget)).as("n_bytes"),
+        lit(width.toLong).as("width"),
+        lit(height.toLong).as("height")).as("meta"))
+  }
+
+  /** STUB frame sampling: emit `n` evenly-spaced "frames" per media row
+    * (posexplode over a sequence — one output row per frame, the shape a
+    * real video pipeline needs). Frame payload is a deterministic slice;
+    * a real decoder would seek + decode the keyframe here. */
+  def sampleFrames(withBinary: DataFrame, n: Int): DataFrame =
+    withBinary
+      .select(col("media_id"), col("payload"),
+        posexplode(expr(s"sequence(0, ${n - 1})")).as(Seq("frame_idx", "__f")))
+      .select(
+        col("media_id"), col("frame_idx"),
+        // ??? <- real keyframe seek+decode; deterministic slice instead
+        expr(s"substr(payload, cast(frame_idx * (length(payload) div $n) + 1 as int), 16)")
+          .as("frame_bytes"))
+
   /** Per-partition batched feature extraction over the binary column.
     * `mapPartitions` (not a per-row UDF) so a real decoder can amortize
     * its init cost per task — the standard shape for Pandas-UDF-style

@@ -199,6 +199,23 @@ object RelationalQueries {
           round(sum(col("value")), 2).as("sum_value"))
         .orderBy(col("window_start_ms"), col("event_type"))),
 
+    // The spark.sql surface end-to-end: temp views + ANSI SQL with an
+    // IN-subquery (decorrelated to a semi-join by Catalyst — same plan
+    // family as q_semi_join's DataFrame form).
+    "q_sql_surface" -> ((s, dir) => {
+      Seq("customer", "orders", "nation").foreach(n =>
+        Tables.table(s, dir, n).createOrReplaceTempView(n))
+      s.sql(
+        """SELECT n_name, o_orderpriority, count(*) AS n,
+          |       round(sum(o_totalprice), 2) AS sum_tp
+          |FROM customer
+          |JOIN orders ON c_custkey = o_custkey
+          |JOIN nation ON c_nationkey = n_nationkey
+          |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+          |GROUP BY n_name, o_orderpriority
+          |ORDER BY n_name, o_orderpriority""".stripMargin)
+    }),
+
     // As-of join (no native Spark equivalent): latest order at-or-before
     // each event, via the union-window technique (one shuffle on the key,
     // linear cost — see operators.AsOfJoin).
@@ -362,6 +379,15 @@ object RelationalQueries {
       """SELECT epoch_ms(date_trunc('hour', ts)) AS window_start_ms, event_type,
         |       count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY window_start_ms, event_type""".stripMargin,
+    "q_sql_surface" ->
+      """SELECT n_name, o_orderpriority, count(*) AS n,
+        |       round(sum(o_totalprice), 2) AS sum_tp
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+        |GROUP BY n_name, o_orderpriority
+        |ORDER BY n_name, o_orderpriority""".stripMargin,
     "q_asof_join" ->
       """WITH r AS (SELECT o_custkey, epoch_ms(o_orderdate) AS o_ms,
         |                  max(o_orderkey) AS o_orderkey

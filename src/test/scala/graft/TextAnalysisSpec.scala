@@ -57,6 +57,18 @@ class TextAnalysisSpec extends SparkSpec {
       assert(r.getAs[Long]("width") >= 0 && r.getAs[Long]("width") < 640)
       assert(r.getAs[Long]("height") >= 0 && r.getAs[Long]("height") < 480)
     }
+    // resize keeps payload/meta consistent at the target budget
+    val resized = Multimodal.resize(withBin, 64, 64).collect()
+    resized.foreach { r =>
+      val bytes = r.getAs[Array[Byte]]("payload")
+      assert(bytes.length <= 16 && bytes.length > 0)
+      assert(r.getAs[org.apache.spark.sql.Row]("meta").getAs[Long]("width") === 64L)
+    }
+    // frame sampling emits n rows per media with non-empty slices
+    val frames = Multimodal.sampleFrames(withBin, 4)
+    assert(frames.count() === 3 * 4)
+    assert(frames.groupBy("media_id").count().collect().forall(_.getLong(1) === 4L))
+
     val feats = Multimodal.extractFeatures(spark, withBin, dim = 8).collect()
     assert(feats.length === 3)
     assert(feats.forall(_.features.length === 8))
