@@ -41,11 +41,14 @@ object RefBench {
     }
 
     val src = s"$base/source"
+    val reuse = args.contains("--reuse") &&
+      Files.exists(Paths.get(src, "_SUCCESS"))
     val (_, tGen) = timed {
-      RecordGenerator.recordsFast(spark, n, seed = 42, numPartitions = cpus.toInt * 4)
-        .select(CsvCodec.encode(col("id"), col("name"), col("address"), col("continent"))
-          .as("line"))
-        .write.mode("overwrite").parquet(src)
+      if (!reuse)
+        RecordGenerator.recordsFast(spark, n, seed = 42, numPartitions = cpus.toInt * 4)
+          .select(CsvCodec.encode(col("id"), col("name"), col("address"), col("continent"))
+            .as("line"))
+          .write.mode("overwrite").parquet(src)
     }
 
     // (key name, CSV field position, key type) ≙ cmd/sorter/main.go:24
