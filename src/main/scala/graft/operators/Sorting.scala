@@ -79,9 +79,14 @@ object Sorting {
         count(when(col("__prev") > col("__k"), 1)).as("inv"),
         min_by(col("__k"), col("__ord")).as("first_k"),
         max_by(col("__k"), col("__ord")).as("last_k"))
-    val seams = perPart.alias("x").join(perPart.alias("y"),
-        col("x.__pid") + 1 === col("y.__pid"))
-      .agg(coalesce(sum(when(col("x.last_k") > col("y.first_k"), 1L).otherwise(0L)), lit(0L))
+    // Seam check via lead over the per-partition summary (≤ #partitions
+    // rows — the single-partition window is bounded by config, not data).
+    // NOT a pid→pid+1 self-join: range partitioning can leave a partition
+    // empty, and a gap in pids would silently skip that boundary.
+    val seams = perPart
+      .withColumn("__next_first",
+        lead(col("first_k"), 1).over(Window.orderBy(col("__pid"))))
+      .agg(coalesce(sum(when(col("last_k") > col("__next_first"), 1L).otherwise(0L)), lit(0L))
         .as("binv"))
     val within = perPart.agg(
       coalesce(sum(col("n")), lit(0L)).as("n_rows"),
