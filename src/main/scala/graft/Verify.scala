@@ -23,6 +23,12 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // Remove any output from a previous run: a stale result under this
+        // name would otherwise hash-compare as a false PASS.
+        val dir = new java.io.File(s"$outDir/$name")
+        if (dir.isDirectory) {
+          dir.listFiles().foreach(_.delete()); dir.delete()
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -17,8 +17,12 @@ import org.apache.spark.sql.types.DataType
   */
 object CsvCodec {
 
-  /** Encode columns into one CSV line ≙ `generator.go:44-56`. */
-  def encode(cols: Column*): Column = concat_ws(",", cols: _*)
+  /** Encode columns into one CSV line ≙ `generator.go:44-56`. Nulls
+    * encode as empty fields (raw `concat_ws` would DROP a null element,
+    * shifting every later field's position — silent corruption for any
+    * nullable input). */
+  def encode(cols: Column*): Column =
+    concat_ws(",", cols.map(c => coalesce(c.cast("string"), lit(""))): _*)
 
   /** Extract field `idx` (0-based) from a CSV line ≙
     * `extractKeyString` (`external_sort.go:365-398`). */

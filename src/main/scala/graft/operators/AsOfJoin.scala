@@ -28,6 +28,10 @@ object AsOfJoin {
                rightKey: String, rightTime: String,
                pick: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    val reserved = Seq("__k", "__t", "__side")
+    require(!leftCols.exists(c => pick.contains(c) || reserved.contains(c)),
+      s"left columns ${leftCols.filter(c => pick.contains(c) || reserved.contains(c))} " +
+        "collide with picked right columns or AsOfJoin internals — rename them first")
     val l2 = left
       .withColumn("__k", col(leftKey))
       .withColumn("__t", col(leftTime).cast("long"))

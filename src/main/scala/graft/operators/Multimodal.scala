@@ -86,7 +86,7 @@ object Multimodal {
     * `mapPartitions` (not a per-row UDF) so a real decoder can amortize
     * its init cost per task — the standard shape for Pandas-UDF-style
     * batch inference, expressed natively in Scala. */
-  def extractFeatures(spark: SparkSession, withBinary: DataFrame,
+  def extractFeatures(withBinary: DataFrame,
                       dim: Int = 16): Dataset[MediaFeatures] = {
     implicit val enc = Encoders.product[MediaFeatures]
     withBinary.select(col("media_id"), col("payload"))

@@ -25,19 +25,22 @@ import graft.functions.VectorFunctions
   */
 object Similarity {
 
+  /** Shared side preparation: rename the id, double-cast the vector ONCE
+    * per row, and precompute its norm — never inside a pairwise join. */
+  private def prep(df: DataFrame, idCol: String, vecCol: String,
+                   idAs: String, vecAs: String, nrmAs: String): DataFrame =
+    df.select(col(idCol).as(idAs),
+      VectorFunctions.asDouble(col(vecCol)).as(vecAs))
+      .withColumn(nrmAs, VectorFunctions.norm(col(vecAs)))
+
   /** Exact top-k cosine neighbors for each row of `queries` (small,
     * broadcastable) against `corpus`. Ranking uses the similarity rounded
     * to 6 decimals with candidate-id tie-break, so results are
     * deterministic and engine-portable. Self-matches are excluded. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    // double-cast and norm are computed ONCE per input row, not per pair
-    val q = queries.select(col(idCol).as("q_id"),
-      VectorFunctions.asDouble(col(vecCol)).as("q_vec"))
-      .withColumn("q_nrm", VectorFunctions.norm(col("q_vec")))
-    val c = corpus.select(col(idCol).as("c_id"),
-      VectorFunctions.asDouble(col(vecCol)).as("c_vec"))
-      .withColumn("c_nrm", VectorFunctions.norm(col("c_vec")))
+    val q = prep(queries, idCol, vecCol, "q_id", "q_vec", "q_nrm")
+    val c = prep(corpus, idCol, vecCol, "c_id", "c_vec", "c_nrm")
     val scored = c.crossJoin(broadcast(q))
       .filter(col("c_id") =!= col("q_id"))
       .select(col("q_id"), col("c_id"),
@@ -96,12 +99,8 @@ object Similarity {
       .select(col("q.id").as("q_id"), col("c.id").as("c_id"))
       .filter(col("q_id") =!= col("c_id"))
       .distinct()
-    val qv = queries.select(col(idCol).as("q_id"),
-      VectorFunctions.asDouble(col(vecCol)).as("q_vec"))
-      .withColumn("q_nrm", VectorFunctions.norm(col("q_vec")))
-    val cv = corpus.select(col(idCol).as("c_id"),
-      VectorFunctions.asDouble(col(vecCol)).as("c_vec"))
-      .withColumn("c_nrm", VectorFunctions.norm(col("c_vec")))
+    val qv = prep(queries, idCol, vecCol, "q_id", "q_vec", "q_nrm")
+    val cv = prep(corpus, idCol, vecCol, "c_id", "c_vec", "c_nrm")
     val scored = cand.join(broadcast(qv), "q_id").join(cv, "c_id")
       .select(col("q_id"), col("c_id"),
         round(VectorFunctions.dot(col("q_vec"), col("c_vec")) /
@@ -118,9 +117,7 @@ object Similarity {
     * corpus pass; the index is just (id → cell). */
   def ivfIndex(corpus: DataFrame, numCells: Int,
                idCol: String = "vec_id", vecCol: String = "embedding"): (DataFrame, DataFrame) = {
-    val c = corpus.select(col(idCol).as("c_id"),
-      VectorFunctions.asDouble(col(vecCol)).as("c_vec"))
-      .withColumn("c_nrm", VectorFunctions.norm(col("c_vec")))
+    val c = prep(corpus, idCol, vecCol, "c_id", "c_vec", "c_nrm")
     val centroids = c.orderBy(md5(col("c_id").cast("string")), col("c_id"))
       .limit(numCells)
       .select(col("c_id").as("cell_id"), col("c_vec").as("cell_vec"),
@@ -145,9 +142,7 @@ object Similarity {
               numCells: Int = 16, nProbe: Int = 4,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val (centroids, assign) = ivfIndex(corpus, numCells, idCol, vecCol)
-    val q = queries.select(col(idCol).as("q_id"),
-      VectorFunctions.asDouble(col(vecCol)).as("q_vec"))
-      .withColumn("q_nrm", VectorFunctions.norm(col("q_vec")))
+    val q = prep(queries, idCol, vecCol, "q_id", "q_vec", "q_nrm")
     val wq = Window.partitionBy(col("q_id"))
       .orderBy(col("__csim").desc, col("cell_id"))
     val probes = q.crossJoin(broadcast(centroids))
@@ -157,9 +152,7 @@ object Similarity {
       .withColumn("__rn", row_number().over(wq))
       .filter(col("__rn") <= nProbe)
       .select(col("q_id"), col("cell_id"))
-    val cv = corpus.select(col(idCol).as("c_id"),
-      VectorFunctions.asDouble(col(vecCol)).as("c_vec"))
-      .withColumn("c_nrm", VectorFunctions.norm(col("c_vec")))
+    val cv = prep(corpus, idCol, vecCol, "c_id", "c_vec", "c_nrm")
     val cand = probes.join(assign, "cell_id")
       .select(col("q_id"), col("c_id"))
       .filter(col("q_id") =!= col("c_id"))
@@ -178,9 +171,8 @@ object Similarity {
     * scored). Output (id_a, id_b, cos_sim) with id_a < id_b. */
   def embeddingNearDupPairs(df: DataFrame, blockCol: String, minCos: Double,
                             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val e = df.select(col(blockCol).as("blk"), col(idCol).as("id"),
-      VectorFunctions.asDouble(col(vecCol)).as("v"))
-      .withColumn("nrm", VectorFunctions.norm(col("v")))
+    val e = prep(df, idCol, vecCol, "id", "v", "nrm")
+      .join(df.select(col(idCol).as("id"), col(blockCol).as("blk")), "id")
     e.alias("a").join(e.alias("b"),
         col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),

@@ -131,7 +131,7 @@ object TrainingDataQueries {
 
     // Binary decode + feature extraction (stubbed decoder) — rows-only.
     "multimodal_features" -> ((s, dir) =>
-      Multimodal.extractFeatures(s,
+      Multimodal.extractFeatures(
           Multimodal.attachBinary(Tables.documents(s, dir), "doc_id", "text"))
         .toDF()
         .orderBy("media_id")))

@@ -25,8 +25,10 @@ import graft.sources.RecordGenerator
   */
 object RefBench {
   def main(args: Array[String]): Unit = {
-    val n = if (args.length > 0) args(0).toLong else 50000000L
-    val base = if (args.length > 1) args(1) else "/tmp/graft_refbench"
+    val flags = args.filter(_.startsWith("--")).toSet
+    val pos = args.filterNot(_.startsWith("--"))
+    val n = if (pos.length > 0) pos(0).toLong else 50000000L
+    val base = if (pos.length > 1) pos(1) else "/tmp/graft_refbench"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -41,7 +43,7 @@ object RefBench {
     }
 
     val src = s"$base/source"
-    val reuse = args.contains("--reuse") &&
+    val reuse = flags.contains("--reuse") &&
       Files.exists(Paths.get(src, "_SUCCESS"))
     val (_, tGen) = timed {
       if (!reuse)
@@ -66,8 +68,12 @@ object RefBench {
 
     val rates = sortSecs.map { case (k, t) => s""""$k":${(n / t).toLong}""" }.mkString(",")
     val times = sortSecs.map { case (k, t) => s""""$k":$t""" }.mkString(",")
+    // gen fields are omitted on --reuse (a ~0s skipped block is not a rate)
+    val genPart =
+      if (reuse) "\"gen_reused\":true,"
+      else s""""gen_sec":$tGen,"gen_rate":${(n / tGen).toLong},"""
     println(
-      s"""{"n":$n,"gen_sec":$tGen,"gen_rate":${(n / tGen).toLong},""" +
+      s"""{"n":$n,""" + genPart +
         s""""sort_sec":{$times},"sort_rate_rec_per_sec":{$rates}}""")
     spark.stop()
   }

@@ -69,11 +69,11 @@ class TextAnalysisSpec extends SparkSpec {
     assert(frames.count() === 3 * 4)
     assert(frames.groupBy("media_id").count().collect().forall(_.getLong(1) === 4L))
 
-    val feats = Multimodal.extractFeatures(spark, withBin, dim = 8).collect()
+    val feats = Multimodal.extractFeatures(withBin, dim = 8).collect()
     assert(feats.length === 3)
     assert(feats.forall(_.features.length === 8))
     // deterministic stub: same input bytes => same features
-    val again = Multimodal.extractFeatures(spark, withBin, dim = 8).collect()
+    val again = Multimodal.extractFeatures(withBin, dim = 8).collect()
     assert(feats.sortBy(_.media_id).zip(again.sortBy(_.media_id))
       .forall { case (a, b) => a.features.sameElements(b.features) })
   }

@@ -58,6 +58,12 @@ def main():
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracles = json.load(f)
 
+    unknown = only - set(oracles)
+    if unknown:
+        print(f"ERROR: unknown query names {sorted(unknown)} "
+              f"(known: {sorted(oracles)[:5]}...)")
+        return 1
+
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
