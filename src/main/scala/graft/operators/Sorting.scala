@@ -43,6 +43,18 @@ object Sorting {
   def totalSortPartitioned(df: DataFrame, numPartitions: Int, keys: Column*): DataFrame =
     df.repartitionByRange(numPartitions, keys: _*).sortWithinPartitions(keys: _*)
 
+  /** Total sort for LOW-CARDINALITY keys (the reference's `continent`: 6
+    * values over 50 M rows): a plain `orderBy(key)` range-partitions into
+    * at most |distinct keys| non-empty partitions, capping parallelism at
+    * 6 regardless of cluster size. Appending a hash tiebreak spreads each
+    * key's ties over all partitions while keeping the key sequence
+    * globally ordered. Valid exactly because the reference sort is
+    * UNSTABLE (SURVEY.md §2.3 trap 3 — within-key order is unspecified);
+    * use [[totalSort]] with explicit tie-break keys when determinism is
+    * required (e.g. oracle-compared queries). */
+  def totalSortSpread(df: DataFrame, key: Column, tiebreakInput: Column): DataFrame =
+    df.orderBy(key, xxhash64(tiebreakInput))
+
   /** Top-k by key — the scalable replacement for "sort then take first k":
     * Spark plans `orderBy.limit` as `TakeOrderedAndProject`, a per-partition
     * bounded heap + driver-side merge of k rows — no global shuffle at all. */

@@ -82,6 +82,23 @@ class SortingSpec extends SparkSpec {
     assert(viaTopK.sameElements(viaSort))
   }
 
+  test("totalSortSpread: key sequence monotone, multiset conserved, ties spread") {
+    val sorted = Sorting.totalSortSpread(records, col("continent"), col("name"))
+    val keys = sorted.select("continent").as[String].collect()
+    assert(keys.sameElements(keys.sorted), "key order must still be global")
+    assert(sorted.count() === records.count())
+    // duplicate-heavy key no longer collapses to |distinct| partitions
+    // (AQE coalescing off: at test scale it legitimately merges the tiny
+    // partitions back — the assertion targets the partitioner's spread)
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try {
+      val parts = Sorting.totalSortSpread(records, col("continent"), col("name"))
+        .select(spark_partition_id()).distinct().count()
+      assert(parts > 1, "ties must spread over multiple partitions")
+    } finally
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+  }
+
   test("TopKLongs UDAF matches orderBy.limit per group and globally") {
     import graft.functions.TopKLongs
     val topk = udaf(new TopKLongs(5))
