@@ -23,11 +23,14 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
-        // Remove any output from a previous run: a stale result under this
-        // name would otherwise hash-compare as a false PASS.
-        val dir = new java.io.File(s"$outDir/$name")
-        if (dir.isDirectory) {
-          dir.listFiles().foreach(_.delete()); dir.delete()
+        // Remove any output from a previous run (recursively — a partial
+        // write leaves _temporary/ subdirs that a flat delete would skip):
+        // a stale result under this name would otherwise hash-compare as
+        // a false PASS.
+        val root = Paths.get(s"$outDir/$name")
+        if (Files.isDirectory(root)) {
+          Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => Files.deleteIfExists(p))
         }
       }
     }

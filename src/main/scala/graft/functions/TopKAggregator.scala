@@ -14,6 +14,7 @@ import org.apache.spark.sql.expressions.Aggregator
   * Usage: `functions.udaf(new TopKLongs(10))`.
   */
 class TopKLongs(k: Int) extends Aggregator[Long, Vector[Long], Seq[Long]] {
+  require(k > 0, s"k must be positive, got $k")
 
   override def zero: Vector[Long] = Vector.empty
 

@@ -72,7 +72,10 @@ object Multimodal {
     * (posexplode over a sequence — one output row per frame, the shape a
     * real video pipeline needs). Frame payload is a deterministic slice;
     * a real decoder would seek + decode the keyframe here. */
-  def sampleFrames(withBinary: DataFrame, n: Int): DataFrame =
+  def sampleFrames(withBinary: DataFrame, n: Int): DataFrame = {
+    // n=0 would make Spark's sequence(0, -1) emit a DESCENDING [0, -1]
+    // (two bogus frames) and divide by zero in the slice arithmetic
+    require(n > 0, s"frame count must be positive, got $n")
     withBinary
       .select(col("media_id"), col("payload"),
         posexplode(expr(s"sequence(0, ${n - 1})")).as(Seq("frame_idx", "__f")))
@@ -81,6 +84,7 @@ object Multimodal {
         // ??? <- real keyframe seek+decode; deterministic slice instead
         expr(s"substr(payload, cast(frame_idx * (length(payload) div $n) + 1 as int), 16)")
           .as("frame_bytes"))
+  }
 
   /** Per-partition batched feature extraction over the binary column.
     * `mapPartitions` (not a per-row UDF) so a real decoder can amortize

@@ -28,9 +28,11 @@ object Similarity {
   /** Shared side preparation: rename the id, double-cast the vector ONCE
     * per row, and precompute its norm — never inside a pairwise join. */
   private def prep(df: DataFrame, idCol: String, vecCol: String,
-                   idAs: String, vecAs: String, nrmAs: String): DataFrame =
-    df.select(col(idCol).as(idAs),
-      VectorFunctions.asDouble(col(vecCol)).as(vecAs))
+                   idAs: String, vecAs: String, nrmAs: String,
+                   passthrough: Seq[(String, String)] = Nil): DataFrame =
+    df.select(col(idCol).as(idAs) +:
+        VectorFunctions.asDouble(col(vecCol)).as(vecAs) +:
+        passthrough.map { case (c, as) => col(c).as(as) }: _*)
       .withColumn(nrmAs, VectorFunctions.norm(col(vecAs)))
 
   /** Exact top-k cosine neighbors for each row of `queries` (small,
@@ -171,8 +173,8 @@ object Similarity {
     * scored). Output (id_a, id_b, cos_sim) with id_a < id_b. */
   def embeddingNearDupPairs(df: DataFrame, blockCol: String, minCos: Double,
                             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val e = prep(df, idCol, vecCol, "id", "v", "nrm")
-      .join(df.select(col(idCol).as("id"), col(blockCol).as("blk")), "id")
+    val e = prep(df, idCol, vecCol, "id", "v", "nrm",
+      passthrough = Seq(blockCol -> "blk"))
     e.alias("a").join(e.alias("b"),
         col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),

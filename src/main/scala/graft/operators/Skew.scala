@@ -24,8 +24,12 @@ object Skew {
     * Row-identical to `big.join(small, keys)`. */
   def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
                  salts: Int): DataFrame = {
+    // Deterministic salt (hash of the row content): a nondeterministic
+    // salt (e.g. monotonically_increasing_id) feeding a shuffle key can
+    // duplicate/drop rows when map tasks are recomputed after a fetch
+    // failure — the SPARK-23207 class of bug.
     val saltedBig = big.withColumn("__salt",
-      pmod(hash(monotonically_increasing_id()), lit(salts)))
+      pmod(xxhash64(big.columns.map(col): _*), lit(salts)))
     val replicatedSmall = small.withColumn("__salt",
       explode(expr(s"sequence(0, ${salts - 1})")))
     saltedBig.join(replicatedSmall, keys :+ "__salt").drop("__salt")

@@ -92,9 +92,12 @@ object Streaming {
           sorted.foreach { e =>
             cur match {
               case Some(s) if e.ts_ms - s.endMs <= gapMs =>
-                // max() — a late (out-of-order) event must not regress the
-                // session end, or the next gap check would split falsely
-                cur = Some(SessionState(s.startMs, math.max(s.endMs, e.ts_ms), s.n + 1))
+                // min/max — a late (out-of-order) event must neither
+                // regress the session end (false split on the next gap
+                // check) nor be silently absorbed without extending the
+                // reported start
+                cur = Some(SessionState(math.min(s.startMs, e.ts_ms),
+                  math.max(s.endMs, e.ts_ms), s.n + 1))
               case Some(s) =>
                 closed += Session(userId, s.startMs, s.endMs, s.n)
                 cur = Some(SessionState(e.ts_ms, e.ts_ms, 1))

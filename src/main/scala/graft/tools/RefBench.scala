@@ -85,14 +85,17 @@ object RefBench {
       key -> t
     }
 
-    val rates = sortSecs.map { case (k, t) => s""""$k":${(n / t).toLong}""" }.mkString(",")
+    // On --reuse the source may hold a different row count than the CLI
+    // n — rates must reflect what was actually sorted.
+    val actualN = if (reuse) spark.read.parquet(src).count() else n
+    val rates = sortSecs.map { case (k, t) => s""""$k":${(actualN / t).toLong}""" }.mkString(",")
     val times = sortSecs.map { case (k, t) => s""""$k":$t""" }.mkString(",")
     // gen fields are omitted on --reuse (a ~0s skipped block is not a rate)
     val genPart =
       if (reuse) "\"gen_reused\":true,"
       else s""""gen_sec":$tGen,"gen_rate":${(n / tGen).toLong},"""
     println(
-      s"""{"n":$n,""" + genPart +
+      s"""{"n":$actualN,""" + genPart +
         s""""sort_sec":{$times},"sort_rate_rec_per_sec":{$rates}}""")
     spark.stop()
   }
