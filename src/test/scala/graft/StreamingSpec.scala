@@ -75,6 +75,21 @@ class StreamingSpec extends SparkSpec {
     assert(got.toMap === Map(1L -> "a", 2L -> "b", 3L -> "c"))
   }
 
+  test("streaming top-k: the TopKLongs UDAF works inside a streaming aggregation") {
+    val input = MemoryStream[(String, Long)](spark)
+    input.addData(("a", 5L), ("a", 9L), ("a", 1L), ("a", 7L),
+      ("b", 100L), ("b", 50L))
+    val topk = udaf(new graft.functions.TopKLongs(2))
+    val agg = input.toDF().toDF("grp", "v")
+      .groupBy(col("grp")).agg(topk(col("v")).as("top"))
+    val q = agg.writeStream.format("memory").queryName("stk")
+      .outputMode(OutputMode.Complete()).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("stk")
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(got === Map("a" -> Seq(9L, 7L), "b" -> Seq(100L, 50L)))
+  }
+
   test("sessionize: flatMapGroupsWithState emits gap-closed sessions") {
     val input = MemoryStream[Streaming.Evt](spark)
     val gap = 1000L
