@@ -26,10 +26,18 @@ object TextAnalysis {
     "fr" -> Seq("le", "les", "des", "et", "est", "une", "dans", "pour"),
     "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit"))
 
-  /** Token & character counts. */
+  /** BPE-ish pre-tokenizer regex (GPT-2 style, simplified to avoid
+    * lookahead so Java regex and RE2 agree): contraction suffixes, then
+    * space-prefixed letter runs, digit runs, punctuation runs. */
+  val BpeTokenPattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+"
+
+  /** Token & character counts: whitespace tokens and BPE-ish regex
+    * tokens (an upper-bound proxy for LLM token budgets). */
   def tokenCounts(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol),
       size(TextFunctions.words(col(textCol))).as("n_tokens"),
+      regexp_count(col(textCol), lit(BpeTokenPattern)).as("n_tokens_bpe"),
       length(col(textCol)).as("n_chars"))
 
   /** Quality metrics: punctuation / alphabetic / stopword ratios and mean

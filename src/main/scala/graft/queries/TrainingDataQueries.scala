@@ -213,9 +213,14 @@ object TrainingDataQueries {
          |SELECT q_id, c_id, cos_sim, rank FROM r WHERE rank <= 10
          |ORDER BY q_id, rank""".stripMargin,
 
-    "text_tokens" ->
-      s"""SELECT doc_id, len($wordsSql) AS n_tokens, length(text) AS n_chars
-         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_tokens" -> {
+      // SQL string literal: double the quotes; backslashes pass through
+      val bpe = graft.operators.TextAnalysis.BpeTokenPattern.replace("'", "''")
+      s"""SELECT doc_id, len($wordsSql) AS n_tokens,
+         |       len(regexp_extract_all(text, '$bpe')) AS n_tokens_bpe,
+         |       length(text) AS n_chars
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
 
     "text_quality" ->
       s"""SELECT doc_id,
