@@ -138,6 +138,29 @@ object RelationalQueries {
           count(lit(1)).as("n_events"))
         .orderBy(col("event_type"))),
 
+    // Lateral array explode (UDTF-style) and re-aggregation. min/max are
+    // order-independent (float sums are not — never oracle-compare a sum
+    // over an unnest whose order SQL does not define).
+    "q_explode_stats" -> ((s, dir) =>
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"),
+          explode(col("embedding").cast("array<double>")).as("v"))
+        .groupBy(col("vec_id"))
+        .agg(count(lit(1)).as("n_dims"),
+          round(min(col("v")), 6).as("min_v"),
+          round(max(col("v")), 6).as("max_v"))
+        .orderBy(col("vec_id"))),
+
+    // Pivot: one column per event type (fixed value list so the output
+    // schema is deterministic for the oracle).
+    "q_pivot" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .count()
+        .na.fill(0L)
+        .orderBy(col("user_id"))),
+
     // Sketch-based approximate distinct (HyperLogLog++). No oracle — the
     // estimate is algorithm-specific — so the driver applies its rows-only
     // check; the exact count sits alongside for sanity, and the relative
@@ -379,6 +402,19 @@ object RelationalQueries {
       """SELECT epoch_ms(date_trunc('hour', ts)) AS window_start_ms, event_type,
         |       count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY window_start_ms, event_type""".stripMargin,
+    "q_explode_stats" ->
+      """SELECT vec_id, count(*) AS n_dims,
+        |       round(min(v), 6) AS min_v, round(max(v), 6) AS max_v
+        |FROM (SELECT vec_id, unnest(embedding::DOUBLE[]) AS v FROM embeddings) t
+        |GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+    "q_pivot" ->
+      """SELECT user_id,
+        |       count(*) FILTER (event_type = 'click') AS click,
+        |       count(*) FILTER (event_type = 'error') AS error,
+        |       count(*) FILTER (event_type = 'purchase') AS purchase,
+        |       count(*) FILTER (event_type = 'signup') AS signup,
+        |       count(*) FILTER (event_type = 'view') AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_sql_surface" ->
       """SELECT n_name, o_orderpriority, count(*) AS n,
         |       round(sum(o_totalprice), 2) AS sum_tp
