@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling & dataset splitting for training-data curation.
+  *
+  * `df.sample()` is seed-dependent on partitioning and not reproducible
+  * across cluster layouts; these operators derive membership from a hash
+  * of a stable key instead, so a row's sample/split assignment is a pure
+  * function of its identity — re-runs, repartitions, and engine changes
+  * (the DuckDB oracle replays the same md5 math) all agree. Everything is
+  * a narrow codegen'd projection + filter: runs at scan speed, no shuffle.
+  */
+object Sampling {
+
+  /** Uniform hash bucket in [0, 1000) from a stable key column (by name). */
+  def bucket1000(keyCol: String): Column =
+    expr(s"pmod(cast(conv(substr(md5(cast($keyCol as string)), 1, 8), 16, 10) as bigint), 1000)")
+
+  /** Deterministic ~`permille`/1000 sample of rows by key hash. */
+  def sample(df: DataFrame, keyCol: String, permille: Int): DataFrame =
+    df.filter(bucket1000(keyCol) < permille)
+
+  /** Per-stratum deterministic sampling: each stratum value keeps its own
+    * permille fraction (unlisted strata are dropped). */
+  def stratifiedSample(df: DataFrame, keyCol: String, stratumCol: String,
+                       permilleByStratum: Map[String, Int]): DataFrame = {
+    val threshold = permilleByStratum.foldLeft(lit(0)) {
+      case (acc, (stratum, p)) => when(col(stratumCol) === stratum, p).otherwise(acc)
+    }
+    df.filter(bucket1000(keyCol) < threshold)
+  }
+
+  /** Train/val/test assignment by hash bucket: [0, trainPermille) →
+    * "train", then validation, remainder → "test". Stable across runs —
+    * a document can never leak between splits. */
+  def splitAssign(df: DataFrame, keyCol: String,
+                  trainPermille: Int = 800, valPermille: Int = 100): DataFrame =
+    df.withColumn("split",
+      when(bucket1000(keyCol) < trainPermille, "train")
+        .when(bucket1000(keyCol) < trainPermille + valPermille, "val")
+        .otherwise("test"))
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /** Graded queries for the LLM-training-data operators (dedup, similarity
@@ -122,6 +122,26 @@ object TrainingDataQueries {
     "text_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprints(Tables.documents(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
+
+    // Deterministic hash-bucket sampling: membership is a pure function
+    // of the key, reproducible across runs/partitionings/engines.
+    "data_sample" -> ((s, dir) =>
+      Sampling.sample(Tables.documents(s, dir), "doc_id", permille = 100)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")),
+
+    "data_stratified_sample" -> ((s, dir) =>
+      Sampling.stratifiedSample(Tables.events(s, dir), "event_id", "event_type",
+          Map("click" -> 100, "error" -> 500, "purchase" -> 1000))
+        .select("event_id", "event_type", "user_id")
+        .orderBy("event_id")),
+
+    // Train/val/test split assignment — leak-proof by construction.
+    "data_split_assign" -> ((s, dir) =>
+      Sampling.splitAssign(Tables.documents(s, dir), "doc_id")
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"))
+        .orderBy(col("split"))),
 
     "multimodal_meta" -> ((s, dir) =>
       Multimodal.attachBinary(Tables.documents(s, dir), "doc_id", "text")
@@ -254,6 +274,27 @@ object TrainingDataQueries {
       """SELECT doc_id,
         |       md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "data_sample" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 1000 < 100
+        |ORDER BY doc_id""".stripMargin,
+
+    "data_stratified_sample" ->
+      """SELECT event_id, event_type, user_id FROM events
+        |WHERE ('0x' || substr(md5(event_id::VARCHAR), 1, 8))::BIGINT % 1000 <
+        |      CASE event_type WHEN 'click' THEN 100 WHEN 'error' THEN 500
+        |                      WHEN 'purchase' THEN 1000 ELSE 0 END
+        |ORDER BY event_id""".stripMargin,
+
+    "data_split_assign" ->
+      """WITH b AS (SELECT doc_id,
+        |             ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 1000 AS bk
+        |           FROM documents)
+        |SELECT CASE WHEN bk < 800 THEN 'train'
+        |            WHEN bk < 900 THEN 'val' ELSE 'test' END AS split,
+        |       count(*) AS n, min(doc_id) AS min_id
+        |FROM b GROUP BY 1 ORDER BY split""".stripMargin,
 
     "multimodal_meta" ->
       """SELECT doc_id AS media_id,
