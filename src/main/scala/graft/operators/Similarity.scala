@@ -54,18 +54,22 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
-  /** Deterministic ±1 random hyperplanes: plane p, component i is the
-    * parity of a hash of (p, i). Constant-folded into the plan — every
-    * executor and every engine derives the identical planes. */
-  private def planeLit(p: Int, dim: Int): Column = {
-    val signs = (0 until dim).map { i =>
+  /** Deterministic ±1 random hyperplane signs: plane p, component i is
+    * the parity of a hash of (p, i). Public so the DuckDB oracle builder
+    * bakes the IDENTICAL sign literals into its SQL — one source of
+    * truth for the planes. */
+  def planeSigns(p: Int, dim: Int): Seq[Double] =
+    (0 until dim).map { i =>
       // Deterministic pseudo-random sign from (p, i); any fixed mixing
       // function works — this is scala.util.hashing.MurmurHash3 on a pair.
       val h = scala.util.hashing.MurmurHash3.productHash((p, i))
       if ((h & 1) == 0) 1.0 else -1.0
     }
-    array(signs.map(lit): _*)
-  }
+
+  /** The sign vector as a constant-folded array literal — every executor
+    * and every engine derives the identical planes. */
+  private def planeLit(p: Int, dim: Int): Column =
+    array(planeSigns(p, dim).map(lit): _*)
 
   /** Random-hyperplane LSH signature: `numPlanes` sign bits, banded into
     * `numBands` integer band keys. Output: (id, band, band_key). */
@@ -126,10 +130,12 @@ object Similarity {
         col("c_nrm").as("cell_nrm"))
     val w = Window.partitionBy(col("c_id"))
       .orderBy(col("__sim").desc, col("cell_id"))
+    // round-6 before ranking: cell choice must not hinge on the last bits
+    // of a double fold, or the assignment is not engine/plan-portable
     val assign = c.crossJoin(broadcast(centroids))
       .withColumn("__sim",
-        VectorFunctions.dot(col("c_vec"), col("cell_vec")) /
-          (col("c_nrm") * col("cell_nrm")))
+        round(VectorFunctions.dot(col("c_vec"), col("cell_vec")) /
+          (col("c_nrm") * col("cell_nrm")), 6))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .select(col("c_id"), col("cell_id"))
@@ -149,8 +155,8 @@ object Similarity {
       .orderBy(col("__csim").desc, col("cell_id"))
     val probes = q.crossJoin(broadcast(centroids))
       .withColumn("__csim",
-        VectorFunctions.dot(col("q_vec"), col("cell_vec")) /
-          (col("q_nrm") * col("cell_nrm")))
+        round(VectorFunctions.dot(col("q_vec"), col("cell_vec")) /
+          (col("q_nrm") * col("cell_nrm")), 6))
       .withColumn("__rn", row_number().over(wq))
       .filter(col("__rn") <= nProbe)
       .select(col("q_id"), col("cell_id"))

@@ -461,8 +461,11 @@ object RelationalQueries {
         |                 THEN 1 ELSE 0 END AS new_sess FROM e),
         |t AS (
         |  SELECT user_id, ts_ms,
-        |         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
-        |                             ROWS UNBOUNDED PRECEDING) AS session_id
+        |         -- CAST: DuckDB's windowed sum(INTEGER) is HUGEINT, which
+        |         -- pandas fetches as float64 and breaks the exact hash vs
+        |         -- Spark's BIGINT session_id
+        |         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+        |                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
         |  FROM s)
         |SELECT user_id, session_id, count(*) AS n_events,
         |       min(ts_ms) AS sess_start_ms, max(ts_ms) AS sess_end_ms

@@ -8,14 +8,18 @@ import graft.sources.Tables
 
 /** Graded queries for the LLM-training-data operators (dedup, similarity
   * search, text analysis, multimodal) over the `documents` / `embeddings`
-  * fixtures. Where the operator's math is engine-portable (md5 hashing,
-  * exact counting, sequential double folds) a DuckDB oracle replays it
-  * exactly; `ann_lsh` and `multimodal_features` are not SQL-expressible
-  * and take the driver's rows-only check.
+  * fixtures. Every graded query has a DuckDB oracle: the operator math
+  * is engine-portable by construction (md5 hashing, exact counting,
+  * round-6 sequential double folds, constant-folded hyperplanes).
   *
   * Thresholds are calibrated to the fixtures: the generator plants
   * near-dup documents at shingle-Jaccard ≥ 0.9 (everything else ≈ 0) and
   * embedding pairs reach cosine ≈ 0.5 within a label.
+  *
+  * Even the "approximate" ANN paths are fully deterministic (hyperplane
+  * signs and IVF centroid choice are pure functions of the data), so
+  * they get exact DuckDB oracles too — the oracle SQL is GENERATED from
+  * the same Scala constants the operators fold into their plans.
   */
 object TrainingDataQueries {
 
@@ -90,16 +94,18 @@ object TrainingDataQueries {
         .orderBy("q_id", "rank")
     }),
 
-    // Approximate ANN — not SQL-expressible (rows-only check); recall vs
-    // brute force is asserted in ScalaTest instead.
+    // Approximate ANN by random-hyperplane LSH — deterministic planes,
+    // replayed exactly by the generated oracle; recall vs brute force is
+    // additionally asserted in ScalaTest.
     "ann_lsh" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), 10)
         .orderBy("q_id", "rank")
     }),
 
-    // IVF approximate ANN — rows-only (centroid choice is engine-side);
-    // recall vs brute force asserted in ScalaTest.
+    // IVF approximate ANN — centroids are an md5-ordered prefix of the
+    // corpus, replayable in SQL; recall vs brute force asserted in
+    // ScalaTest.
     "ann_ivf" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), 10,
@@ -149,12 +155,41 @@ object TrainingDataQueries {
           col("meta.width").as("width"), col("meta.height").as("height"))
         .orderBy("media_id")),
 
-    // Binary decode + feature extraction (stubbed decoder) — rows-only.
+    // Binary decode + feature extraction (stubbed decoder). The graded
+    // projection is integer-exact scalars that flow THROUGH the
+    // mapPartitions decode (n_bytes and dim come out of the Dataset, not
+    // recomputed) — the float feature values themselves are float32
+    // accumulations no other engine reproduces bit-exactly, and the
+    // driver's pandas sort cannot hash an array column anyway. The full
+    // features stay on the ungraded Dataset API (asserted in
+    // MultimodalSpec).
     "multimodal_features" -> ((s, dir) =>
       Multimodal.extractFeatures(
           Multimodal.attachBinary(Tables.documents(s, dir), "doc_id", "text"))
         .toDF()
+        .select(col("media_id"), col("n_bytes"), size(col("features")).as("dim"))
         .orderBy("media_id")))
+
+  // --- generated ANN oracle fragments -------------------------------
+  // One CASE per hyperplane, sign literals baked from the SAME
+  // Similarity.planeSigns the Spark plan constant-folds.
+  private val lshPlanes = 16
+  private val lshBands = 4
+  private val lshDim = 64
+  private val lshBitsSql = (0 until lshPlanes).map { p =>
+    val arr = Similarity.planeSigns(p, lshDim)
+      .map(s => if (s > 0) "1" else "-1").mkString("[", ", ", "]")
+    s"CASE WHEN list_inner_product(v, $arr::DOUBLE[]) >= 0 THEN 1 ELSE 0 END AS b$p"
+  }.mkString(",\n         ")
+  private val lshBandKeySql = (0 until lshBands).map { b =>
+    val perBand = lshPlanes / lshBands
+    (0 until perBand).map(i => s"b${b * perBand + i} * ${1L << i}")
+      .mkString(" + ") + s" AS bk$b"
+  }.mkString(",\n       ")
+  private val lshBucketsUnion = (0 until lshBands).map { b =>
+    if (b == 0) s"SELECT vec_id AS id, 0 AS band, bk0 AS band_key FROM bk"
+    else s"       UNION ALL SELECT vec_id, $b, bk$b FROM bk"
+  }.mkString("\n|")
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
@@ -233,6 +268,53 @@ object TrainingDataQueries {
          |SELECT q_id, c_id, cos_sim, rank FROM r WHERE rank <= 10
          |ORDER BY q_id, rank""".stripMargin,
 
+    "ann_lsh" ->
+      s"""WITH $embCte,
+         |bits AS (SELECT vec_id,
+         |         $lshBitsSql
+         |       FROM e),
+         |bk AS (SELECT vec_id,
+         |       $lshBandKeySql
+         |       FROM bits),
+         |cb AS ($lshBucketsUnion),
+         |cand AS (SELECT DISTINCT q.id AS q_id, c.id AS c_id
+         |         FROM cb c JOIN cb q ON c.band = q.band AND c.band_key = q.band_key
+         |         WHERE q.id < 10 AND q.id <> c.id),
+         |sc AS (SELECT q_id, c_id, round(${cos("qe", "ce")}, 6) AS cos_sim
+         |       FROM cand JOIN e qe ON qe.vec_id = q_id
+         |                 JOIN e ce ON ce.vec_id = c_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+         |                ORDER BY cos_sim DESC, c_id) AS rank FROM sc)
+         |SELECT q_id, c_id, cos_sim, rank FROM r WHERE rank <= 10
+         |ORDER BY q_id, rank""".stripMargin,
+
+    "ann_ivf" ->
+      s"""WITH $embCte,
+         |cent AS (SELECT vec_id AS cell_id, v AS cv, nrm AS cn FROM e
+         |         ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16),
+         |asg AS (SELECT c_id, cell_id FROM (
+         |          SELECT e.vec_id AS c_id, cent.cell_id,
+         |                 row_number() OVER (PARTITION BY e.vec_id
+         |                   ORDER BY round(list_inner_product(e.v, cent.cv) / (e.nrm * cent.cn), 6) DESC,
+         |                            cent.cell_id) AS rn
+         |          FROM e CROSS JOIN cent) t WHERE rn = 1),
+         |q AS (SELECT * FROM e WHERE vec_id < 10),
+         |probes AS (SELECT q_id, cell_id FROM (
+         |             SELECT q.vec_id AS q_id, cent.cell_id,
+         |                    row_number() OVER (PARTITION BY q.vec_id
+         |                      ORDER BY round(list_inner_product(q.v, cent.cv) / (q.nrm * cent.cn), 6) DESC,
+         |                               cent.cell_id) AS rn
+         |             FROM q CROSS JOIN cent) t WHERE rn <= 6),
+         |cand AS (SELECT q_id, c_id FROM probes JOIN asg USING (cell_id)
+         |         WHERE q_id <> c_id),
+         |sc AS (SELECT q_id, c_id, round(${cos("qe", "ce")}, 6) AS cos_sim
+         |       FROM cand JOIN e qe ON qe.vec_id = q_id
+         |                 JOIN e ce ON ce.vec_id = c_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+         |                ORDER BY cos_sim DESC, c_id) AS rank FROM sc)
+         |SELECT q_id, c_id, cos_sim, rank FROM r WHERE rank <= 10
+         |ORDER BY q_id, rank""".stripMargin,
+
     "text_tokens" -> {
       // SQL string literal: double the quotes; backslashes pass through
       val bpe = graft.operators.TextAnalysis.BpeTokenPattern.replace("'", "''")
@@ -301,5 +383,13 @@ object TrainingDataQueries {
         |       octet_length(encode(text)) AS n_bytes,
         |       ('0x' || substr(md5(text), 1, 4))::BIGINT % 640 AS width,
         |       ('0x' || substr(md5(text), 5, 4))::BIGINT % 480 AS height
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    // The decode stub always emits a 16-wide feature vector; n_bytes is
+    // the UTF-8 payload length — both replayable without the decoder.
+    "multimodal_features" ->
+      """SELECT doc_id AS media_id,
+        |       octet_length(encode(text)) AS n_bytes,
+        |       16 AS dim
         |FROM documents ORDER BY media_id""".stripMargin)
 }

@@ -26,6 +26,11 @@ def values_equal(a, b):
     if a is None or b is None:
         return a is None and b is None
     if isinstance(a, float) or isinstance(b, float):
+        # int-vs-float dtype drift (e.g. DuckDB HUGEINT -> pandas float64
+        # against a Spark BIGINT) hashes differently in the driver even
+        # when numerically equal — treat it as a mismatch here too.
+        if isinstance(a, float) != isinstance(b, float):
+            return False
         try:
             fa, fb = float(a), float(b)
         except (TypeError, ValueError):
