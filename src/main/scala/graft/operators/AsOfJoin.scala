@@ -47,10 +47,17 @@ object AsOfJoin {
     val w = Window.partitionBy(col("__k"))
       .orderBy(col("__t"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val matched = pick.foldLeft(u) { (df, c) =>
-      df.withColumn(c, last(col(s"__r_$c"), ignoreNulls = true).over(w))
-    }
+    // ONE last(struct, ignoreNulls) window, not one per picked column:
+    // the struct is non-null exactly for right-side rows, so every
+    // picked value comes from the SAME latest matching right row — a
+    // per-column last() would stitch a composite row together whenever
+    // the latest right row has a NULL in one picked column.
+    val matched = u
+      .withColumn("__r",
+        last(when(col("__side") === 0,
+            struct(pick.map(c => col(s"__r_$c").as(c)): _*)),
+          ignoreNulls = true).over(w))
     matched.filter(col("__side") === 1)
-      .select((leftCols ++ pick).map(col): _*)
+      .select(leftCols.map(col) ++ pick.map(c => col(s"__r.$c").as(c)): _*)
   }
 }

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import graft.functions.TextFunctions
 
@@ -10,12 +11,22 @@ import graft.functions.TextFunctions
   *
   * Scale design: every operator is a pure shuffle-on-key dataflow — no
   * driver-side loops, no pairwise O(N²) over the corpus. The MinHash path
-  * is the canonical 100 TB recipe: shingle → per-(doc,seed) partial-min
-  * (map-side combine collapses the shingle explosion before the shuffle)
-  * → band keys → equi-join on band key, so only documents that collide in
-  * a band are ever paired. Hashes are md5 (engine-portable, used by the
-  * DuckDB oracles) — swap `TextFunctions.hash32` for `xxhash64` when
-  * oracle parity is not needed and speed matters.
+  * is the canonical 100 TB recipe: shingle → per-doc signature array in
+  * one aggregation pass (map-side combine collapses the shingle explosion
+  * before the shuffle) → band keys → equi-join on band key, so only
+  * documents that collide in a band are ever paired. Hashes are md5
+  * (engine-portable, used by the DuckDB oracles) — swap
+  * `TextFunctions.hash32` for `xxhash64` when oracle parity is not needed
+  * and speed matters.
+  *
+  * Materialization policy: the pair operators are diamond dataflows (one
+  * upstream feeds a self-join or two aggregates), and Spark re-evaluates
+  * shared lazy subplans — so each operator persists exactly ONE compact,
+  * cap-bounded intermediate (per-doc signatures / aggregated pair
+  * counts), never the raw shingle explosion. Callers running long-lived
+  * sessions should `unpersist()` results' lineage after materializing;
+  * a 100 TB pipeline should replace the persist with a signature table
+  * written to storage (one pass) and join against that.
   */
 object Dedup {
 
@@ -41,78 +52,130 @@ object Dedup {
     * intermediate < 2^62 (no signed-64 overflow in either engine). */
   val MinhashPrime = 2305843009213693951L // 2^61 - 1
 
-  /** MinHash signatures: one row per (doc, seed) with the min universal
-    * hash over the doc's word-3-gram shingles. Numeric — not hex-string —
-    * signatures matter at scale: `min(BIGINT)` is a mutable-buffer
-    * HashAggregate with map-side partial combine, whereas `min(STRING)`
-    * forces SortAggregate (a sort of the whole shingle×seed explosion
-    * before every aggregation). */
+  /** MinHash signatures: one row per doc with the full signature as
+    * `array<bigint>` (`sig`). All `numHashes` per-seed minima are
+    * computed in a SINGLE aggregation pass over the (doc, shingle-hash)
+    * rows — the shingle explosion (the biggest intermediate of the whole
+    * pipeline) is never multiplied by numHashes, and `min(BIGINT)`
+    * columns keep the mutable-buffer HashAggregate with map-side partial
+    * combine. Shuffled bytes: one row per doc per side, not
+    * numHashes rows per shingle. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         numHashes: Int = 16): DataFrame = {
-    val sh = df
-      .select(col(idCol).as("doc"), TextFunctions.words(col(textCol)).as("w"))
+    val mins = (0 until numHashes).map { s =>
+      min(expr(s"((2 * $s + 1) * h0 + (${1000003L} * $s + ${12345L})) % $MinhashPrime"))
+        .as(s"__m$s")
+    }
+    df.select(col(idCol).as("doc"), TextFunctions.words(col(textCol)).as("w"))
       .select(col("doc"), explode(TextFunctions.shingles("w")).as("shingle"))
-    sh.withColumn("h0",
+      .withColumn("h0",
         expr("cast(conv(substr(md5(shingle), 1, 12), 16, 10) as bigint)"))
-      .select(col("doc"), col("h0"),
-        explode(expr(s"sequence(0, ${numHashes - 1})")).as("seed"))
-      .select(col("doc"), col("seed"),
-        expr(s"((2 * seed + 1) * h0 + (1000003 * seed + 12345)) % $MinhashPrime").as("h"))
-      .groupBy(col("doc"), col("seed"))
-      .agg(min(col("h")).as("minh"))
+      .groupBy(col("doc"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc"),
+        array((0 until numHashes).map(s => col(s"__m$s")): _*).as("sig"))
   }
 
-  /** LSH banding: group each doc's signature into `numBands` bands and
-    * hash each band's (seed-ordered) minhash slice into one band key. */
+  /** LSH banding: slice each doc's signature array into `numBands`
+    * contiguous bands and hash each slice into one band key. Output:
+    * (doc, sig, band, band_key) — the signature rides along so the
+    * caller's band join needs no re-join against the signatures. */
   def minhashBands(sig: DataFrame, numHashes: Int, numBands: Int): DataFrame = {
-    val rowsPerBand = numHashes / numBands
-    sig.withColumn("band", expr(s"seed div $rowsPerBand"))
-      .groupBy(col("doc"), col("band"))
-      .agg(md5(concat_ws(",",
-        expr("transform(array_sort(collect_list(struct(seed, minh))), x -> cast(x.minh as string))")))
-        .as("band_key"))
+    require(numHashes % numBands == 0,
+      s"numBands=$numBands must divide numHashes=$numHashes — a partial " +
+        "trailing band would silently mis-band")
+    val perBand = numHashes / numBands
+    val bandStructs = (0 until numBands).map { b =>
+      struct(lit(b).as("band"),
+        md5(concat_ws(",", (0 until perBand).map(i =>
+          col("sig").getItem(b * perBand + i).cast("string")): _*)).as("band_key"))
+    }
+    sig.select(col("doc"), col("sig"),
+        explode(array(bandStructs: _*)).as("s"))
+      .select(col("doc"), col("sig"), col("s.band"), col("s.band_key"))
   }
 
   /** Near-duplicate pairs by MinHash LSH: candidates = docs sharing any
-    * band key; estimate = fraction of matching signature positions; keep
-    * pairs with estimate ≥ `minEstimate`. Output (doc_a, doc_b,
-    * est_jaccard) with doc_a < doc_b. */
+    * band key; estimate = fraction of matching signature positions via a
+    * single `zip_with` over the two rided-along signature arrays (no
+    * signature re-joins); keep pairs with estimate ≥ `minEstimate`.
+    * Output (doc_a, doc_b, est_jaccard) with doc_a < doc_b. */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
                    numHashes: Int = 16, numBands: Int = 4,
                    minEstimate: Double = 0.5): DataFrame = {
-    val sig = minhashSignatures(df, idCol, textCol, numHashes).cache()
+    // Persist the per-doc signatures (numHashes longs per doc — the
+    // smallest intermediate): both sides of the band self-join read
+    // them, and without materialization Spark would re-run the shingle
+    // explosion + aggregation once per side.
+    val sig = minhashSignatures(df, idCol, textCol, numHashes)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val bands = minhashBands(sig, numHashes, numBands)
-    val cand = bands.alias("x").join(bands.alias("y"),
+    bands.alias("x").join(bands.alias("y"),
         col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key") &&
           col("x.doc") < col("y.doc"))
-      .select(col("x.doc").as("doc_a"), col("y.doc").as("doc_b"))
+      .select(col("x.doc").as("doc_a"), col("y.doc").as("doc_b"),
+        col("x.sig").as("sig_a"), col("y.sig").as("sig_b"))
       .distinct()
-    val sa = sig.select(col("doc").as("doc_a"), col("seed"), col("minh").as("ha"))
-    val sb = sig.select(col("doc").as("doc_b"), col("seed"), col("minh").as("hb"))
-    cand.join(sa, "doc_a").join(sb, Seq("doc_b", "seed"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(round(avg(when(col("ha") === col("hb"), 1.0).otherwise(0.0)), 4)
-        .as("est_jaccard"))
+      .select(col("doc_a"), col("doc_b"),
+        round(expr(
+          s"""aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1.0D, 0.0D)),
+             |          0.0D, (acc, v) -> acc + v) / $numHashes""".stripMargin), 4)
+          .as("est_jaccard"))
       .filter(col("est_jaccard") >= minEstimate)
   }
 
   /** Exact n-gram (shingle) Jaccard near-dup pairs: join docs on shared
     * shingles (only overlapping docs ever meet — no cross product), count
-    * the intersection, Jaccard = |∩| / (|A|+|B|-|∩|). */
+    * the intersection, Jaccard = |∩| / (|A|+|B|-|∩|).
+    *
+    * `maxDocFreq` caps each shingle's document frequency: a shingle in
+    * more than `maxDocFreq` docs is boilerplate — it contributes ~df²
+    * join rows (THE quadratic scale-killer on skewed corpora) and no
+    * near-dup signal. Jaccard is then computed over the capped shingle
+    * universe on both the numerator and denominator, so the measure
+    * stays a true Jaccard of the filtered sets. The frequency filter is
+    * a window count over the same shuffle-by-shingle the join needs —
+    * no extra join, and nothing is cached (the exploded form is the
+    * biggest intermediate; pinning it in executor storage is exactly
+    * what a 100 TB run cannot afford). */
   def shingleJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                          minJaccard: Double = 0.8): DataFrame = {
-    val sh = df
+                          minJaccard: Double = 0.8,
+                          maxDocFreq: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // Window count (NOT groupBy+collect_list-then-filter): the df cap
+    // must apply BEFORE any per-shingle doc list is materialized, or one
+    // boilerplate shingle collects an unbounded array. The window's
+    // shuffle-by-shingle is the same partitioning the bucket aggregation
+    // needs, so the cap costs no extra exchange.
+    val kept = df
       .select(col(idCol).as("doc"), TextFunctions.words(col(textCol)).as("w"))
       .select(col("doc"), explode(TextFunctions.shingles("w")).as("shingle"))
-      .cache()
-    val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("n"))
-    val common = sh.alias("a").join(sh.alias("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc") < col("b.doc"))
-      .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("shingle"))))
+      .filter(col("__df") <= maxDocFreq)
+    // Per-shingle doc buckets (sorted, ≤ maxDocFreq docs each). This is
+    // THE materialization point: one compact row per shingle, hard-
+    // bounded by the cap — unlike the exploded rows (huge) or the pair
+    // counts (data-dependent, near-dup-heavy corpora make them huge).
+    // Everything upstream (explosion + window) evaluates exactly once;
+    // both consumers below read the persisted buckets.
+    val buckets = kept.groupBy(col("shingle"))
+      .agg(array_sort(collect_list(col("doc"))).as("docs"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Per-doc kept-set sizes: re-explode the bucketed ids (cheap).
+    val sizes = buckets.select(explode(col("docs")).as("d"))
+      .groupBy(col("d")).agg(count(lit(1)).as("n"))
+    // In-bucket ordered pairs via nested array lambdas — no self-join of
+    // the exploded form, no cross product; a bucket of df docs emits
+    // exactly C(df, 2) ≤ C(maxDocFreq, 2) pair tokens.
+    val pairsTok = flatten(transform(col("docs"), (a, i) =>
+      transform(slice(col("docs"), i + lit(2), size(col("docs"))), b =>
+        struct(a.as("x"), b.as("y")))))
+    buckets
+      .select(explode(pairsTok).as("t"))
+      .groupBy(col("t.x").as("doc_a"), col("t.y").as("doc_b"))
       .agg(count(lit(1)).as("c"))
-    common
-      .join(sizes.select(col("doc").as("doc_a"), col("n").as("na")), "doc_a")
-      .join(sizes.select(col("doc").as("doc_b"), col("n").as("nb")), "doc_b")
+      .join(sizes.select(col("d").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("d").as("doc_b"), col("n").as("nb")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         round(col("c") / (col("na") + col("nb") - col("c")), 4).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
@@ -142,7 +205,10 @@ object Dedup {
     * Hamming(simhash) ≤ `maxHamming`. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 4): DataFrame = {
-    val sh = simhash(df, idCol, textCol).cache()
+    // Persist the per-doc simhashes (one long per doc): AQE's broadcast
+    // conversion on the self-join defeats ReuseExchange, which would
+    // otherwise re-run the 32-vote aggregation once per side.
+    val sh = simhash(df, idCol, textCol).persist(StorageLevel.MEMORY_AND_DISK)
     val bytes = sh.select(col("doc"), col("simhash"),
         explode(expr("sequence(0, 3)")).as("j"))
       .withColumn("byte", expr("shiftright(simhash, j * 8) % 256"))

@@ -176,16 +176,61 @@ object Similarity {
 
   /** Embedding-cosine near-duplicate pairs within a blocking key (e.g. a
     * cluster/label column — the IVF idea: only intra-cell pairs are
-    * scored). Output (id_a, id_b, cos_sim) with id_a < id_b. */
+    * scored). Output (id_a, id_b, cos_sim) with id_a < id_b.
+    *
+    * Scale guard: a block of B rows costs O(B²) pairs. Blocks up to
+    * `maxExactBlock` rows take the exact all-pairs path; LARGER blocks
+    * are sub-blocked by random-hyperplane LSH bands, so only pairs
+    * colliding in a band are scored — within an oversized block the
+    * join key becomes (blk, band, band_key) and the quadratic term is
+    * bounded by the bucket size, not the block size. The two paths
+    * partition the blocks (a block is either small or big), so results
+    * are exact below the cap and LSH-approximate above it — which is
+    * the honest semantics of a near-dup pass over a 100 TB corpus. */
   def embeddingNearDupPairs(df: DataFrame, blockCol: String, minCos: Double,
-                            idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                            idCol: String = "vec_id", vecCol: String = "embedding",
+                            maxExactBlock: Int = 10000,
+                            numPlanes: Int = 8, numBands: Int = 4,
+                            dim: Int = 64): DataFrame = {
     val e = prep(df, idCol, vecCol, "id", "v", "nrm",
       passthrough = Seq(blockCol -> "blk"))
-    e.alias("a").join(e.alias("b"),
-        col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        round(VectorFunctions.dot(col("a.v"), col("b.v")) /
-          (col("a.nrm") * col("b.nrm")), 6).as("cos_sim"))
-      .filter(col("cos_sim") >= minCos)
+      .withColumn("__bn", count(lit(1)).over(Window.partitionBy(col("blk"))))
+    def score(pairs: DataFrame): DataFrame =
+      pairs.select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          round(VectorFunctions.dot(col("a.v"), col("b.v")) /
+            (col("a.nrm") * col("b.nrm")), 6).as("cos_sim"))
+        .filter(col("cos_sim") >= minCos)
+
+    val small = e.filter(col("__bn") <= maxExactBlock)
+    val exactPairs = score(small.alias("a").join(small.alias("b"),
+      col("a.blk") === col("b.blk") && col("a.id") < col("b.id")))
+
+    val big = e.filter(col("__bn") > maxExactBlock)
+    val perBand = numPlanes / numBands
+    val bits = (0 until numPlanes).map { p =>
+      when(VectorFunctions.dot(col("v"), planeLit(p, dim)) >= 0, 1L).otherwise(0L)
+    }
+    val bandStructs = (0 until numBands).map { b =>
+      struct(lit(b).as("band"),
+        (0 until perBand).map(i => bits(b * perBand + i) * lit(1L << i))
+          .reduce(_ + _).as("band_key"))
+    }
+    val banded = big.select(col("blk"), col("id"), col("v"), col("nrm"),
+        explode(array(bandStructs: _*)).as("s"))
+      .select(col("blk"), col("id"), col("v"), col("nrm"),
+        col("s.band"), col("s.band_key"))
+    // distinct on ids only (a pair can collide in several bands), then
+    // re-attach vectors — never drag vector payloads through a distinct
+    val lshCand = banded.alias("x").join(banded.alias("y"),
+        col("x.blk") === col("y.blk") && col("x.band") === col("y.band") &&
+          col("x.band_key") === col("y.band_key") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("ida"), col("y.id").as("idb"))
+      .distinct()
+    val vecs = e.select(col("id"), col("v"), col("nrm"))
+    val lshPairs = score(lshCand
+      .join(vecs.alias("a"), col("ida") === col("a.id"))
+      .join(vecs.alias("b"), col("idb") === col("b.id")))
+
+    exactPairs.unionByName(lshPairs)
   }
 }

@@ -225,9 +225,11 @@ object TrainingDataQueries {
 
     "dedup_ngram_jaccard" ->
       s"""WITH $shingleCte,
-         |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |shf AS (SELECT doc_id, shingle FROM sh
+         |        QUALIFY count(*) OVER (PARTITION BY shingle) <= 100),
+         |n AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY doc_id),
          |c AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
-         |      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |      FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
          |      GROUP BY 1, 2),
          |j AS (SELECT doc_a, doc_b,
          |        round(c * 1.0 / (na.n + nb.n - c), 4) AS jaccard

@@ -25,6 +25,20 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got.sameElements(Array("atFive")))
   }
 
+  test("asofLeft: all picked columns come from the SAME right row — a NULL in the latest match survives") {
+    // Latest right row (t=20) has v2 = NULL. Per-column last() would
+    // backfill v2 from the older t=5 row, stitching a composite row that
+    // never existed; the struct formulation must keep (v1=b, v2=NULL).
+    val left = Seq((1L, 30L, "e")).toDF("k", "t", "tag")
+    val right = Seq(
+      (1L, 5L, Some("a"), Some("olderV2")),
+      (1L, 20L, Some("b"), Option.empty[String]))
+      .toDF("rk", "rt", "v1", "v2")
+    val got = AsOfJoin.asofLeft(left, right, "k", "t", "rk", "rt", Seq("v1", "v2"))
+      .select("v1", "v2").as[(String, Option[String])].collect()
+    assert(got.sameElements(Array(("b", None: Option[String]))))
+  }
+
   test("graft_dot is callable from SQL after registration") {
     graft.plans.GraftExtensions.register(spark)
     val r = spark.sql(

@@ -53,6 +53,39 @@ class DedupSpec extends SparkSpec {
     assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0))
   }
 
+  test("shingle df cap drops boilerplate shingles from the join AND the denominator") {
+    // 3 docs share one boilerplate shingle-source ("the quick brown fox");
+    // docs 1 and 2 are otherwise identical, doc 3 unrelated. With
+    // maxDocFreq=2 the df=3 boilerplate shingles vanish from the universe,
+    // so (1,2) still scores 1.0 and (1,3)/(2,3) produce no pair at all.
+    val df = Seq(
+      (1L, "the quick brown fox alpha beta gamma delta"),
+      (2L, "the quick brown fox alpha beta gamma delta"),
+      (3L, "the quick brown fox omega psi chi phi")).toDF("doc_id", "text")
+    val pairs = Dedup.shingleJaccardPairs(df, "doc_id", "text",
+        minJaccard = 0.0, maxDocFreq = 2)
+      .collect().map(r => ((r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")),
+        r.getAs[Double]("jaccard"))).toMap
+    assert(pairs((1L, 2L)) === 1.0,
+      "identical docs must still be jaccard 1.0 after the cap")
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)),
+      "docs overlapping ONLY in capped boilerplate shingles must not pair")
+  }
+
+  test("minhashBands rejects a numBands that does not divide numHashes") {
+    val sig = Dedup.minhashSignatures(docs, "doc_id", "text", numHashes = 16)
+    intercept[IllegalArgumentException] {
+      Dedup.minhashBands(sig, numHashes = 16, numBands = 3)
+    }
+  }
+
+  test("minhash signature is one array<bigint> row per doc") {
+    val sig = Dedup.minhashSignatures(docs.limit(20), "doc_id", "text", numHashes = 16)
+    val row = sig.head()
+    assert(row.getAs[Seq[Long]]("sig").length === 16)
+    assert(sig.count() === sig.select("doc").distinct().count())
+  }
+
   test("planted near-dups in the fixtures are found by all three near-dup paths") {
     val exact = Dedup.shingleJaccardPairs(docs, "doc_id", "text", minJaccard = 0.8).count()
     val mh = Dedup.minhashPairs(docs, "doc_id", "text", minEstimate = 0.5).count()

@@ -84,4 +84,20 @@ class SimilaritySpec extends SparkSpec {
     val rows = pairs.select("id_a", "id_b", "cos_sim").as[(Long, Long, Double)].collect()
     assert(rows.forall { case (a, b, c) => labels(a) == labels(b) && c >= 0.3 && a < b })
   }
+
+  test("embeddingNearDupPairs: oversized blocks go through LSH sub-blocking, not all-pairs") {
+    // Force every fixture block over the cap: the LSH path must (1) emit
+    // only a subset of the exact pairs, (2) still find all identical /
+    // extremely-close pairs (cos≈1 collides in every band), (3) never
+    // invent a pair the exact path would not score.
+    val exact = Similarity.embeddingNearDupPairs(emb, "label", 0.3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.embeddingNearDupPairs(emb, "label", 0.3, maxExactBlock = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact), s"LSH path invented pairs: ${lsh -- exact}")
+    val nearIdentical = Similarity.embeddingNearDupPairs(emb, "label", 0.98)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(nearIdentical.subsetOf(lsh),
+      s"cos≥0.98 pairs must survive banding: missing ${nearIdentical -- lsh}")
+  }
 }
