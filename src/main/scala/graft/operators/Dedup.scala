@@ -52,29 +52,27 @@ object Dedup {
     * intermediate < 2^62 (no signed-64 overflow in either engine). */
   val MinhashPrime = 2305843009213693951L // 2^61 - 1
 
+  /** The MinHash signature as a PURE PROJECTION: the native codegen'd
+    * [[graft.plans.MinhashSignature]] expression builds each word
+    * 3-gram, hashes it once, and folds all seed minima in one tight
+    * loop. No explode, no aggregation, no shuffle — signatures compute
+    * at scan speed, which also makes the operator directly usable in
+    * Structured Streaming (stateless projections need no output-mode
+    * gymnastics). */
+  def minhashSigCol(words: Column, numHashes: Int): Column =
+    graft.plans.MinhashSignature(words, numHashes)
+
   /** MinHash signatures: one row per doc with the full signature as
-    * `array<bigint>` (`sig`). All `numHashes` per-seed minima are
-    * computed in a SINGLE aggregation pass over the (doc, shingle-hash)
-    * rows — the shingle explosion (the biggest intermediate of the whole
-    * pipeline) is never multiplied by numHashes, and `min(BIGINT)`
-    * columns keep the mutable-buffer HashAggregate with map-side partial
-    * combine. Shuffled bytes: one row per doc per side, not
-    * numHashes rows per shingle. */
+    * `array<bigint>` (`sig`). Docs with no shingles (< 3 words) drop
+    * out, as a near-dup pass cannot say anything about them. (The size
+    * filter sits BEFORE the signature projection on purpose: it pushes
+    * down as one cheap codegen'd `size(split(...))` predicate instead
+    * of forcing the signature to be computed twice.) */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
-                        numHashes: Int = 16): DataFrame = {
-    val mins = (0 until numHashes).map { s =>
-      min(expr(s"((2 * $s + 1) * h0 + (${1000003L} * $s + ${12345L})) % $MinhashPrime"))
-        .as(s"__m$s")
-    }
+                        numHashes: Int = 16): DataFrame =
     df.select(col(idCol).as("doc"), TextFunctions.words(col(textCol)).as("w"))
-      .select(col("doc"), explode(TextFunctions.shingles("w")).as("shingle"))
-      .withColumn("h0",
-        expr("cast(conv(substr(md5(shingle), 1, 12), 16, 10) as bigint)"))
-      .groupBy(col("doc"))
-      .agg(mins.head, mins.tail: _*)
-      .select(col("doc"),
-        array((0 until numHashes).map(s => col(s"__m$s")): _*).as("sig"))
-  }
+      .filter(size(col("w")) >= 3)
+      .select(col("doc"), minhashSigCol(col("w"), numHashes).as("sig"))
 
   /** LSH banding: slice each doc's signature array into `numBands`
     * contiguous bands and hash each slice into one band key. Output:
@@ -103,12 +101,11 @@ object Dedup {
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
                    numHashes: Int = 16, numBands: Int = 4,
                    minEstimate: Double = 0.5): DataFrame = {
-    // Persist the per-doc signatures (numHashes longs per doc — the
-    // smallest intermediate): both sides of the band self-join read
-    // them, and without materialization Spark would re-run the shingle
-    // explosion + aggregation once per side.
+    // No persist needed: signatures are a projection, so each side of
+    // the band self-join re-derives them at scan speed (and identical
+    // shuffle subplans are deduped by ReuseExchange when AQE keeps the
+    // join sort-merge).
     val sig = minhashSignatures(df, idCol, textCol, numHashes)
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val bands = minhashBands(sig, numHashes, numBands)
     bands.alias("x").join(bands.alias("y"),
         col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key") &&
@@ -142,6 +139,10 @@ object Dedup {
                           minJaccard: Double = 0.8,
                           maxDocFreq: Int = 100): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // The join key is the native 48-bit shingle HASH
+    // (graft.plans.ShingleHashes): 8-byte keys shrink the exploded
+    // shuffle vs shingle strings and keep the shingle builder in
+    // whole-stage codegen; the oracle mirrors the same md5-prefix hash.
     // Window count (NOT groupBy+collect_list-then-filter): the df cap
     // must apply BEFORE any per-shingle doc list is materialized, or one
     // boilerplate shingle collects an unbounded array. The window's
@@ -149,7 +150,8 @@ object Dedup {
     // needs, so the cap costs no extra exchange.
     val kept = df
       .select(col(idCol).as("doc"), TextFunctions.words(col(textCol)).as("w"))
-      .select(col("doc"), explode(TextFunctions.shingles("w")).as("shingle"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc"), explode(graft.plans.ShingleHashes(col("w"))).as("shingle"))
       .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("shingle"))))
       .filter(col("__df") <= maxDocFreq)
     // Per-shingle doc buckets (sorted, ≤ maxDocFreq docs each). This is
@@ -182,33 +184,22 @@ object Dedup {
   }
 
   /** 32-bit SimHash per document: each token hashes to 32 bits; each bit
-    * position votes ±1 across tokens; the sign of the vote is the output
-    * bit. Computed as 32 independent partial-aggregable SUM columns — no
-    * per-bit row explosion, so the shuffle stays one row per doc. */
-  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = df
-      .select(col(idCol).as("doc"), explode(TextFunctions.words(col(textCol))).as("w"))
-      .withColumn("h", TextFunctions.hash32(col("w")))
-    val votes = (0 until 32).map { j =>
-      sum(when(expr(s"(h div ${1L << j}) % 2") === 1, 1).otherwise(-1)).as(s"s$j")
-    }
-    val bits = (0 until 32).map { j =>
-      when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    toks.groupBy(col("doc"))
-      .agg(votes.head, votes.tail: _*)
-      .select(col("doc"), bits.as("simhash"))
-  }
+    * position votes ±1 across all token occurrences; the sign of the
+    * vote is the output bit. Pure per-document math, so it is a native
+    * codegen'd PROJECTION ([[graft.plans.SimHash32]]) — no token
+    * explode, no 32-column aggregation, no shuffle at all. */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc"),
+      graft.plans.SimHash32(TextFunctions.words(col(textCol))).as("simhash"))
 
   /** SimHash near-dup pairs: band the 32 bits into 4 bytes, join docs
     * sharing any byte (LSH for Hamming distance), keep pairs with
     * Hamming(simhash) ≤ `maxHamming`. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 4): DataFrame = {
-    // Persist the per-doc simhashes (one long per doc): AQE's broadcast
-    // conversion on the self-join defeats ReuseExchange, which would
-    // otherwise re-run the 32-vote aggregation once per side.
-    val sh = simhash(df, idCol, textCol).persist(StorageLevel.MEMORY_AND_DISK)
+    // No persist: the simhash is a scan-speed projection, so each side
+    // of the self-join re-derives it cheaply.
+    val sh = simhash(df, idCol, textCol)
     val bytes = sh.select(col("doc"), col("simhash"),
         explode(expr("sequence(0, 3)")).as("j"))
       .withColumn("byte", expr("shiftright(simhash, j * 8) % 256"))

@@ -27,6 +27,7 @@ object TrainingDataQueries {
 
   // DuckDB fragments mirrored by the Spark operators.
   private val wordsSql = "string_split_regex(lower(trim(text)), '\\s+')"
+  private val wordCte = s"w AS (SELECT doc_id, $wordsSql AS l FROM documents)"
   private val shingleCte =
     s"""w AS (SELECT doc_id, $wordsSql AS l FROM documents),
        |sh AS (SELECT doc_id,
@@ -223,8 +224,16 @@ object TrainingDataQueries {
          |SELECT doc_a, doc_b, est_jaccard FROM est
          |WHERE est_jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
 
+    // Shingles join-keyed by their 48-bit md5-prefix hash, mirroring the
+    // Spark side's native ShingleHashes expression.
     "dedup_ngram_jaccard" ->
-      s"""WITH $shingleCte,
+      s"""WITH $wordCte,
+         |sh AS (SELECT doc_id,
+         |         unnest(list_distinct(list_transform(
+         |           list_transform(generate_series(1, len(l) - 2),
+         |             i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]),
+         |           s -> ('0x' || substr(md5(s), 1, 12))::BIGINT))) AS shingle
+         |       FROM w),
          |shf AS (SELECT doc_id, shingle FROM sh
          |        QUALIFY count(*) OVER (PARTITION BY shingle) <= 100),
          |n AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY doc_id),

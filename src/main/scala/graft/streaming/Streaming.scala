@@ -26,11 +26,16 @@ import org.apache.spark.sql.types.StructType
 object Streaming {
 
   /** EP2 as a stream: bounded sorted copy. Each micro-batch is sorted and
-    * appended; with `AvailableNow` over a static input this reproduces
+    * written; with `AvailableNow` over a static input this reproduces
     * the reference's "sort the whole bounded topic" run, and on a live
     * source it degrades gracefully to per-batch ordering (global total
     * order across an unbounded stream is undefined — the reference can
-    * only do it because its input is bounded). */
+    * only do it because its input is bounded).
+    *
+    * Delivery: each batch OVERWRITES a path derived from its batchId, so
+    * a micro-batch retried after a partial write is idempotent — a plain
+    * `mode("append")` here would be at-least-once (retried batches would
+    * re-append rows). */
   def sortedCopy(spark: SparkSession, inDir: String, schema: StructType,
                  outDir: String, checkpointDir: String,
                  sortCols: Seq[String]): StreamingQuery =
@@ -38,9 +43,9 @@ object Streaming {
       .writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         batch.orderBy(sortCols.map(col): _*)
-          .write.mode("append").parquet(outDir)
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
       }
       .start()
 
@@ -69,6 +74,86 @@ object Streaming {
     df.withColumn("event_time", timestamp_millis(col(tsMsCol)))
       .withWatermark("event_time", watermark)
       .dropDuplicatesWithinWatermark(keyCols)
+
+  // event_time rides along: flatMapGroupsWithState with event-time
+  // timeout requires the watermarked column in its input schema
+  case class BandedDoc(bucket: String, doc: Long, sig: Array[Long], tsMs: Long,
+                       event_time: java.sql.Timestamp)
+  case class BucketDoc(doc: Long, sig: Array[Long], tsMs: Long)
+  case class BucketState(docs: List[BucketDoc])
+  case class NearDupPair(doc_a: Long, doc_b: Long, est_jaccard: Double)
+
+  /** Streaming MinHash near-duplicate detection — the "streaming ×
+    * dedup" composition: the per-doc signature is a pure projection
+    * ([[graft.operators.Dedup.minhashSigCol]]), banding is a stateless
+    * explode, and the only state is the per-band-bucket doc history,
+    * bounded by the watermark (entries older than the watermark are
+    * pruned; idle buckets are removed via event-time timeout).
+    *
+    * A new doc emits one pair per prior same-bucket doc whose signature
+    * agreement ≥ `minEstimate`. Pairs colliding in several bands are
+    * emitted once per band (at-least-once; batch `minhashPairs` dedupes
+    * globally with a `distinct` — a streaming consumer dedupes
+    * downstream or tolerates repeats). */
+  def minhashNearDupStream(docs: DataFrame, idCol: String = "doc_id",
+                           textCol: String = "text", tsMsCol: String = "ts_ms",
+                           watermark: String = "1 hour",
+                           numHashes: Int = 16, numBands: Int = 4,
+                           minEstimate: Double = 0.5): Dataset[NearDupPair] = {
+    import docs.sparkSession.implicits._
+    import graft.functions.TextFunctions
+    import graft.operators.Dedup
+    require(numHashes % numBands == 0,
+      s"numBands=$numBands must divide numHashes=$numHashes")
+    val perBand = numHashes / numBands
+    val banded = docs
+      .withColumn("event_time", timestamp_millis(col(tsMsCol)))
+      .withWatermark("event_time", watermark)
+      .select(col(idCol).as("doc"), TextFunctions.words(col(textCol)).as("w"),
+        col(tsMsCol).as("tsMs"), col("event_time"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc"), Dedup.minhashSigCol(col("w"), numHashes).as("sig"),
+        col("tsMs"), col("event_time"))
+      .select(col("doc"), col("sig"), col("tsMs"), col("event_time"),
+        explode(array((0 until numBands).map { b =>
+          concat_ws(":", lit(b), md5(concat_ws(",", (0 until perBand).map(i =>
+            col("sig").getItem(b * perBand + i).cast("string")): _*)))
+        }: _*)).as("bucket"))
+      .select(col("bucket"), col("doc"), col("sig"), col("tsMs"), col("event_time"))
+      .as[BandedDoc]
+    banded.groupByKey(_.bucket)
+      .flatMapGroupsWithState[BucketState, NearDupPair](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_, rows, state) =>
+          if (state.hasTimedOut) {
+            // idle bucket: the watermark passed every entry's horizon
+            state.remove()
+            Iterator.empty
+          } else {
+            val wm = state.getCurrentWatermarkMs()
+            var pool = state.getOption.map(_.docs).getOrElse(Nil)
+              .filter(_.tsMs >= wm)
+            val out = List.newBuilder[NearDupPair]
+            rows.toSeq.sortBy(d => (d.tsMs, d.doc)).foreach { d =>
+              pool.foreach { p =>
+                if (p.doc != d.doc) {
+                  val matches = (0 until numHashes).count(i => p.sig(i) == d.sig(i))
+                  val est = math.rint(matches.toDouble / numHashes * 10000) / 10000
+                  if (est >= minEstimate) {
+                    val (a, b) = if (p.doc < d.doc) (p.doc, d.doc) else (d.doc, p.doc)
+                    out += NearDupPair(a, b, est)
+                  }
+                }
+              }
+              pool = BucketDoc(d.doc, d.sig, d.tsMs) :: pool
+            }
+            state.update(BucketState(pool))
+            // expire the bucket once the watermark passes its newest entry
+            state.setTimeoutTimestamp(pool.map(_.tsMs).max + 1)
+            out.result().iterator
+          }
+      }
+  }
 
   case class Evt(user_id: Long, event_id: Long, ts_ms: Long)
   case class SessionState(startMs: Long, endMs: Long, n: Long)

@@ -90,6 +90,27 @@ class StreamingSpec extends SparkSpec {
     assert(got === Map("a" -> Seq(9L, 7L), "b" -> Seq(100L, 50L)))
   }
 
+  test("minhashNearDupStream: near-identical docs pair across micro-batches, unrelated docs don't") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val input = MemoryStream[(Long, String, Long)](spark)
+    input.addData((1L, base, 1000L))
+    input.addData(
+      (2L, base + " extra", 2000L), // near-dup of 1, later batch
+      (3L, "completely unrelated words about spark catalyst optimizer internals", 3000L))
+
+    val pairs = Streaming.minhashNearDupStream(
+      input.toDF().toDF("doc_id", "text", "ts_ms"), minEstimate = 0.5)
+    val q = pairs.writeStream.format("memory").queryName("mhnd")
+      .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val got = spark.table("mhnd")
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(got.contains((1L, 2L)), s"planted near-dup must pair, got $got")
+    assert(!got.exists(p => p._1 == 3L || p._2 == 3L),
+      s"unrelated doc must not pair: $got")
+  }
+
   test("sessionize: flatMapGroupsWithState emits gap-closed sessions") {
     val input = MemoryStream[Streaming.Evt](spark)
     val gap = 1000L
