@@ -161,15 +161,22 @@ object RelationalQueries {
         .na.fill(0L)
         .orderBy(col("user_id"))),
 
-    // Sketch-based approximate distinct (HyperLogLog++). No oracle — the
-    // estimate is algorithm-specific — so the driver applies its rows-only
-    // check; the exact count sits alongside for sanity, and the relative
-    // error is asserted in ScalaTest.
+    // Sketch-based approximate distinct (HyperLogLog++). The raw
+    // estimate is algorithm-specific, so the graded surface is the
+    // exact count plus a 10%-relative-error sanity bound on the sketch
+    // (the oracle asserts the bound holds); the tight relative error is
+    // additionally asserted in ScalaTest.
     "q_approx_distinct" -> ((s, dir) =>
       Tables.events(s, dir)
         .groupBy(col("event_type"))
         .agg(approx_count_distinct(col("user_id")).as("approx_users"),
           countDistinct(col("user_id")).as("exact_users"))
+        // graded: the exact count plus the HLL estimate's sanity (within
+        // 10% relative error) — the raw sketch value itself is
+        // engine-specific, so it is checked as a bound, not a hash
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("approx_users") - col("exact_users")) <=
+            col("exact_users") * 0.1).as("approx_within_10pct"))
         .orderBy(col("event_type"))),
 
     // Set ops: INTERSECT (distinct semantics in both engines).
@@ -275,10 +282,16 @@ object RelationalQueries {
       Tables.lineitem(s, dir)
         .groupBy(col("l_returnflag"))
         .agg(
-          expr("round(percentile(l_quantity, 0.5), 4)").as("p50_qty"),
-          expr("round(percentile(l_quantity, 0.9), 4)").as("p90_qty"),
+          // both l_quantity quantiles from ONE percentile buffer — the
+          // exact percentile collects the column per group, so merging
+          // the two probes halves that collection
+          expr("percentile(l_quantity, array(0.5D, 0.9D))").as("__q"),
           expr("round(percentile(l_extendedprice, 0.5), 4)").as("p50_price"),
           count(lit(1)).as("n"))
+        .select(col("l_returnflag"),
+          round(col("__q").getItem(0), 4).as("p50_qty"),
+          round(col("__q").getItem(1), 4).as("p90_qty"),
+          col("p50_price"), col("n"))
         .orderBy(col("l_returnflag"))),
 
     // CUBE grouping sets over two low-cardinality dimensions.
@@ -371,6 +384,10 @@ object RelationalQueries {
         |ORDER BY user_id, event_type""".stripMargin,
     "q_count_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_approx_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+        |       TRUE AS approx_within_10pct
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_intersect" ->
       """SELECT user_id AS k FROM events
