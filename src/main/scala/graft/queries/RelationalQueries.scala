@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.AsOfJoin
+import graft.operators.{AsOfJoin, Skew}
 import graft.sources.Tables
 
 /** The general relational query surface the reference lacks entirely
@@ -178,6 +178,38 @@ object RelationalQueries {
           (abs(col("approx_users") - col("exact_users")) <=
             col("exact_users") * 0.1).as("approx_within_10pct"))
         .orderBy(col("event_type"))),
+
+    // Explicit salting — the defense for shuffle joins AQE won't split:
+    // the skewed side's join key is widened to (key, salt). Results are
+    // row-identical to the plain join, which is exactly what the oracle
+    // asserts.
+    "q_skew_salted_join" -> ((s, dir) => {
+      val events = Tables.events(s, dir)
+      val typeStats = events.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("type_total"))
+      Skew.saltedJoin(events.select("event_id", "event_type"), typeStats,
+          Seq("event_type"), salts = 8)
+        .select(col("event_id"), col("event_type"), col("type_total"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Two-phase salted exact distinct for non-additive hot-key aggregates;
+    // per-salt partials partition the value space, so they sum exactly.
+    "q_skew_distinct" -> ((s, dir) =>
+      Skew.saltedDistinctCount(Tables.events(s, dir), Seq("event_type"),
+          "user_id", salts = 8)
+        .orderBy(col("event_type"))),
+
+    // Custom typed UDAF (bounded top-k buffer) inside groupBy().agg() —
+    // the shuffle carries k values per group, never the value list.
+    "q_topk_udaf" -> ((s, dir) => {
+      val topk = udaf(new graft.functions.TopKLongs(3))
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(topk(col("user_id")).as("top"))
+        .select(col("event_type"), posexplode(col("top")).as(Seq("rank", "uid")))
+        .orderBy(col("event_type"), col("rank"))
+    }),
 
     // Set ops: INTERSECT (distinct semantics in both engines).
     "q_intersect" -> ((s, dir) =>
@@ -389,6 +421,21 @@ object RelationalQueries {
       """SELECT event_type, count(DISTINCT user_id) AS exact_users,
         |       TRUE AS approx_within_10pct
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_skew_salted_join" ->
+      """SELECT e.event_id, e.event_type, t.type_total
+        |FROM events e
+        |JOIN (SELECT event_type, count(*) AS type_total
+        |      FROM events GROUP BY event_type) t USING (event_type)
+        |ORDER BY e.event_id""".stripMargin,
+    "q_skew_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_distinct
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_topk_udaf" ->
+      """SELECT event_type, rn - 1 AS rank, user_id AS uid FROM (
+        |  SELECT event_type, user_id,
+        |         row_number() OVER (PARTITION BY event_type
+        |                            ORDER BY user_id DESC) AS rn
+        |  FROM events) t WHERE rn <= 3 ORDER BY event_type, rank""".stripMargin,
     "q_intersect" ->
       """SELECT user_id AS k FROM events
         |INTERSECT SELECT c_custkey AS k FROM customer ORDER BY k""".stripMargin,
