@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 import graft.functions.TextFunctions
 
@@ -11,22 +10,22 @@ import graft.functions.TextFunctions
   *
   * Scale design: every operator is a pure shuffle-on-key dataflow — no
   * driver-side loops, no pairwise O(N²) over the corpus. The MinHash path
-  * is the canonical 100 TB recipe: shingle → per-doc signature array in
-  * one aggregation pass (map-side combine collapses the shingle explosion
-  * before the shuffle) → band keys → equi-join on band key, so only
-  * documents that collide in a band are ever paired. Hashes are md5
-  * (engine-portable, used by the DuckDB oracles) — swap
-  * `TextFunctions.hash32` for `xxhash64` when oracle parity is not needed
+  * is the canonical 100 TB recipe: per-doc signature as a native codegen
+  * PROJECTION (no shuffle at all before banding) → band keys → equi-join
+  * on band key, so only documents that collide in a band are ever
+  * paired. Hashes are md5 (engine-portable, replayed bit-exactly by the
+  * DuckDB oracles) — swap for xxhash64 when oracle parity is not needed
   * and speed matters.
   *
-  * Materialization policy: the pair operators are diamond dataflows (one
-  * upstream feeds a self-join or two aggregates), and Spark re-evaluates
-  * shared lazy subplans — so each operator persists exactly ONE compact,
-  * cap-bounded intermediate (per-doc signatures / aggregated pair
-  * counts), never the raw shingle explosion. Callers running long-lived
-  * sessions should `unpersist()` results' lineage after materializing;
-  * a 100 TB pipeline should replace the persist with a signature table
-  * written to storage (one pass) and join against that.
+  * Materialization policy: NOTHING is persisted. The pair operators are
+  * diamond dataflows (one upstream feeds a self-join or two aggregates)
+  * and Spark re-evaluates shared lazy subplans — but with the text
+  * hashing native (plans.MinhashSignature / SimHash32 / ShingleHashes)
+  * each re-evaluation runs at scan speed, which measures cheaper than
+  * building and pinning an in-memory relation and holds no executor
+  * storage. A 100 TB pipeline that wants single-scan semantics should
+  * write the per-doc signature table to storage once and join against
+  * that.
   */
 object Dedup {
 
@@ -131,10 +130,10 @@ object Dedup {
     * near-dup signal. Jaccard is then computed over the capped shingle
     * universe on both the numerator and denominator, so the measure
     * stays a true Jaccard of the filtered sets. The frequency filter is
-    * a window count over the same shuffle-by-shingle the join needs —
-    * no extra join, and nothing is cached (the exploded form is the
-    * biggest intermediate; pinning it in executor storage is exactly
-    * what a 100 TB run cannot afford). */
+    * a window count over the same shuffle-by-shingle the bucket
+    * aggregation needs — no extra join, and nothing is cached (the
+    * exploded form is the biggest intermediate; pinning it in executor
+    * storage is exactly what a 100 TB run cannot afford). */
   def shingleJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                           minJaccard: Double = 0.8,
                           maxDocFreq: Int = 100): DataFrame = {
@@ -154,15 +153,12 @@ object Dedup {
       .select(col("doc"), explode(graft.plans.ShingleHashes(col("w"))).as("shingle"))
       .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("shingle"))))
       .filter(col("__df") <= maxDocFreq)
-    // Per-shingle doc buckets (sorted, ≤ maxDocFreq docs each). This is
-    // THE materialization point: one compact row per shingle, hard-
-    // bounded by the cap — unlike the exploded rows (huge) or the pair
-    // counts (data-dependent, near-dup-heavy corpora make them huge).
-    // Everything upstream (explosion + window) evaluates exactly once;
-    // both consumers below read the persisted buckets.
+    // Per-shingle doc buckets (sorted, ≤ maxDocFreq docs each): one
+    // compact row per shingle, hard-bounded by the cap. The two
+    // consumers below each re-derive it — with native shingle hashing
+    // the re-evaluation is cheaper than building an in-memory relation.
     val buckets = kept.groupBy(col("shingle"))
       .agg(array_sort(collect_list(col("doc"))).as("docs"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
     // Per-doc kept-set sizes: re-explode the bucketed ids (cheap).
     val sizes = buckets.select(explode(col("docs")).as("d"))
       .groupBy(col("d")).agg(count(lit(1)).as("n"))

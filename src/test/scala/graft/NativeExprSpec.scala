@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.plans.{MinhashSignature, ShingleHashes, SimHash32}
+import graft.sources.Tables
+
+/** Bit-parity of the native codegen text-hash expressions against the
+  * interpreted built-in formulations they replaced — the property that
+  * keeps the DuckDB oracles exact. */
+class NativeExprSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, sf("sf0.001")).cache()
+
+  private lazy val withWords = docs
+    .select(col("doc_id"), TextFunctions.words(col("text")).as("w"))
+
+  test("MinhashSignature equals the explode + conv(substr(md5)) + min formulation") {
+    val native = withWords.filter(size(col("w")) >= 3)
+      .select(col("doc_id"), MinhashSignature(col("w"), 16).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val interpreted = withWords
+      .select(col("doc_id"), explode(TextFunctions.shingles("w")).as("shingle"))
+      .withColumn("h0",
+        expr("cast(conv(substr(md5(shingle), 1, 12), 16, 10) as bigint)"))
+      .select(col("doc_id"), col("h0"),
+        explode(expr("sequence(0, 15)")).as("seed"))
+      .groupBy(col("doc_id"), col("seed"))
+      .agg(min(expr(
+        s"((2 * seed + 1) * h0 + (1000003 * seed + 12345)) % ${MinhashSignature.M61}"))
+        .as("minh"))
+      .groupBy(col("doc_id"))
+      .agg(expr("transform(array_sort(collect_list(struct(seed, minh))), x -> x.minh)")
+        .as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(native.nonEmpty && native === interpreted)
+  }
+
+  test("SimHash32 equals the token-explode 32-vote formulation") {
+    val native = docs.select(col("doc_id"),
+        SimHash32(TextFunctions.words(col("text"))).as("sh"))
+      .as[(Long, Long)].collect().toMap
+    val toks = docs
+      .select(col("doc_id"), explode(TextFunctions.words(col("text"))).as("t"))
+      .withColumn("h", TextFunctions.hash32(col("t")))
+    val votes = (0 until 32).map { j =>
+      sum(when(expr(s"(h div ${1L << j}) % 2") === 1, 1).otherwise(-1)).as(s"s$j")
+    }
+    val bits = (0 until 32).map { j =>
+      when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val interpreted = toks.groupBy(col("doc_id"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), bits.as("sh"))
+      .as[(Long, Long)].collect().toMap
+    assert(native.nonEmpty && native === interpreted)
+  }
+
+  test("ShingleHashes equals distinct sorted conv(substr(md5)) of the shingle strings") {
+    val native = withWords.filter(size(col("w")) >= 3)
+      .select(col("doc_id"), ShingleHashes(col("w")).as("hs"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val interpreted = withWords
+      .select(col("doc_id"), explode(TextFunctions.shingles("w")).as("shingle"))
+      .withColumn("h",
+        expr("cast(conv(substr(md5(shingle), 1, 12), 16, 10) as bigint)"))
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_set(col("h"))).as("hs"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(native.nonEmpty && native === interpreted)
+  }
+
+  test("short docs: MinhashSignature/ShingleHashes are NULL under 3 words; SimHash32 is defined") {
+    val df = Seq((1L, "one two"), (2L, "a b c d")).toDF("doc_id", "text")
+      .select(col("doc_id"), TextFunctions.words(col("text")).as("w"))
+    val got = df.select(col("doc_id"),
+        MinhashSignature(col("w"), 4).as("sig"),
+        ShingleHashes(col("w")).as("hs"),
+        SimHash32(col("w")).as("sh"))
+      .collect().map(r => r.getLong(0) -> (r.isNullAt(1), r.isNullAt(2), r.isNullAt(3)))
+      .toMap
+    assert(got(1L) === ((true, true, false)))
+    assert(got(2L) === ((false, false, false)))
+  }
+}
