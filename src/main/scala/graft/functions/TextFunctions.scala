@@ -33,11 +33,11 @@ object TextFunctions {
   }
 
   /** Count of tokens in the array column named `wordsCol` that appear in
-    * `set`, via a codegen'd array lambda (no UDF, no explode). */
-  def countIn(wordsCol: String, set: Seq[String]): Column = {
-    val inList = set.map(s => s"'$s'").mkString(", ")
-    expr(s"size(filter($wordsCol, w -> w IN ($inList)))")
-  }
+    * `set` — the native codegen'd [[graft.plans.CountInSet]] (hash-set
+    * membership per token; the `size(filter(... IN ...))` HOF it
+    * replaces was interpreted AND scanned the IN-list per element). */
+  def countIn(wordsCol: String, set: Seq[String]): Column =
+    graft.plans.CountInSet(col(wordsCol), set)
 
   /** Canonical-form fingerprint: md5 of lower-cased, whitespace-collapsed,
     * trimmed text — exact-dup detection robust to spacing/case noise. */
