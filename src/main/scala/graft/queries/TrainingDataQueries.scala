@@ -156,6 +156,29 @@ object TrainingDataQueries {
           col("meta.width").as("width"), col("meta.height").as("height"))
         .orderBy("media_id")),
 
+    // Stubbed resize: payload re-cut to the byte budget + metadata
+    // rewrite. Graded via the payload md5 (fixture text is pure ASCII,
+    // so DuckDB's string substring mirrors the byte slice exactly).
+    "multimodal_resize" -> ((s, dir) =>
+      Multimodal.resize(
+          Multimodal.attachBinary(Tables.documents(s, dir), "doc_id", "text"),
+          width = 320, height = 240)
+        .select(col("media_id"), col("meta.n_bytes").as("n_bytes"),
+          col("meta.width").as("width"), col("meta.height").as("height"),
+          md5(col("payload")).as("payload_md5"))
+        .orderBy("media_id")),
+
+    // Stubbed frame sampling: n evenly-spaced slices per media row — the
+    // one-row-per-frame shape a video pipeline needs.
+    "multimodal_frames" -> ((s, dir) =>
+      Multimodal.sampleFrames(
+          Multimodal.attachBinary(Tables.documents(s, dir), "doc_id", "text"),
+          n = 4)
+        .select(col("media_id"), col("frame_idx"),
+          length(col("frame_bytes")).as("n_bytes"),
+          md5(col("frame_bytes")).as("frame_md5"))
+        .orderBy("media_id", "frame_idx")),
+
     // Binary decode + feature extraction (stubbed decoder). The graded
     // projection is integer-exact scalars that flow THROUGH the
     // mapPartitions decode (n_bytes and dim come out of the Dataset, not
@@ -395,6 +418,22 @@ object TrainingDataQueries {
         |       ('0x' || substr(md5(text), 1, 4))::BIGINT % 640 AS width,
         |       ('0x' || substr(md5(text), 5, 4))::BIGINT % 480 AS height
         |FROM documents ORDER BY media_id""".stripMargin,
+
+    // Fixture text is pure ASCII (asserted against octet_length), so
+    // byte slices of the payload are replayable as string substrings.
+    "multimodal_resize" ->
+      """SELECT doc_id AS media_id,
+        |       least(octet_length(encode(text)), 300) AS n_bytes,
+        |       320 AS width, 240 AS height,
+        |       md5(substring(text, 1, 300)) AS payload_md5
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    "multimodal_frames" ->
+      """SELECT doc_id AS media_id, f.idx AS frame_idx,
+        |       octet_length(encode(substring(text, (f.idx * (octet_length(encode(text)) // 4))::INT + 1, 16))) AS n_bytes,
+        |       md5(substring(text, (f.idx * (octet_length(encode(text)) // 4))::INT + 1, 16)) AS frame_md5
+        |FROM documents CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS idx) f
+        |ORDER BY media_id, frame_idx""".stripMargin,
 
     // The decode stub always emits a 16-wide feature vector; n_bytes is
     // the UTF-8 payload length — both replayable without the decoder.
