@@ -111,6 +111,31 @@ class StreamingSpec extends SparkSpec {
       s"unrelated doc must not pair: $got")
   }
 
+  test("minhashNearDupStream matches batch minhashPairs on the fixture corpus") {
+    // Same banding, same signatures, same estimate: the streaming pair
+    // set (deduped — emission is at-least-once across bands) must equal
+    // the batch operator's pairs when every doc fits in the watermark.
+    val docs = Tables.documents(spark, sf("sf0.001"))
+      .select(col("doc_id"), col("text"))
+      .withColumn("ts_ms", lit(1000L))
+      .as[(Long, String, Long)].collect().toSeq
+    val input = MemoryStream[(Long, String, Long)](spark)
+    input.addData(docs)
+    val pairs = Streaming.minhashNearDupStream(
+      input.toDF().toDF("doc_id", "text", "ts_ms"), minEstimate = 0.5)
+    val q = pairs.writeStream.format("memory").queryName("mhvsb")
+      .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("mhvsb")
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val batch = graft.operators.Dedup.minhashPairs(
+        Tables.documents(spark, sf("sf0.001")), "doc_id", "text",
+        minEstimate = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(streamed === batch,
+      s"stream-only: ${streamed -- batch}; batch-only: ${batch -- streamed}")
+  }
+
   test("sessionize: flatMapGroupsWithState emits gap-closed sessions") {
     val input = MemoryStream[Streaming.Evt](spark)
     val gap = 1000L
