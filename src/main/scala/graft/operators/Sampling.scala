@@ -41,4 +41,16 @@ object Sampling {
       when(bucket1000(keyCol) < trainPermille, "train")
         .when(bucket1000(keyCol) < trainPermille + valPermille, "val")
         .otherwise("test"))
+
+  /** Deterministic epoch shuffle: a reproducible pseudo-random global
+    * order derived from (seed, key) — change the seed, get a fresh
+    * permutation; re-run with the same seed, get the identical order on
+    * any cluster layout. The sort is a plain range-partitioned `orderBy`
+    * on the hash (Spark's scalable sort — NOT a single-partition
+    * window), so it shuffles once and writes all partitions in
+    * parallel; partition files concatenate in shuffled order. */
+  def epochShuffle(df: DataFrame, keyCol: String, seed: Long): DataFrame =
+    df.withColumn("shuffle_key",
+        md5(concat_ws("-", lit(seed), col(keyCol).cast("string"))))
+      .orderBy(col("shuffle_key"))
 }

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.functions.TextFunctions
 import graft.operators.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 import graft.sources.Tables
 
@@ -149,6 +150,31 @@ object TrainingDataQueries {
         .groupBy(col("split"))
         .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"))
         .orderBy(col("split"))),
+
+    // Deterministic epoch shuffle: reproducible pseudo-random global
+    // order from (seed, key) — the order IS the graded artifact.
+    "data_shuffle" -> ((s, dir) =>
+      Sampling.epochShuffle(Tables.documents(s, dir), "doc_id", seed = 42L)
+        .select(col("shuffle_key"), col("doc_id"), col("source"))),
+
+    // End-to-end curation pipeline — quality gate → exact dedup →
+    // leak-proof split → per-split stats. Exercises operator COMPOSITION
+    // (the library's whole point); every stage is hash-replayable.
+    "pipeline_curation" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val q = TextAnalysis.quality(docs, "doc_id", "text")
+      val kept = docs.join(q, "doc_id")
+        .filter(col("alpha_ratio") >= 0.6 && col("stopword_ratio") >= 0.05)
+      val survivors = Dedup.exact(
+          kept.select(col("doc_id"), col("text")), "doc_id", Seq("text"))
+        .select(col("doc_id"))
+      Sampling.splitAssign(kept.join(survivors, "doc_id"), "doc_id")
+        .withColumn("n_tokens", size(TextFunctions.words(col("text"))))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_id"),
+          sum(col("n_tokens")).as("sum_tokens"))
+        .orderBy(col("split"))
+    }),
 
     "multimodal_meta" -> ((s, dir) =>
       Multimodal.attachBinary(Tables.documents(s, dir), "doc_id", "text")
@@ -411,6 +437,24 @@ object TrainingDataQueries {
         |            WHEN bk < 900 THEN 'val' ELSE 'test' END AS split,
         |       count(*) AS n, min(doc_id) AS min_id
         |FROM b GROUP BY 1 ORDER BY split""".stripMargin,
+
+    "data_shuffle" ->
+      """SELECT md5('42-' || doc_id::VARCHAR) AS shuffle_key, doc_id, source
+        |FROM documents ORDER BY shuffle_key""".stripMargin,
+
+    "pipeline_curation" ->
+      s"""WITH q AS (SELECT doc_id, text, $wordsSql AS l,
+         |  round(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / length(text), 4) AS alpha_ratio,
+         |  round(len(list_filter($wordsSql, w -> w IN ($stopList))) * 1.0 / len($wordsSql), 4) AS stopword_ratio
+         |FROM documents),
+         |kept AS (SELECT * FROM q WHERE alpha_ratio >= 0.6 AND stopword_ratio >= 0.05),
+         |surv AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY text),
+         |cur AS (SELECT k.* FROM kept k JOIN surv USING (doc_id)),
+         |b AS (SELECT *, ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 1000 AS bk FROM cur)
+         |SELECT CASE WHEN bk < 800 THEN 'train'
+         |            WHEN bk < 900 THEN 'val' ELSE 'test' END AS split,
+         |       count(*) AS n_docs, min(doc_id) AS min_id, sum(len(l)) AS sum_tokens
+         |FROM b GROUP BY 1 ORDER BY split""".stripMargin,
 
     "multimodal_meta" ->
       """SELECT doc_id AS media_id,
