@@ -72,6 +72,39 @@ class NativeExprSpec extends SparkSpec {
     assert(native.nonEmpty && native === interpreted)
   }
 
+  test("non-ASCII text: native md5 hashing matches the built-in md5 byte-for-byte") {
+    // Fixtures are pure ASCII, so this is the only coverage of the
+    // UTF-8 encode path inside the native expressions.
+    val df = Seq(
+      (1L, "héllo wörld çafé naïve résumé"),
+      (2L, "日本語 テキスト の 重複 検出 テスト"),
+      (3L, "mixed ascii und ümlaute plus 中文 words here"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), TextFunctions.words(col("text")).as("w"))
+    val native = df.select(col("doc_id"), ShingleHashes(col("w")).as("hs"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val interpreted = df
+      .select(col("doc_id"), explode(TextFunctions.shingles("w")).as("shingle"))
+      .withColumn("h",
+        expr("cast(conv(substr(md5(shingle), 1, 12), 16, 10) as bigint)"))
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_set(col("h"))).as("hs"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(native === interpreted)
+    val nativeSim = df.select(col("doc_id"), SimHash32(col("w")).as("sh"))
+      .as[(Long, Long)].collect().toMap
+    val interpSim = df
+      .select(col("doc_id"), explode(col("w")).as("t"))
+      .withColumn("h", TextFunctions.hash32(col("t")))
+      .groupBy(col("doc_id"))
+      .agg(expr(
+        (0 until 32).map(j =>
+          s"CASE WHEN sum(CASE WHEN (h div ${1L << j}) % 2 = 1 THEN 1 ELSE -1 END) > 0 THEN ${1L << j} ELSE 0 END")
+          .mkString(" + ")).as("sh"))
+      .as[(Long, Long)].collect().toMap
+    assert(nativeSim === interpSim)
+  }
+
   test("short docs: MinhashSignature/ShingleHashes are NULL under 3 words; SimHash32 is defined") {
     val df = Seq((1L, "one two"), (2L, "a b c d")).toDF("doc_id", "text")
       .select(col("doc_id"), TextFunctions.words(col("text")).as("w"))

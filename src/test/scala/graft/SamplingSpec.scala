@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Sampling
+import graft.sources.Tables
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, sf("sf0.001")).cache()
+
+  test("sample: membership is a pure function of the key — repartition-proof") {
+    val a = Sampling.sample(docs, "doc_id", permille = 200)
+      .select("doc_id").as[Long].collect().toSet
+    val b = Sampling.sample(docs.repartition(13), "doc_id", permille = 200)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a === b)
+    assert(a.nonEmpty && a.size < docs.count())
+  }
+
+  test("sample: monotone in the rate — a smaller sample is a subset of a larger one") {
+    val small = Sampling.sample(docs, "doc_id", 100).select("doc_id").as[Long].collect().toSet
+    val big = Sampling.sample(docs, "doc_id", 500).select("doc_id").as[Long].collect().toSet
+    assert(small.subsetOf(big))
+  }
+
+  test("splitAssign: total, disjoint, and leak-proof across reruns") {
+    val s1 = Sampling.splitAssign(docs, "doc_id")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val s2 = Sampling.splitAssign(docs.repartition(7), "doc_id")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(s1 === s2, "assignment must not depend on layout")
+    assert(s1.size === docs.count(), "every doc gets exactly one split")
+    assert(s1.values.toSet.subsetOf(Set("train", "val", "test")))
+  }
+
+  test("epochShuffle: same seed reproduces the order; different seed permutes; set preserved") {
+    val o1 = Sampling.epochShuffle(docs, "doc_id", seed = 1L)
+      .select("doc_id").as[Long].collect()
+    val o1again = Sampling.epochShuffle(docs.repartition(9), "doc_id", seed = 1L)
+      .select("doc_id").as[Long].collect()
+    val o2 = Sampling.epochShuffle(docs, "doc_id", seed = 2L)
+      .select("doc_id").as[Long].collect()
+    assert(o1.sameElements(o1again), "same seed => identical order on any layout")
+    assert(!o1.sameElements(o2), "different seed => different permutation")
+    assert(o1.toSet === o2.toSet, "a shuffle permutes, never drops or duplicates")
+    assert(!o1.sameElements(o1.sorted), "order must not be the natural key order")
+  }
+}
