@@ -174,6 +174,52 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Lloyd's k-means over the embedding column — the curation companion
+    * to [[ivfIndex]] (cluster-then-sample, cluster-balanced mixtures,
+    * refined IVF cells). Seeding is the deterministic md5-ordered prefix
+    * (same as IVF); each iteration is one broadcast-join assignment pass
+    * plus one per-cell mean aggregation — no driver-side math beyond
+    * collecting k centroids (k is small by definition), no cross
+    * product. Returns (centroids, assignments).
+    *
+    * NOT oracle-graded: double summation order in the mean aggregation
+    * is partition-order-dependent, so cross-engine bit-parity cannot be
+    * promised — invariants (objective decreases, assignment determinism
+    * given centroids) are spec-asserted instead. */
+  def kmeans(corpus: DataFrame, k: Int, iterations: Int = 5,
+             idCol: String = "vec_id", vecCol: String = "embedding"): (DataFrame, DataFrame) = {
+    require(k > 0 && iterations >= 0, s"bad k=$k / iterations=$iterations")
+    val c = prep(corpus, idCol, vecCol, "c_id", "c_vec", "c_nrm")
+    val dim = corpus.select(size(col(vecCol))).first().getInt(0)
+    var centroids = c.orderBy(md5(col("c_id").cast("string")), col("c_id"))
+      .limit(k)
+      .select(col("c_id").as("cell_id"), col("c_vec").as("cell_vec"),
+        col("c_nrm").as("cell_nrm"))
+    def assign(cent: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("c_id"))
+        .orderBy(col("__sim").desc, col("cell_id"))
+      c.crossJoin(broadcast(cent))
+        .withColumn("__sim",
+          round(VectorFunctions.dot(col("c_vec"), col("cell_vec")) /
+            (col("c_nrm") * col("cell_nrm")), 6))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("c_id"), col("c_vec"), col("cell_id"), col("__sim"))
+    }
+    (0 until iterations).foreach { _ =>
+      val a = assign(centroids)
+      // element-wise mean per cell: aggregate the 64-ish dims as columns
+      // (partial-aggregable sums, one shuffle on cell_id)
+      val dims = (0 until dim).map(i => avg(col("c_vec").getItem(i)).as(s"__m$i"))
+      centroids = a.groupBy(col("cell_id"))
+        .agg(dims.head, dims.tail: _*)
+        .select(col("cell_id"),
+          array((0 until dim).map(i => col(s"__m$i")): _*).as("cell_vec"))
+        .withColumn("cell_nrm", VectorFunctions.norm(col("cell_vec")))
+    }
+    (centroids, assign(centroids).select(col("c_id"), col("cell_id"), col("__sim")))
+  }
+
   /** Embedding-cosine near-duplicate pairs within a blocking key (e.g. a
     * cluster/label column — the IVF idea: only intra-cell pairs are
     * scored). Output (id_a, id_b, cos_sim) with id_a < id_b.

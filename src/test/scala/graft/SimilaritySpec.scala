@@ -78,6 +78,37 @@ class SimilaritySpec extends SparkSpec {
     assert(hits >= 5, s"IVF top-1 recall: $hits/10 at nProbe=6/16")
   }
 
+  test("kmeans: separates well-separated synthetic blobs and improves the cosine objective") {
+    // three orthogonal-ish blobs in 8 dims, 20 vectors each, small noise
+    val rnd = new scala.util.Random(7)
+    def blob(center: Array[Double], base: Long) = (0 until 20).map { i =>
+      (base + i, center.map(x => (x + rnd.nextGaussian() * 0.05).toFloat))
+    }
+    val c1 = Array(1.0, 0, 0, 0, 0, 0, 0, 0)
+    val c2 = Array(0.0, 1, 0, 0, 0, 0, 0, 0)
+    val c3 = Array(0.0, 0, 1, 0, 0, 0, 0, 0)
+    val df = (blob(c1, 0) ++ blob(c2, 100) ++ blob(c3, 200))
+      .toDF("vec_id", "embedding")
+
+    val (cent0, asg0) = Similarity.kmeans(df, k = 3, iterations = 0)
+    val (cent, asg) = Similarity.kmeans(df, k = 3, iterations = 4)
+    assert(cent.count() === 3)
+
+    // objective: mean cosine to the assigned centroid must not degrade
+    val obj0 = asg0.agg(avg(col("__sim"))).first().getDouble(0)
+    val obj = asg.agg(avg(col("__sim"))).first().getDouble(0)
+    assert(obj >= obj0 - 1e-9, s"objective degraded: $obj0 -> $obj")
+    assert(obj > 0.99, s"well-separated blobs should be near-pure: $obj")
+
+    // each blob lands in ONE cluster, and clusters are distinct
+    val cells = asg.select(col("c_id"), col("cell_id"))
+      .as[(Long, Long)].collect().toMap
+    val blobCells = Seq(0L, 100L, 200L).map(b =>
+      (0 until 20).map(i => cells(b + i)).toSet)
+    assert(blobCells.forall(_.size === 1), s"blob split across cells: $blobCells")
+    assert(blobCells.flatten.toSet.size === 3, "blobs must map to distinct cells")
+  }
+
   test("embeddingNearDupPairs only pairs within a block and respects the threshold") {
     val pairs = Similarity.embeddingNearDupPairs(emb, "label", 0.3).cache()
     val labels = emb.select("vec_id", "label").as[(Long, Int)].collect().toMap
