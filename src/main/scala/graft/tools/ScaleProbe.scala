@@ -1,0 +1,59 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Similarity}
+
+/** Empirical scaling probe for the near-dup operators: replicates the
+  * sf0.1 documents corpus xN (ids shifted, text perturbed per copy so
+  * copies are near- but not exact duplicates of each other) and times
+  * each operator at 1x/4x/16x. Linear-ish growth is the evidence that
+  * the banded/bucketed shapes hold as data scales; quadratic growth
+  * would expose an all-pairs term. Results recorded in COVERAGE.md
+  * (round-2 notes).
+  *
+  * Usage: runMain graft.tools.ScaleProbe [sfDir]
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+    val nBase = base.count()
+
+    def scaled(factor: Int): DataFrame =
+      (0 until factor).map { i =>
+        base.select(
+          (col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+          concat(lit(s"copy$i marker token "), col("text")).as("text"))
+      }.reduce(_ unionByName _)
+
+    def time(f: => Long): (Long, Double) = {
+      val t0 = System.nanoTime(); val n = f; (n, (System.nanoTime() - t0) / 1e9)
+    }
+
+    println(s"PROBE base_docs=$nBase")
+    Seq(1, 4, 16).foreach { factor =>
+      val df = scaled(factor)
+      // warm each shape once at this scale, then time
+      val ops: Seq[(String, () => Long)] = Seq(
+        "minhash" -> (() => Dedup.minhashPairs(df, "doc_id", "text").count()),
+        "ngram" -> (() => Dedup.shingleJaccardPairs(df, "doc_id", "text").count()),
+        "simhash" -> (() => Dedup.simhashPairs(df, "doc_id", "text").count()))
+      ops.foreach { case (name, f) =>
+        f() // warm
+        val (rows, sec) = time(f())
+        println(f"PROBE x$factor $name docs=${nBase * factor} pairs=$rows time=$sec%.2fs")
+      }
+    }
+    spark.stop()
+  }
+}
