@@ -14,6 +14,12 @@ class EntrySpec extends SparkSpec {
     assert(missing.isEmpty, s"oracle without query: $missing")
   }
 
+  test("every query has an oracle — rows-only grading must not silently creep back") {
+    val unoracled = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(unoracled.isEmpty,
+      s"query without oracle (driver would fall back to a weak rows-only check): $unoracled")
+  }
+
   test("query names are filesystem/JSON-safe") {
     assert(SparkEntry.queries.keys.forall(_.matches("[a-z0-9_]+")))
   }
