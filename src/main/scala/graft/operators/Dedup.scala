@@ -73,6 +73,14 @@ object Dedup {
       .filter(size(col("w")) >= 3)
       .select(col("doc"), minhashSigCol(col("w"), numHashes).as("sig"))
 
+  /** One band's key: md5 of the comma-joined signature slice. The
+    * SINGLE source of truth for the band-key format — batch banding and
+    * the streaming near-dup operator both call this, so their buckets
+    * can never drift apart. */
+  def bandKey(sigCol: Column, band: Int, perBand: Int): Column =
+    md5(concat_ws(",", (0 until perBand).map(i =>
+      sigCol.getItem(band * perBand + i).cast("string")): _*))
+
   /** LSH banding: slice each doc's signature array into `numBands`
     * contiguous bands and hash each slice into one band key. Output:
     * (doc, sig, band, band_key) — the signature rides along so the
@@ -83,9 +91,7 @@ object Dedup {
         "trailing band would silently mis-band")
     val perBand = numHashes / numBands
     val bandStructs = (0 until numBands).map { b =>
-      struct(lit(b).as("band"),
-        md5(concat_ws(",", (0 until perBand).map(i =>
-          col("sig").getItem(b * perBand + i).cast("string")): _*)).as("band_key"))
+      struct(lit(b).as("band"), bandKey(col("sig"), b, perBand).as("band_key"))
     }
     sig.select(col("doc"), col("sig"),
         explode(array(bandStructs: _*)).as("s"))

@@ -48,9 +48,13 @@ object Sampling {
     * any cluster layout. The sort is a plain range-partitioned `orderBy`
     * on the hash (Spark's scalable sort — NOT a single-partition
     * window), so it shuffles once and writes all partitions in
-    * parallel; partition files concatenate in shuffled order. */
+    * parallel; partition files concatenate in shuffled order.
+    *
+    * `keyCol` should be a row identity (e.g. the doc id): rows sharing a
+    * key value share a shuffle_key, and the key tie-break can only order
+    * them as a group, not individually. */
   def epochShuffle(df: DataFrame, keyCol: String, seed: Long): DataFrame =
     df.withColumn("shuffle_key",
         md5(concat_ws("-", lit(seed), col(keyCol).cast("string"))))
-      .orderBy(col("shuffle_key"))
+      .orderBy(col("shuffle_key"), col(keyCol))
 }

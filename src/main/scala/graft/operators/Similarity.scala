@@ -76,6 +76,9 @@ object Similarity {
   def lshBuckets(df: DataFrame, numPlanes: Int = 16, numBands: Int = 4,
                  dim: Int = 64,
                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(numPlanes % numBands == 0,
+      s"numBands=$numBands must divide numPlanes=$numPlanes — trailing " +
+        "planes would be silently dropped from every band key")
     val withV = df.select(col(idCol).as("id"),
       VectorFunctions.asDouble(col(vecCol)).as("__v"))
     val bitCols: Seq[Column] = (0 until numPlanes).map { p =>
@@ -189,12 +192,25 @@ object Similarity {
   def kmeans(corpus: DataFrame, k: Int, iterations: Int = 5,
              idCol: String = "vec_id", vecCol: String = "embedding"): (DataFrame, DataFrame) = {
     require(k > 0 && iterations >= 0, s"bad k=$k / iterations=$iterations")
+    val spark = corpus.sparkSession
+    import spark.implicits._
     val c = prep(corpus, idCol, vecCol, "c_id", "c_vec", "c_nrm")
     val dim = corpus.select(size(col(vecCol))).first().getInt(0)
-    var centroids = c.orderBy(md5(col("c_id").cast("string")), col("c_id"))
-      .limit(k)
-      .select(col("c_id").as("cell_id"), col("c_vec").as("cell_vec"),
-        col("c_nrm").as("cell_nrm"))
+
+    // Centroids live as a COLLECTED local relation between iterations —
+    // k rows of k×dim doubles by definition, so collecting them bounds
+    // the lineage to one corpus scan per action instead of replaying
+    // every previous iteration's cross-join + aggregation.
+    def localize(df: DataFrame): DataFrame = {
+      val rows = df.select(col("cell_id"), col("cell_vec"))
+        .as[(Long, Seq[Double])].collect().toSeq.sortBy(_._1)
+      rows.toDF("cell_id", "cell_vec")
+        .withColumn("cell_nrm", VectorFunctions.norm(col("cell_vec")))
+    }
+    var centroids = localize(
+      c.orderBy(md5(col("c_id").cast("string")), col("c_id"))
+        .limit(k)
+        .select(col("c_id").as("cell_id"), col("c_vec").as("cell_vec")))
     def assign(cent: DataFrame): DataFrame = {
       val w = Window.partitionBy(col("c_id"))
         .orderBy(col("__sim").desc, col("cell_id"))
@@ -211,11 +227,16 @@ object Similarity {
       // element-wise mean per cell: aggregate the 64-ish dims as columns
       // (partial-aggregable sums, one shuffle on cell_id)
       val dims = (0 until dim).map(i => avg(col("c_vec").getItem(i)).as(s"__m$i"))
-      centroids = a.groupBy(col("cell_id"))
+      val means = a.groupBy(col("cell_id"))
         .agg(dims.head, dims.tail: _*)
         .select(col("cell_id"),
           array((0 until dim).map(i => col(s"__m$i")): _*).as("cell_vec"))
-        .withColumn("cell_nrm", VectorFunctions.norm(col("cell_vec")))
+      // a cell that captured no points vanishes from the means — keep
+      // its previous centroid so k never silently shrinks
+      val kept = localize(means)
+      val emptyCells = centroids.join(kept, Seq("cell_id"), "left_anti")
+      centroids = localize(kept.select("cell_id", "cell_vec")
+        .unionByName(emptyCells.select("cell_id", "cell_vec")))
     }
     (centroids, assign(centroids).select(col("c_id"), col("cell_id"), col("__sim")))
   }
@@ -238,6 +259,9 @@ object Similarity {
                             maxExactBlock: Int = 10000,
                             numPlanes: Int = 8, numBands: Int = 4,
                             dim: Int = 64): DataFrame = {
+    require(numPlanes % numBands == 0,
+      s"numBands=$numBands must divide numPlanes=$numPlanes — trailing " +
+        "planes would be silently dropped from every band key")
     val e = prep(df, idCol, vecCol, "id", "v", "nrm",
       passthrough = Seq(blockCol -> "blk"))
       .withColumn("__bn", count(lit(1)).over(Window.partitionBy(col("blk"))))

@@ -453,7 +453,10 @@ object TrainingDataQueries {
          |b AS (SELECT *, ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 1000 AS bk FROM cur)
          |SELECT CASE WHEN bk < 800 THEN 'train'
          |            WHEN bk < 900 THEN 'val' ELSE 'test' END AS split,
-         |       count(*) AS n_docs, min(doc_id) AS min_id, sum(len(l)) AS sum_tokens
+         |       count(*) AS n_docs, min(doc_id) AS min_id,
+         |       -- CAST: DuckDB sum(BIGINT) is HUGEINT -> pandas float64,
+         |       -- which breaks the driver's exact hash vs Spark's BIGINT
+         |       CAST(sum(len(l)) AS BIGINT) AS sum_tokens
          |FROM b GROUP BY 1 ORDER BY split""".stripMargin,
 
     "multimodal_meta" ->

@@ -35,7 +35,10 @@ object Streaming {
     * Delivery: each batch OVERWRITES a path derived from its batchId, so
     * a micro-batch retried after a partial write is idempotent — a plain
     * `mode("append")` here would be at-least-once (retried batches would
-    * re-append rows). */
+    * re-append rows). Readers of `outDir` see one extra partition-
+    * discovery column `batch` (the micro-batch id); ids are zero-padded
+    * so lexicographic directory listing preserves batch order past
+    * batch 9. */
   def sortedCopy(spark: SparkSession, inDir: String, schema: StructType,
                  outDir: String, checkpointDir: String,
                  sortCols: Seq[String]): StreamingQuery =
@@ -45,7 +48,7 @@ object Streaming {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         batch.orderBy(sortCols.map(col): _*)
-          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+          .write.mode("overwrite").parquet(f"$outDir/batch=$batchId%09d")
       }
       .start()
 
@@ -116,8 +119,9 @@ object Streaming {
         col("tsMs"), col("event_time"))
       .select(col("doc"), col("sig"), col("tsMs"), col("event_time"),
         explode(array((0 until numBands).map { b =>
-          concat_ws(":", lit(b), md5(concat_ws(",", (0 until perBand).map(i =>
-            col("sig").getItem(b * perBand + i).cast("string")): _*)))
+          // Dedup.bandKey is the shared band-key format — stream buckets
+          // must never drift from batch bands
+          concat_ws(":", lit(b), Dedup.bandKey(col("sig"), b, perBand))
         }: _*)).as("bucket"))
       .select(col("bucket"), col("doc"), col("sig"), col("tsMs"), col("event_time"))
       .as[BandedDoc]
@@ -138,7 +142,11 @@ object Streaming {
               pool.foreach { p =>
                 if (p.doc != d.doc) {
                   val matches = (0 until numHashes).count(i => p.sig(i) == d.sig(i))
-                  val est = math.rint(matches.toDouble / numHashes * 10000) / 10000
+                  // HALF_UP, matching Spark's round() in the batch
+                  // operator — math.rint is half-even and would diverge
+                  // on exact .5 boundaries (e.g. 1/32 at numHashes=32)
+                  val est = BigDecimal(matches.toDouble / numHashes)
+                    .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
                   if (est >= minEstimate) {
                     val (a, b) = if (p.doc < d.doc) (p.doc, d.doc) else (d.doc, p.doc)
                     out += NearDupPair(a, b, est)

@@ -109,6 +109,17 @@ class SimilaritySpec extends SparkSpec {
     assert(blobCells.flatten.toSet.size === 3, "blobs must map to distinct cells")
   }
 
+  test("kmeans: k never shrinks — empty cells keep their previous centroid") {
+    // 40 near-identical vectors: most seeds capture no points after one
+    // assignment pass, but all 5 requested centroids must survive.
+    val vecs = (0 until 40).map(i => (i.toLong,
+      Array(1.0f, 0.01f * (i % 3), 0f, 0f)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val (centroids, assign) = Similarity.kmeans(df, k = 5, iterations = 3)
+    assert(centroids.count() === 5)
+    assert(assign.count() === 40)
+  }
+
   test("embeddingNearDupPairs only pairs within a block and respects the threshold") {
     val pairs = Similarity.embeddingNearDupPairs(emb, "label", 0.3).cache()
     val labels = emb.select("vec_id", "label").as[(Long, Int)].collect().toMap

@@ -87,18 +87,24 @@ def main():
             continue
         sql = oracles[name]
         try:
-            oracle = con.execute(sql)
-            o_cols = [d[0] for d in oracle.description]
-            o_rows = oracle.fetchall()
+            # Fetch through pandas, NOT fetchall: the grading driver goes
+            # through pandas, where DuckDB HUGEINT becomes float64 —
+            # fetchall returns exact Python ints and would mask that
+            # dtype drift (it hid the r1 q_sessionize failure).
+            o_df = con.execute(sql).df()
+            o_cols = list(o_df.columns)
+            o_rows = list(o_df.itertuples(index=False, name=None))
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
             n_fail += 1
             continue
         try:
-            spark = con.execute(
-                f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
-            s_cols = [d[0] for d in spark.description]
-            s_rows = spark.fetchall()
+            # pandas on this side too — both sides must take the same
+            # dtype conversions or nullable-int handling would differ
+            s_df = con.execute(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
+            s_cols = list(s_df.columns)
+            s_rows = list(s_df.itertuples(index=False, name=None))
         except Exception as e:
             print(f"FAIL {name}: spark result unreadable: {e}")
             n_fail += 1
