@@ -163,6 +163,27 @@ object Streaming {
       }
   }
 
+  /** Gap-based sessionization via the BUILT-IN `session_window` — the
+    * Spark-idiomatic path (state managed by the engine, watermark-bound
+    * eviction for free). [[sessionize]] keeps the custom
+    * `flatMapGroupsWithState` formulation for semantics the built-in
+    * cannot express (e.g. emitting sessions eagerly on gap detection
+    * rather than on watermark close); on bounded input the two agree —
+    * asserted in StreamingSpec. */
+  def sessionWindowAgg(events: DataFrame, gap: String,
+                       tsMsCol: String = "ts_ms",
+                       keyCol: String = "user_id",
+                       watermark: String = "1 hour"): DataFrame =
+    events
+      .withColumn("event_time", timestamp_millis(col(tsMsCol)))
+      .withWatermark("event_time", watermark)
+      .groupBy(session_window(col("event_time"), gap), col(keyCol))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(keyCol),
+        unix_millis(col("session_window.start")).as("sess_start_ms"),
+        unix_millis(col("session_window.end")).as("sess_end_ms"),
+        col("n_events"))
+
   case class Evt(user_id: Long, event_id: Long, ts_ms: Long)
   case class SessionState(startMs: Long, endMs: Long, n: Long)
   case class Session(user_id: Long, sess_start_ms: Long, sess_end_ms: Long,

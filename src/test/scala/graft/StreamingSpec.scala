@@ -136,6 +136,43 @@ class StreamingSpec extends SparkSpec {
       s"stream-only: ${streamed -- batch}; batch-only: ${batch -- streamed}")
   }
 
+  test("sessionWindowAgg: built-in session_window agrees with the custom fMGWS sessionize") {
+    val gapMs = 1000L
+    val evts = Seq(
+      Streaming.Evt(1, 1, 0), Streaming.Evt(1, 2, 500), Streaming.Evt(1, 3, 900),
+      Streaming.Evt(1, 4, 5000), Streaming.Evt(1, 5, 5400),
+      Streaming.Evt(2, 7, 100), Streaming.Evt(2, 8, 10000))
+
+    val input = MemoryStream[Streaming.Evt](spark)
+    input.addData(evts)
+    val agg = Streaming.sessionWindowAgg(input.toDF(), gap = "1 second")
+    val q = agg.writeStream.format("memory").queryName("sw")
+      .outputMode(OutputMode.Complete()).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    // session_window end = last event + gap; compare on (user, start, n)
+    val builtIn = spark.table("sw")
+      .select("user_id", "sess_start_ms", "n_events")
+      .as[(Long, Long, Long)].collect().toSet
+
+    // custom path: closed sessions + the open tail each key holds in state
+    val input2 = MemoryStream[Streaming.Evt](spark)
+    input2.addData(evts)
+    val sessions = Streaming.sessionize(input2.toDS(), gapMs)
+    val q2 = sessions.writeStream.format("memory").queryName("sw_custom")
+      .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination(120000)
+    val closed = spark.table("sw_custom")
+      .select("user_id", "sess_start_ms", "n_events")
+      .as[(Long, Long, Long)].collect().toSet
+    // fMGWS emits only gap-CLOSED sessions; the built-in (Complete mode on
+    // bounded input) also reports each key's final open session
+    assert(closed.subsetOf(builtIn),
+      s"closed sessions must appear identically in both: ${closed -- builtIn}")
+    val openTails = builtIn -- closed
+    assert(openTails.map(_._1) === Set(1L, 2L),
+      s"exactly one open tail per user expected, got $openTails")
+  }
+
   test("sessionize: flatMapGroupsWithState emits gap-closed sessions") {
     val input = MemoryStream[Streaming.Evt](spark)
     val gap = 1000L
