@@ -36,6 +36,18 @@ object Dedup {
     df.groupBy(keyCols.map(col): _*)
       .agg(min(col(idCol)).as(idCol))
 
+  /** Exact dedup keeping FULL survivor rows: the min-id row per
+    * duplicate key, via one window over the key — no groupBy + join-back
+    * (one shuffle instead of two, and every input column survives).
+    * Prefer this in pipelines; [[exact]] returns just (key, id). */
+  def exactSurvivors(df: DataFrame, idCol: String, keyCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.withColumn("__min_id",
+        min(col(idCol)).over(Window.partitionBy(keyCols.map(col): _*)))
+      .filter(col("__min_id") === col(idCol))
+      .drop("__min_id")
+  }
+
   /** Exact dedup robust to case/whitespace noise: group by the canonical
     * md5 fingerprint instead of the raw text. */
   def byFingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame =

@@ -41,19 +41,24 @@ object TextAnalysis {
       length(col(textCol)).as("n_chars"))
 
   /** Quality metrics: punctuation / alphabetic / stopword ratios and mean
-    * word length, each rounded for engine-portable comparison. */
-  def quality(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    * word length, each rounded for engine-portable comparison.
+    * `passthrough` columns ride along so a curation pipeline can filter
+    * on the ratios without joining back to the source (one scan, no
+    * shuffle). */
+  def quality(df: DataFrame, idCol: String, textCol: String,
+              passthrough: Seq[String] = Nil): DataFrame = {
     val t = col(textCol)
+    val metrics = Seq(
+      round(length(regexp_replace(t, "[^.!?,;:]", "")).cast("double") /
+        length(t), 4).as("punct_ratio"),
+      round(length(regexp_replace(t, "[^A-Za-z]", "")).cast("double") /
+        length(t), 4).as("alpha_ratio"),
+      round(TextFunctions.countIn("__w", Stopwords).cast("double") /
+        size(col("__w")), 4).as("stopword_ratio"),
+      round(length(regexp_replace(t, "\\s+", "")).cast("double") /
+        size(col("__w")), 4).as("mean_word_len"))
     df.withColumn("__w", TextFunctions.words(t))
-      .select(col(idCol),
-        round(length(regexp_replace(t, "[^.!?,;:]", "")).cast("double") /
-          length(t), 4).as("punct_ratio"),
-        round(length(regexp_replace(t, "[^A-Za-z]", "")).cast("double") /
-          length(t), 4).as("alpha_ratio"),
-        round(TextFunctions.countIn("__w", Stopwords).cast("double") /
-          size(col("__w")), 4).as("stopword_ratio"),
-        round(length(regexp_replace(t, "\\s+", "")).cast("double") /
-          size(col("__w")), 4).as("mean_word_len"))
+      .select(col(idCol) +: passthrough.map(col) ++: metrics: _*)
   }
 
   /** Language ID: count marker-word hits per language, argmax with the

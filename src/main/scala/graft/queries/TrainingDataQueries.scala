@@ -159,16 +159,17 @@ object TrainingDataQueries {
 
     // End-to-end curation pipeline — quality gate → exact dedup →
     // leak-proof split → per-split stats. Exercises operator COMPOSITION
-    // (the library's whole point); every stage is hash-replayable.
+    // (the library's whole point); every stage is hash-replayable. The
+    // shape is ONE scan: quality rides the text through `passthrough`
+    // (no join-back), dedup keeps survivor rows via a window (no
+    // groupBy + re-join), so the only shuffles are the dedup window and
+    // the final 3-group aggregation.
     "pipeline_curation" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val q = TextAnalysis.quality(docs, "doc_id", "text")
-      val kept = docs.join(q, "doc_id")
+      val kept = TextAnalysis.quality(
+          Tables.documents(s, dir), "doc_id", "text", passthrough = Seq("text"))
         .filter(col("alpha_ratio") >= 0.6 && col("stopword_ratio") >= 0.05)
-      val survivors = Dedup.exact(
-          kept.select(col("doc_id"), col("text")), "doc_id", Seq("text"))
-        .select(col("doc_id"))
-      Sampling.splitAssign(kept.join(survivors, "doc_id"), "doc_id")
+      val survivors = Dedup.exactSurvivors(kept, "doc_id", Seq("text"))
+      Sampling.splitAssign(survivors, "doc_id")
         .withColumn("n_tokens", size(TextFunctions.words(col("text"))))
         .groupBy(col("split"))
         .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_id"),

@@ -17,6 +17,16 @@ class DedupSpec extends SparkSpec {
     assert(got.toSeq === Seq((2L, "x"), (9L, "y")))
   }
 
+  test("exactSurvivors keeps the FULL min-id row per duplicate key") {
+    val df = Seq((5L, "x", "keep5"), (2L, "x", "keep2"), (9L, "y", "keep9"))
+      .toDF("doc_id", "text", "extra")
+    val got = Dedup.exactSurvivors(df, "doc_id", Seq("text"))
+      .orderBy("doc_id")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("extra")))
+    assert(got.toSeq === Seq((2L, "keep2"), (9L, "keep9")),
+      "survivor rows carry every input column")
+  }
+
   test("fingerprint dedup collapses case/whitespace variants") {
     val df = Seq((1L, "Hello  World"), (2L, "hello world"), (3L, "other"))
       .toDF("doc_id", "text")
