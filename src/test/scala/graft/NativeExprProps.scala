@@ -1,0 +1,79 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties}
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.plans.{MinhashSignature, ShingleHashes, SimHash32}
+
+/** ScalaCheck properties pinning the native codegen text-hash
+  * expressions against an INDEPENDENT pure-JVM reference (MessageDigest
+  * md5 over the same word streams) — unlike NativeExprSpec's parity
+  * tests, this does not route the expected value through Spark's
+  * interpreted HOFs, so a shared bug cannot hide. Words include
+  * non-ASCII to exercise the UTF-8 encode path. */
+object NativeExprProps extends Properties("NativeExpr") {
+
+  private lazy val spark = SparkSpec.session
+  import spark.implicits._
+
+  private val word: Gen[String] =
+    Gen.oneOf("sort", "merge", "spark", "öäü", "日本語", "naïve",
+      "batch", "stream", "Ω", "café", "dup", "x1")
+
+  private val wordsGen: Gen[List[String]] =
+    Gen.chooseNum(3, 24).flatMap(n => Gen.listOfN(n, word))
+
+  private def md5(s: String): Array[Byte] =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  private def h48(s: String): Long = {
+    val d = md5(s)
+    ((d(0) & 0xffL) << 40) | ((d(1) & 0xffL) << 32) | ((d(2) & 0xffL) << 24) |
+      ((d(3) & 0xffL) << 16) | ((d(4) & 0xffL) << 8) | (d(5) & 0xffL)
+  }
+
+  private def refShingles(ws: List[String]): List[String] =
+    ws.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toList
+
+  property("ShingleHashes = sorted distinct 48-bit md5 of the word 3-grams") =
+    Prop.forAll(wordsGen) { ws =>
+      val expected = refShingles(ws).map(h48).distinct.sorted
+      val got = List(ws).toDF("w")
+        .select(ShingleHashes(col("w")).as("hs"))
+        .as[Seq[Long]].head().toList
+      got == expected
+    }
+
+  property("MinhashSignature = per-seed min of the universal hashes over the shingles") =
+    Prop.forAll(wordsGen) { ws =>
+      val hs = refShingles(ws).map(h48)
+      val expected = (0 until 16).map { s =>
+        hs.map(h => ((2L * s + 1) * h + (1000003L * s + 12345L)) %
+          MinhashSignature.M61).min
+      }.toList
+      val got = List(ws).toDF("w")
+        .select(MinhashSignature(col("w"), 16).as("sig"))
+        .as[Seq[Long]].head().toList
+      got == expected
+    }
+
+  property("SimHash32 = sign-of-votes over the 32-bit token hashes") =
+    Prop.forAll(wordsGen) { ws =>
+      val votes = new Array[Int](32)
+      ws.foreach { w =>
+        val d = md5(w)
+        val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+          ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+        (0 until 32).foreach(j => if (((h >>> j) & 1L) == 1L) votes(j) += 1
+          else votes(j) -= 1)
+      }
+      val expected = (0 until 32).map(j =>
+        if (votes(j) > 0) 1L << j else 0L).sum
+      val got = List(ws).toDF("w")
+        .select(SimHash32(col("w")).as("sh")).as[Long].head()
+      got == expected
+    }
+}
