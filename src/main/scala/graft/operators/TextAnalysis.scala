@@ -85,4 +85,14 @@ object TextAnalysis {
   /** Canonical md5 fingerprint per document. */
   def fingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol), TextFunctions.fingerprint(col(textCol)).as("fingerprint"))
+
+  /** Winnowed ROLLING-HASH fingerprints (MOSS winnowing, via the native
+    * [[graft.plans.WinnowedHashes]] expression): one row per (doc,
+    * selected gram-hash). Unlike the whole-doc md5 above, these are
+    * shift-robust — any shared passage of ≥ window+gram-1 words between
+    * two documents shares at least one fingerprint, so an equi-join on
+    * `fp` finds partial-overlap candidates at scan+shuffle cost. */
+  def winnowedFingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), TextFunctions.words(col(textCol)).as("__w"))
+      .select(col(idCol), explode(graft.plans.WinnowedHashes(col("__w"))).as("fp"))
 }

@@ -131,6 +131,10 @@ object TrainingDataQueries {
       TextAnalysis.fingerprints(Tables.documents(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
 
+    "text_winnow" -> ((s, dir) =>
+      TextAnalysis.winnowedFingerprints(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id", "fp")),
+
     // Deterministic hash-bucket sampling: membership is a pure function
     // of the key, reproducible across runs/partitionings/engines.
     "data_sample" -> ((s, dir) =>
@@ -417,6 +421,22 @@ object TrainingDataQueries {
       """SELECT doc_id,
         |       md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // MOSS winnowing replayed with list ops: positional gram hashes,
+    // per-window (w=4) minima, distinct. Slice hs[j:least(j+3,len)] is
+    // the 4-wide window, capped when fewer than 4 grams exist.
+    "text_winnow" ->
+      s"""WITH w AS (SELECT doc_id, $wordsSql AS l FROM documents),
+         |g AS (SELECT doc_id,
+         |        list_transform(generate_series(1, len(l) - 2),
+         |          i -> ('0x' || substr(md5(l[i] || ' ' || l[i+1] || ' ' || l[i+2]), 1, 12))::BIGINT) AS hs
+         |      FROM w WHERE len(l) >= 3),
+         |sel AS (SELECT doc_id,
+         |          unnest(list_distinct(list_transform(
+         |            generate_series(1, greatest(len(hs) - 3, 1)),
+         |            j -> list_min(hs[j:least(j + 3, len(hs))])))) AS fp
+         |        FROM g)
+         |SELECT doc_id, fp FROM sel ORDER BY doc_id, fp""".stripMargin,
 
     "data_sample" ->
       """SELECT doc_id, lang, source FROM documents

@@ -60,6 +60,25 @@ object NativeExprProps extends Properties("NativeExpr") {
       got == expected
     }
 
+  property("WinnowedHashes = sorted distinct per-window minima; shift-robust") =
+    Prop.forAll(wordsGen) { ws =>
+      val hs = refShingles(ws).map(h48)
+      val nWindows = math.max(1, hs.length - 3)
+      val expected = (0 until nWindows)
+        .map(j => hs.slice(j, math.min(j + 4, hs.length)).min)
+        .distinct.sorted.toList
+      val got = List(ws).toDF("w")
+        .select(graft.plans.WinnowedHashes(col("w")).as("fp"))
+        .as[Seq[Long]].head().toList
+      // shift-robustness: prepending words must preserve at least one
+      // fingerprint when the doc has >= window+gram-1 = 6 words
+      val shifted = List("pre1" :: "pre2" :: ws).toDF("w")
+        .select(graft.plans.WinnowedHashes(col("w")).as("fp"))
+        .as[Seq[Long]].head().toSet
+      got == expected &&
+        (ws.length < 6 || got.toSet.intersect(shifted).nonEmpty)
+    }
+
   property("SimHash32 = sign-of-votes over the 32-bit token hashes") =
     Prop.forAll(wordsGen) { ws =>
       val votes = new Array[Int](32)
