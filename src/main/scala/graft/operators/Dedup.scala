@@ -152,37 +152,26 @@ object Dedup {
     * aggregation needs — no extra join, and nothing is cached (the
     * exploded form is the biggest intermediate; pinning it in executor
     * storage is exactly what a 100 TB run cannot afford). */
-  def shingleJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                          minJaccard: Double = 0.8,
-                          maxDocFreq: Int = 100): DataFrame = {
+  /** Shared tail of the exact set-overlap operators: from (doc, key)
+    * rows, compute per-pair intersection counts and per-doc set sizes.
+    *
+    * The df cap is a window count over the same shuffle-by-key the
+    * bucket aggregation needs (no extra exchange), applied BEFORE any
+    * per-key doc list is materialized — one boilerplate key must not
+    * collect an unbounded array. Buckets (sorted, ≤ maxDocFreq docs)
+    * then emit in-bucket ordered pairs via nested array lambdas — no
+    * self-join of the exploded form, no cross product; a bucket of df
+    * docs emits exactly C(df, 2) ≤ C(maxDocFreq, 2) pair tokens.
+    * Output columns: doc_a, doc_b, c (= |∩|), na, nb. */
+  private def overlapCounts(keyed: DataFrame, maxDocFreq: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // The join key is the native 48-bit shingle HASH
-    // (graft.plans.ShingleHashes): 8-byte keys shrink the exploded
-    // shuffle vs shingle strings and keep the shingle builder in
-    // whole-stage codegen; the oracle mirrors the same md5-prefix hash.
-    // Window count (NOT groupBy+collect_list-then-filter): the df cap
-    // must apply BEFORE any per-shingle doc list is materialized, or one
-    // boilerplate shingle collects an unbounded array. The window's
-    // shuffle-by-shingle is the same partitioning the bucket aggregation
-    // needs, so the cap costs no extra exchange.
-    val kept = df
-      .select(col(idCol).as("doc"), TextFunctions.words(col(textCol)).as("w"))
-      .filter(size(col("w")) >= 3)
-      .select(col("doc"), explode(graft.plans.ShingleHashes(col("w"))).as("shingle"))
-      .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("shingle"))))
+    val kept = keyed
+      .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("key"))))
       .filter(col("__df") <= maxDocFreq)
-    // Per-shingle doc buckets (sorted, ≤ maxDocFreq docs each): one
-    // compact row per shingle, hard-bounded by the cap. The two
-    // consumers below each re-derive it — with native shingle hashing
-    // the re-evaluation is cheaper than building an in-memory relation.
-    val buckets = kept.groupBy(col("shingle"))
+    val buckets = kept.groupBy(col("key"))
       .agg(array_sort(collect_list(col("doc"))).as("docs"))
-    // Per-doc kept-set sizes: re-explode the bucketed ids (cheap).
     val sizes = buckets.select(explode(col("docs")).as("d"))
       .groupBy(col("d")).agg(count(lit(1)).as("n"))
-    // In-bucket ordered pairs via nested array lambdas — no self-join of
-    // the exploded form, no cross product; a bucket of df docs emits
-    // exactly C(df, 2) ≤ C(maxDocFreq, 2) pair tokens.
     val pairsTok = flatten(transform(col("docs"), (a, i) =>
       transform(slice(col("docs"), i + lit(2), size(col("docs"))), b =>
         struct(a.as("x"), b.as("y")))))
@@ -192,9 +181,43 @@ object Dedup {
       .agg(count(lit(1)).as("c"))
       .join(sizes.select(col("d").as("doc_a"), col("n").as("na")), "doc_a")
       .join(sizes.select(col("d").as("doc_b"), col("n").as("nb")), "doc_b")
+  }
+
+  def shingleJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                          minJaccard: Double = 0.8,
+                          maxDocFreq: Int = 100): DataFrame = {
+    // The join key is the native 48-bit shingle HASH
+    // (graft.plans.ShingleHashes): 8-byte keys shrink the exploded
+    // shuffle vs shingle strings and keep the shingle builder in
+    // whole-stage codegen; the oracle mirrors the same md5-prefix hash.
+    val keyed = df
+      .select(col(idCol).as("doc"), TextFunctions.words(col(textCol)).as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc"), explode(graft.plans.ShingleHashes(col("w"))).as("key"))
+    overlapCounts(keyed, maxDocFreq)
       .select(col("doc_a"), col("doc_b"),
         round(col("c") / (col("na") + col("nb") - col("c")), 4).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
+  }
+
+  /** Partial-overlap (containment) near-dup pairs over WINNOWED
+    * rolling-hash fingerprints: score = |shared fingerprints| /
+    * min(|A|, |B|) — Broder's containment, which flags a short document
+    * quoted/embedded inside a long one even when symmetric Jaccard is
+    * low. The winnow selection (~2/(w+1) of the gram stream) makes the
+    * join ~60% lighter than the full shingle join at the same
+    * shift-robustness guarantee. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       minContainment: Double = 0.6,
+                       maxDocFreq: Int = 100): DataFrame = {
+    val keyed = df
+      .select(col(idCol).as("doc"), TextFunctions.words(col(textCol)).as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc"), explode(graft.plans.WinnowedHashes(col("w"))).as("key"))
+    overlapCounts(keyed, maxDocFreq)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("c") / least(col("na"), col("nb")), 4).as("containment"))
+      .filter(col("containment") >= minContainment)
   }
 
   /** 32-bit SimHash per document: each token hashes to 32 bits; each bit

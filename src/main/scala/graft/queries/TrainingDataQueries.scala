@@ -77,6 +77,11 @@ object TrainingDataQueries {
           minJaccard = 0.8)
         .orderBy("doc_a", "doc_b")),
 
+    "dedup_containment" -> ((s, dir) =>
+      Dedup.containmentPairs(Tables.documents(s, dir), "doc_id", "text",
+          minContainment = 0.6)
+        .orderBy("doc_a", "doc_b")),
+
     "text_simhash" -> ((s, dir) =>
       Dedup.simhash(Tables.documents(s, dir), "doc_id", "text")
         .withColumnRenamed("doc", "doc_id")
@@ -298,6 +303,30 @@ object TrainingDataQueries {
          |        round(c * 1.0 / (na.n + nb.n - c), 4) AS jaccard
          |      FROM c JOIN n na ON na.doc_id = doc_a JOIN n nb ON nb.doc_id = doc_b)
          |SELECT * FROM j WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Containment over the winnowed fingerprints — same winnow CTE as
+    // text_winnow, then the df-capped overlap join with a least() floor.
+    "dedup_containment" ->
+      s"""WITH w AS (SELECT doc_id, $wordsSql AS l FROM documents),
+         |g AS (SELECT doc_id,
+         |        list_transform(generate_series(1, len(l) - 2),
+         |          i -> ('0x' || substr(md5(l[i] || ' ' || l[i+1] || ' ' || l[i+2]), 1, 12))::BIGINT) AS hs
+         |      FROM w WHERE len(l) >= 3),
+         |sel AS (SELECT doc_id,
+         |          unnest(list_distinct(list_transform(
+         |            generate_series(1, greatest(len(hs) - 3, 1)),
+         |            j -> list_min(hs[j:least(j + 3, len(hs))])))) AS fp
+         |        FROM g),
+         |kept AS (SELECT doc_id, fp FROM sel
+         |         QUALIFY count(*) OVER (PARTITION BY fp) <= 100),
+         |n AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+         |c AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+         |      FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |      GROUP BY 1, 2),
+         |j AS (SELECT doc_a, doc_b,
+         |        round(c * 1.0 / least(na.n, nb.n), 4) AS containment
+         |      FROM c JOIN n na ON na.doc_id = doc_a JOIN n nb ON nb.doc_id = doc_b)
+         |SELECT * FROM j WHERE containment >= 0.6 ORDER BY doc_a, doc_b""".stripMargin,
 
     "text_simhash" ->
       s"""WITH $simhashCte

@@ -96,6 +96,25 @@ class DedupSpec extends SparkSpec {
     assert(sig.count() === sig.select("doc").distinct().count())
   }
 
+  test("containmentPairs flags a quoted document that symmetric Jaccard misses") {
+    val core = (1 to 20).map(i => s"core$i").mkString(" ")
+    val preamble = (1 to 15).map(i => s"pre$i").mkString(" ")
+    val tail = (1 to 15).map(i => s"post$i").mkString(" ")
+    val df = Seq(
+      (1L, core),                             // the short original
+      (2L, s"$preamble $core $tail"),         // quotes it inside a longer doc
+      (3L, "entirely unrelated words about query optimizers and shuffles"))
+      .toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(df, "doc_id", "text", minContainment = 0.6)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(cont.contains((1L, 2L)), s"quoted doc must be containment-flagged: $cont")
+    assert(!cont.exists(p => p._1 == 3L || p._2 == 3L))
+    val jac = Dedup.shingleJaccardPairs(df, "doc_id", "text", minJaccard = 0.8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(!jac.contains((1L, 2L)),
+      "symmetric Jaccard at 0.8 misses the quote — that asymmetry is the point")
+  }
+
   test("planted near-dups in the fixtures are found by all three near-dup paths") {
     val exact = Dedup.shingleJaccardPairs(docs, "doc_id", "text", minJaccard = 0.8).count()
     val mh = Dedup.minhashPairs(docs, "doc_id", "text", minEstimate = 0.5).count()
