@@ -39,13 +39,20 @@ object Dedup {
   /** Exact dedup keeping FULL survivor rows: the min-id row per
     * duplicate key, via one window over the key — no groupBy + join-back
     * (one shuffle instead of two, and every input column survives).
-    * Prefer this in pipelines; [[exact]] returns just (key, id). */
+    * Prefer this in pipelines; [[exact]] returns just (key, id).
+    *
+    * Exactly ONE survivor per key, matching [[exact]]: the null-safe
+    * compare keeps all-NULL-id groups alive, and the trailing
+    * dropDuplicates collapses byte-identical re-ingested rows that tie
+    * on (key, min id). If tied rows differ in OTHER columns, one of
+    * them survives arbitrarily — give rows a unique id if that matters. */
   def exactSurvivors(df: DataFrame, idCol: String, keyCols: Seq[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     df.withColumn("__min_id",
         min(col(idCol)).over(Window.partitionBy(keyCols.map(col): _*)))
-      .filter(col("__min_id") === col(idCol))
+      .filter(col("__min_id") <=> col(idCol))
       .drop("__min_id")
+      .dropDuplicates(keyCols :+ idCol)
   }
 
   /** Exact dedup robust to case/whitespace noise: group by the canonical
@@ -183,6 +190,16 @@ object Dedup {
       .join(sizes.select(col("d").as("doc_b"), col("n").as("nb")), "doc_b")
   }
 
+  /** (doc, key) rows from a per-doc hash-array expression over the words
+    * column — shared prelude of the exact overlap operators. The size
+    * guard tracks the native expressions' null contract (< 3 words →
+    * NULL array). */
+  private def hashKeyed(df: DataFrame, idCol: String, textCol: String,
+                        hashArray: Column => Column): DataFrame =
+    df.select(col(idCol).as("doc"), TextFunctions.words(col(textCol)).as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc"), explode(hashArray(col("w"))).as("key"))
+
   def shingleJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                           minJaccard: Double = 0.8,
                           maxDocFreq: Int = 100): DataFrame = {
@@ -190,10 +207,7 @@ object Dedup {
     // (graft.plans.ShingleHashes): 8-byte keys shrink the exploded
     // shuffle vs shingle strings and keep the shingle builder in
     // whole-stage codegen; the oracle mirrors the same md5-prefix hash.
-    val keyed = df
-      .select(col(idCol).as("doc"), TextFunctions.words(col(textCol)).as("w"))
-      .filter(size(col("w")) >= 3)
-      .select(col("doc"), explode(graft.plans.ShingleHashes(col("w"))).as("key"))
+    val keyed = hashKeyed(df, idCol, textCol, graft.plans.ShingleHashes(_))
     overlapCounts(keyed, maxDocFreq)
       .select(col("doc_a"), col("doc_b"),
         round(col("c") / (col("na") + col("nb") - col("c")), 4).as("jaccard"))
@@ -210,10 +224,7 @@ object Dedup {
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
                        minContainment: Double = 0.6,
                        maxDocFreq: Int = 100): DataFrame = {
-    val keyed = df
-      .select(col(idCol).as("doc"), TextFunctions.words(col(textCol)).as("w"))
-      .filter(size(col("w")) >= 3)
-      .select(col("doc"), explode(graft.plans.WinnowedHashes(col("w"))).as("key"))
+    val keyed = hashKeyed(df, idCol, textCol, graft.plans.WinnowedHashes(_))
     overlapCounts(keyed, maxDocFreq)
       .select(col("doc_a"), col("doc_b"),
         round(col("c") / least(col("na"), col("nb")), 4).as("containment"))

@@ -27,6 +27,14 @@ class DedupSpec extends SparkSpec {
       "survivor rows carry every input column")
   }
 
+  test("exactSurvivors: byte-identical re-ingested rows collapse to ONE survivor") {
+    val df = Seq((2L, "x", "v"), (2L, "x", "v"), (5L, "x", "other"), (9L, "y", "z"))
+      .toDF("doc_id", "text", "extra")
+    val got = Dedup.exactSurvivors(df, "doc_id", Seq("text"))
+      .select("doc_id").as[Long].collect().sorted
+    assert(got.toSeq === Seq(2L, 9L), "one survivor per key, duplicates collapsed")
+  }
+
   test("fingerprint dedup collapses case/whitespace variants") {
     val df = Seq((1L, "Hello  World"), (2L, "hello world"), (3L, "other"))
       .toDF("doc_id", "text")
