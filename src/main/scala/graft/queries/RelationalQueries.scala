@@ -261,6 +261,34 @@ object RelationalQueries {
           round(sum(col("value")), 2).as("sum_value"))
         .orderBy(col("window_start_ms"), col("event_type"))),
 
+    // Overlapping SLIDING windows via the built-in window(col, len,
+    // slide): each event lands in len/slide = 2 windows.
+    "q_sliding_window" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("event_time", timestamp_millis(col("ts_ms")))
+        .groupBy(window(col("event_time"), "1 hour", "30 minutes"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_millis(col("window.start")).as("window_start_ms"),
+          col("event_type"), col("n"))
+        .orderBy(col("window_start_ms"), col("event_type"))),
+
+    // Rolling window FRAME (ROWS BETWEEN): per-user trailing-4 stats.
+    // The rolling sum is over floor(value*100) longs — integer frame
+    // sums are bit-exact in any engine, unlike a double avg whose
+    // segment-tree summation order DuckDB may vary.
+    "q_rolling_window" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_ms"), col("event_id"))
+        .rowsBetween(-3, Window.currentRow)
+      Tables.events(s, dir)
+        .withColumn("cents", floor(col("value") * 100).cast("long"))
+        .select(col("user_id"), col("event_id"), col("ts_ms"),
+          sum(col("cents")).over(w).as("rolling_cents"),
+          count(lit(1)).over(w).as("rolling_n"))
+        .orderBy(col("user_id"), col("ts_ms"), col("event_id"))
+    }),
+
     // The spark.sql surface end-to-end: temp views + ANSI SQL with an
     // IN-subquery (decorrelated to a semi-join by Catalyst — same plan
     // family as q_semi_join's DataFrame form).
@@ -466,6 +494,24 @@ object RelationalQueries {
       """SELECT epoch_ms(date_trunc('hour', ts)) AS window_start_ms, event_type,
         |       count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY window_start_ms, event_type""".stripMargin,
+    "q_sliding_window" ->
+      """WITH x AS (SELECT epoch_ms(ts) AS ts_ms, event_type FROM events),
+        |w AS (SELECT ((ts_ms // 1800000) - j) * 1800000 AS ws, event_type
+        |      FROM x CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS j) js
+        |      WHERE ts_ms >= ((ts_ms // 1800000) - j) * 1800000
+        |        AND ts_ms < ((ts_ms // 1800000) - j) * 1800000 + 3600000)
+        |SELECT ws AS window_start_ms, event_type, count(*) AS n
+        |FROM w GROUP BY 1, 2 ORDER BY window_start_ms, event_type""".stripMargin,
+    "q_rolling_window" ->
+      """SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+        |  CAST(sum(CAST(floor(value * 100) AS BIGINT))
+        |       OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+        |             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS rolling_cents,
+        |  CAST(count(*) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+        |                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS rolling_n
+        |FROM events ORDER BY user_id, ts_ms, event_id""".stripMargin,
     "q_explode_stats" ->
       """SELECT vec_id, count(*) AS n_dims,
         |       round(min(v), 6) AS min_v, round(max(v), 6) AS max_v
