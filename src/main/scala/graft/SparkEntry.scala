@@ -9,9 +9,11 @@ import graft.queries._
   *
   * Query registry: each entry is one operator/capability from SURVEY.md §2
   * (reference parity) or §2.2/§7 (the query surface + LLM-data-pipeline
-  * extensions the north star requires). Every key has a matching DuckDB
-  * oracle in [[oracleSql]] unless the operator is not SQL-expressible
-  * (those get the driver's weaker rows-only check).
+  * extensions the north star requires). EVERY key has a matching DuckDB
+  * oracle in [[oracleSql]] — even the "approximate" operators, whose
+  * randomness is constant-folded and regenerated into the SQL
+  * (EntrySpec pins the invariant so rows-only grading cannot creep
+  * back).
   */
 object SparkEntry {
 
