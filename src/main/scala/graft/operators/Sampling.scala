@@ -57,4 +57,27 @@ object Sampling {
     df.withColumn("shuffle_key",
         md5(concat_ws("-", lit(seed), col(keyCol).cast("string"))))
       .orderBy(col("shuffle_key"), col(keyCol))
+
+  /** Token-budget sequence packing: assign each document to a training
+    * bin of ~`budget` tokens. Documents are spread over `numBuckets`
+    * hash buckets (the parallelism unit — packing is inherently
+    * sequential, so it runs as an independent windowed scan per bucket,
+    * never one global window); within a bucket, docs take a
+    * deterministic pseudo-random order and bin = floor(running-tokens-
+    * before / budget) — contiguous fill, so a bin overfills by at most
+    * one document. All integer arithmetic: bit-exact in any engine. */
+  def packTokens(df: DataFrame, keyCol: String, tokensCol: String,
+                 budget: Long, numBuckets: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budget > 0 && numBuckets > 0, s"bad budget=$budget / numBuckets=$numBuckets")
+    val w = Window.partitionBy(col("bucket"))
+      .orderBy(md5(col(keyCol).cast("string")), col(keyCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("bucket", bucket1000(keyCol) % numBuckets)
+      .withColumn("__before", coalesce(sum(col(tokensCol)).over(w), lit(0L)))
+      // integer `div`, not `/`: double division would be exact here
+      // (values < 2^53) but integer arithmetic needs no such argument
+      .withColumn("bin", expr(s"__before div ${budget}L"))
+      .drop("__before")
+  }
 }

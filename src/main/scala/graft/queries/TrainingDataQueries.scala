@@ -166,6 +166,19 @@ object TrainingDataQueries {
       Sampling.epochShuffle(Tables.documents(s, dir), "doc_id", seed = 42L)
         .select(col("shuffle_key"), col("doc_id"), col("source"))),
 
+    // Token-budget sequence packing: per-bucket bins of ~2048 tokens,
+    // graded on the per-bin roll-up.
+    "data_pack" -> ((s, dir) =>
+      Sampling.packTokens(
+          Tables.documents(s, dir)
+            .withColumn("n_tokens", size(TextFunctions.words(col("text")))),
+          "doc_id", "n_tokens", budget = 2048L, numBuckets = 8)
+        .groupBy(col("bucket"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).cast("long").as("bin_tokens"),
+          min(col("doc_id")).as("min_id"))
+        .orderBy(col("bucket"), col("bin"))),
+
     // End-to-end curation pipeline — quality gate → exact dedup →
     // leak-proof split → per-split stats. Exercises operator COMPOSITION
     // (the library's whole point); every stage is hash-replayable. The
@@ -491,6 +504,21 @@ object TrainingDataQueries {
     "data_shuffle" ->
       """SELECT md5('42-' || doc_id::VARCHAR) AS shuffle_key, doc_id, source
         |FROM documents ORDER BY shuffle_key""".stripMargin,
+
+    "data_pack" ->
+      """WITH d AS (SELECT doc_id,
+        |             len(string_split_regex(lower(trim(text)), '\s+')) AS n_tokens,
+        |             ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 1000 % 8 AS bucket
+        |           FROM documents),
+        |p AS (SELECT doc_id, n_tokens, bucket,
+        |        CAST(coalesce(sum(n_tokens) OVER (PARTITION BY bucket
+        |               ORDER BY md5(doc_id::VARCHAR), doc_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |             // 2048 AS BIGINT) AS bin
+        |      FROM d)
+        |SELECT bucket, bin, count(*) AS n_docs,
+        |       CAST(sum(n_tokens) AS BIGINT) AS bin_tokens, min(doc_id) AS min_id
+        |FROM p GROUP BY bucket, bin ORDER BY bucket, bin""".stripMargin,
 
     "pipeline_curation" ->
       s"""WITH q AS (SELECT doc_id, text, $wordsSql AS l,

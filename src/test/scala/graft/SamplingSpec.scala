@@ -35,6 +35,29 @@ class SamplingSpec extends SparkSpec {
     assert(s1.values.toSet.subsetOf(Set("train", "val", "test")))
   }
 
+  test("packTokens: bins respect the budget up to one straddling doc, contiguously numbered") {
+    val budget = 500L
+    val withTokens = docs.withColumn("n_tokens",
+      size(split(lower(trim(col("text"))), "\\s+")))
+    val packed = Sampling.packTokens(withTokens, "doc_id", "n_tokens",
+      budget, numBuckets = 4)
+    val bins = packed.groupBy(col("bucket"), col("bin"))
+      .agg(sum(col("n_tokens")).as("tok"), count(lit(1)).as("n"))
+      .collect().map(r => ((r.getAs[Long]("bucket"), r.getAs[Long]("bin")),
+        r.getAs[Long]("tok")))
+    val maxDoc = withTokens.agg(max(col("n_tokens"))).first().getInt(0)
+    assert(bins.nonEmpty)
+    assert(bins.forall { case (_, tok) => tok < budget + maxDoc },
+      "a bin overfills by at most one straddling document")
+    // bins are contiguous 0..max within each bucket
+    bins.groupBy(_._1._1).foreach { case (_, bs) =>
+      val ids = bs.map(_._1._2).sorted
+      assert(ids.sameElements(ids.indices.map(_.toLong)), s"non-contiguous bins: $ids")
+    }
+    // total conservation: every doc lands in exactly one bin
+    assert(packed.count() === docs.count())
+  }
+
   test("epochShuffle: same seed reproduces the order; different seed permutes; set preserved") {
     val o1 = Sampling.epochShuffle(docs, "doc_id", seed = 1L)
       .select("doc_id").as[Long].collect()
