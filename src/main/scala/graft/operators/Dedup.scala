@@ -131,18 +131,21 @@ object Dedup {
     // join sort-merge).
     val sig = minhashSignatures(df, idCol, textCol, numHashes)
     val bands = minhashBands(sig, numHashes, numBands)
+    // Score BEFORE the distinct: est_jaccard is identical for a pair in
+    // every band it collides in, so the distinct runs over three scalar
+    // columns — never dragging the two numHashes-long signature arrays
+    // through the distinct exchange (the payload-through-distinct trap
+    // Similarity.scala's own comment warns against).
     bands.alias("x").join(bands.alias("y"),
         col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key") &&
           col("x.doc") < col("y.doc"))
       .select(col("x.doc").as("doc_a"), col("y.doc").as("doc_b"),
-        col("x.sig").as("sig_a"), col("y.sig").as("sig_b"))
-      .distinct()
-      .select(col("doc_a"), col("doc_b"),
         round(expr(
-          s"""aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1.0D, 0.0D)),
+          s"""aggregate(zip_with(x.sig, y.sig, (a, b) -> IF(a = b, 1.0D, 0.0D)),
              |          0.0D, (acc, v) -> acc + v) / $numHashes""".stripMargin), 4)
           .as("est_jaccard"))
       .filter(col("est_jaccard") >= minEstimate)
+      .distinct()
   }
 
   /** Exact n-gram (shingle) Jaccard near-dup pairs: join docs on shared

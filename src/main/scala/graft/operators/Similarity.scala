@@ -192,6 +192,14 @@ object Similarity {
   def kmeans(corpus: DataFrame, k: Int, iterations: Int = 5,
              idCol: String = "vec_id", vecCol: String = "embedding"): (DataFrame, DataFrame) = {
     require(k > 0 && iterations >= 0, s"bad k=$k / iterations=$iterations")
+    // localize() collects centroid ids as Long, so idCol must be an
+    // integral type (Int/Short/Byte upcast safely; anything else would
+    // surface as an opaque encoder/cast error deep in iteration 1).
+    val idType = corpus.schema(idCol).dataType
+    require({
+      import org.apache.spark.sql.types._
+      Seq(LongType, IntegerType, ShortType, ByteType).contains(idType)
+    }, s"kmeans requires an integral idCol; $idCol is $idType")
     val spark = corpus.sparkSession
     import spark.implicits._
     val c = prep(corpus, idCol, vecCol, "c_id", "c_vec", "c_nrm")

@@ -92,7 +92,9 @@ object Sorting {
         min_by(col("__k"), col("__ord")).as("first_k"),
         max_by(col("__k"), col("__ord")).as("last_k"))
     // Seam check via lead over the per-partition summary (≤ #partitions
-    // rows — the single-partition window is bounded by config, not data).
+    // rows — the single-partition window is bounded by config, not data;
+    // Spark's "No Partition Defined for Window operation" WARN on this
+    // stage is expected and benign for exactly that reason).
     // NOT a pid→pid+1 self-join: range partitioning can leave a partition
     // empty, and a gap in pids would silently skip that boundary.
     val seams = perPart

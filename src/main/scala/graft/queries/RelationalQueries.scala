@@ -166,6 +166,14 @@ object RelationalQueries {
     // exact count plus a 10%-relative-error sanity bound on the sketch
     // (the oracle asserts the bound holds); the tight relative error is
     // additionally asserted in ScalaTest.
+    //
+    // KNOWN FAILURE MODE (deliberate): the oracle hardcodes
+    // `TRUE AS approx_within_10pct`, so if Spark's HLL estimate ever
+    // drifts past 10% relative error (different SF, Spark upgrade, new
+    // rsd default) this query fails as a hash mismatch on the boolean
+    // column. That IS the bound violation being reported — check
+    // `approx_within_10pct` first when debugging a mismatch here. The
+    // default rsd is 5%, so the 10% gate has 2× headroom.
     "q_approx_distinct" -> ((s, dir) =>
       Tables.events(s, dir)
         .groupBy(col("event_type"))
