@@ -234,6 +234,98 @@ object Dedup {
       .filter(col("containment") >= minContainment)
   }
 
+  /** Connected components over an undirected pair graph — the step that
+    * turns near-dup PAIRS (what [[minhashPairs]] / [[simhashPairs]] /
+    * [[shingleJaccardPairs]] emit) into dedup DECISIONS: every document
+    * in a component is a near-duplicate of the others, and the
+    * deterministic survivor is the component's min id.
+    *
+    * Algorithm: min-label propagation with pointer jumping. Each round
+    * (a) every node takes the min label among itself and its neighbors
+    * (one shuffle-on-node join + groupBy-min — partial-aggregable; the
+    * "itself" leg rides as self-loop edges, so the round is a single
+    * join with no union of overlapping lineages), and (b) every node
+    * shortcuts to its label's label (one self-join on label). Labels
+    * are monotone non-increasing and stay inside the component, so the
+    * fixpoint is exactly "label = component min id"; the shortcut
+    * halves label-chain lengths each round, giving O(log D) rounds for
+    * diameter D instead of O(D). Near-dup graphs are band-collision
+    * graphs (dense, tiny diameter), so in practice this converges in
+    * 2–4 rounds.
+    *
+    * Scale shape: every step is a shuffle-on-key join over ONE ROW PER
+    * NODE IN THE PAIR GRAPH (≪ corpus — only docs with a near-dup
+    * candidate appear); nothing is ever collected to the driver except
+    * the per-round convergence count. The edge list and each round's
+    * labels are materialized via `localCheckpoint` — an iterative
+    * dataflow must cut lineage or round N replays rounds 1..N-1 (and
+    * the upstream LSH join) N times; a cluster run would swap this for
+    * a reliable `checkpoint`/storage write, same plan otherwise.
+    *
+    * Input pairs should be distinct (all the pair operators here emit
+    * distinct pairs); duplicate edges cost extra join work but do not
+    * affect the result. Returns ((node, component), rounds); `rounds` is
+    * the convergence count the ScaleProbe asserts stays logarithmic. */
+  def connectedComponentsWithRounds(pairs: DataFrame,
+      aCol: String = "doc_a", bCol: String = "doc_b",
+      maxIterations: Int = 30): (DataFrame, Int) = {
+    val rawEdges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+      .union(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
+    val nodes = rawEdges.select(col("u")).distinct().localCheckpoint()
+    // self-loops fold "min with my own label" into the one join+groupBy
+    val edges = rawEdges
+      .union(nodes.select(col("u").as("u"), col("u").as("v")))
+      .localCheckpoint()
+    var labels = nodes.select(col("u").as("node"), col("u").as("component"))
+      .localCheckpoint()
+    var rounds = 0
+    var converged = labels.isEmpty
+    while (!converged) {
+      if (rounds >= maxIterations)
+        // an unconverged result would silently mis-cluster — fail loud
+        throw new IllegalStateException(
+          s"connectedComponents did not converge in $maxIterations rounds")
+      val minned = edges.join(labels, edges("u") === labels("node"))
+        .groupBy(edges("v")).agg(min(col("component")).as("component"))
+        .select(col("v").as("node"), col("component"))
+        .localCheckpoint()
+      // pointer jump: component ids are themselves node ids, so follow
+      // one hop of the label chain (left join: the component rep maps to
+      // itself and needs no jump)
+      val jumped = minned.alias("x")
+        .join(minned.alias("y"), col("x.component") === col("y.node"), "left")
+        .select(col("x.node").as("node"),
+          coalesce(col("y.component"), col("x.component")).as("component"))
+        .localCheckpoint()
+      val changed = jumped
+        .join(labels.withColumnRenamed("component", "__prev"), "node")
+        .filter(col("component") =!= col("__prev")).count()
+      labels = jumped
+      rounds += 1
+      converged = changed == 0
+    }
+    (labels, rounds)
+  }
+
+  /** [[connectedComponentsWithRounds]] without the round count:
+    * (node, component) for every document that appears in a pair. */
+  def connectedComponents(pairs: DataFrame, aCol: String = "doc_a",
+                          bCol: String = "doc_b"): DataFrame =
+    connectedComponentsWithRounds(pairs, aCol, bCol)._1
+
+  /** Near-dup survivor selection: keep, from `docs`, every document that
+    * is NOT a non-representative member of some near-dup component —
+    * i.e. drop all but the min-id doc of each pair-graph component, keep
+    * everything that never paired. This is the "emit the deduplicated
+    * corpus" contract: [[minhashPairs]] → this → the cleaned copy. */
+  def nearDupSurvivors(docs: DataFrame, idCol: String, pairs: DataFrame,
+                       aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame = {
+    val losers = connectedComponents(pairs, aCol, bCol)
+      .filter(col("component") =!= col("node"))
+      .select(col("node").as("__loser_id"))
+    docs.join(losers, docs(idCol) === col("__loser_id"), "left_anti")
+  }
+
   /** 32-bit SimHash per document: each token hashes to 32 bits; each bit
     * position votes ±1 across all token occurrences; the sign of the
     * vote is the output bit. Pure per-document math, so it is a native

@@ -44,6 +44,32 @@ object TrainingDataQueries {
   private def cos(a: String, b: String) =
     s"list_inner_product($a.v, $b.v) / ($a.nrm * $b.nrm)"
 
+  // Shared minhash-LSH pair CTEs (16 hashes, 4 bands, est >= 0.5) —
+  // consumed by dedup_minhash and re-used verbatim by the connected-
+  // component / survivor oracles so all three grade the same pair set.
+  private val minhashCtes =
+    s"""$shingleCte,
+       |sig AS (SELECT doc_id, seed,
+       |          min(((2 * seed + 1) * h0 + (1000003 * seed + 12345)) % 2305843009213693951) AS minh
+       |        FROM (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 12))::BIGINT AS h0 FROM sh) s
+       |        CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS seed) seeds
+       |        GROUP BY doc_id, seed),
+       |bands AS (SELECT doc_id, seed // 4 AS band,
+       |            md5(string_agg(minh::VARCHAR, ',' ORDER BY seed)) AS band_key
+       |          FROM sig GROUP BY doc_id, seed // 4),
+       |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |         FROM bands x JOIN bands y
+       |           ON x.band = y.band AND x.band_key = y.band_key
+       |          AND x.doc_id < y.doc_id),
+       |est AS (SELECT doc_a, doc_b,
+       |          round(avg(CASE WHEN a.minh = b.minh THEN 1.0 ELSE 0.0 END), 4) AS est_jaccard
+       |        FROM cand
+       |        JOIN sig a ON a.doc_id = doc_a
+       |        JOIN sig b ON b.doc_id = doc_b AND a.seed = b.seed
+       |        GROUP BY doc_a, doc_b),
+       |mh_pairs AS (SELECT doc_a, doc_b, est_jaccard FROM est
+       |             WHERE est_jaccard >= 0.5)""".stripMargin
+
   // Programmatically built SimHash SQL (32 sum columns + bit recombine),
   // guaranteed in sync with Dedup.simhash.
   private val simhashVotes = (0 until 32).map(j =>
@@ -76,6 +102,26 @@ object TrainingDataQueries {
       Dedup.shingleJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
           minJaccard = 0.8)
         .orderBy("doc_a", "doc_b")),
+
+    // Pairs → components: min-label propagation with pointer jumping
+    // (O(log diameter) shuffle rounds). Graded against a recursive-CTE
+    // reachability oracle over the SAME minhash pair SQL.
+    "dedup_components" -> ((s, dir) =>
+      Dedup.connectedComponents(
+          Dedup.minhashPairs(Tables.documents(s, dir), "doc_id", "text",
+            numHashes = 16, numBands = 4, minEstimate = 0.5))
+        .orderBy("node")),
+
+    // The "emit the cleaned corpus" contract: near-dup pairs → component
+    // survivors (min id) + every never-paired document.
+    "dedup_survivors" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.nearDupSurvivors(docs, "doc_id",
+          Dedup.minhashPairs(docs, "doc_id", "text",
+            numHashes = 16, numBands = 4, minEstimate = 0.5))
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    }),
 
     "dedup_containment" -> ((s, dir) =>
       Dedup.containmentPairs(Tables.documents(s, dir), "doc_id", "text",
@@ -274,27 +320,40 @@ object TrainingDataQueries {
         |FROM documents GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
     "dedup_minhash" ->
-      s"""WITH $shingleCte,
-         |sig AS (SELECT doc_id, seed,
-         |          min(((2 * seed + 1) * h0 + (1000003 * seed + 12345)) % 2305843009213693951) AS minh
-         |        FROM (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 12))::BIGINT AS h0 FROM sh) s
-         |        CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS seed) seeds
-         |        GROUP BY doc_id, seed),
-         |bands AS (SELECT doc_id, seed // 4 AS band,
-         |            md5(string_agg(minh::VARCHAR, ',' ORDER BY seed)) AS band_key
-         |          FROM sig GROUP BY doc_id, seed // 4),
-         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-         |         FROM bands x JOIN bands y
-         |           ON x.band = y.band AND x.band_key = y.band_key
-         |          AND x.doc_id < y.doc_id),
-         |est AS (SELECT doc_a, doc_b,
-         |          round(avg(CASE WHEN a.minh = b.minh THEN 1.0 ELSE 0.0 END), 4) AS est_jaccard
-         |        FROM cand
-         |        JOIN sig a ON a.doc_id = doc_a
-         |        JOIN sig b ON b.doc_id = doc_b AND a.seed = b.seed
-         |        GROUP BY doc_a, doc_b)
-         |SELECT doc_a, doc_b, est_jaccard FROM est
-         |WHERE est_jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
+      s"""WITH $minhashCtes
+         |SELECT doc_a, doc_b, est_jaccard FROM mh_pairs
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Connected components over the SAME minhash pairs, replayed as a
+    // recursive-CTE reachability walk: (node, lbl) reachable pairs,
+    // min(lbl) per node = the component's min id — exactly the
+    // min-label-propagation fixpoint the Spark operator computes.
+    "dedup_components" ->
+      s"""WITH RECURSIVE $minhashCtes,
+         |edges AS (SELECT doc_a AS u, doc_b AS v FROM mh_pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM mh_pairs),
+         |walk AS (SELECT DISTINCT u AS node, u AS lbl FROM edges
+         |         UNION
+         |         SELECT e.v AS node, walk.lbl FROM walk
+         |         JOIN edges e ON e.u = walk.node)
+         |SELECT node, min(lbl) AS component FROM walk
+         |GROUP BY node ORDER BY node""".stripMargin,
+
+    // The cleaned-corpus contract: drop every non-representative member
+    // of a near-dup component, keep all never-paired documents.
+    "dedup_survivors" ->
+      s"""WITH RECURSIVE $minhashCtes,
+         |edges AS (SELECT doc_a AS u, doc_b AS v FROM mh_pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM mh_pairs),
+         |walk AS (SELECT DISTINCT u AS node, u AS lbl FROM edges
+         |         UNION
+         |         SELECT e.v AS node, walk.lbl FROM walk
+         |         JOIN edges e ON e.u = walk.node),
+         |comp AS (SELECT node, min(lbl) AS component FROM walk GROUP BY node),
+         |losers AS (SELECT node FROM comp WHERE node <> component)
+         |SELECT doc_id, lang, source FROM documents
+         |WHERE doc_id NOT IN (SELECT node FROM losers)
+         |ORDER BY doc_id""".stripMargin,
 
     // Shingles join-keyed by their 48-bit md5-prefix hash, mirroring the
     // Spark side's native ShingleHashes expression.

@@ -123,6 +123,50 @@ class DedupSpec extends SparkSpec {
       "symmetric Jaccard at 0.8 misses the quote — that asymmetry is the point")
   }
 
+  test("connected components: path + island resolve to min-id labels") {
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("doc_a", "doc_b")
+    val (labels, rounds) = Dedup.connectedComponentsWithRounds(pairs)
+    val got = labels.collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("component")).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L))
+    assert(rounds <= 4, s"tiny graph must converge fast, took $rounds")
+  }
+
+  test("connected components: 64-node chain converges in O(log n) rounds") {
+    // worst-case diameter for naive propagation (63 rounds); pointer
+    // jumping must crush it to ~log2
+    val chain = (1L until 64L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val (labels, rounds) = Dedup.connectedComponentsWithRounds(chain)
+    assert(labels.filter(col("component") === 1L).count() === 64,
+      "all 64 chain nodes collapse into component 1")
+    assert(rounds <= 14, s"pointer jumping must beat O(diameter): $rounds rounds")
+  }
+
+  test("connected components: empty pair set returns empty labels") {
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(Dedup.connectedComponents(empty).count() === 0)
+  }
+
+  test("nearDupSurvivors keeps min-id per component plus all unpaired docs") {
+    val d = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (7L, "never-paired"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val got = Dedup.nearDupSurvivors(d, "doc_id", pairs)
+      .select("doc_id").as[Long].collect().sorted
+    assert(got.toSeq === Seq(1L, 4L, 7L))
+  }
+
+  test("nearDupSurvivors over fixture minhash pairs drops exactly the losers") {
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text", minEstimate = 0.5)
+    val comps = Dedup.connectedComponents(pairs)
+    val losers = comps.filter(col("node") =!= col("component")).count()
+    val survivors = Dedup.nearDupSurvivors(docs, "doc_id", pairs).count()
+    assert(losers > 0, "fixtures contain planted near-dups")
+    assert(survivors === docs.count() - losers)
+  }
+
   test("planted near-dups in the fixtures are found by all three near-dup paths") {
     val exact = Dedup.shingleJaccardPairs(docs, "doc_id", "text", minJaccard = 0.8).count()
     val mh = Dedup.minhashPairs(docs, "doc_id", "text", minEstimate = 0.5).count()
