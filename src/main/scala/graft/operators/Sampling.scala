@@ -76,12 +76,17 @@ object Sampling {
     * document LARGER than the budget consumes several bins' worth, so
     * bin ids are budget offsets, not dense ranks — ids skip after an
     * oversized doc (truncate long docs upstream if bins must be dense).
-    * All integer arithmetic: bit-exact in any engine. */
+    * All integer arithmetic: bit-exact in any engine.
+    *
+    * `partitionCols` prepend extra packing scopes ahead of the hash
+    * bucket — e.g. `Seq("split")` packs train/val/test independently so
+    * a bin never mixes splits; parallelism becomes |scopes| × numBuckets. */
   def packTokens(df: DataFrame, keyCol: String, tokensCol: String,
-                 budget: Long, numBuckets: Int = 32): DataFrame = {
+                 budget: Long, numBuckets: Int = 32,
+                 partitionCols: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(budget > 0, s"bad budget=$budget")
-    val w = Window.partitionBy(col("bucket"))
+    val w = Window.partitionBy((partitionCols :+ "bucket").map(col): _*)
       .orderBy(md5(col(keyCol).cast("string")), col(keyCol))
       .rowsBetween(Window.unboundedPreceding, -1)
     df.withColumn("bucket", hashBucket(keyCol, numBuckets))

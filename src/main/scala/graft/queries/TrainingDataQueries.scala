@@ -29,12 +29,13 @@ object TrainingDataQueries {
   // DuckDB fragments mirrored by the Spark operators.
   private val wordsSql = "string_split_regex(lower(trim(text)), '\\s+')"
   private val wordCte = s"w AS (SELECT doc_id, $wordsSql AS l FROM documents)"
-  private val shingleCte =
-    s"""w AS (SELECT doc_id, $wordsSql AS l FROM documents),
+  private def shingleCteFrom(tbl: String) =
+    s"""w AS (SELECT doc_id, $wordsSql AS l FROM $tbl),
        |sh AS (SELECT doc_id,
        |         unnest(list_distinct(list_transform(generate_series(1, len(l) - 2),
        |           i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]))) AS shingle
        |       FROM w)""".stripMargin
+  private val shingleCte = shingleCteFrom("documents")
   // Embedding CTE with the norm precomputed once per vector — mirrors the
   // Spark side, which norms each side before the pairwise join.
   private val embCte =
@@ -47,8 +48,8 @@ object TrainingDataQueries {
   // Shared minhash-LSH pair CTEs (16 hashes, 4 bands, est >= 0.5) —
   // consumed by dedup_minhash and re-used verbatim by the connected-
   // component / survivor oracles so all three grade the same pair set.
-  private val minhashCtes =
-    s"""$shingleCte,
+  private def minhashCtesFrom(tbl: String) =
+    s"""${shingleCteFrom(tbl)},
        |sig AS (SELECT doc_id, seed,
        |          min(((2 * seed + 1) * h0 + (1000003 * seed + 12345)) % 2305843009213693951) AS minh
        |        FROM (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 12))::BIGINT AS h0 FROM sh) s
@@ -69,6 +70,20 @@ object TrainingDataQueries {
        |        GROUP BY doc_a, doc_b),
        |mh_pairs AS (SELECT doc_a, doc_b, est_jaccard FROM est
        |             WHERE est_jaccard >= 0.5)""".stripMargin
+  private val minhashCtes = minhashCtesFrom("documents")
+
+  // Pair graph → per-node min component id, shared by the components /
+  // survivors / curation-v2 oracles (expects `mh_pairs` in scope; the
+  // enclosing WITH must be RECURSIVE).
+  private val componentCtes =
+    """edges AS (SELECT doc_a AS u, doc_b AS v FROM mh_pairs
+      |          UNION ALL SELECT doc_b, doc_a FROM mh_pairs),
+      |walk AS (SELECT DISTINCT u AS node, u AS lbl FROM edges
+      |         UNION
+      |         SELECT e.v AS node, walk.lbl FROM walk
+      |         JOIN edges e ON e.u = walk.node),
+      |comp AS (SELECT node, min(lbl) AS component FROM walk GROUP BY node),
+      |losers AS (SELECT node FROM comp WHERE node <> component)""".stripMargin
 
   // Programmatically built SimHash SQL (32 sum columns + bit recombine),
   // guaranteed in sync with Dedup.simhash.
@@ -330,27 +345,14 @@ object TrainingDataQueries {
     // min-label-propagation fixpoint the Spark operator computes.
     "dedup_components" ->
       s"""WITH RECURSIVE $minhashCtes,
-         |edges AS (SELECT doc_a AS u, doc_b AS v FROM mh_pairs
-         |          UNION ALL SELECT doc_b, doc_a FROM mh_pairs),
-         |walk AS (SELECT DISTINCT u AS node, u AS lbl FROM edges
-         |         UNION
-         |         SELECT e.v AS node, walk.lbl FROM walk
-         |         JOIN edges e ON e.u = walk.node)
-         |SELECT node, min(lbl) AS component FROM walk
-         |GROUP BY node ORDER BY node""".stripMargin,
+         |$componentCtes
+         |SELECT node, component FROM comp ORDER BY node""".stripMargin,
 
     // The cleaned-corpus contract: drop every non-representative member
     // of a near-dup component, keep all never-paired documents.
     "dedup_survivors" ->
       s"""WITH RECURSIVE $minhashCtes,
-         |edges AS (SELECT doc_a AS u, doc_b AS v FROM mh_pairs
-         |          UNION ALL SELECT doc_b, doc_a FROM mh_pairs),
-         |walk AS (SELECT DISTINCT u AS node, u AS lbl FROM edges
-         |         UNION
-         |         SELECT e.v AS node, walk.lbl FROM walk
-         |         JOIN edges e ON e.u = walk.node),
-         |comp AS (SELECT node, min(lbl) AS component FROM walk GROUP BY node),
-         |losers AS (SELECT node FROM comp WHERE node <> component)
+         |$componentCtes
          |SELECT doc_id, lang, source FROM documents
          |WHERE doc_id NOT IN (SELECT node FROM losers)
          |ORDER BY doc_id""".stripMargin,
