@@ -67,8 +67,13 @@ object Bench {
     // total sums only successful queries — the -1.0 sentinels must not
     // shrink the headline metric and make a broken run look fast
     val total = results.map(_._2).filter(_ >= 0).sum
+    // bench_rev tracks measurement-methodology breaks so cross-round
+    // delta tooling can tell engine changes from harness changes:
+    //   1 = r1 `.count()` materialization (sorts elided), sf0.001 warmup
+    //   2 = r2 noop-sink materialization, target-SF warmup, median-of-3
+    //   3 = r3+ per-query isolation (clearCache + GC + settle per query)
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","stat":"median_of_$passes","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","stat":"median_of_$passes","bench_rev":3,"queries":$qs,"sf":"$sfDir"}"""
     // The metric must be un-missable: sbt prefixes stdout with [info],
     // so ALSO write it to a plain file next to the build.
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),

@@ -148,6 +148,72 @@ object Dedup {
       .distinct()
   }
 
+  /** INCREMENTAL near-dup matching: new-batch documents against an
+    * already-indexed corpus — the shape a continuously-ingesting 100 TB
+    * pipeline actually runs. Instead of re-deduplicating the whole
+    * corpus per ingest (corpus × corpus), only the delta's band keys
+    * join against the corpus bands (delta × corpus, band-bucketed), so
+    * per-ingest cost scales with the DELTA size. A production run would
+    * read `corpus` bands from a persisted signature table; here both
+    * sides derive their signatures as scan-speed projections.
+    *
+    * Output (new_doc, corpus_doc, est_jaccard): every new document that
+    * near-dup-matches an existing corpus document — the "drop these
+    * before appending" decision, no connected components needed because
+    * the corpus side is already deduplicated. */
+  def incrementalMinhashMatches(newDocs: DataFrame, corpus: DataFrame,
+                                idCol: String, textCol: String,
+                                numHashes: Int = 16, numBands: Int = 4,
+                                minEstimate: Double = 0.5): DataFrame = {
+    val bandsNew = minhashBands(
+      minhashSignatures(newDocs, idCol, textCol, numHashes), numHashes, numBands)
+    val bandsCorpus = minhashBands(
+      minhashSignatures(corpus, idCol, textCol, numHashes), numHashes, numBands)
+    bandsNew.alias("x").join(bandsCorpus.alias("y"),
+        col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key"))
+      .select(col("x.doc").as("new_doc"), col("y.doc").as("corpus_doc"),
+        round(expr(
+          s"""aggregate(zip_with(x.sig, y.sig, (a, b) -> IF(a = b, 1.0D, 0.0D)),
+             |          0.0D, (acc, v) -> acc + v) / $numHashes""".stripMargin), 4)
+          .as("est_jaccard"))
+      .filter(col("est_jaccard") >= minEstimate)
+      .distinct()
+  }
+
+  /** Cross-split CONTAMINATION check: for every `evalSplit` document,
+    * how many of its distinct 3-gram shingles also occur anywhere in
+    * the `trainSplit` — the decontamination gate a training pipeline
+    * runs before an eval set is trusted. Shape: one distinct over the
+    * train shingle universe + one equi-join on the 48-bit shingle hash
+    * (shuffle-on-key only; at 100 TB the train universe would be a
+    * persisted table or a Bloom filter for the approximate fast path).
+    *
+    * Output (doc, n_shingles, n_shared, contamination) for every eval
+    * doc with ≥ 1 shingle; contamination = n_shared / n_shingles. */
+  def crossSplitContamination(df: DataFrame, idCol: String, textCol: String,
+                              splitCol: String, trainSplit: String = "train",
+                              evalSplit: String = "test"): DataFrame = {
+    val keyed = df
+      .select(col(idCol).as("doc"), col(splitCol).as("split"),
+        TextFunctions.words(col(textCol)).as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc"), col("split"),
+        explode(graft.plans.ShingleHashes(col("w"))).as("key"))
+    val trainKeys = keyed.filter(col("split") === trainSplit)
+      .select(col("key")).distinct()
+    // ShingleHashes emits DISTINCT hashes per doc, so plain counts are
+    // per-doc distinct-shingle counts — no count(distinct) needed.
+    val evalKeyed = keyed.filter(col("split") === evalSplit)
+    val shared = evalKeyed.join(trainKeys, "key")
+      .groupBy(col("doc")).agg(count(lit(1)).as("n_shared"))
+    evalKeyed.groupBy(col("doc")).agg(count(lit(1)).as("n_shingles"))
+      .join(shared, Seq("doc"), "left")
+      .select(col("doc"), col("n_shingles"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        round(coalesce(col("n_shared"), lit(0L)) / col("n_shingles"), 4)
+          .as("contamination"))
+  }
+
   /** Exact n-gram (shingle) Jaccard near-dup pairs: join docs on shared
     * shingles (only overlapping docs ever meet — no cross product), count
     * the intersection, Jaccard = |∩| / (|A|+|B|-|∩|).
@@ -265,7 +331,9 @@ object Dedup {
     * Input pairs should be distinct (all the pair operators here emit
     * distinct pairs); duplicate edges cost extra join work but do not
     * affect the result. Returns ((node, component), rounds); `rounds` is
-    * the convergence count the ScaleProbe asserts stays logarithmic. */
+    * the convergence count — DedupSpec's 64-node chain test asserts the
+    * O(log n) bound, and tools.ScaleProbe reports it at 1×/4×/16×
+    * corpus scale. */
   def connectedComponentsWithRounds(pairs: DataFrame,
       aCol: String = "doc_a", bCol: String = "doc_b",
       maxIterations: Int = 30): (DataFrame, Int) = {
@@ -278,8 +346,21 @@ object Dedup {
       .localCheckpoint()
     var labels = nodes.select(col("u").as("node"), col("u").as("component"))
       .localCheckpoint()
+    // Convergence = label-sum fixpoint: labels are monotone
+    // non-increasing per node (the min fold includes the node's own
+    // label via its self-loop, and the pointer jump only follows to a
+    // ≤ label), so the decimal sum strictly decreases until the
+    // fixpoint — one aggregate job per round instead of a join against
+    // the previous round's labels. decimal(38,0) cannot overflow on
+    // any realistic id domain (2^63 ids × 2^63 each < 10^38).
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val v = df.agg(sum(col("component").cast("decimal(38,0)"))).head.get(0)
+      if (v == null) java.math.BigDecimal.ZERO
+      else v.asInstanceOf[java.math.BigDecimal]
+    }
+    var prevSum = labelSum(labels)
     var rounds = 0
-    var converged = labels.isEmpty
+    var converged = prevSum == java.math.BigDecimal.ZERO && labels.isEmpty
     while (!converged) {
       if (rounds >= maxIterations)
         // an unconverged result would silently mis-cluster — fail loud
@@ -297,12 +378,11 @@ object Dedup {
         .select(col("x.node").as("node"),
           coalesce(col("y.component"), col("x.component")).as("component"))
         .localCheckpoint()
-      val changed = jumped
-        .join(labels.withColumnRenamed("component", "__prev"), "node")
-        .filter(col("component") =!= col("__prev")).count()
+      val curSum = labelSum(jumped)
+      converged = curSum.compareTo(prevSum) == 0
+      prevSum = curSum
       labels = jumped
       rounds += 1
-      converged = changed == 0
     }
     (labels, rounds)
   }

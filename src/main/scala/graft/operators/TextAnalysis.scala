@@ -82,6 +82,44 @@ object TextAnalysis {
     withScores.select(outCols: _*)
   }
 
+  /** Repetition quality signals (the Gopher/C4-style filters that
+    * catch boilerplate and degenerate generations):
+    *   - `distinct_word_ratio`  |distinct words| / |words|
+    *   - `top_word_ratio`       occurrences of the most frequent word / |words|
+    *   - `dup_bigram_ratio`     1 − |distinct bigrams| / |bigrams|
+    * All pure per-document array math — no explode, no shuffle; the
+    * most-frequent-word count folds over the SORTED words array with a
+    * run-length `aggregate`, so the per-doc cost is O(n log n) (the
+    * sort), never O(n²) of the naive count-each-word formulation. */
+  def repetition(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val maxRun =
+      """aggregate(array_sort(__w),
+        |  named_struct('prev', CAST(NULL AS STRING),
+        |               'run', CAST(0 AS BIGINT), 'best', CAST(0 AS BIGINT)),
+        |  (acc, x) -> named_struct(
+        |     'prev', x,
+        |     'run',  IF(acc.prev IS NOT NULL AND x = acc.prev, acc.run + 1L, 1L),
+        |     'best', GREATEST(acc.best,
+        |               IF(acc.prev IS NOT NULL AND x = acc.prev, acc.run + 1L, 1L))),
+        |  acc -> acc.best)""".stripMargin
+    // sequence(1, n-1) would go DESCENDING for n=1 (sequence infers a
+    // negative step) — guard bigrams behind n >= 2.
+    val bigrams =
+      """transform(sequence(1, size(__w) - 1),
+        |  i -> concat(element_at(__w, i), ' ', element_at(__w, i + 1)))""".stripMargin
+    df.withColumn("__w", TextFunctions.words(col(textCol)))
+      .select(col(idCol),
+        size(col("__w")).as("n_words"),
+        round(size(array_distinct(col("__w"))).cast("double") /
+          size(col("__w")), 4).as("distinct_word_ratio"),
+        round(expr(maxRun).cast("double") / size(col("__w")), 4)
+          .as("top_word_ratio"),
+        when(size(col("__w")) >= 2,
+          round(lit(1.0) - size(array_distinct(expr(bigrams))).cast("double") /
+            (size(col("__w")) - 1), 4))
+          .as("dup_bigram_ratio"))
+  }
+
   /** Canonical md5 fingerprint per document. */
   def fingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol), TextFunctions.fingerprint(col(textCol)).as("fingerprint"))

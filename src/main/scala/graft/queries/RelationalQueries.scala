@@ -424,7 +424,20 @@ object RelationalQueries {
           min(col("ts_ms")).as("sess_start_ms"),
           max(col("ts_ms")).as("sess_end_ms"))
         .orderBy(col("user_id"), col("session_id"))
-    }))
+    }),
+
+    // The BUILT-IN session_window run in batch — the engine-managed twin
+    // of q_sessionize's hand-rolled window formulation (and the batch
+    // form of Streaming.sessionWindowAgg, which this calls directly).
+    // Semantics differ from q_sessionize at the boundary: session_window
+    // merges event windows that OVERLAP, so a gap of exactly 30 min
+    // starts a new session here (>= gap splits) where q_sessionize's
+    // `> gap` keeps it open — and the session end is last-event + gap,
+    // not last-event. The oracle replays the merge rule exactly.
+    "q_session_window" -> ((s, dir) =>
+      graft.streaming.Streaming.sessionWindowAgg(
+          Tables.events(s, dir), "30 minutes")
+        .orderBy(col("user_id"), col("sess_start_ms"))))
 
   val oracles: Map[String, String] = Map(
     "q1_agg" ->
@@ -628,5 +641,26 @@ object RelationalQueries {
         |  FROM s)
         |SELECT user_id, session_id, count(*) AS n_events,
         |       min(ts_ms) AS sess_start_ms, max(ts_ms) AS sess_end_ms
-        |FROM t GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin)
+        |FROM t GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+    // session_window merge rule: per-event windows [t, t+gap) merge while
+    // they OVERLAP, so a new session starts when the gap to the previous
+    // event is >= 30 min (strictly-less overlap test), and the reported
+    // session end is last event + gap.
+    "q_session_window" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+        |         lag(epoch_ms(ts)) OVER (PARTITION BY user_id
+        |                                 ORDER BY epoch_ms(ts), event_id) AS prev_ms
+        |  FROM events),
+        |s AS (
+        |  SELECT *, CASE WHEN prev_ms IS NULL OR ts_ms - prev_ms >= 1800000
+        |                 THEN 1 ELSE 0 END AS new_sess FROM e),
+        |t AS (
+        |  SELECT user_id, ts_ms,
+        |         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+        |                             ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM s)
+        |SELECT user_id, min(ts_ms) AS sess_start_ms,
+        |       max(ts_ms) + 1800000 AS sess_end_ms, count(*) AS n_events
+        |FROM t GROUP BY user_id, session_id ORDER BY user_id, sess_start_ms""".stripMargin)
 }

@@ -45,10 +45,11 @@ object TrainingDataQueries {
   private def cos(a: String, b: String) =
     s"list_inner_product($a.v, $b.v) / ($a.nrm * $b.nrm)"
 
-  // Shared minhash-LSH pair CTEs (16 hashes, 4 bands, est >= 0.5) —
-  // consumed by dedup_minhash and re-used verbatim by the connected-
-  // component / survivor oracles so all three grade the same pair set.
-  private def minhashCtesFrom(tbl: String) =
+  // Shared minhash signature/band CTEs (16 hashes, 4 bands) — the
+  // per-doc half of the LSH recipe, reused by the pair oracles below
+  // AND by the incremental (delta-vs-corpus) matching oracle, whose
+  // candidate join differs.
+  private def sigBandCtesFrom(tbl: String) =
     s"""${shingleCteFrom(tbl)},
        |sig AS (SELECT doc_id, seed,
        |          min(((2 * seed + 1) * h0 + (1000003 * seed + 12345)) % 2305843009213693951) AS minh
@@ -57,7 +58,13 @@ object TrainingDataQueries {
        |        GROUP BY doc_id, seed),
        |bands AS (SELECT doc_id, seed // 4 AS band,
        |            md5(string_agg(minh::VARCHAR, ',' ORDER BY seed)) AS band_key
-       |          FROM sig GROUP BY doc_id, seed // 4),
+       |          FROM sig GROUP BY doc_id, seed // 4)""".stripMargin
+
+  // Full minhash-LSH pair CTEs (est >= 0.5) — consumed by dedup_minhash
+  // and re-used verbatim by the connected-component / survivor /
+  // curation-v2 oracles so all of them grade the same pair set.
+  private def minhashCtesFrom(tbl: String) =
+    s"""${sigBandCtesFrom(tbl)},
        |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
        |         FROM bands x JOIN bands y
        |           ON x.band = y.band AND x.band_key = y.band_key
@@ -138,6 +145,26 @@ object TrainingDataQueries {
         .orderBy("doc_id")
     }),
 
+    // Incremental ingest dedup: the doc_id % 10 == 0 slice plays the
+    // "new batch", the rest the indexed corpus — per-ingest cost scales
+    // with the delta, not the corpus.
+    "dedup_incremental" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.incrementalMinhashMatches(
+          docs.filter(col("doc_id") % 10 === 0),
+          docs.filter(col("doc_id") % 10 =!= 0),
+          "doc_id", "text", numHashes = 16, numBands = 4, minEstimate = 0.5)
+        .orderBy("new_doc", "corpus_doc")
+    }),
+
+    // Train/test decontamination: distinct-shingle overlap of every test
+    // doc against the train split's shingle universe.
+    "text_contamination" -> ((s, dir) =>
+      Dedup.crossSplitContamination(
+          Sampling.splitAssign(Tables.documents(s, dir), "doc_id"),
+          "doc_id", "text", "split")
+        .orderBy("doc")),
+
     "dedup_containment" -> ((s, dir) =>
       Dedup.containmentPairs(Tables.documents(s, dir), "doc_id", "text",
           minContainment = 0.6)
@@ -192,6 +219,25 @@ object TrainingDataQueries {
     "text_langid" -> ((s, dir) =>
       TextAnalysis.languageId(Tables.documents(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
+
+    // Gopher/C4-style repetition signals: duplicate-word, top-word and
+    // duplicate-bigram ratios — pure per-doc array math, no shuffle.
+    "text_repetition" -> ((s, dir) =>
+      TextAnalysis.repetition(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // Corpus-level term statistics: global top-20 terms by occurrence
+    // with document frequency — explode + two-phase hash aggregation +
+    // TakeOrderedAndProject (never a global sort of the term table).
+    "text_topterms" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          explode(TextFunctions.words(col("text"))).as("word"))
+        .groupBy(col("word"))
+        .agg(count(lit(1)).as("n_occurrences"),
+          countDistinct(col("doc_id")).as("n_docs"))
+        .orderBy(col("n_occurrences").desc, col("word"))
+        .limit(20)),
 
     "text_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprints(Tables.documents(s, dir), "doc_id", "text")
@@ -253,6 +299,27 @@ object TrainingDataQueries {
         .filter(col("alpha_ratio") >= 0.6 && col("stopword_ratio") >= 0.05)
       val survivors = Dedup.exactSurvivors(kept, "doc_id", Seq("text"))
       Sampling.splitAssign(survivors, "doc_id")
+        .withColumn("n_tokens", size(TextFunctions.words(col("text"))))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_id"),
+          sum(col("n_tokens")).as("sum_tokens"))
+        .orderBy(col("split"))
+    }),
+
+    // The FULL curation story: quality gate → exact dedup → minhash
+    // near-dup survivor selection (pairs → connected components →
+    // keep-one) → leak-proof split → per-split stats. Same single-scan
+    // discipline as v1 up to the near-dup stage, whose banded self-join
+    // + O(log D) component rounds are the only additions.
+    "pipeline_curation_v2" -> ((s, dir) => {
+      val kept = TextAnalysis.quality(
+          Tables.documents(s, dir), "doc_id", "text", passthrough = Seq("text"))
+        .filter(col("alpha_ratio") >= 0.6 && col("stopword_ratio") >= 0.05)
+      val exactSurv = Dedup.exactSurvivors(kept, "doc_id", Seq("text"))
+      val nearSurv = Dedup.nearDupSurvivors(exactSurv, "doc_id",
+        Dedup.minhashPairs(exactSurv, "doc_id", "text",
+          numHashes = 16, numBands = 4, minEstimate = 0.5))
+      Sampling.splitAssign(nearSurv, "doc_id")
         .withColumn("n_tokens", size(TextFunctions.words(col("text"))))
         .groupBy(col("split"))
         .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_id"),
@@ -356,6 +423,52 @@ object TrainingDataQueries {
          |SELECT doc_id, lang, source FROM documents
          |WHERE doc_id NOT IN (SELECT node FROM losers)
          |ORDER BY doc_id""".stripMargin,
+
+    // Delta-vs-corpus matching: same signature/band CTEs as
+    // dedup_minhash, but the candidate join pairs only new-batch docs
+    // (doc_id % 10 = 0) against corpus docs.
+    "dedup_incremental" ->
+      s"""WITH ${sigBandCtesFrom("documents")},
+         |cand AS (SELECT DISTINCT x.doc_id AS new_doc, y.doc_id AS corpus_doc
+         |         FROM bands x JOIN bands y
+         |           ON x.band = y.band AND x.band_key = y.band_key
+         |        WHERE x.doc_id % 10 = 0 AND y.doc_id % 10 <> 0),
+         |est AS (SELECT new_doc, corpus_doc,
+         |          round(avg(CASE WHEN a.minh = b.minh THEN 1.0 ELSE 0.0 END), 4) AS est_jaccard
+         |        FROM cand
+         |        JOIN sig a ON a.doc_id = new_doc
+         |        JOIN sig b ON b.doc_id = corpus_doc AND a.seed = b.seed
+         |        GROUP BY 1, 2)
+         |SELECT new_doc, corpus_doc, est_jaccard FROM est
+         |WHERE est_jaccard >= 0.5 ORDER BY new_doc, corpus_doc""".stripMargin,
+
+    // Decontamination: the split buckets replay the splitAssign md5
+    // math; shingle keys replay ShingleHashes' 48-bit md5-prefix hash.
+    "text_contamination" ->
+      s"""WITH b AS (SELECT doc_id, text,
+         |             ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 1000 AS bk
+         |           FROM documents),
+         |sp AS (SELECT doc_id, text,
+         |         CASE WHEN bk < 800 THEN 'train'
+         |              WHEN bk < 900 THEN 'val' ELSE 'test' END AS split
+         |       FROM b),
+         |w AS (SELECT doc_id, split, $wordsSql AS l FROM sp),
+         |sh AS (SELECT doc_id, split,
+         |         unnest(list_distinct(list_transform(
+         |           list_transform(generate_series(1, len(l) - 2),
+         |             i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]),
+         |           s -> ('0x' || substr(md5(s), 1, 12))::BIGINT))) AS key
+         |       FROM w),
+         |tk AS (SELECT DISTINCT key FROM sh WHERE split = 'train'),
+         |ev AS (SELECT doc_id, key FROM sh WHERE split = 'test'),
+         |n AS (SELECT doc_id, count(*) AS n_shingles FROM ev GROUP BY 1),
+         |s2 AS (SELECT ev.doc_id, count(*) AS n_shared
+         |       FROM ev JOIN tk USING (key) GROUP BY 1)
+         |SELECT n.doc_id AS doc, n.n_shingles,
+         |       coalesce(s2.n_shared, 0) AS n_shared,
+         |       round(coalesce(s2.n_shared, 0) * 1.0 / n.n_shingles, 4) AS contamination
+         |FROM n LEFT JOIN s2 ON s2.doc_id = n.doc_id
+         |ORDER BY doc""".stripMargin,
 
     // Shingles join-keyed by their 48-bit md5-prefix hash, mirroring the
     // Spark side's native ShingleHashes expression.
@@ -520,6 +633,33 @@ object TrainingDataQueries {
          |FROM sc ORDER BY doc_id""".stripMargin
     },
 
+    // Repetition ratios: the top-word count is replayed by unnest +
+    // group instead of the Spark side's sorted-run fold — same max.
+    "text_repetition" ->
+      s"""WITH w AS (SELECT doc_id, $wordsSql AS l FROM documents),
+         |f AS (SELECT doc_id, max(c) AS mx FROM (
+         |        SELECT doc_id, x, count(*) AS c
+         |        FROM (SELECT doc_id, unnest(l) AS x FROM w)
+         |        GROUP BY doc_id, x)
+         |      GROUP BY doc_id)
+         |SELECT w.doc_id, len(l) AS n_words,
+         |       round(len(list_distinct(l)) * 1.0 / len(l), 4) AS distinct_word_ratio,
+         |       round(f.mx * 1.0 / len(l), 4) AS top_word_ratio,
+         |       CASE WHEN len(l) >= 2 THEN
+         |         round(1.0 - len(list_distinct(list_transform(
+         |                 generate_series(1, len(l) - 1),
+         |                 i -> l[i] || ' ' || l[i+1]))) * 1.0 / (len(l) - 1), 4)
+         |       END AS dup_bigram_ratio
+         |FROM w JOIN f ON f.doc_id = w.doc_id
+         |ORDER BY w.doc_id""".stripMargin,
+
+    "text_topterms" ->
+      s"""WITH t AS (SELECT doc_id, unnest($wordsSql) AS word FROM documents)
+         |SELECT word, count(*) AS n_occurrences,
+         |       count(DISTINCT doc_id) AS n_docs
+         |FROM t GROUP BY word
+         |ORDER BY n_occurrences DESC, word LIMIT 20""".stripMargin,
+
     "text_fingerprint" ->
       """SELECT doc_id,
         |       md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
@@ -597,6 +737,28 @@ object TrainingDataQueries {
          |       -- which breaks the driver's exact hash vs Spark's BIGINT
          |       CAST(sum(len(l)) AS BIGINT) AS sum_tokens
          |FROM b GROUP BY 1 ORDER BY split""".stripMargin,
+
+    // v2 = v1's quality/exact-dedup/split plan with the near-dup
+    // survivor stage (the SAME minhash pair + component CTEs as
+    // dedup_survivors, but over the curated set) inserted before the
+    // split.
+    "pipeline_curation_v2" ->
+      s"""WITH RECURSIVE q AS (SELECT doc_id, text, $wordsSql AS l,
+         |  round(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / length(text), 4) AS alpha_ratio,
+         |  round(len(list_filter($wordsSql, w -> w IN ($stopList))) * 1.0 / len($wordsSql), 4) AS stopword_ratio
+         |FROM documents),
+         |kept AS (SELECT * FROM q WHERE alpha_ratio >= 0.6 AND stopword_ratio >= 0.05),
+         |es AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY text),
+         |cur AS (SELECT k.* FROM kept k JOIN es USING (doc_id)),
+         |${minhashCtesFrom("cur")},
+         |$componentCtes,
+         |fin AS (SELECT * FROM cur WHERE doc_id NOT IN (SELECT node FROM losers)),
+         |sb AS (SELECT *, ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 1000 AS bk FROM fin)
+         |SELECT CASE WHEN bk < 800 THEN 'train'
+         |            WHEN bk < 900 THEN 'val' ELSE 'test' END AS split,
+         |       count(*) AS n_docs, min(doc_id) AS min_id,
+         |       CAST(sum(len(l)) AS BIGINT) AS sum_tokens
+         |FROM sb GROUP BY 1 ORDER BY split""".stripMargin,
 
     "multimodal_meta" ->
       """SELECT doc_id AS media_id,

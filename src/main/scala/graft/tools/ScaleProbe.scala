@@ -53,6 +53,20 @@ object ScaleProbe {
         val (rows, sec) = time(f())
         println(f"PROBE x$factor $name docs=${nBase * factor} pairs=$rows time=$sec%.2fs")
       }
+      // Connected components over the minhash pair graph: the iterative
+      // operator's quadratic risk surface is the ROUND COUNT, not the
+      // per-round join (each round is one shuffle over |pair-graph
+      // nodes| rows). The replicated corpus makes components denser and
+      // larger as the factor grows, so rounds staying O(log) here is
+      // the direct evidence for the Dedup scaladoc's claim.
+      val t0 = System.nanoTime()
+      val (labels, rounds) =
+        Dedup.connectedComponentsWithRounds(
+          Dedup.minhashPairs(df, "doc_id", "text"))
+      val comps = labels.select(col("component")).distinct().count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"PROBE x$factor components docs=${nBase * factor} " +
+        f"components=$comps rounds=$rounds time=$sec%.2fs")
     }
     spark.stop()
   }

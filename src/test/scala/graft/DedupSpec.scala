@@ -173,4 +173,53 @@ class DedupSpec extends SparkSpec {
     assert(exact > 0, "fixtures contain planted near-dups")
     assert(mh > 0)
   }
+
+  test("incremental matching pairs only delta-vs-corpus, never corpus-vs-corpus") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy dog today"), // corpus-internal dup
+      (3L, "completely unrelated text about spark shuffles and joins"))
+      .toDF("doc_id", "text")
+    val delta = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog today"), // dup of 1 and 2
+      (11L, "fresh brand new document with novel content entirely"))
+      .toDF("doc_id", "text")
+    val got = Dedup.incrementalMinhashMatches(delta, corpus, "doc_id", "text")
+      .select("new_doc", "corpus_doc").as[(Long, Long)].collect().toSet
+    assert(got === Set((10L, 1L), (10L, 2L)),
+      "delta doc matches each corpus dup; the corpus-internal (1,2) pair is NOT emitted")
+  }
+
+  test("incremental matching agrees with the batch pair operator on the fixtures") {
+    val newDocs = docs.filter(col("doc_id") % 10 === 0)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val inc = Dedup.incrementalMinhashMatches(newDocs, corpus, "doc_id", "text")
+      .select("new_doc", "corpus_doc").as[(Long, Long)].collect()
+      .map { case (n, c) => (math.min(n, c), math.max(n, c)) }.toSet
+    val full = Dedup.minhashPairs(docs, "doc_id", "text")
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      .filter(p => (p._1 % 10 == 0) != (p._2 % 10 == 0))
+    assert(inc === full,
+      "delta×corpus matches = the full pair set restricted to cross-slice pairs")
+  }
+
+  test("crossSplitContamination counts shared distinct shingles per eval doc") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon", "train"),
+      (2L, "zeta eta theta iota kappa", "train"),
+      // shares shingles [alpha beta gamma, beta gamma delta] with train 1
+      (3L, "alpha beta gamma delta unrelated", "test"),
+      (4L, "nothing in common here at all", "test"),
+      (5L, "alpha beta gamma delta epsilon", "val")) // val must be ignored
+      .toDF("doc_id", "text", "split")
+    val got = Dedup.crossSplitContamination(df, "doc_id", "text", "split")
+      .orderBy("doc").collect()
+    assert(got.map(_.getAs[Long]("doc")).toSeq === Seq(3L, 4L))
+    val d3 = got(0)
+    assert(d3.getAs[Long]("n_shingles") === 3)
+    assert(d3.getAs[Long]("n_shared") === 2)
+    assert(d3.getAs[Double]("contamination") === 0.6667)
+    assert(got(1).getAs[Long]("n_shared") === 0)
+    assert(got(1).getAs[Double]("contamination") === 0.0)
+  }
 }

@@ -33,6 +33,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(noStop.getAs[Double]("stopword_ratio") === 0.0)
   }
 
+  test("repetition ratios on hand-computed examples") {
+    val df = Seq(
+      (1L, "a a a b"),              // 4 words, 2 distinct, top=3, bigrams {a a, a a, a b}
+      (2L, "w x y z"),              // no repetition at all
+      (3L, "solo")).toDF("doc_id", "text")
+    val got = TextAnalysis.repetition(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    val r1 = got(0)
+    assert(r1.getAs[Int]("n_words") === 4)
+    assert(r1.getAs[Double]("distinct_word_ratio") === 0.5)
+    assert(r1.getAs[Double]("top_word_ratio") === 0.75)
+    assert(r1.getAs[Double]("dup_bigram_ratio") === 0.3333)
+    val r2 = got(1)
+    assert(r2.getAs[Double]("distinct_word_ratio") === 1.0)
+    assert(r2.getAs[Double]("top_word_ratio") === 0.25)
+    assert(r2.getAs[Double]("dup_bigram_ratio") === 0.0)
+    assert(got(2).isNullAt(got(2).fieldIndex("dup_bigram_ratio")),
+      "single-word docs have no bigrams — null, not a bogus ratio")
+  }
+
   test("languageId picks en for English and es for Spanish text") {
     val got = TextAnalysis.languageId(docs, "doc_id", "text")
       .select("doc_id", "pred_lang").as[(Long, String)].collect().toMap
