@@ -337,8 +337,13 @@ object Dedup {
   def connectedComponentsWithRounds(pairs: DataFrame,
       aCol: String = "doc_a", bCol: String = "doc_b",
       maxIterations: Int = 30): (DataFrame, Int) = {
+    // Checkpoint the symmetrized edge list FIRST: `nodes` and `edges`
+    // both consume it, and without this cut each of their checkpoints
+    // would re-evaluate the upstream pair operator (the LSH join — the
+    // expensive half of the whole query) once more.
     val rawEdges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
       .union(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
+      .localCheckpoint()
     val nodes = rawEdges.select(col("u")).distinct().localCheckpoint()
     // self-loops fold "min with my own label" into the one join+groupBy
     val edges = rawEdges
@@ -366,10 +371,14 @@ object Dedup {
         // an unconverged result would silently mis-cluster — fail loud
         throw new IllegalStateException(
           s"connectedComponents did not converge in $maxIterations rounds")
+      // not checkpointed: the jump self-join's two sides are identical
+      // subplans over already-checkpointed inputs, so the shuffle is
+      // planned once (ReuseExchange) — a checkpoint here would only add
+      // a materialization job per round. `jumped` below is the per-round
+      // lineage cut.
       val minned = edges.join(labels, edges("u") === labels("node"))
         .groupBy(edges("v")).agg(min(col("component")).as("component"))
         .select(col("v").as("node"), col("component"))
-        .localCheckpoint()
       // pointer jump: component ids are themselves node ids, so follow
       // one hop of the label chain (left join: the component rep maps to
       // itself and needs no jump)
