@@ -189,16 +189,28 @@ object Dedup {
     * persisted table or a Bloom filter for the approximate fast path).
     *
     * Output (doc, n_shingles, n_shared, contamination) for every eval
-    * doc with ≥ 1 shingle; contamination = n_shared / n_shingles. */
+    * doc with ≥ 1 shingle; contamination = n_shared / n_shingles.
+    *
+    * `sampleMod` > 1 keeps only shingles whose hash ≡ 0 (mod
+    * sampleMod) — deterministic 1/sampleMod sampling of the shingle
+    * universe on BOTH sides, which shrinks the train-distinct and the
+    * join by the same factor (the 100 TB fast path; the contamination
+    * ratio becomes an estimate over the sampled universe, and docs
+    * whose shingles all miss the sample drop out). Hash-mod sampling,
+    * like the split itself, is reshuffle/engine-proof. */
   def crossSplitContamination(df: DataFrame, idCol: String, textCol: String,
                               splitCol: String, trainSplit: String = "train",
-                              evalSplit: String = "test"): DataFrame = {
+                              evalSplit: String = "test",
+                              sampleMod: Int = 1): DataFrame = {
+    require(sampleMod >= 1, s"bad sampleMod=$sampleMod")
     val keyed = df
       .select(col(idCol).as("doc"), col(splitCol).as("split"),
         TextFunctions.words(col(textCol)).as("w"))
       .filter(size(col("w")) >= 3)
       .select(col("doc"), col("split"),
         explode(graft.plans.ShingleHashes(col("w"))).as("key"))
+      // 48-bit hashes are non-negative, so % is a clean mod
+      .filter(col("key") % sampleMod === 0)
     val trainKeys = keyed.filter(col("split") === trainSplit)
       .select(col("key")).distinct()
     // ShingleHashes emits DISTINCT hashes per doc, so plain counts are

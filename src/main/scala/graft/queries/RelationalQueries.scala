@@ -397,6 +397,19 @@ object RelationalQueries {
              col("__e").getItem(1) * 0.05)).as("sketch_within_5pct"))
         .orderBy(col("l_returnflag"))),
 
+    // Explicit GROUPING SETS — two independent one-dimension groupings
+    // in a single pass over the fact table (a shape neither ROLLUP nor
+    // CUBE expresses): one scan, Expand, one aggregation.
+    "q_grouping_sets" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority"))),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("sum_tp"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)),
+
     // CUBE grouping sets over two low-cardinality dimensions.
     "q_cube" -> ((s, dir) =>
       Tables.orders(s, dir)
@@ -621,6 +634,11 @@ object RelationalQueries {
     "q_cube" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |       round(sum(o_totalprice), 2) AS sum_tp
+        |FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
     "q_sessionize" ->
       """WITH e AS (

@@ -92,6 +92,37 @@ object TrainingDataQueries {
       |comp AS (SELECT node, min(lbl) AS component FROM walk GROUP BY node),
       |losers AS (SELECT node FROM comp WHERE node <> component)""".stripMargin
 
+  // Contamination oracle, parameterized by the shingle-sampling modulus
+  // (1 = full universe) so the exact and sampled queries share one SQL.
+  private def contaminationOracle(sampleMod: Int) = {
+    val sampleWhere = if (sampleMod > 1) s"WHERE key % $sampleMod = 0" else ""
+    s"""WITH b AS (SELECT doc_id, text,
+       |             ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 1000 AS bk
+       |           FROM documents),
+       |sp AS (SELECT doc_id, text,
+       |         CASE WHEN bk < 800 THEN 'train'
+       |              WHEN bk < 900 THEN 'val' ELSE 'test' END AS split
+       |       FROM b),
+       |w AS (SELECT doc_id, split, $wordsSql AS l FROM sp),
+       |sh0 AS (SELECT doc_id, split,
+       |         unnest(list_distinct(list_transform(
+       |           list_transform(generate_series(1, len(l) - 2),
+       |             i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]),
+       |           s -> ('0x' || substr(md5(s), 1, 12))::BIGINT))) AS key
+       |       FROM w),
+       |sh AS (SELECT * FROM sh0 $sampleWhere),
+       |tk AS (SELECT DISTINCT key FROM sh WHERE split = 'train'),
+       |ev AS (SELECT doc_id, key FROM sh WHERE split = 'test'),
+       |n AS (SELECT doc_id, count(*) AS n_shingles FROM ev GROUP BY 1),
+       |s2 AS (SELECT ev.doc_id, count(*) AS n_shared
+       |       FROM ev JOIN tk USING (key) GROUP BY 1)
+       |SELECT n.doc_id AS doc, n.n_shingles,
+       |       coalesce(s2.n_shared, 0) AS n_shared,
+       |       round(coalesce(s2.n_shared, 0) * 1.0 / n.n_shingles, 4) AS contamination
+       |FROM n LEFT JOIN s2 ON s2.doc_id = n.doc_id
+       |ORDER BY doc""".stripMargin
+  }
+
   // Programmatically built SimHash SQL (32 sum columns + bit recombine),
   // guaranteed in sync with Dedup.simhash.
   private val simhashVotes = (0 until 32).map(j =>
@@ -163,6 +194,15 @@ object TrainingDataQueries {
       Dedup.crossSplitContamination(
           Sampling.splitAssign(Tables.documents(s, dir), "doc_id"),
           "doc_id", "text", "split")
+        .orderBy("doc")),
+
+    // The sampled fast path: 1-in-4 deterministic shingle sampling on
+    // both sides — the join and the train-distinct shrink 4×; the
+    // ratio becomes an estimate over the sampled universe.
+    "text_contamination_sampled" -> ((s, dir) =>
+      Dedup.crossSplitContamination(
+          Sampling.splitAssign(Tables.documents(s, dir), "doc_id"),
+          "doc_id", "text", "split", sampleMod = 4)
         .orderBy("doc")),
 
     "dedup_containment" -> ((s, dir) =>
@@ -444,31 +484,10 @@ object TrainingDataQueries {
 
     // Decontamination: the split buckets replay the splitAssign md5
     // math; shingle keys replay ShingleHashes' 48-bit md5-prefix hash.
-    "text_contamination" ->
-      s"""WITH b AS (SELECT doc_id, text,
-         |             ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 1000 AS bk
-         |           FROM documents),
-         |sp AS (SELECT doc_id, text,
-         |         CASE WHEN bk < 800 THEN 'train'
-         |              WHEN bk < 900 THEN 'val' ELSE 'test' END AS split
-         |       FROM b),
-         |w AS (SELECT doc_id, split, $wordsSql AS l FROM sp),
-         |sh AS (SELECT doc_id, split,
-         |         unnest(list_distinct(list_transform(
-         |           list_transform(generate_series(1, len(l) - 2),
-         |             i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]),
-         |           s -> ('0x' || substr(md5(s), 1, 12))::BIGINT))) AS key
-         |       FROM w),
-         |tk AS (SELECT DISTINCT key FROM sh WHERE split = 'train'),
-         |ev AS (SELECT doc_id, key FROM sh WHERE split = 'test'),
-         |n AS (SELECT doc_id, count(*) AS n_shingles FROM ev GROUP BY 1),
-         |s2 AS (SELECT ev.doc_id, count(*) AS n_shared
-         |       FROM ev JOIN tk USING (key) GROUP BY 1)
-         |SELECT n.doc_id AS doc, n.n_shingles,
-         |       coalesce(s2.n_shared, 0) AS n_shared,
-         |       round(coalesce(s2.n_shared, 0) * 1.0 / n.n_shingles, 4) AS contamination
-         |FROM n LEFT JOIN s2 ON s2.doc_id = n.doc_id
-         |ORDER BY doc""".stripMargin,
+    "text_contamination" -> contaminationOracle(1),
+
+    // Same walk over the 1-in-4 hash-sampled shingle universe.
+    "text_contamination_sampled" -> contaminationOracle(4),
 
     // Shingles join-keyed by their 48-bit md5-prefix hash, mirroring the
     // Spark side's native ShingleHashes expression.

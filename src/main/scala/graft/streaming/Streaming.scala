@@ -42,8 +42,19 @@ object Streaming {
   def sortedCopy(spark: SparkSession, inDir: String, schema: StructType,
                  outDir: String, checkpointDir: String,
                  sortCols: Seq[String]): StreamingQuery =
-    spark.readStream.schema(schema).parquet(inDir)
-      .writeStream
+    sortedCopyStream(
+      graft.sources.ParquetStreamSource(inDir, schema).loadStream(spark),
+      outDir, checkpointDir, sortCols)
+
+  /** Transport-agnostic core of [[sortedCopy]]: takes the already-loaded
+    * STREAMING DataFrame (any [[graft.sources.StreamRecordSource]] —
+    * file, Kafka, or an in-memory test stream), so the sort/sink logic
+    * is provably independent of the transport (ConnectorsSpec runs it
+    * over a MemoryStream-backed source). */
+  def sortedCopyStream(stream: DataFrame, outDir: String,
+                       checkpointDir: String,
+                       sortCols: Seq[String]): StreamingQuery =
+    stream.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>

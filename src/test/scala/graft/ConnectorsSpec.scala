@@ -37,6 +37,31 @@ class ConnectorsSpec extends SparkSpec {
     assert(inBag.sameElements(outBag))
   }
 
+  test("MemoryStream-backed StreamRecordSource drives sortedCopy — non-file transport") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.sources.{StreamRecordSource, WrappedStreamSource}
+    import graft.streaming.Streaming
+
+    val ms = MemoryStream[(Int, String)](spark)
+    ms.addData((3, "cc"), (1, "aa"), (2, "bb"), (5, "ee"), (4, "dd"))
+    val src: StreamRecordSource =
+      WrappedStreamSource(ms.toDF().toDF("id", "name"))
+
+    val out = Files.createTempDirectory("graft-ms-out").toString
+    val ckpt = Files.createTempDirectory("graft-ms-ckpt").toString
+    val q = Streaming.sortedCopyStream(src.loadStream(spark), out, ckpt, Seq("id"))
+    q.awaitTermination()
+
+    val got = spark.read.parquet(out)
+    assert(got.count() === 5)
+    // multiset conservation through the in-memory transport
+    assert(got.select("id").as[Int].collect().sorted.toSeq === Seq(1, 2, 3, 4, 5))
+    // each batch directory is internally sorted by the key
+    val batch0 = spark.read.parquet(s"$out/batch=000000000")
+      .select("id").as[Int].collect()
+    assert(batch0.sameElements(batch0.sorted))
+  }
+
   test("Kafka connector availability is reported, not assumed") {
     // this offline build has no spark-sql-kafka jar; the source must
     // detect that rather than fail at plan time
