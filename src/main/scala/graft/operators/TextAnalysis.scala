@@ -88,20 +88,11 @@ object TextAnalysis {
     *   - `top_word_ratio`       occurrences of the most frequent word / |words|
     *   - `dup_bigram_ratio`     1 − |distinct bigrams| / |bigrams|
     * All pure per-document array math — no explode, no shuffle; the
-    * most-frequent-word count folds over the SORTED words array with a
-    * run-length `aggregate`, so the per-doc cost is O(n log n) (the
-    * sort), never O(n²) of the naive count-each-word formulation. */
+    * most-frequent-word count is the native codegen'd
+    * [[graft.plans.TopElementCount]] (one O(n) hash-count pass per doc —
+    * an interpreted HOF fold or an explode + re-aggregation would pay
+    * CodegenFallback or a shuffle for the same number). */
   def repetition(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val maxRun =
-      """aggregate(array_sort(__w),
-        |  named_struct('prev', CAST(NULL AS STRING),
-        |               'run', CAST(0 AS BIGINT), 'best', CAST(0 AS BIGINT)),
-        |  (acc, x) -> named_struct(
-        |     'prev', x,
-        |     'run',  IF(acc.prev IS NOT NULL AND x = acc.prev, acc.run + 1L, 1L),
-        |     'best', GREATEST(acc.best,
-        |               IF(acc.prev IS NOT NULL AND x = acc.prev, acc.run + 1L, 1L))),
-        |  acc -> acc.best)""".stripMargin
     // sequence(1, n-1) would go DESCENDING for n=1 (sequence infers a
     // negative step) — guard bigrams behind n >= 2.
     val bigrams =
@@ -112,8 +103,8 @@ object TextAnalysis {
         size(col("__w")).as("n_words"),
         round(size(array_distinct(col("__w"))).cast("double") /
           size(col("__w")), 4).as("distinct_word_ratio"),
-        round(expr(maxRun).cast("double") / size(col("__w")), 4)
-          .as("top_word_ratio"),
+        round(graft.plans.TopElementCount(col("__w")).cast("double") /
+          size(col("__w")), 4).as("top_word_ratio"),
         when(size(col("__w")) >= 2,
           round(lit(1.0) - size(array_distinct(expr(bigrams))).cast("double") /
             (size(col("__w")) - 1), 4))

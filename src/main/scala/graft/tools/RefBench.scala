@@ -66,6 +66,14 @@ object RefBench {
     // rec/s at 32 cores, but 945k -> 438k at 4 cores where the extra
     // hash + two-key comparison is pure overhead). Threshold: more cores
     // than the enum's 6 values.
+    // --stage-metrics: per-stage task-metric observability (the pprof
+    // analog, tools.StageMetrics) — prints wall/CPU/shuffle/spill per
+    // stage after the sorts, so a slow run decomposes into WHICH
+    // exchange/sort cost what, and whether it spilled.
+    val metrics =
+      if (flags.contains("--stage-metrics")) Some(StageMetrics.attach(spark))
+      else None
+
     val useSpread = cpus.toInt > 6
     val keys = Seq(
       ("id", 0, LongType, false),
@@ -97,6 +105,7 @@ object RefBench {
     println(
       s"""{"n":$actualN,""" + genPart +
         s""""sort_sec":{$times},"sort_rate_rec_per_sec":{$rates}}""")
+    metrics.foreach { sm => sm.summary().foreach(println); sm.detach() }
     spark.stop()
   }
 }

@@ -5,7 +5,7 @@ import org.scalacheck.{Gen, Prop, Properties}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
-import graft.plans.{MinhashSignature, ShingleHashes, SimHash32}
+import graft.plans.{MinhashSignature, ShingleHashes, SimHash32, TopElementCount}
 
 /** ScalaCheck properties pinning the native codegen text-hash
   * expressions against an INDEPENDENT pure-JVM reference (MessageDigest
@@ -37,6 +37,14 @@ object NativeExprProps extends Properties("NativeExpr") {
 
   private def refShingles(ws: List[String]): List[String] =
     ws.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toList
+
+  property("TopElementCount = max groupBy-count of the words") =
+    Prop.forAll(wordsGen) { ws =>
+      val expected = ws.groupBy(identity).values.map(_.size.toLong).max
+      val got = List(ws).toDF("w")
+        .select(TopElementCount(col("w")).as("c")).as[Long].head()
+      got == expected
+    }
 
   property("ShingleHashes = sorted distinct 48-bit md5 of the word 3-grams") =
     Prop.forAll(wordsGen) { ws =>

@@ -15,6 +15,20 @@ class SortingSpec extends SparkSpec {
 
   private lazy val records = RecordGenerator.records(spark, 2000, seed = 7).cache()
 
+  test("StageMetrics observes the sort's stages: shuffle traffic, no spill at fixture scale") {
+    val sm = graft.tools.StageMetrics.attach(spark)
+    try {
+      Sorting.totalSort(records, col("id"), col("row_id"))
+        .write.format("noop").mode("overwrite").save()
+      val stages = sm.stages // drains the listener bus before reading
+      assert(stages.nonEmpty, "listener must capture the job's stages")
+      assert(stages.map(_.shuffleWriteB).sum > 0,
+        "a total sort range-partitions: some stage must write shuffle data")
+      assert(!sm.spilled, "2000 rows must sort in memory — spill means misconfig")
+      assert(sm.summary().last.startsWith("TOTAL"))
+    } finally sm.detach()
+  }
+
   test("totalSort by numeric id is monotone and conserves the multiset") {
     val sorted = Sorting.totalSort(records, col("id"), col("row_id"))
     val ids = sorted.select("id").as[Int].collect()
