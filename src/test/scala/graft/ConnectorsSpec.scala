@@ -62,6 +62,60 @@ class ConnectorsSpec extends SparkSpec {
     assert(batch0.sameElements(batch0.sorted))
   }
 
+  test("MemTopic DSv2: produce -> bounded scan -> total sort -> sink, reference EP1+EP2") {
+    import graft.sources.{MemTopic, MemTopicRecordSink, MemTopicRecordSource}
+
+    MemTopic.create("source", numPartitions = 3)
+    // ≥ shuffle partitions: the sink maps write task i → topic
+    // partition i % n, so with n ≥ tasks the mapping is the identity
+    // and (partition, offset) read order = the sort's range order —
+    // the partition-id-prefixed "single ordered topic" form from
+    // SURVEY §2.1 O9.
+    MemTopic.create("sorted_id", numPartitions = 8)
+    try {
+      // EP1: produce generated CSV records into the partitioned topic
+      MemTopicRecordSink("source").save(
+        RecordGenerator.csvLines(spark, 600, seed = 11).select("line"))
+
+      // EP2: bounded scan -> key extraction -> total sort -> sink
+      val src = MemTopicRecordSource("source").load(spark)
+      val sorted = Sorting.totalSort(
+        CsvCodec.decode(src, col("line"), Seq(
+          "id" -> IntegerType, "name" -> StringType,
+          "address" -> StringType, "continent" -> StringType)),
+        col("id"), col("name"))
+      MemTopicRecordSink("sorted_id").save(sorted.select("line"))
+
+      // offset-bounded read (the drain-heuristic replacement): every
+      // ACTION plans a fresh consistent [0, latest-at-plan) snapshot
+      // and terminates — it never tail-chases or truncates on a slow
+      // source like the reference's 5s-idle heuristic can
+      val bounded = MemTopicRecordSource("sorted_id").load(spark)
+      assert(bounded.count() === 600)
+
+      // multiset conservation through both topic hops
+      val inBag = MemTopicRecordSource("source").load(spark)
+        .as[String].collect().sorted
+      val outBag = bounded.as[String].collect().sorted
+      assert(inBag.sameElements(outBag))
+
+      MemTopic.append("sorted_id", 0, Seq("999999,zzz,late row,Asia"))
+      assert(bounded.count() === 601,
+        "the next action's plan captures the new end offsets")
+
+      // the sorted topic is globally ordered when read back in
+      // (partition, offset) order — the validation consumer's view
+      val ids = spark.read.format(classOf[graft.sources.MemTopicProvider].getName)
+        .option("topic", "sorted_id").load()
+        .filter(col("value") =!= "999999,zzz,late row,Asia")
+        .orderBy("partition", "offset")
+        .select(CsvCodec.fieldAs(col("value"), 0, IntegerType))
+        .as[Int].collect()
+      assert(ids.length === 600)
+      assert(ids.sameElements(ids.sorted), "global total order across the topic")
+    } finally { MemTopic.drop("source"); MemTopic.drop("sorted_id") }
+  }
+
   test("Kafka connector availability is reported, not assumed") {
     // this offline build has no spark-sql-kafka jar; the source must
     // detect that rather than fail at plan time
