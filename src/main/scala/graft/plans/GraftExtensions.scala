@@ -21,6 +21,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[MinhashSignature].getName, "graft_minhash"),
       (children: Seq[Expression]) => MinhashSignature(children(0),
         MinhashSignature.foldNumHashes(children(1)))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_top_count"),
+      new ExpressionInfo(classOf[TopElementCount].getName, "graft_top_count"),
+      (children: Seq[Expression]) => TopElementCount(children(0))))
   }
 }
 

@@ -326,6 +326,22 @@ object TrainingDataQueries {
           min(col("doc_id")).as("min_id"))
         .orderBy(col("bucket"), col("bin"))),
 
+    // Packing scoped per split (partitionCols): a bin never mixes
+    // train/val/test; parallelism = |splits| × numBuckets.
+    "data_pack_split" -> ((s, dir) =>
+      Sampling.packTokens(
+          Sampling.splitAssign(
+            Tables.documents(s, dir)
+              .withColumn("n_tokens", size(TextFunctions.words(col("text")))),
+            "doc_id"),
+          "doc_id", "n_tokens", budget = 2048L, numBuckets = 4,
+          partitionCols = Seq("split"))
+        .groupBy(col("split"), col("bucket"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).cast("long").as("bin_tokens"),
+          min(col("doc_id")).as("min_id"))
+        .orderBy(col("split"), col("bucket"), col("bin"))),
+
     // End-to-end curation pipeline — quality gate → exact dedup →
     // leak-proof split → per-split stats. Exercises operator COMPOSITION
     // (the library's whole point); every stage is hash-replayable. The
@@ -739,6 +755,25 @@ object TrainingDataQueries {
         |SELECT bucket, bin, count(*) AS n_docs,
         |       CAST(sum(n_tokens) AS BIGINT) AS bin_tokens, min(doc_id) AS min_id
         |FROM p GROUP BY bucket, bin ORDER BY bucket, bin""".stripMargin,
+
+    "data_pack_split" ->
+      s"""WITH d AS (SELECT doc_id,
+         |             len($wordsSql) AS n_tokens,
+         |             ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 1000 AS bk,
+         |             ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 4 AS bucket
+         |           FROM documents),
+         |s AS (SELECT *, CASE WHEN bk < 800 THEN 'train'
+         |                     WHEN bk < 900 THEN 'val' ELSE 'test' END AS split
+         |      FROM d),
+         |p AS (SELECT doc_id, n_tokens, split, bucket,
+         |        CAST(coalesce(sum(n_tokens) OVER (PARTITION BY split, bucket
+         |               ORDER BY md5(doc_id::VARCHAR), doc_id
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |             // 2048 AS BIGINT) AS bin
+         |      FROM s)
+         |SELECT split, bucket, bin, count(*) AS n_docs,
+         |       CAST(sum(n_tokens) AS BIGINT) AS bin_tokens, min(doc_id) AS min_id
+         |FROM p GROUP BY split, bucket, bin ORDER BY split, bucket, bin""".stripMargin,
 
     "pipeline_curation" ->
       s"""WITH q AS (SELECT doc_id, text, $wordsSql AS l,
