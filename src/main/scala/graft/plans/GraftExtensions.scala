@@ -25,13 +25,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_top_count"),
       new ExpressionInfo(classOf[TopElementCount].getName, "graft_top_count"),
       (children: Seq[Expression]) => TopElementCount(children(0))))
+    // optimizer rule: size(filter(w, x -> x IN (...))) -> CountInSet
+    ext.injectOptimizerRule(_ => RewriteCountInSet)
   }
 }
 
 object GraftExtensions {
-  /** Register graft functions on an already-running session (the
-    * extensions config only applies at session construction). */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  /** Register graft functions + the optimizer rule on an
+    * already-running session (the extensions config only applies at
+    * session construction). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     org.apache.spark.sql.graftbridge.Bridge.registerFunction(spark, "graft_dot",
       children => DotProduct(children(0), children(1)))
+    if (!spark.experimental.extraOptimizations.contains(RewriteCountInSet))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ RewriteCountInSet
+  }
 }

@@ -89,6 +89,16 @@ object Streaming {
       .withWatermark("event_time", watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Stream–static enrichment join: each micro-batch of the stream
+    * joins the (bounded) dimension table — the standard streaming
+    * lookup shape. The static side is re-planned per batch, so at scale
+    * it should be a broadcast-size dim (hinted here) or a pre-bucketed
+    * table; no state is kept for it and no watermark is needed (only
+    * stream–stream joins require one). */
+  def enrichStream(stream: DataFrame, dim: DataFrame,
+                   joinCols: Seq[String]): DataFrame =
+    stream.join(broadcast(dim), joinCols)
+
   // event_time rides along: flatMapGroupsWithState with event-time
   // timeout requires the watermarked column in its input schema
   case class BandedDoc(bucket: String, doc: Long, sig: Array[Long], tsMs: Long,

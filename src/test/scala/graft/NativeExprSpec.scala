@@ -105,6 +105,29 @@ class NativeExprSpec extends SparkSpec {
     assert(nativeSim === interpSim)
   }
 
+  test("RewriteCountInSet: idiomatic size(filter(IN)) optimizes into the native CountInSet") {
+    import graft.plans.{CountInSet, RewriteCountInSet}
+    // parquet-backed input: local relations would be constant-folded
+    // away (ConvertToLocalRelation) before the pattern can be observed
+    def query() = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+      .select(col("doc_id"),
+        org.apache.spark.sql.functions.size(
+          org.apache.spark.sql.functions.filter(
+            TextFunctions.words(col("text")),
+            x => x.isin("the", "and", "a"))).as("c"))
+    val expected = query().as[(Long, Int)].collect().toMap // HOF path
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev :+ RewriteCountInSet
+    try {
+      val df = query()
+      val optimized = df.queryExecution.optimizedPlan
+      assert(optimized.expressions.exists(_.exists(_.isInstanceOf[CountInSet])),
+        s"rule must replace the HOF pattern; optimized plan was:\n$optimized")
+      assert(df.as[(Long, Int)].collect().toMap === expected,
+        "rewritten plan must produce the same counts")
+    } finally spark.experimental.extraOptimizations = prev
+  }
+
   test("short docs: MinhashSignature/ShingleHashes are NULL under 3 words; SimHash32 is defined") {
     val df = Seq((1L, "one two"), (2L, "a b c d")).toDF("doc_id", "text")
       .select(col("doc_id"), TextFunctions.words(col("text")).as("w"))

@@ -35,6 +35,31 @@ class StreamingSpec extends SparkSpec {
     assert(keys.sameElements(keys.sorted), "sorted within the AvailableNow batch")
   }
 
+  test("enrichStream: stream-static dimension join equals the batch join") {
+    val events = Tables.events(spark, sf("sf0.001"))
+      .select("event_id", "user_id", "event_type")
+    val dim = Tables.customer(spark, sf("sf0.001"))
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+
+    val input = MemoryStream[(Long, Long, String)](spark)
+    input.addData(events.as[(Long, Long, String)].collect().toSeq)
+    val streamDf = input.toDF().toDF("event_id", "user_id", "event_type")
+
+    val q = Streaming.enrichStream(streamDf, dim, Seq("user_id"))
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val got = spark.table("enriched")
+      .select("event_id", "user_id", "c_mktsegment")
+      .as[(Long, Long, String)].collect().toSet
+    val expected = events.join(dim, Seq("user_id"))
+      .select("event_id", "user_id", "c_mktsegment")
+      .as[(Long, Long, String)].collect().toSet
+    assert(got === expected)
+    assert(got.nonEmpty, "fixture user ids overlap the customer dim")
+  }
+
   test("windowedCounts: streaming windowed agg equals the batch computation") {
     val events = Tables.events(spark, sf("sf0.001"))
       .select("event_id", "user_id", "event_type", "value", "ts_ms")
