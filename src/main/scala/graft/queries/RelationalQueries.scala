@@ -439,6 +439,43 @@ object RelationalQueries {
         .orderBy(col("user_id"), col("session_id"))
     }),
 
+    // Distribution window functions: ntile / percent_rank / cume_dist
+    // over the same one-shuffle partitioning as the other user windows.
+    "q_window_distribution" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_ms"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts_ms"),
+          ntile(4).over(w).as("quartile"),
+          round(percent_rank().over(w), 4).as("pr"),
+          round(cume_dist().over(w), 4).as("cd"))
+        .orderBy(col("user_id"), col("ts_ms"), col("event_id"))
+    }),
+
+    // Ordered string aggregation (collect_list is order-nondeterministic
+    // after a shuffle, so sort_array pins it — the deterministic twin of
+    // DuckDB's string_agg(... ORDER BY ...)).
+    "q_string_agg" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy(col("o_custkey"))
+        .agg(concat_ws(",", sort_array(collect_list(col("o_orderstatus"))))
+            .as("statuses"),
+          count(lit(1)).as("n"))
+        .orderBy(col("o_custkey"))),
+
+    // Correlated SCALAR subquery — Catalyst decorrelates it into an
+    // outer join + aggregate (the q_sql_surface IN-subquery's sibling).
+    "q_scalar_subquery" -> ((s, dir) => {
+      Seq("customer", "orders").foreach(n =>
+        Tables.table(s, dir, n).createOrReplaceTempView(n))
+      s.sql(
+        """SELECT c_custkey,
+          |       round((SELECT max(o_totalprice) FROM orders
+          |              WHERE o_custkey = c_custkey), 2) AS max_tp
+          |FROM customer WHERE c_custkey <= 300
+          |ORDER BY c_custkey""".stripMargin)
+    }),
+
     // The BUILT-IN session_window run in batch — the engine-managed twin
     // of q_sessionize's hand-rolled window formulation (and the batch
     // form of Streaming.sessionWindowAgg, which this calls directly).
@@ -660,6 +697,25 @@ object RelationalQueries {
         |SELECT user_id, session_id, count(*) AS n_events,
         |       min(ts_ms) AS sess_start_ms, max(ts_ms) AS sess_end_ms
         |FROM t GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+    "q_window_distribution" ->
+      """SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+        |       ntile(4) OVER w AS quartile,
+        |       round(percent_rank() OVER w, 4) AS pr,
+        |       round(cume_dist() OVER w, 4) AS cd
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
+        |ORDER BY user_id, ts_ms, event_id""".stripMargin,
+    "q_string_agg" ->
+      """SELECT o_custkey,
+        |       string_agg(o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
+        |       count(*) AS n
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    "q_scalar_subquery" ->
+      """SELECT c_custkey,
+        |       round((SELECT max(o_totalprice) FROM orders
+        |              WHERE o_custkey = c_custkey), 2) AS max_tp
+        |FROM customer WHERE c_custkey <= 300
+        |ORDER BY c_custkey""".stripMargin,
     // session_window merge rule: per-event windows [t, t+gap) merge while
     // they OVERLAP, so a new session starts when the gap to the previous
     // event is >= 30 min (strictly-less overlap test), and the reported
