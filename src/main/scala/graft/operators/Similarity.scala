@@ -35,6 +35,26 @@ object Similarity {
         passthrough.map { case (c, as) => col(c).as(as) }: _*)
       .withColumn(nrmAs, VectorFunctions.norm(col(vecAs)))
 
+  /** Symmetric per-vector int8 quantization — the storage-reduction
+    * pass an embedding pipeline runs before indexing (4× smaller than
+    * float32; dot products stay proportional within a vector's scale).
+    * scale = maxAbs/127, q_i = round(v_i / scale) ∈ [-127, 127]; a
+    * zero vector quantizes to zeros with scale 0 (guarded — division
+    * would be NaN). maxAbs comes from codegen'd array_min/array_max,
+    * not an interpreted fold; only the final int mapping is a HOF.
+    * Output: (id, dim, scale, q) with q `array<int>`. */
+  def quantizeInt8(df: DataFrame, idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame =
+    df.select(col(idCol),
+        VectorFunctions.asDouble(col(vecCol)).as("__v"))
+      .withColumn("scale",
+        greatest(array_max(col("__v")), -array_min(col("__v"))) / 127.0)
+      .select(col(idCol), size(col("__v")).as("dim"), col("scale"),
+        when(col("scale") === 0.0,
+            expr("transform(__v, x -> 0)"))
+          .otherwise(expr("transform(__v, x -> CAST(round(x / scale) AS INT))"))
+          .as("q"))
+
   /** Exact top-k cosine neighbors for each row of `queries` (small,
     * broadcastable) against `corpus`. Ranking uses the similarity rounded
     * to 6 decimals with candidate-id tie-break, so results are

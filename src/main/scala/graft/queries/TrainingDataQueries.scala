@@ -223,6 +223,17 @@ object TrainingDataQueries {
       Similarity.embeddingNearDupPairs(Tables.embeddings(s, dir), "label", 0.4)
         .orderBy("id_a", "id_b")),
 
+    // int8 quantization — the driver compare can't hash array columns,
+    // so the graded surface is integer-exact scalars of the quantized
+    // vector (sum/min/max) plus the rounded scale; the full roundtrip
+    // error bound is asserted in SimilaritySpec.
+    "embedding_quantize" -> ((s, dir) =>
+      Similarity.quantizeInt8(Tables.embeddings(s, dir))
+        .select(col("vec_id"), col("dim"), round(col("scale"), 6).as("scale_r"),
+          expr("aggregate(q, 0L, (a, x) -> a + x)").as("q_sum"),
+          array_min(col("q")).as("q_min"), array_max(col("q")).as("q_max"))
+        .orderBy("vec_id")),
+
     "ann_bruteforce" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), 10)
@@ -572,6 +583,19 @@ object TrainingDataQueries {
          |        round(${cos("a", "b")}, 6) AS cos_sim
          |      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
          |SELECT * FROM p WHERE cos_sim >= 0.4 ORDER BY id_a, id_b""".stripMargin,
+
+    "embedding_quantize" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |s AS (SELECT vec_id, greatest(list_max(v), -list_min(v)) / 127.0 AS scale, v
+        |      FROM e),
+        |q AS (SELECT vec_id, scale,
+        |        CASE WHEN scale = 0 THEN list_transform(v, x -> 0)
+        |             ELSE list_transform(v, x -> CAST(round(x / scale) AS INT)) END AS qv
+        |      FROM s)
+        |SELECT vec_id, len(qv) AS dim, round(scale, 6) AS scale_r,
+        |       CAST(list_sum(qv) AS BIGINT) AS q_sum,
+        |       list_min(qv) AS q_min, list_max(qv) AS q_max
+        |FROM q ORDER BY vec_id""".stripMargin,
 
     "ann_bruteforce" ->
       s"""WITH $embCte,

@@ -22,6 +22,28 @@ class SimilaritySpec extends SparkSpec {
     assert(byQ.forall(g => g.map(-_._2).sameElements(g.map(-_._2).sorted)))
   }
 
+  test("quantizeInt8: values in [-127,127], dequantized roundtrip within scale/2, zero vector safe") {
+    val got = Similarity.quantizeInt8(emb)
+      .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
+      .select(col("vec_id"), col("scale"), col("q"), col("embedding"))
+      .as[(Long, Double, Array[Int], Array[Float])].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (_, scale, q, v) =>
+      assert(q.length === v.length)
+      assert(q.forall(x => x >= -127 && x <= 127))
+      // round-to-nearest: |q*scale - v| <= scale/2 (+eps) per element
+      q.zip(v).foreach { case (qi, vi) =>
+        assert(math.abs(qi * scale - vi) <= scale / 2 + 1e-9) }
+    }
+    // the max-|v| element always hits ±127 exactly
+    assert(got.forall { case (_, _, q, _) => q.exists(x => math.abs(x) == 127) })
+    // zero vector: scale 0, all-zero q, no NaN
+    val z = Similarity.quantizeInt8(
+      Seq((1L, Array(0f, 0f, 0f))).toDF("vec_id", "embedding"))
+      .select("scale", "q").as[(Double, Array[Int])].head()
+    assert(z._1 === 0.0 && z._2.toSeq === Seq(0, 0, 0))
+  }
+
   test("bruteForceTopK agrees with a driver-side exact computation for one query") {
     val q = emb.filter(col("vec_id") === 0).select("embedding")
       .as[Array[Float]].head().map(_.toDouble)
