@@ -99,6 +99,41 @@ object Streaming {
                    joinCols: Seq[String]): DataFrame =
     stream.join(broadcast(dim), joinCols)
 
+  /** Stream–stream INNER join on a key within an event-time interval:
+    * right events in [left − lowerMs, left + upperMs]. Both sides are
+    * watermarked and the join condition bounds both event-time columns,
+    * which is exactly what lets the engine EXPIRE join state — without
+    * the time bounds a stream–stream join buffers both streams forever.
+    * State per key ≈ the watermark horizon + interval width of rows.
+    *
+    * Column contract: the two sides' non-key columns must not collide
+    * (rename upstream); the watermarked time columns come out as
+    * `l_event_time` / `r_event_time`. */
+  def streamStreamIntervalJoin(left: DataFrame, right: DataFrame,
+                               joinCols: Seq[String],
+                               leftTsMs: String = "ts_ms",
+                               rightTsMs: String = "ts_ms",
+                               lowerMs: Long = 0L,
+                               upperMs: Long = 1800000L,
+                               watermark: String = "1 hour"): DataFrame = {
+    val l = left
+      .withColumn("l_event_time", timestamp_millis(col(leftTsMs)))
+      .withWatermark("l_event_time", watermark).alias("l")
+    val r = right
+      .withColumn("r_event_time", timestamp_millis(col(rightTsMs)))
+      .withWatermark("r_event_time", watermark).alias("r")
+    val keyCond = joinCols.map(c => col(s"l.$c") === col(s"r.$c"))
+      .reduce(_ && _)
+    val timeCond =
+      col("r.r_event_time") >= col("l.l_event_time") -
+        expr(s"INTERVAL $lowerMs MILLISECONDS") &&
+      col("r.r_event_time") <= col("l.l_event_time") +
+        expr(s"INTERVAL $upperMs MILLISECONDS")
+    joinCols.foldLeft(l.join(r, keyCond && timeCond)) {
+      (df, c) => df.drop(col(s"r.$c"))
+    }
+  }
+
   // event_time rides along: flatMapGroupsWithState with event-time
   // timeout requires the watermarked column in its input schema
   case class BandedDoc(bucket: String, doc: Long, sig: Array[Long], tsMs: Long,

@@ -60,6 +60,40 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty, "fixture user ids overlap the customer dim")
   }
 
+  test("streamStreamIntervalJoin: watermarked interval join equals the batch range join") {
+    val events = Tables.events(spark, sf("sf0.001"))
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts_ms"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts_ms").as("p_ts_ms"))
+
+    val lIn = MemoryStream[(Long, Long, Long)](spark)
+    lIn.addData(clicks.as[(Long, Long, Long)].collect().toSeq)
+    val rIn = MemoryStream[(Long, Long, Long)](spark)
+    rIn.addData(purchases.as[(Long, Long, Long)].collect().toSeq)
+
+    val joined = Streaming.streamStreamIntervalJoin(
+      lIn.toDF().toDF("user_id", "click_id", "ts_ms"),
+      rIn.toDF().toDF("user_id", "purchase_id", "p_ts_ms"),
+      Seq("user_id"), leftTsMs = "ts_ms", rightTsMs = "p_ts_ms",
+      lowerMs = 0L, upperMs = 1800000L)
+    val q = joined.select("user_id", "click_id", "purchase_id")
+      .writeStream.format("memory").queryName("ssj")
+      .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val got = spark.table("ssj")
+      .as[(Long, Long, Long)].collect().toSet
+    val expected = clicks.join(purchases, Seq("user_id"))
+      .filter(col("p_ts_ms") >= col("ts_ms") &&
+        col("p_ts_ms") <= col("ts_ms") + 1800000L)
+      .select("user_id", "click_id", "purchase_id")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(expected.nonEmpty, "fixtures contain purchases within 30min of a click")
+    assert(got === expected)
+  }
+
   test("windowedCounts: streaming windowed agg equals the batch computation") {
     val events = Tables.events(spark, sf("sf0.001"))
       .select("event_id", "user_id", "event_type", "value", "ts_ms")
