@@ -447,14 +447,17 @@ object Dedup {
     val bytes = sh.select(col("doc"), col("simhash"),
         explode(expr("sequence(0, 3)")).as("j"))
       .withColumn("byte", expr("shiftright(simhash, j * 8) % 256"))
-    val cand = bytes.alias("x").join(bytes.alias("y"),
+    // Hamming filter BEFORE the distinct: the cut is evaluated inside
+    // the band join's output stage, so only pairs that pass (the actual
+    // near-dups — a small fraction of all byte-band collisions) enter
+    // the distinct exchange, instead of shuffling every collision and
+    // filtering after.
+    bytes.alias("x").join(bytes.alias("y"),
         col("x.j") === col("y.j") && col("x.byte") === col("y.byte") &&
           col("x.doc") < col("y.doc"))
       .select(col("x.doc").as("doc_a"), col("y.doc").as("doc_b"),
-        col("x.simhash").as("sha"), col("y.simhash").as("shb"))
-      .distinct()
-    cand.withColumn("hamming", expr("bit_count(sha ^ shb)"))
+        expr("bit_count(x.simhash ^ y.simhash)").as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .distinct()
   }
 }
