@@ -44,10 +44,18 @@ object ScaleProbe {
     Seq(1, 4, 16).foreach { factor =>
       val df = scaled(factor)
       // warm each shape once at this scale, then time
+      // fixed-size delta (one perturbed copy of the base corpus) vs the
+      // xN corpus: incremental ingest cost should track the CORPUS
+      // band join linearly, never the corpus² of a full re-dedup
+      val delta = base.select(
+        (col("doc_id") + lit(900000000L)).as("doc_id"),
+        concat(lit("delta marker "), col("text")).as("text"))
       val ops: Seq[(String, () => Long)] = Seq(
         "minhash" -> (() => Dedup.minhashPairs(df, "doc_id", "text").count()),
         "ngram" -> (() => Dedup.shingleJaccardPairs(df, "doc_id", "text").count()),
-        "simhash" -> (() => Dedup.simhashPairs(df, "doc_id", "text").count()))
+        "simhash" -> (() => Dedup.simhashPairs(df, "doc_id", "text").count()),
+        "incremental" -> (() =>
+          Dedup.incrementalMinhashMatches(delta, df, "doc_id", "text").count()))
       ops.foreach { case (name, f) =>
         f() // warm
         val (rows, sec) = time(f())
