@@ -427,6 +427,28 @@ object Dedup {
     docs.join(losers, docs(idCol) === col("__loser_id"), "left_anti")
   }
 
+  /** Quality-aware near-dup survivor selection: like
+    * [[nearDupSurvivors]], but the kept member of each component is the
+    * one with the HIGHEST `scoreCol` (ties broken by min id) — "keep
+    * the best copy", the policy a curation pipeline actually wants,
+    * rather than "keep the first". One extra join (components ← scores)
+    * and one window over the component partitioning. */
+  def nearDupSurvivorsBy(docs: DataFrame, idCol: String, scoreCol: String,
+                         pairs: DataFrame, aCol: String = "doc_a",
+                         bCol: String = "doc_b"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = connectedComponents(pairs, aCol, bCol)
+      .join(docs.select(col(idCol).as("node"), col(scoreCol).as("__score")),
+        "node")
+    val losers = scored
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col("component"))
+          .orderBy(col("__score").desc, col("node"))))
+      .filter(col("__rk") > 1)
+      .select(col("node").as("__loser_id"))
+    docs.join(losers, docs(idCol) === col("__loser_id"), "left_anti")
+  }
+
   /** 32-bit SimHash per document: each token hashes to 32 bits; each bit
     * position votes ±1 across all token occurrences; the sign of the
     * vote is the output bit. Pure per-document math, so it is a native

@@ -205,6 +205,39 @@ object TrainingDataQueries {
           "doc_id", "text", "split", sampleMod = 4)
         .orderBy("doc")),
 
+    // Quality-aware survivor policy: keep each component's HIGHEST
+    // alpha_ratio member (tie → min id) instead of the min id — "keep
+    // the best copy".
+    "dedup_survivors_best" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val scored = TextAnalysis.quality(docs, "doc_id", "text",
+        passthrough = Seq("lang", "source"))
+      Dedup.nearDupSurvivorsBy(scored, "doc_id", "alpha_ratio",
+          Dedup.minhashPairs(docs, "doc_id", "text",
+            numHashes = 16, numBands = 4, minEstimate = 0.5))
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    }),
+
+    // The dataset card: per (source, lang) mixture stats — what a
+    // training run reports about its corpus composition. The quality
+    // average sums integer ten-thousandths (one double division at the
+    // end): a double `avg` is summation-order-dependent and flips the
+    // 4th decimal on boundary groups across engines.
+    "pipeline_mixture" -> ((s, dir) =>
+      TextAnalysis.quality(Tables.documents(s, dir), "doc_id", "text",
+          passthrough = Seq("lang", "source", "text"))
+        .withColumn("n_tokens", size(TextFunctions.words(col("text"))))
+        .withColumn("alpha_e4",
+          expr("cast(round(alpha_ratio * 10000) as bigint)"))
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("sum_tokens"),
+          round(sum(col("alpha_e4")) / (count(lit(1)) * 10000.0), 4)
+            .as("avg_alpha"),
+          min(col("doc_id")).as("min_id"))
+        .orderBy(col("source"), col("lang"))),
+
     "dedup_containment" -> ((s, dir) =>
       Dedup.containmentPairs(Tables.documents(s, dir), "doc_id", "text",
           minContainment = 0.6)
@@ -490,6 +523,36 @@ object TrainingDataQueries {
          |SELECT doc_id, lang, source FROM documents
          |WHERE doc_id NOT IN (SELECT node FROM losers)
          |ORDER BY doc_id""".stripMargin,
+
+    // Same component walk as dedup_survivors, but the kept member is
+    // the per-component argmax(alpha_ratio, tie min node). The
+    // min-id-based `losers` CTE from componentCtes goes unreferenced
+    // (unreferenced CTEs are not evaluated).
+    "dedup_survivors_best" ->
+      s"""WITH RECURSIVE $minhashCtes,
+         |$componentCtes,
+         |qs AS (SELECT doc_id,
+         |         round(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / length(text), 4) AS alpha_ratio
+         |       FROM documents),
+         |sc AS (SELECT comp.node, comp.component, qs.alpha_ratio
+         |       FROM comp JOIN qs ON qs.doc_id = comp.node),
+         |lose AS (SELECT node FROM sc
+         |         QUALIFY row_number() OVER (PARTITION BY component
+         |                   ORDER BY alpha_ratio DESC, node) > 1)
+         |SELECT doc_id, lang, source FROM documents
+         |WHERE doc_id NOT IN (SELECT node FROM lose)
+         |ORDER BY doc_id""".stripMargin,
+
+    "pipeline_mixture" ->
+      s"""WITH q AS (SELECT doc_id, lang, source,
+         |             len($wordsSql) AS n_tokens,
+         |             round(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / length(text), 4) AS alpha_ratio
+         |           FROM documents)
+         |SELECT source, lang, count(*) AS n_docs,
+         |       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+         |       round(sum(CAST(round(alpha_ratio * 10000) AS BIGINT)) / (count(*) * 10000.0), 4) AS avg_alpha,
+         |       min(doc_id) AS min_id
+         |FROM q GROUP BY source, lang ORDER BY source, lang""".stripMargin,
 
     // Delta-vs-corpus matching: same signature/band CTEs as
     // dedup_minhash, but the candidate join pairs only new-batch docs

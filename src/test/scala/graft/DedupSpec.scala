@@ -174,6 +174,18 @@ class DedupSpec extends SparkSpec {
     assert(mh > 0)
   }
 
+  test("nearDupSurvivorsBy keeps the highest-score member per component, min-id on ties") {
+    val d = Seq(
+      (1L, 0.2, "a"), (2L, 0.9, "a"), (3L, 0.9, "a"), // component {1,2,3}: 2 wins (0.9, tie -> min id)
+      (7L, 0.5, "b"),                                 // unpaired: survives
+      (8L, 0.1, "c"), (9L, 0.8, "c"))                 // component {8,9}: 9 wins
+      .toDF("doc_id", "score", "grp")
+    val pairs = Seq((1L, 2L), (2L, 3L), (8L, 9L)).toDF("doc_a", "doc_b")
+    val got = Dedup.nearDupSurvivorsBy(d, "doc_id", "score", pairs)
+      .select("doc_id").as[Long].collect().sorted
+    assert(got.toSeq === Seq(2L, 7L, 9L))
+  }
+
   test("incremental matching pairs only delta-vs-corpus, never corpus-vs-corpus") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog today"),
