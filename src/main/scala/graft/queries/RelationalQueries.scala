@@ -233,6 +233,19 @@ object RelationalQueries {
           .select(col("o_custkey").as("k")))
         .orderBy("k")),
 
+    // Set ops, MULTISET semantics: INTERSECT ALL keeps min(multiplicity)
+    // copies, EXCEPT ALL subtracts per-occurrence — the bag forms the
+    // DISTINCT queries above cannot express.
+    "q_intersect_all" -> ((s, dir) =>
+      Tables.events(s, dir).select(col("user_id").as("k"))
+        .intersectAll(Tables.orders(s, dir).select(col("o_custkey").as("k")))
+        .orderBy("k")),
+
+    "q_except_all" -> ((s, dir) =>
+      Tables.orders(s, dir).select(col("o_custkey").as("k"))
+        .exceptAll(Tables.events(s, dir).select(col("user_id").as("k")))
+        .orderBy("k")),
+
     // Scalar function battery: string / date / math / conditional.
     "q_scalar_funcs" -> ((s, dir) =>
       Tables.orders(s, dir).select(
@@ -578,6 +591,12 @@ object RelationalQueries {
       """SELECT c_custkey AS k FROM customer
         |EXCEPT SELECT o_custkey AS k FROM orders
         |WHERE o_orderdate >= TIMESTAMP '2001-01-01 00:00:00' ORDER BY k""".stripMargin,
+    "q_intersect_all" ->
+      """SELECT user_id AS k FROM events
+        |INTERSECT ALL SELECT o_custkey AS k FROM orders ORDER BY k""".stripMargin,
+    "q_except_all" ->
+      """SELECT o_custkey AS k FROM orders
+        |EXCEPT ALL SELECT user_id AS k FROM events ORDER BY k""".stripMargin,
     "q_scalar_funcs" ->
       """SELECT o_orderkey,
         |       upper(o_orderpriority) AS prio_up,
