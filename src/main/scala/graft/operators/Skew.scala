@@ -35,6 +35,48 @@ object Skew {
     saltedBig.join(replicatedSmall, keys :+ "__salt").drop("__salt")
   }
 
+  /** Bloom-filter pre-filtered left-semi join — the explicit form of the
+    * runtime row-level filtering Spark's InjectRuntimeFilter applies to
+    * eligible shuffle joins: hash the build side's keys into a bit array
+    * (k positions per key, built distributedly — the driver only ever
+    * collects DISTINCT bit positions, bounded by numBits, never the dim
+    * keys), then probe the fact side with pure bit-test column
+    * expressions BEFORE the join shuffle. False positives are removed by
+    * the exact semi-join that follows; false negatives are impossible,
+    * so the result is row-identical to `fact SEMI JOIN dim` — which is
+    * exactly what the oracle asserts. At 100 TB the win is that fact
+    * rows failing the bloom test never enter the exchange: for a
+    * selective dim the shuffle shrinks by orders of magnitude at the
+    * cost of one scan-speed codegen'd predicate.
+    */
+  def bloomSemiJoin(fact: DataFrame, factKey: String,
+                    dim: DataFrame, dimKey: String,
+                    numBits: Int = 1 << 16, numHashes: Int = 3): DataFrame = {
+    require(numBits > 0 && (numBits & (numBits - 1)) == 0,
+      s"numBits must be a power of two, got $numBits")
+    def positions(key: Column): Seq[Column] =
+      (0 until numHashes).map(i => pmod(xxhash64(lit(i), key), lit(numBits.toLong)))
+    // Build: distinct bit positions (≤ numBits rows) → driver-side bit
+    // array. O(numBits) driver memory by construction, independent of
+    // |dim|.
+    val words = new Array[Long](numBits / 64)
+    dim.select(explode(array(positions(col(dimKey)): _*)).as("p")).distinct()
+      .collect().foreach { r =>
+        val p = r.getLong(0); words((p >> 6).toInt) |= (1L << (p & 63))
+      }
+    // Probe: k bit tests, all built-in exprs (codegen'd, pushed ahead of
+    // the join exchange).
+    val bits = lit(words)
+    val pass = positions(col(factKey)).map { p =>
+      val word = element_at(bits, (p / 64).cast("int") + 1)
+      expr("1L").bitwiseAND(
+        call_function("shiftright", word, (p % 64).cast("int"))) === 1L
+    }.reduce(_ && _)
+    fact.filter(pass)
+      .join(dim.select(col(dimKey)).distinct(),
+        col(factKey) === col(dimKey), "left_semi")
+  }
+
   /** Two-phase salted aggregation for non-additive hot-key aggregates
     * (e.g. per-key exact distinct): phase 1 on (key, salt, value) spreads
     * the hot key; phase 2 combines partials per key. */

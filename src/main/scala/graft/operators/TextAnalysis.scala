@@ -111,6 +111,92 @@ object TextAnalysis {
           .as("dup_bigram_ratio"))
   }
 
+  /** PII patterns for [[redactPii]]. Kept to syntax Java regex and RE2
+    * evaluate identically (no lookahead/backreferences): URLs first
+    * (they may embed '@' or digit runs), then emails, then phone-like
+    * digit runs. */
+  val UrlPattern: String = "https?://[^\\s]+"
+  val EmailPattern: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern: String = "\\+?[0-9][0-9() .-]{6,}[0-9]"
+
+  /** PII redaction: replace URLs / email addresses / phone-like digit
+    * runs with typed placeholder tokens, and count each category. Pure
+    * projection (three regexp passes per doc), no shuffle — scan-speed
+    * scrubbing before text enters a training corpus. Counts are taken on
+    * the raw text BEFORE any replacement so categories don't mask each
+    * other. */
+  def redactPii(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val redacted =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(t, UrlPattern, "<URL>"),
+          EmailPattern, "<EMAIL>"),
+        PhonePattern, "<NUM>")
+    df.select(col(idCol),
+      regexp_count(t, lit(UrlPattern)).as("n_urls"),
+      regexp_count(t, lit(EmailPattern)).as("n_emails"),
+      regexp_count(t, lit(PhonePattern)).as("n_phones"),
+      redacted.as("redacted"))
+  }
+
+  /** Per-document top-k terms by TF-IDF (idf = ln((N+1)/(df+1)),
+    * smoothed). Shape: explode → (doc, word) counts with map-side
+    * combine → word-level document frequencies (an aggregation of the
+    * ALREADY-reduced tf table, not a second corpus pass) → broadcast the
+    * 1-row corpus size → per-doc top-k via window rank. The word join
+    * key is the shuffle axis; nothing ever materializes the full
+    * doc×word matrix beyond the tf table the corpus itself bounds. */
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
+                    k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = df.select(col(idCol).as("doc"),
+      explode(TextFunctions.words(col(textCol))).as("word"))
+    val tf = words.groupBy(col("doc"), col("word")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val nDocs = df.agg(countDistinct(col(idCol)).as("n_docs"))
+    val w = Window.partitionBy(col("doc")).orderBy(col("score").desc, col("word"))
+    tf.join(dfreq, "word")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        col("tf") * log((col("n_docs") + 1).cast("double") / (col("df") + 1)))
+      .select(col("doc"), col("word"), col("tf"), col("df"),
+        round(col("score"), 4).as("tfidf"),
+        row_number().over(w).as("rank"))
+      .filter(col("rank") <= k)
+      .drop("score")
+  }
+
+  /** EXACT corpus heavy hitters (words with frequency ≥ 1/supportDenom
+    * of all words) in two bounded passes:
+    *   1. a merged Misra–Gries sketch (capacity counters per partition,
+    *      one ≤capacity map through the shuffle) yields a candidate set
+    *      guaranteed to contain every true heavy hitter, because the
+    *      sketch undercounts by at most n/(capacity+1) < n/supportDenom;
+    *   2. an exact recount of the candidates only (broadcast semi-join —
+    *      ≤capacity keys — then count), filtered by the exact integer
+    *      support test n_occurrences * supportDenom ≥ total.
+    * The output is EXACT — sketch error only ever widens the candidate
+    * set — while no stage ever shuffles or buffers the full term
+    * universe, unlike a groupBy-HAVING formulation whose aggregation
+    * state is O(|vocabulary|). */
+  def heavyHitters(df: DataFrame, idCol: String, textCol: String,
+                   supportDenom: Int = 200, capacity: Int = 400): DataFrame = {
+    require(capacity >= supportDenom,
+      s"capacity ($capacity) must be >= supportDenom ($supportDenom) for the " +
+        "no-false-negative guarantee (undercount n/(capacity+1) < support n/supportDenom)")
+    val words = df.select(explode(TextFunctions.words(col(textCol))).as("word"))
+    val mg = udaf(new graft.functions.MisraGries(capacity))
+    val candidates = words.agg(mg(col("word")).as("c"))
+      .select(explode(col("c")).as("word"))
+    val total = words.agg(count(lit(1)).as("total"))
+    words.join(broadcast(candidates), "word")
+      .groupBy(col("word")).agg(count(lit(1)).as("n_occurrences"))
+      .crossJoin(broadcast(total))
+      .filter(col("n_occurrences") * supportDenom >= col("total"))
+      .select(col("word"), col("n_occurrences"), col("total"))
+  }
+
   /** Canonical md5 fingerprint per document. */
   def fingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol), TextFunctions.fingerprint(col(textCol)).as("fingerprint"))

@@ -310,6 +310,49 @@ object RelationalQueries {
         .orderBy(col("user_id"), col("ts_ms"), col("event_id"))
     }),
 
+    // Time-based RANGE window frame: trailing-1-hour per-user totals.
+    // Unlike the ROWS frame above, the frame edge is a VALUE offset on
+    // the (numeric) order key, so peers at the same timestamp share one
+    // frame — the frame width adapts to event density instead of row
+    // count. Integer cents keep the frame sum engine-exact.
+    "q_range_frame" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_ms"))
+        .rangeBetween(-3600000L, Window.currentRow)
+      Tables.events(s, dir)
+        .withColumn("cents", floor(col("value") * 100).cast("long"))
+        .select(col("user_id"), col("event_id"), col("ts_ms"),
+          sum(col("cents")).over(w).as("hour_cents"),
+          count(lit(1)).over(w).as("hour_n"))
+        .orderBy(col("user_id"), col("ts_ms"), col("event_id"))
+    }),
+
+    // Time-series gap fill: per event type, the observed hourly rollup is
+    // left-joined onto a dense generated hour spine (sequence + explode —
+    // the spine is derived per group, never a driver-side loop), missing
+    // hours get n=0, and the last observed hourly total is carried
+    // forward with last(ignoreNulls) — the standard repair step before
+    // feeding time-series features to training. One shuffle for the
+    // rollup, one broadcast-sized spine join, one window pass.
+    "q_gap_fill" -> ((s, dir) => {
+      val hourly = Tables.events(s, dir)
+        .withColumn("cents", floor(col("value") * 100).cast("long"))
+        .groupBy(col("event_type"),
+          expr("(ts_ms div 3600000) * 3600000").as("hour_ms"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+      val spine = hourly.groupBy(col("event_type"))
+        .agg(min(col("hour_ms")).as("lo"), max(col("hour_ms")).as("hi"))
+        .select(col("event_type"),
+          explode(sequence(col("lo"), col("hi"), lit(3600000L))).as("hour_ms"))
+      val wf = Window.partitionBy(col("event_type")).orderBy(col("hour_ms"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(hourly, Seq("event_type", "hour_ms"), "left_outer")
+        .select(col("event_type"), col("hour_ms"),
+          coalesce(col("n"), lit(0L)).as("n"),
+          last(col("sum_cents"), ignoreNulls = true).over(wf).as("filled_cents"))
+        .orderBy(col("event_type"), col("hour_ms"))
+    }),
+
     // The spark.sql surface end-to-end: temp views + ANSI SQL with an
     // IN-subquery (decorrelated to a semi-join by Catalyst — same plan
     // family as q_semi_join's DataFrame form).
@@ -355,6 +398,23 @@ object RelationalQueries {
         .groupBy(col("band"))
         .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("sum_tp"))
         .orderBy(col("band"))
+    }),
+
+    // Bloom-filter pre-filtered semi join (the explicit runtime-filter
+    // pattern): lineitem rows are bit-tested against a bloom of the
+    // selective orders subset BEFORE the join shuffle, then the exact
+    // semi join removes false positives — row-identical to the plain
+    // semi join, which is what the oracle asserts.
+    "q_bloom_join" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).select("l_orderkey", "l_quantity")
+      val big = Tables.orders(s, dir)
+        .filter(col("o_totalprice") > 400000.0)
+        .select("o_orderkey")
+      Skew.bloomSemiJoin(li, "l_orderkey", big, "o_orderkey")
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .orderBy(col("l_orderkey"))
     }),
 
     // Exact interpolated percentiles per group (Spark `percentile` and
@@ -651,6 +711,36 @@ object RelationalQueries {
         |       count(*) FILTER (event_type = 'signup') AS signup,
         |       count(*) FILTER (event_type = 'view') AS view
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_range_frame" ->
+      """SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+        |  CAST(sum(CAST(floor(value * 100) AS BIGINT))
+        |       OVER (PARTITION BY user_id ORDER BY epoch_ms(ts)
+        |             RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS hour_cents,
+        |  CAST(count(*) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts)
+        |                      RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS hour_n
+        |FROM events ORDER BY user_id, ts_ms, event_id""".stripMargin,
+    "q_gap_fill" ->
+      """WITH h AS (SELECT event_type,
+        |             (epoch_ms(ts) // 3600000) * 3600000 AS hour_ms,
+        |             count(*) AS n,
+        |             CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |           FROM events GROUP BY 1, 2),
+        |b AS (SELECT event_type, min(hour_ms) AS lo, max(hour_ms) AS hi
+        |      FROM h GROUP BY 1),
+        |sp AS (SELECT event_type, unnest(generate_series(lo, hi, 3600000)) AS hour_ms
+        |       FROM b),
+        |j AS (SELECT sp.event_type, sp.hour_ms,
+        |             coalesce(h.n, 0) AS n, h.sum_cents
+        |      FROM sp LEFT JOIN h
+        |        ON h.event_type = sp.event_type AND h.hour_ms = sp.hour_ms)
+        |SELECT event_type, hour_ms, CAST(n AS BIGINT) AS n,
+        |       CAST(last_value(sum_cents IGNORE NULLS)
+        |            OVER (PARTITION BY event_type ORDER BY hour_ms
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |         AS filled_cents
+        |FROM j ORDER BY event_type, hour_ms""".stripMargin,
     "q_sql_surface" ->
       """SELECT n_name, o_orderpriority, count(*) AS n,
         |       round(sum(o_totalprice), 2) AS sum_tp
@@ -675,6 +765,13 @@ object RelationalQueries {
         |                         (200000.0, 1000000000000.0, 'high')) b(lo, hi, band)
         |  ON o_totalprice >= lo AND o_totalprice < hi
         |GROUP BY band ORDER BY band""".stripMargin,
+    "q_bloom_join" ->
+      """SELECT l_orderkey, count(*) AS n_items,
+        |       round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+        |                     WHERE o_totalprice > 400000)
+        |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
     "q_percentiles" ->
       """SELECT l_returnflag,
         |       round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,

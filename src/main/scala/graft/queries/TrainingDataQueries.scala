@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Layout, Multimodal, Sampling, Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /** Graded queries for the LLM-training-data operators (dedup, similarity
@@ -322,6 +322,57 @@ object TrainingDataQueries {
           countDistinct(col("doc_id")).as("n_docs"))
         .orderBy(col("n_occurrences").desc, col("word"))
         .limit(20)),
+
+    // PII scrubbing: URLs / emails / phone-like runs replaced by typed
+    // placeholders. The fixture text carries no PII, so deterministic
+    // synthetic PII (derived from fixture columns, identically in both
+    // engines) is appended first — the regexes are then exercised
+    // against real matches, not vacuously.
+    "text_redact" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).withColumn("txt",
+        concat(col("text"),
+          lit(" contact "), col("source"), lit("-"),
+          col("doc_id").cast("string"), lit("@example.com via https://"),
+          col("lang"), lit(".example.org/d/"), col("doc_id").cast("string"),
+          lit(" tel +1 (555) 010-"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
+      TextAnalysis.redactPii(d, "doc_id", "txt")
+        .select(col("doc_id"), col("n_urls"), col("n_emails"), col("n_phones"),
+          md5(col("redacted")).as("redacted_md5"))
+        .orderBy("doc_id")
+    }),
+
+    // Per-document top-3 terms by smoothed TF-IDF — the relevance
+    // ranking a retrieval/quality pipeline derives from the same
+    // (doc, word) counts the repetition filters use.
+    "text_tfidf" -> ((s, dir) =>
+      TextAnalysis.tfidfTopTerms(Tables.documents(s, dir), "doc_id", "text", k = 3)
+        .orderBy("doc", "rank")),
+
+    // Exact heavy hitters (≥ 0.5% of all corpus words) via the two-pass
+    // Misra-Gries sketch → exact-recount shape: bounded state at every
+    // stage, exact output.
+    "text_heavy_hitters" -> ((s, dir) =>
+      TextAnalysis.heavyHitters(Tables.documents(s, dir), "doc_id", "text",
+          supportDenom = 200, capacity = 400)
+        .orderBy("word")),
+
+    // Z-order (Morton curve) clustering stats: events bucketed by the
+    // top bits of interleave(user_id % 256, floor(value) % 256). The
+    // graded per-bucket min/max spans ARE the locality proof: every
+    // bucket covers a ≤32×32 rectangle of the 256×256 key space, so
+    // file-level min/max stats prune range scans on EITHER dimension.
+    "data_zorder" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .withColumn("x", pmod(col("user_id"), lit(256L)))
+        .withColumn("y", pmod(floor(col("value")).cast("long"), lit(256L)))
+        .withColumn("z", Layout.zValue(col("x"), col("y"), 8))
+      e.groupBy(expr("z div 1024").as("z_range"))
+        .agg(count(lit(1)).as("n"),
+          min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+          min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+        .orderBy(col("z_range"))
+    }),
 
     "text_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprints(Tables.documents(s, dir), "doc_id", "text")
@@ -781,6 +832,66 @@ object TrainingDataQueries {
          |       count(DISTINCT doc_id) AS n_docs
          |FROM t GROUP BY word
          |ORDER BY n_occurrences DESC, word LIMIT 20""".stripMargin,
+
+    "text_redact" -> {
+      val urlP = TextAnalysis.UrlPattern
+      val emailP = TextAnalysis.EmailPattern
+      val phoneP = TextAnalysis.PhonePattern
+      s"""WITH d AS (SELECT doc_id,
+         |    text || ' contact ' || source || '-' || doc_id::VARCHAR ||
+         |    '@example.com via https://' || lang || '.example.org/d/' ||
+         |    doc_id::VARCHAR || ' tel +1 (555) 010-' ||
+         |    lpad((doc_id % 10000)::VARCHAR, 4, '0') AS txt
+         |  FROM documents)
+         |SELECT doc_id,
+         |       len(regexp_extract_all(txt, '$urlP')) AS n_urls,
+         |       len(regexp_extract_all(txt, '$emailP')) AS n_emails,
+         |       len(regexp_extract_all(txt, '$phoneP')) AS n_phones,
+         |       md5(regexp_replace(regexp_replace(regexp_replace(txt,
+         |           '$urlP', '<URL>', 'g'),
+         |           '$emailP', '<EMAIL>', 'g'),
+         |           '$phoneP', '<NUM>', 'g')) AS redacted_md5
+         |FROM d ORDER BY doc_id""".stripMargin
+    },
+
+    "text_tfidf" ->
+      s"""WITH $wordCte,
+         |t AS (SELECT doc_id AS doc, unnest(l) AS word FROM w),
+         |tf AS (SELECT doc, word, count(*) AS tf FROM t GROUP BY 1, 2),
+         |dfq AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+         |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+         |sc AS (SELECT doc, word, tf, df,
+         |         tf * ln((n_docs + 1) * 1.0 / (df + 1)) AS score
+         |       FROM tf JOIN dfq USING (word) CROSS JOIN nd),
+         |r AS (SELECT doc, word, tf, df, round(score, 4) AS tfidf,
+         |        row_number() OVER (PARTITION BY doc
+         |          ORDER BY score DESC, word) AS rank
+         |      FROM sc)
+         |SELECT doc, word, tf, df, tfidf, rank FROM r WHERE rank <= 3
+         |ORDER BY doc, rank""".stripMargin,
+
+    "text_heavy_hitters" ->
+      s"""WITH t AS (SELECT unnest($wordsSql) AS word FROM documents),
+         |tot AS (SELECT count(*) AS total FROM t)
+         |SELECT word, count(*) AS n_occurrences,
+         |       (SELECT total FROM tot) AS total
+         |FROM t GROUP BY word
+         |HAVING count(*) * 200 >= (SELECT total FROM tot)
+         |ORDER BY word""".stripMargin,
+
+    "data_zorder" -> {
+      val zTerms = (0 until 8).flatMap(i => Seq(
+        s"(((x >> $i) & 1) << ${2 * i})",
+        s"(((y >> $i) & 1) << ${2 * i + 1})")).mkString(" + ")
+      s"""WITH b AS (SELECT user_id % 256 AS x,
+         |             CAST(floor(value) AS BIGINT) % 256 AS y
+         |           FROM events),
+         |z AS (SELECT x, y, $zTerms AS z FROM b)
+         |SELECT z // 1024 AS z_range, count(*) AS n,
+         |       min(x) AS min_x, max(x) AS max_x,
+         |       min(y) AS min_y, max(y) AS max_y
+         |FROM z GROUP BY 1 ORDER BY z_range""".stripMargin
+    },
 
     "text_fingerprint" ->
       """SELECT doc_id,

@@ -68,6 +68,55 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fp(1L) !== fp(3L))
   }
 
+  test("redactPii replaces URLs, emails and phone runs with typed tokens") {
+    val df = Seq(
+      (1L, "mail bob.smith+x@corp.example.org or see https://a.b/c?d=1 now"),
+      (2L, "call +1 (555) 010-4242 twice"),
+      (3L, "clean text, nothing to scrub")).toDF("doc_id", "text")
+    val got = TextAnalysis.redactPii(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(got(0).getAs[Int]("n_emails") === 1)
+    assert(got(0).getAs[Int]("n_urls") === 1)
+    assert(got(0).getAs[String]("redacted") ===
+      "mail <EMAIL> or see <URL> now")
+    assert(got(1).getAs[Int]("n_phones") === 1)
+    assert(got(1).getAs[String]("redacted") === "call <NUM> twice")
+    assert(got(2).getAs[String]("redacted") === "clean text, nothing to scrub")
+  }
+
+  test("tfidfTopTerms ranks rare terms above ubiquitous ones") {
+    val df = Seq(
+      (1L, "common rare1 common"),
+      (2L, "common rare2"),
+      (3L, "common rare3")).toDF("doc_id", "text")
+    val got = TextAnalysis.tfidfTopTerms(df, "doc_id", "text", k = 2)
+      .orderBy("doc", "rank").collect()
+    // 'common' has df=3 → idf=ln(4/4)=0; every rareN has df=1 → idf=ln(2)
+    val top = got.filter(_.getAs[Int]("rank") === 1).map(_.getAs[String]("word"))
+    assert(top.toSeq === Seq("rare1", "rare2", "rare3"))
+    val d1 = got.filter(r => r.getAs[Long]("doc") == 1L)
+    assert(math.abs(d1.head.getAs[Double]("tfidf") - 0.6931) < 1e-9)
+    // the zero-idf 'common' still ranks (score 0) below the rare term
+    assert(d1(1).getAs[String]("word") === "common")
+    assert(d1(1).getAs[Double]("tfidf") === 0.0)
+  }
+
+  test("heavyHitters is EXACT vs brute force even with a tiny sketch") {
+    // 3 genuinely heavy words + a 200-word long tail, multi-partition.
+    val words = Seq.fill(60)("alpha") ++ Seq.fill(40)("beta") ++
+      Seq.fill(25)("gamma") ++ (1 to 200).map(i => s"tail$i")
+    val df = words.zipWithIndex
+      .map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+      .repartition(4)
+    // support 1/10 of 325 words = 32.5 → alpha/beta survive, gamma (25) not
+    val got = TextAnalysis.heavyHitters(df, "doc_id", "text",
+        supportDenom = 10, capacity = 20)
+      .orderBy("word").collect()
+    assert(got.map(r => (r.getAs[String]("word"), r.getAs[Long]("n_occurrences")))
+      .toSeq === Seq(("alpha", 60L), ("beta", 40L)))
+    assert(got.forall(_.getAs[Long]("total") === 325L))
+  }
+
   test("multimodal: binary payload + deterministic metadata + feature extraction") {
     val withBin = Multimodal.attachBinary(docs, "doc_id", "text").cache()
     val meta = withBin.select("media_id", "meta.n_bytes", "meta.width", "meta.height")
