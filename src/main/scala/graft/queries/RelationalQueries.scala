@@ -400,6 +400,27 @@ object RelationalQueries {
         .orderBy(col("band"))
     }),
 
+    // Per-group outlier detection (|x − μ| > 2σ) in EXACT integer
+    // arithmetic: with integer cents, n·x − S and n·Q − S² recast the
+    // float z-score test as a cross-multiplied integer inequality
+    // (n·x − S)² > 4·(n·Q − S²) — no doubles anywhere, so the
+    // boundary rows that a float sqrt/stddev would make engine-flaky
+    // are bit-deterministic. One aggregation + one broadcast-sized
+    // join back (150 user rows); long-safe through sf≈10 (bounds in
+    // the scaladoc-adjacent comment: d² ≤ 1.1e17, 4(nQ−S²) ≤ 4e17).
+    "q_outliers" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .withColumn("cents", floor(col("value") * 100).cast("long"))
+      val stats = e.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"),
+          sum(col("cents") * col("cents")).as("q"))
+      val d = col("n") * col("cents") - col("s")
+      e.join(broadcast(stats), "user_id")
+        .filter(d * d > lit(4L) * (col("n") * col("q") - col("s") * col("s")))
+        .select(col("user_id"), col("event_id"), col("cents"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
     // Bloom-filter pre-filtered semi join (the explicit runtime-filter
     // pattern): lineitem rows are bit-tested against a bloom of the
     // selective orders subset BEFORE the join shuffle, then the exact
@@ -765,6 +786,18 @@ object RelationalQueries {
         |                         (200000.0, 1000000000000.0, 'high')) b(lo, hi, band)
         |  ON o_totalprice >= lo AND o_totalprice < hi
         |GROUP BY band ORDER BY band""".stripMargin,
+    "q_outliers" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |             CAST(floor(value * 100) AS BIGINT) AS cents
+        |           FROM events),
+        |st AS (SELECT user_id, count(*) AS n,
+        |         CAST(sum(cents) AS BIGINT) AS s,
+        |         CAST(sum(cents * cents) AS BIGINT) AS q
+        |       FROM e GROUP BY 1)
+        |SELECT e.user_id, e.event_id, e.cents
+        |FROM e JOIN st USING (user_id)
+        |WHERE (n * cents - s) * (n * cents - s) > 4 * (n * q - s * s)
+        |ORDER BY user_id, event_id""".stripMargin,
     "q_bloom_join" ->
       """SELECT l_orderkey, count(*) AS n_items,
         |       round(sum(l_quantity), 2) AS sum_qty
