@@ -197,6 +197,29 @@ object TextAnalysis {
       .select(col("word"), col("n_occurrences"), col("total"))
   }
 
+  /** Split each document into overlapping fixed-size token windows —
+    * the context-length chunking step that precedes sequence packing in
+    * an LLM data pipeline. Chunk k covers words
+    * [k·(chunkSize−overlap), k·(chunkSize−overlap)+chunkSize); trailing
+    * windows that add no new tokens beyond the previous chunk are
+    * dropped. Pure array math + posexplode: one narrow stage, output
+    * rows ≈ n_tokens/(chunkSize−overlap) per doc, no shuffle. */
+  def chunkTokens(df: DataFrame, idCol: String, textCol: String,
+                  chunkSize: Int, overlap: Int): DataFrame = {
+    require(chunkSize > overlap && overlap >= 0,
+      s"need chunkSize > overlap >= 0, got chunkSize=$chunkSize overlap=$overlap")
+    val step = chunkSize - overlap
+    df.select(col(idCol), TextFunctions.words(col(textCol)).as("__w"))
+      .select(col(idCol),
+        posexplode(expr(
+          s"""transform(
+             |  filter(sequence(0, size(__w) - 1, $step),
+             |         s -> s = 0 OR s + $overlap < size(__w)),
+             |  s -> array_join(slice(__w, s + 1, $chunkSize), ' '))""".stripMargin))
+          .as(Seq("chunk_idx", "chunk_text")))
+      .withColumn("chunk_tokens", size(TextFunctions.words(col("chunk_text"))))
+  }
+
   /** Canonical md5 fingerprint per document. */
   def fingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol), TextFunctions.fingerprint(col(textCol)).as("fingerprint"))

@@ -357,6 +357,16 @@ object TrainingDataQueries {
           supportDenom = 200, capacity = 400)
         .orderBy("word")),
 
+    // Context-length chunking: overlapping 64-token windows (16-token
+    // overlap), the step between curation and sequence packing. Graded
+    // on (doc, chunk ordinal, chunk token count, chunk md5).
+    "data_chunk" -> ((s, dir) =>
+      TextAnalysis.chunkTokens(Tables.documents(s, dir), "doc_id", "text",
+          chunkSize = 64, overlap = 16)
+        .select(col("doc_id"), col("chunk_idx"), col("chunk_tokens"),
+          md5(col("chunk_text")).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_idx")),
+
     // Z-order (Morton curve) clustering stats: events bucketed by the
     // top bits of interleave(user_id % 256, floor(value) % 256). The
     // graded per-bucket min/max spans ARE the locality proof: every
@@ -878,6 +888,19 @@ object TrainingDataQueries {
          |FROM t GROUP BY word
          |HAVING count(*) * 200 >= (SELECT total FROM tot)
          |ORDER BY word""".stripMargin,
+
+    // Slice bounds replay Spark's slice(w, s+1, 64): 1-based start,
+    // 64 elements, end-clamped — DuckDB's inclusive l[s+1 : s+64].
+    "data_chunk" ->
+      s"""WITH w AS (SELECT doc_id, $wordsSql AS l FROM documents),
+         |st AS (SELECT doc_id, l,
+         |         unnest(list_filter(generate_series(0, len(l) - 1, 48),
+         |                s -> s = 0 OR s + 16 < len(l))) AS s
+         |       FROM w)
+         |SELECT doc_id, s // 48 AS chunk_idx,
+         |       len(l[s + 1 : s + 64]) AS chunk_tokens,
+         |       md5(array_to_string(l[s + 1 : s + 64], ' ')) AS chunk_md5
+         |FROM st ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "data_zorder" -> {
       val zTerms = (0 until 8).flatMap(i => Seq(

@@ -117,6 +117,32 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got.forall(_.getAs[Long]("total") === 325L))
   }
 
+  test("chunkTokens: overlapping windows, trailing no-new-token chunks dropped") {
+    val df = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 words
+      (2L, "a b c"),                                   // fits one chunk
+      (3L, (1 to 6).map(i => s"x$i").mkString(" ")))   // exactly size+overlap? 6 = 4+2
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.chunkTokens(df, "doc_id", "text",
+        chunkSize = 4, overlap = 2).orderBy("doc_id", "chunk_idx")
+      .select("doc_id", "chunk_idx", "chunk_text", "chunk_tokens")
+      .collect()
+    val d1 = got.filter(_.getLong(0) == 1L)
+    // starts 0,2,4,6,8; s=8 adds no token beyond chunk@6's end (8+2=10=n)
+    // so it is dropped — every word is still covered exactly once-plus
+    assert(d1.map(_.getString(2)).toSeq === Seq(
+      "w1 w2 w3 w4", "w3 w4 w5 w6", "w5 w6 w7 w8", "w7 w8 w9 w10"))
+    assert(d1.map(_.getInt(3)).toSeq === Seq(4, 4, 4, 4))
+    val d2 = got.filter(_.getLong(0) == 2L)
+    assert(d2.map(_.getString(2)).toSeq === Seq("a b c"))
+    val d3 = got.filter(_.getLong(0) == 3L)
+    // starts 0,2,4: s=4 has s+overlap=6 = n → adds nothing → dropped
+    assert(d3.map(_.getString(2)).toSeq === Seq("x1 x2 x3 x4", "x3 x4 x5 x6"))
+    // coverage: every word appears in at least one chunk
+    assert(d3.flatMap(_.getString(2).split(" ")).toSet ===
+      (1 to 6).map(i => s"x$i").toSet)
+  }
+
   test("multimodal: binary payload + deterministic metadata + feature extraction") {
     val withBin = Multimodal.attachBinary(docs, "doc_id", "text").cache()
     val meta = withBin.select("media_id", "meta.n_bytes", "meta.width", "meta.height")
