@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsOfJoin, Skew}
+import graft.operators.{AsOfJoin, Skew, Upsert}
 import graft.sources.Tables
 
 /** The general relational query surface the reference lacks entirely
@@ -400,6 +400,24 @@ object RelationalQueries {
         .orderBy(col("band"))
     }),
 
+    // Type-1 upsert (MERGE INTO without a table format): a delta batch
+    // (every even order, restatused + repriced) merged over a base
+    // snapshot (orders not divisible by 3) — updated where matched,
+    // inserted where new, base preserved where unmatched. One
+    // full-outer join on the key.
+    "q_upsert" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val base = o.filter(col("o_orderkey") % 3 =!= 0)
+      val delta = o.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+          round(col("o_totalprice") + 1000, 2).as("o_totalprice"))
+      Upsert(base, delta, "o_orderkey")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // Per-group outlier detection (|x − μ| > 2σ) in EXACT integer
     // arithmetic: with integer cents, n·x − S and n·Q − S² recast the
     // float z-score test as a cross-multiplied integer inequality
@@ -786,6 +804,17 @@ object RelationalQueries {
         |                         (200000.0, 1000000000000.0, 'high')) b(lo, hi, band)
         |  ON o_totalprice >= lo AND o_totalprice < hi
         |GROUP BY band ORDER BY band""".stripMargin,
+    "q_upsert" ->
+      """WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+        |              FROM orders WHERE o_orderkey % 3 <> 0),
+        |delta AS (SELECT o_orderkey, 'U' AS o_orderstatus,
+        |                 round(o_totalprice + 1000, 2) AS o_totalprice
+        |          FROM orders WHERE o_orderkey % 2 = 0)
+        |SELECT o_orderkey,
+        |       coalesce(d.o_orderstatus, b.o_orderstatus) AS o_orderstatus,
+        |       round(coalesce(d.o_totalprice, b.o_totalprice), 2) AS o_totalprice
+        |FROM base b FULL JOIN delta d USING (o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
     "q_outliers" ->
       """WITH e AS (SELECT user_id, event_id,
         |             CAST(floor(value * 100) AS BIGINT) AS cents

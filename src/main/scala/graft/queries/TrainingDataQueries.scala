@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, Layout, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Layout, Multimodal, Sampling, Similarity, TextAnalysis, Upsert}
 import graft.sources.Tables
 
 /** Graded queries for the LLM-training-data operators (dedup, similarity
@@ -486,6 +486,34 @@ object TrainingDataQueries {
         .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_id"),
           sum(col("n_tokens")).as("sum_tokens"))
         .orderBy(col("split"))
+    }),
+
+    // INCREMENTAL ingest end-to-end: a new batch (doc_id % 10 == 0) is
+    // quality-gated, near-dup-matched against the existing corpus via
+    // the delta-probes-corpus band join (per-ingest cost scales with the
+    // delta — see dedup_incremental), and only unmatched survivors are
+    // UPSERTED into the corpus; graded on the per-source corpus report.
+    // This is the steady-state shape of corpus maintenance at 100 TB:
+    // signatures indexed once, each ingest pays delta-sized work, never
+    // a full re-dedup.
+    "pipeline_incremental" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+        .select("doc_id", "text", "lang", "source")
+      val batch = docs.filter(col("doc_id") % 10 === 0)
+      val kept = TextAnalysis.quality(batch, "doc_id", "text",
+          passthrough = Seq("text", "lang", "source"))
+        .filter(col("alpha_ratio") >= 0.6)
+        .select("doc_id", "text", "lang", "source")
+      val matches = Dedup.incrementalMinhashMatches(kept, corpus,
+        "doc_id", "text", numHashes = 16, numBands = 4, minEstimate = 0.5)
+      val newDocs = kept.join(
+        matches.select(col("new_doc").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+      Upsert(corpus, newDocs, "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_id"))
+        .orderBy(col("source"))
     }),
 
     "multimodal_meta" -> ((s, dir) =>
@@ -1034,6 +1062,35 @@ object TrainingDataQueries {
          |       count(*) AS n_docs, min(doc_id) AS min_id,
          |       CAST(sum(len(l)) AS BIGINT) AS sum_tokens
          |FROM sb GROUP BY 1 ORDER BY split""".stripMargin,
+
+    // Incremental-ingest composition: the dedup_incremental band/sig
+    // CTEs, candidate x-side restricted to the quality-gated batch;
+    // the upsert degenerates to UNION ALL because batch and corpus key
+    // spaces are disjoint (the Spark side runs the general full-outer
+    // Upsert operator regardless).
+    "pipeline_incremental" ->
+      s"""WITH ${sigBandCtesFrom("documents")},
+         |kept AS (SELECT doc_id, lang, source FROM documents
+         |         WHERE doc_id % 10 = 0
+         |           AND round(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / length(text), 4) >= 0.6),
+         |cand AS (SELECT DISTINCT x.doc_id AS new_doc, y.doc_id AS corpus_doc
+         |         FROM bands x JOIN bands y
+         |           ON x.band = y.band AND x.band_key = y.band_key
+         |        WHERE x.doc_id IN (SELECT doc_id FROM kept)
+         |          AND y.doc_id % 10 <> 0),
+         |est AS (SELECT new_doc, corpus_doc,
+         |          round(avg(CASE WHEN a.minh = b.minh THEN 1.0 ELSE 0.0 END), 4) AS ej
+         |        FROM cand
+         |        JOIN sig a ON a.doc_id = new_doc
+         |        JOIN sig b ON b.doc_id = corpus_doc AND a.seed = b.seed
+         |        GROUP BY 1, 2),
+         |matched AS (SELECT DISTINCT new_doc FROM est WHERE ej >= 0.5),
+         |merged AS (SELECT doc_id, lang, source FROM documents WHERE doc_id % 10 <> 0
+         |           UNION ALL
+         |           SELECT doc_id, lang, source FROM kept
+         |           WHERE doc_id NOT IN (SELECT new_doc FROM matched))
+         |SELECT source, count(*) AS n_docs, min(doc_id) AS min_id
+         |FROM merged GROUP BY source ORDER BY source""".stripMargin,
 
     "multimodal_meta" ->
       """SELECT doc_id AS media_id,
