@@ -232,6 +232,43 @@ class StreamingSpec extends SparkSpec {
       s"exactly one open tail per user expected, got $openTails")
   }
 
+  test("stateless text operators run UNCHANGED on a stream and match batch") {
+    // quality scoring, PII redaction and context chunking are pure
+    // projections / generators — no state, no watermark — so the same
+    // operator code must plan on a streaming DataFrame and agree with
+    // the batch result row-for-row once the stream drains.
+    val docs = Seq(
+      (1L, "The cat and the dog sat on the mat near https://x.y/z today"),
+      (2L, "mail me at a.b@c.de and call +1 (555) 010-9999 soon"),
+      (3L, (1 to 100).map(i => s"tok$i").mkString(" ")))
+    val input = MemoryStream[(Long, String)](spark)
+    input.addData(docs: _*)
+    val streamDf = input.toDF().toDF("doc_id", "text")
+
+    def redact(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.TextAnalysis.redactPii(df, "doc_id", "text")
+    def chunks(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.TextAnalysis.chunkTokens(df, "doc_id", "text",
+        chunkSize = 32, overlap = 8)
+
+    val q1 = redact(streamDf).writeStream.format("memory")
+      .queryName("stream_redact").outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow()).start()
+    val q2 = chunks(streamDf).writeStream.format("memory")
+      .queryName("stream_chunks").outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow()).start()
+    q1.awaitTermination(120000)
+    q2.awaitTermination(120000)
+
+    val batchDf = docs.toDF("doc_id", "text")
+    assert(spark.table("stream_redact").collect().map(_.toSeq).toSet ===
+      redact(batchDf).collect().map(_.toSeq).toSet)
+    val gotChunks = spark.table("stream_chunks").collect().map(_.toSeq).toSet
+    assert(gotChunks === chunks(batchDf).collect().map(_.toSeq).toSet)
+    // doc 3 (100 tokens, 32-window/8-overlap) chunks into ceil((100-8)/24)=4
+    assert(gotChunks.count(_.head == 3L) === 4)
+  }
+
   test("sessionize: flatMapGroupsWithState emits gap-closed sessions") {
     val input = MemoryStream[Streaming.Evt](spark)
     val gap = 1000L
