@@ -418,6 +418,43 @@ object RelationalQueries {
         .orderBy(col("o_orderkey"))
     }),
 
+    // Snapshot diff — classify every key across two corpus versions as
+    // added / removed / changed / same in one full-outer join (the audit
+    // report a data-versioning layer derives between ingests; the
+    // companion of q_upsert, which produces the merged state).
+    "q_table_diff" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val v1 = o.filter(col("o_orderkey") % 3 =!= 0)
+      val v2 = Upsert(v1,
+        o.filter(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+            round(col("o_totalprice") + 1000, 2).as("o_totalprice")),
+        "o_orderkey")
+        // simulated deletions so the diff exercises all four branches
+        .filter(col("o_orderkey") % 7 =!= 1)
+      v1.as("a").join(v2.as("b"), Seq("o_orderkey"), "full_outer")
+        .select(col("o_orderkey"),
+          when(col("a.o_orderstatus").isNull, "added")
+            .when(col("b.o_orderstatus").isNull, "removed")
+            .when(col("a.o_orderstatus") === col("b.o_orderstatus") &&
+              col("a.o_totalprice") === col("b.o_totalprice"), "same")
+            .otherwise("changed").as("status"))
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n"), min(col("o_orderkey")).as("min_key"))
+        .orderBy(col("status"))
+    }),
+
+    // Fixed-width value histogram per group — one two-phase hash
+    // aggregation; bucket count is bounded by the value domain, never
+    // the row count.
+    "q_histogram" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          (floor(col("value") / 50) * 50).cast("long").as("bucket_lo"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("event_type"), col("bucket_lo"))),
+
     // Per-group outlier detection (|x − μ| > 2σ) in EXACT integer
     // arithmetic: with integer cents, n·x − S and n·Q − S² recast the
     // float z-score test as a cross-multiplied integer inequality
@@ -804,6 +841,31 @@ object RelationalQueries {
         |                         (200000.0, 1000000000000.0, 'high')) b(lo, hi, band)
         |  ON o_totalprice >= lo AND o_totalprice < hi
         |GROUP BY band ORDER BY band""".stripMargin,
+    "q_table_diff" ->
+      """WITH o AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+        |v1 AS (SELECT * FROM o WHERE o_orderkey % 3 <> 0),
+        |delta AS (SELECT o_orderkey, 'U' AS o_orderstatus,
+        |                 round(o_totalprice + 1000, 2) AS o_totalprice
+        |          FROM o WHERE o_orderkey % 2 = 0),
+        |v2 AS (SELECT o_orderkey,
+        |         coalesce(d.o_orderstatus, b.o_orderstatus) AS o_orderstatus,
+        |         coalesce(d.o_totalprice, b.o_totalprice) AS o_totalprice
+        |       FROM v1 b FULL JOIN delta d USING (o_orderkey)
+        |       WHERE o_orderkey % 7 <> 1),
+        |diff AS (SELECT o_orderkey,
+        |           CASE WHEN a.o_orderstatus IS NULL THEN 'added'
+        |                WHEN b.o_orderstatus IS NULL THEN 'removed'
+        |                WHEN a.o_orderstatus = b.o_orderstatus
+        |                 AND a.o_totalprice = b.o_totalprice THEN 'same'
+        |                ELSE 'changed' END AS status
+        |         FROM v1 a FULL JOIN v2 b USING (o_orderkey))
+        |SELECT status, count(*) AS n, min(o_orderkey) AS min_key
+        |FROM diff GROUP BY status ORDER BY status""".stripMargin,
+    "q_histogram" ->
+      """SELECT event_type,
+        |       CAST(floor(value / 50) * 50 AS BIGINT) AS bucket_lo,
+        |       count(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY event_type, bucket_lo""".stripMargin,
     "q_upsert" ->
       """WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice
         |              FROM orders WHERE o_orderkey % 3 <> 0),
