@@ -1,0 +1,69 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties}
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{TextAnalysis, Upsert}
+
+/** ScalaCheck properties for the round-4 operators: chunking
+  * reconstructs the document, heavy hitters are exact against brute
+  * force for arbitrary streams, and upsert is idempotent with
+  * last-writer-wins semantics. */
+object OperatorProps extends Properties("Operators") {
+
+  private lazy val spark = SparkSpec.session
+  import spark.implicits._
+
+  private val word: Gen[String] =
+    Gen.oneOf("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta",
+      "theta", "iota", "kappa")
+
+  property("chunkTokens: de-overlapped chunks reconstruct the word sequence") =
+    Prop.forAll(Gen.chooseNum(1, 120).flatMap(n => Gen.listOfN(n, word))) { ws =>
+      val df = Seq((1L, ws.mkString(" "))).toDF("doc_id", "text")
+      val chunkSize = 8
+      val overlap = 3
+      val chunks = TextAnalysis.chunkTokens(df, "doc_id", "text", chunkSize, overlap)
+        .orderBy("chunk_idx")
+        .select("chunk_text").as[String].collect()
+      // chunk 0 in full, then each later chunk minus its leading overlap,
+      // concatenated, must equal the original word sequence
+      val rebuilt = chunks.toList match {
+        case head :: tail =>
+          head.split(" ").toList ++ tail.flatMap(_.split(" ").drop(overlap))
+        case Nil => Nil
+      }
+      rebuilt == ws
+    }
+
+  property("heavyHitters is exact vs brute force for arbitrary streams") =
+    Prop.forAll(Gen.chooseNum(10, 300).flatMap(n => Gen.listOfN(n, word))) { ws =>
+      val df = ws.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+        .toDF("doc_id", "text").repartition(3)
+      val supportDenom = 8
+      val got = TextAnalysis.heavyHitters(df, "doc_id", "text",
+          supportDenom = supportDenom, capacity = 12)
+        .select("word", "n_occurrences").as[(String, Long)].collect().toMap
+      val n = ws.length
+      val want = ws.groupBy(identity).view.mapValues(_.length.toLong)
+        .filter { case (_, c) => c * supportDenom >= n }.toMap
+      got == want
+    }
+
+  private val table: Gen[List[(Long, String)]] =
+    Gen.chooseNum(0, 20).flatMap(n => Gen.listOfN(n,
+      Gen.zip(Gen.chooseNum(0L, 12L), Gen.oneOf("a", "b", "c"))))
+      .map(_.distinctBy(_._1))
+
+  property("Upsert: last-writer-wins, idempotent, key-complete") =
+    Prop.forAll(table, table) { (base, delta) =>
+      val b = base.toDF("k", "v")
+      val d = delta.toDF("k", "v")
+      val once = Upsert(b, d, "k").as[(Long, String)].collect().toMap
+      val expected = base.toMap ++ delta.toMap
+      val twice = Upsert(Upsert(b, d, "k"), d, "k")
+        .as[(Long, String)].collect().toMap
+      once == expected && twice == expected
+    }
+}
