@@ -494,8 +494,13 @@ object TrainingDataQueries {
     // delta — see dedup_incremental), and only unmatched survivors are
     // UPSERTED into the corpus; graded on the per-source corpus report.
     // This is the steady-state shape of corpus maintenance at 100 TB:
-    // signatures indexed once, each ingest pays delta-sized work, never
-    // a full re-dedup.
+    // signatures indexed once, so the DEDUP work per ingest is
+    // delta-sized (the band join broadcasts the batch side — verified
+    // in the plan), never a full re-dedup. The final merge is the one
+    // corpus-sized stage; at scale it becomes an append of survivors
+    // (disjoint keys) or a bucket-aligned upsert that avoids
+    // re-shuffling the corpus — the full-outer Upsert here grades the
+    // general overlapping-keys semantics.
     "pipeline_incremental" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val corpus = docs.filter(col("doc_id") % 10 =!= 0)
