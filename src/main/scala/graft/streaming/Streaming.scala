@@ -240,6 +240,42 @@ object Streaming {
         unix_millis(col("session_window.end")).as("sess_end_ms"),
         col("n_events"))
 
+  case class Tick(key: String, ts_ms: Long)
+  case class GapState(lastBucket: Long)
+  case class Gap(key: String, bucket_ms: Long)
+
+  /** Streaming gap DETECTION — the live twin of the batch gap-fill
+    * query: per key, state holds only the last seen time bucket (O(1));
+    * when an arriving event's bucket skips ahead, every missed bucket
+    * in between is emitted as a gap record (which a downstream stage
+    * fills with zeros / carried-forward values, exactly like the batch
+    * spine join). Emission happens when the next event REVEALS the gap
+    * — deterministic and replay-safe, unlike wall-clock timers; pair
+    * with an event-time-timeout variant when liveness against a stalled
+    * source matters more than determinism. */
+  def gapDetectStream(ticks: Dataset[Tick], bucketMs: Long): Dataset[Gap] = {
+    import ticks.sparkSession.implicits._
+    ticks.groupByKey(_.key)
+      .flatMapGroupsWithState[GapState, Gap](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[Tick], state: GroupState[GapState]) =>
+          val buckets = it.map(t => Math.floorDiv(t.ts_ms, bucketMs))
+            .toSeq.distinct.sorted
+          var last = state.getOption.map(_.lastBucket)
+          val gaps = Seq.newBuilder[Gap]
+          buckets.foreach { b =>
+            last match {
+              case Some(l) if b > l + 1 =>
+                ((l + 1) until b).foreach(m => gaps += Gap(key, m * bucketMs))
+              case _ => ()
+            }
+            last = Some(last.fold(b)(math.max(_, b)))
+          }
+          last.foreach(l => state.update(GapState(l)))
+          gaps.result().iterator
+      }
+  }
+
   case class Evt(user_id: Long, event_id: Long, ts_ms: Long)
   case class SessionState(startMs: Long, endMs: Long, n: Long)
   case class Session(user_id: Long, sess_start_ms: Long, sess_end_ms: Long,

@@ -269,6 +269,36 @@ class StreamingSpec extends SparkSpec {
     assert(gotChunks.count(_.head == 3L) === 4)
   }
 
+  test("gapDetectStream finds exactly the buckets the batch spine join fills") {
+    // fixture events, replayed as a stream in two micro-batches split at
+    // a timestamp boundary — gaps revealed across the batch split too
+    val events = Tables.events(spark, sf("sf0.001"))
+      .select(col("event_type").as("key"), col("ts_ms"))
+      .as[Streaming.Tick].collect().toSeq
+    val mid = events.map(_.ts_ms).sorted.apply(events.length / 2)
+    val input = MemoryStream[Streaming.Tick](spark)
+    input.addData(events.filter(_.ts_ms < mid): _*)
+    input.addData(events.filter(_.ts_ms >= mid): _*)
+
+    val bucketMs = 3600000L
+    val q = Streaming.gapDetectStream(input.toDS(), bucketMs)
+      .writeStream.format("memory").queryName("gaps")
+      .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("gaps")
+      .select("key", "bucket_ms").as[(String, Long)].collect().toSet
+
+    // batch truth: for each key, hours in [min, max] with no events
+    val want = events.groupBy(_.key).toSeq.flatMap { case (k, ts) =>
+      val hs = ts.map(t => Math.floorDiv(t.ts_ms, bucketMs)).toSet
+      (hs.min to hs.max).filterNot(hs).map(h => (k, h * bucketMs))
+    }.toSet
+    assert(got === want,
+      s"extra=${(got -- want).take(5)} missing=${(want -- got).take(5)} " +
+        s"sizes got=${got.size} want=${want.size}")
+    assert(want.nonEmpty, "fixture must actually contain gaps for this test to bite")
+  }
+
   test("sessionize: flatMapGroupsWithState emits gap-closed sessions") {
     val input = MemoryStream[Streaming.Evt](spark)
     val gap = 1000L
