@@ -269,6 +269,26 @@ class StreamingSpec extends SparkSpec {
     assert(gotChunks.count(_.head == 3L) === 4)
   }
 
+  test("MisraGries UDAF works inside a streaming aggregation") {
+    // the sketch's bounded-map buffer is partial-aggregable, so it can
+    // serve as streaming state: candidates over the whole (unbounded)
+    // stream with O(capacity) memory per group
+    val input = MemoryStream[(String, String)](spark)
+    input.addData(Seq.fill(30)(("g1", "hot")) ++ (1 to 20).map(i => ("g1", s"t$i")): _*)
+    input.addData(Seq.fill(25)(("g1", "warm")) ++ (1 to 20).map(i => ("g1", s"u$i")): _*)
+    val mg = udaf(new graft.functions.MisraGries(8))
+    val q = input.toDF().toDF("g", "word")
+      .groupBy("g").agg(mg(col("word")).as("cands"))
+      .writeStream.format("memory").queryName("mg_stream")
+      .outputMode(OutputMode.Complete()).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val cands = spark.table("mg_stream")
+      .select(explode(col("cands"))).as[String].collect().toSet
+    // the two true heavy items must survive; the candidate set stays ≤ capacity
+    assert(cands.contains("hot") && cands.contains("warm"), cands.toString)
+    assert(cands.size <= 8)
+  }
+
   test("gapDetectStream finds exactly the buckets the batch spine join fills") {
     // fixture events, replayed as a stream in two micro-batches split at
     // a timestamp boundary — gaps revealed across the batch split too
