@@ -69,8 +69,8 @@ object Skew {
     val bits = lit(words)
     val pass = positions(col(factKey)).map { p =>
       val word = element_at(bits, (p / 64).cast("int") + 1)
-      expr("1L").bitwiseAND(
-        call_function("shiftright", word, (p % 64).cast("int"))) === 1L
+      call_function("shiftright", word, (p % 64).cast("int"))
+        .bitwiseAND(lit(1L)) === 1L
     }.reduce(_ && _)
     fact.filter(pass)
       .join(dim.select(col(dimKey)).distinct(),

@@ -418,6 +418,35 @@ object RelationalQueries {
         .orderBy(col("o_orderkey"))
     }),
 
+    // UNPIVOT (melt): the inverse of q_pivot — wide per-type counts back
+    // to long (user_id, event_type, n) form. Expand-based, one pass.
+    "q_unpivot" -> ((s, dir) => {
+      val wide = Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .count().na.fill(0L)
+      wide.unpivot(Array(col("user_id")),
+          Array(col("click"), col("error"), col("purchase"),
+            col("signup"), col("view")),
+          "event_type", "n")
+        .filter(col("n") > 0)
+        .orderBy(col("user_id"), col("event_type"))
+    }),
+
+    // arg-max/arg-min aggregates (max_by/min_by): the accompanying-value
+    // aggregation that avoids a self-join or window for "row of the max".
+    // Ties broken deterministically by aggregating the EXTREME (max id)
+    // among tied rows via a struct ordering: max_by with a composite
+    // (price, key) ordering key.
+    "q_argmax" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy(col("o_custkey"))
+        .agg(
+          expr("max_by(o_orderkey, struct(o_totalprice, o_orderkey))").as("top_order"),
+          expr("min_by(o_orderkey, struct(o_totalprice, -o_orderkey))").as("bottom_order"),
+          round(max(col("o_totalprice")), 2).as("max_tp"))
+        .orderBy(col("o_custkey"))),
+
     // Snapshot diff — classify every key across two corpus versions as
     // added / removed / changed / same in one full-outer join (the audit
     // report a data-versioning layer derives between ingests; the
@@ -841,6 +870,23 @@ object RelationalQueries {
         |                         (200000.0, 1000000000000.0, 'high')) b(lo, hi, band)
         |  ON o_totalprice >= lo AND o_totalprice < hi
         |GROUP BY band ORDER BY band""".stripMargin,
+    // unpivot(pivot(x)) == x on the non-zero cells: the oracle is the
+    // plain long-form aggregation.
+    "q_unpivot" ->
+      """SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY user_id, event_type""".stripMargin,
+    "q_argmax" ->
+      """WITH r AS (SELECT o_custkey, o_orderkey, o_totalprice,
+        |             row_number() OVER (PARTITION BY o_custkey
+        |               ORDER BY o_totalprice DESC, o_orderkey DESC) AS rmax,
+        |             row_number() OVER (PARTITION BY o_custkey
+        |               ORDER BY o_totalprice ASC, o_orderkey DESC) AS rmin
+        |           FROM orders)
+        |SELECT o_custkey,
+        |       max(CASE WHEN rmax = 1 THEN o_orderkey END) AS top_order,
+        |       max(CASE WHEN rmin = 1 THEN o_orderkey END) AS bottom_order,
+        |       round(max(o_totalprice), 2) AS max_tp
+        |FROM r GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
     "q_table_diff" ->
       """WITH o AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
         |v1 AS (SELECT * FROM o WHERE o_orderkey % 3 <> 0),
