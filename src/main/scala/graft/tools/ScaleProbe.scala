@@ -3,7 +3,7 @@ package graft.tools
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Similarity, TextAnalysis}
 
 /** Empirical scaling probe for the near-dup operators: replicates the
   * sf0.1 documents corpus xN (ids shifted, text perturbed per copy so
@@ -60,6 +60,22 @@ object ScaleProbe {
         f() // warm
         val (rows, sec) = time(f())
         println(f"PROBE x$factor $name docs=${nBase * factor} pairs=$rows time=$sec%.2fs")
+      }
+      // Round-4 text operators: heavy hitters' nonlinearity risk is the
+      // candidate recount join (candidates are bounded by capacity ×
+      // partitions, so the join stays broadcast — cost should track the
+      // corpus scan); TF-IDF's is the word-level df aggregation (shuffle
+      // over the tf table, which grows with the corpus). Both should be
+      // ~linear in docs.
+      val textOps: Seq[(String, () => Long)] = Seq(
+        "heavyhitters" -> (() =>
+          TextAnalysis.heavyHitters(df, "doc_id", "text").count()),
+        "tfidf" -> (() =>
+          TextAnalysis.tfidfTopTerms(df, "doc_id", "text", 3).count()))
+      textOps.foreach { case (name, f) =>
+        f() // warm
+        val (rows, sec) = time(f())
+        println(f"PROBE x$factor $name docs=${nBase * factor} rows=$rows time=$sec%.2fs")
       }
       // Connected components over the minhash pair graph: the iterative
       // operator's quadratic risk surface is the ROUND COUNT, not the
