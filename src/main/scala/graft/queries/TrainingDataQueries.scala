@@ -521,6 +521,31 @@ object TrainingDataQueries {
         .orderBy(col("source"))
     }),
 
+    // The COMPLETE corpus→batches story: quality gate → exact dedup →
+    // minhash near-dup survivors → context-length chunking → token-
+    // budget packing — documents in, packed training bins out, every
+    // stage from this library, graded end-to-end on the per-bin rollup.
+    "pipeline_training_batches" -> ((s, dir) => {
+      val kept = TextAnalysis.quality(
+          Tables.documents(s, dir), "doc_id", "text", passthrough = Seq("text"))
+        .filter(col("alpha_ratio") >= 0.6 && col("stopword_ratio") >= 0.05)
+      val exactSurv = Dedup.exactSurvivors(kept, "doc_id", Seq("text"))
+      val nearSurv = Dedup.nearDupSurvivors(exactSurv, "doc_id",
+        Dedup.minhashPairs(exactSurv, "doc_id", "text",
+          numHashes = 16, numBands = 4, minEstimate = 0.5))
+      val chunks = TextAnalysis.chunkTokens(nearSurv, "doc_id", "text",
+          chunkSize = 64, overlap = 16)
+        .select((col("doc_id") * 1000 + col("chunk_idx")).as("chunk_id"),
+          col("chunk_tokens").as("n_tokens"))
+      Sampling.packTokens(chunks, "chunk_id", "n_tokens",
+          budget = 2048L, numBuckets = 4)
+        .groupBy(col("bucket"), col("bin"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(col("n_tokens")).cast("long").as("bin_tokens"),
+          min(col("chunk_id")).as("min_chunk"))
+        .orderBy(col("bucket"), col("bin"))
+    }),
+
     "multimodal_meta" -> ((s, dir) =>
       Multimodal.attachBinary(Tables.documents(s, dir), "doc_id", "text")
         .select(col("media_id"), col("meta.n_bytes").as("n_bytes"),
@@ -1096,6 +1121,42 @@ object TrainingDataQueries {
          |           WHERE doc_id NOT IN (SELECT new_doc FROM matched))
          |SELECT source, count(*) AS n_docs, min(doc_id) AS min_id
          |FROM merged GROUP BY source ORDER BY source""".stripMargin,
+
+    // curation (same CTEs as pipeline_curation_v2) → chunking (same
+    // slice math as data_chunk) → packing (same md5-order windows as
+    // data_pack, keyed by chunk_id).
+    "pipeline_training_batches" ->
+      s"""WITH RECURSIVE q AS (SELECT doc_id, text, $wordsSql AS l,
+         |  round(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / length(text), 4) AS alpha_ratio,
+         |  round(len(list_filter($wordsSql, w -> w IN ($stopList))) * 1.0 / len($wordsSql), 4) AS stopword_ratio
+         |FROM documents),
+         |kept AS (SELECT * FROM q WHERE alpha_ratio >= 0.6 AND stopword_ratio >= 0.05),
+         |es AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY text),
+         |cur AS (SELECT k.* FROM kept k JOIN es USING (doc_id)),
+         |${minhashCtesFrom("cur")},
+         |$componentCtes,
+         |fin AS (SELECT doc_id, l FROM cur
+         |        WHERE doc_id NOT IN (SELECT node FROM losers)),
+         |st AS (SELECT doc_id, l,
+         |         unnest(list_filter(generate_series(0, len(l) - 1, 48),
+         |                s -> s = 0 OR s + 16 < len(l))) AS s
+         |       FROM fin),
+         |ch AS (SELECT doc_id * 1000 + s // 48 AS chunk_id,
+         |              len(l[s + 1 : s + 64]) AS n_tokens
+         |       FROM st),
+         |d AS (SELECT chunk_id, n_tokens,
+         |        ('0x' || substr(md5(chunk_id::VARCHAR), 1, 8))::BIGINT % 4 AS bucket
+         |      FROM ch),
+         |p AS (SELECT chunk_id, n_tokens, bucket,
+         |        CAST(coalesce(sum(n_tokens) OVER (PARTITION BY bucket
+         |               ORDER BY md5(chunk_id::VARCHAR), chunk_id
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |             // 2048 AS BIGINT) AS bin
+         |      FROM d)
+         |SELECT bucket, bin, count(*) AS n_chunks,
+         |       CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+         |       min(chunk_id) AS min_chunk
+         |FROM p GROUP BY bucket, bin ORDER BY bucket, bin""".stripMargin,
 
     "multimodal_meta" ->
       """SELECT doc_id AS media_id,
