@@ -48,6 +48,10 @@ object Skew {
     * rows failing the bloom test never enter the exchange: for a
     * selective dim the shuffle shrinks by orders of magnitude at the
     * cost of one scan-speed codegen'd predicate.
+    *
+    * Sizing: ~10 bits per expected dim key keeps the false-positive
+    * rate near 1% at k=3 (FPs only waste shuffle, never corrupt
+    * results); the default 2^16 bits suits dims up to ~6k keys.
     */
   def bloomSemiJoin(fact: DataFrame, factKey: String,
                     dim: DataFrame, dimKey: String,

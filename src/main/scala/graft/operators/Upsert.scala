@@ -12,6 +12,11 @@ import org.apache.spark.sql.functions._
   * Columns are taken from `base`'s schema; `delta` must carry the same
   * columns. Per-column `coalesce(delta, base)` implements
   * "update if matched, insert if new, keep if unmatched".
+  *
+  * Contract: `delta` must be key-unique (run [[Dedup.exactSurvivors]]
+  * or a last-write `row_number` filter first) — duplicate delta keys
+  * would fan out the join like any MERGE with a non-deterministic
+  * source match.
   */
 object Upsert {
   def apply(base: DataFrame, delta: DataFrame, key: String): DataFrame = {
