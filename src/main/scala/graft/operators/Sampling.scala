@@ -40,6 +40,48 @@ object Sampling {
     df.filter(bucket1000(keyCol) < threshold)
   }
 
+  /** Quality-weighted deterministic sampling: each row keeps with its
+    * OWN probability `permilleCol`/1000 (e.g. a quality score mapped to
+    * [0, 1000]), decided by comparing the row's hash bucket against the
+    * row's threshold — so high-quality documents survive at a higher
+    * rate and membership is still a pure function of (key, weight):
+    * reproducible across runs, partitionings, and engines. Pure
+    * integer compare, scan speed, no shuffle. */
+  def weightedSample(df: DataFrame, keyCol: String, permilleCol: Column): DataFrame =
+    df.filter(bucket1000(keyCol) < permilleCol)
+
+  /** Temperature-based source mixture rates (the multilingual/multi-
+    * source rebalancing rule of mBERT/XLM-R: sample source i
+    * proportionally to p_i^α with α = 1/2, flattening the natural
+    * distribution so rare sources aren't drowned). Emitted as per-source
+    * keep-rates normalized so the SMALLEST source keeps everything:
+    * rate_i = sqrt(min_tokens / tokens_i) ∈ (0, 1] — downsampling
+    * over-represented sources ∝ p^(−1/2).
+    *
+    * `rate_ppm` is the integer parts-per-million threshold a
+    * [[weightedSample]]-style hash compare consumes. Determinism across
+    * engines: tokens are exact BIGINTs, `/` and `sqrt` are both
+    * IEEE-754 correctly-rounded single operations, so the double — and
+    * its rounding to ppm — is bit-identical in any engine.
+    *
+    * One aggregation over the corpus (per-source token totals are the
+    * only state) + a broadcast of the 1-row minimum. */
+  def temperatureMixRates(df: DataFrame, sourceCol: String,
+                          tokensCol: String): DataFrame = {
+    val bySource = df.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"), sum(col(tokensCol)).as("sum_tokens"))
+    val minTok = bySource.agg(min(col("sum_tokens")).as("min_tokens"))
+    bySource.crossJoin(broadcast(minTok))
+      .select(col(sourceCol), col("n_docs"), col("sum_tokens"),
+        expr("cast(round(sqrt(cast(min_tokens as double) / cast(sum_tokens as double)) * 1000000) as bigint)")
+          .as("rate_ppm"))
+  }
+
+  /** Uniform hash bucket in [0, 1000000) — the ppm-resolution twin of
+    * [[bucket1000]] for [[temperatureMixRates]] thresholds. */
+  def bucketPpm(keyCol: String): Column =
+    expr(s"pmod(cast(conv(substr(md5(cast($keyCol as string)), 1, 8), 16, 10) as bigint), 1000000)")
+
   /** Train/val/test assignment by hash bucket: [0, trainPermille) →
     * "train", then validation, remainder → "test". Stable across runs —
     * a document can never leak between splits. */

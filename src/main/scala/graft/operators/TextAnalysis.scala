@@ -220,6 +220,85 @@ object TextAnalysis {
       .withColumn("chunk_tokens", size(TextFunctions.words(col("chunk_text"))))
   }
 
+  /** Cross-document boilerplate detection (the C4-style filter: text
+    * fragments repeated verbatim across many documents — nav bars,
+    * license headers, templated footers — are boilerplate, not
+    * content). A word 3-gram occurring in ≥ `minDocs` DISTINCT
+    * documents is flagged; each document reports how much of its
+    * distinct-shingle set is boilerplate.
+    *
+    * Shape: one scan → native 48-bit shingle projection
+    * ([[graft.plans.ShingleHashes]], distinct per doc) → explode →
+    * document-frequency aggregation on the 8-byte hash key → join back
+    * → per-doc rollup. Both shuffles key on the shingle hash / doc id;
+    * state is bounded by the distinct-shingle universe (corpus-sized,
+    * never corpus²). The df table is exactly the one the n-gram
+    * Jaccard df-cap builds — at 100 TB the two ops share the pass. */
+  def boilerplateShingles(df: DataFrame, idCol: String, textCol: String,
+                          minDocs: Int = 3): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val sh = df
+      .select(col(idCol).as("doc"), TextFunctions.words(col(textCol)).as("__w"))
+      .select(col("doc"), explode(graft.plans.ShingleHashes(col("__w"))).as("key"))
+    // per-doc distinct by construction → count(*) = document frequency
+    val dfreq = sh.groupBy(col("key")).agg(count(lit(1)).as("df"))
+    sh.join(dfreq, "key")
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") >= minDocs, 1L).otherwise(0L)).as("n_boilerplate"),
+        round(sum(when(col("df") >= minDocs, 1L).otherwise(0L)).cast("double") /
+          count(lit(1)), 4).as("boilerplate_ratio"))
+  }
+
+  /** Exact duplicated-PASSAGE detection (the substring-level dedup of
+    * Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better", ACL '22 — reformulated from suffix arrays to a
+    * distributed join): a position in a document is "duplicated" when
+    * its word 3-gram also appears in at least `minDocs − 1` OTHER
+    * documents; consecutive duplicated positions merge into runs, so
+    * `max_run + width − 1` words is the longest verbatim passage shared
+    * with another document — the span a surgical dedup would cut
+    * (where whole-doc near-dup would keep the doc and miss the quoted
+    * block).
+    *
+    * Shape: positional shingle hashes ([[graft.plans.ShingleHashes]]
+    * document-order variant) → posexplode → distinct-doc frequency on
+    * the hash → semi-join marks duplicated positions → run detection
+    * via the islands trick (pos − row_number() per doc is constant
+    * within a consecutive run) → per-doc rollup. Window state is one
+    * doc's duplicated positions (bounded by doc length); every shuffle
+    * keys on the 8-byte hash or the doc id. */
+  def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+                      minDocs: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val pos = df
+      .select(col(idCol).as("doc"), TextFunctions.words(col(textCol)).as("__w"))
+      .select(col("doc"),
+        posexplode(graft.plans.ShingleHashes.positional(col("__w")))
+          .as(Seq("pos", "key")))
+    val dupKeys = pos.groupBy(col("key"))
+      .agg(countDistinct(col("doc")).as("ndocs"))
+      .filter(col("ndocs") >= minDocs)
+      .select(col("key"))
+    val runs = pos.join(dupKeys, Seq("key"), "left_semi")
+      .withColumn("grp",
+        col("pos") - row_number().over(
+          Window.partitionBy(col("doc")).orderBy(col("pos"))))
+      .groupBy(col("doc"), col("grp"))
+      .agg(count(lit(1)).as("run_len"))
+      .groupBy(col("doc"))
+      .agg(sum(col("run_len")).as("n_dup_positions"),
+        max(col("run_len")).as("max_run"))
+    pos.groupBy(col("doc")).agg(count(lit(1)).as("n_positions"))
+      .join(runs, Seq("doc"), "left_outer")
+      .select(col("doc"), col("n_positions"),
+        coalesce(col("n_dup_positions"), lit(0L)).as("n_dup_positions"),
+        coalesce(col("max_run"), lit(0L)).as("max_run"),
+        round(coalesce(col("n_dup_positions"), lit(0L)).cast("double") /
+          col("n_positions"), 4).as("dup_ratio"))
+  }
+
   /** Canonical md5 fingerprint per document. */
   def fingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol), TextFunctions.fingerprint(col(textCol)).as("fingerprint"))

@@ -27,4 +27,48 @@ object Upsert {
       .select(col(key) +: valueCols.map(c =>
         coalesce(col(s"d.$c"), col(s"b.$c")).as(c)): _*)
   }
+
+  /** SCD type-2 history between two full snapshots: where type-1
+    * ([[apply]]) overwrites, type-2 KEEPS the old row and closes its
+    * validity interval — the versioned-corpus shape (which document
+    * text was live for the v3 training run?).
+    *
+    * Output = history rows `(key, values…, valid_from, valid_to,
+    * is_current)` with versions `fromVersion`/`toVersion`:
+    *   - key in both, values equal     → one open row (from v1)
+    *   - key in both, values changed   → closed v1 row + open v2 row
+    *   - key only in v1 (deleted)      → closed v1 row
+    *   - key only in v2 (inserted)     → open v2 row
+    *
+    * One full-outer join on the key (both sides shuffle once) + an
+    * Expand-style union of the two row roles; no window, no collect —
+    * the history is twice the changed-key count plus the stable keys.
+    * Both snapshots must be key-unique (same contract as [[apply]]). */
+  def scd2(v1: DataFrame, v2: DataFrame, key: String,
+           fromVersion: Long = 1L, toVersion: Long = 2L): DataFrame = {
+    val valueCols = v1.columns.filter(_ != key).toSeq
+    require(valueCols.forall(v2.columns.contains),
+      s"v2 must carry v1's columns; missing ${valueCols.filterNot(v2.columns.contains).mkString(",")}")
+    // explicit presence markers — value columns may be legitimately null
+    val joined = v1.withColumn("__in_a", lit(true)).as("a")
+      .join(v2.withColumn("__in_b", lit(true)).as("b"), Seq(key), "full_outer")
+      .withColumn("__in_a", coalesce(col("a.__in_a"), lit(false)))
+      .withColumn("__in_b", coalesce(col("b.__in_b"), lit(false)))
+      .withColumn("__same", col("__in_a") && col("__in_b") &&
+        valueCols.map(c => col(s"a.$c") <=> col(s"b.$c")).reduce(_ && _))
+    // role 1: the v1-era row — open if unchanged, closed if changed/deleted
+    val oldRows = joined.filter(col("__in_a"))
+      .select(col(key) +: valueCols.map(c => col(s"a.$c").as(c)) ++: Seq(
+        lit(fromVersion).as("valid_from"),
+        when(col("__same"), lit(null).cast("long")).otherwise(toVersion)
+          .as("valid_to"),
+        col("__same").as("is_current")): _*)
+    // role 2: the v2-era row — only for changed or inserted keys
+    val newRows = joined.filter(col("__in_b") && !col("__same"))
+      .select(col(key) +: valueCols.map(c => col(s"b.$c").as(c)) ++: Seq(
+        lit(toVersion).as("valid_from"),
+        lit(null).cast("long").as("valid_to"),
+        lit(true).as("is_current")): _*)
+    oldRows.union(newRows)
+  }
 }

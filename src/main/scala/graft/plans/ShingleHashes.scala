@@ -23,7 +23,8 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * space — harmless for intersection COUNTING, and the DuckDB oracle
   * mirrors the exact same hash so grading stays bit-exact.
   */
-case class ShingleHashes(child: Expression, width: Int = 3)
+case class ShingleHashes(child: Expression, width: Int = 3,
+                         distinct: Boolean = true)
     extends UnaryExpression {
 
   require(width > 0, s"bad shingle width=$width")
@@ -33,7 +34,7 @@ case class ShingleHashes(child: Expression, width: Int = 3)
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
-    ShingleHashes.compute(arr, width) match {
+    ShingleHashes.compute(arr, width, distinct) match {
       case null => null
       case hs => new GenericArrayData(hs)
     }
@@ -43,7 +44,7 @@ case class ShingleHashes(child: Expression, width: Int = 3)
     nullSafeCodeGen(ctx, ev, a => {
       val hs = ctx.freshName("hs")
       s"""
-         |final long[] $hs = graft.plans.ShingleHashes.compute($a, $width);
+         |final long[] $hs = graft.plans.ShingleHashes.compute($a, $width, $distinct);
          |if ($hs == null) {
          |  ${ev.isNull} = true;
          |} else {
@@ -57,9 +58,11 @@ case class ShingleHashes(child: Expression, width: Int = 3)
 }
 
 object ShingleHashes {
-  /** Shared hot loop: distinct sorted 48-bit shingle hashes, or null
-    * when the words array yields no shingles. */
-  def compute(words: ArrayData, width: Int): Array[Long] = {
+  /** Shared hot loop: 48-bit shingle hashes — distinct+sorted (the
+    * near-dup set view) or positional in document order (the span view,
+    * `distinct = false`) — or null when the words array yields no
+    * shingles. */
+  def compute(words: ArrayData, width: Int, distinct: Boolean = true): Array[Long] = {
     val n = words.numElements()
     val nShingles = n - width + 1
     if (nShingles <= 0) return null
@@ -81,6 +84,7 @@ object ShingleHashes {
         ((d(4) & 0xffL) << 8) | (d(5) & 0xffL)
       i += 1
     }
+    if (!distinct) return out
     // distinct via sort + squash (n is per-document — tiny)
     java.util.Arrays.sort(out)
     var w = 1
@@ -95,4 +99,10 @@ object ShingleHashes {
   /** Column API over an `array<string>` WORDS column. */
   def apply(words: Column): Column =
     Bridge.column(ShingleHashes(Bridge.expression(words)))
+
+  /** Positional (document-order, non-distinct) variant: element i is the
+    * hash of the shingle starting at word i — the span view used by
+    * duplicated-passage detection. */
+  def positional(words: Column): Column =
+    Bridge.column(ShingleHashes(Bridge.expression(words), distinct = false))
 }

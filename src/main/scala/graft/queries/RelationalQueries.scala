@@ -474,6 +474,28 @@ object RelationalQueries {
         .orderBy(col("status"))
     }),
 
+    // SCD type-2 history between two snapshots: where q_upsert
+    // overwrites (type 1), this KEEPS the old row and closes its
+    // validity interval — unchanged keys stay open from v1, changed
+    // keys get a closed v1 row + an open v2 row, deleted keys close,
+    // inserted keys open at v2. One full-outer join, no window.
+    "q_scd2" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val v1 = o.filter(col("o_orderkey") % 13 =!= 0)
+      val v2 = o.filter(col("o_orderkey") % 7 =!= 1)
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 5 === 0, "R")
+            .otherwise(col("o_orderstatus")).as("o_orderstatus"),
+          when(col("o_orderkey") % 5 === 0, round(col("o_totalprice") + 100, 2))
+            .otherwise(col("o_totalprice")).as("o_totalprice"))
+      Upsert.scd2(v1, v2, "o_orderkey")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          round(col("o_totalprice"), 2).as("o_totalprice"),
+          col("valid_from"), col("valid_to"), col("is_current"))
+        .orderBy(col("o_orderkey"), col("valid_from"))
+    }),
+
     // Fixed-width value histogram per group — one two-phase hash
     // aggregation; bucket count is bounded by the value domain, never
     // the row count.
@@ -907,6 +929,32 @@ object RelationalQueries {
         |         FROM v1 a FULL JOIN v2 b USING (o_orderkey))
         |SELECT status, count(*) AS n, min(o_orderkey) AS min_key
         |FROM diff GROUP BY status ORDER BY status""".stripMargin,
+    "q_scd2" ->
+      """WITH o AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+        |v1 AS (SELECT * FROM o WHERE o_orderkey % 13 <> 0),
+        |v2 AS (SELECT o_orderkey,
+        |         CASE WHEN o_orderkey % 5 = 0 THEN 'R' ELSE o_orderstatus END AS o_orderstatus,
+        |         CASE WHEN o_orderkey % 5 = 0 THEN round(o_totalprice + 100, 2)
+        |              ELSE o_totalprice END AS o_totalprice
+        |       FROM o WHERE o_orderkey % 7 <> 1),
+        |j AS (SELECT coalesce(a.o_orderkey, b.o_orderkey) AS k,
+        |             a.o_orderkey IS NOT NULL AS in_a,
+        |             b.o_orderkey IS NOT NULL AS in_b,
+        |             a.o_orderstatus AS s1, a.o_totalprice AS p1,
+        |             b.o_orderstatus AS s2, b.o_totalprice AS p2,
+        |             (a.o_orderkey IS NOT NULL AND b.o_orderkey IS NOT NULL
+        |              AND a.o_orderstatus IS NOT DISTINCT FROM b.o_orderstatus
+        |              AND a.o_totalprice IS NOT DISTINCT FROM b.o_totalprice) AS same
+        |      FROM v1 a FULL JOIN v2 b ON a.o_orderkey = b.o_orderkey)
+        |SELECT k AS o_orderkey, s1 AS o_orderstatus, round(p1, 2) AS o_totalprice,
+        |       CAST(1 AS BIGINT) AS valid_from,
+        |       CASE WHEN same THEN NULL ELSE CAST(2 AS BIGINT) END AS valid_to,
+        |       same AS is_current
+        |FROM j WHERE in_a
+        |UNION ALL
+        |SELECT k, s2, round(p2, 2), CAST(2 AS BIGINT), CAST(NULL AS BIGINT), TRUE
+        |FROM j WHERE in_b AND NOT same
+        |ORDER BY o_orderkey, valid_from""".stripMargin,
     "q_histogram" ->
       """SELECT event_type,
         |       CAST(floor(value / 50) * 50 AS BIGINT) AS bucket_lo,

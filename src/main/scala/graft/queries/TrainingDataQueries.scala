@@ -26,6 +26,15 @@ object TrainingDataQueries {
 
   private val stopList = TextAnalysis.Stopwords.map(s => s"'$s'").mkString(", ")
 
+  /** Count-Min probe set: a mix of genuinely-frequent fixture vocabulary
+    * (stress: large counts must not undercount) and stopwords that may
+    * or may not occur (absent candidates drop out identically in both
+    * engines). Sorted so the Spark UDAF and the generated SQL literal
+    * agree on iteration order. */
+  private val countMinCandidates: Seq[String] = Seq(
+    "join", "hash", "row", "batch", "scan", "filter", "window", "spark",
+    "customer", "column", "slow", "key", "the", "a", "of", "table").sorted
+
   // DuckDB fragments mirrored by the Spark operators.
   private val wordsSql = "string_split_regex(lower(trim(text)), '\\s+')"
   private val wordCte = s"w AS (SELECT doc_id, $wordsSql AS l FROM documents)"
@@ -357,6 +366,45 @@ object TrainingDataQueries {
           supportDenom = 200, capacity = 400)
         .orderBy("word")),
 
+    // C4-style cross-document boilerplate: 3-shingles occurring in >= 3
+    // distinct docs are boilerplate; per doc, how much of its shingle
+    // set is shared scaffolding vs content.
+    "text_boilerplate" -> ((s, dir) =>
+      TextAnalysis.boilerplateShingles(Tables.documents(s, dir), "doc_id",
+          "text", minDocs = 3)
+        .orderBy("doc")),
+
+    // Exact duplicated-passage detection (Lee et al. substring dedup as
+    // a distributed join): positions whose 3-gram recurs in another doc,
+    // merged into consecutive runs — max_run+2 words = the longest
+    // verbatim shared passage.
+    "text_dup_spans" -> ((s, dir) =>
+      TextAnalysis.duplicatedSpans(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc")),
+
+    // Count-Min point-frequency estimates for the stopword list, graded
+    // like q_approx_distinct: exact counts hash-checked, sketch sanity
+    // (never undercounts; overcount <= 2n/width) as booleans the oracle
+    // pins TRUE — if the sketch drifts, the booleans flip and the query
+    // fails as a hash mismatch.
+    "text_countmin" -> ((s, dir) => {
+      val words = Tables.documents(s, dir)
+        .select(explode(TextFunctions.words(col("text"))).as("word"))
+      val cm = udaf(new graft.functions.CountMin(1024, 4, countMinCandidates))
+      val est = words.agg(cm(col("word")).as("m"))
+        .select(explode(col("m")).as(Seq("word", "est")))
+      val exact = words.filter(col("word").isin(countMinCandidates: _*))
+        .groupBy(col("word")).agg(count(lit(1)).as("exact_count"))
+      val total = words.agg(count(lit(1)).as("total"))
+      est.join(exact, "word") // inner: candidates absent from the corpus drop out
+        .crossJoin(broadcast(total))
+        .select(col("word"), col("exact_count"),
+          (col("est") >= col("exact_count")).as("never_underestimates"),
+          (col("est") - col("exact_count") <= lit(2) * col("total") / lit(1024))
+            .as("within_eps"))
+        .orderBy("word")
+    }),
+
     // Context-length chunking: overlapping 64-token windows (16-token
     // overlap), the step between curation and sequence packing. Graded
     // on (doc, chunk ordinal, chunk token count, chunk md5).
@@ -411,6 +459,36 @@ object TrainingDataQueries {
         .groupBy(col("split"))
         .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"))
         .orderBy(col("split"))),
+
+    // Quality-weighted sampling: each doc keeps with probability
+    // alpha_ratio (as a permille threshold against its hash bucket) —
+    // higher-quality documents survive at a higher rate, membership
+    // still a pure function of (key, weight).
+    "data_weighted_sample" -> ((s, dir) => {
+      val scored = TextAnalysis.quality(Tables.documents(s, dir), "doc_id",
+        "text", passthrough = Seq("lang", "source"))
+      Sampling.weightedSample(scored, "doc_id",
+          expr("cast(round(alpha_ratio * 1000) as bigint)"))
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    }),
+
+    // Temperature-based (alpha = 1/2) source mixture: per-source
+    // keep-rates flatten the natural source distribution (rate_i =
+    // sqrt(min_tokens/tokens_i)); graded on the rates AND the resulting
+    // deterministic per-source sample counts.
+    "data_mixture_sample" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .withColumn("n_tokens", size(TextFunctions.words(col("text"))))
+      val rates = Sampling.temperatureMixRates(docs, "source", "n_tokens")
+      val kept = docs
+        .join(broadcast(rates.select(col("source"), col("rate_ppm"))), "source")
+        .filter(Sampling.bucketPpm("doc_id") < col("rate_ppm"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"), min(col("doc_id")).as("min_id"))
+      rates.join(kept, Seq("source"), "left_outer")
+        .orderBy("source")
+    }),
 
     // Deterministic epoch shuffle: reproducible pseudo-random global
     // order from (seed, key) — the order IS the graded artifact.
@@ -947,6 +1025,60 @@ object TrainingDataQueries {
          |HAVING count(*) * 200 >= (SELECT total FROM tot)
          |ORDER BY word""".stripMargin,
 
+    // Distinct per-doc shingle hashes (the same 48-bit md5 keys as the
+    // near-dup joins) → document frequency → per-doc boilerplate share.
+    "text_boilerplate" ->
+      s"""WITH w AS (SELECT doc_id, $wordsSql AS l FROM documents),
+         |sh AS (SELECT doc_id,
+         |         unnest(list_distinct(list_transform(generate_series(1, len(l) - 2),
+         |           i -> ('0x' || substr(md5(l[i] || ' ' || l[i+1] || ' ' || l[i+2]), 1, 12))::BIGINT))) AS key
+         |       FROM w),
+         |d AS (SELECT key, count(*) AS df FROM sh GROUP BY key)
+         |SELECT sh.doc_id AS doc, count(*) AS n_shingles,
+         |       CAST(sum(CASE WHEN d.df >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_boilerplate,
+         |       round(sum(CASE WHEN d.df >= 3 THEN 1 ELSE 0 END) * 1.0 / count(*), 4) AS boilerplate_ratio
+         |FROM sh JOIN d USING (key)
+         |GROUP BY sh.doc_id ORDER BY doc""".stripMargin,
+
+    // Positional (non-distinct) gram hashes with their ordinals; a
+    // position is duplicated when its hash spans >= 2 docs; consecutive
+    // duplicated positions collapse into runs via the islands trick
+    // (pos - row_number() constant within a run).
+    "text_dup_spans" ->
+      s"""WITH w AS (SELECT doc_id, $wordsSql AS l FROM documents),
+         |ph AS (SELECT doc_id,
+         |         unnest(list_transform(generate_series(1, len(l) - 2),
+         |           i -> {'p': i, 'h': ('0x' || substr(md5(l[i] || ' ' || l[i+1] || ' ' || l[i+2]), 1, 12))::BIGINT})) AS u
+         |       FROM w),
+         |p AS (SELECT doc_id, u.p AS pos, u.h AS key FROM ph),
+         |dup AS (SELECT key FROM p GROUP BY key HAVING count(DISTINCT doc_id) >= 2),
+         |m AS (SELECT p.doc_id, p.pos FROM p JOIN dup USING (key)),
+         |r AS (SELECT doc_id,
+         |        pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+         |      FROM m),
+         |runs AS (SELECT doc_id, grp, count(*) AS run_len FROM r GROUP BY doc_id, grp),
+         |agg AS (SELECT doc_id, CAST(sum(run_len) AS BIGINT) AS n_dup_positions,
+         |               CAST(max(run_len) AS BIGINT) AS max_run
+         |        FROM runs GROUP BY doc_id),
+         |tot AS (SELECT doc_id, count(*) AS n_positions FROM p GROUP BY doc_id)
+         |SELECT tot.doc_id AS doc, tot.n_positions,
+         |       coalesce(agg.n_dup_positions, 0) AS n_dup_positions,
+         |       coalesce(agg.max_run, 0) AS max_run,
+         |       round(coalesce(agg.n_dup_positions, 0) * 1.0 / tot.n_positions, 4) AS dup_ratio
+         |FROM tot LEFT JOIN agg USING (doc_id) ORDER BY doc""".stripMargin,
+
+    // Exact stopword counts; the sketch sanity booleans are pinned TRUE
+    // (q_approx_distinct pattern) — a drifting sketch flips them and
+    // fails the hash compare.
+    "text_countmin" -> {
+      val candList = countMinCandidates.map(w => s"'$w'").mkString(", ")
+      s"""WITH t AS (SELECT doc_id, unnest($wordsSql) AS word FROM documents)
+         |SELECT word, count(*) AS exact_count,
+         |       TRUE AS never_underestimates, TRUE AS within_eps
+         |FROM t WHERE word IN ($candList)
+         |GROUP BY word ORDER BY word""".stripMargin
+    },
+
     // Slice bounds replay Spark's slice(w, s+1, 64): 1-based start,
     // 64 elements, end-clamped — DuckDB's inclusive l[s+1 : s+64].
     "data_chunk" ->
@@ -1015,6 +1147,35 @@ object TrainingDataQueries {
         |            WHEN bk < 900 THEN 'val' ELSE 'test' END AS split,
         |       count(*) AS n, min(doc_id) AS min_id
         |FROM b GROUP BY 1 ORDER BY split""".stripMargin,
+
+    // Per-row keep probability = the doc's own alpha_ratio in permille,
+    // same md5 bucket as data_sample.
+    "data_weighted_sample" ->
+      """WITH q AS (SELECT doc_id, lang, source,
+        |             round(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / length(text), 4) AS alpha_ratio
+        |           FROM documents)
+        |SELECT doc_id, lang, source FROM q
+        |WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 1000
+        |      < CAST(round(alpha_ratio * 1000) AS BIGINT)
+        |ORDER BY doc_id""".stripMargin,
+
+    // rate_i = sqrt(min_tokens/tokens_i) in ppm — `/` and `sqrt` are
+    // IEEE correctly-rounded single ops, so the double (and its ppm
+    // rounding) is bit-identical across engines.
+    "data_mixture_sample" ->
+      s"""WITH d AS (SELECT doc_id, source, len($wordsSql) AS n_tokens FROM documents),
+         |g AS (SELECT source, count(*) AS n_docs,
+         |        CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+         |      FROM d GROUP BY source),
+         |m AS (SELECT min(sum_tokens) AS min_tokens FROM g),
+         |r AS (SELECT g.*, CAST(round(sqrt(CAST(min_tokens AS DOUBLE) / CAST(sum_tokens AS DOUBLE)) * 1000000) AS BIGINT) AS rate_ppm
+         |      FROM g, m),
+         |k AS (SELECT d.source, count(*) AS n_kept, min(d.doc_id) AS min_id
+         |      FROM d JOIN r USING (source)
+         |      WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT % 1000000 < r.rate_ppm
+         |      GROUP BY d.source)
+         |SELECT r.source, r.n_docs, r.sum_tokens, r.rate_ppm, k.n_kept, k.min_id
+         |FROM r LEFT JOIN k USING (source) ORDER BY source""".stripMargin,
 
     "data_shuffle" ->
       """SELECT md5('42-' || doc_id::VARCHAR) AS shuffle_key, doc_id, source

@@ -66,4 +66,21 @@ object OperatorProps extends Properties("Operators") {
         .as[(Long, String)].collect().toMap
       once == expected && twice == expected
     }
+
+  property("Upsert.scd2: current rows = v2 snapshot; every key's history is closed correctly") =
+    Prop.forAll(table, table) { (s1, s2) =>
+      val h = Upsert.scd2(s1.toDF("k", "v"), s2.toDF("k", "v"), "k")
+        .as[(Long, String, Long, Option[Long], Boolean)].collect().toList
+      val current = h.collect { case (k, v, _, _, true) => k -> v }.toMap
+      val v1Era = h.filter(_._3 == 1L)
+      val open = h.filter(_._4.isEmpty)
+      // current rows reconstruct v2 exactly; every v1 key has a v1-era
+      // row; open (valid_to null) rows are precisely the current ones;
+      // (key, valid_from) is unique — at most one row per key per era
+      current == s2.toMap &&
+        v1Era.map(_._1).toSet == s1.map(_._1).toSet &&
+        open.map(t => (t._1, t._2)).sorted ==
+          h.filter(_._5).map(t => (t._1, t._2)).sorted &&
+        h.map(t => (t._1, t._3)).distinct.size == h.size
+    }
 }

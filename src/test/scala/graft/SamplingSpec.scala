@@ -25,6 +25,27 @@ class SamplingSpec extends SparkSpec {
     assert(small.subsetOf(big))
   }
 
+  test("weightedSample: per-row threshold — 0 keeps nothing, 1000 keeps all, monotone") {
+    val df = (1L to 500L).toDF("k")
+    assert(Sampling.weightedSample(df, "k", lit(0)).count() === 0L)
+    assert(Sampling.weightedSample(df, "k", lit(1000)).count() === 500L)
+    val lo = Sampling.weightedSample(df, "k", lit(200)).as[Long].collect().toSet
+    val hi = Sampling.weightedSample(df, "k", lit(600)).as[Long].collect().toSet
+    assert(lo.subsetOf(hi)) // same hash, higher threshold -> superset
+    assert(hi.size > lo.size)
+  }
+
+  test("temperatureMixRates: smallest source keeps everything, rates flatten the skew") {
+    val docs = ((1 to 900).map(i => (i.toLong, "big", 10L)) ++
+      (901 to 1000).map(i => (i.toLong, "small", 10L)))
+      .toDF("doc_id", "source", "n_tokens")
+    val rates = Sampling.temperatureMixRates(docs, "source", "n_tokens")
+      .select("source", "rate_ppm").as[(String, Long)].collect().toMap
+    assert(rates("small") === 1000000L) // min source: rate exactly 1
+    // big has 9x the tokens -> keep-rate sqrt(1/9) = 1/3 in ppm
+    assert(rates("big") === math.round(math.sqrt(1.0 / 9) * 1000000))
+  }
+
   test("splitAssign: total, disjoint, and leak-proof across reruns") {
     val s1 = Sampling.splitAssign(docs, "doc_id")
       .select("doc_id", "split").as[(Long, String)].collect().toMap

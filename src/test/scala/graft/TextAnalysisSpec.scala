@@ -60,6 +60,52 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(2L) === "es")
   }
 
+  test("boilerplateShingles flags 3-grams shared by >= minDocs documents") {
+    val d = Seq(
+      (1L, "one two three four"),
+      (2L, "one two three five"),
+      (3L, "one two three six"),
+      (4L, "totally different words here")).toDF("doc_id", "text")
+    val got = TextAnalysis.boilerplateShingles(d, "doc_id", "text", minDocs = 3)
+      .orderBy("doc").collect()
+    // docs 1-3: 2 shingles each, exactly one ("one two three") in 3 docs
+    (0 to 2).foreach { i =>
+      assert(got(i).getAs[Long]("n_shingles") === 2L)
+      assert(got(i).getAs[Long]("n_boilerplate") === 1L)
+      assert(got(i).getAs[Double]("boilerplate_ratio") === 0.5)
+    }
+    assert(got(3).getAs[Long]("n_boilerplate") === 0L)
+  }
+
+  test("duplicatedSpans: consecutive shared 3-grams merge into one run") {
+    val shared = "alpha beta gamma delta epsilon zeta" // 6 words -> 4 shingles
+    val d = Seq(
+      (1L, s"intro words then $shared and trailing stuff"),
+      (2L, s"$shared completely other tail content"),
+      (3L, "no overlap at all in this document")).toDF("doc_id", "text")
+    val got = TextAnalysis.duplicatedSpans(d, "doc_id", "text")
+      .orderBy("doc").collect()
+    // both sharing docs contain the 4-shingle run; max_run + 2 = 6 words
+    assert(got(0).getAs[Long]("max_run") === 4L)
+    assert(got(1).getAs[Long]("max_run") === 4L)
+    assert(got(1).getAs[Long]("n_dup_positions") === 4L)
+    assert(got(2).getAs[Long]("n_dup_positions") === 0L)
+    assert(got(2).getAs[Long]("max_run") === 0L)
+  }
+
+  test("CountMin: estimates never undercount; partitioned merge = single pass") {
+    val words = ((1 to 200).map(i => s"w$i") ++ Seq.fill(200)("hot"))
+    val df = words.toDF("word")
+    val cands = Seq("hot", "w1", "w2")
+    val cm = udaf(new graft.functions.CountMin(1024, 4, cands))
+    val one = df.coalesce(1).agg(cm(col("word"))).as[Map[String, Long]].head()
+    val par = df.repartition(8).agg(cm(col("word"))).as[Map[String, Long]].head()
+    assert(one === par) // element-wise merge is exact
+    assert(one("hot") >= 200L && one("hot") <= 210L)
+    assert(one("w1") >= 1L && one("w1") <= 11L)
+    assert(one("w2") >= 1L)
+  }
+
   test("fingerprints: whitespace/case variants collide, different text does not") {
     val df = Seq((1L, "A  B\tC"), (2L, "a b c"), (3L, "a b d")).toDF("doc_id", "text")
     val fp = TextAnalysis.fingerprints(df, "doc_id", "text")
