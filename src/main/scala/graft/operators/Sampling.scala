@@ -82,6 +82,42 @@ object Sampling {
   def bucketPpm(keyCol: String): Column =
     expr(s"pmod(cast(conv(substr(md5(cast($keyCol as string)), 1, 8), 16, 10) as bigint), 1000000)")
 
+  /** Fixed-quota sample per stratum: keep exactly `k` rows of each
+    * stratum (all of them when the stratum is smaller), chosen by
+    * deterministic hash order — the "exactly 20 docs per domain"
+    * eval-set builder, where [[stratifiedSample]]'s permille rates give
+    * proportional but not fixed counts. One shuffle on the stratum; the
+    * per-stratum sort state is a top-k heap-sized window, and rank ≤ k
+    * cuts everything else before any further stage. */
+  def quotaSample(df: DataFrame, keyCol: String, stratumCol: String,
+                  k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0, s"quota must be positive, got $k")
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(md5(col(keyCol).cast("string")), col(keyCol))
+    df.withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <= k)
+      .drop("__rank")
+  }
+
+  /** Deterministic round-robin interleaving across sources: emit rank-1
+    * docs of every source, then rank-2, … — the training-order
+    * construction that guarantees any prefix of the stream mixes all
+    * sources evenly (a plain [[epochShuffle]] mixes in expectation;
+    * interleaving makes it a hard guarantee, which matters when a run
+    * may stop mid-epoch). Per-source ranks come from a hash-ordered
+    * window (one shuffle on the source); the final order is a plain
+    * range-partitioned sort on (rank, source) — no global window, no
+    * single-partition stage. */
+  def interleaveBySource(df: DataFrame, keyCol: String,
+                         sourceCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(sourceCol))
+      .orderBy(md5(col(keyCol).cast("string")), col(keyCol))
+    df.withColumn("interleave_rank", row_number().over(w))
+      .orderBy(col("interleave_rank"), col(sourceCol), col(keyCol))
+  }
+
   /** Train/val/test assignment by hash bucket: [0, trainPermille) →
     * "train", then validation, remainder → "test". Stable across runs —
     * a document can never leak between splits. */

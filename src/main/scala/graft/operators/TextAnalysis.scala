@@ -290,13 +290,44 @@ object TextAnalysis {
       .groupBy(col("doc"))
       .agg(sum(col("run_len")).as("n_dup_positions"),
         max(col("run_len")).as("max_run"))
-    pos.groupBy(col("doc")).agg(count(lit(1)).as("n_positions"))
+    // totals come straight from the word count (n − width + 1 positions)
+    // — a pure projection, not a third explode+hash pass over the corpus
+    val totals = df
+      .select(col(idCol).as("doc"), TextFunctions.words(col(textCol)).as("__w"))
+      .filter(size(col("__w")) >= 3)
+      .select(col("doc"), (size(col("__w")) - 2).cast("long").as("n_positions"))
+    totals
       .join(runs, Seq("doc"), "left_outer")
       .select(col("doc"), col("n_positions"),
         coalesce(col("n_dup_positions"), lit(0L)).as("n_dup_positions"),
         coalesce(col("max_run"), lit(0L)).as("max_run"),
         round(coalesce(col("n_dup_positions"), lit(0L)).cast("double") /
           col("n_positions"), 4).as("dup_ratio"))
+  }
+
+  /** One row per (doc, URL host occurrence): every `https?://host/...`
+    * match in the text yields its host. Scan-speed regex projection +
+    * explode; the host becomes the aggregation/join key for domain-level
+    * curation (blocklists, per-domain quality, crawl frequency caps). */
+  def urlHosts(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc"),
+      explode(regexp_extract_all(col(textCol),
+        lit("https?://([^/\\s]+)"), lit(1))).as("host"))
+
+  /** Per-domain corpus statistics after blocklist filtering — the
+    * web-curation roll-up (how much of the corpus comes from each
+    * domain, with banned domains dropped before anything aggregates).
+    * The blocklist is a broadcast anti-join (never a shuffle of the
+    * corpus side); domain cardinality bounds the aggregation state. */
+  def domainStats(df: DataFrame, idCol: String, textCol: String,
+                  blocklist: Seq[String]): DataFrame = {
+    val hosts = urlHosts(df, idCol, textCol)
+    val banned = broadcast(
+      df.sparkSession.createDataset(blocklist)(
+        org.apache.spark.sql.Encoders.STRING).toDF("host"))
+    hosts.join(banned, Seq("host"), "left_anti")
+      .groupBy(col("host"))
+      .agg(count(lit(1)).as("n_urls"), countDistinct(col("doc")).as("n_docs"))
   }
 
   /** Canonical md5 fingerprint per document. */

@@ -490,6 +490,37 @@ object TrainingDataQueries {
         .orderBy("source")
     }),
 
+    // Fixed-quota stratum sampling: exactly 20 docs per source by
+    // deterministic hash order (vs data_stratified_sample's
+    // proportional permille rates).
+    "data_quota_sample" -> ((s, dir) =>
+      Sampling.quotaSample(Tables.documents(s, dir), "doc_id", "source", k = 20)
+        .select("doc_id", "source")
+        .orderBy("doc_id")),
+
+    // Round-robin source interleaving: any prefix of the emitted order
+    // mixes all sources evenly — graded on the order itself (like
+    // data_shuffle).
+    "data_interleave" -> ((s, dir) =>
+      Sampling.interleaveBySource(Tables.documents(s, dir), "doc_id", "source")
+        .select(col("interleave_rank"), col("source"), col("doc_id"))),
+
+    // Per-domain URL stats with blocklist filtering: deterministic
+    // synthetic URLs appended from fixture columns (text_redact
+    // pattern), hosts extracted by regex, banned domains anti-joined
+    // away before the roll-up.
+    "text_domains" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).withColumn("txt",
+        concat(col("text"),
+          lit(" see https://"), col("lang"), lit(".example.org/d/"),
+          col("doc_id").cast("string"),
+          lit(" and https://"), col("source"), lit(".example.net/p/"),
+          col("doc_id").cast("string")))
+      TextAnalysis.domainStats(d, "doc_id", "txt",
+          blocklist = Seq("src0.example.net"))
+        .orderBy("host")
+    }),
+
     // Deterministic epoch shuffle: reproducible pseudo-random global
     // order from (seed, key) — the order IS the graded artifact.
     "data_shuffle" -> ((s, dir) =>
@@ -1176,6 +1207,31 @@ object TrainingDataQueries {
          |      GROUP BY d.source)
          |SELECT r.source, r.n_docs, r.sum_tokens, r.rate_ppm, k.n_kept, k.min_id
          |FROM r LEFT JOIN k USING (source) ORDER BY source""".stripMargin,
+
+    "data_quota_sample" ->
+      """WITH r AS (SELECT doc_id, source,
+        |             row_number() OVER (PARTITION BY source
+        |               ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
+        |           FROM documents)
+        |SELECT doc_id, source FROM r WHERE rn <= 20 ORDER BY doc_id""".stripMargin,
+
+    "data_interleave" ->
+      """SELECT row_number() OVER (PARTITION BY source
+        |         ORDER BY md5(doc_id::VARCHAR), doc_id) AS interleave_rank,
+        |       source, doc_id
+        |FROM documents
+        |ORDER BY interleave_rank, source, doc_id""".stripMargin,
+
+    "text_domains" ->
+      """WITH t AS (SELECT doc_id,
+        |             text || ' see https://' || lang || '.example.org/d/' || doc_id::VARCHAR ||
+        |             ' and https://' || source || '.example.net/p/' || doc_id::VARCHAR AS txt
+        |           FROM documents),
+        |h AS (SELECT doc_id, unnest(regexp_extract_all(txt, 'https?://([^/\s]+)', 1)) AS host
+        |      FROM t)
+        |SELECT host, count(*) AS n_urls, count(DISTINCT doc_id) AS n_docs
+        |FROM h WHERE host NOT IN ('src0.example.net')
+        |GROUP BY host ORDER BY host""".stripMargin,
 
     "data_shuffle" ->
       """SELECT md5('42-' || doc_id::VARCHAR) AS shuffle_key, doc_id, source

@@ -99,6 +99,61 @@ object Streaming {
                    joinCols: Seq[String]): DataFrame =
     stream.join(broadcast(dim), joinCols)
 
+  /** Streaming corpus maintenance — the streaming twin of the batch
+    * `pipeline_incremental` query, with `foreachBatch` as the MERGE
+    * driver: each micro-batch of documents is quality-gated, exact-
+    * deduplicated within the batch, near-dup-matched against the
+    * CURRENT accumulated corpus (the delta-probes-corpus band join of
+    * [[graft.operators.Dedup.incrementalMinhashMatches]] — per-batch
+    * cost scales with the batch, never the corpus), and only unmatched
+    * survivors are written.
+    *
+    * The corpus lives as parquet under `corpusDir/batch=N/` — each
+    * micro-batch OVERWRITES its own batch path, so retries are
+    * idempotent (the [[sortedCopyStream]] delivery contract), and the
+    * corpus read is a plain partition-discovery scan. At 100 TB the
+    * corpus side of the match joins pre-indexed band keys instead of
+    * re-signing every document per batch — the signature index is the
+    * corpus-maintenance analog of a search index.
+    *
+    * Near-dups WITHIN one micro-batch are not collapsed (only exact
+    * dups are) — the batch-local pair operators + survivor selection
+    * handle that upstream if needed. */
+  def incrementalIngestStream(docs: DataFrame, corpusDir: String,
+                              checkpointDir: String,
+                              minAlpha: Double = 0.6): StreamingQuery = {
+    import graft.operators.{Dedup, TextAnalysis}
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val kept = Dedup.exactSurvivors(
+          TextAnalysis.quality(batch, "doc_id", "text",
+              passthrough = Seq("text", "lang", "source"))
+            .filter(col("alpha_ratio") >= minAlpha)
+            .select("doc_id", "text", "lang", "source"),
+          "doc_id", Seq("text"))
+        val corpus =
+          if (new java.io.File(corpusDir).isDirectory &&
+              new java.io.File(corpusDir).list().exists(_.startsWith("batch=")))
+            Some(spark.read.parquet(corpusDir)
+              .select("doc_id", "text", "lang", "source"))
+          else None
+        val survivors = corpus match {
+          case Some(c) =>
+            val matches = Dedup.incrementalMinhashMatches(kept, c,
+              "doc_id", "text", numHashes = 16, numBands = 4,
+              minEstimate = 0.5)
+            kept.join(matches.select(col("new_doc").as("doc_id")).distinct(),
+              Seq("doc_id"), "left_anti")
+          case None => kept
+        }
+        survivors.write.mode("overwrite")
+          .parquet(f"$corpusDir/batch=$batchId%09d")
+      }
+      .start()
+  }
+
   /** Stream–stream INNER join on a key within an event-time interval:
     * right events in [left − lowerMs, left + upperMs]. Both sides are
     * watermarked and the join condition bounds both event-time columns,

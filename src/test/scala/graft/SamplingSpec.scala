@@ -46,6 +46,33 @@ class SamplingSpec extends SparkSpec {
     assert(rates("big") === math.round(math.sqrt(1.0 / 9) * 1000000))
   }
 
+  test("quotaSample: exactly k per stratum (or all when smaller), deterministic") {
+    val df = ((1 to 100).map(i => (i.toLong, "big")) ++
+      (101 to 103).map(i => (i.toLong, "tiny"))).toDF("k", "s")
+    val got = Sampling.quotaSample(df, "k", "s", k = 10)
+      .as[(Long, String)].collect()
+    assert(got.count(_._2 == "big") === 10)
+    assert(got.count(_._2 == "tiny") === 3) // smaller stratum kept whole
+    val again = Sampling.quotaSample(df.repartition(7), "k", "s", k = 10)
+      .as[(Long, String)].collect()
+    assert(got.sorted.sameElements(again.sorted)) // layout-proof
+  }
+
+  test("interleaveBySource: every prefix is balanced across sources") {
+    val df = ((1 to 30).map(i => (i.toLong, "a")) ++
+      (31 to 60).map(i => (i.toLong, "b")) ++
+      (61 to 90).map(i => (i.toLong, "c"))).toDF("k", "s")
+    val order = Sampling.interleaveBySource(df, "k", "s")
+      .select("s").as[String].collect()
+    // any prefix of length 3n contains exactly n of each source
+    Seq(3, 30, 60, 90).foreach { n =>
+      val prefix = order.take(n)
+      assert(prefix.count(_ == "a") === n / 3)
+      assert(prefix.count(_ == "b") === n / 3)
+      assert(prefix.count(_ == "c") === n / 3)
+    }
+  }
+
   test("splitAssign: total, disjoint, and leak-proof across reruns") {
     val s1 = Sampling.splitAssign(docs, "doc_id")
       .select("doc_id", "split").as[(Long, String)].collect().toMap

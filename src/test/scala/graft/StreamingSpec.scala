@@ -170,6 +170,33 @@ class StreamingSpec extends SparkSpec {
       s"unrelated doc must not pair: $got")
   }
 
+  test("incrementalIngestStream: corpus accumulates only quality, novel docs across batches") {
+    val corpusDir = tmp("ing-corpus")
+    val ckpt = tmp("ing-ckpt")
+    val good = "the quick brown fox jumps over the lazy dog again and again today"
+    val input = MemoryStream[(Long, String, String, String)](spark)
+    val docsDf = input.toDF().toDF("doc_id", "text", "lang", "source")
+
+    val q = Streaming.incrementalIngestStream(docsDf, corpusDir, ckpt)
+    // batch 0: two good docs + one low-quality (digits-heavy) doc
+    input.addData(
+      (1L, good, "en", "s0"),
+      (2L, "completely unrelated words about spark catalyst optimizer internals", "en", "s1"),
+      (9L, "0000 1111 2222 3333 4444 5555 6666 7777 8888 9999", "en", "s1"))
+    q.processAllAvailable()
+    // batch 1: a near-dup of doc 1 (must be rejected) + one novel doc
+    input.addData(
+      (3L, good + " extra", "en", "s0"),
+      (4L, "fresh novel content concerning window functions and watermarks", "en", "s2"))
+    q.processAllAvailable()
+    q.stop()
+
+    val corpus = spark.read.parquet(corpusDir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(corpus === Set(1L, 2L, 4L),
+      s"expected quality gate to drop 9, near-dup match to drop 3; got $corpus")
+  }
+
   test("minhashNearDupStream matches batch minhashPairs on the fixture corpus") {
     // Same banding, same signatures, same estimate: the streaming pair
     // set (deduped — emission is at-least-once across bands) must equal

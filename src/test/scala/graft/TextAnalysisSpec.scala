@@ -106,6 +106,17 @@ class TextAnalysisSpec extends SparkSpec {
     assert(one("w2") >= 1L)
   }
 
+  test("domainStats: hosts extracted per occurrence, blocklist dropped before the roll-up") {
+    val d = Seq(
+      (1L, "see https://good.org/a and https://bad.com/x plus https://good.org/b"),
+      (2L, "only https://bad.com/y here"),
+      (3L, "nothing linked at all")).toDF("doc_id", "text")
+    val got = TextAnalysis.domainStats(d, "doc_id", "text",
+        blocklist = Seq("bad.com"))
+      .as[(String, Long, Long)].collect().toList
+    assert(got === List(("good.org", 2L, 1L)))
+  }
+
   test("fingerprints: whitespace/case variants collide, different text does not") {
     val df = Seq((1L, "A  B\tC"), (2L, "a b c"), (3L, "a b d")).toDF("doc_id", "text")
     val fp = TextAnalysis.fingerprints(df, "doc_id", "text")
