@@ -305,6 +305,51 @@ object TextAnalysis {
           col("n_positions"), 4).as("dup_ratio"))
   }
 
+  /** Corpus-trained bigram language-model fluency score — the KenLM-
+    * style perplexity filter of CCNet/RedPajama, self-trained: score a
+    * document by the mean negative log conditional probability of its
+    * bigrams under the corpus's own counts,
+    * avg_neg_logp = mean over positions of ln(c(w1) / c(w1 w2)).
+    * Degenerate/bot text scores near 0 (its bigrams are its own bulk);
+    * incoherent word salad scores high (every bigram is rare given its
+    * head word).
+    *
+    * Shape: one bigram explode feeds BOTH count tables (corpus bigram
+    * counts, and head-word counts aggregated FROM the bigram table —
+    * never a second corpus pass); per-position scores come from
+    * re-joining the doc bigrams to the two count tables on the bigram /
+    * head-word keys. Each ln is rounded to integer e4 units before the
+    * per-doc sum, so the aggregation is exact integer math — a double
+    * sum would be summation-order-dependent across engines (the
+    * pipeline_mixture rule).
+    *
+    * State is bounded by the distinct-bigram universe (the corpus's own
+    * vocabulary table — the "model" IS a DataFrame, shuffled on its
+    * key, never collected). */
+  def bigramLmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val bigramsExpr =
+      """transform(sequence(1, size(__w) - 1),
+        |  i -> concat(element_at(__w, i), ' ', element_at(__w, i + 1)))""".stripMargin
+    val bg = df
+      .select(col(idCol).as("doc"), TextFunctions.words(col(textCol)).as("__w"))
+      .filter(size(col("__w")) >= 2)
+      .select(col("doc"), explode(expr(bigramsExpr)).as("bg"))
+    val bgCounts = bg.groupBy(col("bg")).agg(count(lit(1)).as("c_bg"))
+    // head-word counts FROM the bigram table: c(w1) as a bigram head
+    val headCounts = bgCounts
+      .groupBy(substring_index(col("bg"), " ", 1).as("w1"))
+      .agg(sum(col("c_bg")).as("c_head"))
+    bg.join(bgCounts, "bg")
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .join(headCounts, "w1")
+      .withColumn("nats_e4", expr(
+        "cast(round(ln(cast(c_head as double) / cast(c_bg as double)) * 10000) as bigint)"))
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("nats_e4")) / (count(lit(1)) * 10000.0), 4)
+          .as("avg_neg_logp"))
+  }
+
   /** One row per (doc, URL host occurrence): every `https?://host/...`
     * match in the text yields its host. Scan-speed regex projection +
     * explode; the host becomes the aggregation/join key for domain-level

@@ -319,6 +319,33 @@ object TrainingDataQueries {
       TextAnalysis.repetition(Tables.documents(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // Self-trained bigram LM fluency score (the CCNet/RedPajama
+    // perplexity filter, with the corpus as its own model): mean
+    // ln(c(head)/c(bigram)) per doc, integer e4 units through the sum.
+    "text_lm_score" -> ((s, dir) =>
+      TextAnalysis.bigramLmScore(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc")),
+
+    // Eval-set construction end-to-end: leak-proof test split →
+    // decontamination against the train shingle universe → fixed
+    // per-source quota — the "build me a clean benchmark slice"
+    // composition.
+    "pipeline_eval_set" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val split = Sampling.splitAssign(docs, "doc_id")
+      // fixture docs share a small vocabulary, so the shingle overlap
+      // floor is ~0.4 — 0.6 is the discriminating threshold here
+      val lowContam = Dedup.crossSplitContamination(split, "doc_id", "text", "split")
+        .filter(col("contamination") <= 0.6)
+        .select(col("doc").as("doc_id"))
+      val eval = split.filter(col("split") === "test")
+        .join(lowContam, Seq("doc_id"), "left_semi")
+      Sampling.quotaSample(eval, "doc_id", "source", k = 10)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_id"))
+        .orderBy(col("source"))
+    }),
+
     // Corpus-level term statistics: global top-20 terms by occurrence
     // with document frequency — explode + two-phase hash aggregation +
     // TakeOrderedAndProject (never a global sort of the term table).
@@ -1055,6 +1082,58 @@ object TrainingDataQueries {
          |FROM t GROUP BY word
          |HAVING count(*) * 200 >= (SELECT total FROM tot)
          |ORDER BY word""".stripMargin,
+
+    // Bigram LM: corpus bigram counts, head counts aggregated FROM the
+    // bigram table, per-position ln rounded to integer e4 nats before
+    // the per-doc sum (exact integer aggregation).
+    "text_lm_score" ->
+      s"""WITH w AS (SELECT doc_id, $wordsSql AS l FROM documents),
+         |b AS (SELECT doc_id,
+         |        unnest(list_transform(generate_series(1, len(l) - 1),
+         |          i -> l[i] || ' ' || l[i+1])) AS bg
+         |      FROM w WHERE len(l) >= 2),
+         |bc AS (SELECT bg, count(*) AS c_bg FROM b GROUP BY bg),
+         |hc AS (SELECT string_split(bg, ' ')[1] AS w1,
+         |              CAST(sum(c_bg) AS BIGINT) AS c_head
+         |       FROM bc GROUP BY 1),
+         |sc AS (SELECT b.doc_id,
+         |         CAST(round(ln(CAST(c_head AS DOUBLE) / CAST(c_bg AS DOUBLE)) * 10000) AS BIGINT) AS nats_e4
+         |       FROM b JOIN bc USING (bg)
+         |       JOIN hc ON hc.w1 = string_split(b.bg, ' ')[1])
+         |SELECT doc_id AS doc, count(*) AS n_bigrams,
+         |       round(sum(nats_e4) / (count(*) * 10000.0), 4) AS avg_neg_logp
+         |FROM sc GROUP BY doc_id ORDER BY doc""".stripMargin,
+
+    // Eval-set pipeline: the contamination CTEs (exact variant) feed a
+    // quota-sampled per-source roll-up of the clean test docs.
+    "pipeline_eval_set" ->
+      s"""WITH b AS (SELECT doc_id, text,
+         |             ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 1000 AS bk
+         |           FROM documents),
+         |sp AS (SELECT doc_id, text,
+         |         CASE WHEN bk < 800 THEN 'train'
+         |              WHEN bk < 900 THEN 'val' ELSE 'test' END AS split
+         |       FROM b),
+         |w AS (SELECT doc_id, split, $wordsSql AS l FROM sp),
+         |sh AS (SELECT doc_id, split,
+         |         unnest(list_distinct(list_transform(
+         |           list_transform(generate_series(1, len(l) - 2),
+         |             i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]),
+         |           s -> ('0x' || substr(md5(s), 1, 12))::BIGINT))) AS key
+         |       FROM w),
+         |tk AS (SELECT DISTINCT key FROM sh WHERE split = 'train'),
+         |ev AS (SELECT doc_id, key FROM sh WHERE split = 'test'),
+         |n AS (SELECT doc_id, count(*) AS n_shingles FROM ev GROUP BY 1),
+         |s2 AS (SELECT ev.doc_id, count(*) AS n_shared
+         |       FROM ev JOIN tk USING (key) GROUP BY 1),
+         |keep AS (SELECT n.doc_id FROM n LEFT JOIN s2 ON s2.doc_id = n.doc_id
+         |         WHERE round(coalesce(s2.n_shared, 0) * 1.0 / n.n_shingles, 4) <= 0.6),
+         |src AS (SELECT d.doc_id, d.source,
+         |          row_number() OVER (PARTITION BY d.source
+         |            ORDER BY md5(d.doc_id::VARCHAR), d.doc_id) AS rn
+         |        FROM documents d JOIN keep USING (doc_id))
+         |SELECT source, count(*) AS n_docs, min(doc_id) AS min_id
+         |FROM src WHERE rn <= 10 GROUP BY source ORDER BY source""".stripMargin,
 
     // Distinct per-doc shingle hashes (the same 48-bit md5 keys as the
     // near-dup joins) → document frequency → per-doc boilerplate share.

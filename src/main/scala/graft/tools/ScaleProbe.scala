@@ -67,11 +67,26 @@ object ScaleProbe {
       // corpus scan); TF-IDF's is the word-level df aggregation (shuffle
       // over the tf table, which grows with the corpus). Both should be
       // ~linear in docs.
+      // Session-3 additions: boilerplate + LM score are shingle/bigram
+      // count-table joins (state bounded by the distinct-key universe);
+      // dup-spans adds the positional semi-join + per-doc window. All
+      // three should track the corpus (and its true duplicate mass),
+      // never N².
       val textOps: Seq[(String, () => Long)] = Seq(
         "heavyhitters" -> (() =>
           TextAnalysis.heavyHitters(df, "doc_id", "text").count()),
         "tfidf" -> (() =>
-          TextAnalysis.tfidfTopTerms(df, "doc_id", "text", 3).count()))
+          TextAnalysis.tfidfTopTerms(df, "doc_id", "text", 3).count()),
+        "boilerplate" -> (() =>
+          TextAnalysis.boilerplateShingles(df, "doc_id", "text").count()),
+        // reference max_run so the count cannot prune the run-detection
+        // join (left-outer against a unique key is cardinality-neutral
+        // and would be eliminated under a bare count)
+        "dupspans" -> (() =>
+          TextAnalysis.duplicatedSpans(df, "doc_id", "text")
+            .filter(col("max_run") >= 0).count()),
+        "lmscore" -> (() =>
+          TextAnalysis.bigramLmScore(df, "doc_id", "text").count()))
       textOps.foreach { case (name, f) =>
         f() // warm
         val (rows, sec) = time(f())

@@ -106,6 +106,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(one("w2") >= 1L)
   }
 
+  test("bigramLmScore: self-repetitive text scores 0, incoherent text scores high") {
+    val d = Seq(
+      (1L, "q q q q q"),  // every bigram is its own head's whole mass
+      (2L, "x y x z")     // rare bigrams under a frequent head
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.bigramLmScore(d, "doc_id", "text")
+      .orderBy("doc").collect()
+    assert(got(0).getAs[Long]("n_bigrams") === 4L)
+    assert(got(0).getAs[Double]("avg_neg_logp") === 0.0)
+    // c_head(x)=2 corpus-wide; "x y"/"x z" each ln(2); "y x" is ln(1)=0
+    // -> (6931 + 0 + 6931) / 30000 = 0.4621 in e4 nats
+    assert(got(1).getAs[Double]("avg_neg_logp") === 0.4621)
+    assert(got(0).getAs[Double]("avg_neg_logp") <
+      got(1).getAs[Double]("avg_neg_logp"))
+  }
+
   test("domainStats: hosts extracted per occurrence, blocklist dropped before the roll-up") {
     val d = Seq(
       (1L, "see https://good.org/a and https://bad.com/x plus https://good.org/b"),
