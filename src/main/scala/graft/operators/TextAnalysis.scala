@@ -305,6 +305,44 @@ object TextAnalysis {
           col("n_positions"), 4).as("dup_ratio"))
   }
 
+  /** Surgical duplicated-span REMOVAL — the output side of
+    * [[duplicatedSpans]] (what Lee et al.'s dedup actually emits): every
+    * word covered by a cross-document duplicated 3-gram is cut, the
+    * rest of the document survives in order. Whole-doc near-dup keeps
+    * or drops documents; this cuts the quoted/boilerplate passage and
+    * keeps the unique remainder.
+    *
+    * Shape: duplicated positions (same semi-join as [[duplicatedSpans]])
+    * → explode to covered word ordinals → anti-join against the
+    * positional word table → ordered reassembly per doc
+    * (sort_array ∘ collect_list, the q_string_agg pattern — state is one
+    * doc's words). Documents with no duplicated spans pass through
+    * verbatim (modulo whitespace canonicalization). */
+  def removeDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+                            minDocs: Int = 2): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val toks = df.select(col(idCol).as("doc"),
+      TextFunctions.words(col(textCol)).as("__w"))
+    val pos = toks
+      .select(col("doc"),
+        posexplode(graft.plans.ShingleHashes.positional(col("__w")))
+          .as(Seq("pos", "key")))
+    val dupKeys = pos.groupBy(col("key"))
+      .agg(countDistinct(col("doc")).as("ndocs"))
+      .filter(col("ndocs") >= minDocs)
+      .select(col("key"))
+    val covered = pos.join(dupKeys, Seq("key"), "left_semi")
+      .select(col("doc"), explode(expr("sequence(pos, pos + 2)")).as("wi"))
+      .distinct()
+    val words = toks.select(col("doc"),
+      posexplode(col("__w")).as(Seq("wi", "word")))
+    words.join(covered, Seq("doc", "wi"), "left_anti")
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_kept_words"),
+        md5(array_join(expr("transform(sort_array(collect_list(struct(wi, word))), s -> s.word)"),
+          " ")).as("cleaned_md5"))
+  }
+
   /** Corpus-trained bigram language-model fluency score — the KenLM-
     * style perplexity filter of CCNet/RedPajama, self-trained: score a
     * document by the mean negative log conditional probability of its

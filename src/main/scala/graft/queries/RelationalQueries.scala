@@ -496,6 +496,31 @@ object RelationalQueries {
         .orderBy(col("o_orderkey"), col("valid_from"))
     }),
 
+    // Null-ordering semantics: Spark defaults to NULLS FIRST for ASC,
+    // DuckDB (and the SQL standard's common choice) to NULLS LAST — the
+    // graded query pins the explicit asc_nulls_last form so the engines
+    // provably agree on where nulls sort.
+    "q_sort_nulls" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 7 === 0, lit(null).cast("string"))
+            .otherwise(col("o_orderpriority")).as("prio"))
+        .orderBy(col("prio").asc_nulls_last, col("o_orderkey"))),
+
+    // Exact decimal aggregation: money summed as DECIMAL(18,2) is
+    // bit-exact in any engine and any summation order (double sums are
+    // not associative); the final cast to double is lossless because
+    // the total stays far under 2^53 cents.
+    "q_decimal_agg" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .select(col("l_returnflag"),
+          col("l_extendedprice").cast("decimal(18,2)").as("p"))
+        .groupBy(col("l_returnflag"))
+        .agg(sum(col("p")).as("sp"), count(lit(1)).as("n"))
+        .select(col("l_returnflag"), col("sp").cast("double").as("sum_price"),
+          col("n"))
+        .orderBy(col("l_returnflag"))),
+
     // Fixed-width value histogram per group — one two-phase hash
     // aggregation; bucket count is bounded by the value domain, never
     // the row count.
@@ -955,6 +980,17 @@ object RelationalQueries {
         |SELECT k, s2, round(p2, 2), CAST(2 AS BIGINT), CAST(NULL AS BIGINT), TRUE
         |FROM j WHERE in_b AND NOT same
         |ORDER BY o_orderkey, valid_from""".stripMargin,
+    "q_sort_nulls" ->
+      """SELECT o_orderkey,
+        |       CASE WHEN o_orderkey % 7 = 0 THEN NULL
+        |            ELSE o_orderpriority END AS prio
+        |FROM orders
+        |ORDER BY prio ASC NULLS LAST, o_orderkey""".stripMargin,
+    "q_decimal_agg" ->
+      """SELECT l_returnflag,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |       count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_histogram" ->
       """SELECT event_type,
         |       CAST(floor(value / 50) * 50 AS BIGINT) AS bucket_lo,

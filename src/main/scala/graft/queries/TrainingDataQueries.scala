@@ -409,6 +409,13 @@ object TrainingDataQueries {
       TextAnalysis.duplicatedSpans(Tables.documents(s, dir), "doc_id", "text")
         .orderBy("doc")),
 
+    // The output side of span dedup: words covered by cross-document
+    // duplicated 3-grams are cut, the unique remainder survives in
+    // order — graded on the kept-word count + cleaned-text md5.
+    "text_span_removal" -> ((s, dir) =>
+      TextAnalysis.removeDuplicatedSpans(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc")),
+
     // Count-Min point-frequency estimates for the stopword list, graded
     // like q_approx_distinct: exact counts hash-checked, sketch sanity
     // (never undercounts; overcount <= 2n/width) as booleans the oracle
@@ -1176,6 +1183,33 @@ object TrainingDataQueries {
          |       coalesce(agg.max_run, 0) AS max_run,
          |       round(coalesce(agg.n_dup_positions, 0) * 1.0 / tot.n_positions, 4) AS dup_ratio
          |FROM tot LEFT JOIN agg USING (doc_id) ORDER BY doc""".stripMargin,
+
+    // Same positional-hash CTEs as text_dup_spans; covered word ordinals
+    // anti-join the positional word table; ordered reassembly via
+    // string_agg ORDER BY. (1-based internally — only counts and the
+    // reassembled text are graded, so the basis cancels.)
+    "text_span_removal" ->
+      s"""WITH w AS (SELECT doc_id, $wordsSql AS l FROM documents),
+         |ph AS (SELECT doc_id,
+         |         unnest(list_transform(generate_series(1, len(l) - 2),
+         |           i -> {'p': i, 'h': ('0x' || substr(md5(l[i] || ' ' || l[i+1] || ' ' || l[i+2]), 1, 12))::BIGINT})) AS u
+         |       FROM w),
+         |p AS (SELECT doc_id, u.p AS pos, u.h AS key FROM ph),
+         |dup AS (SELECT key FROM p GROUP BY key HAVING count(DISTINCT doc_id) >= 2),
+         |cov AS (SELECT DISTINCT doc_id, wi FROM (
+         |          SELECT doc_id, unnest(generate_series(pos, pos + 2)) AS wi
+         |          FROM p JOIN dup USING (key))),
+         |wp AS (SELECT doc_id,
+         |         unnest(list_transform(generate_series(1, len(l)),
+         |           i -> {'wi': i, 'wd': l[i]})) AS u
+         |       FROM w),
+         |wx AS (SELECT doc_id, u.wi AS wi, u.wd AS word FROM wp),
+         |kept AS (SELECT wx.doc_id, wx.wi, wx.word FROM wx
+         |         LEFT JOIN cov ON cov.doc_id = wx.doc_id AND cov.wi = wx.wi
+         |         WHERE cov.wi IS NULL)
+         |SELECT doc_id AS doc, count(*) AS n_kept_words,
+         |       md5(string_agg(word, ' ' ORDER BY wi)) AS cleaned_md5
+         |FROM kept GROUP BY doc_id ORDER BY doc""".stripMargin,
 
     // Exact stopword counts; the sketch sanity booleans are pinned TRUE
     // (q_approx_distinct pattern) — a drifting sketch flips them and

@@ -34,7 +34,8 @@ object PlanDump {
     "text_countmin" -> "Count-Min UDAF: ObjectHashAggregate ships ONE fixed depth*width long array per partition through the exchange — aggregation state is constant in the input cardinality",
     "q_scd2" -> "SCD2 history = one full-outer join on the key + a union of the two row roles; no window, no second join",
     "data_interleave" -> "per-source rank window (one shuffle on source) + range-partitioned sort on (rank, source): a global training order with no single-partition stage",
-    "text_lm_score" -> "one bigram explode feeds BOTH count tables (heads aggregate FROM the bigram counts — no second corpus pass); per-position ln is rounded to integer e4 nats so the per-doc sum is exact integer aggregation")
+    "text_lm_score" -> "one bigram explode feeds BOTH count tables (heads aggregate FROM the bigram counts — no second corpus pass); per-position ln is rounded to integer e4 nats so the per-doc sum is exact integer aggregation",
+    "text_span_removal" -> "covered word ordinals anti-join the positional word table (both sides shuffle on doc); per-doc ordered reassembly is an ObjectHashAggregate whose state is one document's words, never a global window")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"

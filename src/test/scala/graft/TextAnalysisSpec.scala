@@ -106,6 +106,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(one("w2") >= 1L)
   }
 
+  test("removeDuplicatedSpans cuts the shared passage, keeps the unique remainder in order") {
+    val shared = "alpha beta gamma delta epsilon zeta"
+    val d = Seq(
+      (1L, s"intro words then $shared and trailing stuff"),
+      (2L, s"$shared completely other tail content"),
+      (3L, "no overlap here at all today")).toDF("doc_id", "text")
+    val got = TextAnalysis.removeDuplicatedSpans(d, "doc_id", "text")
+      .orderBy("doc").collect()
+    // doc 1: the 6 shared words (positions 3-8) are covered, 6 survive
+    assert(got(0).getAs[Long]("n_kept_words") === 6L)
+    assert(got(0).getAs[String]("cleaned_md5") ===
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(
+        "intro words then and trailing stuff"))
+    // doc 2: leading shared span cut, unique tail survives
+    assert(got(1).getAs[Long]("n_kept_words") === 4L)
+    assert(got(1).getAs[String]("cleaned_md5") ===
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(
+        "completely other tail content"))
+    // doc 3: untouched
+    assert(got(2).getAs[Long]("n_kept_words") === 6L)
+  }
+
   test("bigramLmScore: self-repetitive text scores 0, incoherent text scores high") {
     val d = Seq(
       (1L, "q q q q q"),  // every bigram is its own head's whole mass
