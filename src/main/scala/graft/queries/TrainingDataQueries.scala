@@ -101,6 +101,42 @@ object TrainingDataQueries {
       |comp AS (SELECT node, min(lbl) AS component FROM walk GROUP BY node),
       |losers AS (SELECT node FROM comp WHERE node <> component)""".stripMargin
 
+  // PQ shared CTEs (16 subspaces × 4 dims, 32 codes, queries = vec_id<10)
+  // — replays Similarity.pqCodebooks/pqEncode/pqTopK exactly: same
+  // md5-ordered seeds, same round-6 L2 argmin with code-id tie-break,
+  // same BIGINT micro-unit ADC sum (exact in any aggregation order).
+  // Expects `e` (embCte) in scope; yields `r` = ADC-ranked candidates.
+  // (16×32 chosen by measured recall: ADC top-1-in-top-10 ≈ 7/10 and
+  // rerank ≈ 8–10/10 on the fixtures, vs 2–3/10 for 8×16.)
+  private val pqCtes =
+    """seeds AS (SELECT vec_id AS code_id, v FROM e
+      |          ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 32),
+      |subs AS (SELECT unnest(generate_series(0, 15)) AS j),
+      |cbd AS (SELECT j, code_id, list_slice(v, j*4+1, j*4+4) AS cvec,
+      |               list_inner_product(list_slice(v, j*4+1, j*4+4),
+      |                                  list_slice(v, j*4+1, j*4+4)) AS cdot
+      |        FROM seeds CROSS JOIN subs),
+      |x AS (SELECT e.vec_id AS c_id, j, list_slice(e.v, j*4+1, j*4+4) AS xsub
+      |      FROM e CROSS JOIN subs),
+      |enc AS (SELECT c_id, j, code_id FROM (
+      |          SELECT x.c_id, x.j, cbd.code_id,
+      |                 row_number() OVER (PARTITION BY x.c_id, x.j
+      |                   ORDER BY round(list_inner_product(xsub, xsub)
+      |                              - 2 * list_inner_product(xsub, cvec)
+      |                              + cdot, 6),
+      |                            cbd.code_id) AS rn
+      |          FROM x JOIN cbd ON x.j = cbd.j) t WHERE rn = 1),
+      |qq AS (SELECT vec_id AS q_id, v FROM e WHERE vec_id < 10),
+      |lut AS (SELECT q_id, j, code_id,
+      |               CAST(round(list_inner_product(
+      |                 list_slice(qq.v, j*4+1, j*4+4), cvec) * 1e6) AS BIGINT) AS ip_micro
+      |        FROM qq CROSS JOIN cbd),
+      |sc AS (SELECT q_id, c_id, CAST(sum(ip_micro) AS BIGINT) AS adc_micro
+      |       FROM enc JOIN lut ON enc.j = lut.j AND enc.code_id = lut.code_id
+      |       WHERE q_id <> c_id GROUP BY q_id, c_id),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+      |               ORDER BY adc_micro DESC, c_id) AS rank FROM sc)""".stripMargin
+
   // Contamination oracle, parameterized by the shingle-sampling modulus
   // (1 = full universe) so the exact and sampled queries share one SQL.
   private def contaminationOracle(sampleMod: Int) = {
@@ -298,6 +334,26 @@ object TrainingDataQueries {
       val emb = Tables.embeddings(s, dir)
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), 10,
           numCells = 16, nProbe = 6)
+        .orderBy("q_id", "rank")
+    }),
+
+    // Product-quantization ADC ANN — the compressed-corpus path (codes
+    // only, 8 ints/vector). Codebooks are the md5-ordered seed prefix
+    // sliced per subspace; the ADC score is an exact BIGINT micro-unit
+    // sum, so the oracle replays it bit-for-bit.
+    "ann_pq" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.pqTopK(emb, emb.filter(col("vec_id") < 10), 10,
+          numSub = 16, numCodes = 32, dim = 64)
+        .orderBy("q_id", "rank")
+    }),
+
+    // Two-stage retrieve-then-rerank: PQ/ADC shortlist (kAdc=30), exact
+    // round-6 cosine re-rank of only the shortlisted vectors.
+    "ann_pq_rerank" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.pqRerankTopK(emb, emb.filter(col("vec_id") < 10), 10, kAdc = 30,
+          numSub = 16, numCodes = 32, dim = 64)
         .orderBy("q_id", "rank")
     }),
 
@@ -597,6 +653,47 @@ object TrainingDataQueries {
     // (no join-back), dedup keeps survivor rows via a window (no
     // groupBy + re-join), so the only shuffles are the dedup window and
     // the final 3-group aggregation.
+    // JSONL corpus leg — the de-facto LLM-corpus interchange format.
+    // Write the documents table as JSONL, read it back schema-on-read
+    // (EXPLICIT schema: no inference pre-pass — at 100 TB inference
+    // doubles ingest cost), and grade the roundtrip against the parquet
+    // original: any escaping/encoding lossiness in text would hash-fail.
+    "ingest_jsonl" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val path = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_jsonl_" + dir.replaceAll("[^A-Za-z0-9.]", "_")).getPath
+      graft.sources.JsonlSink(path).save(docs)
+      graft.sources.JsonlSource(path, docs.schema).load(s).orderBy("doc_id")
+    }),
+
+    // Resilient ingest: corrupt JSONL records are QUARANTINED (PERMISSIVE
+    // mode + _corrupt_record), never fatal and never silently dropped —
+    // at 100 TB some shard always has a bad line, and both failure modes
+    // (job death, silent loss) are unacceptable. Every 10th line is
+    // deterministically truncated mid-object; the audit row proves the
+    // good rows parse intact and the bad ones are all accounted for.
+    "ingest_quarantine" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val lines = docs.select(col("doc_id"),
+          to_json(struct(docs.columns.map(col): _*)).as("js"))
+        .select(when(col("doc_id") % 10 === 0, expr("substring(js, 1, 10)"))
+          .otherwise(col("js")).as("value"))
+      val path = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_jsonl_bad_" + dir.replaceAll("[^A-Za-z0-9.]", "_")).getPath
+      lines.write.mode("overwrite").text(path)
+      val schema = org.apache.spark.sql.types.StructType(
+        docs.schema.fields :+ org.apache.spark.sql.types.StructField(
+          "_corrupt_record", org.apache.spark.sql.types.StringType))
+      s.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+        .agg(count(lit(1)).as("n_total"),
+          count(col("_corrupt_record")).as("n_quarantined"),
+          count(col("doc_id")).as("n_good"),
+          sum(when(col("_corrupt_record").isNull, col("n_chars"))).as("good_chars"))
+    }),
+
     "pipeline_curation" -> ((s, dir) => {
       val kept = TextAnalysis.quality(
           Tables.documents(s, dir), "doc_id", "text", passthrough = Seq("text"))
@@ -978,6 +1075,24 @@ object TrainingDataQueries {
          |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
          |                ORDER BY cos_sim DESC, c_id) AS rank FROM sc)
          |SELECT q_id, c_id, cos_sim, rank FROM r WHERE rank <= 10
+         |ORDER BY q_id, rank""".stripMargin,
+
+    "ann_pq" ->
+      s"""WITH $embCte,
+         |$pqCtes
+         |SELECT q_id, c_id, adc_micro, rank FROM r WHERE rank <= 10
+         |ORDER BY q_id, rank""".stripMargin,
+
+    "ann_pq_rerank" ->
+      s"""WITH $embCte,
+         |$pqCtes,
+         |cand AS (SELECT q_id, c_id FROM r WHERE rank <= 30),
+         |sc2 AS (SELECT q_id, c_id, round(${cos("qe", "ce")}, 6) AS cos_sim
+         |        FROM cand JOIN e qe ON qe.vec_id = q_id
+         |                  JOIN e ce ON ce.vec_id = c_id),
+         |r2 AS (SELECT *, row_number() OVER (PARTITION BY q_id
+         |                 ORDER BY cos_sim DESC, c_id) AS rank FROM sc2)
+         |SELECT q_id, c_id, cos_sim, rank FROM r2 WHERE rank <= 10
          |ORDER BY q_id, rank""".stripMargin,
 
     "text_tokens" -> {
@@ -1383,6 +1498,16 @@ object TrainingDataQueries {
          |SELECT split, bucket, bin, count(*) AS n_docs,
          |       CAST(sum(n_tokens) AS BIGINT) AS bin_tokens, min(doc_id) AS min_id
          |FROM p GROUP BY split, bucket, bin ORDER BY split, bucket, bin""".stripMargin,
+
+    "ingest_jsonl" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id",
+
+    "ingest_quarantine" ->
+      """SELECT count(*) AS n_total,
+        |       count(CASE WHEN doc_id % 10 = 0 THEN 1 END) AS n_quarantined,
+        |       count(CASE WHEN doc_id % 10 <> 0 THEN 1 END) AS n_good,
+        |       CAST(sum(CASE WHEN doc_id % 10 <> 0 THEN n_chars END) AS BIGINT) AS good_chars
+        |FROM documents""".stripMargin,
 
     "pipeline_curation" ->
       s"""WITH q AS (SELECT doc_id, text, $wordsSql AS l,

@@ -42,6 +42,21 @@ final case class ParquetSink(path: String, mode: String = "overwrite") extends R
   def save(df: DataFrame): Unit = df.write.mode(mode).parquet(path)
 }
 
+/** JSONL (one JSON object per line) — the de-facto interchange format
+  * for LLM training corpora. Schema-on-read is EXPLICIT: without a
+  * schema, Spark runs a full inference pass over the data before the
+  * real scan, which at 100 TB doubles the ingest cost (and types drift
+  * run-to-run with the sampled files). Newlines/quotes inside document
+  * text are JSON-escaped on write, so one record is always one line. */
+final case class JsonlSource(path: String, schema: StructType) extends RecordSource {
+  def load(spark: SparkSession): DataFrame =
+    spark.read.schema(schema).json(path)
+}
+
+final case class JsonlSink(path: String, mode: String = "overwrite") extends RecordSink {
+  def save(df: DataFrame): Unit = df.write.mode(mode).json(path)
+}
+
 /** Bounded Kafka scan ≙ reference O4, with offset bounds instead of the
   * 5s-idle drain heuristic (`external_sort.go:95-113` — never port that).
   * Options mirror the reference's transport tuning

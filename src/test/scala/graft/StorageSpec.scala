@@ -59,4 +59,50 @@ class StorageSpec extends SparkSpec {
       Tables.events(spark, sf("sf0.001"))
         .filter(col("event_type") === "purchase").count())
   }
+
+  test("compaction rewrites a fragmented directory into bounded file counts, losslessly") {
+    import graft.operators.Layout
+    val frag = Files.createTempDirectory("graft-frag").toString
+    val out = Files.createTempDirectory("graft-compact").toString
+    val ev = Tables.events(spark, sf("sf0.001"))
+      .select("event_id", "user_id", "event_type", "value")
+    ev.repartition(32).write.mode("overwrite").parquet(frag)
+    def parts(dir: String) = new java.io.File(dir).listFiles()
+      .count(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    assert(parts(frag) === 32, "fixture should start fragmented")
+    Layout.compact(spark, frag, out, targetFiles = 4)
+    assert(parts(out) <= 4, s"expected <=4 files, got ${parts(out)}")
+    val back = spark.read.parquet(out)
+    assert(back.count() === ev.count())
+    assert(back.except(ev).isEmpty && ev.except(back).isEmpty)
+    // maxRecordsPerFile splits an over-large output file
+    val capped = Files.createTempDirectory("graft-capped").toString
+    Layout.compact(spark, frag, capped, targetFiles = 1, maxRecordsPerFile = 100)
+    assert(parts(capped) > 1, "100-row cap must split the single output")
+    assert(spark.read.parquet(capped).count() === ev.count())
+  }
+
+  test("JSONL roundtrip is byte-faithful for adversarial text (newlines, quotes, unicode)") {
+    import spark.implicits._
+    import graft.sources.{JsonlSink, JsonlSource}
+    val nasty = Seq(
+      (1L, "line one\nline two\r\nthird"),
+      (2L, "quote \" and backslash \\ and tab\t end"),
+      (3L, "unicode: héllo wörld — 中文 🙂"),
+      (4L, "{\"fake\": \"json\"} inside, plus , commas"),
+      (5L, ""))
+      .toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("graft-jsonl").toString + "/docs"
+    JsonlSink(dir).save(nasty)
+    val back = JsonlSource(dir, nasty.schema).load(spark)
+    // one record per line even with embedded newlines (they're escaped)
+    val lines = spark.read.text(dir).count()
+    assert(lines === 5, s"expected 5 JSONL lines, got $lines")
+    assert(back.except(nasty).isEmpty && nasty.except(back).isEmpty,
+      "JSONL roundtrip must be lossless")
+    // schema-on-read: names and types come from the explicit schema (no
+    // inference; JSON reads are always nullable, so compare name+type)
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ===
+      nasty.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+  }
 }
