@@ -413,6 +413,81 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_urls"), countDistinct(col("doc")).as("n_docs"))
   }
 
+  /** BPE tokenizer TRAINER: learn `numMerges` byte-pair merges from the
+    * corpus, the standard subword recipe (Sennrich et al. 2016, as used
+    * by GPT-2/RoBERTa-class tokenizers). Scale shape: the corpus is
+    * scanned ONCE to build the word-TYPE frequency table (vocabulary —
+    * ~√corpus, bounded by the language, not the data volume); every
+    * merge round then runs one pair-count aggregation over that vocab
+    * table only. Rounds are inherently sequential (merge k's pair
+    * statistics depend on merges 1..k-1 — this is the algorithm, not an
+    * implementation limit), so the driver collects exactly ONE (pair,
+    * freq) row per round; per-round vocab states are localCheckpointed
+    * to cut the iterative lineage, same discipline as
+    * [[Dedup.connectedComponentsWithRounds]].
+    *
+    * Ties (equal pair frequency) break lexicographically, so the learned
+    * merge table is deterministic for a given corpus.
+    *
+    * NOT oracle-graded: the per-round argmax-then-resegment loop is not
+    * expressible as one SQL query (same standing as [[Similarity.kmeans]]);
+    * TextAnalysisSpec differential-tests it against an independent
+    * driver-side reference trainer on the collected vocabulary.
+    *
+    * Returns (rank, left, right, merged, freq) — feed `.merges` into
+    * [[bpeEncode]] / [[graft.plans.BpeEncode]]. */
+  def bpeTrain(df: DataFrame, idCol: String, textCol: String,
+               numMerges: Int, minFreq: Long = 2): Seq[(Int, String, String, String, Long)] = {
+    require(numMerges > 0, s"numMerges must be positive, got $numMerges")
+    val spark = df.sparkSession
+    // corpus scan -> word-type table (word, cnt), chars as symbols
+    var vocab = df.select(TextFunctions.words(col(textCol)).as("__w"))
+      .select(explode(col("__w")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .select(col("cnt"), split(col("word"), "").as("sym"))
+      .localCheckpoint()
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    var rank = 0
+    var exhausted = false
+    while (rank < numMerges && !exhausted) {
+      val top = vocab
+        .select(col("cnt"), explode(expr(
+          "transform(slice(sym, 1, size(sym) - 1), (x, i) -> struct(x AS l, sym[i + 1] AS r))")).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("cnt")).as("freq"))
+        .orderBy(col("freq").desc, col("l"), col("r"))
+        .limit(1)
+        .collect()
+      if (top.isEmpty || top(0).getAs[Long]("freq") < minFreq) exhausted = true
+      else {
+        val (l, r, freq) = (top(0).getAs[String]("l"), top(0).getAs[String]("r"),
+          top(0).getAs[Long]("freq"))
+        out += ((rank, l, r, l + r, freq))
+        // apply the merge to every word type: leftmost non-overlapping
+        // fold (acc ends with l and current is r -> replace tail with lr)
+        val lLit = lit(l); val rLit = lit(r); val lrLit = lit(l + r)
+        vocab = vocab.select(col("cnt"),
+            aggregate(col("sym"), array().cast("array<string>"), (acc, x) =>
+              when(size(acc) > 0 &&
+                   element_at(acc, -1) === lLit && x === rLit,
+                concat(slice(acc, lit(1), size(acc) - 1), array(lrLit)))
+                .otherwise(concat(acc, array(x)))).as("sym"))
+          .localCheckpoint()
+        rank += 1
+      }
+    }
+    out.toSeq
+  }
+
+  /** BPE-encode the corpus with a fixed merge list (from [[bpeTrain]]):
+    * one codegen'd projection via [[graft.plans.BpeEncode]] — the
+    * tokenize-everything pass. Output (id, tokens, n_tokens). */
+  def bpeEncode(df: DataFrame, idCol: String, textCol: String,
+                merges: Seq[(String, String)]): DataFrame =
+    df.select(col(idCol),
+        graft.plans.BpeEncode(TextFunctions.words(col(textCol)), merges).as("tokens"))
+      .withColumn("n_tokens", size(col("tokens")))
+
   /** Canonical md5 fingerprint per document. */
   def fingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol), TextFunctions.fingerprint(col(textCol)).as("fingerprint"))

@@ -704,6 +704,44 @@ object RelationalQueries {
         .orderBy(col("user_id"), col("ts_ms"), col("event_id"))
     }),
 
+    // Navigation window functions: first/last/nth value and lead over
+    // the per-user event timeline — the gap-to-next / session-anchor
+    // shapes. last_value needs the FULL frame pinned explicitly (the
+    // default frame stops at CURRENT ROW, silently returning the
+    // current value — a classic window-semantics trap both engines
+    // agree on once the frame is explicit). Values pass through
+    // untouched, so cross-engine equality is bit-exact.
+    "q_window_nav" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_ms"), col("event_id"))
+      val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"),
+          first(col("value")).over(w).as("first_v"),
+          last(col("value")).over(wFull).as("last_v"),
+          nth_value(col("value"), 2).over(w).as("second_v"),
+          lead(col("value"), 1).over(w).as("next_v"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    // GROUPING SETS with grouping() flags: the flags are the only way a
+    // consumer can tell "NULL because aggregated away" from "NULL in the
+    // data" — graded with both flags cast to BIGINT so the engines'
+    // native grouping() widths can't drift the hash.
+    "q_grouping_id" -> ((s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("orders_gid")
+      s.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+               CAST(grouping(o_orderpriority) AS BIGINT) AS g_priority,
+               count(*) AS n
+        FROM orders_gid
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), ())
+        ORDER BY g_status, g_priority,
+                 o_orderstatus ASC NULLS LAST, o_orderpriority ASC NULLS LAST""")
+    }),
+
     // Ordered string aggregation (collect_list is order-nondeterministic
     // after a shuffle, so sort_array pins it — the deterministic twin of
     // DuckDB's string_agg(... ORDER BY ...)).
@@ -1108,6 +1146,27 @@ object RelationalQueries {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
         |ORDER BY user_id, ts_ms, event_id""".stripMargin,
+    "q_window_nav" ->
+      """SELECT user_id, event_id,
+        |       first_value(value) OVER w AS first_v,
+        |       last_value(value) OVER (PARTITION BY user_id
+        |         ORDER BY epoch_ms(ts), event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_v,
+        |       nth_value(value, 2) OVER w AS second_v,
+        |       lead(value, 1) OVER w AS next_v
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
+        |ORDER BY user_id, event_id""".stripMargin,
+    "q_grouping_id" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |       CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+        |       CAST(grouping(o_orderpriority) AS BIGINT) AS g_priority,
+        |       count(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+        |                        (o_orderstatus), ())
+        |ORDER BY g_status, g_priority,
+        |         o_orderstatus ASC NULLS LAST, o_orderpriority ASC NULLS LAST""".stripMargin,
     "q_string_agg" ->
       """SELECT o_custkey,
         |       string_agg(o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,

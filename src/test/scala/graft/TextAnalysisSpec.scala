@@ -267,4 +267,89 @@ class TextAnalysisSpec extends SparkSpec {
     assert(feats.sortBy(_.media_id).zip(again.sortBy(_.media_id))
       .forall { case (a, b) => a.features.sameElements(b.features) })
   }
+
+  /** Independent driver-side reference BPE trainer over a (word, count)
+    * vocabulary — plain Scala collections, no Spark, so it cannot share
+    * a bug with the distributed implementation. */
+  private def referenceBpe(vocab: Map[String, Long], numMerges: Int,
+                           minFreq: Long): Seq[(String, String, Long)] = {
+    var segs: Map[Vector[String], Long] =
+      vocab.groupMapReduce { case (w, _) => w.map(_.toString).toVector } { case (_, c) => c }(_ + _)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var done = false
+    while (out.size < numMerges && !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      segs.foreach { case (sym, cnt) =>
+        sym.sliding(2).foreach {
+          case Seq(a, b) => counts((a, b)) = counts.getOrElse((a, b), 0L) + cnt
+          case _ => ()
+        }
+      }
+      val best = counts.toSeq.sortBy { case ((l, r), f) => (-f, l, r) }.headOption
+      best match {
+        case Some(((l, r), f)) if f >= minFreq =>
+          out += ((l, r, f))
+          segs = segs.groupMapReduce { case (sym, _) =>
+            // leftmost non-overlapping merge of (l, r)
+            val b = Vector.newBuilder[String]
+            var i = 0
+            while (i < sym.length) {
+              if (i < sym.length - 1 && sym(i) == l && sym(i + 1) == r) {
+                b += (l + r); i += 2
+              } else { b += sym(i); i += 1 }
+            }
+            b.result()
+          } { case (_, c) => c }(_ + _)
+        case _ => done = true
+      }
+    }
+    out.toSeq
+  }
+
+  test("bpeTrain matches an independent reference trainer; encode round-trips and compresses") {
+    val corpus = Seq(
+      (1L, "the cat sat on the mat with the other cat"),
+      (2L, "the dog and the cat chatter on the matter"),
+      (3L, "that mat that cat that hat thatch"),
+      (4L, "scatter the chatter the matter the platter")).toDF("doc_id", "text").cache()
+    val merges = TextAnalysis.bpeTrain(corpus, "doc_id", "text", numMerges = 12)
+    assert(merges.nonEmpty && merges.size <= 12)
+    // differential: same merges, same order, same frequencies
+    val vocab = corpus.select(explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+      .groupBy("w").count().as[(String, Long)].collect().toMap
+    val expect = referenceBpe(vocab, 12, minFreq = 2)
+    assert(merges.map(m => (m._2, m._3, m._5)) === expect,
+      s"distributed trainer diverged:\n got=$merges\n exp=$expect")
+    // ranks are 0..n-1 in order, merged = left+right
+    assert(merges.map(_._1) === merges.indices)
+    assert(merges.forall(m => m._4 == m._2 + m._3))
+
+    // encoder: tokens concatenate back to the original words; more
+    // merges can never yield MORE tokens (merging only shrinks)
+    val pairList = merges.map(m => (m._2, m._3))
+    val enc = TextAnalysis.bpeEncode(corpus, "doc_id", "text", pairList)
+    val encNone = TextAnalysis.bpeEncode(corpus, "doc_id", "text", Nil)
+    val joined = enc.select(col("doc_id"), concat_ws("", col("tokens")).as("glued"),
+        col("n_tokens"))
+      .join(encNone.select(col("doc_id"), col("n_tokens").as("n_chars_tok")), "doc_id")
+      .join(corpus, "doc_id")
+      .select(col("glued"),
+        regexp_replace(lower(trim(col("text"))), "\\s+", "").as("squashed"),
+        col("n_tokens"), col("n_chars_tok"))
+      .as[(String, String, Int, Int)].collect()
+    assert(joined.nonEmpty)
+    joined.foreach { case (glued, squashed, nTok, nChar) =>
+      assert(glued === squashed, "BPE tokens must concatenate to the original text")
+      assert(nTok <= nChar, "learned merges can only reduce token counts")
+    }
+    assert(joined.exists { case (_, _, nTok, nChar) => nTok < nChar },
+      "12 merges on this corpus must actually compress something")
+
+    // canonical rank-priority semantics: encoding a training word uses
+    // the learned merges deterministically — re-encode equals itself
+    val once = enc.select("doc_id", "tokens").as[(Long, Seq[String])].collect().toMap
+    val twice = TextAnalysis.bpeEncode(corpus, "doc_id", "text", pairList)
+      .select("doc_id", "tokens").as[(Long, Seq[String])].collect().toMap
+    assert(once === twice)
+  }
 }
