@@ -704,6 +704,23 @@ object RelationalQueries {
         .orderBy(col("user_id"), col("ts_ms"), col("event_id"))
     }),
 
+    // LATERAL correlated subquery — top-2 orders PER customer in the
+    // SQL-standard lateral form. Catalyst decorrelates the per-row
+    // LIMIT subquery into a ranked join (no nested-loop re-execution
+    // per outer row — the property that makes the surface usable at
+    // scale); the oracle runs the identical lateral SQL.
+    "q_lateral_topk" -> ((s, dir) => {
+      Tables.customer(s, dir).createOrReplaceTempView("customer_lat")
+      Tables.orders(s, dir).createOrReplaceTempView("orders_lat")
+      s.sql("""
+        SELECT c_custkey, o_orderkey, round(o_totalprice, 2) AS tp
+        FROM customer_lat JOIN LATERAL (
+          SELECT o_orderkey, o_totalprice FROM orders_lat
+          WHERE o_custkey = c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        ORDER BY c_custkey, o_orderkey""")
+    }),
+
     // Navigation window functions: first/last/nth value and lead over
     // the per-user event timeline — the gap-to-next / session-anchor
     // shapes. last_value needs the FULL frame pinned explicitly (the
@@ -1146,6 +1163,13 @@ object RelationalQueries {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
         |ORDER BY user_id, ts_ms, event_id""".stripMargin,
+    "q_lateral_topk" ->
+      """SELECT c_custkey, o_orderkey, round(o_totalprice, 2) AS tp
+        |FROM customer, LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_custkey = c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        |ORDER BY c_custkey, o_orderkey""".stripMargin,
     "q_window_nav" ->
       """SELECT user_id, event_id,
         |       first_value(value) OVER w AS first_v,

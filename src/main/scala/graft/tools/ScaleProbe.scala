@@ -92,6 +92,39 @@ object ScaleProbe {
         val (rows, sec) = time(f())
         println(f"PROBE x$factor $name docs=${nBase * factor} rows=$rows time=$sec%.2fs")
       }
+      // PQ (ann_pq shape) at xN vectors: codebook size is FIXED (32
+      // seeds), so encode cost must track the corpus linearly (explode
+      // x16 subspaces, broadcast join, partial-agg argmin) and the ADC
+      // scoring pass is a broadcast-LUT join + groupBy over codes —
+      // also linear. Any superlinear growth here would mean the argmin
+      // or scoring shuffle picked up a corpus-sized key.
+      if (new java.io.File(s"$sfDir/embeddings.parquet").exists) {
+        val emb0 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+          .select("vec_id", "embedding")
+        val embN = (0 until factor).map { i =>
+          emb0.select((col("vec_id") + lit(i * 10000000L)).as("vec_id"),
+            col("embedding"))
+        }.reduce(_ unionByName _)
+        val q = emb0.filter(col("vec_id") < 10)
+        val pq = () => Similarity.pqTopK(embN, q, 10).count()
+        pq() // warm
+        val (rows, sec) = time(pq())
+        println(f"PROBE x$factor pq_adc vecs=${500L * factor} " +
+          f"rows=$rows time=$sec%.2fs")
+      }
+      // BPE trainer at xN: the per-round pair count runs over the
+      // word-TYPE table, whose size is bounded by the vocabulary — the
+      // copies share a vocabulary, so cost per merge round should stay
+      // ~FLAT as the corpus grows (only the one-time word-count scan
+      // tracks N). This is the whole scaling argument for training
+      // tokenizers on 100 TB: vocab ≪ corpus.
+      {
+        val t0 = System.nanoTime()
+        val merges = TextAnalysis.bpeTrain(df, "doc_id", "text", numMerges = 8)
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"PROBE x$factor bpe_train docs=${nBase * factor} " +
+          f"merges=${merges.size} time=$sec%.2fs")
+      }
       // Connected components over the minhash pair graph: the iterative
       // operator's quadratic risk surface is the ROUND COUNT, not the
       // per-round join (each round is one shuffle over |pair-graph
