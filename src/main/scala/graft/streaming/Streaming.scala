@@ -154,6 +154,44 @@ object Streaming {
       .start()
   }
 
+  /** Streaming JSONL ingest with corrupt-record quarantine — the
+    * streaming twin of the graded `ingest_quarantine` query. New JSONL
+    * files landing in `inDir` are parsed PERMISSIVEly against the
+    * explicit schema; good rows land under `goodDir/batch=N/`, the RAW
+    * text of unparseable lines under `quarantineDir/batch=N/`. Nothing
+    * kills the stream, nothing is silently dropped, and per-batch
+    * overwrite keeps retries idempotent (the [[sortedCopyStream]]
+    * delivery contract). The batch is pinned with `persist` before the
+    * two writes: the quarantine write projects ONLY the corrupt column,
+    * and an unpinned plan would re-read the files under the
+    * corrupt-column-only pruning Spark disallows for raw JSON scans. */
+  def jsonlIngestStream(spark: SparkSession, inDir: String, schema: StructType,
+                        goodDir: String, quarantineDir: String,
+                        checkpointDir: String): StreamingQuery = {
+    val full = StructType(schema.fields :+
+      org.apache.spark.sql.types.StructField("_corrupt_record",
+        org.apache.spark.sql.types.StringType))
+    spark.readStream
+      .schema(full)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(inDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.persist()
+        try {
+          batch.filter(col("_corrupt_record").isNull)
+            .drop("_corrupt_record")
+            .write.mode("overwrite").parquet(f"$goodDir/batch=$batchId%09d")
+          batch.filter(col("_corrupt_record").isNotNull)
+            .select(col("_corrupt_record").as("raw"))
+            .write.mode("overwrite").parquet(f"$quarantineDir/batch=$batchId%09d")
+        } finally batch.unpersist()
+      }
+      .start()
+  }
+
   /** Stream–stream INNER join on a key within an event-time interval:
     * right events in [left − lowerMs, left + upperMs]. Both sides are
     * watermarked and the join condition bounds both event-time columns,

@@ -106,10 +106,11 @@ object ScaleProbe {
             col("embedding"))
         }.reduce(_ unionByName _)
         val q = emb0.filter(col("vec_id") < 10)
+        val nVecs = emb0.count() * factor
         val pq = () => Similarity.pqTopK(embN, q, 10).count()
         pq() // warm
         val (rows, sec) = time(pq())
-        println(f"PROBE x$factor pq_adc vecs=${500L * factor} " +
+        println(f"PROBE x$factor pq_adc vecs=$nVecs " +
           f"rows=$rows time=$sec%.2fs")
       }
       // BPE trainer at xN: the per-round pair count runs over the

@@ -197,6 +197,42 @@ class StreamingSpec extends SparkSpec {
       s"expected quality gate to drop 9, near-dup match to drop 3; got $corpus")
   }
 
+  test("jsonlIngestStream routes good rows to the corpus and corrupt lines to quarantine") {
+    import org.apache.spark.sql.types._
+    val in = tmp("jsonl-in"); val good = tmp("jsonl-good")
+    val quar = tmp("jsonl-quar"); val ckpt = tmp("jsonl-ckpt")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(in, "a.jsonl"),
+      """{"doc_id": 1, "text": "alpha"}
+        |{"doc_id": 2, "text
+        |{"doc_id": 3, "text": "gamma"}
+        |not json at all
+        |{"doc_id": 5, "text": "epsilon"}
+        |""".stripMargin)
+    val q = Streaming.jsonlIngestStream(spark, in, schema, good, quar, ckpt)
+    q.processAllAvailable()
+    // a second file arriving later lands in a NEW batch, same contracts
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(in, "b.jsonl"),
+      """{"doc_id": 6, "text": "zeta"}
+        |{broken again
+        |""".stripMargin)
+    q.processAllAvailable()
+    q.stop()
+    val goodRows = spark.read.parquet(good)
+      .select("doc_id").as[Long].collect().sorted
+    assert(goodRows.toSeq === Seq(1L, 3L, 5L, 6L))
+    val quarRows = spark.read.parquet(quar)
+      .select("raw").as[String].collect()
+    assert(quarRows.length === 3, s"expected 3 quarantined lines, got ${quarRows.toSeq}")
+    assert(quarRows.exists(_.contains("not json at all")))
+    assert(quarRows.exists(_.contains("{broken again")))
+    // every input line is accounted for: good + quarantined = total
+    assert(goodRows.length + quarRows.length === 7)
+  }
+
   test("minhashNearDupStream matches batch minhashPairs on the fixture corpus") {
     // Same banding, same signatures, same estimate: the streaming pair
     // set (deduped — emission is at-least-once across bands) must equal
