@@ -101,6 +101,16 @@ object TrainingDataQueries {
       |comp AS (SELECT node, min(lbl) AS component FROM walk GROUP BY node),
       |losers AS (SELECT node FROM comp WHERE node <> component)""".stripMargin
 
+  /** Fixed literal BPE merges for the graded encoder query — common
+    * English pairs, rank-ordered. The oracle replays them as a chained
+    * `replace` with fresh placeholder chars (chr(1)..chr(4)): rank-
+    * ordered full-string replacement with placeholders is exactly the
+    * leftmost-non-overlapping greedy semantics of canonical BPE (a later
+    * merge can never create an occurrence of an earlier pattern — its
+    * placeholder symbol is fresh), so the token counts grade exactly. */
+  val FixedBpeMerges: Seq[(String, String)] =
+    Seq(("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"))
+
   // PQ shared CTEs (16 subspaces × 4 dims, 32 codes, queries = vec_id<10)
   // — replays Similarity.pqCodebooks/pqEncode/pqTopK exactly: same
   // md5-ordered seeds, same round-6 L2 argmin with code-id tie-break,
@@ -359,6 +369,19 @@ object TrainingDataQueries {
 
     "text_tokens" -> ((s, dir) =>
       TextAnalysis.tokenCounts(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // BPE segmentation under a FIXED literal merge list, graded exactly:
+    // rank-ordered chained replacement with fresh placeholder symbols is
+    // provably the same leftmost-non-overlapping greedy semantics the
+    // native BpeEncode expression implements, so DuckDB can replay the
+    // token counts bit-for-bit. (Corpus-TRAINED merges stay spec-only —
+    // the training loop is not one SQL query; see TextAnalysis.bpeTrain.)
+    "text_bpe" -> ((s, dir) =>
+      TextAnalysis.bpeEncode(Tables.documents(s, dir), "doc_id", "text",
+          FixedBpeMerges)
+        .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+          length(concat_ws("", col("tokens"))).cast("long").as("n_chars_sq"))
         .orderBy("doc_id")),
 
     "text_quality" -> ((s, dir) =>
@@ -1501,6 +1524,15 @@ object TrainingDataQueries {
 
     "ingest_jsonl" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id",
+
+    "text_bpe" ->
+      s"""SELECT doc_id,
+         |  CAST(sum(length(replace(replace(replace(replace(w,
+         |    'th', chr(1)), chr(1) || 'e', chr(2)),
+         |    'in', chr(3)), 'an', chr(4)))) AS BIGINT) AS n_tokens,
+         |  CAST(sum(length(w)) AS BIGINT) AS n_chars_sq
+         |FROM (SELECT doc_id, unnest($wordsSql) AS w FROM documents) t
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "ingest_quarantine" ->
       """SELECT count(*) AS n_total,
