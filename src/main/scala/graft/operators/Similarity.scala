@@ -279,6 +279,50 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** IVF+PQ composite — the standard production serving shape (FAISS's
+    * IVFPQ, minus residual encoding): IVF decides WHICH vectors to score
+    * (only the `nProbe`/`numCells` fraction assigned to probed cells),
+    * PQ decides HOW each survivor is scored (codes + broadcast ADC LUT,
+    * never the raw vectors). Candidate generation is the IVF equi-join
+    * on cell_id; scoring joins the candidates' codes against the LUT and
+    * sums exact BIGINT micro-units. At 100 TB the scan touches codes for
+    * ~nProbe/numCells of the corpus and raw vectors for nothing. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                numCells: Int = 16, nProbe: Int = 4,
+                numSub: Int = 16, numCodes: Int = 32, dim: Int = 64,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val sub = dim / numSub
+    val (centroids, assign) = ivfIndex(corpus, numCells, idCol, vecCol)
+    val cb = pqCodebooks(corpus, numSub, numCodes, dim, idCol, vecCol)
+    val codes = pqEncode(corpus, cb, numSub, dim, idCol, vecCol)
+    val q = prep(queries, idCol, vecCol, "q_id", "q_vec", "q_nrm")
+    val wq = Window.partitionBy(col("q_id"))
+      .orderBy(col("__csim").desc, col("cell_id"))
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("__csim",
+        round(VectorFunctions.dot(col("q_vec"), col("cell_vec")) /
+          (col("q_nrm") * col("cell_nrm")), 6))
+      .withColumn("__rn", row_number().over(wq))
+      .filter(col("__rn") <= nProbe)
+      .select(col("q_id"), col("cell_id"))
+    val cand = probes.join(assign, "cell_id")
+      .select(col("q_id"), col("c_id"))
+      .filter(col("q_id") =!= col("c_id"))
+    val lut = q.crossJoin(broadcast(cb))
+      .select(col("q_id"), col("j"), col("code_id"),
+        round(VectorFunctions.dot(
+            slice(col("q_vec"), col("j") * sub + 1, lit(sub)), col("cvec")) * 1e6, 0)
+          .cast("long").as("ip_micro"))
+    val scored = cand.join(codes, "c_id")
+      .join(broadcast(lut), Seq("q_id", "j", "code_id"))
+      .groupBy(col("q_id"), col("c_id"))
+      .agg(sum(col("ip_micro")).as("adc_micro"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc_micro").desc, col("c_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Two-stage PQ retrieve-then-rerank: ADC ranks the compressed corpus
     * down to `kAdc` candidates per query, then ONLY those candidates'
     * raw vectors are fetched and scored with the exact round-6 cosine.

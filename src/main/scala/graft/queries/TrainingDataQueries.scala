@@ -118,7 +118,7 @@ object TrainingDataQueries {
   // Expects `e` (embCte) in scope; yields `r` = ADC-ranked candidates.
   // (16×32 chosen by measured recall: ADC top-1-in-top-10 ≈ 7/10 and
   // rerank ≈ 8–10/10 on the fixtures, vs 2–3/10 for 8×16.)
-  private val pqCtes =
+  private val pqBaseCtes =
     """seeds AS (SELECT vec_id AS code_id, v FROM e
       |          ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 32),
       |subs AS (SELECT unnest(generate_series(0, 15)) AS j),
@@ -136,12 +136,16 @@ object TrainingDataQueries {
       |                              + cdot, 6),
       |                            cbd.code_id) AS rn
       |          FROM x JOIN cbd ON x.j = cbd.j) t WHERE rn = 1),
-      |qq AS (SELECT vec_id AS q_id, v FROM e WHERE vec_id < 10),
+      |qq AS (SELECT vec_id AS q_id, v, nrm FROM e WHERE vec_id < 10),
       |lut AS (SELECT q_id, j, code_id,
       |               CAST(round(list_inner_product(
       |                 list_slice(qq.v, j*4+1, j*4+4), cvec) * 1e6) AS BIGINT) AS ip_micro
-      |        FROM qq CROSS JOIN cbd),
-      |sc AS (SELECT q_id, c_id, CAST(sum(ip_micro) AS BIGINT) AS adc_micro
+      |        FROM qq CROSS JOIN cbd)""".stripMargin
+
+  // Full-corpus ADC scoring + ranking on top of the base (ann_pq /
+  // ann_pq_rerank); the IVF+PQ composite swaps in a pruned candidate set.
+  private val pqScoreCtes =
+    """sc AS (SELECT q_id, c_id, CAST(sum(ip_micro) AS BIGINT) AS adc_micro
       |       FROM enc JOIN lut ON enc.j = lut.j AND enc.code_id = lut.code_id
       |       WHERE q_id <> c_id GROUP BY q_id, c_id),
       |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
@@ -355,6 +359,16 @@ object TrainingDataQueries {
       val emb = Tables.embeddings(s, dir)
       Similarity.pqTopK(emb, emb.filter(col("vec_id") < 10), 10,
           numSub = 16, numCodes = 32, dim = 64)
+        .orderBy("q_id", "rank")
+    }),
+
+    // IVF+PQ composite: IVF prunes WHICH vectors get scored (probed
+    // cells only), PQ compresses HOW (codes + ADC LUT). Same generated-
+    // oracle treatment — both index choices are md5-deterministic.
+    "ann_ivfpq" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 10), 10,
+          numCells = 16, nProbe = 6, numSub = 16, numCodes = 32, dim = 64)
         .orderBy("q_id", "rank")
     }),
 
@@ -1102,13 +1116,46 @@ object TrainingDataQueries {
 
     "ann_pq" ->
       s"""WITH $embCte,
-         |$pqCtes
+         |$pqBaseCtes,
+         |$pqScoreCtes
+         |SELECT q_id, c_id, adc_micro, rank FROM r WHERE rank <= 10
+         |ORDER BY q_id, rank""".stripMargin,
+
+    "ann_ivfpq" ->
+      s"""WITH $embCte,
+         |$pqBaseCtes,
+         |cent AS (SELECT vec_id AS cell_id, v AS cv, nrm AS cn FROM e
+         |         ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16),
+         |asg AS (SELECT c_id, cell_id FROM (
+         |          SELECT e.vec_id AS c_id, cent.cell_id,
+         |                 row_number() OVER (PARTITION BY e.vec_id
+         |                   ORDER BY round(list_inner_product(e.v, cent.cv) / (e.nrm * cent.cn), 6) DESC,
+         |                            cent.cell_id) AS rn
+         |          FROM e CROSS JOIN cent) t WHERE rn = 1),
+         |probes AS (SELECT q_id, cell_id FROM (
+         |             SELECT qq.q_id, cent.cell_id,
+         |                    row_number() OVER (PARTITION BY qq.q_id
+         |                      ORDER BY round(list_inner_product(qq.v, cent.cv) / (qq.nrm * cent.cn), 6) DESC,
+         |                               cent.cell_id) AS rn
+         |             FROM qq CROSS JOIN cent) t WHERE rn <= 6),
+         |cand AS (SELECT q_id, c_id FROM probes JOIN asg USING (cell_id)
+         |         WHERE q_id <> c_id),
+         |sc AS (SELECT cand.q_id, cand.c_id,
+         |              CAST(sum(ip_micro) AS BIGINT) AS adc_micro
+         |       FROM cand
+         |       JOIN enc ON enc.c_id = cand.c_id
+         |       JOIN lut ON lut.q_id = cand.q_id AND lut.j = enc.j
+         |              AND lut.code_id = enc.code_id
+         |       GROUP BY cand.q_id, cand.c_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+         |               ORDER BY adc_micro DESC, c_id) AS rank FROM sc)
          |SELECT q_id, c_id, adc_micro, rank FROM r WHERE rank <= 10
          |ORDER BY q_id, rank""".stripMargin,
 
     "ann_pq_rerank" ->
       s"""WITH $embCte,
-         |$pqCtes,
+         |$pqBaseCtes,
+         |$pqScoreCtes,
          |cand AS (SELECT q_id, c_id FROM r WHERE rank <= 30),
          |sc2 AS (SELECT q_id, c_id, round(${cos("qe", "ce")}, 6) AS cos_sim
          |        FROM cand JOIN e qe ON qe.vec_id = q_id

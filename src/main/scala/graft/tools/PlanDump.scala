@@ -35,7 +35,11 @@ object PlanDump {
     "q_scd2" -> "SCD2 history = one full-outer join on the key + a union of the two row roles; no window, no second join",
     "data_interleave" -> "per-source rank window (one shuffle on source) + range-partitioned sort on (rank, source): a global training order with no single-partition stage",
     "text_lm_score" -> "one bigram explode feeds BOTH count tables (heads aggregate FROM the bigram counts — no second corpus pass); per-position ln is rounded to integer e4 nats so the per-doc sum is exact integer aggregation",
-    "text_span_removal" -> "covered word ordinals anti-join the positional word table (both sides shuffle on doc); per-doc ordered reassembly is an ObjectHashAggregate whose state is one document's words, never a global window")
+    "text_span_removal" -> "covered word ordinals anti-join the positional word table (both sides shuffle on doc); per-doc ordered reassembly is an ObjectHashAggregate whose state is one document's words, never a global window",
+    "ann_pq" -> "PQ/ADC: codebook + LUT both broadcast; encode is explode(16 subspaces) -> broadcast join -> partial-agg argmin; scoring reads CODES only and sums BIGINT micro-units in a two-phase hash aggregate — the raw-vector table is scanned once for encoding, never per query",
+    "q_lateral_topk" -> "LATERAL with per-row LIMIT decorrelates to WindowGroupLimit (map-side group pruning BEFORE the exchange) + rank filter + broadcast join — no nested-loop per-outer-row subquery execution",
+    "q_bucket_join" -> "both sides read from bucketed tables on the join key: SortMergeJoin with NO Exchange on either side (the bucketed write paid the one-time shuffle)",
+    "text_bpe" -> "BPE segmentation is ONE native-codegen projection (graft BpeEncode, merge table as a per-task reference object) — no per-merge passes, no explode, no shuffle")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"

@@ -127,6 +127,27 @@ class SimilaritySpec extends SparkSpec {
     assert(rrHits >= adcHits, s"rerank recall $rrHits < ADC recall $adcHits")
   }
 
+  test("IVFPQ returns only IVF-surfaced candidates, ranked by ADC; recall stays useful") {
+    val got = Similarity.ivfPqTopK(emb, queries, 10, numCells = 16, nProbe = 6).cache()
+    val perQ = got.groupBy("q_id").count().as[(Long, Long)].collect()
+    assert(perQ.nonEmpty && perQ.forall(_._2 <= 10))
+    // cell pruning really bites: the composite must surface a strict
+    // subset of what full-corpus ADC ranks at the same k whenever the
+    // probed cells exclude part of the corpus
+    val ivfCand = Similarity.ivfTopK(emb, queries, Int.MaxValue,
+        numCells = 16, nProbe = 6)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    val gotPairs = got.select("q_id", "c_id").as[(Long, Long)].collect()
+    assert(gotPairs.forall(ivfCand.contains),
+      "every IVFPQ result must come from an IVF-probed cell")
+    val bf = Similarity.bruteForceTopK(emb, queries, 1)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toMap
+    val cand = gotPairs.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val hits = bf.count { case (q, top1) => cand.getOrElse(q, Set.empty).contains(top1) }
+    // double approximation (cell pruning + ADC) — recall floor is looser
+    assert(hits >= 4, s"IVFPQ top-1 recall: $hits/10")
+  }
+
   test("PQ encode is deterministic and a seed vector's own codes are its own id") {
     val cb = Similarity.pqCodebooks(emb, numSub = 16, numCodes = 32, dim = 64)
     val codes = Similarity.pqEncode(emb, cb, numSub = 16, dim = 64)
