@@ -55,6 +55,39 @@ object Sorting {
   def totalSortSpread(df: DataFrame, key: Column, tiebreakInput: Column): DataFrame =
     df.orderBy(key, xxhash64(tiebreakInput))
 
+  /** Contiguous global ids 0..N−1 in total `order` without a
+    * single-partition window. `row_number() OVER (ORDER BY …)` — the
+    * naive formulation — funnels ALL rows through one task; this is the
+    * two-phase shape that parallelizes it: (1) range-partition on the
+    * order keys (the same one exchange any total sort pays) and pin the
+    * result with `localCheckpoint` so both consumers see identical
+    * partition boundaries (range boundaries come from sampling — an
+    * unpinned plan could re-sample differently per action); (2) collect
+    * ONE count per partition (P longs — driver state is the partition
+    * count, never the data) and broadcast the running offsets back;
+    * (3) per-partition row_number + offset = the global id, computed in
+    * parallel across partitions. The order must be total (include a
+    * unique tiebreak) or ids within ties are partition-placement-
+    * dependent. */
+  def globalIds(df: DataFrame, order: Column*): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranged = df.repartitionByRange(order: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val counts = ranged.groupBy(col("__pid")).count()
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets = counts.scanLeft((0, 0L)) { case ((_, acc), (pid, n)) =>
+      (pid, acc + n)
+    }.init.zip(counts).map { case ((_, off), (pid, _)) => (pid, off) }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offDf = broadcast(offsets.toSeq.toDF("__pid", "__off"))
+    val w = Window.partitionBy(col("__pid")).orderBy(order: _*)
+    ranged.join(offDf, "__pid")
+      .withColumn("gid", col("__off") + row_number().over(w) - 1)
+      .drop("__pid", "__off")
+  }
+
   /** Top-k by key — the scalable replacement for "sort then take first k":
     * Spark plans `orderBy.limit` as `TakeOrderedAndProject`, a per-partition
     * bounded heap + driver-side merge of k rows — no global shuffle at all. */

@@ -69,6 +69,16 @@ object ParityQueries {
         Tables.orders(s, dir).select("o_orderkey", "o_custkey", "o_totalprice"),
         100, col("o_totalprice").desc, col("o_orderkey"))),
 
+    // Contiguous global ids in total order WITHOUT the naive
+    // single-partition row_number window: range partition + per-partition
+    // counts (P longs to the driver) + parallel per-partition numbering.
+    "q_global_ids" -> ((s, dir) =>
+      Sorting.globalIds(
+          Tables.orders(s, dir).select("o_orderkey", "o_totalprice"),
+          col("o_totalprice").desc, col("o_orderkey"))
+        .select(col("o_orderkey"), col("gid"))
+        .orderBy(col("gid"))),
+
     // O1/O2: the reference's synthetic producer — deterministic seeded
     // records from spark.range partition parallelism (domains from
     // generator.go:9-13,24-42), replayed exactly by the DuckDB oracle.
@@ -96,6 +106,10 @@ object ParityQueries {
     "sort_topk" ->
       """SELECT o_orderkey, o_custkey, o_totalprice
         |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    "q_global_ids" ->
+      """SELECT o_orderkey,
+        |       row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) - 1 AS gid
+        |FROM orders ORDER BY gid""".stripMargin,
     "generate_records" ->
       graft.sources.RecordGenerator.oracleSql(1000, seed = 42))
 }

@@ -151,6 +151,26 @@ class SortingSpec extends SparkSpec {
     assert(directD === saltedD)
   }
 
+  test("globalIds: contiguous 0..N-1 in total order, no single-partition exchange") {
+    import spark.implicits._
+    val ids = Sorting.globalIds(records.select(col("id"), col("name")),
+      col("id"), col("name"))
+    val got = ids.select(col("gid"), col("id"), col("name"))
+      .as[(Long, Int, String)].collect().sortBy(_._1)
+    val n = records.count()
+    assert(got.map(_._1).toSeq === (0L until n).toSeq, "ids must be 0..N-1 exactly")
+    // ids follow the requested total order
+    val expect = records.select(col("id"), col("name"))
+      .as[(Int, String)].collect().sortBy(identity).toSeq
+    assert(got.map(t => (t._2, t._3)).toSeq === expect)
+    // the numbering plan must not funnel all rows through one partition
+    // (the naive global row_number window would show a SinglePartition
+    // exchange)
+    val plan = ids.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      s"global numbering must stay parallel; plan was:\n$plan")
+  }
+
   test("totalSortPartitioned: partition i holds keys <= partition i+1") {
     val parted = Sorting.totalSortPartitioned(records, 8, col("id"))
     val perPart = parted.select(col("id"), spark_partition_id().as("p"))
