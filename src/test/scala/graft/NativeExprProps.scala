@@ -87,6 +87,54 @@ object NativeExprProps extends Properties("NativeExpr") {
         (ws.length < 6 || got.toSet.intersect(shifted).nonEmpty)
     }
 
+  /** Independent reference BPE segmenter: repeatedly merge the
+    * lowest-rank adjacent pair (leftmost-first, all non-overlapping
+    * occurrences) — plain Scala lists, no shared code with the
+    * expression's hash-map/ArrayList hot loop. */
+  private def refBpe(word: String, merges: List[(String, String)]): List[String] = {
+    // first occurrence wins, like BpeEncode.buildRanks' putIfAbsent
+    val rank = merges.zipWithIndex.reverse.toMap
+    var syms = word.map(_.toString).toList
+    var done = syms.length < 2
+    while (!done) {
+      val present = syms.zip(syms.tail).flatMap(p => rank.get(p).map(r => (r, p)))
+      if (present.isEmpty) done = true
+      else {
+        val (_, best) = present.minBy(_._1)
+        val out = scala.collection.mutable.ListBuffer.empty[String]
+        var rest = syms
+        while (rest.nonEmpty) rest match {
+          case a :: b :: t if (a, b) == best => out += (a + b); rest = t
+          case a :: t => out += a; rest = t
+          case Nil => ()
+        }
+        syms = out.toList
+        done = syms.length < 2
+      }
+    }
+    syms
+  }
+
+  private val bpeWord: Gen[String] =
+    Gen.chooseNum(0, 10).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c", "ab", "é")).map(_.mkString))
+
+  private val mergesGen: Gen[List[(String, String)]] = {
+    val sym = Gen.oneOf("a", "b", "c", "ab", "bc", "abc", "é")
+    Gen.chooseNum(0, 6).flatMap(n => Gen.listOfN(n, Gen.zip(sym, sym)))
+  }
+
+  property("BpeEncode = reference greedy rank-priority segmenter; concat invariant") =
+    Prop.forAll(Gen.chooseNum(1, 5).flatMap(n => Gen.listOfN(n, bpeWord)), mergesGen) {
+      (ws0, merges) =>
+        val ws = ws0.filter(_.nonEmpty)
+        val expected = ws.flatMap(w => refBpe(w, merges))
+        val got = List(ws).toDF("w")
+          .select(graft.plans.BpeEncode(col("w"), merges).as("t"))
+          .as[Seq[String]].head().toList
+        got == expected && got.mkString("") == ws.mkString("")
+    }
+
   property("SimHash32 = sign-of-votes over the 32-bit token hashes") =
     Prop.forAll(wordsGen) { ws =>
       val votes = new Array[Int](32)
