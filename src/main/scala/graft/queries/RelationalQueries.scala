@@ -711,6 +711,43 @@ object RelationalQueries {
         .orderBy(col("user_id"), col("ts_ms"), col("event_id"))
     }),
 
+    // EXISTS + NOT EXISTS in one query — both decorrelate (semi join +
+    // anti join); the graded point is that the two correlated predicates
+    // compose without per-row re-execution.
+    "q_exists_subquery" -> ((s, dir) => {
+      Tables.customer(s, dir).createOrReplaceTempView("customer_ex")
+      Tables.orders(s, dir).createOrReplaceTempView("orders_ex")
+      s.sql("""
+        SELECT c_custkey, c_mktsegment
+        FROM customer_ex c
+        WHERE EXISTS (SELECT 1 FROM orders_ex o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 400000)
+          AND NOT EXISTS (SELECT 1 FROM orders_ex o2
+                          WHERE o2.o_custkey = c.c_custkey
+                            AND o2.o_orderstatus = 'F')
+        ORDER BY c_custkey""")
+    }),
+
+    // Calendar/date function battery over order dates — trunc, parts,
+    // ISO week, end-of-month, month arithmetic (both engines clamp
+    // add-months at month end), day diffs from an epoch date.
+    // dayofweek: Spark is 1=Sunday, DuckDB dow is 0=Sunday — the oracle
+    // adds 1 so the CONVENTION difference is pinned, not papered over.
+    "q_datetime_funcs" -> ((s, dir) =>
+      Tables.orders(s, dir).select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("yr"),
+        quarter(col("o_orderdate")).cast("long").as("qtr"),
+        weekofyear(col("o_orderdate")).cast("long").as("iso_week"),
+        dayofweek(col("o_orderdate")).cast("long").as("dow1"),
+        date_trunc("month", col("o_orderdate")).cast("date").as("month_start"),
+        last_day(col("o_orderdate")).as("month_end"),
+        add_months(to_date(col("o_orderdate")), 3).as("plus3m"),
+        datediff(to_date(col("o_orderdate")), lit("1995-01-01").cast("date"))
+          .cast("long").as("days_since"))
+        .orderBy(col("o_orderkey"))),
+
     // LATERAL correlated subquery — top-2 orders PER customer in the
     // SQL-standard lateral form. Catalyst decorrelates the per-row
     // LIMIT subquery into a ranked join (no nested-loop re-execution
@@ -1170,6 +1207,27 @@ object RelationalQueries {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
         |ORDER BY user_id, ts_ms, event_id""".stripMargin,
+    "q_exists_subquery" ->
+      """SELECT c_custkey, c_mktsegment
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_totalprice > 400000)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o2
+        |                  WHERE o2.o_custkey = c.c_custkey
+        |                    AND o2.o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin,
+    "q_datetime_funcs" ->
+      """SELECT o_orderkey,
+        |       CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |       CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+        |       CAST(weekofyear(o_orderdate) AS BIGINT) AS iso_week,
+        |       CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow1,
+        |       date_trunc('month', o_orderdate)::DATE AS month_start,
+        |       last_day(o_orderdate::DATE) AS month_end,
+        |       (o_orderdate + INTERVAL 3 MONTH)::DATE AS plus3m,
+        |       CAST(datediff('day', DATE '1995-01-01', o_orderdate::DATE) AS BIGINT) AS days_since
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q_lateral_topk" ->
       """SELECT c_custkey, o_orderkey, round(o_totalprice, 2) AS tp
         |FROM customer, LATERAL (
