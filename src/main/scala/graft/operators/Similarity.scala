@@ -279,6 +279,32 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Filtered ANN: exact top-k restricted to corpus vectors satisfying a
+    * per-query metadata predicate (here: equality on `filterCol` — the
+    * "same tenant / same language / same license" constraint every
+    * production vector search carries). The filter column becomes part
+    * of the JOIN KEY, so filtering happens BEFORE any scoring: the pair
+    * space is per-filter-group blocks, never query × corpus. At 100 TB
+    * this composes with partitioning on the filter column (partition
+    * pruning feeds the join only matching files). */
+  def filteredTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                   filterCol: String = "label",
+                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = prep(queries, idCol, vecCol, "q_id", "q_vec", "q_nrm",
+      passthrough = Seq(filterCol -> "__qf"))
+    val c = prep(corpus, idCol, vecCol, "c_id", "c_vec", "c_nrm",
+      passthrough = Seq(filterCol -> "__cf"))
+    val scored = c.join(broadcast(q),
+        col("__cf") === col("__qf") && col("c_id") =!= col("q_id"))
+      .select(col("q_id"), col("c_id"),
+        round(VectorFunctions.dot(col("q_vec"), col("c_vec")) /
+          (col("q_nrm") * col("c_nrm")), 6).as("cos_sim"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("c_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** IVF+PQ composite — the standard production serving shape (FAISS's
     * IVFPQ, minus residual encoding): IVF decides WHICH vectors to score
     * (only the `nProbe`/`numCells` fraction assigned to probed cells),

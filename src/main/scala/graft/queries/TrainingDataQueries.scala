@@ -362,6 +362,16 @@ object TrainingDataQueries {
         .orderBy("q_id", "rank")
     }),
 
+    // Filtered ANN: top-5 neighbors that SHARE the query's label — the
+    // metadata predicate rides in the join key, so filtering precedes
+    // scoring (per-label blocks, never query × corpus).
+    "ann_filtered" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.filteredTopK(emb, emb.filter(col("vec_id") < 10), 5,
+          filterCol = "label")
+        .orderBy("q_id", "rank")
+    }),
+
     // IVF+PQ composite: IVF prunes WHICH vectors get scored (probed
     // cells only), PQ compresses HOW (codes + ADC LUT). Same generated-
     // oracle treatment — both index choices are md5-deterministic.
@@ -1119,6 +1129,17 @@ object TrainingDataQueries {
          |$pqBaseCtes,
          |$pqScoreCtes
          |SELECT q_id, c_id, adc_micro, rank FROM r WHERE rank <= 10
+         |ORDER BY q_id, rank""".stripMargin,
+
+    "ann_filtered" ->
+      s"""WITH $embCte,
+         |q AS (SELECT vec_id AS q_id, label AS qf, v, nrm FROM e WHERE vec_id < 10),
+         |sc AS (SELECT q.q_id, c.vec_id AS c_id,
+         |              round(list_inner_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cos_sim
+         |       FROM q JOIN e c ON c.label = q.qf AND c.vec_id <> q.q_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+         |               ORDER BY cos_sim DESC, c_id) AS rank FROM sc)
+         |SELECT q_id, c_id, cos_sim, rank FROM r WHERE rank <= 5
          |ORDER BY q_id, rank""".stripMargin,
 
     "ann_ivfpq" ->

@@ -39,7 +39,9 @@ object PlanDump {
     "ann_pq" -> "PQ/ADC: codebook + LUT both broadcast; encode is explode(16 subspaces) -> broadcast join -> partial-agg argmin; scoring reads CODES only and sums BIGINT micro-units in a two-phase hash aggregate — the raw-vector table is scanned once for encoding, never per query",
     "q_lateral_topk" -> "LATERAL with per-row LIMIT decorrelates to WindowGroupLimit (map-side group pruning BEFORE the exchange) + rank filter + broadcast join — no nested-loop per-outer-row subquery execution",
     "q_bucket_join" -> "both sides read from bucketed tables on the join key: SortMergeJoin with NO Exchange on either side (the bucketed write paid the one-time shuffle)",
-    "text_bpe" -> "BPE segmentation is ONE native-codegen projection (graft BpeEncode, merge table as a per-task reference object) — no per-merge passes, no explode, no shuffle")
+    "text_bpe" -> "BPE segmentation is ONE native-codegen projection (graft BpeEncode, merge table as a per-task reference object) — no per-merge passes, no explode, no shuffle",
+    "q_global_ids" -> "contiguous global numbering with NO SinglePartition exchange: range partition, per-partition window (hash exchange on pid), broadcast offset join — the naive global row_number would funnel every row through one task",
+    "ann_filtered" -> "the metadata predicate is part of the JOIN KEY (label equality), so filtering precedes scoring — per-label blocks, never a query x corpus cross product")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
