@@ -148,6 +148,24 @@ class SimilaritySpec extends SparkSpec {
     assert(hits >= 4, s"IVFPQ top-1 recall: $hits/10")
   }
 
+  test("filteredTopK: every neighbor shares the query's label and equals per-label brute force") {
+    val got = Similarity.filteredTopK(emb, queries, 3, filterCol = "label").cache()
+    val labels = emb.select("vec_id", "label").as[(Long, Long)].collect().toMap
+    val pairs = got.select("q_id", "c_id").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty)
+    assert(pairs.forall { case (q, c) => labels(q) == labels(c) },
+      "a filtered neighbor must satisfy the predicate")
+    // per query: identical to brute force over the pre-filtered corpus
+    val q0 = queries.select("vec_id", "label").as[(Long, Long)].collect().head
+    val restricted = emb.filter(col("label") === q0._2)
+    val bf = Similarity.bruteForceTopK(restricted,
+        emb.filter(col("vec_id") === q0._1), 3)
+      .orderBy("rank").select("c_id").as[Long].collect().toSeq
+    val gotQ0 = got.filter(col("q_id") === q0._1)
+      .orderBy("rank").select("c_id").as[Long].collect().toSeq
+    assert(gotQ0 === bf, "filtered search = brute force over the filtered corpus")
+  }
+
   test("PQ encode is deterministic and a seed vector's own codes are its own id") {
     val cb = Similarity.pqCodebooks(emb, numSub = 16, numCodes = 32, dim = 64)
     val codes = Similarity.pqEncode(emb, cb, numSub = 16, dim = 64)
