@@ -711,6 +711,32 @@ object RelationalQueries {
         .orderBy(col("user_id"), col("ts_ms"), col("event_id"))
     }),
 
+    // Aggregate FILTER clause — per-group conditional aggregation in the
+    // SQL-standard form (one pass; a WHERE would change the group's base
+    // rows). Money sums in integer cents, exact in any order.
+    "q_filter_agg" -> ((s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("orders_fa")
+      s.sql("""
+        SELECT o_orderstatus, count(*) AS n,
+               count(*) FILTER (WHERE o_totalprice > 300000) AS n_big,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                 FILTER (WHERE o_orderpriority = '1-URGENT') AS urgent_cents
+        FROM orders_fa GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+    }),
+
+    // Position-independent UNION: the two legs present columns in
+    // different orders; unionByName aligns by NAME (a positional UNION
+    // would silently zip k with src). The oracle uses DuckDB's
+    // UNION ALL BY NAME.
+    "q_union_by_name" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val a = o.filter(col("o_orderkey") % 5 === 0)
+        .select(col("o_orderkey").as("k"), lit("a").as("src"))
+      val b = o.filter(col("o_orderkey") % 7 === 0)
+        .select(lit("b").as("src"), col("o_orderkey").as("k"))
+      a.unionByName(b).orderBy(col("k"), col("src"))
+    }),
+
     // EXISTS + NOT EXISTS in one query — both decorrelate (semi join +
     // anti join); the graded point is that the two correlated predicates
     // compose without per-row re-execution.
@@ -1207,6 +1233,18 @@ object RelationalQueries {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
         |ORDER BY user_id, ts_ms, event_id""".stripMargin,
+    "q_filter_agg" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |       count(*) FILTER (WHERE o_totalprice > 300000) AS n_big,
+        |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |         FILTER (WHERE o_orderpriority = '1-URGENT') AS BIGINT) AS urgent_cents
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_union_by_name" ->
+      """SELECT * FROM (
+        |  SELECT o_orderkey AS k, 'a' AS src FROM orders WHERE o_orderkey % 5 = 0
+        |  UNION ALL BY NAME
+        |  SELECT 'b' AS src, o_orderkey AS k FROM orders WHERE o_orderkey % 7 = 0) t
+        |ORDER BY k, src""".stripMargin,
     "q_exists_subquery" ->
       """SELECT c_custkey, c_mktsegment
         |FROM customer c

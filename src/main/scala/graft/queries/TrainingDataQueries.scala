@@ -395,6 +395,21 @@ object TrainingDataQueries {
       TextAnalysis.tokenCounts(Tables.documents(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // Array-function battery over the words column — distinct/sort/
+    // membership/position/slice. Both engines use 1-based positions
+    // with 0 for "absent" (verified, not assumed), so array_position
+    // grades directly.
+    "text_array_funcs" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextFunctions.words(col("text")).as("l"))
+        .select(col("doc_id"),
+          size(array_distinct(col("l"))).cast("long").as("n_distinct"),
+          element_at(sort_array(col("l")), 1).as("first_word"),
+          array_contains(col("l"), "the").as("has_the"),
+          array_position(col("l"), "the").as("pos_the"),
+          concat_ws(" ", slice(col("l"), 2, 3)).as("mid_words"))
+        .orderBy("doc_id")),
+
     // BPE segmentation under a FIXED literal merge list, graded exactly:
     // rank-ordered chained replacement with fresh placeholder symbols is
     // provably the same leftmost-non-overlapping greedy semantics the
@@ -1592,6 +1607,16 @@ object TrainingDataQueries {
 
     "ingest_jsonl" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id",
+
+    "text_array_funcs" ->
+      s"""WITH w AS (SELECT doc_id, $wordsSql AS l FROM documents)
+         |SELECT doc_id,
+         |       CAST(len(list_distinct(l)) AS BIGINT) AS n_distinct,
+         |       list_sort(l)[1] AS first_word,
+         |       list_contains(l, 'the') AS has_the,
+         |       CAST(list_position(l, 'the') AS BIGINT) AS pos_the,
+         |       array_to_string(l[2:4], ' ') AS mid_words
+         |FROM w ORDER BY doc_id""".stripMargin,
 
     "text_bpe" ->
       s"""SELECT doc_id,
