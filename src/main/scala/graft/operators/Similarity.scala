@@ -151,17 +151,18 @@ object Similarity {
       .limit(numCells)
       .select(col("c_id").as("cell_id"), col("c_vec").as("cell_vec"),
         col("c_nrm").as("cell_nrm"))
-    val w = Window.partitionBy(col("c_id"))
-      .orderBy(col("__sim").desc, col("cell_id"))
     // round-6 before ranking: cell choice must not hinge on the last bits
-    // of a double fold, or the assignment is not engine/plan-portable
+    // of a double fold, or the assignment is not engine/plan-portable.
+    // Arg-max as a partial-aggregable min_by (the pqEncode shape): the
+    // N×numCells product is reduced map-side to one row per vector —
+    // never sort-shuffled. round-6 + cell_id tie-break keeps the choice
+    // identical to a rank-1 window.
     val assign = c.crossJoin(broadcast(centroids))
       .withColumn("__sim",
         round(VectorFunctions.dot(col("c_vec"), col("cell_vec")) /
           (col("c_nrm") * col("cell_nrm")), 6))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select(col("c_id"), col("cell_id"))
+      .groupBy(col("c_id"))
+      .agg(expr("min_by(cell_id, struct(-__sim, cell_id))").as("cell_id"))
     (centroids, assign)
   }
 
@@ -417,15 +418,17 @@ object Similarity {
         .limit(k)
         .select(col("c_id").as("cell_id"), col("c_vec").as("cell_vec")))
     def assign(cent: DataFrame): DataFrame = {
-      val w = Window.partitionBy(col("c_id"))
-        .orderBy(col("__sim").desc, col("cell_id"))
+      // same partial-aggregable arg-max as ivfIndex — min_by carries the
+      // vector payload so the means pass needs no re-join; round-6 +
+      // cell_id tie-break matches the rank-1 window exactly
       c.crossJoin(broadcast(cent))
         .withColumn("__sim",
           round(VectorFunctions.dot(col("c_vec"), col("cell_vec")) /
             (col("c_nrm") * col("cell_nrm")), 6))
-        .withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1)
-        .select(col("c_id"), col("c_vec"), col("cell_id"), col("__sim"))
+        .groupBy(col("c_id"))
+        .agg(expr("min_by(struct(c_vec, cell_id, __sim), struct(-__sim, cell_id))").as("__b"))
+        .select(col("c_id"), col("__b.c_vec").as("c_vec"),
+          col("__b.cell_id").as("cell_id"), col("__b.__sim").as("__sim"))
     }
     (0 until iterations).foreach { _ =>
       val a = assign(centroids)

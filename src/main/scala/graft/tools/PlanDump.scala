@@ -41,7 +41,8 @@ object PlanDump {
     "q_bucket_join" -> "both sides read from bucketed tables on the join key: SortMergeJoin with NO Exchange on either side (the bucketed write paid the one-time shuffle)",
     "text_bpe" -> "BPE segmentation is ONE native-codegen projection (graft BpeEncode, merge table as a per-task reference object) — no per-merge passes, no explode, no shuffle",
     "q_global_ids" -> "contiguous global numbering with NO SinglePartition exchange: range partition, per-partition window (hash exchange on pid), broadcast offset join — the naive global row_number would funnel every row through one task",
-    "ann_filtered" -> "the metadata predicate is part of the JOIN KEY (label equality), so filtering precedes scoring — per-label blocks, never a query x corpus cross product")
+    "ann_filtered" -> "the metadata predicate is part of the JOIN KEY (label equality), so filtering precedes scoring — per-label blocks, never a query x corpus cross product",
+    "ann_ivf" -> "IVF cell assignment is a partial-aggregable min_by HashAggregate over the broadcast-centroid product (map-side combined to one row per vector) — NOT a Sort+Window+Exchange of N x numCells rows; candidate generation is the cell_id equi-join")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
