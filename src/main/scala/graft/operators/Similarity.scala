@@ -155,14 +155,24 @@ object Similarity {
     // of a double fold, or the assignment is not engine/plan-portable.
     // Arg-max as a partial-aggregable min_by (the pqEncode shape): the
     // N×numCells product is reduced map-side to one row per vector —
-    // never sort-shuffled. round-6 + cell_id tie-break keeps the choice
-    // identical to a rank-1 window.
-    val assign = c.crossJoin(broadcast(centroids))
-      .withColumn("__sim",
-        round(VectorFunctions.dot(col("c_vec"), col("cell_vec")) /
-          (col("c_nrm") * col("cell_nrm")), 6))
+    // never sort-shuffled. The (−sim, cell_id) ordering is packed into
+    // ONE BIGINT — round-6 sim ∈ [−1,1] gives an exact integer
+    // sim_micro ∈ [−1e6,1e6], and cell_rank (row number of the ≤numCells
+    // centroids by cell_id) is monotone in cell_id — because a struct
+    // ordering key would force a non-primitive aggregation buffer and
+    // demote the aggregate to SortAggregate; all-long buffers keep it a
+    // true HashAggregate. Choice is identical to a rank-1 window over
+    // (sim DESC, cell_id).
+    val centR = centroids.withColumn("cell_rank",
+      row_number().over(Window.orderBy(col("cell_id"))))
+    val assign = c.crossJoin(broadcast(centR))
+      .withColumn("__sim_micro",
+        round(round(VectorFunctions.dot(col("c_vec"), col("cell_vec")) /
+          (col("c_nrm") * col("cell_nrm")), 6) * 1e6, 0).cast("long"))
+      .withColumn("__ord",
+        (lit(1000000L) - col("__sim_micro")) * lit(1L << 32) + col("cell_rank"))
       .groupBy(col("c_id"))
-      .agg(expr("min_by(cell_id, struct(-__sim, cell_id))").as("cell_id"))
+      .agg(expr("min_by(cell_id, __ord)").as("cell_id"))
     (centroids, assign)
   }
 
@@ -333,6 +343,57 @@ object Similarity {
       .filter(col("__rn") <= nProbe)
       .select(col("q_id"), col("cell_id"))
     val cand = probes.join(assign, "cell_id")
+      .select(col("q_id"), col("c_id"))
+      .filter(col("q_id") =!= col("c_id"))
+    val lut = q.crossJoin(broadcast(cb))
+      .select(col("q_id"), col("j"), col("code_id"),
+        round(VectorFunctions.dot(
+            slice(col("q_vec"), col("j") * sub + 1, lit(sub)), col("cvec")) * 1e6, 0)
+          .cast("long").as("ip_micro"))
+    val scored = cand.join(codes, "c_id")
+      .join(broadcast(lut), Seq("q_id", "j", "code_id"))
+      .groupBy(col("q_id"), col("c_id"))
+      .agg(sum(col("ip_micro")).as("adc_micro"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc_micro").desc, col("c_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Filtered IVF+PQ composite — per-tenant / per-label vector search
+    * over a compressed corpus, the shape production filtered ANN needs
+    * at 100 TB: the metadata predicate rides IN THE CANDIDATE JOIN KEY
+    * (cell_id AND label equality — as [[filteredTopK]]), IVF prunes the
+    * scan to the probed nProbe/numCells fraction (as [[ivfPqTopK]]),
+    * and scoring touches only PQ codes + the broadcast ADC LUT. Raw
+    * vectors are read for nothing; non-matching-label candidates never
+    * reach the scoring aggregate, let alone a shuffle of vector
+    * payloads. Same exact BIGINT micro-unit ADC, so the approximate
+    * path still carries a bit-exact oracle. */
+  def filteredIvfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                        filterCol: String = "label",
+                        numCells: Int = 16, nProbe: Int = 4,
+                        numSub: Int = 16, numCodes: Int = 32, dim: Int = 64,
+                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val sub = dim / numSub
+    val (centroids, assign) = ivfIndex(corpus, numCells, idCol, vecCol)
+    val cb = pqCodebooks(corpus, numSub, numCodes, dim, idCol, vecCol)
+    val codes = pqEncode(corpus, cb, numSub, dim, idCol, vecCol)
+    val q = prep(queries, idCol, vecCol, "q_id", "q_vec", "q_nrm",
+      passthrough = Seq(filterCol -> "__qf"))
+    val wq = Window.partitionBy(col("q_id"))
+      .orderBy(col("__csim").desc, col("cell_id"))
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("__csim",
+        round(VectorFunctions.dot(col("q_vec"), col("cell_vec")) /
+          (col("q_nrm") * col("cell_nrm")), 6))
+      .withColumn("__rn", row_number().over(wq))
+      .filter(col("__rn") <= nProbe)
+      .select(col("q_id"), col("__qf"), col("cell_id"))
+    val assignL = assign.join(
+      corpus.select(col(idCol).as("c_id"), col(filterCol).as("__cf")), "c_id")
+    val cand = probes.join(assignL,
+        probes("cell_id") === assignL("cell_id") && col("__qf") === col("__cf"))
       .select(col("q_id"), col("c_id"))
       .filter(col("q_id") =!= col("c_id"))
     val lut = q.crossJoin(broadcast(cb))

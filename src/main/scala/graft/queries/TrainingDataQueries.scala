@@ -382,6 +382,18 @@ object TrainingDataQueries {
         .orderBy("q_id", "rank")
     }),
 
+    // Filtered IVF+PQ: the per-tenant serving composite — label equality
+    // in the candidate join key, IVF cell pruning, ADC scoring over
+    // codes only. Both index choices are md5-deterministic, the filter
+    // is exact, and the ADC sum is BIGINT — so the oracle replays it.
+    "ann_filtered_ivfpq" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.filteredIvfPqTopK(emb, emb.filter(col("vec_id") < 10), 5,
+          filterCol = "label", numCells = 16, nProbe = 6,
+          numSub = 16, numCodes = 32, dim = 64)
+        .orderBy("q_id", "rank")
+    }),
+
     // Two-stage retrieve-then-rerank: PQ/ADC shortlist (kAdc=30), exact
     // round-6 cosine re-rank of only the shortlisted vectors.
     "ann_pq_rerank" -> ((s, dir) => {
@@ -1186,6 +1198,42 @@ object TrainingDataQueries {
          |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
          |               ORDER BY adc_micro DESC, c_id) AS rank FROM sc)
          |SELECT q_id, c_id, adc_micro, rank FROM r WHERE rank <= 10
+         |ORDER BY q_id, rank""".stripMargin,
+
+    "ann_filtered_ivfpq" ->
+      s"""WITH $embCte,
+         |$pqBaseCtes,
+         |cent AS (SELECT vec_id AS cell_id, v AS cv, nrm AS cn FROM e
+         |         ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16),
+         |asg AS (SELECT c_id, cell_id FROM (
+         |          SELECT e.vec_id AS c_id, cent.cell_id,
+         |                 row_number() OVER (PARTITION BY e.vec_id
+         |                   ORDER BY round(list_inner_product(e.v, cent.cv) / (e.nrm * cent.cn), 6) DESC,
+         |                            cent.cell_id) AS rn
+         |          FROM e CROSS JOIN cent) t WHERE rn = 1),
+         |probes AS (SELECT q_id, cell_id FROM (
+         |             SELECT qq.q_id, cent.cell_id,
+         |                    row_number() OVER (PARTITION BY qq.q_id
+         |                      ORDER BY round(list_inner_product(qq.v, cent.cv) / (qq.nrm * cent.cn), 6) DESC,
+         |                               cent.cell_id) AS rn
+         |             FROM qq CROSS JOIN cent) t WHERE rn <= 6),
+         |qlab AS (SELECT vec_id AS q_id, label AS qf FROM e WHERE vec_id < 10),
+         |clab AS (SELECT vec_id AS c_id, label AS cf FROM e),
+         |cand AS (SELECT probes.q_id, asg.c_id
+         |         FROM probes JOIN asg USING (cell_id)
+         |         JOIN qlab ON qlab.q_id = probes.q_id
+         |         JOIN clab ON clab.c_id = asg.c_id AND clab.cf = qlab.qf
+         |         WHERE probes.q_id <> asg.c_id),
+         |sc AS (SELECT cand.q_id, cand.c_id,
+         |              CAST(sum(ip_micro) AS BIGINT) AS adc_micro
+         |       FROM cand
+         |       JOIN enc ON enc.c_id = cand.c_id
+         |       JOIN lut ON lut.q_id = cand.q_id AND lut.j = enc.j
+         |              AND lut.code_id = enc.code_id
+         |       GROUP BY cand.q_id, cand.c_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+         |               ORDER BY adc_micro DESC, c_id) AS rank FROM sc)
+         |SELECT q_id, c_id, adc_micro, rank FROM r WHERE rank <= 5
          |ORDER BY q_id, rank""".stripMargin,
 
     "ann_pq_rerank" ->

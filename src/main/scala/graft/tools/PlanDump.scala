@@ -42,7 +42,8 @@ object PlanDump {
     "text_bpe" -> "BPE segmentation is ONE native-codegen projection (graft BpeEncode, merge table as a per-task reference object) — no per-merge passes, no explode, no shuffle",
     "q_global_ids" -> "contiguous global numbering with NO SinglePartition exchange: range partition, per-partition window (hash exchange on pid), broadcast offset join — the naive global row_number would funnel every row through one task",
     "ann_filtered" -> "the metadata predicate is part of the JOIN KEY (label equality), so filtering precedes scoring — per-label blocks, never a query x corpus cross product",
-    "ann_ivf" -> "IVF cell assignment is a partial-aggregable min_by HashAggregate over the broadcast-centroid product (map-side combined to one row per vector) — NOT a Sort+Window+Exchange of N x numCells rows; candidate generation is the cell_id equi-join")
+    "ann_ivf" -> "IVF cell assignment is a partial-aggregable min_by HashAggregate over the broadcast-centroid product (map-side combined to one row per vector) — NOT a Sort+Window+Exchange of N x numCells rows; candidate generation is the cell_id equi-join",
+    "ann_filtered_ivfpq" -> "filtered x compressed composite: label equality sits in the candidate JOIN KEY next to cell_id (filtering precedes scoring), IVF probing prunes the scan, and the ADC aggregate reads codes + broadcast LUT only — raw vectors are never shuffled")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"

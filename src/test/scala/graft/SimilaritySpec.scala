@@ -166,6 +166,31 @@ class SimilaritySpec extends SparkSpec {
     assert(gotQ0 === bf, "filtered search = brute force over the filtered corpus")
   }
 
+  test("filteredIvfPqTopK: label holds, candidates are IVF-probed, recall vs exact filtered") {
+    val got = Similarity.filteredIvfPqTopK(emb, queries, 5,
+        filterCol = "label", numCells = 16, nProbe = 6).cache()
+    val labels = emb.select("vec_id", "label").as[(Long, Long)].collect().toMap
+    val pairs = got.select("q_id", "c_id").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty)
+    assert(pairs.forall { case (q, c) => labels(q) == labels(c) },
+      "every composite neighbor must satisfy the label predicate")
+    // the composite's candidates are exactly the probed-cell universe
+    // intersected with the label predicate — so every result must also
+    // appear in the unfiltered IVF candidate set
+    val ivfCand = Similarity.ivfTopK(emb, queries, Int.MaxValue,
+        numCells = 16, nProbe = 6)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    assert(pairs.forall(ivfCand.contains),
+      "every filtered IVFPQ result must come from an IVF-probed cell")
+    // recall vs the exact filtered search (double approximation: cell
+    // pruning + ADC), same looser floor as the unfiltered composite
+    val exact = Similarity.filteredTopK(emb, queries, 1, filterCol = "label")
+      .select("q_id", "c_id").as[(Long, Long)].collect().toMap
+    val cand = pairs.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val hits = exact.count { case (q, t) => cand.getOrElse(q, Set.empty).contains(t) }
+    assert(hits >= 4, s"filtered IVFPQ top-1 recall: $hits/${exact.size}")
+  }
+
   test("PQ encode is deterministic and a seed vector's own codes are its own id") {
     val cb = Similarity.pqCodebooks(emb, numSub = 16, numCodes = 32, dim = 64)
     val codes = Similarity.pqEncode(emb, cb, numSub = 16, dim = 64)
@@ -178,10 +203,21 @@ class SimilaritySpec extends SparkSpec {
     val selfCodes = codes.filter(col("c_id").isin(seedIds.toSeq: _*))
       .filter(col("c_id") =!= col("code_id"))
       .join(cb.select(col("j"), col("code_id"), col("cvec")), Seq("j", "code_id"))
-    // allow genuine zero-distance ties only
-    val offenders = selfCodes.count()
-    assert(offenders === 0 || offenders < 16,
-      s"seed vectors should encode to their own codewords ($offenders stray codes)")
+    // a stray self-code is legal ONLY as a genuine zero-distance tie won
+    // by a lower code id: join each offender back to its OWN codeword and
+    // verify the chosen one sits at round-6 L2 distance exactly 0 with a
+    // smaller id — anything else is a broken argmin
+    val own = cb.select(col("j").as("j2"), col("code_id").as("own_id"),
+      col("cvec").as("own_cvec"))
+    val badStrays = selfCodes
+      .join(own, col("j") === col("j2") && col("c_id") === col("own_id"))
+      .withColumn("__d2", round(
+        graft.functions.VectorFunctions.dot(col("cvec"), col("cvec")) -
+          lit(2.0) * graft.functions.VectorFunctions.dot(col("cvec"), col("own_cvec")) +
+          graft.functions.VectorFunctions.dot(col("own_cvec"), col("own_cvec")), 6))
+      .filter(col("__d2") =!= 0.0 || col("code_id") >= col("c_id"))
+    assert(badStrays.count() === 0,
+      "a stray self-code must be a zero-distance tie won by a lower code id")
   }
 
   test("kmeans: separates well-separated synthetic blobs and improves the cosine objective") {
