@@ -83,7 +83,54 @@ object ParityQueries {
     // records from spark.range partition parallelism (domains from
     // generator.go:9-13,24-42), replayed exactly by the DuckDB oracle.
     "generate_records" -> ((s, _) =>
-      graft.sources.RecordGenerator.records(s, 1000, seed = 42).orderBy("row_id")))
+      graft.sources.RecordGenerator.records(s, 1000, seed = 42).orderBy("row_id")),
+
+    // The ENTIRE reference pipeline (EP1+EP2) executed end-to-end on the
+    // STREAMING path and graded: produce CSV lines into a partitioned
+    // MemTopic (O3, atomic batched append) → offset-bounded scan (O4) →
+    // file-handoff into a real AvailableNow StreamingQuery whose
+    // foreachBatch total-sorts and appends to the sorted topic with
+    // writer→partition identity (O7–O10) → validation-consumer read-back
+    // in (partition, offset) order. The graded `pos` column is the
+    // read-back ORDINAL, so the oracle's row_number over the sort key
+    // hash-verifies that (partition, offset) order IS the total order —
+    // a mis-sorted batch, a lost/duplicated row, or a broken
+    // writer→partition mapping all flip the hash.
+    "stream_sorted_copy" -> ((s, dir) => {
+      import graft.sources.{MemTopic, MemTopicProvider, MemTopicRecordSink, MemTopicRecordSource}
+      val uid = java.util.UUID.randomUUID().toString.take(8)
+      val srcTopic = s"graft_stream_src_$uid"
+      val dstTopic = s"graft_stream_sorted_$uid"
+      // sorted topic partitions ≥ the sort's task count, so the sink's
+      // task-i → partition-(i mod n) mapping is the identity
+      MemTopic.create(srcTopic, numPartitions = 3)
+      MemTopic.create(dstTopic, numPartitions = 64)
+      val c = Tables.customer(s, dir)
+      MemTopicRecordSink(srcTopic).save(c.select(CsvCodec.encode(
+        col("c_custkey"), col("c_name"), col("c_nationkey"), col("c_mktsegment")).as("line")))
+      val hand = java.nio.file.Files.createTempDirectory("graft-stream-hand").toString
+      MemTopicRecordSource(srcTopic).load(s)
+        .select(col("line").as("value")).write.mode("overwrite").text(hand)
+      val stream = s.readStream.text(hand).select(col("value").as("line"))
+      val decoded = CsvCodec.decode(stream, col("line"), Seq(
+        "id" -> LongType, "name" -> StringType,
+        "nationkey" -> IntegerType, "segment" -> StringType))
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-ckpt").toString
+      graft.streaming.Streaming.sortedCopyToSink(
+        decoded, MemTopicRecordSink(dstTopic), ckpt, Seq(col("id"), col("name")))
+        .awaitTermination()
+      val back = s.read.format(classOf[MemTopicProvider].getName)
+        .option("topic", dstTopic).load()
+        .withColumn("pos", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("partition"), col("offset"))).cast("long"))
+      CsvCodec.decode(back.select(col("value").as("line"), col("pos")),
+          col("line"), Seq(
+            "id" -> LongType, "name" -> StringType,
+            "nationkey" -> IntegerType, "segment" -> StringType))
+        .select("id", "name", "nationkey", "segment", "pos")
+        .orderBy("pos")
+    }))
 
   val oracles: Map[String, String] = Map(
     "sort_by_id" ->
@@ -111,5 +158,10 @@ object ParityQueries {
         |       row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) - 1 AS gid
         |FROM orders ORDER BY gid""".stripMargin,
     "generate_records" ->
-      graft.sources.RecordGenerator.oracleSql(1000, seed = 42))
+      graft.sources.RecordGenerator.oracleSql(1000, seed = 42),
+    "stream_sorted_copy" ->
+      """SELECT c_custkey AS id, c_name AS name,
+        |       c_nationkey AS nationkey, c_mktsegment AS segment,
+        |       row_number() OVER (ORDER BY c_custkey, c_name) AS pos
+        |FROM customer ORDER BY pos""".stripMargin)
 }

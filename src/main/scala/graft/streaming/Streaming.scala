@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
@@ -45,6 +45,28 @@ object Streaming {
     sortedCopyStream(
       graft.sources.ParquetStreamSource(inDir, schema).loadStream(spark),
       outDir, checkpointDir, sortCols)
+
+  /** EP2's topic-sink leg (reference O10): streaming sorted copy INTO a
+    * [[graft.sources.RecordSink]] (MemTopic offline; Kafka when the
+    * connector jar is present — both take a one-column `line` frame).
+    * Each micro-batch is range-partition total-sorted and appended with
+    * writer→partition identity (task i → topic partition i, provided
+    * the topic has ≥ task-count partitions), so for a single-batch
+    * `AvailableNow` run the (partition, offset) read order IS the
+    * global sort order — the "single ordered topic" form the reference
+    * validates (`cmd/validator/main.go`). The batch must carry `line`
+    * plus the sort columns; only `line` reaches the sink. */
+  def sortedCopyToSink(stream: DataFrame, sink: graft.sources.RecordSink,
+                       checkpointDir: String,
+                       sortCols: Seq[Column]): StreamingQuery =
+    stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink.save(graft.operators.Sorting.totalSort(batch, sortCols: _*)
+          .select("line"))
+      }
+      .start()
 
   /** Transport-agnostic core of [[sortedCopy]]: takes the already-loaded
     * STREAMING DataFrame (any [[graft.sources.StreamRecordSource]] —
