@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -36,6 +36,81 @@ object Multimodal {
           .as("width"),
         (conv(substring(md5(col(textCol)), 5, 4), 16, 10).cast("long") % 480)
           .as("height")).as("meta"))
+
+  // ---- real container-header synthesis + parse (no codecs needed) ----
+
+  /** 4-byte big-endian hex of a long value (PNG's integer encoding). */
+  private def beHex(v: Column): Column = lpad(hex(v.cast("long")), 8, "0")
+
+  /** 4-byte little-endian hex of a long value (BMP's integer encoding):
+    * the big-endian hex with its byte pairs reversed. */
+  private def leHex(v: Column): Column = {
+    val h = beHex(v)
+    concat(substring(h, 7, 2), substring(h, 5, 2),
+      substring(h, 3, 2), substring(h, 1, 2))
+  }
+
+  /** Synthesize a VALID image container in front of the text bytes —
+    * PNG (8-byte signature + IHDR chunk) for even ids, BMP
+    * (BITMAPFILEHEADER + BITMAPINFOHEADER) for odd — with md5-derived
+    * dimensions, so [[imageMeta]] has real headers to parse and the
+    * oracle can recompute the expected dimensions from the formula.
+    * Layouts are the published file formats: PNG width/height are
+    * big-endian int32 at byte offsets 16/20 (after the 8-byte signature
+    * and the IHDR chunk length+type); BMP width/height are little-endian
+    * int32 at offsets 18/22. Dimensions are 1-based (`% n + 1`) — a
+    * zero-dimension image is invalid in both formats. Everything is
+    * `unhex`/`concat` column expressions: synthesis runs at scan speed. */
+  def synthesizeImagePayload(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val text = col(textCol)
+    val w = conv(substring(md5(text), 1, 4), 16, 10).cast("long") % 640 + 1
+    val h = conv(substring(md5(text), 5, 4), 16, 10).cast("long") % 480 + 1
+    val body = text.cast("binary")
+    // 8 sig + 4 len + "IHDR" + 13 data (w,h,depth8,color6,comp0,filt0,
+    // interlace0) + 4 crc = 33 bytes (crc left zero — parsers that
+    // verify it would decode the pixel data too, which needs a codec)
+    val png = concat(unhex(concat(
+      lit("89504E470D0A1A0A"), lit("0000000D"), lit("49484452"),
+      beHex(w), beHex(h), lit("0806000000"), lit("00000000"))), body)
+    // 14-byte file header (BM, file size, reserved, data offset 54) +
+    // 40-byte BITMAPINFOHEADER = 54 bytes before the data
+    val bmp = concat(unhex(concat(
+      lit("424D"), leHex(length(body) + 54), lit("00000000"), lit("36000000"),
+      lit("28000000"), leHex(w), leHex(h), lit("0100"), lit("1800"),
+      lit("00000000"), leHex(length(body)), lit("130B0000"), lit("130B0000"),
+      lit("00000000"), lit("00000000"))), body)
+    df.select(col(idCol).as("media_id"),
+      when(col(idCol) % 2 === 0, png).otherwise(bmp).as("payload"))
+  }
+
+  /** REAL media metadata from the binary payload: sniff the magic bytes
+    * and parse width/height out of the container header with pure column
+    * expressions — PNG IHDR (big-endian at offsets 16/20) and BMP
+    * BITMAPINFOHEADER (little-endian at offsets 18/22), public file-
+    * format knowledge, no codec jars. Unknown containers yield format
+    * 'unknown' with null dimensions instead of failing the scan — at
+    * 100 TB a corrupt payload must quarantine, not kill the job. */
+  def imageMeta(withPayload: DataFrame): DataFrame = {
+    val p = col("payload")
+    def be(off1: Int): Column =
+      conv(hex(substring(p, off1, 4)), 16, 10).cast("long")
+    def le(off1: Int): Column = {
+      val hh = hex(substring(p, off1, 4))
+      conv(concat(substring(hh, 7, 2), substring(hh, 5, 2),
+        substring(hh, 3, 2), substring(hh, 1, 2)), 16, 10).cast("long")
+    }
+    val isPng = hex(substring(p, 1, 8)) === "89504E470D0A1A0A"
+    val isBmp = hex(substring(p, 1, 2)) === "424D"
+    withPayload.select(
+      col("media_id"),
+      length(p).cast("long").as("n_bytes"),
+      when(isPng, lit("png")).when(isBmp, lit("bmp"))
+        .otherwise(lit("unknown")).as("format"),
+      when(isPng, be(17)).when(isBmp, le(19))
+        .otherwise(lit(null).cast("long")).as("width"),
+      when(isPng, be(21)).when(isBmp, le(23))
+        .otherwise(lit(null).cast("long")).as("height"))
+  }
 
   /** STUB decode: deterministic fake "decoder" — real implementation
     * would parse the media container here. Kept pure/deterministic so the

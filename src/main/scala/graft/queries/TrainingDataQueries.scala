@@ -860,10 +860,14 @@ object TrainingDataQueries {
         .orderBy(col("bucket"), col("bin"))
     }),
 
+    // REAL header parse: payloads are synthesized VALID PNG/BMP
+    // containers (format by doc_id parity, md5-derived dimensions); the
+    // query recovers width/height by PARSING the header bytes while the
+    // oracle recomputes them from the generator formula — so a wrong
+    // offset or endianness in the parser flips the hash.
     "multimodal_meta" -> ((s, dir) =>
-      Multimodal.attachBinary(Tables.documents(s, dir), "doc_id", "text")
-        .select(col("media_id"), col("meta.n_bytes").as("n_bytes"),
-          col("meta.width").as("width"), col("meta.height").as("height"))
+      Multimodal.imageMeta(
+          Multimodal.synthesizeImagePayload(Tables.documents(s, dir), "doc_id", "text"))
         .orderBy("media_id")),
 
     // Stubbed resize: payload re-cut to the byte budget + metadata
@@ -1788,9 +1792,11 @@ object TrainingDataQueries {
 
     "multimodal_meta" ->
       """SELECT doc_id AS media_id,
-        |       octet_length(encode(text)) AS n_bytes,
-        |       ('0x' || substr(md5(text), 1, 4))::BIGINT % 640 AS width,
-        |       ('0x' || substr(md5(text), 5, 4))::BIGINT % 480 AS height
+        |       octet_length(encode(text))
+        |         + CASE WHEN doc_id % 2 = 0 THEN 33 ELSE 54 END AS n_bytes,
+        |       CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS format,
+        |       ('0x' || substr(md5(text), 1, 4))::BIGINT % 640 + 1 AS width,
+        |       ('0x' || substr(md5(text), 5, 4))::BIGINT % 480 + 1 AS height
         |FROM documents ORDER BY media_id""".stripMargin,
 
     // Fixture text is pure ASCII (asserted against octet_length), so

@@ -268,6 +268,46 @@ class TextAnalysisSpec extends SparkSpec {
       .forall { case (a, b) => a.features.sameElements(b.features) })
   }
 
+  test("multimodal: imageMeta parses real PNG/BMP headers, independent ground truth") {
+    // hand-built literal containers with KNOWN dimensions — ground truth
+    // independent of synthesizeImagePayload, so a shared offset/endian
+    // bug between synthesis and parse cannot cancel out
+    def i32be(v: Int): Array[Byte] =
+      Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+        ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def i32le(v: Int): Array[Byte] = i32be(v).reverse
+    val png: Array[Byte] =
+      Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte) ++
+        i32be(13) ++ "IHDR".getBytes("US-ASCII") ++
+        i32be(640) ++ i32be(480) ++
+        Array[Byte](8, 6, 0, 0, 0) ++ i32be(0)
+    val bmp: Array[Byte] =
+      "BM".getBytes("US-ASCII") ++ i32le(54) ++ i32le(0) ++ i32le(54) ++
+        i32le(40) ++ i32le(123) ++ i32le(77) ++
+        Array[Byte](1, 0, 24, 0) ++ i32le(0) ++ i32le(0) ++
+        i32le(2835) ++ i32le(2835) ++ i32le(0) ++ i32le(0)
+    val junk: Array[Byte] = "not an image at all".getBytes("US-ASCII")
+    val df = Seq((1L, png), (2L, bmp), (3L, junk)).toDF("media_id", "payload")
+    val got = Multimodal.imageMeta(df).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getString(2) === "png")
+    assert(got(1L).getLong(3) === 640L && got(1L).getLong(4) === 480L)
+    assert(got(2L).getString(2) === "bmp")
+    assert(got(2L).getLong(3) === 123L && got(2L).getLong(4) === 77L)
+    assert(got(3L).getString(2) === "unknown")
+    assert(got(3L).isNullAt(3) && got(3L).isNullAt(4))
+
+    // synthesized payloads round-trip: parsed dims equal the md5 formula
+    val parsed = Multimodal.imageMeta(
+      Multimodal.synthesizeImagePayload(docs, "doc_id", "text"))
+    val expected = docs.select(col("doc_id").as("media_id"),
+      (conv(substring(md5(col("text")), 1, 4), 16, 10).cast("long") % 640 + 1).as("width"),
+      (conv(substring(md5(col("text")), 5, 4), 16, 10).cast("long") % 480 + 1).as("height"))
+    assert(parsed.select("media_id", "width", "height")
+      .except(expected).isEmpty, "parsed dims must equal the generator formula")
+    assert(parsed.filter(col("format") === "unknown").count() === 0)
+  }
+
   /** Independent driver-side reference BPE trainer over a (word, count)
     * vocabulary — plain Scala collections, no Spark, so it cannot share
     * a bug with the distributed implementation. */
