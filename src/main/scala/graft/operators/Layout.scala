@@ -39,6 +39,13 @@ object Layout {
               inDir: String, outDir: String, targetFiles: Int,
               shuffle: Boolean = false, maxRecordsPerFile: Long = 0L): Unit = {
     require(targetFiles > 0, s"targetFiles must be positive, got $targetFiles")
+    // in-place compaction is unsupported: overwriting the directory
+    // being read fails at write time at best, and on sources that don't
+    // detect self-overwrite it destroys the input — fail fast instead
+    require(new org.apache.hadoop.fs.Path(inDir) !=
+        new org.apache.hadoop.fs.Path(outDir),
+      s"compact cannot write into its input directory ($inDir); " +
+        "choose a different outDir and swap after the rewrite")
     val in = spark.read.parquet(inDir)
     val sized = if (shuffle) in.repartition(targetFiles) else in.coalesce(targetFiles)
     val writer = sized.write.mode("overwrite")

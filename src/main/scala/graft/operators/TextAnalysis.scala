@@ -436,16 +436,32 @@ object TextAnalysis {
     *
     * Returns (rank, left, right, merged, freq) — feed `.merges` into
     * [[bpeEncode]] / [[graft.plans.BpeEncode]]. */
-  def bpeTrain(df: DataFrame, idCol: String, textCol: String,
+  def bpeTrain(df: DataFrame, textCol: String,
                numMerges: Int, minFreq: Long = 2): Seq[(Int, String, String, String, Long)] = {
     require(numMerges > 0, s"numMerges must be positive, got $numMerges")
     val spark = df.sparkSession
+    val sc = spark.sparkContext
+    // Each round localCheckpoints a NEW vocab state; without explicit
+    // cleanup the executor storage of every prior round accumulates
+    // (real tokenizers run 10k+ merges). The checkpointed RDD isn't
+    // reachable through the public Dataset API, so track it by diffing
+    // sc.getPersistentRDDs around the checkpoint call and unpersist the
+    // previous round's blocks once the new state is materialized.
+    var prevCheckpointIds = Set.empty[Int]
+    def checkpointed(next: DataFrame): DataFrame = {
+      val before = sc.getPersistentRDDs.keySet.toSet
+      val cp = next.localCheckpoint() // eager: materialized on return
+      val mine = sc.getPersistentRDDs.keySet.toSet.diff(before)
+      prevCheckpointIds.foreach(id =>
+        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+      prevCheckpointIds = mine
+      cp
+    }
     // corpus scan -> word-type table (word, cnt), chars as symbols
-    var vocab = df.select(TextFunctions.words(col(textCol)).as("__w"))
+    var vocab = checkpointed(df.select(TextFunctions.words(col(textCol)).as("__w"))
       .select(explode(col("__w")).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
-      .select(col("cnt"), split(col("word"), "").as("sym"))
-      .localCheckpoint()
+      .select(col("cnt"), split(col("word"), "").as("sym")))
     val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
     var rank = 0
     var exhausted = false
@@ -466,16 +482,19 @@ object TextAnalysis {
         // apply the merge to every word type: leftmost non-overlapping
         // fold (acc ends with l and current is r -> replace tail with lr)
         val lLit = lit(l); val rLit = lit(r); val lrLit = lit(l + r)
-        vocab = vocab.select(col("cnt"),
+        vocab = checkpointed(vocab.select(col("cnt"),
             aggregate(col("sym"), array().cast("array<string>"), (acc, x) =>
               when(size(acc) > 0 &&
                    element_at(acc, -1) === lLit && x === rLit,
                 concat(slice(acc, lit(1), size(acc) - 1), array(lrLit)))
-                .otherwise(concat(acc, array(x)))).as("sym"))
-          .localCheckpoint()
+                .otherwise(concat(acc, array(x)))).as("sym")))
         rank += 1
       }
     }
+    // the merge table is driver-side; the final vocab state is not
+    // returned, so free its blocks too
+    prevCheckpointIds.foreach(id =>
+      sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
     out.toSeq
   }
 

@@ -21,6 +21,11 @@ import graft.sources.Tables
   */
 object RelationalQueries {
 
+  /** Per-JVM random tag for paths that must not collide across
+    * concurrently running processes (e.g. the bucketed warehouse). */
+  private val processTag: String =
+    java.util.UUID.randomUUID().toString.take(8)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // TPC-H Q1 shape: scan-heavy partial-agg-friendly aggregation. At scale
     // the groupBy keys are tiny (6 groups) so map-side partial aggregation
@@ -407,7 +412,14 @@ object RelationalQueries {
     // cents — exact in any order. At 100 TB, bucketing is THE lever that
     // turns every recurring join on the same key into a local merge.
     "q_bucket_join" -> ((s, dir) => {
-      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      // The warehouse path carries a per-(JVM, session) component next
+      // to the sfDir tag: table existence lives in the SESSION's
+      // in-memory catalog, so two concurrent JVMs (or sessions) on the
+      // same sfDir would otherwise both see tableExists=false and write
+      // the same directory concurrently — corrupt bucketed reads.
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_") + "_" +
+        RelationalQueries.processTag + "_" +
+        Integer.toHexString(System.identityHashCode(s))
       val wh = new java.io.File(sys.props("java.io.tmpdir"), s"graft_wh_$tag").getPath
       // Bucketed layout is a ONE-TIME cost amortized over every later
       // join — so build each (session, sfDir) table once and let

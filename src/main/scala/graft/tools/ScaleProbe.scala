@@ -121,7 +121,7 @@ object ScaleProbe {
       // tokenizers on 100 TB: vocab ≪ corpus.
       {
         val t0 = System.nanoTime()
-        val merges = TextAnalysis.bpeTrain(df, "doc_id", "text", numMerges = 8)
+        val merges = TextAnalysis.bpeTrain(df, "text", numMerges = 8)
         val sec = (System.nanoTime() - t0) / 1e9
         println(f"PROBE x$factor bpe_train docs=${nBase * factor} " +
           f"merges=${merges.size} time=$sec%.2fs")

@@ -352,7 +352,7 @@ class TextAnalysisSpec extends SparkSpec {
       (2L, "the dog and the cat chatter on the matter"),
       (3L, "that mat that cat that hat thatch"),
       (4L, "scatter the chatter the matter the platter")).toDF("doc_id", "text").cache()
-    val merges = TextAnalysis.bpeTrain(corpus, "doc_id", "text", numMerges = 12)
+    val merges = TextAnalysis.bpeTrain(corpus, "text", numMerges = 12)
     assert(merges.nonEmpty && merges.size <= 12)
     // differential: same merges, same order, same frequencies
     val vocab = corpus.select(explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
