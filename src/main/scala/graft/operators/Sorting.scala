@@ -58,34 +58,39 @@ object Sorting {
   /** Contiguous global ids 0..N−1 in total `order` without a
     * single-partition window. `row_number() OVER (ORDER BY …)` — the
     * naive formulation — funnels ALL rows through one task; this is the
-    * two-phase shape that parallelizes it: (1) range-partition on the
-    * order keys (the same one exchange any total sort pays) and pin the
-    * result with `localCheckpoint` so both consumers see identical
-    * partition boundaries (range boundaries come from sampling — an
-    * unpinned plan could re-sample differently per action); (2) collect
-    * ONE count per partition (P longs — driver state is the partition
-    * count, never the data) and broadcast the running offsets back;
-    * (3) per-partition row_number + offset = the global id, computed in
-    * parallel across partitions. The order must be total (include a
-    * unique tiebreak) or ids within ties are partition-placement-
-    * dependent. */
+    * classic zipWithIndex two-pass instead: (1) range-partition + sort
+    * within partitions on the order keys (the same one exchange any
+    * total sort pays); (2) a count pass collects ONE long per partition
+    * (driver state is the partition count, never the data); (3) a
+    * numbering pass adds each partition's running offset to a local
+    * counter, in parallel across partitions.
+    *
+    * Both passes run over the SAME RDD instance, so the sampled range
+    * boundaries are fixed when the shuffle dependency is first created
+    * and the second pass reuses the first's shuffle files — nothing is
+    * pinned in executor memory (the previous formulation
+    * localCheckpointed the ranged data, which holds a full copy in
+    * executor block storage and dies with a lost executor; shuffle
+    * files are already on local disk and recoverable by stage retry on
+    * any cluster). The per-partition imperative numbering is exactly
+    * the "genuine per-partition logic" case where dropping to the RDD
+    * API is warranted. The order must be total (include a unique
+    * tiebreak) or ids within ties are partition-placement-dependent. */
   def globalIds(df: DataFrame, order: Column*): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val ranged = df.repartitionByRange(order: _*)
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint()
-    val counts = ranged.groupBy(col("__pid")).count()
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    val offsets = counts.scanLeft((0, 0L)) { case ((_, acc), (pid, n)) =>
-      (pid, acc + n)
-    }.init.zip(counts).map { case ((_, off), (pid, _)) => (pid, off) }
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.LongType
     val spark = df.sparkSession
-    import spark.implicits._
-    val offDf = broadcast(offsets.toSeq.toDF("__pid", "__off"))
-    val w = Window.partitionBy(col("__pid")).orderBy(order: _*)
-    ranged.join(offDf, "__pid")
-      .withColumn("gid", col("__off") + row_number().over(w) - 1)
-      .drop("__pid", "__off")
+    val ranged = df.repartitionByRange(order: _*).sortWithinPartitions(order: _*)
+    val rdd = ranged.rdd // ONE instance: boundaries sampled once, shuffle reused
+    val counts = rdd.mapPartitionsWithIndex { (i, it) =>
+      Iterator((i, it.foldLeft(0L)((n, _) => n + 1)))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = counts.scanLeft(0L)(_ + _)
+    val out = rdd.mapPartitionsWithIndex { (i, it) =>
+      var gid = offsets(i) - 1
+      it.map { r => gid += 1; Row.fromSeq(r.toSeq :+ gid) }
+    }
+    spark.createDataFrame(out, ranged.schema.add("gid", LongType, nullable = false))
   }
 
   /** Top-k by key — the scalable replacement for "sort then take first k":

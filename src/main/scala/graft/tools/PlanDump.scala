@@ -40,7 +40,7 @@ object PlanDump {
     "q_lateral_topk" -> "LATERAL with per-row LIMIT decorrelates to WindowGroupLimit (map-side group pruning BEFORE the exchange) + rank filter + broadcast join — no nested-loop per-outer-row subquery execution",
     "q_bucket_join" -> "both sides read from bucketed tables on the join key: SortMergeJoin with NO Exchange on either side (the bucketed write paid the one-time shuffle)",
     "text_bpe" -> "BPE segmentation is ONE native-codegen projection (graft BpeEncode, merge table as a per-task reference object) — no per-merge passes, no explode, no shuffle",
-    "q_global_ids" -> "contiguous global numbering with NO SinglePartition exchange: range partition, per-partition window (hash exchange on pid), broadcast offset join — the naive global row_number would funnel every row through one task",
+    "q_global_ids" -> "contiguous global numbering with NO SinglePartition exchange: zipWithIndex two-pass over ONE range-partitioned RDD instance (count pass = P longs to the driver, numbering pass = local counter + offset per partition, shuffle files reused between passes; the scan below is that RDD) — the naive global row_number would funnel every row through one task",
     "ann_filtered" -> "the metadata predicate is part of the JOIN KEY (label equality), so filtering precedes scoring — per-label blocks, never a query x corpus cross product",
     "ann_ivf" -> "IVF cell assignment is a partial-aggregable min_by HashAggregate over the broadcast-centroid product (map-side combined to one row per vector) — NOT a Sort+Window+Exchange of N x numCells rows; candidate generation is the cell_id equi-join",
     "ann_filtered_ivfpq" -> "filtered x compressed composite: label equality sits in the candidate JOIN KEY next to cell_id (filtering precedes scoring), IVF probing prunes the scan, and the ADC aggregate reads codes + broadcast LUT only — raw vectors are never shuffled")
