@@ -111,6 +111,65 @@ object TrainingDataQueries {
   val FixedBpeMerges: Seq[(String, String)] =
     Seq(("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"))
 
+  /** Fixed literal corpus for the graded trainer query — sfDir-
+    * independent so the learned merge table is a constant the oracle
+    * can carry as literals. Plain ASCII, enough bigram repetition for
+    * 10+ merges above minFreq=2, with deliberate frequency ties so the
+    * lexicographic tie-break is exercised. */
+  private val bpeTrainCorpus: Seq[String] = Seq(
+    "the thin thread threads through the other thermal threshold",
+    "in the morning the main rain train ran in the plain",
+    "an ant and another animal began standing near the bank",
+    "she sells sea shells on the sea shore near the shoreline",
+    "better butter makes the batter better said the baker",
+    "the running runner runs in the rain on the main lane",
+    "thinking things through takes the thinker another hour",
+    "a banana and an orange and a mango in a basket",
+    "the thunder then the rain then the thin mist in the glen",
+    "standing fans and landing planes and sandy strands")
+
+  /** INDEPENDENT sequential BPE trainer over the fixed corpus — plain
+    * Scala collections with the same greedy semantics (global argmax by
+    * (freq desc, left, right), leftmost non-overlapping resegmentation,
+    * stop below minFreq): generates the oracle literals for
+    * `text_bpe_train`. Sharing only the SPEC with the distributed
+    * trainer (not code paths) is what makes the hash compare a real
+    * differential. */
+  private def bpeReferenceMerges(numMerges: Int, minFreq: Long): Seq[(Int, String, String, String, Long)] = {
+    val vocab = bpeTrainCorpus
+      .flatMap(_.trim.toLowerCase.split("\\s+"))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    var segs: Map[Vector[String], Long] =
+      vocab.groupMapReduce { case (w, _) => w.map(_.toString).toVector } { case (_, c) => c }(_ + _)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    var done = false
+    while (out.size < numMerges && !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      segs.foreach { case (sym, cnt) =>
+        sym.sliding(2).foreach {
+          case Seq(a, b) => counts((a, b)) = counts.getOrElse((a, b), 0L) + cnt
+          case _ => ()
+        }
+      }
+      counts.toSeq.sortBy { case ((l, r), f) => (-f, l, r) }.headOption match {
+        case Some(((l, r), f)) if f >= minFreq =>
+          out += ((out.size, l, r, l + r, f))
+          segs = segs.groupMapReduce { case (sym, _) =>
+            val b = Vector.newBuilder[String]
+            var i = 0
+            while (i < sym.length) {
+              if (i < sym.length - 1 && sym(i) == l && sym(i + 1) == r) {
+                b += (l + r); i += 2
+              } else { b += sym(i); i += 1 }
+            }
+            b.result()
+          } { case (_, c) => c }(_ + _)
+        case _ => done = true
+      }
+    }
+    out.toSeq
+  }
+
   // PQ shared CTEs (16 subspaces × 4 dims, 32 codes, queries = vec_id<10)
   // — replays Similarity.pqCodebooks/pqEncode/pqTopK exactly: same
   // md5-ordered seeds, same round-6 L2 argmin with code-id tie-break,
@@ -434,6 +493,23 @@ object TrainingDataQueries {
         .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
           length(concat_ws("", col("tokens"))).cast("long").as("n_chars_sq"))
         .orderBy("doc_id")),
+
+    // The distributed BPE TRAINER, graded: run the real per-round
+    // argmax + resegment loop over a fixed literal corpus (sfDir-
+    // independent — the loop is not one SQL query, so the oracle cannot
+    // replay it from parquet) and hash the learned merge table against
+    // literals produced by an INDEPENDENT sequential implementation of
+    // the same greedy semantics (bpeReferenceMerges below — plain Scala
+    // collections, no Spark, so it cannot share a bug with the
+    // aggregation-based trainer). Closes the trainer's spec-only gap.
+    "text_bpe_train" -> ((s, _) => {
+      import s.implicits._
+      val corpus = bpeTrainCorpus.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      TextAnalysis.bpeTrain(corpus, "text", numMerges = 10, minFreq = 2)
+        .toDF("merge_rank", "l", "r", "merged", "freq")
+        .orderBy("merge_rank")
+    }),
 
     "text_quality" -> ((s, dir) =>
       TextAnalysis.quality(Tables.documents(s, dir), "doc_id", "text")
@@ -1678,6 +1754,15 @@ object TrainingDataQueries {
          |  CAST(sum(length(w)) AS BIGINT) AS n_chars_sq
          |FROM (SELECT doc_id, unnest($wordsSql) AS w FROM documents) t
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "text_bpe_train" -> {
+      val rows = bpeReferenceMerges(10, 2).map { case (rank, l, r, m, f) =>
+        s"($rank, '$l', '$r', '$m', $f)"
+      }.mkString(", ")
+      s"""SELECT merge_rank::INTEGER AS merge_rank, l, r, merged, freq::BIGINT AS freq
+         |FROM (VALUES $rows) AS t(merge_rank, l, r, merged, freq)
+         |ORDER BY merge_rank""".stripMargin
+    },
 
     "ingest_quarantine" ->
       """SELECT count(*) AS n_total,
