@@ -67,17 +67,75 @@ object Bench {
     // total sums only successful queries — the -1.0 sentinels must not
     // shrink the headline metric and make a broken run look fast
     val total = results.map(_._2).filter(_ >= 0).sum
+
+    // Isolated re-measurement of the slowest tail: a 100+-query shared
+    // JVM contaminates late/heavy queries with accumulated GC debt and
+    // JIT state (in-suite vs isolated deltas of 2-10x have been
+    // observed on identical code). Each of the 10 slowest re-runs in a
+    // FRESH JVM (same classpath/JVM flags, SPARK_GRAFT_ONLY=name), and
+    // both numbers are reported — per-query regressions should be
+    // judged on the isolated medians, the in-suite numbers on the
+    // suite-wide total. Skipped when the run is already filtered.
+    val skipIsolated = sys.env.contains("SPARK_GRAFT_NO_ISOLATED") || only.nonEmpty
+    val isolated: Seq[(String, Double)] = if (skipIsolated) Seq.empty else {
+      import scala.jdk.CollectionConverters._
+      val javaBin = new java.io.File(
+        new java.io.File(sys.props("java.home"), "bin"), "java").getPath
+      val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+        .getInputArguments.asScala.toSeq
+        .filterNot(a => a.startsWith("-agentlib") || a.startsWith("-javaagent"))
+      val cp = sys.props("java.class.path")
+      results.filter(_._2 >= 0).sortBy(-_._2).take(10).map { case (name, _) =>
+        val t = try {
+          val pb = new ProcessBuilder(
+            (Seq(javaBin) ++ jvmArgs ++ Seq("-cp", cp, "graft.Bench")).asJava)
+          pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
+          pb.environment().put("SPARK_GRAFT_CPUS", cpus)
+          pb.environment().put("SPARK_GRAFT_ONLY", name)
+          pb.environment().put("SPARK_GRAFT_NO_ISOLATED", "1")
+          pb.environment().put("SPARK_GRAFT_SKIP_OUTFILE", "1")
+          pb.redirectError(ProcessBuilder.Redirect.DISCARD)
+          val p = pb.start()
+          // drain stdout on a daemon thread: a full pipe buffer would
+          // deadlock the child, and a hung child must hit the timeout
+          val outBuf = new java.io.ByteArrayOutputStream()
+          val drainer = new Thread(() => p.getInputStream.transferTo(outBuf))
+          drainer.setDaemon(true)
+          drainer.start()
+          val done = p.waitFor(15, java.util.concurrent.TimeUnit.MINUTES)
+          if (!done) { p.destroyForcibly(); -1.0 }
+          else {
+            drainer.join(10000)
+            val out = outBuf.toString("UTF-8")
+            val re = ("\"" + java.util.regex.Pattern.quote(name) +
+              "\":(-?[0-9.eE+-]+)").r
+            re.findAllMatchIn(out).map(_.group(1).toDouble).toSeq
+              .lastOption.getOrElse(-1.0)
+          }
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] isolated $name failed: ${e.getMessage}")
+          -1.0
+        }
+        name -> t
+      }
+    }
+    val iso = isolated.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+
     // bench_rev tracks measurement-methodology breaks so cross-round
     // delta tooling can tell engine changes from harness changes:
     //   1 = r1 `.count()` materialization (sorts elided), sf0.001 warmup
     //   2 = r2 noop-sink materialization, target-SF warmup, median-of-3
     //   3 = r3+ per-query isolation (clearCache + GC + settle per query)
+    //       (r5 adds the additive "isolated" map: fresh-JVM medians of
+    //        the 10 slowest — in-suite "queries" semantics unchanged)
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","stat":"median_of_$passes","bench_rev":3,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","stat":"median_of_$passes","bench_rev":3,"queries":$qs,"isolated":$iso,"sf":"$sfDir"}"""
     // The metric must be un-missable: sbt prefixes stdout with [info],
     // so ALSO write it to a plain file next to the build.
-    java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
-      (json + "\n").getBytes("UTF-8"))
+    if (!sys.env.contains("SPARK_GRAFT_SKIP_OUTFILE"))
+      java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
+        (json + "\n").getBytes("UTF-8"))
     spark.stop()
     // last stdout line, after Spark's shutdown chatter (which goes to
     // stderr) — a plain `grep -v '^\[' | tail -1` also finds it

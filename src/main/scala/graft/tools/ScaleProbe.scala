@@ -112,6 +112,18 @@ object ScaleProbe {
         val (rows, sec) = time(pq())
         println(f"PROBE x$factor pq_adc vecs=$nVecs " +
           f"rows=$rows time=$sec%.2fs")
+        // IVF+PQ composite at xN: centroid count is FIXED (16 cells), so
+        // the min_by assignment is one linear pass with map-side combine,
+        // and the ADC scoring only touches codes of the probed ~6/16 of
+        // the corpus. Cost must stay linear (and below full-corpus ADC
+        // at equal N); superlinear growth would mean the assignment or
+        // candidate join picked up a corpus-sized sort/key.
+        val ivfpq = () => Similarity.ivfPqTopK(embN, q, 10,
+          numCells = 16, nProbe = 6).count()
+        ivfpq() // warm
+        val (rows2, sec2) = time(ivfpq())
+        println(f"PROBE x$factor ivfpq vecs=$nVecs " +
+          f"rows=$rows2 time=$sec2%.2fs")
       }
       // BPE trainer at xN: the per-round pair count runs over the
       // word-TYPE table, whose size is bounded by the vocabulary — the
