@@ -453,6 +453,20 @@ object TrainingDataQueries {
         .orderBy("q_id", "rank")
     }),
 
+    // K-means' deterministic half, graded: seeding (md5-ordered corpus
+    // prefix) + nearest-centroid assignment (round-6 cosine, cell-id
+    // tie-break) at iterations=0 is a pure function of the data, so the
+    // oracle replays it exactly — only the iterative means update stays
+    // spec-only (double summation order precludes cross-engine bit
+    // parity). This grades the same partial-aggregable min_by shape the
+    // IVF index uses.
+    "cluster_assign" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val (_, asg) = Similarity.kmeans(emb, k = 8, iterations = 0)
+      asg.select(col("c_id"), col("cell_id"), col("__sim").as("sim"))
+        .orderBy("c_id")
+    }),
+
     // Two-stage retrieve-then-rerank: PQ/ADC shortlist (kAdc=30), exact
     // round-6 cosine re-rank of only the shortlisted vectors.
     "ann_pq_rerank" -> ((s, dir) => {
@@ -1279,6 +1293,19 @@ object TrainingDataQueries {
          |               ORDER BY adc_micro DESC, c_id) AS rank FROM sc)
          |SELECT q_id, c_id, adc_micro, rank FROM r WHERE rank <= 10
          |ORDER BY q_id, rank""".stripMargin,
+
+    "cluster_assign" ->
+      s"""WITH $embCte,
+         |cent AS (SELECT vec_id AS cell_id, v AS cv, nrm AS cn FROM e
+         |         ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 8),
+         |asg AS (SELECT c_id, cell_id, sim FROM (
+         |          SELECT e.vec_id AS c_id, cent.cell_id,
+         |                 round(list_inner_product(e.v, cent.cv) / (e.nrm * cent.cn), 6) AS sim,
+         |                 row_number() OVER (PARTITION BY e.vec_id
+         |                   ORDER BY round(list_inner_product(e.v, cent.cv) / (e.nrm * cent.cn), 6) DESC,
+         |                            cent.cell_id) AS rn
+         |          FROM e CROSS JOIN cent) t WHERE rn = 1)
+         |SELECT c_id, cell_id, sim FROM asg ORDER BY c_id""".stripMargin,
 
     "ann_filtered_ivfpq" ->
       s"""WITH $embCte,
