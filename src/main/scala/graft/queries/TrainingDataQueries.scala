@@ -24,6 +24,12 @@ import graft.sources.Tables
   */
 object TrainingDataQueries {
 
+  /** Per-JVM random tag for one-time layout paths (partitioned rewrite)
+    * so concurrent processes never overwrite each other's directories —
+    * same discipline as the bucketed warehouse in RelationalQueries. */
+  private val processTag: String =
+    java.util.UUID.randomUUID().toString.take(8)
+
   private val stopList = TextAnalysis.Stopwords.map(s => s"'$s'").mkString(", ")
 
   /** Count-Min probe set: a mix of genuinely-frequent fixture vocabulary
@@ -963,6 +969,31 @@ object TrainingDataQueries {
     // Stubbed resize: payload re-cut to the byte budget + metadata
     // rewrite. Graded via the payload md5 (fixture text is pure ASCII,
     // so DuckDB's string substring mirrors the byte slice exactly).
+    // Partition pruning end-to-end: a one-time hive-partitioned rewrite
+    // of documents by source (the layout every 100 TB corpus uses for
+    // its coarse access dimension), then an aggregate whose source
+    // predicate is answered by DIRECTORY pruning — the scan lists only
+    // the matching partition (PLANS.md shows it as PartitionFilters
+    // with the data filter gone). The filter value is the min source,
+    // inlined as a literal so pruning happens at plan time; the oracle
+    // applies the same predicate to the unpartitioned parquet.
+    "q_partition_prune" -> ((s, dir) => {
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + processTag +
+        "_" + Integer.toHexString(System.identityHashCode(s))
+      val out = new java.io.File(
+        sys.props("java.io.tmpdir"), s"graft_part_$tag").getPath
+      if (!new java.io.File(out).exists())
+        Tables.documents(s, dir).write.partitionBy("source").parquet(out)
+      val minSource = Tables.documents(s, dir)
+        .agg(min(col("source"))).first().getString(0)
+      s.read.parquet(out)
+        .filter(col("source") === lit(minSource))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"))
+        .orderBy("lang")
+    }),
+
     "multimodal_resize" -> ((s, dir) =>
       Multimodal.resize(
           Multimodal.attachBinary(Tables.documents(s, dir), "doc_id", "text"),
@@ -1910,6 +1941,13 @@ object TrainingDataQueries {
         |       ('0x' || substr(md5(text), 1, 4))::BIGINT % 640 + 1 AS width,
         |       ('0x' || substr(md5(text), 5, 4))::BIGINT % 480 + 1 AS height
         |FROM documents ORDER BY media_id""".stripMargin,
+
+    "q_partition_prune" ->
+      """SELECT lang, count(*) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |WHERE source = (SELECT min(source) FROM documents)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
 
     // Fixture text is pure ASCII (asserted against octet_length), so
     // byte slices of the payload are replayable as string substrings.

@@ -43,7 +43,8 @@ object PlanDump {
     "q_global_ids" -> "contiguous global numbering with NO SinglePartition exchange: zipWithIndex two-pass over ONE range-partitioned RDD instance (count pass = P longs to the driver, numbering pass = local counter + offset per partition, shuffle files reused between passes; the scan below is that RDD) — the naive global row_number would funnel every row through one task",
     "ann_filtered" -> "the metadata predicate is part of the JOIN KEY (label equality), so filtering precedes scoring — per-label blocks, never a query x corpus cross product",
     "ann_ivf" -> "IVF cell assignment is a partial-aggregable min_by HashAggregate over the broadcast-centroid product (map-side combined to one row per vector) — NOT a Sort+Window+Exchange of N x numCells rows; candidate generation is the cell_id equi-join",
-    "ann_filtered_ivfpq" -> "filtered x compressed composite: label equality sits in the candidate JOIN KEY next to cell_id (filtering precedes scoring), IVF probing prunes the scan, and the ADC aggregate reads codes + broadcast LUT only — raw vectors are never shuffled")
+    "ann_filtered_ivfpq" -> "filtered x compressed composite: label equality sits in the candidate JOIN KEY next to cell_id (filtering precedes scoring), IVF probing prunes the scan, and the ADC aggregate reads codes + broadcast LUT only — raw vectors are never shuffled",
+    "q_partition_prune" -> "the source predicate is answered by DIRECTORY pruning on the hive-partitioned layout: the scan shows it under PartitionFilters (no per-row data filter), so only the matching partition's files are listed and read")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
