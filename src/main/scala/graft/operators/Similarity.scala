@@ -436,6 +436,36 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** The COMPLETE production filtered-serving chain: metadata filter in
+    * the candidate join key → IVF cell probing → ADC scoring over codes
+    * → exact cosine rerank of only the kAdc shortlisted raw vectors.
+    * Composes [[filteredIvfPqTopK]] (retrieval, compressed domain) with
+    * [[pqRerankTopK]]'s second stage (precision, |Q|·kAdc vector
+    * fetches). At 100 TB: full corpus touched only as codes within the
+    * probed cells of the matching label; raw vectors only for the
+    * shortlist equi-join. */
+  def filteredIvfPqRerankTopK(corpus: DataFrame, queries: DataFrame,
+                              k: Int, kAdc: Int,
+                              filterCol: String = "label",
+                              numCells: Int = 16, nProbe: Int = 4,
+                              numSub: Int = 16, numCodes: Int = 32, dim: Int = 64,
+                              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(kAdc >= k, s"kAdc=$kAdc must be >= k=$k")
+    val cand = filteredIvfPqTopK(corpus, queries, kAdc, filterCol,
+        numCells, nProbe, numSub, numCodes, dim, idCol, vecCol)
+      .select(col("q_id"), col("c_id"))
+    val qv = prep(queries, idCol, vecCol, "q_id", "q_vec", "q_nrm")
+    val cv = prep(corpus, idCol, vecCol, "c_id", "c_vec", "c_nrm")
+    val scored = cand.join(broadcast(qv), "q_id").join(cv, "c_id")
+      .select(col("q_id"), col("c_id"),
+        round(VectorFunctions.dot(col("q_vec"), col("c_vec")) /
+          (col("q_nrm") * col("c_nrm")), 6).as("cos_sim"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("c_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Lloyd's k-means over the embedding column — the curation companion
     * to [[ivfIndex]] (cluster-then-sample, cluster-balanced mixtures,
     * refined IVF cells). Seeding is the deterministic md5-ordered prefix

@@ -130,6 +130,42 @@ object ParityQueries {
             "nationkey" -> IntegerType, "segment" -> StringType))
         .select("id", "name", "nationkey", "segment", "pos")
         .orderBy("pos")
+    }),
+
+    // STATEFUL streaming graded: the watermarked tumbling-window
+    // aggregation (Streaming.windowedCounts) runs as a real
+    // AvailableNow StreamingQuery over the events parquet, accumulating
+    // window state across micro-batches into the complete-mode memory
+    // sink (the bounded-run test sink; production would foreachBatch
+    // into a table). The final state is hash-compared against the batch
+    // q_time_window oracle — this grades streaming state management
+    // itself, not just a stateless per-batch transform like
+    // stream_sorted_copy. Complete mode keeps all windows live, so the
+    // "last window never emits in append mode" AvailableNow pitfall
+    // does not apply.
+    "stream_windowed_counts" -> ((s, dir) => {
+      // FileStreamSource needs a DIRECTORY; the fixture is one parquet
+      // file — stage it into a fresh temp dir (the same file handoff
+      // the sorted-copy pipeline uses)
+      val hand = java.nio.file.Files.createTempDirectory("graft-swc-hand").toString
+      s.read.parquet(s"$dir/events.parquet")
+        .write.mode("overwrite").parquet(hand)
+      val schema = s.read.parquet(hand).schema
+      val stream = s.readStream.schema(schema).parquet(hand)
+        .withColumn("ts_ms", expr("ts div 1000000"))
+      val agg = graft.streaming.Streaming.windowedCounts(stream)
+      val qn = "stream_wc_" + java.util.UUID.randomUUID().toString.take(8)
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-swc-ckpt").toString
+      val q = agg.writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .outputMode("complete").format("memory").queryName(qn).start()
+      q.awaitTermination()
+      s.table(qn)
+        .select(unix_millis(col("window_start")).as("window_start_ms"),
+          col("event_type"), col("n"),
+          round(col("sum_value"), 2).as("sum_value"))
+        .orderBy("window_start_ms", "event_type")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -163,5 +199,9 @@ object ParityQueries {
       """SELECT c_custkey AS id, c_name AS name,
         |       c_nationkey AS nationkey, c_mktsegment AS segment,
         |       row_number() OVER (ORDER BY c_custkey, c_name) AS pos
-        |FROM customer ORDER BY pos""".stripMargin)
+        |FROM customer ORDER BY pos""".stripMargin,
+    "stream_windowed_counts" ->
+      """SELECT epoch_ms(date_trunc('hour', ts)) AS window_start_ms, event_type,
+        |       count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY window_start_ms, event_type""".stripMargin)
 }

@@ -216,6 +216,42 @@ object TrainingDataQueries {
       |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
       |               ORDER BY adc_micro DESC, c_id) AS rank FROM sc)""".stripMargin
 
+  // Filtered IVF+PQ shared CTEs (expects `e` + pqBaseCtes in scope;
+  // yields `r` = label-filtered, cell-pruned, ADC-ranked candidates) —
+  // consumed by ann_filtered_ivfpq and re-used by the rerank composite
+  // so both grade the same retrieval chain.
+  private val filteredIvfPqCtes =
+    """cent AS (SELECT vec_id AS cell_id, v AS cv, nrm AS cn FROM e
+      |         ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16),
+      |asg AS (SELECT c_id, cell_id FROM (
+      |          SELECT e.vec_id AS c_id, cent.cell_id,
+      |                 row_number() OVER (PARTITION BY e.vec_id
+      |                   ORDER BY round(list_inner_product(e.v, cent.cv) / (e.nrm * cent.cn), 6) DESC,
+      |                            cent.cell_id) AS rn
+      |          FROM e CROSS JOIN cent) t WHERE rn = 1),
+      |probes AS (SELECT q_id, cell_id FROM (
+      |             SELECT qq.q_id, cent.cell_id,
+      |                    row_number() OVER (PARTITION BY qq.q_id
+      |                      ORDER BY round(list_inner_product(qq.v, cent.cv) / (qq.nrm * cent.cn), 6) DESC,
+      |                               cent.cell_id) AS rn
+      |             FROM qq CROSS JOIN cent) t WHERE rn <= 6),
+      |qlab AS (SELECT vec_id AS q_id, label AS qf FROM e WHERE vec_id < 10),
+      |clab AS (SELECT vec_id AS c_id, label AS cf FROM e),
+      |cand AS (SELECT probes.q_id, asg.c_id
+      |         FROM probes JOIN asg USING (cell_id)
+      |         JOIN qlab ON qlab.q_id = probes.q_id
+      |         JOIN clab ON clab.c_id = asg.c_id AND clab.cf = qlab.qf
+      |         WHERE probes.q_id <> asg.c_id),
+      |sc AS (SELECT cand.q_id, cand.c_id,
+      |              CAST(sum(ip_micro) AS BIGINT) AS adc_micro
+      |       FROM cand
+      |       JOIN enc ON enc.c_id = cand.c_id
+      |       JOIN lut ON lut.q_id = cand.q_id AND lut.j = enc.j
+      |              AND lut.code_id = enc.code_id
+      |       GROUP BY cand.q_id, cand.c_id),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+      |               ORDER BY adc_micro DESC, c_id) AS rank FROM sc)""".stripMargin
+
   // Contamination oracle, parameterized by the shingle-sampling modulus
   // (1 = full universe) so the exact and sampled queries share one SQL.
   private def contaminationOracle(sampleMod: Int) = {
@@ -471,6 +507,17 @@ object TrainingDataQueries {
       val (_, asg) = Similarity.kmeans(emb, k = 8, iterations = 0)
       asg.select(col("c_id"), col("cell_id"), col("__sim").as("sim"))
         .orderBy("c_id")
+    }),
+
+    // The COMPLETE filtered serving chain: label filter in the join key
+    // -> IVF probe -> ADC shortlist (kAdc=15) -> exact cosine rerank of
+    // only the shortlisted raw vectors.
+    "ann_filtered_rerank" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.filteredIvfPqRerankTopK(emb, emb.filter(col("vec_id") < 10),
+          5, kAdc = 15, filterCol = "label", numCells = 16, nProbe = 6,
+          numSub = 16, numCodes = 32, dim = 64)
+        .orderBy("q_id", "rank")
     }),
 
     // Two-stage retrieve-then-rerank: PQ/ADC shortlist (kAdc=30), exact
@@ -1341,37 +1388,21 @@ object TrainingDataQueries {
     "ann_filtered_ivfpq" ->
       s"""WITH $embCte,
          |$pqBaseCtes,
-         |cent AS (SELECT vec_id AS cell_id, v AS cv, nrm AS cn FROM e
-         |         ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16),
-         |asg AS (SELECT c_id, cell_id FROM (
-         |          SELECT e.vec_id AS c_id, cent.cell_id,
-         |                 row_number() OVER (PARTITION BY e.vec_id
-         |                   ORDER BY round(list_inner_product(e.v, cent.cv) / (e.nrm * cent.cn), 6) DESC,
-         |                            cent.cell_id) AS rn
-         |          FROM e CROSS JOIN cent) t WHERE rn = 1),
-         |probes AS (SELECT q_id, cell_id FROM (
-         |             SELECT qq.q_id, cent.cell_id,
-         |                    row_number() OVER (PARTITION BY qq.q_id
-         |                      ORDER BY round(list_inner_product(qq.v, cent.cv) / (qq.nrm * cent.cn), 6) DESC,
-         |                               cent.cell_id) AS rn
-         |             FROM qq CROSS JOIN cent) t WHERE rn <= 6),
-         |qlab AS (SELECT vec_id AS q_id, label AS qf FROM e WHERE vec_id < 10),
-         |clab AS (SELECT vec_id AS c_id, label AS cf FROM e),
-         |cand AS (SELECT probes.q_id, asg.c_id
-         |         FROM probes JOIN asg USING (cell_id)
-         |         JOIN qlab ON qlab.q_id = probes.q_id
-         |         JOIN clab ON clab.c_id = asg.c_id AND clab.cf = qlab.qf
-         |         WHERE probes.q_id <> asg.c_id),
-         |sc AS (SELECT cand.q_id, cand.c_id,
-         |              CAST(sum(ip_micro) AS BIGINT) AS adc_micro
-         |       FROM cand
-         |       JOIN enc ON enc.c_id = cand.c_id
-         |       JOIN lut ON lut.q_id = cand.q_id AND lut.j = enc.j
-         |              AND lut.code_id = enc.code_id
-         |       GROUP BY cand.q_id, cand.c_id),
-         |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
-         |               ORDER BY adc_micro DESC, c_id) AS rank FROM sc)
+         |$filteredIvfPqCtes
          |SELECT q_id, c_id, adc_micro, rank FROM r WHERE rank <= 5
+         |ORDER BY q_id, rank""".stripMargin,
+
+    "ann_filtered_rerank" ->
+      s"""WITH $embCte,
+         |$pqBaseCtes,
+         |$filteredIvfPqCtes,
+         |cand2 AS (SELECT q_id, c_id FROM r WHERE rank <= 15),
+         |sc2 AS (SELECT q_id, c_id, round(${cos("qe", "ce")}, 6) AS cos_sim
+         |        FROM cand2 JOIN e qe ON qe.vec_id = q_id
+         |                   JOIN e ce ON ce.vec_id = c_id),
+         |r2 AS (SELECT *, row_number() OVER (PARTITION BY q_id
+         |                 ORDER BY cos_sim DESC, c_id) AS rank FROM sc2)
+         |SELECT q_id, c_id, cos_sim, rank FROM r2 WHERE rank <= 5
          |ORDER BY q_id, rank""".stripMargin,
 
     "ann_pq_rerank" ->
