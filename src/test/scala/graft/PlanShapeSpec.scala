@@ -78,4 +78,42 @@ class PlanShapeSpec extends SparkSpec {
       .findAllIn(p).length
     assert(exchanges <= 1, s"expected <=1 user_id exchange, got $exchanges:\n$p")
   }
+
+  test("IVF cell assignment is a HashAggregate min_by, never a window sort") {
+    // the assignment reduces the corpus x centroids product map-side —
+    // a regression to the row_number-window shape would sort-shuffle
+    // N x numCells rows (and a struct ordering key would silently
+    // demote it to SortAggregate)
+    val emb = graft.sources.Tables.embeddings(spark, sf("sf0.001"))
+    val (_, assign) = graft.operators.Similarity.ivfIndex(emb, numCells = 8)
+    val p = assign.queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("HashAggregate"), "assignment lost HashAggregate:\n" + p)
+    assert(p.contains("min_by"), p)
+    assert(!p.contains("SortAggregate"),
+      "assignment demoted to SortAggregate (non-primitive buffer?):\n" + p)
+    // the only legal Window is the cell_rank numbering of the <=numCells
+    // centroids INSIDE the broadcast side; the corpus-side spine (the
+    // tree above BroadcastExchange) must be window-free
+    val tree = p.split("\n\n").head
+    val spine = tree.substring(0, tree.indexOf("BroadcastExchange") max 0)
+    assert(!spine.contains("Window"),
+      "assignment regressed to a window ranking of the product:\n" + p)
+  }
+
+  test("q_partition_prune answers the source predicate by directory pruning") {
+    val p = formatted("q_partition_prune")
+    val scanIdx = p.indexOf("PartitionFilters: [")
+    assert(scanIdx >= 0, "no PartitionFilters section:\n" + p)
+    val pf = p.substring(scanIdx, p.indexOf("]", scanIdx) + 1)
+    assert(pf.contains("source"),
+      "source predicate not in PartitionFilters:\n" + pf)
+    // and it must NOT survive as a per-row pushed data filter
+    val pushedIdx = p.indexOf("PushedFilters: [")
+    if (pushedIdx >= 0) {
+      val pushed = p.substring(pushedIdx, p.indexOf("]", pushedIdx) + 1)
+      assert(!pushed.contains("source"),
+        "source predicate leaked into the data filters:\n" + pushed)
+    }
+  }
 }
