@@ -482,4 +482,41 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }
+
+  /** Edit-distance (Levenshtein ≤ 1) near-dup pairs over a SHORT string
+    * column — the entity-resolution fuzzy join (titles, names, product
+    * ids). Candidate generation is the DELETION-NEIGHBORHOOD equi-join:
+    * each string emits itself plus its |s| delete-one-char variants, and
+    * any two strings at distance ≤ 1 (substitution = same position
+    * deleted on both; insert/delete = one IS the other's variant) share
+    * a variant, so candidates meet in a plain equi-join on the variant
+    * key — O(|s|) rows per record, NEVER an all-pairs product. The
+    * neighborhood is a superset (shared variants can come from distance
+    * 2, e.g. transposed affixes), so every candidate is verified with
+    * the exact levenshtein before it survives. Ids only through the
+    * distinct; strings re-join after (at 100 TB the payload never rides
+    * an exchange it doesn't need). The 1-deletion key covers exactly
+    * maxDist=1 — distance k needs the k-deletion neighborhood, which
+    * grows |s|^k; chain on a blocking key first at that point. */
+  def editDistancePairs(df: DataFrame, idCol: String, strCol: String): DataFrame = {
+    val base = df.select(col(idCol).as("id"), col(strCol).as("s"))
+    // sequence(1, 0) is DESCENDING [1,0] in Spark, so the empty string
+    // must bypass the transform rather than feed it a bogus range
+    val dels = expr(
+      """CASE WHEN length(s) = 0 THEN array(s) ELSE array_union(array(s),
+        |  transform(sequence(1, length(s)),
+        |    i -> concat(substring(s, 1, i - 1), substring(s, i + 1, length(s)))))
+        |END""".stripMargin)
+    val variants = base.select(col("id"), explode(dels).as("v"))
+    val cand = variants.alias("a").join(variants.alias("b"),
+        col("a.v") === col("b.v") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    cand
+      .join(base.select(col("id").as("id_a"), col("s").as("sa")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("s").as("sb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("sa"), col("sb")).cast("long").as("dist"))
+      .filter(col("dist") <= 1)
+  }
 }

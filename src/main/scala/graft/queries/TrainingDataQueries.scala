@@ -416,6 +416,15 @@ object TrainingDataQueries {
       Similarity.embeddingNearDupPairs(Tables.embeddings(s, dir), "label", 0.4)
         .orderBy("id_a", "id_b")),
 
+    // Fuzzy entity-resolution join: deletion-neighborhood candidates +
+    // exact levenshtein verify. The ORACLE is brute force (all pairs
+    // within length ±1) — independent of the blocking algorithm, so a
+    // neighborhood bug that DROPS a true pair hash-mismatches, not just
+    // one that admits extras.
+    "dedup_fuzzy" -> ((s, dir) =>
+      Dedup.editDistancePairs(Tables.customer(s, dir), "c_custkey", "c_name")
+        .orderBy("id_a", "id_b")),
+
     // int8 quantization — the driver compare can't hash array columns,
     // so the graded surface is integer-exact scalars of the quantized
     // vector (sum/min/max) plus the rounded scale; the full roundtrip
@@ -1251,6 +1260,15 @@ object TrainingDataQueries {
          |        round(${cos("a", "b")}, 6) AS cos_sim
          |      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
          |SELECT * FROM p WHERE cos_sim >= 0.4 ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_fuzzy" ->
+      """WITH c AS (SELECT c_custkey AS id, c_name AS s FROM customer)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |       CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+        |FROM c a JOIN c b
+        |  ON a.id < b.id AND abs(length(a.s) - length(b.s)) <= 1
+        |WHERE levenshtein(a.s, b.s) <= 1
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "embedding_quantize" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

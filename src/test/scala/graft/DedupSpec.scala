@@ -234,4 +234,40 @@ class DedupSpec extends SparkSpec {
     assert(got(1).getAs[Long]("n_shared") === 0)
     assert(got(1).getAs[Double]("contamination") === 0.0)
   }
+
+  test("editDistancePairs finds exactly the distance<=1 pairs (all edit kinds)") {
+    val df = Seq(
+      (1L, "kitten"),   // substitution partner of 2
+      (2L, "mitten"),
+      (3L, "kitte"),    // deletion partner of 1
+      (4L, "kittens"),  // insertion partner of 1
+      (5L, "sitting"),  // distance 3 from kitten — must NOT pair
+      (6L, ""),         // empty string edge
+      (7L, "a"),        // distance 1 from empty (insertion)
+      (8L, "ab")        // distance 2 from empty — must NOT pair with 6
+    ).toDF("id", "name")
+    val got = Dedup.editDistancePairs(df, "id", "name")
+      .orderBy("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // independent check: brute-force over the tiny fixture
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = Seq(d(i - 1)(j) + 1, d(i)(j - 1) + 1,
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1)).min
+      d(a.length)(b.length)
+    }
+    val strs = Seq(1L -> "kitten", 2L -> "mitten", 3L -> "kitte",
+      4L -> "kittens", 5L -> "sitting", 6L -> "", 7L -> "a", 8L -> "ab")
+    val brute = (for {
+      (ia, sa) <- strs; (ib, sb) <- strs if ia < ib
+      d = lev(sa, sb) if d <= 1
+    } yield (ia, ib, d.toLong)).sortBy(t => (t._1, t._2))
+    assert(got === brute, s"got $got vs brute $brute")
+    assert(got.exists { case (a, b, _) => a == 6L && b == 7L },
+      "empty-string insertion pair must be found")
+    assert(!got.exists { case (a, b, _) => a == 6L && b == 8L },
+      "distance-2 pair must be rejected")
+  }
 }
