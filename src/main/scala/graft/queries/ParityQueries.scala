@@ -87,17 +87,19 @@ object ParityQueries {
 
     // The ENTIRE reference pipeline (EP1+EP2) executed end-to-end on the
     // STREAMING path and graded: produce CSV lines into a partitioned
-    // MemTopic (O3, atomic batched append) → offset-bounded scan (O4) →
-    // file-handoff into a real AvailableNow StreamingQuery whose
-    // foreachBatch total-sorts and appends to the sorted topic with
-    // writer→partition identity (O7–O10) → validation-consumer read-back
-    // in (partition, offset) order. The graded `pos` column is the
+    // MemTopic (O3, atomic batched append) → STREAMING read directly
+    // from the topic (O4's live MicroBatchStream form; AvailableNow
+    // pins the per-partition end offsets at query start) → a real
+    // StreamingQuery whose foreachBatch total-sorts and appends to the
+    // sorted topic with writer→partition identity (O7–O10) →
+    // validation-consumer offset-bounded read-back (O4, batch form) in
+    // (partition, offset) order. The graded `pos` column is the
     // read-back ORDINAL, so the oracle's row_number over the sort key
     // hash-verifies that (partition, offset) order IS the total order —
     // a mis-sorted batch, a lost/duplicated row, or a broken
     // writer→partition mapping all flip the hash.
     "stream_sorted_copy" -> ((s, dir) => {
-      import graft.sources.{MemTopic, MemTopicProvider, MemTopicRecordSink, MemTopicRecordSource}
+      import graft.sources.{MemTopic, MemTopicProvider, MemTopicRecordSink}
       val uid = java.util.UUID.randomUUID().toString.take(8)
       val srcTopic = s"graft_stream_src_$uid"
       val dstTopic = s"graft_stream_sorted_$uid"
@@ -108,10 +110,9 @@ object ParityQueries {
       val c = Tables.customer(s, dir)
       MemTopicRecordSink(srcTopic).save(c.select(CsvCodec.encode(
         col("c_custkey"), col("c_name"), col("c_nationkey"), col("c_mktsegment")).as("line")))
-      val hand = java.nio.file.Files.createTempDirectory("graft-stream-hand").toString
-      MemTopicRecordSource(srcTopic).load(s)
-        .select(col("line").as("value")).write.mode("overwrite").text(hand)
-      val stream = s.readStream.text(hand).select(col("value").as("line"))
+      // streaming read DIRECTLY from the topic (MicroBatchStream — the
+      // live O4 form; AvailableNow pins the end offsets at query start)
+      val stream = graft.sources.MemTopicStreamSource(srcTopic).loadStream(s)
       val decoded = CsvCodec.decode(stream, col("line"), Seq(
         "id" -> LongType, "name" -> StringType,
         "nationkey" -> IntegerType, "segment" -> StringType))

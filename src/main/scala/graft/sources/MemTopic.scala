@@ -12,6 +12,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -110,8 +111,8 @@ private[sources] class MemTopicTable(topic: String)
   // assigned by the log, as in Kafka) — without it the analyzer demands
   // every table column in the input.
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.ACCEPT_ANY_SCHEMA).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.ACCEPT_ANY_SCHEMA).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
@@ -136,6 +137,9 @@ private[sources] class MemTopicScan(topic: String) extends Scan with Batch {
   override def readSchema(): StructType = MemTopic.schema
   override def toBatch: Batch = this
 
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new MemTopicMicroBatchStream(topic)
+
   override def planInputPartitions(): Array[InputPartition] =
     (0 until MemTopic.numPartitions(topic)).map { p =>
       MemTopicInputPartition(topic, p, 0L, MemTopic.endOffset(topic, p))
@@ -143,20 +147,68 @@ private[sources] class MemTopicScan(topic: String) extends Scan with Batch {
     }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new PartitionReaderFactory {
-      override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-        val ip = partition.asInstanceOf[MemTopicInputPartition]
-        new PartitionReader[InternalRow] {
-          private val rows = MemTopic.slice(ip.topic, ip.part, ip.start, ip.end)
-          private var i = -1
-          override def next(): Boolean = { i += 1; i < rows.length }
-          override def get(): InternalRow =
-            new GenericInternalRow(Array[Any](
-              UTF8String.fromString(rows(i)), ip.part, ip.start + i))
-          override def close(): Unit = ()
-        }
-      }
+    MemTopicReaderFactory
+}
+
+/** Shared by the batch scan and the micro-batch stream — a partition
+  * read is the same [start, end) slice either way. */
+private[sources] object MemTopicReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val ip = partition.asInstanceOf[MemTopicInputPartition]
+    new PartitionReader[InternalRow] {
+      private val rows = MemTopic.slice(ip.topic, ip.part, ip.start, ip.end)
+      private var i = -1
+      override def next(): Boolean = { i += 1; i < rows.length }
+      override def get(): InternalRow =
+        new GenericInternalRow(Array[Any](
+          UTF8String.fromString(rows(i)), ip.part, ip.start + i))
+      override def close(): Unit = ()
     }
+  }
+}
+
+/** Per-partition end-offset vector, JSON-serialized for the streaming
+  * checkpoint log — the MemTopic analog of Kafka's per-partition offset
+  * map. */
+private[sources] case class MemTopicOffset(ends: Seq[Long]) extends Offset {
+  override def json: String = ends.mkString("[", ",", "]")
+}
+
+/** The LIVE form of the bounded O4 scan: a DSv2 MicroBatchStream over
+  * the topic. Each micro-batch covers (start, latest] per partition —
+  * offsets advance monotonically, restarts resume from the committed
+  * checkpoint offset (deserializeOffset), and `Trigger.AvailableNow`
+  * (Spark's wrapper) pins `latestOffset` once at query start so a
+  * bounded run terminates — the principled replacement for the
+  * reference's 5s-idle drain heuristic, now on the streaming path too.
+  * Swap the provider class for "kafka" and the same plan runs against
+  * a broker. */
+private[sources] class MemTopicMicroBatchStream(topic: String)
+    extends MicroBatchStream {
+  private val nParts = MemTopic.numPartitions(topic)
+
+  override def initialOffset(): Offset = MemTopicOffset(Seq.fill(nParts)(0L))
+
+  override def latestOffset(): Offset =
+    MemTopicOffset((0 until nParts).map(p => MemTopic.endOffset(topic, p)))
+
+  override def deserializeOffset(json: String): Offset =
+    MemTopicOffset(json.stripPrefix("[").stripSuffix("]").split(",")
+      .filter(_.nonEmpty).map(_.trim.toLong).toSeq)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[MemTopicOffset].ends
+    val e = end.asInstanceOf[MemTopicOffset].ends
+    (0 until nParts).map { p =>
+      MemTopicInputPartition(topic, p, s(p), e(p)): InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    MemTopicReaderFactory
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 private[sources] case class MemTopicInputPartition(
@@ -205,6 +257,17 @@ final case class MemTopicRecordSource(topic: String) extends RecordSource {
   def load(spark: SparkSession): DataFrame = {
     import org.apache.spark.sql.functions.col
     spark.read.format(classOf[MemTopicProvider].getName)
+      .option("topic", topic).load()
+      .select(col("value").as("line"))
+  }
+}
+
+/** Streaming read of the topic (MicroBatchStream) behind the same
+  * [[StreamRecordSource]] trait as the file and Kafka streaming legs. */
+final case class MemTopicStreamSource(topic: String) extends StreamRecordSource {
+  def loadStream(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    spark.readStream.format(classOf[MemTopicProvider].getName)
       .option("topic", topic).load()
       .select(col("value").as("line"))
   }

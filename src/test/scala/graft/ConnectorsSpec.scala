@@ -116,6 +116,38 @@ class ConnectorsSpec extends SparkSpec {
     } finally { MemTopic.drop("source"); MemTopic.drop("sorted_id") }
   }
 
+  test("MemTopic MicroBatchStream: offset-tracked micro-batches, resume from checkpoint") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.sources.{MemTopic, MemTopicStreamSource}
+
+    MemTopic.create("mbs", numPartitions = 2)
+    try {
+      MemTopic.append("mbs", 0, Seq("a", "b"))
+      MemTopic.append("mbs", 1, Seq("c"))
+      val out = Files.createTempDirectory("graft-mbs-out").toString
+      val ckpt = Files.createTempDirectory("graft-mbs-ckpt").toString
+      def run(): Unit = {
+        val q = MemTopicStreamSource("mbs").loadStream(spark)
+          .writeStream.trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", ckpt)
+          .format("parquet").option("path", out).start()
+        q.awaitTermination()
+      }
+      run()
+      assert(spark.read.parquet(out).count() === 3)
+      // rows appended AFTER the first bounded run: a restart on the SAME
+      // checkpoint must read exactly the delta — committed offsets
+      // resume, nothing is re-read, nothing is lost
+      MemTopic.append("mbs", 0, Seq("d"))
+      MemTopic.append("mbs", 1, Seq("e", "f"))
+      run()
+      val all = spark.read.parquet(out).select("line").as[String].collect().sorted
+      assert(all.toSeq === Seq("a", "b", "c", "d", "e", "f"),
+        "second run must append exactly the post-checkpoint delta")
+    } finally MemTopic.drop("mbs")
+  }
+
   test("Kafka connector availability is reported, not assumed") {
     // this offline build has no spark-sql-kafka jar; the source must
     // detect that rather than fail at plan time
