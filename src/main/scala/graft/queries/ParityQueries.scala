@@ -144,6 +144,40 @@ object ParityQueries {
     // stream_sorted_copy. Complete mode keeps all windows live, so the
     // "last window never emits in append mode" AvailableNow pitfall
     // does not apply.
+    // Streaming exact dedup graded ACROSS micro-batches: the events
+    // fixture is staged as four files and read with maxFilesPerTrigger=1,
+    // so the dedup state genuinely carries between batches (a user seen
+    // in batch 0 must suppress its batch-3 occurrences). Output is the
+    // distinct key SET, which is order-independent — exactly what
+    // first-occurrence-wins guarantees regardless of batch boundaries —
+    // so the batch DISTINCT oracle grades it. dropDuplicates* is a
+    // stateful FILTER (not an aggregation), so append mode emits
+    // immediately and the AvailableNow last-window pitfall does not
+    // apply.
+    "stream_dedup" -> ((s, dir) => {
+      val hand = java.nio.file.Files.createTempDirectory("graft-sdd-hand").toString
+      s.read.parquet(s"$dir/events.parquet").repartition(4)
+        .write.mode("overwrite").parquet(hand)
+      val schema = s.read.parquet(hand).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(hand)
+        .withColumn("ts_ms", expr("ts div 1000000"))
+      // watermark wider than the fixture's whole time span: batches
+      // arrive in arbitrary ts order, and a narrow watermark would
+      // DROP a late-batch-only user as late data (correct streaming
+      // semantics, but not what the DISTINCT oracle states)
+      val deduped = graft.streaming.Streaming.dedupStream(
+        stream, Seq("user_id"), watermark = "87600 hours")
+      val qn = "stream_dd_" + java.util.UUID.randomUUID().toString.take(8)
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-sdd-ckpt").toString
+      val q = deduped.select("user_id").writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").format("memory").queryName(qn).start()
+      q.awaitTermination()
+      s.table(qn).select("user_id").orderBy("user_id")
+    }),
+
     "stream_windowed_counts" -> ((s, dir) => {
       // FileStreamSource needs a DIRECTORY; the fixture is one parquet
       // file — stage it into a fresh temp dir (the same file handoff
@@ -204,5 +238,7 @@ object ParityQueries {
     "stream_windowed_counts" ->
       """SELECT epoch_ms(date_trunc('hour', ts)) AS window_start_ms, event_type,
         |       count(*) AS n, round(sum(value), 2) AS sum_value
-        |FROM events GROUP BY 1, 2 ORDER BY window_start_ms, event_type""".stripMargin)
+        |FROM events GROUP BY 1, 2 ORDER BY window_start_ms, event_type""".stripMargin,
+    "stream_dedup" ->
+      "SELECT DISTINCT user_id FROM events ORDER BY user_id")
 }
