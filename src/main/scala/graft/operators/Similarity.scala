@@ -474,12 +474,23 @@ object Similarity {
     * collecting k centroids (k is small by definition), no cross
     * product. Returns (centroids, assignments).
     *
-    * NOT oracle-graded: double summation order in the mean aggregation
-    * is partition-order-dependent, so cross-engine bit-parity cannot be
-    * promised — invariants (objective decreases, assignment determinism
-    * given centroids) are spec-asserted instead. */
+    * Two means modes:
+    *  - `exactMeans = false` (default): plain `avg(double)` — fastest,
+    *    but double summation order is partition-order-dependent, so
+    *    cross-engine bit-parity cannot be promised for the iterative
+    *    update; invariants (objective decreases, assignment determinism
+    *    given centroids) are spec-asserted instead.
+    *  - `exactMeans = true`: each element is quantized to micro-units
+    *    (`round(x*1e6)` as BIGINT) and the per-cell mean is
+    *    `(sum_micro / count) / 1e6` — the sum is an exact associative
+    *    integer (same trick as the PQ ADC scores), so the centroids are
+    *    bit-identical in ANY aggregation order and the whole iterative
+    *    algorithm is oracle-gradeable (`cluster_kmeans`). The ~1e-6
+    *    centroid quantization is far below the round-6 similarity
+    *    granularity the assignment step already uses. */
   def kmeans(corpus: DataFrame, k: Int, iterations: Int = 5,
-             idCol: String = "vec_id", vecCol: String = "embedding"): (DataFrame, DataFrame) = {
+             idCol: String = "vec_id", vecCol: String = "embedding",
+             exactMeans: Boolean = false): (DataFrame, DataFrame) = {
     require(k > 0 && iterations >= 0, s"bad k=$k / iterations=$iterations")
     // localize() collects centroid ids as Long, so idCol must be an
     // integral type (Int/Short/Byte upcast safely; anything else would
@@ -525,11 +536,21 @@ object Similarity {
       val a = assign(centroids)
       // element-wise mean per cell: aggregate the 64-ish dims as columns
       // (partial-aggregable sums, one shuffle on cell_id)
-      val dims = (0 until dim).map(i => avg(col("c_vec").getItem(i)).as(s"__m$i"))
-      val means = a.groupBy(col("cell_id"))
-        .agg(dims.head, dims.tail: _*)
-        .select(col("cell_id"),
-          array((0 until dim).map(i => col(s"__m$i")): _*).as("cell_vec"))
+      val means = if (exactMeans) {
+        val aggs = count(lit(1)).as("__cnt") +: (0 until dim).map(i =>
+          sum(round(col("c_vec").getItem(i) * lit(1e6)).cast("long")).as(s"__s$i"))
+        a.groupBy(col("cell_id"))
+          .agg(aggs.head, aggs.tail: _*)
+          .select(col("cell_id"),
+            array((0 until dim).map(i =>
+              (col(s"__s$i") / col("__cnt")) / lit(1e6)): _*).as("cell_vec"))
+      } else {
+        val dims = (0 until dim).map(i => avg(col("c_vec").getItem(i)).as(s"__m$i"))
+        a.groupBy(col("cell_id"))
+          .agg(dims.head, dims.tail: _*)
+          .select(col("cell_id"),
+            array((0 until dim).map(i => col(s"__m$i")): _*).as("cell_vec"))
+      }
       // a cell that captured no points vanishes from the means — keep
       // its previous centroid so k never silently shrinks
       val kept = localize(means)

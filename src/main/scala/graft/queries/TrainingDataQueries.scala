@@ -518,6 +518,19 @@ object TrainingDataQueries {
         .orderBy("c_id")
     }),
 
+    // The FULL iterative Lloyd's algorithm graded — exactMeans quantizes
+    // each element to micro-units so the per-cell mean is
+    // (sum BIGINT / count) / 1e6: an exact associative integer sum makes
+    // the centroids bit-identical in any aggregation order, and the
+    // oracle unrolls both iterations as CTEs with the same integer
+    // arithmetic. Closes the last spec-only operator besides nothing.
+    "cluster_kmeans" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val (_, asg) = Similarity.kmeans(emb, k = 8, iterations = 2, exactMeans = true)
+      asg.select(col("c_id"), col("cell_id"), col("__sim").as("sim"))
+        .orderBy("c_id")
+    }),
+
     // The COMPLETE filtered serving chain: label filter in the join key
     // -> IVF probe -> ADC shortlist (kAdc=15) -> exact cosine rerank of
     // only the shortlisted raw vectors.
@@ -1402,6 +1415,44 @@ object TrainingDataQueries {
          |                            cent.cell_id) AS rn
          |          FROM e CROSS JOIN cent) t WHERE rn = 1)
          |SELECT c_id, cell_id, sim FROM asg ORDER BY c_id""".stripMargin,
+
+    // Full iterative k-means: micro-unit integer means make each
+    // centroid update order-independent, so both Lloyd iterations
+    // unroll as deterministic CTEs (assign -> integer means -> new
+    // centroids with empty-cell carry-over), mirroring
+    // Similarity.kmeans(exactMeans = true) bit-for-bit.
+    "cluster_kmeans" -> {
+      def asgCte(name: String, cent: String) =
+        s"""$name AS (SELECT c_id, cell_id, sim FROM (
+           |  SELECT e.vec_id AS c_id, c.cell_id,
+           |         round(list_inner_product(e.v, c.cv) / (e.nrm * c.cn), 6) AS sim,
+           |         row_number() OVER (PARTITION BY e.vec_id
+           |           ORDER BY round(list_inner_product(e.v, c.cv) / (e.nrm * c.cn), 6) DESC,
+           |                    c.cell_id) AS rn
+           |  FROM e CROSS JOIN $cent c) t WHERE rn = 1)""".stripMargin
+      def stepCtes(i: Int, prevAsg: String, prevCent: String, newCent: String) =
+        s"""m$i AS (SELECT a.cell_id, ex.dim,
+           |         (CAST(sum(CAST(round(ex.x * 1e6) AS BIGINT)) AS BIGINT) / count(*)) / 1e6 AS mean
+           |       FROM $prevAsg a JOIN ex ON ex.vec_id = a.c_id
+           |       GROUP BY a.cell_id, ex.dim),
+           |mm$i AS (SELECT cell_id, list(mean ORDER BY dim) AS cv FROM m$i GROUP BY cell_id),
+           |$newCent AS (SELECT cell_id, cv, sqrt(list_inner_product(cv, cv)) AS cn FROM (
+           |  SELECT cell_id, cv FROM mm$i
+           |  UNION ALL
+           |  SELECT c.cell_id, c.cv FROM $prevCent c
+           |  WHERE c.cell_id NOT IN (SELECT cell_id FROM mm$i)) u)""".stripMargin
+      s"""WITH $embCte,
+         |ex AS (SELECT vec_id, unnest(v) AS x,
+         |              unnest(generate_series(1, len(v))) AS dim FROM e),
+         |cent0 AS (SELECT vec_id AS cell_id, v AS cv, nrm AS cn FROM e
+         |          ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 8),
+         |${asgCte("asg0", "cent0")},
+         |${stepCtes(0, "asg0", "cent0", "cent1")},
+         |${asgCte("asg1", "cent1")},
+         |${stepCtes(1, "asg1", "cent1", "cent2")},
+         |${asgCte("asg2", "cent2")}
+         |SELECT c_id, cell_id, sim FROM asg2 ORDER BY c_id""".stripMargin
+    },
 
     "ann_filtered_ivfpq" ->
       s"""WITH $embCte,

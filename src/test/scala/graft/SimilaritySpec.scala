@@ -251,6 +251,25 @@ class SimilaritySpec extends SparkSpec {
     assert(blobCells.flatten.toSet.size === 3, "blobs must map to distinct cells")
   }
 
+  test("kmeans exactMeans: centroids match avg-means within the micro-unit quantization bound") {
+    // Per element the integer-means estimate differs from the true mean
+    // by at most 0.5 micro-unit of per-row rounding (averaged), i.e.
+    // |exact - avg| <= 5e-7 + fp noise. If a whole ASSIGNMENT flipped
+    // the difference would be O(centroid spread) >> 1e-5.
+    val rnd = new scala.util.Random(11)
+    val df = (0 until 120).map { i =>
+      (i.toLong, Array.fill(8)(rnd.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+    val (ca, _) = Similarity.kmeans(df, k = 4, iterations = 2)
+    val (ce, _) = Similarity.kmeans(df, k = 4, iterations = 2, exactMeans = true)
+    val byId = ca.select(col("cell_id"), col("cell_vec"))
+      .as[(Long, Seq[Double])].collect().toMap
+    val diffs = ce.select(col("cell_id"), col("cell_vec"))
+      .as[(Long, Seq[Double])].collect()
+      .flatMap { case (id, v) => v.zip(byId(id)).map { case (a, b) => math.abs(a - b) } }
+    assert(diffs.max < 1e-5, s"exactMeans drifted from avg means: max diff ${diffs.max}")
+  }
+
   test("kmeans: k never shrinks — empty cells keep their previous centroid") {
     // 40 near-identical vectors: most seeds capture no points after one
     // assignment pass, but all 5 requested centroids must survive.
