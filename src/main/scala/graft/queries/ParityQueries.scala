@@ -201,6 +201,47 @@ object ParityQueries {
           col("event_type"), col("n"),
           round(col("sum_value"), 2).as("sum_value"))
         .orderBy("window_start_ms", "event_type")
+    }),
+
+    // Stream–stream INNER interval join graded: clicks and purchases
+    // are staged as SEPARATE 3-file directories read with
+    // maxFilesPerTrigger=1, so a click in batch 0 must stay buffered in
+    // join state until its purchase arrives in batch 2 — this grades
+    // cross-batch join-state management, the defining stream–stream
+    // problem. Inner-join matches emit in the batch where the second
+    // side arrives (no watermark-close needed); the watermark is wider
+    // than the fixture span so no row is dropped as late, making the
+    // batch self-join oracle the exact expected output.
+    "stream_interval_join" -> ((s, dir) => {
+      def stage(t: String): String = {
+        val hand = java.nio.file.Files.createTempDirectory(s"graft-ssj-$t").toString
+        s.read.parquet(s"$dir/events.parquet")
+          .filter(col("event_type") === t).repartition(3)
+          .write.mode("overwrite").parquet(hand)
+        hand
+      }
+      val lDir = stage("click")
+      val rDir = stage("purchase")
+      val schema = s.read.parquet(lDir).schema
+      def rd(d: String) = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(d)
+        .withColumn("ts_ms", expr("ts div 1000000"))
+      val left = rd(lDir).select(col("event_id").as("l_event"),
+        col("user_id"), col("ts_ms").as("l_ts"))
+      val right = rd(rDir).select(col("event_id").as("r_event"),
+        col("user_id"), col("ts_ms").as("r_ts"))
+      val joined = graft.streaming.Streaming.streamStreamIntervalJoin(
+        left, right, Seq("user_id"), leftTsMs = "l_ts", rightTsMs = "r_ts",
+        lowerMs = 0L, upperMs = 21600000L, watermark = "87600 hours")
+      val qn = "stream_ssj_" + java.util.UUID.randomUUID().toString.take(8)
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-ssj-ckpt").toString
+      val q = joined.select("l_event", "r_event", "user_id", "l_ts", "r_ts")
+        .writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").format("memory").queryName(qn).start()
+      q.awaitTermination()
+      s.table(qn).orderBy("l_event", "r_event")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -240,5 +281,14 @@ object ParityQueries {
         |       count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY window_start_ms, event_type""".stripMargin,
     "stream_dedup" ->
-      "SELECT DISTINCT user_id FROM events ORDER BY user_id")
+      "SELECT DISTINCT user_id FROM events ORDER BY user_id",
+    "stream_interval_join" ->
+      """WITH e AS (SELECT event_id, epoch_ms(ts) AS ts_ms, user_id, event_type
+        |           FROM events)
+        |SELECT l.event_id AS l_event, r.event_id AS r_event, l.user_id,
+        |       l.ts_ms AS l_ts, r.ts_ms AS r_ts
+        |FROM e l JOIN e r ON l.user_id = r.user_id
+        |WHERE l.event_type = 'click' AND r.event_type = 'purchase'
+        |  AND r.ts_ms >= l.ts_ms AND r.ts_ms <= l.ts_ms + 21600000
+        |ORDER BY l_event, r_event""".stripMargin)
 }
