@@ -167,6 +167,50 @@ object TextAnalysis {
       .drop("score")
   }
 
+  /** Okapi BM25 retrieval: score every document against a fixed bag of
+    * query terms, return the top-k. idf is the robust
+    * `ln((N - df + 0.5)/(df + 0.5) + 1)` variant; per-term scores are
+    * quantized to micro-units and summed as BIGINTs so the per-doc total
+    * is identical in ANY aggregation order (the PQ-ADC determinism
+    * trick — a plain double sum over matched terms would be
+    * partition-order-dependent).
+    *
+    * Shape at scale: one corpus pass for doc lengths, the tf table is
+    * PRE-FILTERED to the query terms (isin on a literal list — predicate
+    * pushdown-able), df comes from the already-reduced tf table, corpus
+    * stats ride a broadcast 1-row cross join, and the final top-k is a
+    * WindowGroupLimit rank. Nothing materializes doc×vocabulary. */
+  def bm25Search(df: DataFrame, idCol: String, textCol: String,
+                 terms: Seq[String], k: Int,
+                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(terms.nonEmpty, "bm25Search needs at least one query term")
+    val words = df.select(col(idCol).as("doc"),
+      explode(TextFunctions.words(col(textCol))).as("word"))
+    val dl = words.groupBy(col("doc")).agg(count(lit(1)).as("dl"))
+    // exact integer corpus stats: avgdl = sum_dl / n_docs is a double
+    // division of exact longs, deterministic cross-engine
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val tf = words.filter(col("word").isin(terms: _*))
+      .groupBy(col("doc"), col("word")).agg(count(lit(1)).as("tf"))
+    val dfq = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(dfq, "word").join(dl, "doc")
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("sum_dl") / col("n_docs"))
+      .withColumn("idf",
+        log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)))
+      .withColumn("s",
+        (col("idf") * (col("tf") * lit(k1 + 1.0))) /
+          (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))))
+      .withColumn("s_micro", round(col("s") * lit(1e6)).cast("long"))
+    val agg = scored.groupBy(col("doc"))
+      .agg(sum(col("s_micro")).as("sum_micro"), count(lit(1)).as("n_terms"))
+      .select(col("doc"), round(col("sum_micro") / lit(1e6), 4).as("bm25"),
+        col("n_terms"))
+    val w = Window.orderBy(col("bm25").desc, col("doc"))
+    agg.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** EXACT corpus heavy hitters (words with frequency ≥ 1/supportDenom
     * of all words) in two bounded passes:
     *   1. a merged Misra–Gries sketch (capacity counters per partition,

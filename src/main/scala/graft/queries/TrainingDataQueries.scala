@@ -690,6 +690,14 @@ object TrainingDataQueries {
       TextAnalysis.tfidfTopTerms(Tables.documents(s, dir), "doc_id", "text", k = 3)
         .orderBy("doc", "rank")),
 
+    // Okapi BM25 retrieval: top-20 docs for a fixed query-term bag;
+    // per-term scores quantized to micro-units so the per-doc sum is
+    // aggregation-order-independent (hash-gradeable).
+    "text_bm25" -> ((s, dir) =>
+      TextAnalysis.bm25Search(Tables.documents(s, dir), "doc_id", "text",
+          terms = Seq("join", "filter", "scan"), k = 20)
+        .orderBy("rank")),
+
     // Exact heavy hitters (≥ 0.5% of all corpus words) via the two-pass
     // Misra-Gries sketch → exact-recount shape: bounded state at every
     // stage, exact output.
@@ -1621,6 +1629,31 @@ object TrainingDataQueries {
          |      FROM sc)
          |SELECT doc, word, tf, df, tfidf, rank FROM r WHERE rank <= 3
          |ORDER BY doc, rank""".stripMargin,
+
+    // BM25 oracle — constants cast to DOUBLE explicitly (DuckDB parses
+    // bare decimals as DECIMAL, which would change the arithmetic);
+    // expression tree mirrors the Spark side left-to-right so the IEEE
+    // double results are bit-identical before micro-quantization.
+    "text_bm25" ->
+      s"""WITH $wordCte,
+         |t AS (SELECT doc_id AS doc, unnest(l) AS word FROM w),
+         |dl AS (SELECT doc, count(*) AS dl FROM t GROUP BY 1),
+         |st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+         |tf AS (SELECT doc, word, count(*) AS tf FROM t
+         |       WHERE word IN ('join', 'filter', 'scan') GROUP BY 1, 2),
+         |dfq AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+         |sc AS (SELECT tf.doc,
+         |         CAST(round((ln((n_docs - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE))
+         |                     * (tf * CAST(2.2 AS DOUBLE)))
+         |                    / (tf + CAST(1.2 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+         |                       + CAST(0.75 AS DOUBLE) * dl / (sum_dl / n_docs)))
+         |                    * 1e6) AS BIGINT) AS s_micro
+         |       FROM tf JOIN dfq USING (word) JOIN dl USING (doc) CROSS JOIN st),
+         |ag AS (SELECT doc, round(CAST(sum(s_micro) AS BIGINT) / 1e6, 4) AS bm25,
+         |              count(*) AS n_terms FROM sc GROUP BY 1),
+         |r AS (SELECT *, row_number() OVER (ORDER BY bm25 DESC, doc) AS rank FROM ag)
+         |SELECT doc, bm25, n_terms, rank FROM r WHERE rank <= 20
+         |ORDER BY rank""".stripMargin,
 
     "text_heavy_hitters" ->
       s"""WITH t AS (SELECT unnest($wordsSql) AS word FROM documents),
