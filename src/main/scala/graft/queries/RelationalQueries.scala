@@ -66,6 +66,37 @@ object RelationalQueries {
         .limit(10)
     }),
 
+    // TPC-H Q5 shape: a 6-table join tree. The two fact tables (lineitem,
+    // orders) shuffle-join on their keys; customer shuffles in on custkey;
+    // supplier/nation/region are true dimensions (bounded at every SF) and
+    // are broadcast so the 3 dim joins add ZERO exchanges. The
+    // customer–supplier same-nation predicate rides the supplier broadcast
+    // join as a second equi-key, so no extra join pass is needed for it.
+    "q5_deep_join" -> ((s, dir) => {
+      val asiaRegion = Tables.region(s, dir).filter(col("r_name") === "ASIA")
+      val cust = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
+      val ord = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey")
+      val li = Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      val supp = Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(supp),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(Tables.nation(s, dir)),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(asiaRegion),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
     // Broadcast hash join against a true dimension (nation ≤ 25 rows at
     // every SF — broadcastable on a 1000-executor cluster too).
     "q_broadcast_join" -> ((s, dir) =>
@@ -903,6 +934,16 @@ object RelationalQueries {
         |  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
         |GROUP BY l_orderkey, o_orderdate
         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q5_deep_join" ->
+      """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
     "q_broadcast_join" ->
       """SELECT n_name, count(*) AS n_cust, round(sum(c_acctbal), 2) AS sum_bal
         |FROM customer JOIN nation ON c_nationkey = n_nationkey

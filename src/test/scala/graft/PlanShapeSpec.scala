@@ -101,6 +101,28 @@ class PlanShapeSpec extends SparkSpec {
       "assignment regressed to a window ranking of the product:\n" + p)
   }
 
+  test("q5_deep_join: all three dimension joins broadcast, facts shuffle") {
+    // At sf0.001 every side fits the auto-broadcast threshold, which
+    // hides the at-scale shape. Disable it so ONLY the explicit
+    // broadcast() hints survive — this is what a 100 TB planner sees,
+    // where lineitem/orders/customer dwarf any threshold.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = formatted("q5_deep_join")
+      // formatted mode names each operator twice (tree + detail block)
+      val bhj = "\\(\\d+\\) BroadcastHashJoin".r.findAllIn(p).length
+      assert(bhj == 3, s"expected 3 hinted broadcast joins, got $bhj:\n$p")
+      // lineitem⋈orders and ⋈customer remain shuffle joins on their keys
+      val smj = "\\(\\d+\\) (SortMergeJoin|ShuffledHashJoin)".r
+        .findAllIn(p).length
+      assert(smj == 2, s"expected 2 shuffle joins, got $smj:\n$p")
+      // the date range reaches the orders scan
+      assert(p.contains("GreaterThanOrEqual(o_orderdate"),
+        "orderdate filter not pushed:\n" + p)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("q_partition_prune answers the source predicate by directory pruning") {
     val p = formatted("q_partition_prune")
     val scanIdx = p.indexOf("PartitionFilters: [")
