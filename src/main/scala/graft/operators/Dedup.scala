@@ -62,6 +62,40 @@ object Dedup {
       .groupBy(col("fp"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_dups"))
 
+  /** Crawl-style URL canonicalization, entirely in codegen'd string
+    * built-ins (no UDF — this runs per row over every crawled page, so
+    * it must stay inside whole-stage codegen). Steps, in order:
+    * fragment strip, full lowercase (a simplification: real
+    * canonicalizers lowercase only scheme+host; callers with
+    * case-sensitive paths should split the URL first), tracking-param
+    * removal (`utm_*`/`fbclid`/`gclid`/`ref` in any position — the
+    * three rules cover mid-list, leading-with-followers, and
+    * only-param, all without regex backreferences so the same patterns
+    * run in any engine), `www.` prefix drop, default-port-80 drop,
+    * and trailing-slash normalization (both `/?q` and a bare trailing
+    * `/`). */
+  def canonicalizeUrl(url: Column): Column = {
+    val track = "(utm_[a-z]+|fbclid|gclid|ref)"
+    val noFrag    = regexp_replace(url, "#.*$", "")
+    val lowered   = lower(noFrag)
+    val noMid     = regexp_replace(lowered, s"&$track=[^&#]*", "")
+    val noLead    = regexp_replace(noMid, s"\\?$track=[^&#]*&", "?")
+    val noOnly    = regexp_replace(noLead, s"\\?$track=[^&#]*$$", "")
+    val noWww     = replace(noOnly, lit("://www."), lit("://"))
+    val noPort    = replace(noWww, lit(":80/"), lit("/"))
+    val noSlashQ  = replace(noPort, lit("/?"), lit("?"))
+    regexp_replace(noSlashQ, "/$", "")
+  }
+
+  /** URL dedup for crawl ingestion: canonicalize, then one survivor
+    * (min id) per canonical URL. A single hash-aggregate with map-side
+    * partial combine — the shuffle carries one row per canonical URL
+    * per input partition, not one per page. */
+  def urlDedup(df: DataFrame, idCol: String, urlCol: String): DataFrame =
+    df.select(col(idCol), canonicalizeUrl(col(urlCol)).as("url_canon"))
+      .groupBy(col("url_canon"))
+      .agg(min(col(idCol)).as("survivor_id"), count(lit(1)).as("n_dups"))
+
   /** Universal-hash family for MinHash: h_s(x) = (a_s·h0(x) + b_s) mod
     * M61, with h0 = first 48 md5 bits of the shingle. One md5 per
     * shingle — the per-seed hashes are integer arithmetic, so the

@@ -306,6 +306,32 @@ object TrainingDataQueries {
       Dedup.byFingerprint(Tables.documents(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // URL canonicalization + dedup over a deterministic synthetic url
+    // column (the fixture has none): messy variants — scheme/host case,
+    // :80, www., trailing slash, tracking params in every position,
+    // fragments — that collapse to one canonical form per doc_id%20
+    // group. Output: the duplicate groups with survivor + count.
+    "dedup_url" -> ((s, dir) => {
+      val id = col("doc_id")
+      val n  = (id % 20).cast("string")
+      val url = concat(
+        when(id % 3 === 0, lit("HTTP")).otherwise(lit("http")), lit("://"),
+        when(id % 2 === 0, lit("WWW.Example.COM")).otherwise(lit("example.com")),
+        when(id % 5 === 0, lit(":80")).otherwise(lit("")),
+        lit("/docs/"), n,
+        when(id % 4 === 0, lit("/")).otherwise(lit("")),
+        when(id % 11 === 0, lit(""))
+          .when(id % 13 === 0, concat(lit("?utm_medium=email&id="), n))
+          .otherwise(concat(lit("?id="), n,
+            when(id % 2 === 1, lit("&utm_source=feed&utm_campaign=c1"))
+              .otherwise(lit("")))),
+        when(id % 7 === 0, lit("#section-2")).otherwise(lit("")))
+      Dedup.urlDedup(
+          Tables.documents(s, dir).select(id, url.as("url")), "doc_id", "url")
+        .filter(col("n_dups") >= 2)
+        .orderBy("url_canon")
+    }),
+
     "dedup_minhash" -> ((s, dir) =>
       Dedup.minhashPairs(Tables.documents(s, dir), "doc_id", "text",
           numHashes = 16, numBands = 4, minEstimate = 0.5)
@@ -1145,6 +1171,35 @@ object TrainingDataQueries {
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
         |       min(doc_id) AS doc_id, count(*) AS n_dups
         |FROM documents GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    "dedup_url" ->
+      """WITH urls AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 3 = 0 THEN 'HTTP' ELSE 'http' END || '://' ||
+        |         CASE WHEN doc_id % 2 = 0 THEN 'WWW.Example.COM' ELSE 'example.com' END ||
+        |         CASE WHEN doc_id % 5 = 0 THEN ':80' ELSE '' END ||
+        |         '/docs/' || CAST(doc_id % 20 AS VARCHAR) ||
+        |         CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END ||
+        |         CASE WHEN doc_id % 11 = 0 THEN ''
+        |              WHEN doc_id % 13 = 0 THEN '?utm_medium=email&id=' || CAST(doc_id % 20 AS VARCHAR)
+        |              ELSE '?id=' || CAST(doc_id % 20 AS VARCHAR) ||
+        |                   CASE WHEN doc_id % 2 = 1 THEN '&utm_source=feed&utm_campaign=c1' ELSE '' END END ||
+        |         CASE WHEN doc_id % 7 = 0 THEN '#section-2' ELSE '' END AS url
+        |  FROM documents),
+        |canon AS (
+        |  SELECT doc_id,
+        |         regexp_replace(replace(replace(replace(
+        |           regexp_replace(regexp_replace(regexp_replace(
+        |             lower(regexp_replace(url, '#.*$', '')),
+        |             '&(utm_[a-z]+|fbclid|gclid|ref)=[^&#]*', '', 'g'),
+        |             '\?(utm_[a-z]+|fbclid|gclid|ref)=[^&#]*&', '?'),
+        |             '\?(utm_[a-z]+|fbclid|gclid|ref)=[^&#]*$', ''),
+        |           '://www.', '://'), ':80/', '/'), '/?', '?'),
+        |         '/$', '') AS url_canon
+        |  FROM urls)
+        |SELECT url_canon, min(doc_id) AS survivor_id, count(*) AS n_dups
+        |FROM canon GROUP BY url_canon HAVING count(*) >= 2
+        |ORDER BY url_canon""".stripMargin,
 
     "dedup_minhash" ->
       s"""WITH $minhashCtes

@@ -43,6 +43,39 @@ class DedupSpec extends SparkSpec {
     assert(got.filter(col("n_dups") === 2).select("doc_id").as[Long].head() === 1L)
   }
 
+  test("canonicalizeUrl normalizes case, www, :80, tracking params, fragments, slashes") {
+    val urls = Seq(
+      "HTTP://WWW.Example.COM:80/Docs/3/?id=3&utm_source=feed#frag",
+      "http://example.com/docs/3?utm_medium=email&id=3",
+      "http://example.com/docs/3?id=3",
+      "https://example.com/a/?utm_campaign=x",
+      "https://example.com/a/",
+      "https://example.com/b?ref=hn&q=1",
+      "https://example.com/b?q=1&fbclid=abc")
+    val got = urls.toDF("url").select(Dedup.canonicalizeUrl(col("url")).as("c"))
+      .as[String].collect()
+    assert(got(0) === "http://example.com/docs/3?id=3")
+    assert(got(1) === "http://example.com/docs/3?id=3")
+    assert(got(2) === "http://example.com/docs/3?id=3")
+    assert(got(3) === "https://example.com/a")
+    assert(got(4) === "https://example.com/a")
+    assert(got(5) === "https://example.com/b?q=1")
+    assert(got(6) === "https://example.com/b?q=1")
+  }
+
+  test("urlDedup keeps one min-id survivor per canonical url with counts") {
+    val df = Seq(
+      (7L, "http://www.example.com/x/"), (3L, "HTTP://example.com/x"),
+      (9L, "https://example.com/y?utm_source=a"), (4L, "https://example.com/y")
+    ).toDF("doc_id", "url")
+    val got = Dedup.urlDedup(df, "doc_id", "url")
+      .orderBy("url_canon")
+      .collect().map(r => (r.getAs[String]("url_canon"),
+        r.getAs[Long]("survivor_id"), r.getAs[Long]("n_dups")))
+    assert(got.toSeq === Seq(
+      ("http://example.com/x", 3L, 2L), ("https://example.com/y", 4L, 2L)))
+  }
+
   test("minhash LSH finds every identical-signature pair and estimates match exact jaccard") {
     val exact = Dedup.shingleJaccardPairs(docs, "doc_id", "text", minJaccard = 0.0)
       .filter(col("jaccard") >= 0.999)
