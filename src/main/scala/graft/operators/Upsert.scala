@@ -28,6 +28,41 @@ object Upsert {
         coalesce(col(s"d.$c"), col(s"b.$c")).as(c)): _*)
   }
 
+  /** Ordered CDC changelog apply — the Debezium/lakehouse "apply a
+    * change stream to a snapshot" MERGE: `changelog` rows are
+    * `(key, seqCol, opCol, values…)` with op `"U"` (upsert — insert or
+    * update) or `"D"` (delete tombstone); the final state keeps, for
+    * each key, the base row overridden by the LATEST change, and drops
+    * keys whose latest change is a tombstone. A later `"U"` after a
+    * `"D"` re-inserts the key.
+    *
+    * Scale shape: the latest-change-per-key reduction is a
+    * partial-aggregable `max_by` on `(seq, op)` — map-side combined, no
+    * window, so a 10 B-row changelog reduces before it shuffles — then
+    * ONE full-outer join with the base on the key. Per-column
+    * `coalesce(change, base)` gives partial-update semantics (a null
+    * value column in the winning change keeps the base value), matching
+    * [[apply]].
+    *
+    * Contract: `(key, seqCol)` pairs are unique (a real changelog's
+    * offset); equal-seq ties break deterministically by op descending.
+    */
+  def cdcApply(base: DataFrame, changelog: DataFrame, key: String,
+               seqCol: String = "seq", opCol: String = "op"): DataFrame = {
+    val valueCols = base.columns.filter(_ != key).toSeq
+    require(valueCols.forall(changelog.columns.contains),
+      s"changelog must carry base's columns; missing ${valueCols.filterNot(changelog.columns.contains).mkString(",")}")
+    val packed = (opCol +: valueCols).mkString(", ")
+    val latest = changelog.groupBy(col(key))
+      .agg(expr(s"max_by(struct($packed), struct($seqCol, $opCol))").as("__c"))
+      .select(col(key) +: col(s"__c.$opCol").as("__op") +:
+        valueCols.map(c => col(s"__c.$c").as(s"__d_$c")): _*)
+    base.join(latest, Seq(key), "full_outer")
+      .filter(col("__op").isNull || col("__op") =!= "D")
+      .select(col(key) +: valueCols.map(c =>
+        coalesce(col(s"__d_$c"), col(c)).as(c)): _*)
+  }
+
   /** SCD type-2 history between two full snapshots: where type-1
     * ([[apply]]) overwrites, type-2 KEEPS the old row and closes its
     * validity interval — the versioned-corpus shape (which document

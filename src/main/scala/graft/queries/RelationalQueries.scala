@@ -494,6 +494,34 @@ object RelationalQueries {
         .orderBy(col("o_orderkey"))
     }),
 
+    // Ordered CDC changelog apply: three change batches (seq 1 update,
+    // seq 2 delete tombstone, seq 3 update) against a base snapshot —
+    // latest change per key wins via a partial-aggregable max_by (no
+    // window), tombstoned keys drop, a later update RE-INSERTS a
+    // deleted key (%40 keys), and updates to absent keys insert. The
+    // full matrix of CDC outcomes in one full-outer join.
+    "q_cdc_apply" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val base = o.filter(col("o_orderkey") % 3 =!= 0)
+      val c1 = o.filter(col("o_orderkey") % 4 === 0)
+        .select(col("o_orderkey"), lit(1L).as("seq"), lit("U").as("op"),
+          lit("U1").as("o_orderstatus"),
+          round(col("o_totalprice") + 500, 2).as("o_totalprice"))
+      val c2 = o.filter(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey"), lit(2L).as("seq"), lit("D").as("op"),
+          lit(null).cast("string").as("o_orderstatus"),
+          lit(null).cast("double").as("o_totalprice"))
+      val c3 = o.filter(col("o_orderkey") % 8 === 0)
+        .select(col("o_orderkey"), lit(3L).as("seq"), lit("U").as("op"),
+          lit("U3").as("o_orderstatus"),
+          round(col("o_totalprice") + 900, 2).as("o_totalprice"))
+      Upsert.cdcApply(base, c1.unionByName(c2).unionByName(c3), "o_orderkey")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // UNPIVOT (melt): the inverse of q_pivot — wide per-type counts back
     // to long (user_id, event_type, n) form. Expand-based, one pass.
     "q_unpivot" -> ((s, dir) => {
@@ -1216,6 +1244,29 @@ object RelationalQueries {
         |       coalesce(d.o_orderstatus, b.o_orderstatus) AS o_orderstatus,
         |       round(coalesce(d.o_totalprice, b.o_totalprice), 2) AS o_totalprice
         |FROM base b FULL JOIN delta d USING (o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_cdc_apply" ->
+      """WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+        |              FROM orders WHERE o_orderkey % 3 <> 0),
+        |log AS (
+        |  SELECT o_orderkey, 1 AS seq, 'U' AS op, 'U1' AS o_orderstatus,
+        |         round(o_totalprice + 500, 2) AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 4 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, 2, 'D', NULL, NULL
+        |  FROM orders WHERE o_orderkey % 10 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, 3, 'U', 'U3', round(o_totalprice + 900, 2)
+        |  FROM orders WHERE o_orderkey % 8 = 0),
+        |latest AS (
+        |  SELECT * FROM (SELECT l.*, row_number() OVER
+        |           (PARTITION BY o_orderkey ORDER BY seq DESC, op DESC) AS rn
+        |         FROM log l) WHERE rn = 1)
+        |SELECT o_orderkey,
+        |       coalesce(c.o_orderstatus, b.o_orderstatus) AS o_orderstatus,
+        |       round(coalesce(c.o_totalprice, b.o_totalprice), 2) AS o_totalprice
+        |FROM base b FULL JOIN latest c USING (o_orderkey)
+        |WHERE c.op IS NULL OR c.op <> 'D'
         |ORDER BY o_orderkey""".stripMargin,
     "q_outliers" ->
       """WITH e AS (SELECT user_id, event_id,

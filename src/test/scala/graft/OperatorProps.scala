@@ -67,6 +67,27 @@ object OperatorProps extends Properties("Operators") {
       once == expected && twice == expected
     }
 
+  private val changelog: Gen[List[(Long, Long, String, String)]] =
+    Gen.chooseNum(0, 25).flatMap(n => Gen.listOfN(n,
+      Gen.zip(Gen.chooseNum(0L, 12L), Gen.chooseNum(1L, 50L),
+        Gen.oneOf("U", "D"), Gen.oneOf("a", "b", "c"))))
+      .map(_.distinctBy(t => (t._1, t._2)))
+
+  property("Upsert.cdcApply equals a sequential per-key replay of the log") =
+    Prop.forAll(table, changelog) { (base, log) =>
+      val b = base.toDF("k", "v")
+      val l = log.toDF("k", "seq", "op", "v")
+      val got = Upsert.cdcApply(b, l, "k").as[(Long, String)].collect().toMap
+      // brute-force replay: apply every change in seq order; with full
+      // (non-null) values each U overwrites and each D deletes, so the
+      // end state must equal latest-change-wins
+      val expected = log.sortBy(_._2).foldLeft(base.toMap) {
+        case (st, (k, _, "D", _)) => st - k
+        case (st, (k, _, _, v))   => st + (k -> v)
+      }
+      got == expected
+    }
+
   property("Upsert.scd2: current rows = v2 snapshot; every key's history is closed correctly") =
     Prop.forAll(table, table) { (s1, s2) =>
       val h = Upsert.scd2(s1.toDF("k", "v"), s2.toDF("k", "v"), "k")
