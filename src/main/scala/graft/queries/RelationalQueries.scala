@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsOfJoin, Skew, Upsert}
+import graft.operators.{AsOfJoin, Profiling, Skew, Upsert}
 import graft.sources.Tables
 
 /** The general relational query surface the reference lacks entirely
@@ -492,6 +492,45 @@ object RelationalQueries {
         .select(col("o_orderkey"), col("o_orderstatus"),
           round(col("o_totalprice"), 2).as("o_totalprice"))
         .orderBy(col("o_orderkey"))
+    }),
+
+    // Per-column data profile (the pre-ingest audit): row/null/distinct
+    // counts + native-typed min/max rendered as strings, ALL metrics in
+    // one aggregation pass with the long form pivoted from the single
+    // aggregated row. Nulls injected into o_orderpriority so the null
+    // counter is exercised. Exact distinct counts (the grading path);
+    // the operator's exact=false flag swaps in single-scan HLL at scale.
+    "q_profile" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .withColumn("o_orderpriority",
+          when(col("o_orderkey") % 7 === 0, lit(null).cast("string"))
+            .otherwise(col("o_orderpriority")))
+      Profiling.profile(o, Seq("o_orderkey", "o_custkey", "o_orderstatus",
+          "o_totalprice", "o_orderdate", "o_orderpriority"))
+        .orderBy(col("column"))
+    }),
+
+    // Referential-integrity audit: orphaned-FK counts for three
+    // relationships in one report. Parents are filtered (%5 / %7) so
+    // the orphan branches are non-trivial; null FKs are injected into
+    // the customer→nation leg and counted separately (a null FK is not
+    // an orphan). Each leg is one left join on the key + one aggregate.
+    "q_referential_integrity" -> ((s, dir) => {
+      val orders = Tables.orders(s, dir)
+      val customer = Tables.customer(s, dir)
+      val li = Tables.lineitem(s, dir)
+      val oParent = orders.filter(col("o_orderkey") % 5 =!= 0)
+      val cParent = customer.filter(col("c_custkey") % 7 =!= 0)
+      val cChild = customer.withColumn("c_nationkey",
+        when(col("c_custkey") % 11 === 0, lit(null).cast("long"))
+          .otherwise(col("c_nationkey")))
+      Profiling.orphans(li, "l_orderkey", oParent, "o_orderkey",
+          "lineitem->orders")
+        .unionByName(Profiling.orphans(orders, "o_custkey",
+          cParent, "c_custkey", "orders->customer"))
+        .unionByName(Profiling.orphans(cChild, "c_nationkey",
+          Tables.nation(s, dir), "n_nationkey", "customer->nation"))
+        .orderBy(col("relation"))
     }),
 
     // Ordered CDC changelog apply: three change batches (seq 1 update,
@@ -1245,6 +1284,54 @@ object RelationalQueries {
         |       round(coalesce(d.o_totalprice, b.o_totalprice), 2) AS o_totalprice
         |FROM base b FULL JOIN delta d USING (o_orderkey)
         |ORDER BY o_orderkey""".stripMargin,
+    "q_profile" -> {
+      val cols = Seq("o_custkey", "o_orderdate", "o_orderkey",
+        "o_orderpriority", "o_orderstatus", "o_totalprice")
+      val legs = cols.map { c =>
+        s"""SELECT '$c' AS "column", count(*) AS n_rows,
+           |       CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           |       count(DISTINCT $c) AS n_distinct,
+           |       CAST(min($c) AS VARCHAR) AS min_value,
+           |       CAST(max($c) AS VARCHAR) AS max_value FROM o""".stripMargin
+      }
+      s"""WITH o AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+         |             o_orderdate,
+         |             CASE WHEN o_orderkey % 7 = 0 THEN NULL
+         |                  ELSE o_orderpriority END AS o_orderpriority
+         |           FROM orders)
+         |SELECT * FROM (${legs.mkString("\nUNION ALL\n")})
+         |ORDER BY "column"""".stripMargin
+    },
+    "q_referential_integrity" ->
+      """WITH op AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 5 <> 0),
+        |cp AS (SELECT c_custkey FROM customer WHERE c_custkey % 7 <> 0),
+        |cc AS (SELECT CASE WHEN c_custkey % 11 = 0 THEN NULL
+        |                   ELSE c_nationkey END AS fk FROM customer)
+        |SELECT * FROM (
+        |  SELECT 'lineitem->orders' AS relation, count(*) AS n_child_rows,
+        |         CAST(sum(CASE WHEN l.l_orderkey IS NOT NULL AND p.o_orderkey IS NULL
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_orphan_rows,
+        |         count(DISTINCT CASE WHEN l.l_orderkey IS NOT NULL AND p.o_orderkey IS NULL
+        |                             THEN l.l_orderkey END) AS n_orphan_keys,
+        |         CAST(sum(CASE WHEN l.l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_fk
+        |  FROM lineitem l LEFT JOIN op p ON l.l_orderkey = p.o_orderkey
+        |  UNION ALL
+        |  SELECT 'orders->customer', count(*),
+        |         CAST(sum(CASE WHEN o.o_custkey IS NOT NULL AND p.c_custkey IS NULL
+        |                       THEN 1 ELSE 0 END) AS BIGINT),
+        |         count(DISTINCT CASE WHEN o.o_custkey IS NOT NULL AND p.c_custkey IS NULL
+        |                             THEN o.o_custkey END),
+        |         CAST(sum(CASE WHEN o.o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM orders o LEFT JOIN cp p ON o.o_custkey = p.c_custkey
+        |  UNION ALL
+        |  SELECT 'customer->nation', count(*),
+        |         CAST(sum(CASE WHEN c.fk IS NOT NULL AND p.n_nationkey IS NULL
+        |                       THEN 1 ELSE 0 END) AS BIGINT),
+        |         count(DISTINCT CASE WHEN c.fk IS NOT NULL AND p.n_nationkey IS NULL
+        |                             THEN c.fk END),
+        |         CAST(sum(CASE WHEN c.fk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM cc c LEFT JOIN nation p ON c.fk = p.n_nationkey)
+        |ORDER BY relation""".stripMargin,
     "q_cdc_apply" ->
       """WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice
         |              FROM orders WHERE o_orderkey % 3 <> 0),
