@@ -55,6 +55,40 @@ object Similarity {
           .otherwise(expr("transform(__v, x -> CAST(round(x / scale) AS INT))"))
           .as("q"))
 
+  /** Per-DIMENSION corpus statistics — the transpose of the per-vector
+    * profile: count, mean, std, min, max for every embedding dimension.
+    * This is the whitening/normalization prep pass (feature scaling,
+    * dead-dimension detection, quantization range calibration) an
+    * embedding pipeline runs before indexing.
+    *
+    * One pass: posexplode to (dim, value), then a single partial-
+    * aggregable groupBy(dim) — the shuffle carries `dim` distinct keys
+    * per input partition, nothing else. Mean/std are computed from
+    * EXACT integer micro-unit sums (`round(v·unit)` as BIGINT — the PQ
+    * ADC trick), so s and q are bit-identical in any aggregation order
+    * and the final double formula is one fixed IEEE sequence both
+    * engines replay. With |v|·unit ≤ ~1e6 the squared sum stays inside
+    * BIGINT up to ~3e7 rows per dimension; for a larger corpus pass a
+    * smaller `unit` (milli-units at 1e3 hold to ~3e13 rows) — the
+    * honest precision/headroom trade, stated rather than hidden. */
+  def dimensionStats(df: DataFrame, idCol: String = "vec_id",
+                     vecCol: String = "embedding", unit: Double = 1e6): DataFrame =
+    df.select(posexplode(VectorFunctions.asDouble(col(vecCol))).as(Seq("dim", "v")))
+      .select(col("dim"), col("v"),
+        round(col("v") * unit, 0).cast("long").as("__m"))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__m")).as("__s"),
+        sum(col("__m") * col("__m")).as("__q"),
+        round(min(col("v")), 6).as("min_v"),
+        round(max(col("v")), 6).as("max_v"))
+      .select(col("dim"), col("n"),
+        round(col("__s") / col("n") / unit, 6).as("mean"),
+        round(sqrt((col("__q").cast("double") -
+            col("__s").cast("double") * col("__s").cast("double") / col("n")) /
+          col("n")) / unit, 6).as("std"),
+        col("min_v"), col("max_v"))
+
   /** Exact top-k cosine neighbors for each row of `queries` (small,
     * broadcastable) against `corpus`. Ranking uses the similarity rounded
     * to 6 decimals with candidate-id tie-break, so results are

@@ -462,6 +462,13 @@ object TrainingDataQueries {
           array_min(col("q")).as("q_min"), array_max(col("q")).as("q_max"))
         .orderBy("vec_id")),
 
+    // Per-dimension feature stats (the transpose of q_explode_stats):
+    // mean/std from exact integer micro-unit sums — the whitening /
+    // quantization-calibration pass before indexing.
+    "embedding_stats" -> ((s, dir) =>
+      Similarity.dimensionStats(Tables.embeddings(s, dir))
+        .orderBy("dim")),
+
     "ann_bruteforce" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), 10)
@@ -1368,6 +1375,23 @@ object TrainingDataQueries {
         |       CAST(list_sum(qv) AS BIGINT) AS q_sum,
         |       list_min(qv) AS q_min, list_max(qv) AS q_max
         |FROM q ORDER BY vec_id""".stripMargin,
+
+    "embedding_stats" ->
+      """WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+        |ji AS (SELECT unnest(generate_series(1, len(v))) AS j, v FROM e),
+        |x AS (SELECT j - 1 AS dim, v[j] AS val,
+        |             CAST(round(v[j] * 1e6) AS BIGINT) AS m FROM ji),
+        |a AS (SELECT dim, count(*) AS n,
+        |             CAST(sum(m) AS BIGINT) AS s,
+        |             CAST(sum(m * m) AS BIGINT) AS q,
+        |             round(min(val), 6) AS min_v,
+        |             round(max(val), 6) AS max_v
+        |      FROM x GROUP BY dim)
+        |SELECT dim, n,
+        |       round(s / n / 1e6, 6) AS mean,
+        |       round(sqrt((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / n) / 1e6, 6) AS std,
+        |       min_v, max_v
+        |FROM a ORDER BY dim""".stripMargin,
 
     "ann_bruteforce" ->
       s"""WITH $embCte,

@@ -22,6 +22,17 @@ class SimilaritySpec extends SparkSpec {
     assert(byQ.forall(g => g.map(-_._2).sameElements(g.map(-_._2).sorted)))
   }
 
+  test("dimensionStats: exact means, zero std for constant dims, min/max per dim") {
+    val df = Seq((1L, Seq(1.0f, 2.0f)), (2L, Seq(1.0f, 4.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.dimensionStats(df).orderBy("dim").collect()
+      .map(r => (r.getAs[Int]("dim"), r.getAs[Long]("n"), r.getAs[Double]("mean"),
+        r.getAs[Double]("std"), r.getAs[Double]("min_v"), r.getAs[Double]("max_v")))
+    assert(got.toSeq === Seq(
+      (0, 2L, 1.0, 0.0, 1.0, 1.0),
+      (1, 2L, 3.0, 1.0, 2.0, 4.0)))
+  }
+
   test("quantizeInt8: values in [-127,127], dequantized roundtrip within scale/2, zero vector safe") {
     val got = Similarity.quantizeInt8(emb)
       .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
