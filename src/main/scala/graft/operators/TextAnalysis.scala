@@ -387,6 +387,44 @@ object TextAnalysis {
           " ")).as("cleaned_md5"))
   }
 
+  /** C4-style corpus-level LINE deduplication (Raffel et al. 2020,
+    * arXiv:1910.10683 §2.2 "we discarded all but one of any three-
+    * sentence span occurring more than once", simplified to the
+    * line-granularity rule every big crawl pipeline runs): any line
+    * whose normalized form (lower ∘ trim) occurs more than
+    * `maxOccurrences` times ACROSS THE CORPUS is removed from every
+    * document, and each document is reassembled from its surviving
+    * lines in original order.
+    *
+    * Shape: split → posexplode to (doc, line_no, line); global counts
+    * are one partial-aggregable groupBy on the normalized line (the
+    * shuffle carries one row per distinct line per input partition);
+    * the verdict joins back on that key; reassembly is ONE groupBy(doc)
+    * whose state is a single document's lines (sort_array ∘
+    * collect_list, the [[removeDuplicatedSpans]] pattern). Documents
+    * whose every line is removed survive with empty text — dropping
+    * short/empty docs is a separate quality gate, not this operator's
+    * job. Output: (idCol, text_dedup, n_kept, n_removed). */
+  def lineDedup(df: DataFrame, idCol: String, textCol: String,
+                delim: String = "\n", maxOccurrences: Int = 1): DataFrame = {
+    require(maxOccurrences >= 1, s"maxOccurrences must be >= 1, got $maxOccurrences")
+    val lines = df.select(col(idCol),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(delim)))
+          .as(Seq("line_no", "line")))
+      .withColumn("__key", lower(trim(col("line"))))
+    val counts = lines.groupBy(col("__key"))
+      .agg(count(lit(1)).as("__cnt"))
+    lines.join(counts, "__key")
+      .withColumn("__keep", col("__cnt") <= maxOccurrences)
+      .groupBy(col(idCol))
+      .agg(
+        array_join(expr(
+          "transform(sort_array(collect_list(CASE WHEN __keep THEN struct(line_no, line) END)), s -> s.line)"),
+          delim).as("text_dedup"),
+        sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(!col("__keep"), 1L).otherwise(0L)).as("n_removed"))
+  }
+
   /** Corpus-trained bigram language-model fluency score — the KenLM-
     * style perplexity filter of CCNet/RedPajama, self-trained: score a
     * document by the mean negative log conditional probability of its

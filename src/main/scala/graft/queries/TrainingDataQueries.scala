@@ -762,6 +762,18 @@ object TrainingDataQueries {
       TextAnalysis.removeDuplicatedSpans(Tables.documents(s, dir), "doc_id", "text")
         .orderBy("doc")),
 
+    // C4-style corpus-level line dedup: the fixture text is single-line
+    // word soup, so the query first synthesizes line structure (every
+    // 6th space becomes a newline — the same regex in both engines),
+    // then removes every line whose normalized form occurs > 2 times
+    // corpus-wide and reassembles the survivors in order.
+    "text_line_dedup" -> ((s, dir) =>
+      TextAnalysis.lineDedup(
+          Tables.documents(s, dir).select(col("doc_id"),
+            regexp_replace(col("text"), "((?:\\S+ ){5}\\S+) ", "$1\n").as("text")),
+          "doc_id", "text", maxOccurrences = 2)
+        .orderBy("doc_id")),
+
     // Count-Min point-frequency estimates for the stopword list, graded
     // like q_approx_distinct: exact counts hash-checked, sketch sanity
     // (never undercounts; overcount <= 2n/width) as booleans the oracle
@@ -1863,6 +1875,26 @@ object TrainingDataQueries {
          |SELECT doc_id AS doc, count(*) AS n_kept_words,
          |       md5(string_agg(word, ' ' ORDER BY wi)) AS cleaned_md5
          |FROM kept GROUP BY doc_id ORDER BY doc""".stripMargin,
+
+    "text_line_dedup" ->
+      """WITH t AS (SELECT doc_id,
+        |             regexp_replace(text, '((?:\S+ ){5}\S+) ',
+        |                            '\1' || chr(10), 'g') AS tx
+        |           FROM documents),
+        |l AS (SELECT doc_id,
+        |             unnest(string_split(tx, chr(10))) AS line,
+        |             unnest(generate_series(1, len(string_split(tx, chr(10))))) AS line_no
+        |      FROM t),
+        |c AS (SELECT lower(trim(line)) AS k, count(*) AS cnt
+        |      FROM l GROUP BY 1),
+        |v AS (SELECT doc_id, line_no, line, cnt <= 2 AS keep
+        |      FROM l JOIN c ON lower(trim(line)) = c.k)
+        |SELECT doc_id,
+        |       coalesce(string_agg(line, chr(10) ORDER BY line_no)
+        |                  FILTER (keep), '') AS text_dedup,
+        |       count(*) FILTER (keep) AS n_kept,
+        |       count(*) FILTER (NOT keep) AS n_removed
+        |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // Exact stopword counts; the sketch sanity booleans are pinned TRUE
     // (q_approx_distinct pattern) — a drifting sketch flips them and

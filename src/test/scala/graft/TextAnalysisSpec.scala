@@ -196,6 +196,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(d1(1).getAs[Double]("tfidf") === 0.0)
   }
 
+  test("lineDedup removes corpus-frequent lines, keeps order, empties all-boilerplate docs") {
+    val df = Seq(
+      (1L, "unique alpha\nCOPYRIGHT NOTICE\nunique beta"),
+      (2L, "copyright notice\nsomething else"),
+      (3L, " Copyright Notice \nanother line"),
+      (4L, "copyright notice")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.lineDedup(df, "doc_id", "text", maxOccurrences = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text_dedup"),
+        r.getAs[Long]("n_kept"), r.getAs[Long]("n_removed")))
+    // "copyright notice" normalizes identically 4 times (> 2) -> removed
+    // everywhere, in every case/whitespace variant; doc 4 empties out
+    assert(got.toSeq === Seq(
+      (1L, "unique alpha\nunique beta", 2L, 1L),
+      (2L, "something else", 1L, 1L),
+      (3L, "another line", 1L, 1L),
+      (4L, "", 0L, 1L)))
+  }
+
   test("heavyHitters is EXACT vs brute force even with a tiny sketch") {
     // 3 genuinely heavy words + a 200-word long tail, multi-partition.
     val words = Seq.fill(60)("alpha") ++ Seq.fill(40)("beta") ++
