@@ -387,6 +387,27 @@ object TextAnalysis {
           " ")).as("cleaned_md5"))
   }
 
+  /** HTML → text extraction (the WET-file step of a crawl pipeline):
+    * drop <script>/<style> blocks and comments wholesale, strip every
+    * remaining tag, decode the common entities, collapse whitespace.
+    * Entirely codegen'd string built-ins — this runs once per crawled
+    * page, so it must stay inside whole-stage codegen; every pattern is
+    * backreference-free so the identical regexes run under both
+    * java.util.regex and RE2 engines. `&amp;` decodes LAST, so
+    * double-escaped text (`&amp;lt;`) yields the literal entity the
+    * author wrote, not a tag fragment — the standard single-pass
+    * decode order. */
+  def stripHtml(html: Column): Column = {
+    val noScript  = regexp_replace(html, "(?s)<script[^>]*>.*?</script>", " ")
+    val noStyle   = regexp_replace(noScript, "(?s)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags    = regexp_replace(noComment, "<[^>]*>", " ")
+    val decoded   = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+        "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (ent, ch)) => replace(c, lit(ent), lit(ch)) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   /** C4-style corpus-level LINE deduplication (Raffel et al. 2020,
     * arXiv:1910.10683 §2.2 "we discarded all but one of any three-
     * sentence span occurring more than once", simplified to the

@@ -762,6 +762,27 @@ object TrainingDataQueries {
       TextAnalysis.removeDuplicatedSpans(Tables.documents(s, dir), "doc_id", "text")
         .orderBy("doc")),
 
+    // HTML → text extraction over deterministically synthesized pages
+    // (the fixture is plain text, so the query builds the HTML wrapper
+    // identically in both engines): script/style/comment blocks drop
+    // wholesale, tags strip, entities decode (&amp; last), whitespace
+    // collapses.
+    "text_html_strip" -> ((s, dir) => {
+      val id = col("doc_id").cast("string")
+      val html = concat(
+        lit("<html><head><title>Doc "), id,
+        lit("</title><style type=\"text/css\">p { color: red; }</style></head>"),
+        lit("<body><!-- id="), id, lit(" -->"),
+        lit("<h1>Title &amp; &quot;quotes&quot;</h1><p class=\"lead\">"),
+        substring(col("text"), 1, 120),
+        lit("</p><script>if (1 < 2) { x = \"&amp;\"; }</script>"),
+        lit("<p>tail &lt;tag&gt; &#39;q&#39;&nbsp;end</p></body></html>"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextAnalysis.stripHtml(html).as("clean_text"))
+        .withColumn("n_chars", length(col("clean_text")))
+        .orderBy("doc_id")
+    }),
+
     // C4-style corpus-level line dedup: the fixture text is single-line
     // word soup, so the query first synthesizes line structure (every
     // 6th space becomes a newline — the same regex in both engines),
@@ -1875,6 +1896,31 @@ object TrainingDataQueries {
          |SELECT doc_id AS doc, count(*) AS n_kept_words,
          |       md5(string_agg(word, ' ' ORDER BY wi)) AS cleaned_md5
          |FROM kept GROUP BY doc_id ORDER BY doc""".stripMargin,
+
+    "text_html_strip" ->
+      """WITH h AS (SELECT doc_id,
+        |  '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+        |  '</title><style type="text/css">p { color: red; }</style></head>' ||
+        |  '<body><!-- id=' || CAST(doc_id AS VARCHAR) || ' -->' ||
+        |  '<h1>Title &amp; &quot;quotes&quot;</h1><p class="lead">' ||
+        |  substr(text, 1, 120) ||
+        |  '</p><script>if (1 < 2) { x = "&amp;"; }</script>' ||
+        |  '<p>tail &lt;tag&gt; &#39;q&#39;&nbsp;end</p></body></html>' AS html
+        |  FROM documents),
+        |c AS (SELECT doc_id,
+        |  trim(regexp_replace(
+        |    replace(replace(replace(replace(replace(replace(
+        |      regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+        |        '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+        |        '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+        |        '(?s)<!--.*?-->', ' ', 'g'),
+        |        '<[^>]*>', ' ', 'g'),
+        |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |      '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+        |    '\s+', ' ', 'g')) AS clean_text
+        |  FROM h)
+        |SELECT doc_id, clean_text, CAST(length(clean_text) AS INT) AS n_chars
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     "text_line_dedup" ->
       """WITH t AS (SELECT doc_id,

@@ -196,6 +196,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(d1(1).getAs[Double]("tfidf") === 0.0)
   }
 
+  test("stripHtml drops script/style/comments, strips tags, decodes entities in order") {
+    val cases = Seq(
+      "<p>hello <b>world</b></p>" -> "hello world",
+      "<script>var x = \"<p>not text</p>\";</script>after" -> "after",
+      "<style>h1 { font-size: 2em; }</style>styled" -> "styled",
+      "<!-- secret --><div>shown</div>" -> "shown",
+      "a &amp;lt; b" -> "a &lt; b", // double-escape survives as the literal entity
+      "x &lt;y&gt; &quot;z&quot; &#39;w&#39;&nbsp;end" -> "x <y> \"z\" 'w' end",
+      "  lots   of\n\nspace  " -> "lots of space")
+    val got = cases.map(_._1).toDF("html")
+      .select(TextAnalysis.stripHtml(col("html")).as("c")).as[String].collect()
+    assert(got.toSeq === cases.map(_._2))
+  }
+
   test("lineDedup removes corpus-frequent lines, keeps order, empties all-boilerplate docs") {
     val df = Seq(
       (1L, "unique alpha\nCOPYRIGHT NOTICE\nunique beta"),
