@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, Layout, Multimodal, Sampling, Similarity, TextAnalysis, Upsert}
+import graft.operators.{Dedup, Graph, Layout, Multimodal, Sampling, Similarity, TextAnalysis, Upsert}
 import graft.sources.Tables
 
 /** Graded queries for the LLM-training-data operators (dedup, similarity
@@ -761,6 +761,22 @@ object TrainingDataQueries {
     "text_span_removal" -> ((s, dir) =>
       TextAnalysis.removeDuplicatedSpans(Tables.documents(s, dir), "doc_id", "text")
         .orderBy("doc")),
+
+    // Fixed-iteration PageRank over a deterministic synthetic link
+    // graph (each doc links to three pmod-derived targets): five
+    // rounds of EXACT integer micro-unit arithmetic, so the iterative
+    // algorithm hash-matches an oracle that unrolls the same five
+    // rounds. Both engines derive N from the data.
+    "graph_pagerank" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"))
+      val n = docs.count()
+      val edges = docs
+        .select(col("doc_id").as("src"),
+          explode(array(lit(1L), lit(2L), lit(3L))).as("k"))
+        .select(col("src"),
+          pmod(col("src") * 7 + col("k") * 13, lit(n)).as("dst"))
+      Graph.pageRank(edges, iterations = 5).orderBy("id")
+    }),
 
     // HTML → text extraction over deterministically synthesized pages
     // (the fixture is plain text, so the query builds the HTML wrapper
@@ -1896,6 +1912,28 @@ object TrainingDataQueries {
          |SELECT doc_id AS doc, count(*) AS n_kept_words,
          |       md5(string_agg(word, ' ' ORDER BY wi)) AS cleaned_md5
          |FROM kept GROUP BY doc_id ORDER BY doc""".stripMargin,
+
+    // Five unrolled rounds of the identical integer recurrence — the
+    // oracle replays pr div deg / damping in BIGINT floor division.
+    "graph_pagerank" -> {
+      val iters = (1 to 5).map { i =>
+        val prev = if (i == 1) "p0" else s"i${i - 1}"
+        s"""i$i AS (SELECT n.id,
+           |  CAST(150000 + (85 * coalesce(s$i.m, 0)) // 100 AS BIGINT) AS pr
+           |  FROM nodes n LEFT JOIN (
+           |    SELECT e.dst AS id, CAST(sum(p.pr // d.deg) AS BIGINT) AS m
+           |    FROM e JOIN $prev p ON e.src = p.id JOIN od d ON e.src = d.src
+           |    GROUP BY e.dst) s$i ON n.id = s$i.id)"""
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT doc_id AS src,
+         |             (doc_id * 7 + k * 13) % (SELECT count(*) FROM documents) AS dst
+         |           FROM documents CROSS JOIN (SELECT unnest([1, 2, 3]) AS k) ks),
+         |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+         |od AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+         |p0 AS (SELECT id, CAST(1000000 AS BIGINT) AS pr FROM nodes),
+         |$iters
+         |SELECT id, pr AS pr_micro FROM i5 ORDER BY id""".stripMargin
+    },
 
     "text_html_strip" ->
       """WITH h AS (SELECT doc_id,
