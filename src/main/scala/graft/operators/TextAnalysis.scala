@@ -387,6 +387,39 @@ object TextAnalysis {
           " ")).as("cleaned_md5"))
   }
 
+  /** fastText-style hashed linear classifier INFERENCE — the quality-
+    * filter serving shape of GPT-3/LLaMA-era pipelines (train a linear
+    * model offline on curated-vs-crawl labels, then score every
+    * document): each token hashes into one of `numBuckets` feature
+    * buckets, the model is a weight per bucket, and a document's logit
+    * is the sum of its tokens' bucket weights.
+    *
+    * Serving shape at 100 TB: tokens → bucket id (codegen'd md5
+    * arithmetic) → BROADCAST join against the weight table (the model
+    * is numBuckets rows — broadcastable at any corpus size) → one
+    * partial-aggregable groupBy(doc). Weights are integer micro-units,
+    * so the logit is an exact associative BIGINT sum and the verdict
+    * (`logit > 0`) is engine-portable; only the per-token normalized
+    * `score` divides, as a final deterministic double. The weights here
+    * are a hash-derived stand-in (no training corpus labels in the
+    * fixtures) — a real model swaps in its trained table, same plan. */
+  def hashedLinearScore(df: DataFrame, idCol: String, textCol: String,
+                        numBuckets: Int = 64): DataFrame = {
+    val weights = df.sparkSession.range(numBuckets)
+      .select(col("id").as("bucket"),
+        (pmod(col("id") * lit(2654435761L), lit(1000001L)) - lit(500000L))
+          .as("wt_micro"))
+    df.select(col(idCol), explode(TextFunctions.words(col(textCol))).as("__w"))
+      .select(col(idCol),
+        pmod(conv(substring(md5(col("__w")), 1, 12), 16, 10).cast("long"),
+          lit(numBuckets.toLong)).as("bucket"))
+      .join(broadcast(weights), "bucket")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("wt_micro")).as("logit_micro"))
+      .withColumn("score", round(col("logit_micro") / col("n_tokens") / 1e6, 6))
+      .withColumn("keep", col("logit_micro") > 0)
+  }
+
   /** HTML → text extraction (the WET-file step of a crawl pipeline):
     * drop <script>/<style> blocks and comments wholesale, strip every
     * remaining tag, decode the common entities, collapse whitespace.

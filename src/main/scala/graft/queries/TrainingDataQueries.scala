@@ -762,6 +762,14 @@ object TrainingDataQueries {
       TextAnalysis.removeDuplicatedSpans(Tables.documents(s, dir), "doc_id", "text")
         .orderBy("doc")),
 
+    // Hashed linear classifier inference (the fastText quality-filter
+    // serving shape): token → md5 feature bucket → broadcast weight
+    // join → exact BIGINT logit per doc. Weights are hash-derived
+    // micro-unit integers, replayed row-for-row by the oracle.
+    "text_quality_model" -> ((s, dir) =>
+      TextAnalysis.hashedLinearScore(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
+
     // Fixed-iteration PageRank over a deterministic synthetic link
     // graph (each doc links to three pmod-derived targets): five
     // rounds of EXACT integer micro-unit arithmetic, so the iterative
@@ -1912,6 +1920,20 @@ object TrainingDataQueries {
          |SELECT doc_id AS doc, count(*) AS n_kept_words,
          |       md5(string_agg(word, ' ' ORDER BY wi)) AS cleaned_md5
          |FROM kept GROUP BY doc_id ORDER BY doc""".stripMargin,
+
+    "text_quality_model" ->
+      s"""WITH wt AS (SELECT b AS bucket,
+         |              (b * 2654435761) % 1000001 - 500000 AS wt_micro
+         |            FROM (SELECT unnest(generate_series(0, 63)) AS b) bs),
+         |tk AS (SELECT doc_id,
+         |         ('0x' || substr(md5(word), 1, 12))::BIGINT % 64 AS bucket
+         |       FROM (SELECT doc_id, unnest($wordsSql) AS word FROM documents) u)
+         |SELECT doc_id, count(*) AS n_tokens,
+         |       CAST(sum(w.wt_micro) AS BIGINT) AS logit_micro,
+         |       round(CAST(sum(w.wt_micro) AS BIGINT) / count(*) / 1e6, 6) AS score,
+         |       CAST(sum(w.wt_micro) AS BIGINT) > 0 AS keep
+         |FROM tk JOIN wt w USING (bucket)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // Five unrolled rounds of the identical integer recurrence — the
     // oracle replays pr div deg / damping in BIGINT floor division.

@@ -196,6 +196,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(d1(1).getAs[Double]("tfidf") === 0.0)
   }
 
+  test("hashedLinearScore: logit equals an independent driver-side replay") {
+    def bucket(w: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(w.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (BigInt(md.take(12), 16) % 64).toLong
+    }
+    def weight(b: Long): Long = (b * 2654435761L) % 1000001L - 500000L
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "Alpha  ALPHA alpha"), (3L, "solo"))
+    val got = TextAnalysis.hashedLinearScore(docs.toDF("doc_id", "text"), "doc_id", "text")
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "logit_micro").as[(Long, Long, Long)].collect()
+    val want = docs.map { case (id, t) =>
+      val ws = t.trim.toLowerCase.split("\\s+").toSeq
+      (id, ws.size.toLong, ws.map(w => weight(bucket(w))).sum)
+    }
+    assert(got.toSeq === want)
+  }
+
   test("stripHtml drops script/style/comments, strips tags, decodes entities in order") {
     val cases = Seq(
       "<p>hello <b>world</b></p>" -> "hello world",
