@@ -1041,6 +1041,28 @@ object TrainingDataQueries {
           sum(when(col("_corrupt_record").isNull, col("n_chars"))).as("good_chars"))
     }),
 
+    // Schema evolution across corpus versions: v1 shards carry
+    // (doc_id, text, lang), v2 shards added `source`/`n_chars` and
+    // dropped `lang`. A long-lived corpus ALWAYS hits this; the
+    // mergeSchema parquet read reconciles the union schema with nulls
+    // for absent columns — graded column-for-column against the
+    // original table (any silent column loss or misalignment fails).
+    "ingest_schema_evolution" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val root = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_schema_evo_" + dir.replaceAll("[^A-Za-z0-9.]", "_")).getPath
+      docs.filter(col("doc_id") % 2 === 0)
+        .select("doc_id", "text", "lang")
+        .write.mode("overwrite").parquet(root + "/v1")
+      docs.filter(col("doc_id") % 2 === 1)
+        .select("doc_id", "text", "source", "n_chars")
+        .write.mode("overwrite").parquet(root + "/v2")
+      s.read.option("mergeSchema", "true").parquet(root + "/v1", root + "/v2")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          md5(col("text")).as("text_md5"))
+        .orderBy("doc_id")
+    }),
+
     "pipeline_curation" -> ((s, dir) => {
       val kept = TextAnalysis.quality(
           Tables.documents(s, dir), "doc_id", "text", passthrough = Seq("text"))
@@ -2177,6 +2199,14 @@ object TrainingDataQueries {
 
     "ingest_jsonl" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id",
+
+    "ingest_schema_evolution" ->
+      """SELECT doc_id,
+        |       CASE WHEN doc_id % 2 = 0 THEN lang END AS lang,
+        |       CASE WHEN doc_id % 2 = 1 THEN source END AS source,
+        |       CASE WHEN doc_id % 2 = 1 THEN n_chars END AS n_chars,
+        |       md5(text) AS text_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "text_array_funcs" ->
       s"""WITH w AS (SELECT doc_id, $wordsSql AS l FROM documents)
