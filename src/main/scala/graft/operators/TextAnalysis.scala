@@ -387,6 +387,30 @@ object TextAnalysis {
           " ")).as("cleaned_md5"))
   }
 
+  /** Inverted-index (postings) construction — the materialized
+    * retrieval artifact behind [[bm25Search]]: one row per index term
+    * with its document frequency and the first `maxPostings` doc ids.
+    *
+    * Scale shape: per-doc term dedup happens via `array_distinct`
+    * BEFORE the explode (no corpus-wide distinct exchange), and the
+    * posting sample uses the bounded [[graft.functions.TopKLongs]]
+    * buffer over NEGATED ids (min-k through a max-k aggregator), so
+    * per-term aggregation state is O(maxPostings) even for
+    * stopword-grade terms — never a collect_list of a hot term's full
+    * postings. df counts documents (the IR convention), not
+    * occurrences. */
+  def invertedIndex(df: DataFrame, idCol: String, textCol: String,
+                    maxPostings: Int = 20, minDf: Long = 2): DataFrame = {
+    val minK = udaf(new graft.functions.TopKLongs(maxPostings))
+    df.select(col(idCol).as("doc"),
+        explode(array_distinct(TextFunctions.words(col(textCol)))).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("df"), minK(-col("doc")).as("__neg"))
+      .filter(col("df") >= minDf)
+      .select(col("word"), col("df"),
+        posexplode(expr("transform(__neg, x -> -x)")).as(Seq("rank", "doc")))
+  }
+
   /** fastText-style hashed linear classifier INFERENCE — the quality-
     * filter serving shape of GPT-3/LLaMA-era pipelines (train a linear
     * model offline on curated-vs-crawl labels, then score every

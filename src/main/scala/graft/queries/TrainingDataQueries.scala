@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
@@ -761,6 +761,39 @@ object TrainingDataQueries {
     "text_span_removal" -> ((s, dir) =>
       TextAnalysis.removeDuplicatedSpans(Tables.documents(s, dir), "doc_id", "text")
         .orderBy("doc")),
+
+    // Contrastive training-pair construction for embedding-model
+    // training/distillation: anchors+positives are the REAL minhash
+    // near-dup pairs; each pair gets 3 deterministic hash-derived
+    // negatives, with collision-avoidance against the anchor/positive
+    // (h, h+1, h+2 mod N — at most two can collide, so one is free).
+    "data_contrastive" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val n = docs.count()
+      def m(c: Column): Column = pmod(c, lit(n))
+      Dedup.minhashPairs(docs, "doc_id", "text",
+          numHashes = 16, numBands = 4, minEstimate = 0.5)
+        .select(col("doc_a"), col("doc_b"),
+          explode(array(lit(0L), lit(1L), lit(2L))).as("j"))
+        .withColumn("__h", m(col("doc_a") * 31 + col("j") * 17))
+        .withColumn("neg_id",
+          when(col("__h") =!= col("doc_a") && col("__h") =!= col("doc_b"),
+            col("__h"))
+          .when(m(col("__h") + 1) =!= col("doc_a") &&
+                m(col("__h") + 1) =!= col("doc_b"), m(col("__h") + 1))
+          .otherwise(m(col("__h") + 2)))
+        .select(col("doc_a").as("anchor"), col("doc_b").as("positive"),
+          col("j"), col("neg_id"))
+        .orderBy("anchor", "positive", "j")
+    }),
+
+    // Inverted-index materialization: term -> (df, first-20 postings),
+    // exploded to rows because the driver compare hashes scalars. The
+    // posting sample rides the bounded TopKLongs buffer (min-k via
+    // negation), so hot terms never accumulate full posting lists.
+    "text_postings" -> ((s, dir) =>
+      TextAnalysis.invertedIndex(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("word", "rank")),
 
     // Hashed linear classifier inference (the fastText quality-filter
     // serving shape): token → md5 feature bucket → broadcast weight
@@ -1942,6 +1975,32 @@ object TrainingDataQueries {
          |SELECT doc_id AS doc, count(*) AS n_kept_words,
          |       md5(string_agg(word, ' ' ORDER BY wi)) AS cleaned_md5
          |FROM kept GROUP BY doc_id ORDER BY doc""".stripMargin,
+
+    "data_contrastive" ->
+      s"""WITH $minhashCtes,
+         |nn AS (SELECT count(*) AS n FROM documents),
+         |pj AS (SELECT doc_a, doc_b, CAST(unnest([0, 1, 2]) AS BIGINT) AS j
+         |       FROM mh_pairs),
+         |hh AS (SELECT doc_a, doc_b, j,
+         |              (doc_a * 31 + j * 17) % n AS h, n
+         |       FROM pj CROSS JOIN nn)
+         |SELECT doc_a AS anchor, doc_b AS positive, j,
+         |       CASE WHEN h <> doc_a AND h <> doc_b THEN h
+         |            WHEN (h + 1) % n <> doc_a AND (h + 1) % n <> doc_b
+         |              THEN (h + 1) % n
+         |            ELSE (h + 2) % n END AS neg_id
+         |FROM hh ORDER BY anchor, positive, j""".stripMargin,
+
+    "text_postings" ->
+      s"""WITH w AS (SELECT doc_id, unnest(list_distinct($wordsSql)) AS word
+         |           FROM documents),
+         |a AS (SELECT word, count(*) AS df,
+         |             list_sort(list(doc_id))[1:20] AS p
+         |      FROM w GROUP BY word HAVING count(*) >= 2),
+         |b AS (SELECT word, df, unnest(p) AS doc,
+         |             unnest(generate_series(0, len(p) - 1)) AS rank
+         |      FROM a)
+         |SELECT word, df, rank, doc FROM b ORDER BY word, rank""".stripMargin,
 
     "text_quality_model" ->
       s"""WITH wt AS (SELECT b AS bucket,

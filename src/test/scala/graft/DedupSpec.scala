@@ -43,6 +43,20 @@ class DedupSpec extends SparkSpec {
     assert(got.filter(col("n_dups") === 2).select("doc_id").as[Long].head() === 1L)
   }
 
+  test("data_contrastive: negatives never collide with their anchor or positive") {
+    val df = graft.queries.TrainingDataQueries.queries("data_contrastive")(
+      spark, sf("sf0.001"))
+    val rows = df.collect()
+    assert(rows.nonEmpty, "fixture minhash pairs must yield contrastive rows")
+    assert(rows.forall { r =>
+      val n = r.getAs[Long]("neg_id")
+      n != r.getAs[Long]("anchor") && n != r.getAs[Long]("positive")
+    })
+    // exactly 3 negatives per (anchor, positive) pair
+    assert(rows.groupBy(r => (r.getAs[Long]("anchor"), r.getAs[Long]("positive")))
+      .forall(_._2.length == 3))
+  }
+
   test("canonicalizeUrl normalizes case, www, :80, tracking params, fragments, slashes") {
     val urls = Seq(
       "HTTP://WWW.Example.COM:80/Docs/3/?id=3&utm_source=feed#frag",
