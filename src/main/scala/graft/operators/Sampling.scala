@@ -144,6 +144,39 @@ object Sampling {
         md5(concat_ws("-", lit(seed), col(keyCol).cast("string"))))
       .orderBy(col("shuffle_key"), col(keyCol))
 
+  /** Fractional-epoch mixture expansion — the "2.5 epochs of Wikipedia,
+    * 0.3 epochs of CommonCrawl" step that turns per-source mixture
+    * weights into an actual training stream: every doc of source s with
+    * epochs e(s) appears floor(e) times, plus one more copy for the
+    * deterministic hash-selected (e − floor(e)) fraction of docs.
+    * e < 1 is plain downsampling; e = 0 drops the source.
+    *
+    * Shape: the config is |sources| rows — broadcast joined; copies
+    * materialize as a codegen'd `sequence` + explode (no shuffle at
+    * all; the output is a projection of the scan). Membership in the
+    * fractional copy hashes the doc id ([[bucket1000]]), so the
+    * expansion is a pure function of row identity — reruns and
+    * repartitions agree, and the oracle replays it. Output adds an
+    * `epoch` ordinal (0-based) per copy. */
+  def epochExpand(df: DataFrame, idCol: String, sourceCol: String,
+                  epochs: Map[String, Double]): DataFrame = {
+    require(epochs.nonEmpty, "epochExpand needs at least one source weight")
+    require(epochs.values.forall(e => e >= 0.0 && e <= 100.0),
+      "epochs must lie in [0, 100]")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cfg = epochs.toSeq.sortBy(_._1).map { case (s, e) =>
+      val full = math.floor(e).toLong
+      (s, full, math.round((e - full) * 1000))
+    }.toDF(sourceCol, "__full", "__frac")
+    df.join(broadcast(cfg), sourceCol)
+      .withColumn("__copies", col("__full") +
+        when(bucket1000(idCol) < col("__frac"), 1L).otherwise(0L))
+      .filter(col("__copies") >= 1)
+      .withColumn("epoch", explode(expr("sequence(0L, __copies - 1L)")))
+      .drop("__full", "__frac", "__copies")
+  }
+
   /** Token-budget sequence packing: assign each document to a training
     * bin of ~`budget` tokens. Documents are spread over `numBuckets`
     * hash buckets (the parallelism unit — packing is inherently

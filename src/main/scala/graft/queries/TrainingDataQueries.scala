@@ -94,6 +94,11 @@ object TrainingDataQueries {
        |             WHERE est_jaccard >= 0.5)""".stripMargin
   private val minhashCtes = minhashCtesFrom("documents")
 
+  /** Per-source epoch weights for `data_epochs` — ONE definition feeds
+    * both the Spark config map and the oracle's VALUES list. */
+  private val epochConfig: Seq[(String, Double)] =
+    (0 until 20).map(k => s"src$k" -> (k % 3 + (k * 137 % 1000) / 1000.0))
+
   // Pair graph → per-node min component id, shared by the components /
   // survivors / curation-v2 oracles (expects `mh_pairs` in scope; the
   // enclosing WITH must be RECURSIVE).
@@ -761,6 +766,15 @@ object TrainingDataQueries {
     "text_span_removal" -> ((s, dir) =>
       TextAnalysis.removeDuplicatedSpans(Tables.documents(s, dir), "doc_id", "text")
         .orderBy("doc")),
+
+    // Fractional-epoch mixture expansion: per-source epoch weights
+    // (derived per src index; 0 drops, <1 downsamples, 2.x yields two
+    // full copies + a hash-selected partial) turned into the actual
+    // training stream with an epoch ordinal per copy.
+    "data_epochs" -> ((s, dir) =>
+      Sampling.epochExpand(Tables.documents(s, dir).select("doc_id", "source"),
+          "doc_id", "source", epochConfig.toMap)
+        .orderBy("doc_id", "epoch")),
 
     // Contrastive training-pair construction for embedding-model
     // training/distillation: anchors+positives are the REAL minhash
@@ -1975,6 +1989,25 @@ object TrainingDataQueries {
          |SELECT doc_id AS doc, count(*) AS n_kept_words,
          |       md5(string_agg(word, ' ' ORDER BY wi)) AS cleaned_md5
          |FROM kept GROUP BY doc_id ORDER BY doc""".stripMargin,
+
+    "data_epochs" -> {
+      val vals = epochConfig.map { case (s, e) =>
+        val full = math.floor(e).toLong
+        s"('$s', $full, ${math.round((e - full) * 1000)})"
+      }.mkString(", ")
+      s"""WITH cfg(source, cfull, cfrac) AS (VALUES $vals),
+         |d AS (SELECT doc_id, source,
+         |         ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 1000 AS h
+         |      FROM documents),
+         |x AS (SELECT d.doc_id, d.source,
+         |         CAST(cfull + CASE WHEN h < cfrac THEN 1 ELSE 0 END AS BIGINT)
+         |           AS copies
+         |      FROM d JOIN cfg USING (source))
+         |SELECT source, doc_id,
+         |       CAST(unnest(generate_series(0, copies - 1)) AS BIGINT) AS epoch
+         |FROM x WHERE copies >= 1
+         |ORDER BY doc_id, epoch""".stripMargin
+    },
 
     "data_contrastive" ->
       s"""WITH $minhashCtes,

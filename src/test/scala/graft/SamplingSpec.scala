@@ -121,6 +121,34 @@ class SamplingSpec extends SparkSpec {
     assert(afterBig.max >= 2L, s"oversized doc must advance bins by its full size: $packed")
   }
 
+  test("epochExpand: zero drops, fractions downsample, integers copy exactly, ordinals dense") {
+    val df = (0L until 100L).flatMap(i =>
+      Seq((i, "zero"), (i, "half"), (i, "two"), (i, "twoq")))
+      .toDF("doc_id", "source")
+    val got = Sampling.epochExpand(df, "doc_id", "source",
+        Map("zero" -> 0.0, "half" -> 0.5, "two" -> 2.0, "twoq" -> 2.25))
+      .groupBy("source", "doc_id").agg(collect_list("epoch").as("es"))
+      .collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"),
+        r.getSeq[Long](2).sorted))
+    val bySource = got.groupBy(_._1)
+    assert(!bySource.contains("zero"), "epochs=0 drops the source")
+    val halves = bySource("half")
+    assert(halves.length > 20 && halves.length < 80, s"~half kept: ${halves.length}")
+    assert(halves.forall(_._3 == Seq(0L)))
+    assert(bySource("two").length === 100)
+    assert(bySource("two").forall(_._3 == Seq(0L, 1L)), "exactly two dense copies")
+    val twoq = bySource("twoq")
+    assert(twoq.length === 100)
+    val withExtra = twoq.count(_._3 == Seq(0L, 1L, 2L))
+    assert(twoq.forall(t => t._3 == Seq(0L, 1L) || t._3 == Seq(0L, 1L, 2L)))
+    assert(withExtra > 5 && withExtra < 60, s"~quarter get a third copy: $withExtra")
+    // the fractional pick hashes only the id, so the 0.25-extra ids
+    // (h < 250) are a subset of the 0.5-kept ids (h < 500)
+    assert(twoq.filter(_._3.length == 3).map(_._2).toSet
+      .subsetOf(halves.map(_._2).toSet))
+  }
+
   test("epochShuffle: same seed reproduces the order; different seed permutes; set preserved") {
     val o1 = Sampling.epochShuffle(docs, "doc_id", seed = 1L)
       .select("doc_id").as[Long].collect()
