@@ -494,6 +494,30 @@ object RelationalQueries {
         .orderBy(col("o_orderkey"))
     }),
 
+    // Winsorization (percentile clipping) — the outlier-taming transform
+    // before loss-sensitive statistics: per-group p05/p95 exact
+    // percentiles (one buffer, two probes), broadcast back (|groups|
+    // rows), clip each value. Thresholds are compared at round-4 — the
+    // granularity the engines provably share for interpolated
+    // percentiles (q_percentiles precedent) — so the clip verdicts and
+    // booleans are engine-portable.
+    "q_winsorize" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .select(col("event_id"), col("event_type"), col("value"))
+      val pct = e.groupBy(col("event_type"))
+        .agg(expr("percentile(value, array(0.05D, 0.95D))").as("__p"))
+        .select(col("event_type"),
+          round(col("__p").getItem(0), 4).as("__lo"),
+          round(col("__p").getItem(1), 4).as("__hi"))
+      e.join(broadcast(pct), "event_type")
+        .select(col("event_id"), col("event_type"),
+          round(greatest(least(col("value"), col("__hi")), col("__lo")), 4)
+            .as("v_clip"),
+          (col("value") < col("__lo")).as("clipped_low"),
+          (col("value") > col("__hi")).as("clipped_high"))
+        .orderBy("event_id")
+    }),
+
     // Per-column data profile (the pre-ingest audit): row/null/distinct
     // counts + native-typed min/max rendered as strings, ALL metrics in
     // one aggregation pass with the long form pivoted from the single
@@ -1284,6 +1308,17 @@ object RelationalQueries {
         |       round(coalesce(d.o_totalprice, b.o_totalprice), 2) AS o_totalprice
         |FROM base b FULL JOIN delta d USING (o_orderkey)
         |ORDER BY o_orderkey""".stripMargin,
+    "q_winsorize" ->
+      """WITH p AS (SELECT event_type,
+        |             round(quantile_cont(value, 0.05), 4) AS lo,
+        |             round(quantile_cont(value, 0.95), 4) AS hi
+        |           FROM events GROUP BY 1)
+        |SELECT event_id, e.event_type,
+        |       round(greatest(least(value, hi), lo), 4) AS v_clip,
+        |       value < lo AS clipped_low,
+        |       value > hi AS clipped_high
+        |FROM events e JOIN p USING (event_type)
+        |ORDER BY event_id""".stripMargin,
     "q_profile" -> {
       val cols = Seq("o_custkey", "o_orderdate", "o_orderkey",
         "o_orderpriority", "o_orderstatus", "o_totalprice")
