@@ -112,6 +112,78 @@ object Multimodal {
         .otherwise(lit(null).cast("long")).as("height"))
   }
 
+  /** 2-byte little-endian hex of a long value (WAV's u16 encoding). */
+  private def leHex16(v: Column): Column = {
+    val h = lpad(hex(v.cast("long")), 4, "0")
+    concat(substring(h, 3, 2), substring(h, 1, 2))
+  }
+
+  /** Synthesize a VALID WAV (RIFF/WAVE) container around the text bytes —
+    * the audio leg of the multimodal fixture story, same discipline as
+    * [[synthesizeImagePayload]]: the 44-byte canonical PCM header
+    * (RIFF chunk + fmt chunk + data chunk header) is the published file
+    * format, all fields little-endian; channel count and sample rate are
+    * md5-derived so [[audioMeta]] has real headers to parse and the
+    * oracle recomputes the expected values from the formula. Channels ∈
+    * {1, 2}, rate ∈ {8000, 16000, 22050, 44100} Hz, 16-bit PCM.
+    * Everything is `unhex`/`concat` column expressions — synthesis runs
+    * at scan speed, no UDF, no shuffle. */
+  def synthesizeAudioPayload(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val text = col(textCol)
+    val body = text.cast("binary")
+    val nch = conv(substring(md5(text), 9, 4), 16, 10).cast("long") % 2 + 1
+    val rate = element_at(
+      array(lit(8000L), lit(16000L), lit(22050L), lit(44100L)),
+      (conv(substring(md5(text), 13, 4), 16, 10).cast("long") % 4 + 1).cast("int"))
+    val dataSize = length(body).cast("long")
+    // RIFF <size> WAVE | fmt <16> pcm=1 nch rate byteRate blockAlign bits
+    // | data <size> <samples> — 44 header bytes total
+    val wav = concat(unhex(concat(
+      lit("52494646"), leHex(dataSize + 36), lit("57415645"),
+      lit("666D7420"), lit("10000000"), lit("0100"), leHex16(nch),
+      leHex(rate), leHex(rate * nch * 2L), leHex16(nch * 2L), lit("1000"),
+      lit("64617461"), leHex(dataSize))), body)
+    df.select(col(idCol).as("media_id"), wav.as("payload"))
+  }
+
+  /** REAL audio metadata from the binary payload: sniff the RIFF/WAVE
+    * magic and parse the canonical PCM fmt chunk with pure column
+    * expressions — channels (u16 LE @23), sample rate (u32 LE @25),
+    * bits/sample (u16 LE @35), data size (u32 LE @41); sample count and
+    * duration are derived exactly as a decoder would (frames = data
+    * bytes / block align; ms = frames·1000 / rate, floored). Unknown
+    * containers quarantine as format 'unknown' with null fields — a
+    * corrupt payload must never kill a 100 TB scan. */
+  def audioMeta(withPayload: DataFrame): DataFrame = {
+    val p = col("payload")
+    def le32(off1: Int): Column = {
+      val hh = hex(substring(p, off1, 4))
+      conv(concat(substring(hh, 7, 2), substring(hh, 5, 2),
+        substring(hh, 3, 2), substring(hh, 1, 2)), 16, 10).cast("long")
+    }
+    def le16(off1: Int): Column = {
+      val hh = hex(substring(p, off1, 2))
+      conv(concat(substring(hh, 3, 2), substring(hh, 1, 2)), 16, 10).cast("long")
+    }
+    val isWav = hex(substring(p, 1, 4)) === "52494646" &&
+      hex(substring(p, 9, 4)) === "57415645"
+    val nch = le16(23)
+    val rate = le32(25)
+    val bits = le16(35)
+    val dataBytes = le32(41)
+    val nSamples = floor(dataBytes / (nch * bits / lit(8L))).cast("long")
+    withPayload.select(
+      col("media_id"),
+      length(p).cast("long").as("n_bytes"),
+      when(isWav, lit("wav")).otherwise(lit("unknown")).as("format"),
+      when(isWav, nch).otherwise(lit(null).cast("long")).as("n_channels"),
+      when(isWav, rate).otherwise(lit(null).cast("long")).as("sample_rate"),
+      when(isWav, bits).otherwise(lit(null).cast("long")).as("bits_per_sample"),
+      when(isWav, nSamples).otherwise(lit(null).cast("long")).as("n_samples"),
+      when(isWav, floor(nSamples * 1000L / rate).cast("long"))
+        .otherwise(lit(null).cast("long")).as("duration_ms"))
+  }
+
   /** STUB decode: deterministic fake "decoder" — real implementation
     * would parse the media container here. Kept pure/deterministic so the
     * distributed plumbing around it is testable. */

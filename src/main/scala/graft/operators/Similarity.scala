@@ -174,6 +174,32 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Johnson–Lindenstrauss random projection: reduce the embedding to
+    * `outDim` dimensions with a deterministic ±1 sign matrix (Achlioptas
+    * 2001 — database-friendly random projections; the same constant-
+    * folded [[planeSigns]] family the LSH path uses, offset so the two
+    * never share planes). out_k = ⟨v, s_k⟩ / √outDim, round-6 — a pure
+    * codegen projection, one corpus scan, no shuffle, no UDF. At 100 TB
+    * this is the cheap pre-pass that shrinks every downstream distance
+    * computation (ANN, clustering, near-dup) by dim/outDim while
+    * preserving pairwise distances within (1±ε); √outDim is the JL
+    * scaling that keeps expected norms unchanged. */
+  def randomProjection(df: DataFrame, outDim: Int, dim: Int = 64,
+                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(outDim > 0 && outDim <= dim,
+      s"outDim=$outDim must be in [1, dim=$dim] — projecting UP is not JL")
+    val projCols = (0 until outDim).map { k =>
+      round(VectorFunctions.dot(col("__v"), planeLit(ProjectionPlaneOffset + k, dim)) /
+        sqrt(lit(outDim.toDouble)), 6).as(f"p$k%02d")
+    }
+    df.select(col(idCol), VectorFunctions.asDouble(col(vecCol)).as("__v"))
+      .select(col(idCol) +: projCols: _*)
+  }
+
+  /** Plane-family offset for [[randomProjection]] — public so the oracle
+    * generator derives the IDENTICAL sign literals. */
+  val ProjectionPlaneOffset = 1000
+
   /** IVF (inverted-file) index: pick `numCells` deterministic seed
     * vectors as centroids (hash-ordered sample — broadcastable at any
     * corpus size), assign every vector to its nearest centroid. One

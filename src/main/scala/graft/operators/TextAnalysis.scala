@@ -61,6 +61,57 @@ object TextAnalysis {
       .select(col(idCol) +: passthrough.map(col) ++: metrics: _*)
   }
 
+  /** The Gopher rule battery's function-word probe set (Rae et al. 2021,
+    * arXiv:2112.11446 Table A1 — "contains at least 2 of ..."). */
+  val GopherStopwords: Seq[String] = Seq(
+    "the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher-style rule-based quality filter (Rae et al. 2021,
+    * arXiv:2112.11446 Table A1) — the documented heuristic battery every
+    * production pretraining pipeline runs before model-based scoring,
+    * distinct from [[quality]]'s continuous ratios: each document gets
+    * the individual rule measurements AND the combined pass verdict.
+    * Rules: word count in [minWords, maxWords]; mean word length in
+    * [3, 10]; '#'/'…' symbol-to-word ratio ≤ 0.1; ≤ 90% of lines
+    * bullet-started; ≤ 30% of lines ellipsis-ended; ≥ 80% of words
+    * contain an alphabetic character; ≥ 2 hits from the function-word
+    * probe set. All pure column expressions (array lambdas + regex
+    * counting) — one scan, no shuffle, codegen'd; ratios round-4 so the
+    * verdict is engine-portable bit-for-bit. */
+  def gopherRules(df: DataFrame, idCol: String, textCol: String,
+                  minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+    val t = col(textCol)
+    val w = col("__w")
+    val lines = col("__l")
+    def charCount(ch: String): Column =
+      (length(t) - length(regexp_replace(t, ch, ""))).cast("long")
+    df.withColumn("__w", TextFunctions.words(t))
+      .withColumn("__l", split(t, "\n"))
+      .select(col(idCol),
+        size(w).cast("long").as("n_words"),
+        round(aggregate(w, lit(0L), (a, x) => a + length(x)).cast("double") /
+          size(w), 4).as("mean_word_len"),
+        round((charCount("#") + charCount("…")).cast("double") /
+          size(w), 4).as("symbol_ratio"),
+        round(size(filter(lines, x =>
+            substring(ltrim(x), 1, 1).isin("-", "*", "•"))).cast("double") /
+          size(lines), 4).as("bullet_ratio"),
+        round(size(filter(lines, x =>
+            rtrim(x).endsWith("..."))).cast("double") /
+          size(lines), 4).as("ellipsis_ratio"),
+        round(size(filter(w, x => x.rlike("[a-z]"))).cast("double") /
+          size(w), 4).as("alpha_word_ratio"),
+        TextFunctions.countIn("__w", GopherStopwords).cast("long").as("stop_hits"))
+      .withColumn("pass",
+        col("n_words") >= minWords && col("n_words") <= maxWords &&
+          col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0 &&
+          col("symbol_ratio") <= 0.1 &&
+          col("bullet_ratio") <= 0.9 &&
+          col("ellipsis_ratio") <= 0.3 &&
+          col("alpha_word_ratio") >= 0.8 &&
+          col("stop_hits") >= 2L)
+  }
+
   /** Language ID: count marker-word hits per language, argmax with the
     * declaration order of [[LangMarkers]] as tie-break. */
   def languageId(df: DataFrame, idCol: String, textCol: String): DataFrame = {

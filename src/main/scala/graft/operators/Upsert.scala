@@ -106,4 +106,36 @@ object Upsert {
         lit(true).as("is_current")): _*)
     oldRows.union(newRows)
   }
+
+  /** Point-in-time (feature-store) join: attach to every event the
+    * dimension attributes that were LIVE at the event's time, from an
+    * SCD2 history ([[scd2]]'s `valid_from`/`valid_to` contract) — the
+    * correctness backbone of feature-store training-set construction
+    * (an event must never see attributes from its future: label
+    * leakage).
+    *
+    * The naive formulation is an inequality join on
+    * `valid_from <= t < valid_to` — O(|matches|) blowup per key. Since
+    * SCD2 validity intervals per key are disjoint with ascending
+    * `valid_from`, the latest version with `valid_from <= t` IS the
+    * candidate interval, so this reuses [[AsOfJoin.asofLeft]]'s
+    * union-window shape (ONE shuffle on the key, linear in |events| +
+    * |history|) and then applies the `valid_to` bound as a filter:
+    *   - event before the key's first version → no match → dropped
+    *   - event in a deleted key's post-deletion era → `valid_to <= t`
+    *     → dropped
+    * (inner semantics; left semantics would keep the event with nulls).
+    *
+    * @param pick history value columns to attach to each event */
+  def pointInTime(events: DataFrame, history: DataFrame,
+                  eventKey: String, eventTime: String, historyKey: String,
+                  pick: Seq[String]): DataFrame = {
+    val attached = AsOfJoin.asofLeft(
+      events, history, eventKey, eventTime, historyKey, "valid_from",
+      pick ++ Seq("valid_from", "valid_to"))
+    attached
+      .filter(col("valid_from").isNotNull &&
+        (col("valid_to").isNull || col(eventTime) < col("valid_to")))
+      .drop("valid_from", "valid_to")
+  }
 }

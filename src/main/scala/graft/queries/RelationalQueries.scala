@@ -663,6 +663,35 @@ object RelationalQueries {
         .orderBy(col("o_orderkey"), col("valid_from"))
     }),
 
+    // Point-in-time (feature-store) join: every lineitem "event" sees
+    // the order attributes that were LIVE at its version timestamp from
+    // the SCD2 history — never its future (label leakage) and never a
+    // deleted era. The as-of union-window shape keeps it ONE shuffle,
+    // linear in |events|+|history| (the naive interval join is
+    // O(|matches|)); events before a key's first version and events in
+    // a deleted key's post-deletion era drop out, both exercised by the
+    // v1/v2 construction.
+    "q_pit_join" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val v1 = o.filter(col("o_orderkey") % 13 =!= 0)
+      val v2 = o.filter(col("o_orderkey") % 7 =!= 1)
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 5 === 0, "R")
+            .otherwise(col("o_orderstatus")).as("o_orderstatus"),
+          when(col("o_orderkey") % 5 === 0, round(col("o_totalprice") + 100, 2))
+            .otherwise(col("o_totalprice")).as("o_totalprice"))
+      val hist = Upsert.scd2(v1, v2, "o_orderkey")
+      val events = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          (col("l_linenumber") % 2 + 1).cast("long").as("t"))
+      Upsert.pointInTime(events, hist, "l_orderkey", "t", "o_orderkey",
+          pick = Seq("o_orderstatus", "o_totalprice"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("t"),
+          col("o_orderstatus"), round(col("o_totalprice"), 2).as("o_totalprice"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
     // Null-ordering semantics: Spark defaults to NULLS FIRST for ASC,
     // DuckDB (and the SQL standard's common choice) to NULLS LAST — the
     // graded query pins the explicit asc_nulls_last form so the engines
@@ -1275,6 +1304,39 @@ object RelationalQueries {
         |SELECT k, s2, round(p2, 2), CAST(2 AS BIGINT), CAST(NULL AS BIGINT), TRUE
         |FROM j WHERE in_b AND NOT same
         |ORDER BY o_orderkey, valid_from""".stripMargin,
+
+    // The SCD2 CTEs again (DuckDB oracle reruns them), then a plain
+    // interval join — the Spark side must produce the identical result
+    // through the as-of union-window shape.
+    "q_pit_join" ->
+      """WITH o AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+        |v1 AS (SELECT * FROM o WHERE o_orderkey % 13 <> 0),
+        |v2 AS (SELECT o_orderkey,
+        |         CASE WHEN o_orderkey % 5 = 0 THEN 'R' ELSE o_orderstatus END AS o_orderstatus,
+        |         CASE WHEN o_orderkey % 5 = 0 THEN round(o_totalprice + 100, 2)
+        |              ELSE o_totalprice END AS o_totalprice
+        |       FROM o WHERE o_orderkey % 7 <> 1),
+        |j AS (SELECT coalesce(a.o_orderkey, b.o_orderkey) AS k,
+        |             a.o_orderkey IS NOT NULL AS in_a,
+        |             b.o_orderkey IS NOT NULL AS in_b,
+        |             a.o_orderstatus AS s1, a.o_totalprice AS p1,
+        |             b.o_orderstatus AS s2, b.o_totalprice AS p2,
+        |             (a.o_orderkey IS NOT NULL AND b.o_orderkey IS NOT NULL
+        |              AND a.o_orderstatus IS NOT DISTINCT FROM b.o_orderstatus
+        |              AND a.o_totalprice IS NOT DISTINCT FROM b.o_totalprice) AS same
+        |      FROM v1 a FULL JOIN v2 b ON a.o_orderkey = b.o_orderkey),
+        |h AS (SELECT k AS o_orderkey, s1 AS st, p1 AS pr, 1 AS valid_from,
+        |             CASE WHEN same THEN NULL ELSE 2 END AS valid_to
+        |      FROM j WHERE in_a
+        |      UNION ALL
+        |      SELECT k, s2, p2, 2, NULL FROM j WHERE in_b AND NOT same),
+        |ev AS (SELECT l_orderkey, l_linenumber, l_linenumber % 2 + 1 AS t
+        |       FROM lineitem)
+        |SELECT ev.l_orderkey, ev.l_linenumber, CAST(ev.t AS BIGINT) AS t,
+        |       h.st AS o_orderstatus, round(h.pr, 2) AS o_totalprice
+        |FROM ev JOIN h ON h.o_orderkey = ev.l_orderkey
+        | AND h.valid_from <= ev.t AND (h.valid_to IS NULL OR ev.t < h.valid_to)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q_sort_nulls" ->
       """SELECT o_orderkey,
         |       CASE WHEN o_orderkey % 7 = 0 THEN NULL

@@ -474,6 +474,14 @@ object TrainingDataQueries {
       Similarity.dimensionStats(Tables.embeddings(s, dir))
         .orderBy("dim")),
 
+    // Johnson–Lindenstrauss projection to 8 dims — deterministic ±1
+    // planes constant-folded into the plan AND into the generated
+    // oracle; one codegen scan, the cheap pre-pass that shrinks every
+    // downstream distance computation.
+    "embedding_project" -> ((s, dir) =>
+      Similarity.randomProjection(Tables.embeddings(s, dir), outDim = 8)
+        .orderBy("vec_id")),
+
     "ann_bruteforce" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), 10)
@@ -650,6 +658,14 @@ object TrainingDataQueries {
 
     "text_quality" -> ((s, dir) =>
       TextAnalysis.quality(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // The documented Gopher rule battery (Rae et al. 2021 Table A1):
+    // per-rule measurements + combined pass verdict, all round-4
+    // engine-portable; fixture median is 56 words so the default
+    // 50-word floor genuinely splits the corpus.
+    "text_gopher_rules" -> ((s, dir) =>
+      TextAnalysis.gopherRules(Tables.documents(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
 
     "text_langid" -> ((s, dir) =>
@@ -944,6 +960,20 @@ object TrainingDataQueries {
         .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"))
         .orderBy(col("split"))),
 
+    // GROUP-aware split (GroupShuffleSplit semantics): hashing the
+    // GROUP key (source domain) instead of the row id puts every
+    // document of a domain in the SAME split — the standard guard
+    // against near-duplicate leakage across train/test (sibling pages
+    // of one site are near-dups of each other). Graded as one row per
+    // (source, split): a broken implementation that splits a group
+    // across partitions of the data produces extra rows and fails the
+    // row-count compare, not just the hash.
+    "data_group_split" -> ((s, dir) =>
+      Sampling.splitAssign(Tables.documents(s, dir), "source")
+        .groupBy(col("source"), col("split"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("source"))),
+
     // Quality-weighted sampling: each doc keeps with probability
     // alpha_ratio (as a permille threshold against its hash bucket) —
     // higher-quality documents survive at a higher rate, membership
@@ -1058,6 +1088,21 @@ object TrainingDataQueries {
         "graft_jsonl_" + dir.replaceAll("[^A-Za-z0-9.]", "_")).getPath
       graft.sources.JsonlSink(path).save(docs)
       graft.sources.JsonlSource(path, docs.schema).load(s).orderBy("doc_id")
+    }),
+
+    // ORC round-trip — the OTHER columnar format big estates carry
+    // (Hive-era lakes are ORC); Spark's built-in vectorized ORC
+    // reader/writer, graded column-for-column against the parquet
+    // original so any type coercion or value corruption in the
+    // format conversion flips the hash.
+    "ingest_orc" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val path = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_orc_" + dir.replaceAll("[^A-Za-z0-9.]", "_")).getPath
+      docs.write.mode("overwrite").orc(path)
+      s.read.orc(path)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .orderBy("doc_id")
     }),
 
     // Resilient ingest: corrupt JSONL records are QUARANTINED (PERMISSIVE
@@ -1212,6 +1257,15 @@ object TrainingDataQueries {
           Multimodal.synthesizeImagePayload(Tables.documents(s, dir), "doc_id", "text"))
         .orderBy("media_id")),
 
+    // The audio leg: synthesized VALID WAV/RIFF containers parsed back
+    // with pure column expressions (channels/rate/bits/duration from
+    // the published 44-byte PCM header layout) — wrong offset or
+    // endianness flips the hash, same discipline as multimodal_meta.
+    "multimodal_audio_meta" -> ((s, dir) =>
+      Multimodal.audioMeta(
+          Multimodal.synthesizeAudioPayload(Tables.documents(s, dir), "doc_id", "text"))
+        .orderBy("media_id")),
+
     // Stubbed resize: payload re-cut to the byte budget + metadata
     // rewrite. Graded via the payload md5 (fixture text is pure ASCII,
     // so DuckDB's string substring mirrors the byte slice exactly).
@@ -1286,6 +1340,14 @@ object TrainingDataQueries {
       .map(s => if (s > 0) "1" else "-1").mkString("[", ", ", "]")
     s"CASE WHEN list_inner_product(v, $arr::DOUBLE[]) >= 0 THEN 1 ELSE 0 END AS b$p"
   }.mkString(",\n         ")
+  // JL projection columns — sign literals from the SAME offset plane
+  // family Similarity.randomProjection constant-folds.
+  private val projDim = 8
+  private val projColsSql = (0 until projDim).map { k =>
+    val arr = Similarity.planeSigns(Similarity.ProjectionPlaneOffset + k, lshDim)
+      .map(s => if (s > 0) "1" else "-1").mkString("[", ", ", "]")
+    f"round(list_inner_product(v, $arr::DOUBLE[]) / sqrt($projDim), 6) AS p$k%02d"
+  }.mkString(",\n       ")
   private val lshBandKeySql = (0 until lshBands).map { b =>
     val perBand = lshPlanes / lshBands
     (0 until perBand).map(i => s"b${b * perBand + i} * ${1L << i}")
@@ -1519,6 +1581,12 @@ object TrainingDataQueries {
         |       min_v, max_v
         |FROM a ORDER BY dim""".stripMargin,
 
+    "embedding_project" ->
+      s"""WITH $embCte
+         |SELECT vec_id,
+         |       $projColsSql
+         |FROM e ORDER BY vec_id""".stripMargin,
+
     "ann_bruteforce" ->
       s"""WITH $embCte,
          |q AS (SELECT * FROM e WHERE vec_id < 10),
@@ -1750,6 +1818,26 @@ object TrainingDataQueries {
          |  round(len(list_filter($wordsSql, w -> w IN ($stopList))) * 1.0 / len($wordsSql), 4) AS stopword_ratio,
          |  round(length(regexp_replace(text, '\\s+', '', 'g')) * 1.0 / len($wordsSql), 4) AS mean_word_len
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_gopher_rules" ->
+      s"""WITH w AS (SELECT doc_id, text, $wordsSql AS l,
+         |         string_split(text, chr(10)) AS ln FROM documents),
+         |m AS (SELECT doc_id,
+         |        CAST(len(l) AS BIGINT) AS n_words,
+         |        round(list_sum(list_transform(l, x -> length(x))) * 1.0 / len(l), 4) AS mean_word_len,
+         |        round((length(text) - length(replace(text, '#', ''))
+         |             + length(text) - length(replace(text, '…', ''))) * 1.0 / len(l), 4) AS symbol_ratio,
+         |        round(len(list_filter(ln, x -> substr(ltrim(x), 1, 1) IN ('-', '*', '•'))) * 1.0 / len(ln), 4) AS bullet_ratio,
+         |        round(len(list_filter(ln, x -> ends_with(rtrim(x), '...'))) * 1.0 / len(ln), 4) AS ellipsis_ratio,
+         |        round(len(list_filter(l, x -> regexp_matches(x, '[a-z]'))) * 1.0 / len(l), 4) AS alpha_word_ratio,
+         |        CAST(len(list_filter(l, x -> x IN ('the','be','to','of','and','that','have','with'))) AS BIGINT) AS stop_hits
+         |      FROM w)
+         |SELECT *, (n_words >= 50 AND n_words <= 100000
+         |       AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+         |       AND symbol_ratio <= 0.1 AND bullet_ratio <= 0.9
+         |       AND ellipsis_ratio <= 0.3 AND alpha_word_ratio >= 0.8
+         |       AND stop_hits >= 2) AS pass
+         |FROM m ORDER BY doc_id""".stripMargin,
 
     "text_langid" -> {
       val scoreCols = TextAnalysis.LangMarkers.map { case (lang, markers) =>
@@ -2197,6 +2285,16 @@ object TrainingDataQueries {
         |       count(*) AS n, min(doc_id) AS min_id
         |FROM b GROUP BY 1 ORDER BY split""".stripMargin,
 
+    "data_group_split" ->
+      """WITH b AS (SELECT source,
+        |             ('0x' || substr(md5(source), 1, 8))::BIGINT % 1000 AS bk
+        |           FROM documents)
+        |SELECT source,
+        |       CASE WHEN bk < 800 THEN 'train'
+        |            WHEN bk < 900 THEN 'val' ELSE 'test' END AS split,
+        |       count(*) AS n_docs
+        |FROM b GROUP BY 1, 2 ORDER BY source""".stripMargin,
+
     // Per-row keep probability = the doc's own alpha_ratio in permille,
     // same md5 bucket as data_sample.
     "data_weighted_sample" ->
@@ -2290,6 +2388,9 @@ object TrainingDataQueries {
          |FROM p GROUP BY split, bucket, bin ORDER BY split, bucket, bin""".stripMargin,
 
     "ingest_jsonl" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id",
+
+    "ingest_orc" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id",
 
     "ingest_schema_evolution" ->
@@ -2447,6 +2548,25 @@ object TrainingDataQueries {
         |       ('0x' || substr(md5(text), 1, 4))::BIGINT % 640 + 1 AS width,
         |       ('0x' || substr(md5(text), 5, 4))::BIGINT % 480 + 1 AS height
         |FROM documents ORDER BY media_id""".stripMargin,
+
+    // WAV header replay: channel count / sample rate from the same md5
+    // formula the synthesizer folds; 44-byte canonical PCM header; frame
+    // and duration math floor-divides exactly as a decoder would.
+    "multimodal_audio_meta" ->
+      """WITH m AS (SELECT doc_id, octet_length(encode(text)) AS nb,
+        |         ('0x' || substr(md5(text), 9, 4))::BIGINT % 2 + 1 AS nch,
+        |         list_value(8000, 16000, 22050, 44100)[
+        |           (('0x' || substr(md5(text), 13, 4))::BIGINT % 4 + 1)::INT] AS rate
+        |       FROM documents)
+        |SELECT doc_id AS media_id,
+        |       CAST(nb + 44 AS BIGINT) AS n_bytes,
+        |       'wav' AS format,
+        |       CAST(nch AS BIGINT) AS n_channels,
+        |       CAST(rate AS BIGINT) AS sample_rate,
+        |       CAST(16 AS BIGINT) AS bits_per_sample,
+        |       CAST(nb // (nch * 2) AS BIGINT) AS n_samples,
+        |       CAST((nb // (nch * 2)) * 1000 // rate AS BIGINT) AS duration_ms
+        |FROM m ORDER BY media_id""".stripMargin,
 
     "q_partition_prune" ->
       """SELECT lang, count(*) AS n_docs,

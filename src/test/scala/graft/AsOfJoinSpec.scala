@@ -39,6 +39,27 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got.sameElements(Array(("b", None: Option[String]))))
   }
 
+  test("pointInTime: events see only attributes live at their time") {
+    import graft.operators.Upsert
+    // v1 -> v2: key 1 changes a->a2, key 2 is deleted, key 4 is inserted
+    val v1 = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val v2 = Seq((1L, "a2"), (3L, "c"), (4L, "d")).toDF("k", "v")
+    val hist = Upsert.scd2(v1, v2, "k")
+    val events = Seq(
+      (1L, 1L, "e1v1"), // version 1 era -> a
+      (1L, 2L, "e1v2"), // version 2 era -> a2
+      (2L, 1L, "e2v1"), // deleted key, v1 era -> b
+      (2L, 2L, "e2v2"), // deleted key, post-deletion era -> DROPPED
+      (4L, 1L, "e4v1"), // inserted key, before first version -> DROPPED
+      (4L, 2L, "e4v2"), // inserted key, v2 era -> d
+      (5L, 2L, "e5"))   // key never existed -> DROPPED
+      .toDF("ek", "t", "tag")
+    val got = Upsert.pointInTime(events, hist, "ek", "t", "k", Seq("v"))
+      .select("tag", "v").as[(String, String)].collect().toMap
+    assert(got === Map("e1v1" -> "a", "e1v2" -> "a2", "e2v1" -> "b",
+      "e4v2" -> "d"))
+  }
+
   test("graft_dot is callable from SQL after registration") {
     graft.plans.GraftExtensions.register(spark)
     val r = spark.sql(

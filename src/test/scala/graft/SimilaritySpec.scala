@@ -338,4 +338,25 @@ class SimilaritySpec extends SparkSpec {
     assert(nearIdentical.subsetOf(lsh),
       s"cos≥0.98 pairs must survive banding: missing ${nearIdentical -- lsh}")
   }
+
+  test("randomProjection: deterministic, right shape, JL norm preservation in expectation") {
+    val p1 = Similarity.randomProjection(emb, outDim = 8)
+    assert(p1.columns.toSeq === "vec_id" +: (0 until 8).map(k => f"p$k%02d"))
+    // deterministic: the planes are constant-folded, two runs agree
+    assert(p1.except(Similarity.randomProjection(emb, outDim = 8)).isEmpty)
+    // E[||p||^2] = ||v||^2 under ±1/√k projections — the fleet-wide
+    // mean ratio should sit near 1 (loose band: 64→8 is a hard cut)
+    val projSq = p1.select(col("vec_id"),
+      (0 until 8).map(k => col(f"p$k%02d") * col(f"p$k%02d")).reduce(_ + _).as("p2"))
+    val origSq = emb.select(col("vec_id"),
+      graft.functions.VectorFunctions.dot(
+        graft.functions.VectorFunctions.asDouble(col("embedding")),
+        graft.functions.VectorFunctions.asDouble(col("embedding"))).as("v2"))
+    val ratio = projSq.join(origSq, "vec_id")
+      .agg(avg(col("p2") / col("v2"))).head.getDouble(0)
+    assert(ratio > 0.5 && ratio < 2.0, s"mean norm ratio $ratio out of band")
+    intercept[IllegalArgumentException] {
+      Similarity.randomProjection(emb, outDim = 100)
+    }
+  }
 }

@@ -360,6 +360,68 @@ class TextAnalysisSpec extends SparkSpec {
     assert(parsed.filter(col("format") === "unknown").count() === 0)
   }
 
+  test("multimodal: audioMeta parses a real WAV header, independent ground truth") {
+    // hand-built literal container with KNOWN fields — ground truth
+    // independent of synthesizeAudioPayload, so a shared offset/endian
+    // bug between synthesis and parse cannot cancel out
+    def i32le(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def i16le(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    val dataBytes = 800
+    val wav: Array[Byte] =
+      "RIFF".getBytes("US-ASCII") ++ i32le(36 + dataBytes) ++
+        "WAVE".getBytes("US-ASCII") ++
+        "fmt ".getBytes("US-ASCII") ++ i32le(16) ++ i16le(1) ++ i16le(2) ++
+        i32le(44100) ++ i32le(44100 * 2 * 2) ++ i16le(4) ++ i16le(16) ++
+        "data".getBytes("US-ASCII") ++ i32le(dataBytes) ++
+        Array.fill[Byte](dataBytes)(1)
+    val junk: Array[Byte] = "certainly not audio".getBytes("US-ASCII")
+    val df = Seq((1L, wav), (2L, junk)).toDF("media_id", "payload")
+    val got = Multimodal.audioMeta(df).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getString(2) === "wav")
+    assert(got(1L).getLong(3) === 2L)      // channels
+    assert(got(1L).getLong(4) === 44100L)  // rate
+    assert(got(1L).getLong(5) === 16L)     // bits
+    assert(got(1L).getLong(6) === dataBytes / 4L)          // frames
+    assert(got(1L).getLong(7) === (dataBytes / 4L) * 1000L / 44100L)
+    assert(got(2L).getString(2) === "unknown")
+    assert(got(2L).isNullAt(3) && got(2L).isNullAt(7))
+
+    // synthesized payloads round-trip: every container parses, and the
+    // parsed sample math is internally consistent with the header
+    val parsed = Multimodal.audioMeta(
+      Multimodal.synthesizeAudioPayload(docs, "doc_id", "text"))
+    assert(parsed.filter(col("format") === "unknown").count() === 0)
+    assert(parsed.filter(
+      col("n_samples") =!= floor((col("n_bytes") - 44) /
+        (col("n_channels") * 2)).cast("long")).count() === 0)
+  }
+
+  test("gopherRules: each rule trips on its own violation") {
+    val filler = (1 to 60).map(i => s"word$i").mkString(" ")
+    val good = "the words be stacked to a height of and beyond that " +
+      "people have built with care " + filler
+    val short = "the of and that have with tiny text"
+    val bullets = (1 to 10).map(i => s"- the item $i of that list").mkString("\n") +
+      "\nthe be to of and that have with " + filler
+    val symbols = ("# " * 40) + "the be to of and that have with " + filler
+    val noStops = filler + " " + (61 to 120).map(i => s"plain$i").mkString(" ")
+    val rows = Seq((1L, good), (2L, short), (3L, bullets), (4L, symbols),
+      (5L, noStops)).toDF("doc_id", "text")
+    val got = TextAnalysis.gopherRules(rows, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getAs[Boolean]("pass"))
+    assert(!got(2L).getAs[Boolean]("pass") && got(2L).getLong(1) < 50)
+    assert(!got(3L).getAs[Boolean]("pass") &&
+      got(3L).getAs[Double]("bullet_ratio") > 0.9)
+    assert(!got(4L).getAs[Boolean]("pass") &&
+      got(4L).getAs[Double]("symbol_ratio") > 0.1)
+    assert(!got(5L).getAs[Boolean]("pass") && got(5L).getLong(7) < 2)
+  }
+
   /** Independent driver-side reference BPE trainer over a (word, count)
     * vocabulary — plain Scala collections, no Spark, so it cannot share
     * a bug with the distributed implementation. */
