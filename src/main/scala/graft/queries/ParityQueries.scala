@@ -159,9 +159,8 @@ object ParityQueries {
       s.read.parquet(s"$dir/events.parquet").repartition(4)
         .write.mode("overwrite").parquet(hand)
       val schema = s.read.parquet(hand).schema
-      val stream = s.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1").parquet(hand)
-        .withColumn("ts_ms", expr("ts div 1000000"))
+      val stream = Tables.withTsMs(s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(hand))
       // watermark wider than the fixture's whole time span: batches
       // arrive in arbitrary ts order, and a narrow watermark would
       // DROP a late-batch-only user as late data (correct streaming
@@ -186,8 +185,7 @@ object ParityQueries {
       s.read.parquet(s"$dir/events.parquet")
         .write.mode("overwrite").parquet(hand)
       val schema = s.read.parquet(hand).schema
-      val stream = s.readStream.schema(schema).parquet(hand)
-        .withColumn("ts_ms", expr("ts div 1000000"))
+      val stream = Tables.withTsMs(s.readStream.schema(schema).parquet(hand))
       val agg = graft.streaming.Streaming.windowedCounts(stream)
       val qn = "stream_wc_" + java.util.UUID.randomUUID().toString.take(8)
       val ckpt = java.nio.file.Files.createTempDirectory("graft-swc-ckpt").toString
@@ -225,8 +223,7 @@ object ParityQueries {
       s.read.parquet(s"$dir/events.parquet")
         .write.mode("overwrite").parquet(hand)
       val schema = s.read.parquet(hand).schema
-      val stream = s.readStream.schema(schema).parquet(hand)
-        .withColumn("ts_ms", expr("ts div 1000000"))
+      val stream = Tables.withTsMs(s.readStream.schema(schema).parquet(hand))
       val agg = graft.streaming.Streaming.sessionWindowAgg(stream, "30 minutes")
       val qn = "stream_sw_" + java.util.UUID.randomUUID().toString.take(8)
       val ckpt = java.nio.file.Files.createTempDirectory("graft-ssw-ckpt").toString
@@ -250,9 +247,8 @@ object ParityQueries {
       val lDir = stage("click")
       val rDir = stage("purchase")
       val schema = s.read.parquet(lDir).schema
-      def rd(d: String) = s.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1").parquet(d)
-        .withColumn("ts_ms", expr("ts div 1000000"))
+      def rd(d: String) = Tables.withTsMs(s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(d))
       val left = rd(lDir).select(col("event_id").as("l_event"),
         col("user_id"), col("ts_ms").as("l_ts"))
       val right = rd(rDir).select(col("event_id").as("r_event"),
