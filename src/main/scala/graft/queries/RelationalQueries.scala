@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsOfJoin, Profiling, Skew, Upsert}
+import graft.operators.{AsOfJoin, Profiling, Skew, Sweep, Upsert}
 import graft.sources.Tables
 
 /** The general relational query surface the reference lacks entirely
@@ -25,6 +25,27 @@ object RelationalQueries {
     * concurrently running processes (e.g. the bucketed warehouse). */
   private val processTag: String =
     java.util.UUID.randomUUID().toString.take(8)
+
+  /** 30-minute-gap sessionization of the events stream (the q_sessionize
+    * pipeline, shared with the sweep-line concurrency query): shuffle
+    * once on user_id, then two window passes over the same partitioning
+    * (no second exchange), then the per-session aggregate. */
+  private def userSessions(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts_ms"))
+      .withColumn("prev_ms", lag(col("ts_ms"), 1).over(
+        Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))))
+      .withColumn("new_sess",
+        when(col("prev_ms").isNull || col("ts_ms") - col("prev_ms") > 1800000L, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum(col("new_sess")).over(
+        Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    e.groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts_ms")).as("sess_start_ms"),
+        max(col("ts_ms")).as("sess_end_ms"))
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // TPC-H Q1 shape: scan-heavy partial-agg-friendly aggregation. At scale
@@ -843,23 +864,22 @@ object RelationalQueries {
     // Sessionization: 30-minute inactivity gap, pure window functions —
     // shuffle once on user_id, then two window passes over the same
     // partitioning (no second exchange).
-    "q_sessionize" -> ((s, dir) => {
-      val e = Tables.events(s, dir)
-        .select(col("user_id"), col("event_id"), col("ts_ms"))
-        .withColumn("prev_ms", lag(col("ts_ms"), 1).over(
-          Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))))
-        .withColumn("new_sess",
-          when(col("prev_ms").isNull || col("ts_ms") - col("prev_ms") > 1800000L, 1)
-            .otherwise(0))
-        .withColumn("session_id", sum(col("new_sess")).over(
-          Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      e.groupBy(col("user_id"), col("session_id"))
-        .agg(count(lit(1)).as("n_events"),
-          min(col("ts_ms")).as("sess_start_ms"),
-          max(col("ts_ms")).as("sess_end_ms"))
-        .orderBy(col("user_id"), col("session_id"))
-    }),
+    "q_sessionize" -> ((s, dir) =>
+      userSessions(s, dir).orderBy(col("user_id"), col("session_id"))),
+
+    // Interval concurrency over the sessionization output — "how many
+    // sessions were open when this one started" — via the distributed
+    // sweep line (Sweep.concurrency): ±1 deltas at interval endpoints,
+    // one range exchange, per-partition prefix sums, P longs of driver
+    // state. The naive global `sum() OVER (ORDER BY t)` would funnel
+    // every delta through ONE task; the self-join formulation would be
+    // O(n²) in concurrent sessions. This is linear at any scale.
+    "q_sweep_concurrency" -> ((s, dir) =>
+      Sweep.concurrency(userSessions(s, dir),
+          "sess_start_ms", "sess_end_ms", "user_id", "session_id")
+        .select(col("user_id"), col("session_id"),
+          col("sess_start_ms"), col("sess_end_ms"), col("concurrent"))
+        .orderBy(col("user_id"), col("session_id"))),
 
     // Distribution window functions: ntile / percent_rank / cume_dist
     // over the same one-shuffle partitioning as the other user windows.
@@ -1027,7 +1047,73 @@ object RelationalQueries {
     "q_session_window" -> ((s, dir) =>
       graft.streaming.Streaming.sessionWindowAgg(
           Tables.events(s, dir), "30 minutes")
-        .orderBy(col("user_id"), col("sess_start_ms"))))
+        .orderBy(col("user_id"), col("sess_start_ms"))),
+
+    // Ordered conversion funnel (view → click → purchase, strictly
+    // increasing event times per user): the product-analytics staple.
+    // Each step is a per-user min-aggregate gated on the PREVIOUS step's
+    // time — three partial-aggregable groupBys + two equi-joins on
+    // user_id, never a per-user sort or a sequence window. The step
+    // tables shrink monotonically (only converting users survive), so
+    // at 100 TB each later stage joins against a smaller per-user
+    // relation on the same key.
+    "q_funnel" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts_ms"))
+      val t1 = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts_ms")).as("t1"))
+      val t2 = e.filter(col("event_type") === "click")
+        .join(t1, "user_id").filter(col("ts_ms") > col("t1"))
+        .groupBy(col("user_id")).agg(min(col("ts_ms")).as("t2"))
+      val t3 = e.filter(col("event_type") === "purchase")
+        .join(t2, "user_id").filter(col("ts_ms") > col("t2"))
+        .groupBy(col("user_id")).agg(min(col("ts_ms")).as("t3"))
+      def step(name: String, df: DataFrame): DataFrame =
+        df.agg(count(lit(1)).as("users")).withColumn("step", lit(name))
+      step("1_view", t1).unionByName(step("2_click", t2))
+        .unionByName(step("3_purchase", t3))
+        .select(col("step"), col("users"))
+        .orderBy(col("step"))
+    }),
+
+    // Triangle counting on the supplier co-occurrence graph (suppliers
+    // sharing an order), the graph-analytics classic with a real scale
+    // trap: the naive wedge join explodes on high-degree hubs. The
+    // standard fix — orient every edge from the lower-(degree, id)
+    // endpoint to the higher — bounds each vertex's out-degree by
+    // O(sqrt(edges)), so the wedge self-join is near-linear on skewed
+    // graphs instead of quadratic in the hub degree. Each triangle is
+    // counted exactly once: only its lowest-rank vertex emits the wedge,
+    // closed by the canonical (id-ordered) undirected edge.
+    "q_triangles" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
+      val edges = li.alias("a").join(li.alias("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_suppkey") < col("b.l_suppkey"))
+        .select(col("a.l_suppkey").as("u"), col("b.l_suppkey").as("v"))
+        .distinct()
+      val deg = edges.select(col("u").as("x"))
+        .unionAll(edges.select(col("v").as("x")))
+        .groupBy(col("x")).agg(count(lit(1)).as("d"))
+      val withDeg = edges
+        .join(deg.select(col("x").as("u"), col("d").as("du")), "u")
+        .join(deg.select(col("x").as("v"), col("d").as("dv")), "v")
+      val oriented = withDeg.select(
+        when(col("du") < col("dv") ||
+             (col("du") === col("dv") && col("u") < col("v")), col("u"))
+          .otherwise(col("v")).as("src"),
+        when(col("du") < col("dv") ||
+             (col("du") === col("dv") && col("u") < col("v")), col("v"))
+          .otherwise(col("u")).as("dst"))
+      val triangles = oriented.alias("p").join(oriented.alias("q"),
+          col("p.src") === col("q.src") && col("p.dst") < col("q.dst"))
+        .select(col("p.dst").as("u"), col("q.dst").as("v"))
+        .join(edges, Seq("u", "v"))
+        .agg(count(lit(1)).as("triangles"))
+      val vertices = deg.agg(count(lit(1)).as("vertices"))
+      val edgeCount = edges.agg(count(lit(1)).as("edges"))
+      vertices.crossJoin(edgeCount).crossJoin(triangles)
+    }))
 
   val oracles: Map[String, String] = Map(
     "q1_agg" ->
@@ -1613,5 +1699,60 @@ object RelationalQueries {
         |  FROM s)
         |SELECT user_id, min(ts_ms) AS sess_start_ms,
         |       max(ts_ms) + 1800000 AS sess_end_ms, count(*) AS n_events
-        |FROM t GROUP BY user_id, session_id ORDER BY user_id, sess_start_ms""".stripMargin)
+        |FROM t GROUP BY user_id, session_id ORDER BY user_id, sess_start_ms""".stripMargin,
+    "q_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ts_ms FROM events),
+        |t1 AS (SELECT user_id, min(ts_ms) AS t1 FROM e
+        |       WHERE event_type = 'view' GROUP BY user_id),
+        |t2 AS (SELECT e.user_id, min(ts_ms) AS t2 FROM e JOIN t1 USING (user_id)
+        |       WHERE event_type = 'click' AND ts_ms > t1 GROUP BY e.user_id),
+        |t3 AS (SELECT e.user_id, min(ts_ms) AS t3 FROM e JOIN t2 USING (user_id)
+        |       WHERE event_type = 'purchase' AND ts_ms > t2 GROUP BY e.user_id)
+        |SELECT '1_view' AS step, count(*) AS users FROM t1
+        |UNION ALL SELECT '2_click', count(*) FROM t2
+        |UNION ALL SELECT '3_purchase', count(*) FROM t3
+        |ORDER BY step""".stripMargin,
+    // Brute-force triangle enumeration (x<y<z with all three edges) — the
+    // oracle is intentionally the naive formulation; Spark runs the
+    // degree-oriented plan and must agree on the count.
+    "q_triangles" ->
+      """WITH li AS (SELECT l_orderkey, l_suppkey FROM lineitem),
+        |e AS (SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+        |      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |                         AND a.l_suppkey < b.l_suppkey),
+        |verts AS (SELECT count(DISTINCT x) AS vertices FROM
+        |          (SELECT u AS x FROM e UNION ALL SELECT v FROM e)),
+        |tri AS (SELECT count(*) AS triangles
+        |        FROM e e1 JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+        |                  JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v)
+        |SELECT (SELECT vertices FROM verts) AS vertices,
+        |       (SELECT count(*) FROM e) AS edges,
+        |       (SELECT triangles FROM tri) AS triangles""".stripMargin,
+    "q_sweep_concurrency" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+        |         lag(epoch_ms(ts)) OVER (PARTITION BY user_id
+        |                                 ORDER BY epoch_ms(ts), event_id) AS prev_ms
+        |  FROM events),
+        |s AS (
+        |  SELECT *, CASE WHEN prev_ms IS NULL OR ts_ms - prev_ms > 1800000
+        |                 THEN 1 ELSE 0 END AS new_sess FROM e),
+        |t AS (
+        |  SELECT user_id, ts_ms,
+        |         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+        |                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM s),
+        |sess AS (SELECT user_id, session_id,
+        |                min(ts_ms) AS sess_start_ms, max(ts_ms) AS sess_end_ms
+        |         FROM t GROUP BY user_id, session_id),
+        |d AS (SELECT user_id, session_id, sess_start_ms, sess_end_ms,
+        |             sess_start_ms AS tt, 1 AS delta FROM sess
+        |      UNION ALL
+        |      SELECT user_id, session_id, sess_start_ms, sess_end_ms,
+        |             sess_end_ms AS tt, -1 AS delta FROM sess),
+        |r AS (SELECT *, CAST(sum(delta) OVER (
+        |        ORDER BY tt, delta DESC, user_id, session_id, sess_start_ms
+        |        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS concurrent FROM d)
+        |SELECT user_id, session_id, sess_start_ms, sess_end_ms, concurrent
+        |FROM r WHERE delta = 1 ORDER BY user_id, session_id""".stripMargin)
 }
