@@ -184,6 +184,92 @@ object Multimodal {
         .otherwise(lit(null).cast("long")).as("duration_ms"))
   }
 
+  /** A parsed JPEG header record ([[jpegMeta]]); width/height are None
+    * when no SOF frame header is found (quarantine, not failure). */
+  case class JpegMeta(media_id: Long, n_bytes: Long, format: String,
+                      width: Option[Long], height: Option[Long])
+
+  /** Synthesize a VALID (minimal) JPEG stream around the text bytes:
+    * SOI, a COM segment whose LENGTH IS md5-DERIVED (1–16 payload
+    * bytes), the SOF0 frame header carrying md5-derived dimensions, EOI,
+    * then the body. The variable-length COM segment is the point: the
+    * SOF0 offset differs per row, so a fixed-offset "parser" cannot
+    * pass — [[jpegMeta]] must genuinely walk the segment chain as the
+    * published format requires (each marker FFxx is followed by a
+    * big-endian u16 length that counts itself). Dimensions are 1-based;
+    * all synthesis is `unhex`/`concat` column expressions at scan
+    * speed. */
+  def synthesizeJpegPayload(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val text = col(textCol)
+    def beHex16(v: Column): Column = lpad(hex(v.cast("long")), 4, "0")
+    val nCom = conv(substring(md5(text), 17, 4), 16, 10).cast("long") % 16 + 1
+    val comHex = expr(s"substring(md5($textCol), 1, cast(__ncom * 2 as int))")
+    val w = conv(substring(md5(text), 21, 4), 16, 10).cast("long") % 1024 + 1
+    val h = conv(substring(md5(text), 25, 4), 16, 10).cast("long") % 768 + 1
+    // SOI | COM(len = n+2, n md5 bytes) | SOF0(len 11: precision 8,
+    // height, width, 1 component (id 1, sampling 0x11, qtable 0)) | EOI
+    df.withColumn("__ncom", nCom)
+      .select(col(idCol).as("media_id"),
+        concat(unhex(concat(
+          lit("FFD8"),
+          lit("FFFE"), beHex16(col("__ncom") + 2), comHex,
+          lit("FFC0"), lit("000B"), lit("08"), beHex16(h), beHex16(w),
+          lit("01"), lit("01"), lit("11"), lit("00"),
+          lit("FFD9"))), text.cast("binary")).as("payload"))
+  }
+
+  /** REAL JPEG metadata: walk the marker/segment chain from SOI to the
+    * first SOF frame header (C0–C3: baseline/extended/progressive/
+    * lossless) and read the big-endian u16 height/width at payload
+    * offsets 3/5 — the published JFIF structure, no codec jars. The walk
+    * is per-row imperative logic, so it runs in `mapPartitions` (the
+    * same harness a real decoder needs); malformed streams yield format
+    * 'unknown' with null dimensions — at 100 TB a corrupt payload must
+    * quarantine, not kill the scan. */
+  def jpegMeta(withPayload: DataFrame): DataFrame = {
+    implicit val enc = Encoders.product[JpegMeta]
+    withPayload.select(col("media_id"), col("payload"))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .mapPartitions { it =>
+        it.map { case (id, p) =>
+          def u8(i: Int): Int = p(i) & 0xff
+          def u16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+          var width: Option[Long] = None
+          var height: Option[Long] = None
+          var ok = p.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8
+          if (ok) {
+            var i = 2
+            var done = false
+            while (!done && i + 1 < p.length) {
+              if (u8(i) != 0xff) { ok = false; done = true }
+              else u8(i + 1) match {
+                case 0xd9 => done = true                    // EOI: no SOF seen
+                case m if m == 0x01 || (m >= 0xd0 && m <= 0xd7) =>
+                  i += 2                                    // standalone marker
+                case m =>
+                  if (i + 3 >= p.length) { ok = false; done = true }
+                  else {
+                    val segLen = u16(i + 2)
+                    if (m >= 0xc0 && m <= 0xc3) {           // SOF0–SOF3
+                      if (segLen >= 7 && i + 8 < p.length) {
+                        height = Some(u16(i + 5).toLong)
+                        width = Some(u16(i + 7).toLong)
+                      } else ok = false
+                      done = true
+                    } else i += 2 + segLen
+                  }
+              }
+            }
+          }
+          val found = ok && width.isDefined
+          JpegMeta(id, p.length.toLong,
+            if (found) "jpeg" else "unknown",
+            if (found) width else None,
+            if (found) height else None)
+        }
+      }.toDF()
+  }
+
   /** STUB decode: deterministic fake "decoder" — real implementation
     * would parse the media container here. Kept pure/deterministic so the
     * distributed plumbing around it is testable. */

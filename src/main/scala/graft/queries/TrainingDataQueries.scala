@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
@@ -515,6 +516,53 @@ object TrainingDataQueries {
       val emb = Tables.embeddings(s, dir)
       Similarity.pqTopK(emb, emb.filter(col("vec_id") < 10), 10,
           numSub = 16, numCodes = 32, dim = 64)
+        .orderBy("q_id", "rank")
+    }),
+
+    // Retrieval-quality evaluation AS an operator: per-query recall@10
+    // of the LSH path against the exact brute-force top-10. Both inputs
+    // are deterministic graded queries; the eval is a left join on the
+    // (q_id, c_id) pairs + one partial-aggregable count — the harness a
+    // production ANN deployment runs continuously to watch index drift.
+    "ann_recall_eval" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val qs = emb.filter(col("vec_id") < 10)
+      val exact = Similarity.bruteForceTopK(emb, qs, 10)
+        .select(col("q_id"), col("c_id"))
+      val approx = Similarity.lshTopK(emb, qs, 10)
+        .select(col("q_id").as("aq"), col("c_id").as("ac"))
+      exact.join(approx,
+          col("q_id") === col("aq") && col("c_id") === col("ac"), "left")
+        .groupBy(col("q_id"))
+        .agg(count(col("ac")).as("hits"))
+        .select(col("q_id"), col("hits"),
+          round(col("hits") / 10.0, 6).as("recall"))
+        .orderBy("q_id")
+    }),
+
+    // Reciprocal-rank fusion of two INDEPENDENT retrieval systems (LSH
+    // cosine and PQ/ADC) — the standard hybrid-search combiner
+    // (Cormack et al. 2009): score = Σ 1/(60+rank), no score
+    // calibration needed across systems. A full outer join on the
+    // candidate pairs + one fixed-order expression, then the usual
+    // per-query top-k window; both inputs are compressed/bucketed
+    // retrieval paths, so the fusion adds no corpus scan at all.
+    "ann_rrf_fusion" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val qs = emb.filter(col("vec_id") < 10)
+      val lsh = Similarity.lshTopK(emb, qs, 10)
+        .select(col("q_id"), col("c_id"), col("rank").as("r_lsh"))
+      val pq = Similarity.pqTopK(emb, qs, 10,
+          numSub = 16, numCodes = 32, dim = 64)
+        .select(col("q_id"), col("c_id"), col("rank").as("r_pq"))
+      val fused = lsh.join(pq, Seq("q_id", "c_id"), "full_outer")
+        .select(col("q_id"), col("c_id"),
+          round(coalesce(lit(1.0) / (col("r_lsh") + 60), lit(0.0)) +
+                coalesce(lit(1.0) / (col("r_pq") + 60), lit(0.0)), 6).as("rrf"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("rrf").desc, col("c_id"))
+      fused.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
         .orderBy("q_id", "rank")
     }),
 
@@ -1266,6 +1314,17 @@ object TrainingDataQueries {
           Multimodal.synthesizeAudioPayload(Tables.documents(s, dir), "doc_id", "text"))
         .orderBy("media_id")),
 
+    // The VARIABLE-OFFSET leg: synthesized JPEGs carry an md5-length COM
+    // segment before SOF0, so the frame header sits at a different byte
+    // offset per row — the mapPartitions parser must genuinely walk the
+    // marker/segment chain (fixed-offset peeking cannot pass). The
+    // oracle replays the generator formula; the parser must agree from
+    // the bytes alone.
+    "multimodal_jpeg_meta" -> ((s, dir) =>
+      Multimodal.jpegMeta(
+          Multimodal.synthesizeJpegPayload(Tables.documents(s, dir), "doc_id", "text"))
+        .orderBy("media_id")),
+
     // Stubbed resize: payload re-cut to the byte budget + metadata
     // rewrite. Graded via the payload md5 (fixture text is pure ASCII,
     // so DuckDB's string substring mirrors the byte slice exactly).
@@ -1616,6 +1675,67 @@ object TrainingDataQueries {
          |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
          |                ORDER BY cos_sim DESC, c_id) AS rank FROM sc)
          |SELECT q_id, c_id, cos_sim, rank FROM r WHERE rank <= 10
+         |ORDER BY q_id, rank""".stripMargin,
+
+    "ann_recall_eval" ->
+      s"""WITH $embCte,
+         |q AS (SELECT * FROM e WHERE vec_id < 10),
+         |bf AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         |         round(${cos("q", "c")}, 6) AS cos_sim
+         |       FROM q JOIN e c ON c.vec_id <> q.vec_id),
+         |bfr AS (SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
+         |                ORDER BY cos_sim DESC, c_id) AS rank FROM bf),
+         |bft AS (SELECT q_id, c_id FROM bfr WHERE rank <= 10),
+         |bits AS (SELECT vec_id,
+         |         $lshBitsSql
+         |       FROM e),
+         |bk AS (SELECT vec_id,
+         |       $lshBandKeySql
+         |       FROM bits),
+         |cb AS ($lshBucketsUnion),
+         |cand AS (SELECT DISTINCT q.id AS q_id, c.id AS c_id
+         |         FROM cb c JOIN cb q ON c.band = q.band AND c.band_key = q.band_key
+         |         WHERE q.id < 10 AND q.id <> c.id),
+         |lsc AS (SELECT q_id, c_id, round(${cos("qe", "ce")}, 6) AS cos_sim
+         |        FROM cand JOIN e qe ON qe.vec_id = q_id
+         |                  JOIN e ce ON ce.vec_id = c_id),
+         |lr AS (SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
+         |               ORDER BY cos_sim DESC, c_id) AS rank FROM lsc),
+         |lt AS (SELECT q_id, c_id FROM lr WHERE rank <= 10)
+         |SELECT bft.q_id AS q_id, count(lt.c_id) AS hits,
+         |       round(count(lt.c_id) / 10.0, 6) AS recall
+         |FROM bft LEFT JOIN lt ON lt.q_id = bft.q_id AND lt.c_id = bft.c_id
+         |GROUP BY bft.q_id ORDER BY bft.q_id""".stripMargin,
+
+    "ann_rrf_fusion" ->
+      s"""WITH $embCte,
+         |$pqBaseCtes,
+         |$pqScoreCtes,
+         |pt AS (SELECT q_id, c_id, rank AS r_pq FROM r WHERE rank <= 10),
+         |bits AS (SELECT vec_id,
+         |         $lshBitsSql
+         |       FROM e),
+         |bk AS (SELECT vec_id,
+         |       $lshBandKeySql
+         |       FROM bits),
+         |cb AS ($lshBucketsUnion),
+         |cand AS (SELECT DISTINCT q.id AS q_id, c.id AS c_id
+         |         FROM cb c JOIN cb q ON c.band = q.band AND c.band_key = q.band_key
+         |         WHERE q.id < 10 AND q.id <> c.id),
+         |lsc AS (SELECT q_id, c_id, round(${cos("qe", "ce")}, 6) AS cos_sim
+         |        FROM cand JOIN e qe ON qe.vec_id = q_id
+         |                  JOIN e ce ON ce.vec_id = c_id),
+         |lr AS (SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
+         |               ORDER BY cos_sim DESC, c_id) AS rank FROM lsc),
+         |lt AS (SELECT q_id, c_id, rank AS r_lsh FROM lr WHERE rank <= 10),
+         |f AS (SELECT COALESCE(lt.q_id, pt.q_id) AS q_id,
+         |             COALESCE(lt.c_id, pt.c_id) AS c_id,
+         |             round(COALESCE(1.0::DOUBLE / (lt.r_lsh + 60), 0) +
+         |                   COALESCE(1.0::DOUBLE / (pt.r_pq + 60), 0), 6) AS rrf
+         |      FROM lt FULL JOIN pt ON pt.q_id = lt.q_id AND pt.c_id = lt.c_id),
+         |fr AS (SELECT *, row_number() OVER (PARTITION BY q_id
+         |               ORDER BY rrf DESC, c_id) AS rank FROM f)
+         |SELECT q_id, c_id, rrf, rank FROM fr WHERE rank <= 10
          |ORDER BY q_id, rank""".stripMargin,
 
     "ann_ivf" ->
@@ -2567,6 +2687,20 @@ object TrainingDataQueries {
         |       CAST(nb // (nch * 2) AS BIGINT) AS n_samples,
         |       CAST((nb // (nch * 2)) * 1000 // rate AS BIGINT) AS duration_ms
         |FROM m ORDER BY media_id""".stripMargin,
+
+    // JPEG replay: total bytes = SOI(2) + COM(4 + n) + SOF0(13) + EOI(2)
+    // + body, with n, width, height from the same md5 formulas the
+    // synthesizer folds. The Spark side must recover width/height by
+    // WALKING the segment chain — the COM length varies per row.
+    "multimodal_jpeg_meta" ->
+      """SELECT doc_id AS media_id,
+        |       CAST(octet_length(encode(text)) + 21
+        |            + (('0x' || substr(md5(text), 17, 4))::BIGINT % 16 + 1)
+        |         AS BIGINT) AS n_bytes,
+        |       'jpeg' AS format,
+        |       ('0x' || substr(md5(text), 21, 4))::BIGINT % 1024 + 1 AS width,
+        |       ('0x' || substr(md5(text), 25, 4))::BIGINT % 768 + 1 AS height
+        |FROM documents ORDER BY media_id""".stripMargin,
 
     "q_partition_prune" ->
       """SELECT lang, count(*) AS n_docs,

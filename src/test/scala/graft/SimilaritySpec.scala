@@ -359,4 +359,31 @@ class SimilaritySpec extends SparkSpec {
       Similarity.randomProjection(emb, outDim = 100)
     }
   }
+
+  test("RRF fusion semantics: candidate union, score formula, consensus outranks") {
+    import org.apache.spark.sql.expressions.Window
+    val qs = emb.filter(col("vec_id") < 5)
+    val lsh = Similarity.lshTopK(emb, qs, 10)
+      .select(col("q_id"), col("c_id"), col("rank").as("r_lsh"))
+    val pq = Similarity.pqTopK(emb, qs, 10)
+      .select(col("q_id"), col("c_id"), col("rank").as("r_pq"))
+    val fused = lsh.join(pq, Seq("q_id", "c_id"), "full_outer")
+      .select(col("q_id"), col("c_id"),
+        round(coalesce(lit(1.0) / (col("r_lsh") + 60), lit(0.0)) +
+              coalesce(lit(1.0) / (col("r_pq") + 60), lit(0.0)), 6).as("rrf"),
+        col("r_lsh"), col("r_pq"))
+    val rows = fused.collect()
+    // every fused candidate came from at least one system
+    assert(rows.forall(r => !r.isNullAt(3) || !r.isNullAt(4)))
+    // a candidate in BOTH systems' top-10 outranks any single-system one:
+    // min two-system score 2/70 > max one-system score 1/61
+    val both = rows.filter(r => !r.isNullAt(3) && !r.isNullAt(4)).map(_.getDouble(2))
+    val one = rows.filter(r => r.isNullAt(3) || r.isNullAt(4)).map(_.getDouble(2))
+    if (both.nonEmpty && one.nonEmpty)
+      assert(both.min > one.max, "consensus candidates must dominate")
+    // scores bounded by the k=10 window: [1/70, 2/61]
+    assert(rows.forall { r =>
+      val s = r.getDouble(2); s >= 1.0 / 70 - 1e-9 && s <= 2.0 / 61 + 1e-9
+    })
+  }
 }

@@ -400,6 +400,49 @@ class TextAnalysisSpec extends SparkSpec {
         (col("n_channels") * 2)).cast("long")).count() === 0)
   }
 
+  test("multimodal: jpegMeta walks the segment chain, independent ground truth") {
+    // hand-built literal JPEG with KNOWN dims behind a COM segment of a
+    // DIFFERENT length than the synthesizer would pick — a fixed-offset
+    // parser or a shared synthesis/parse bug cannot pass this
+    def u16be(v: Int): Array[Byte] =
+      Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def seg(marker: Int, payload: Array[Byte]): Array[Byte] =
+      Array(0xff.toByte, marker.toByte) ++ u16be(payload.length + 2) ++ payload
+    val jpg: Array[Byte] =
+      Array(0xff.toByte, 0xd8.toByte) ++
+        seg(0xfe, "a comment of arbitrary length here".getBytes("US-ASCII")) ++
+        seg(0xdb, Array.fill[Byte](65)(3)) ++ // DQT before SOF, as real files have
+        seg(0xc0, Array[Byte](8) ++ u16be(333) ++ u16be(777) ++
+          Array[Byte](1, 1, 0x11, 0)) ++
+        Array(0xff.toByte, 0xd9.toByte)
+    val noSof: Array[Byte] =
+      Array(0xff.toByte, 0xd8.toByte) ++
+        seg(0xfe, "only a comment".getBytes("US-ASCII")) ++
+        Array(0xff.toByte, 0xd9.toByte)
+    val junk: Array[Byte] = "not a jpeg".getBytes("US-ASCII")
+    val truncated: Array[Byte] = Array(0xff.toByte, 0xd8.toByte, 0xff.toByte)
+    val df = Seq((1L, jpg), (2L, noSof), (3L, junk), (4L, truncated))
+      .toDF("media_id", "payload")
+    val got = Multimodal.jpegMeta(df).collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getString(2) === "jpeg")
+    assert(got(1L).getLong(4) === 333L && got(1L).getLong(3) === 777L,
+      "SOF0 stores height THEN width — a swap must fail here")
+    assert(got(2L).getString(2) === "unknown" && got(2L).isNullAt(3))
+    assert(got(3L).getString(2) === "unknown")
+    assert(got(4L).getString(2) === "unknown")
+
+    // synthesized payloads round-trip: parsed dims equal the md5 formula
+    // even though the SOF offset varies with the COM length
+    val parsed = Multimodal.jpegMeta(
+      Multimodal.synthesizeJpegPayload(docs, "doc_id", "text"))
+    val expected = docs.select(col("doc_id").as("media_id"),
+      (conv(substring(md5(col("text")), 21, 4), 16, 10).cast("long") % 1024 + 1).as("width"),
+      (conv(substring(md5(col("text")), 25, 4), 16, 10).cast("long") % 768 + 1).as("height"))
+    assert(parsed.select("media_id", "width", "height")
+      .except(expected).isEmpty, "parsed dims must equal the generator formula")
+    assert(parsed.filter(col("format") === "unknown").count() === 0)
+  }
+
   test("gopherRules: each rule trips on its own violation") {
     val filler = (1 to 60).map(i => s"word$i").mkString(" ")
     val good = "the words be stacked to a height of and beyond that " +
