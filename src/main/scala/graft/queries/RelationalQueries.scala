@@ -26,13 +26,14 @@ object RelationalQueries {
   private val processTag: String =
     java.util.UUID.randomUUID().toString.take(8)
 
-  /** 30-minute-gap sessionization of the events stream (the q_sessionize
-    * pipeline, shared with the sweep-line concurrency query): shuffle
-    * once on user_id, then two window passes over the same partitioning
-    * (no second exchange), then the per-session aggregate. */
-  private def userSessions(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.events(s, dir)
-      .select(col("user_id"), col("event_id"), col("ts_ms"))
+  /** 30-minute-gap sessionization of the events stream, per EVENT: each
+    * event row gains its session_id. Shuffle once on user_id, then two
+    * window passes over the same partitioning (no second exchange).
+    * Shared by q_sessionize / the sweep-line concurrency query / the
+    * event-pattern query. */
+  private def sessionizedEvents(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts_ms"), col("event_type"))
       .withColumn("prev_ms", lag(col("ts_ms"), 1).over(
         Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))))
       .withColumn("new_sess",
@@ -41,11 +42,15 @@ object RelationalQueries {
       .withColumn("session_id", sum(col("new_sess")).over(
         Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    e.groupBy(col("user_id"), col("session_id"))
+
+  /** Per-session aggregate of [[sessionizedEvents]] (the q_sessionize
+    * output shape). */
+  private def userSessions(s: SparkSession, dir: String): DataFrame =
+    sessionizedEvents(s, dir)
+      .groupBy(col("user_id"), col("session_id"))
       .agg(count(lit(1)).as("n_events"),
         min(col("ts_ms")).as("sess_start_ms"),
         max(col("ts_ms")).as("sess_end_ms"))
-  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // TPC-H Q1 shape: scan-heavy partial-agg-friendly aggregation. At scale
@@ -1122,6 +1127,40 @@ object RelationalQueries {
       val vertices = deg.agg(count(lit(1)).as("vertices"))
       val edgeCount = edges.agg(count(lit(1)).as("edges"))
       vertices.crossJoin(edgeCount).crossJoin(triangles)
+    }),
+
+    // Cumulative (running-total) metric over the whole order history —
+    // the balance/rollforward query every ledger runs — via the same
+    // distributed sweep (Sweep.runningSum): daily revenue aggregates in
+    // EXACT integer cents, then a range-partitioned prefix sum. The
+    // naive global-window formulation is a SinglePartition stage; this
+    // is one shuffle + P longs of driver state at any scale.
+    "q_running_total" -> ((s, dir) => {
+      val daily = Tables.orders(s, dir)
+        .groupBy(col("o_orderdate").cast("date").as("day"))
+        .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("day_cents"))
+      Sweep.runningSum(daily, col("day_cents"), "cum_cents", col("day"))
+        .select(col("day"), col("day_cents"), col("cum_cents"))
+        .orderBy(col("day"))
+    }),
+
+    // MATCH_RECOGNIZE-lite: per session, the exact ordered event-type
+    // sequence (one letter per event) and whether it matches the
+    // view→click→purchase conversion pattern. The sequence is built by
+    // array_sort over (ts_ms, event_id, letter) structs INSIDE the
+    // per-session aggregate — deterministic ordered aggregation with one
+    // shuffle on the session key and per-group state bounded by the
+    // session length, never a global sort. The regex runs once per
+    // session row (codegen), not per event.
+    "q_event_pattern" -> ((s, dir) => {
+      val lettered = sessionizedEvents(s, dir)
+        .withColumn("letter", substring(col("event_type"), 1, 1))
+      lettered.groupBy(col("user_id"), col("session_id"))
+        .agg(concat_ws("",
+            expr("transform(array_sort(collect_list(struct(ts_ms, event_id, letter))), x -> x.letter)"))
+          .as("seq"))
+        .withColumn("converted", col("seq").rlike("v.*c.*p"))
+        .orderBy(col("user_id"), col("session_id"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -1764,5 +1803,32 @@ object RelationalQueries {
         |        ORDER BY tt, delta DESC, user_id, session_id, sess_start_ms
         |        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS concurrent FROM d)
         |SELECT user_id, session_id, sess_start_ms, sess_end_ms, concurrent
-        |FROM r WHERE delta = 1 ORDER BY user_id, session_id""".stripMargin)
+        |FROM r WHERE delta = 1 ORDER BY user_id, session_id""".stripMargin,
+    "q_running_total" ->
+      """WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |                  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS day_cents
+        |           FROM orders GROUP BY 1)
+        |SELECT day, day_cents,
+        |       CAST(sum(day_cents) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+        |         AS BIGINT) AS cum_cents
+        |FROM d ORDER BY day""".stripMargin,
+    "q_event_pattern" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, event_type,
+        |         lag(epoch_ms(ts)) OVER (PARTITION BY user_id
+        |                                 ORDER BY epoch_ms(ts), event_id) AS prev_ms
+        |  FROM events),
+        |s AS (
+        |  SELECT *, CASE WHEN prev_ms IS NULL OR ts_ms - prev_ms > 1800000
+        |                 THEN 1 ELSE 0 END AS new_sess FROM e),
+        |t AS (
+        |  SELECT user_id, event_id, ts_ms, event_type,
+        |         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+        |                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM s)
+        |SELECT user_id, session_id,
+        |       string_agg(substr(event_type, 1, 1), '' ORDER BY ts_ms, event_id) AS seq,
+        |       regexp_matches(string_agg(substr(event_type, 1, 1), ''
+        |                        ORDER BY ts_ms, event_id), 'v.*c.*p') AS converted
+        |FROM t GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin)
 }

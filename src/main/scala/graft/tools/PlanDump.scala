@@ -44,7 +44,11 @@ object PlanDump {
     "ann_filtered" -> "the metadata predicate is part of the JOIN KEY (label equality), so filtering precedes scoring — per-label blocks, never a query x corpus cross product",
     "ann_ivf" -> "IVF cell assignment is a partial-aggregable min_by HashAggregate over the broadcast-centroid product (map-side combined to one row per vector) — NOT a Sort+Window+Exchange of N x numCells rows; candidate generation is the cell_id equi-join",
     "ann_filtered_ivfpq" -> "filtered x compressed composite: label equality sits in the candidate JOIN KEY next to cell_id (filtering precedes scoring), IVF probing prunes the scan, and the ADC aggregate reads codes + broadcast LUT only — raw vectors are never shuffled",
-    "q_partition_prune" -> "the source predicate is answered by DIRECTORY pruning on the hive-partitioned layout: the scan shows it under PartitionFilters (no per-row data filter), so only the matching partition's files are listed and read")
+    "q_partition_prune" -> "the source predicate is answered by DIRECTORY pruning on the hive-partitioned layout: the scan shows it under PartitionFilters (no per-row data filter), so only the matching partition's files are listed and read",
+    "q_sweep_concurrency" -> "sweep-line running sum with NO SinglePartition window: the +/-1 delta relation range-partitions once, per-partition folds run in parallel over the SAME RDD instance (offsets = P longs to the driver, shuffle reused between the passes — the scan below is that RDD)",
+    "q_funnel" -> "each funnel step is a partial-aggregable per-user min gated on the previous step via an equi-join on user_id — three HashAggregates + two shuffles on the same key, no sequence window, no per-user sort",
+    "q_triangles" -> "degree-oriented triangle counting: every join is an equi-join (co-occurrence self-join on orderkey, degree attach, wedge self-join on src, closing-edge join on (u,v)); orientation bounds the wedge fan-out by O(sqrt(E)) so no hub explosion",
+    "ann_rrf_fusion" -> "rank fusion = full outer join of two top-k candidate lists (|Q| x k rows each) + one fixed-order score expression + the per-query top-k window — the corpus is never rescanned; both inputs are the compressed/bucketed retrieval paths")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
