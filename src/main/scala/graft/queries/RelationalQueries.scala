@@ -1144,6 +1144,45 @@ object RelationalQueries {
         .orderBy(col("day"))
     }),
 
+    // Cohort retention — the product-analytics matrix: users bucketed
+    // by first-activity week, activity counted per (cohort, week
+    // offset). Two partial-aggregable aggregations + one equi-join on
+    // user_id; the distinct-user count shuffles (cohort, offset,
+    // user_id) keys with map-side dedup. No window, no per-user sort.
+    "q_cohort_retention" -> ((s, dir) => {
+      val weekMs = 604800000L
+      val e = Tables.events(s, dir).select(col("user_id"), col("ts_ms"))
+      val first = e.groupBy(col("user_id"))
+        .agg(min(col("ts_ms")).as("first_ms"))
+        .withColumn("cohort_week", expr(s"first_ms div $weekMs"))
+      e.join(first, "user_id")
+        .withColumn("week_offset",
+          expr(s"(ts_ms div $weekMs) - cohort_week"))
+        .groupBy(col("cohort_week"), col("week_offset"))
+        .agg(countDistinct(col("user_id")).as("active_users"))
+        .orderBy(col("cohort_week"), col("week_offset"))
+    }),
+
+    // Markov transition matrix over session-adjacent event pairs: one
+    // lead() window over the session partitioning (the same single
+    // exchange all session queries share), then a partial-aggregable
+    // pair count; transition probabilities normalize against per-source
+    // totals with a window over the GROUPED counts (|event types|² rows,
+    // bounded by the vocabulary, never the data).
+    "q_transition_matrix" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"), col("session_id"))
+        .orderBy(col("ts_ms"), col("event_id"))
+      val pairs = sessionizedEvents(s, dir)
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+      pairs
+        .withColumn("p", round(col("n") /
+          sum(col("n")).over(Window.partitionBy(col("from_type"))), 6))
+        .orderBy(col("from_type"), col("to_type"))
+    }),
+
     // MATCH_RECOGNIZE-lite: per session, the exact ordered event-type
     // sequence (one letter per event) and whether it matches the
     // view→click→purchase conversion pattern. The sequence is built by
@@ -1804,6 +1843,39 @@ object RelationalQueries {
         |        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS concurrent FROM d)
         |SELECT user_id, session_id, sess_start_ms, sess_end_ms, concurrent
         |FROM r WHERE delta = 1 ORDER BY user_id, session_id""".stripMargin,
+    "q_cohort_retention" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS ts_ms FROM events),
+        |f AS (SELECT user_id, min(ts_ms) // 604800000 AS cohort_week
+        |      FROM e GROUP BY user_id)
+        |SELECT cohort_week, (ts_ms // 604800000) - cohort_week AS week_offset,
+        |       count(DISTINCT e.user_id) AS active_users
+        |FROM e JOIN f USING (user_id)
+        |GROUP BY cohort_week, week_offset
+        |ORDER BY cohort_week, week_offset""".stripMargin,
+    "q_transition_matrix" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, event_type,
+        |         lag(epoch_ms(ts)) OVER (PARTITION BY user_id
+        |                                 ORDER BY epoch_ms(ts), event_id) AS prev_ms
+        |  FROM events),
+        |s AS (
+        |  SELECT *, CASE WHEN prev_ms IS NULL OR ts_ms - prev_ms > 1800000
+        |                 THEN 1 ELSE 0 END AS new_sess FROM e),
+        |t AS (
+        |  SELECT user_id, event_id, ts_ms, event_type,
+        |         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+        |                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM s),
+        |pairs AS (
+        |  SELECT event_type AS from_type,
+        |         lead(event_type) OVER (PARTITION BY user_id, session_id
+        |                                ORDER BY ts_ms, event_id) AS to_type
+        |  FROM t),
+        |cnt AS (SELECT from_type, to_type, count(*) AS n FROM pairs
+        |        WHERE to_type IS NOT NULL GROUP BY from_type, to_type)
+        |SELECT from_type, to_type, n,
+        |       round(n / sum(n) OVER (PARTITION BY from_type), 6) AS p
+        |FROM cnt ORDER BY from_type, to_type""".stripMargin,
     "q_running_total" ->
       """WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day,
         |                  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS day_cents

@@ -3,7 +3,7 @@ package graft.tools
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Similarity, Sweep, TextAnalysis}
 
 /** Empirical scaling probe for the near-dup operators: replicates the
   * sf0.1 documents corpus xN (ids shifted, text perturbed per copy so
@@ -91,6 +91,21 @@ object ScaleProbe {
         f() // warm
         val (rows, sec) = time(f())
         println(f"PROBE x$factor $name docs=${nBase * factor} rows=$rows time=$sec%.2fs")
+      }
+      // Sweep prefix sum at xN intervals: one range exchange +
+      // per-partition folds; driver state is P longs REGARDLESS of N,
+      // so cost must track the interval count linearly. Superlinear
+      // growth would mean a hidden single-partition stage (the exact
+      // failure mode the operator exists to avoid).
+      locally {
+        val iv = df.select(col("doc_id").as("iid"),
+            pmod(col("doc_id") * 37L, lit(1000000L)).as("s"),
+            (pmod(col("doc_id") * 37L, lit(1000000L)) +
+              pmod(length(col("text")).cast("long"), lit(1000L))).as("e"))
+        val sweep = () => Sweep.concurrency(iv, "s", "e", "iid").count()
+        sweep() // warm
+        val (rows, sec) = time(sweep())
+        println(f"PROBE x$factor sweep intervals=${nBase * factor} rows=$rows time=$sec%.2fs")
       }
       // PQ (ann_pq shape) at xN vectors: codebook size is FIXED (32
       // seeds), so encode cost must track the corpus linearly (explode
