@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsOfJoin, Profiling, Skew, Sweep, Upsert}
+import graft.operators.{AsOfJoin, Profiling, Sampling, Skew, Sweep, Upsert}
 import graft.sources.Tables
 
 /** The general relational query surface the reference lacks entirely
@@ -1144,6 +1144,49 @@ object RelationalQueries {
         .orderBy(col("day"))
     }),
 
+    // Last-touch marketing attribution: each purchase is attributed to
+    // the user's most recent preceding click's campaign (props.k) via
+    // the SAME as-of machinery as q_asof_join — one union + one window
+    // over the user partitioning, no inequality-join explosion. Clicks
+    // are pre-deduped to one row per (user, ts) with a max_by tie-break
+    // (the as-of contract requires a unique right key/time), and
+    // revenue aggregates in exact integer cents. Purchases with no
+    // prior click land in the NULL-campaign bucket (organic), pinned
+    // first in the output order on both engines.
+    "q_attribution" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts_ms"), col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k0"))
+        .groupBy(col("user_id"), col("ts_ms"))
+        .agg(expr("max_by(k0, event_id)").as("campaign"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id").as("buyer"),
+          col("ts_ms").as("p_ms"),
+          round(col("value") * 100, 0).cast("long").as("cents"))
+      AsOfJoin.asofLeft(purchases, clicks,
+          "buyer", "p_ms", "user_id", "ts_ms", pick = Seq("campaign"))
+        .groupBy(col("campaign"))
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(col("cents")).as("revenue_cents"))
+        .orderBy(col("campaign").asc_nulls_first)
+    }),
+
+    // GROUP-aware k-fold assignment (GroupKFold semantics): the FOLD is
+    // a pure hash of the GROUP key (source domain), so every document
+    // of a domain lands in the same fold — cross-validation splits that
+    // leak near-duplicate siblings across folds overestimate every
+    // metric. One partial-aggregable pass; fold membership is
+    // reproducible by any engine from the md5 formula.
+    "data_kfold" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("fold", Sampling.hashBucket("source", 5))
+        .groupBy(col("fold"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("source")).as("n_sources"),
+          min(col("doc_id")).as("min_doc"))
+        .orderBy(col("fold"))),
+
     // Cohort retention — the product-analytics matrix: users bucketed
     // by first-activity week, activity counted per (cohort, week
     // offset). Two partial-aggregable aggregations + one equi-join on
@@ -1843,6 +1886,27 @@ object RelationalQueries {
         |        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS concurrent FROM d)
         |SELECT user_id, session_id, sess_start_ms, sess_end_ms, concurrent
         |FROM r WHERE delta = 1 ORDER BY user_id, session_id""".stripMargin,
+    "q_attribution" ->
+      """WITH c0 AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_id,
+        |              CAST(json_extract_string(props, '$.k') AS BIGINT) AS k0
+        |            FROM events WHERE event_type = 'click'),
+        |c AS (SELECT user_id, ts_ms, max_by(k0, event_id) AS campaign
+        |      FROM c0 GROUP BY user_id, ts_ms),
+        |p AS (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
+        |             CAST(round(value * 100) AS BIGINT) AS cents
+        |      FROM events WHERE event_type = 'purchase'),
+        |a AS (SELECT p.cents, c.campaign
+        |      FROM p ASOF LEFT JOIN c
+        |        ON p.user_id = c.user_id AND p.ts_ms >= c.ts_ms)
+        |SELECT campaign, count(*) AS n_purchases,
+        |       CAST(sum(cents) AS BIGINT) AS revenue_cents
+        |FROM a GROUP BY campaign ORDER BY campaign NULLS FIRST""".stripMargin,
+    "data_kfold" ->
+      """SELECT ('0x' || substr(md5(source), 1, 8))::BIGINT % 5 AS fold,
+        |       count(*) AS n_docs,
+        |       count(DISTINCT source) AS n_sources,
+        |       min(doc_id) AS min_doc
+        |FROM documents GROUP BY fold ORDER BY fold""".stripMargin,
     "q_cohort_retention" ->
       """WITH e AS (SELECT user_id, epoch_ms(ts) AS ts_ms FROM events),
         |f AS (SELECT user_id, min(ts_ms) // 604800000 AS cohort_week
