@@ -104,4 +104,20 @@ object OperatorProps extends Properties("Operators") {
           h.filter(_._5).map(t => (t._1, t._2)).sorted &&
         h.map(t => (t._1, t._3)).distinct.size == h.size
     }
+
+  property("Sweep.runningSum equals scanLeft for arbitrary deltas and partitioning") =
+    Prop.forAll(
+      Gen.chooseNum(1, 300).flatMap(n =>
+        Gen.listOfN(n, Gen.chooseNum(-50L, 50L))),
+      Gen.chooseNum(1, 17)) { (deltas, parts) =>
+      val df = deltas.zipWithIndex
+        .map { case (d, i) => (i.toLong, d) }.toDF("k", "delta")
+        .repartition(parts) // result must be placement-independent
+      val got = graft.operators.Sweep
+        .runningSum(df, col("delta"), "run", col("k"))
+        .select("k", "run").as[(Long, Long)].collect()
+        .sortBy(_._1).map(_._2).toList
+      val want = deltas.scanLeft(0L)(_ + _).drop(1)
+      got == want
+    }
 }
