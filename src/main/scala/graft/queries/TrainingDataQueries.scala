@@ -357,6 +357,53 @@ object TrainingDataQueries {
             numHashes = 16, numBands = 4, minEstimate = 0.5))
         .orderBy("node")),
 
+    // Dedup-tuning evaluation AS an operator (the sibling of
+    // ann_recall_eval): precision/recall of the banded MinHash candidate
+    // pairs against the exact df-capped n-gram Jaccard ground truth.
+    // Both inputs are graded operators already; the eval is one full
+    // outer join on the pair keys + one partial-aggregable confusion
+    // count — the harness that tells you whether 16x4 banding at
+    // est>=0.5 is the right operating point BEFORE committing a 100 TB
+    // dedup run to it.
+    "dedup_pair_eval" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val cand = Dedup.minhashPairs(docs, "doc_id", "text")
+        .select(col("doc_a"), col("doc_b"), lit(1).as("m"))
+      val truth = Dedup.shingleJaccardPairs(docs, "doc_id", "text")
+        .select(col("doc_a"), col("doc_b"), lit(1).as("t"))
+      cand.join(truth, Seq("doc_a", "doc_b"), "full_outer")
+        .agg(
+          sum(when(col("m") === 1 && col("t") === 1, 1L).otherwise(0L)).as("tp"),
+          sum(when(col("m") === 1 && col("t").isNull, 1L).otherwise(0L)).as("fp"),
+          sum(when(col("m").isNull && col("t") === 1, 1L).otherwise(0L)).as("fn"))
+        .select(col("tp"), col("fp"), col("fn"),
+          round(col("tp") / (col("tp") + col("fp")), 6).as("precision"),
+          round(col("tp") / (col("tp") + col("fn")), 6).as("recall"))
+    }),
+
+    // Corpus-health histogram of near-dup component sizes (+ the
+    // singleton count as size 1): the first chart every dedup run is
+    // judged by — a giant component means the threshold is too loose,
+    // all-singletons means it is too tight. Two partial-aggregable
+    // groupBys over the component labels + one anti-join for the
+    // never-paired documents; output is bounded by the largest
+    // component size, never the corpus.
+    "dedup_cluster_stats" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val comp = Dedup.connectedComponents(
+        Dedup.minhashPairs(docs, "doc_id", "text"))
+      val sizes = comp.groupBy(col("component")).agg(count(lit(1)).as("size"))
+      val hist = sizes.groupBy(col("size")).agg(count(lit(1)).as("n_components"))
+      val singles = docs
+        .join(comp.select(col("node").as("doc_id")), Seq("doc_id"), "left_anti")
+        .agg(count(lit(1)).as("n_components"))
+        .select(lit(1L).as("size"), col("n_components"))
+      hist.unionByName(singles)
+        .groupBy(col("size"))
+        .agg(sum(col("n_components")).cast("long").as("n_components"))
+        .orderBy(col("size"))
+    }),
+
     // The "emit the cleaned corpus" contract: near-dup pairs → component
     // survivors (min id) + every never-paired document.
     "dedup_survivors" -> ((s, dir) => {
@@ -1468,6 +1515,50 @@ object TrainingDataQueries {
       s"""WITH RECURSIVE $minhashCtes,
          |$componentCtes
          |SELECT node, component FROM comp ORDER BY node""".stripMargin,
+
+    // Confusion counts of banded-candidate pairs vs the exact df-capped
+    // Jaccard ground truth; the exact side renames its CTEs (x-prefix)
+    // to coexist with the minhash chain's w/sh/sig names.
+    "dedup_pair_eval" ->
+      s"""WITH $minhashCtes,
+         |xsh AS (SELECT doc_id,
+         |          unnest(list_distinct(list_transform(
+         |            list_transform(generate_series(1, len(l) - 2),
+         |              i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]),
+         |            q -> ('0x' || substr(md5(q), 1, 12))::BIGINT))) AS shingle
+         |        FROM w),
+         |xshf AS (SELECT doc_id, shingle FROM xsh
+         |         QUALIFY count(*) OVER (PARTITION BY shingle) <= 100),
+         |xn AS (SELECT doc_id, count(*) AS n FROM xshf GROUP BY doc_id),
+         |xc AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+         |       FROM xshf a JOIN xshf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |       GROUP BY 1, 2),
+         |truth AS (SELECT doc_a, doc_b FROM xc
+         |          JOIN xn na ON na.doc_id = doc_a
+         |          JOIN xn nb ON nb.doc_id = doc_b
+         |          WHERE round(c * 1.0 / (na.n + nb.n - c), 4) >= 0.8),
+         |u AS (SELECT m.doc_a IS NOT NULL AS in_m, t.doc_a IS NOT NULL AS in_t
+         |      FROM (SELECT doc_a, doc_b FROM mh_pairs) m
+         |      FULL JOIN truth t ON t.doc_a = m.doc_a AND t.doc_b = m.doc_b),
+         |f AS (SELECT CAST(sum(CASE WHEN in_m AND in_t THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |             CAST(sum(CASE WHEN in_m AND NOT in_t THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |             CAST(sum(CASE WHEN NOT in_m AND in_t THEN 1 ELSE 0 END) AS BIGINT) AS fn
+         |      FROM u)
+         |SELECT tp, fp, fn,
+         |       round(CAST(tp AS DOUBLE) / (tp + fp), 6) AS precision,
+         |       round(CAST(tp AS DOUBLE) / (tp + fn), 6) AS recall
+         |FROM f""".stripMargin,
+
+    "dedup_cluster_stats" ->
+      s"""WITH RECURSIVE $minhashCtes,
+         |$componentCtes,
+         |sizes AS (SELECT component, count(*) AS sz FROM comp GROUP BY component),
+         |hist AS (SELECT sz AS size, count(*) AS n_components FROM sizes GROUP BY sz
+         |         UNION ALL
+         |         SELECT 1 AS size, count(*) AS n_components FROM documents
+         |         WHERE doc_id NOT IN (SELECT node FROM comp))
+         |SELECT size, CAST(sum(n_components) AS BIGINT) AS n_components
+         |FROM hist GROUP BY size ORDER BY size""".stripMargin,
 
     // The cleaned-corpus contract: drop every non-representative member
     // of a near-dup component, keep all never-paired documents.
