@@ -357,6 +357,43 @@ object TrainingDataQueries {
             numHashes = 16, numBands = 4, minEstimate = 0.5))
         .orderBy("node")),
 
+    // Per-source quantile normalization (score calibration): a raw
+    // quality score is only comparable WITHIN a domain — different
+    // sources have different score distributions — so curation
+    // thresholds act on the within-source percent rank instead. One
+    // window per source partition (single shuffle on source, tie-broken
+    // by doc_id so ranks are engine-portable).
+    "data_quantile_normalize" -> ((s, dir) =>
+      TextAnalysis.quality(Tables.documents(s, dir), "doc_id", "text",
+          passthrough = Seq("source"))
+        .select(col("doc_id"), col("source"), col("alpha_ratio"))
+        .withColumn("q_norm", round(percent_rank().over(
+          Window.partitionBy(col("source"))
+            .orderBy(col("alpha_ratio"), col("doc_id"))), 6))
+        .orderBy("doc_id")),
+
+    // N-gram novelty scoring: the fraction of a document's distinct
+    // shingles that appear NOWHERE else in the corpus — the inverse of
+    // boilerplate, the "how much new text does this doc add" curation
+    // signal. One shuffle on the 48-bit shingle hash for the df counts,
+    // one partial-aggregable per-doc rollup; the shingle builder is the
+    // same native codegen expression the dedup path uses.
+    "text_ngram_novelty" -> ((s, dir) => {
+      val sh = Tables.documents(s, dir)
+        .select(col("doc_id"), TextFunctions.words(col("text")).as("w"))
+        .filter(size(col("w")) >= 3)
+        .select(col("doc_id"),
+          explode(graft.plans.ShingleHashes(col("w"))).as("h"))
+      val dfc = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      sh.join(dfc, "h")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_novel"))
+        .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+          round(col("n_novel") / col("n_shingles"), 6).as("novelty"))
+        .orderBy("doc_id")
+    }),
+
     // Dedup-tuning evaluation AS an operator (the sibling of
     // ann_recall_eval): precision/recall of the banded MinHash candidate
     // pairs against the exact df-capped n-gram Jaccard ground truth.
@@ -1515,6 +1552,28 @@ object TrainingDataQueries {
       s"""WITH RECURSIVE $minhashCtes,
          |$componentCtes
          |SELECT node, component FROM comp ORDER BY node""".stripMargin,
+
+    "data_quantile_normalize" ->
+      """WITH qs AS (SELECT doc_id, source,
+        |         round(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0
+        |               / length(text), 4) AS alpha_ratio
+        |       FROM documents)
+        |SELECT doc_id, source, alpha_ratio,
+        |       round(percent_rank() OVER (PARTITION BY source
+        |               ORDER BY alpha_ratio, doc_id), 6) AS q_norm
+        |FROM qs ORDER BY doc_id""".stripMargin,
+
+    "text_ngram_novelty" ->
+      s"""WITH $shingleCte,
+         |hs AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 12))::BIGINT AS h
+         |       FROM sh),
+         |dfc AS (SELECT h, count(*) AS df FROM hs GROUP BY h)
+         |SELECT hs.doc_id, count(*) AS n_shingles,
+         |       CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+         |       round(CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         |             / count(*), 6) AS novelty
+         |FROM hs JOIN dfc USING (h)
+         |GROUP BY hs.doc_id ORDER BY doc_id""".stripMargin,
 
     // Confusion counts of banded-candidate pairs vs the exact df-capped
     // Jaccard ground truth; the exact side renames its CTEs (x-prefix)
