@@ -95,6 +95,25 @@ object TrainingDataQueries {
        |             WHERE est_jaccard >= 0.5)""".stripMargin
   private val minhashCtes = minhashCtesFrom("documents")
 
+  /** Per-doc shingle novelty (shared by `text_ngram_novelty` and
+    * `pipeline_curation_v3`): distinct-shingle hashes → corpus df →
+    * fraction with df = 1. Docs under 3 words have no shingles and are
+    * absent from the output. */
+  private def ngramNovelty(docs: DataFrame): DataFrame = {
+    val sh = docs
+      .select(col("doc_id"), TextFunctions.words(col("text")).as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"),
+        explode(graft.plans.ShingleHashes(col("w"))).as("h"))
+    val dfc = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    sh.join(dfc, "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_novel"))
+      .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+        round(col("n_novel") / col("n_shingles"), 6).as("novelty"))
+  }
+
   /** Per-source epoch weights for `data_epochs` — ONE definition feeds
     * both the Spark config map and the oracle's VALUES list. */
   private val epochConfig: Seq[(String, Double)] =
@@ -378,19 +397,39 @@ object TrainingDataQueries {
     // signal. One shuffle on the 48-bit shingle hash for the df counts,
     // one partial-aggregable per-doc rollup; the shingle builder is the
     // same native codegen expression the dedup path uses.
-    "text_ngram_novelty" -> ((s, dir) => {
-      val sh = Tables.documents(s, dir)
-        .select(col("doc_id"), TextFunctions.words(col("text")).as("w"))
-        .filter(size(col("w")) >= 3)
-        .select(col("doc_id"),
-          explode(graft.plans.ShingleHashes(col("w"))).as("h"))
-      val dfc = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
-      sh.join(dfc, "h")
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_shingles"),
-          sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_novel"))
-        .select(col("doc_id"), col("n_shingles"), col("n_novel"),
-          round(col("n_novel") / col("n_shingles"), 6).as("novelty"))
+    "text_ngram_novelty" -> ((s, dir) =>
+      ngramNovelty(Tables.documents(s, dir))
+        .orderBy("doc_id")),
+
+    // Curation v3 — composes THIS round's signals end-to-end: exact
+    // dedup (min-id per text) → minhash component losers removed →
+    // per-source quantile-normalized quality gate (q_norm >= 0.2) →
+    // corpus novelty gate (>= 0.3; the inner join doubles as the
+    // 3-word minimum, since shorter docs have no shingles). Every stage
+    // is a graded operator in its own right; the pipeline is their
+    // join-composition with no new shuffle shapes.
+    "pipeline_curation_v3" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val keepers = docs.groupBy(col("text"))
+        .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+      val losers = Dedup.connectedComponents(
+          Dedup.minhashPairs(docs, "doc_id", "text"))
+        .filter(col("node") =!= col("component"))
+        .select(col("node").as("doc_id"))
+      val qn = TextAnalysis.quality(docs, "doc_id", "text",
+          passthrough = Seq("source"))
+        .select(col("doc_id"), col("source"), col("alpha_ratio"))
+        .withColumn("q_norm", round(percent_rank().over(
+          Window.partitionBy(col("source"))
+            .orderBy(col("alpha_ratio"), col("doc_id"))), 6))
+        .select("doc_id", "q_norm")
+      docs.select("doc_id", "source")
+        .join(keepers, "doc_id")
+        .join(losers, Seq("doc_id"), "left_anti")
+        .join(qn, "doc_id")
+        .join(ngramNovelty(docs).select("doc_id", "novelty"), "doc_id")
+        .filter(col("q_norm") >= 0.2 && col("novelty") >= 0.3)
+        .select("doc_id", "source")
         .orderBy("doc_id")
     }),
 
@@ -1574,6 +1613,32 @@ object TrainingDataQueries {
          |             / count(*), 6) AS novelty
          |FROM hs JOIN dfc USING (h)
          |GROUP BY hs.doc_id ORDER BY doc_id""".stripMargin,
+
+    "pipeline_curation_v3" ->
+      s"""WITH RECURSIVE $minhashCtes,
+         |$componentCtes,
+         |keepers AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+         |qn AS (SELECT doc_id,
+         |         round(percent_rank() OVER (PARTITION BY source
+         |                 ORDER BY alpha_ratio, doc_id), 6) AS q_norm
+         |       FROM (SELECT doc_id, source,
+         |               round(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0
+         |                     / length(text), 4) AS alpha_ratio
+         |             FROM documents) q0),
+         |hs AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 12))::BIGINT AS h
+         |       FROM sh),
+         |dfc AS (SELECT h, count(*) AS df FROM hs GROUP BY h),
+         |nov AS (SELECT hs.doc_id,
+         |          round(CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         |                / count(*), 6) AS novelty
+         |        FROM hs JOIN dfc USING (h) GROUP BY hs.doc_id)
+         |SELECT d.doc_id, d.source FROM documents d
+         |JOIN keepers k ON k.doc_id = d.doc_id
+         |JOIN qn ON qn.doc_id = d.doc_id
+         |JOIN nov ON nov.doc_id = d.doc_id
+         |WHERE d.doc_id NOT IN (SELECT node FROM losers)
+         |  AND qn.q_norm >= 0.2 AND nov.novelty >= 0.3
+         |ORDER BY d.doc_id""".stripMargin,
 
     // Confusion counts of banded-candidate pairs vs the exact df-capped
     // Jaccard ground truth; the exact side renames its CTEs (x-prefix)
