@@ -1129,6 +1129,33 @@ object RelationalQueries {
       vertices.crossJoin(edgeCount).crossJoin(triangles)
     }),
 
+    // SQL null-semantics traps as a graded contract: NOT IN against a
+    // NULL-containing subquery is empty BY DEFINITION (three-valued
+    // logic — the comparison is never true, never false), NOT EXISTS
+    // with the same predicate returns real rows, and null-safe equality
+    // (<=> / IS NOT DISTINCT FROM) additionally matches the NULL-NULL
+    // pairs. An engine that "fixes" any of these silently corrupts
+    // every anti-join built on them; both engines must agree on all
+    // five counts. Catalyst plans the legs as broadcast null-aware
+    // anti/semi joins — no per-row subquery execution.
+    "q_null_semantics" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"),
+          nullif(get_json_object(col("props"), "$.k").cast("long") % 10, lit(0))
+            .as("b"))
+        .createOrReplaceTempView("ns_base")
+      s.sql("""
+        WITH probe AS (SELECT DISTINCT nullif(user_id % 10, 3) AS p FROM ns_base)
+        SELECT r.n_rows, r.n_b_notnull, ni.n_not_in, ne.n_not_exists, nsf.n_nullsafe
+        FROM (SELECT count(*) AS n_rows, count(b) AS n_b_notnull FROM ns_base) r,
+             (SELECT count(*) AS n_not_in FROM ns_base
+              WHERE b NOT IN (SELECT p FROM probe)) ni,
+             (SELECT count(*) AS n_not_exists FROM ns_base t
+              WHERE NOT EXISTS (SELECT 1 FROM probe WHERE p = t.b)) ne,
+             (SELECT count(*) AS n_nullsafe FROM ns_base t
+              WHERE EXISTS (SELECT 1 FROM probe WHERE p <=> t.b)) nsf""")
+    }),
+
     // Cumulative (running-total) metric over the whole order history —
     // the balance/rollforward query every ledger runs — via the same
     // distributed sweep (Sweep.runningSum): daily revenue aggregates in
@@ -1940,6 +1967,20 @@ object RelationalQueries {
         |SELECT from_type, to_type, n,
         |       round(n / sum(n) OVER (PARTITION BY from_type), 6) AS p
         |FROM cnt ORDER BY from_type, to_type""".stripMargin,
+    "q_null_semantics" ->
+      """WITH b0 AS (SELECT event_id, user_id,
+        |         nullif(CAST(json_extract_string(props, '$.k') AS BIGINT) % 10, 0) AS b
+        |       FROM events),
+        |probe AS (SELECT DISTINCT nullif(user_id % 10, 3) AS p FROM b0)
+        |SELECT r.n_rows, r.n_b_notnull, ni.n_not_in, ne.n_not_exists, nsf.n_nullsafe
+        |FROM (SELECT count(*) AS n_rows, count(b) AS n_b_notnull FROM b0) r,
+        |     (SELECT count(*) AS n_not_in FROM b0
+        |      WHERE b NOT IN (SELECT p FROM probe)) ni,
+        |     (SELECT count(*) AS n_not_exists FROM b0 t
+        |      WHERE NOT EXISTS (SELECT 1 FROM probe WHERE p = t.b)) ne,
+        |     (SELECT count(*) AS n_nullsafe FROM b0 t
+        |      WHERE EXISTS (SELECT 1 FROM probe
+        |                    WHERE p IS NOT DISTINCT FROM t.b)) nsf""".stripMargin,
     "q_running_total" ->
       """WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day,
         |                  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS day_cents
