@@ -48,7 +48,8 @@ object PlanDump {
     "q_sweep_concurrency" -> "sweep-line running sum with NO SinglePartition window: the +/-1 delta relation range-partitions once, per-partition folds run in parallel over the SAME RDD instance (offsets = P longs to the driver, shuffle reused between the passes — the scan below is that RDD)",
     "q_funnel" -> "each funnel step is a partial-aggregable per-user min gated on the previous step via an equi-join on user_id — three HashAggregates + two shuffles on the same key, no sequence window, no per-user sort",
     "q_triangles" -> "degree-oriented triangle counting: every join is an equi-join (co-occurrence self-join on orderkey, degree attach, wedge self-join on src, closing-edge join on (u,v)); orientation bounds the wedge fan-out by O(sqrt(E)) so no hub explosion",
-    "ann_rrf_fusion" -> "rank fusion = full outer join of two top-k candidate lists (|Q| x k rows each) + one fixed-order score expression + the per-query top-k window — the corpus is never rescanned; both inputs are the compressed/bucketed retrieval paths")
+    "ann_rrf_fusion" -> "rank fusion = full outer join of two top-k candidate lists (|Q| x k rows each) + one fixed-order score expression + the per-query top-k window — the corpus is never rescanned; both inputs are the compressed/bucketed retrieval paths",
+    "q_null_semantics" -> "the NOT IN leg plans as BroadcastNestedLoopJoin LeftAnti with the null-aware single-column condition (Spark's null-aware anti join), NOT EXISTS as a plain broadcast anti join, and <=> as a null-safe broadcast semi join — three different join operators for three different null contracts")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
