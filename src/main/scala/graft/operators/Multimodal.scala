@@ -8,19 +8,28 @@ import org.apache.spark.sql.types._
   * video bytes) with typed metadata, plus decode / feature-extraction
   * operators shaped for distributed execution.
   *
-  * The Spark-side mechanics here are real and tested — schema, per-
-  * partition batched iteration, deterministic output shape. The actual
-  * media decode is STUBBED (`decodeStub`): this container has no image/
-  * audio codecs, so the stub derives a deterministic fake from the bytes.
-  * In production, swap `decodeStub` for a real decoder (e.g. javacv /
-  * TwelveMonkeys inside `mapPartitions`, initialized once per partition —
-  * exactly the batch shape used below).
+  * The decode path is REAL: payloads are genuine PNG files (synthesized
+  * with the JDK's `ImageIO.write` from a closed-form pixel formula) and
+  * every downstream operator — [[decodeImageStats]], [[resize]],
+  * [[sampleFrames]], [[extractFeatures]] — round-trips through
+  * `javax.imageio.ImageIO.read`, the same per-partition-batched
+  * `mapPartitions` harness a heavier codec (javacv / TwelveMonkeys)
+  * would plug into. The closed-form pixel formula is what makes the
+  * result GRADEABLE: the DuckDB oracle recomputes the expected pixel
+  * sums arithmetically, so a mis-decoded byte anywhere in the
+  * encode→decode→scale→encode→decode chain flips the hash.
   */
 object Multimodal {
 
-  /** A decoded media record: id, raw payload size, and an extracted
-    * fixed-width feature vector. */
-  case class MediaFeatures(media_id: Long, n_bytes: Int, features: Array[Float])
+  // ImageIO's default scratch-file cache writes every encode/decode
+  // through java.io.tmpdir — at 100 TB that is a disk-bound decode. All
+  // payloads here are in-memory byte arrays; keep the codec in memory.
+  javax.imageio.ImageIO.setUseCache(false)
+
+  /** A decoded media record: id, decoded pixel count, and an extracted
+    * fixed-width feature vector (luminance histogram — integer counts,
+    * exact). */
+  case class MediaFeatures(media_id: Long, n_pixels: Int, features: Array[Float])
 
   /** Attach a binary payload + metadata struct to a text table, standing
     * in for real media bytes (fixtures carry no true media). Metadata
@@ -243,6 +252,8 @@ object Multimodal {
             while (!done && i + 1 < p.length) {
               if (u8(i) != 0xff) { ok = false; done = true }
               else u8(i + 1) match {
+                case 0xff => i += 1                         // fill byte: markers
+                                                            // may be 0xFF-padded
                 case 0xd9 => done = true                    // EOI: no SOF seen
                 case m if m == 0x01 || (m >= 0xd0 && m <= 0xd7) =>
                   i += 2                                    // standalone marker
@@ -270,68 +281,259 @@ object Multimodal {
       }.toDF()
   }
 
-  /** STUB decode: deterministic fake "decoder" — real implementation
-    * would parse the media container here. Kept pure/deterministic so the
-    * distributed plumbing around it is testable. */
-  private def decodeStub(payload: Array[Byte], dim: Int): Array[Float] = {
-    // ??? <- real media decode goes here; deterministic fake instead:
-    val out = new Array[Float](dim)
-    var i = 0
-    while (i < payload.length) {
-      out(i % dim) += (payload(i) & 0xff) / 255.0f
-      i += 1
+  // ---- REAL decode: genuine PNGs through javax.imageio --------------
+
+  /** Closed-form pixel formula for the synthesized real PNGs. Dimensions
+    * and channel values derive from (id, x, y) alone so the DuckDB
+    * oracle can recompute exact per-channel pixel sums arithmetically:
+    * w = id%29+4 ∈ [4,32], h = id%23+4 ∈ [4,26], and with x<32, y<26
+    * every channel stays < 256 (no mod wrap → closed-form sums):
+    * r = 3x+5y+(id+t)%7 ≤ 93+125+6, g = 2x+7y+(id+t)%11 ≤ 247,
+    * b = x+4y+(id+t)%13 ≤ 143. `t` is the frame index (0 for stills). */
+  private[graft] def formulaDims(id: Long): (Int, Int) =
+    ((id % 29 + 4).toInt, (id % 23 + 4).toInt)
+  private[graft] def formulaRgb(id: Long, t: Int, x: Int, y: Int): Int = {
+    val r = 3 * x + 5 * y + ((id + t) % 7).toInt
+    val g = 2 * x + 7 * y + ((id + t) % 11).toInt
+    val b = x + 4 * y + ((id + t) % 13).toInt
+    (r << 16) | (g << 8) | b
+  }
+
+  /** Encode one formula frame as a REAL PNG via `ImageIO.write`. */
+  private def encodeFormulaPng(id: Long, t: Int): Array[Byte] = {
+    val (w, h) = formulaDims(id)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, formulaRgb(id, t, x, y)); x += 1 }
+      y += 1
     }
-    out
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
   }
 
-  /** STUB resize: real codecs would decode → scale → re-encode; the stub
-    * deterministically re-cuts the payload to the target byte budget and
-    * rewrites the metadata — keeping the column-level contract (payload +
-    * meta stay consistent) testable. Pure column expressions: resize at
-    * scan speed, no shuffle. */
-  def resize(withBinary: DataFrame, width: Int, height: Int): DataFrame = {
-    val budget = (width.toLong * height.toLong / 256L).toInt max 1
-    withBinary.select(
-      col("media_id"),
-      // ??? <- real decode+scale+encode goes here (no codecs in build)
-      substring(col("payload"), 1, budget).as("payload"),
-      struct(
-        least(col("meta.n_bytes"), lit(budget)).as("n_bytes"),
-        lit(width.toLong).as("width"),
-        lit(height.toLong).as("height")).as("meta"))
+  /** Synthesize a REAL PNG payload per row — `ImageIO.write` over a
+    * `BufferedImage` filled from the closed-form pixel formula. Runs in
+    * `mapPartitions` (per-row imperative encode, codec shared per task);
+    * downstream decode operators prove themselves against the oracle's
+    * arithmetic replay of the same formula. */
+  def synthesizeRealPng(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("media_id"))
+      .as(Encoders.scalaLong)
+      .mapPartitions { it => it.map(id => (id, encodeFormulaPng(id, 0))) }
+      .toDF("media_id", "payload")
   }
 
-  /** STUB frame sampling: emit `n` evenly-spaced "frames" per media row
-    * (posexplode over a sequence — one output row per frame, the shape a
-    * real video pipeline needs). Frame payload is a deterministic slice;
-    * a real decoder would seek + decode the keyframe here. */
-  def sampleFrames(withBinary: DataFrame, n: Int): DataFrame = {
-    // n=0 would make Spark's sequence(0, -1) emit a DESCENDING [0, -1]
-    // (two bogus frames) and divide by zero in the slice arithmetic
-    require(n > 0, s"frame count must be positive, got $n")
-    withBinary
-      .select(col("media_id"), col("payload"),
-        posexplode(expr(s"sequence(0, ${n - 1})")).as(Seq("frame_idx", "__f")))
-      .select(
-        col("media_id"), col("frame_idx"),
-        // ??? <- real keyframe seek+decode; deterministic slice instead
-        expr(s"substr(payload, cast(frame_idx * (length(payload) div $n) + 1 as int), 16)")
-          .as("frame_bytes"))
+  /** A "video" payload: `nFrames` complete PNG files concatenated —
+    * the MJPEG pattern (independent per-frame stills back to back) with
+    * PNG as the lossless per-frame codec. [[sampleFrames]] must find the
+    * frame boundaries by genuinely walking the PNG chunk structure. */
+  def synthesizeFrameStream(df: DataFrame, idCol: String, nFrames: Int): DataFrame = {
+    require(nFrames > 0, s"frame count must be positive, got $nFrames")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("media_id"))
+      .as(Encoders.scalaLong)
+      .mapPartitions { it =>
+        it.map { id =>
+          val bos = new java.io.ByteArrayOutputStream()
+          var t = 0
+          while (t < nFrames) { bos.write(encodeFormulaPng(id, t)); t += 1 }
+          (id, bos.toByteArray)
+        }
+      }.toDF("media_id", "payload")
   }
 
-  /** Per-partition batched feature extraction over the binary column.
-    * `mapPartitions` (not a per-row UDF) so a real decoder can amortize
-    * its init cost per task — the standard shape for Pandas-UDF-style
-    * batch inference, expressed natively in Scala. */
-  def extractFeatures(withBinary: DataFrame,
-                      dim: Int = 16): Dataset[MediaFeatures] = {
-    implicit val enc = Encoders.product[MediaFeatures]
-    withBinary.select(col("media_id"), col("payload"))
+  /** Decoded-image stats: id, dims, exact per-channel pixel sums. */
+  case class ImageStats(media_id: Long, format: String,
+                        width: Option[Long], height: Option[Long],
+                        sum_r: Option[Long], sum_g: Option[Long],
+                        sum_b: Option[Long])
+
+  private def statsOf(id: Long, img: java.awt.image.BufferedImage): ImageStats = {
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val p = img.getRGB(x, y)
+        sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    ImageStats(id, "png", Some(img.getWidth.toLong), Some(img.getHeight.toLong),
+      Some(sr), Some(sg), Some(sb))
+  }
+
+  /** REAL image decode: `ImageIO.read` each payload and report exact
+    * width/height/per-channel pixel sums. `mapPartitions` so a heavier
+    * codec amortizes init per task; an unreadable payload quarantines as
+    * format 'unknown' with null stats — at 100 TB a corrupt image must
+    * never kill the scan. */
+  def decodeImageStats(withPayload: DataFrame): Dataset[ImageStats] = {
+    implicit val enc = Encoders.product[ImageStats]
+    withPayload.select(col("media_id"), col("payload"))
       .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
       .mapPartitions { it =>
-        // per-partition init of a real decoder would happen here
-        it.map { case (id, payload) =>
-          MediaFeatures(id, payload.length, decodeStub(payload, dim))
+        it.map { case (id, p) =>
+          val img = try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
+                    catch { case _: Exception => null }
+          if (img == null) ImageStats(id, "unknown", None, None, None, None, None)
+          else statsOf(id, img)
+        }
+      }
+  }
+
+  /** REAL resize: decode with `ImageIO.read`, nearest-neighbor scale to
+    * `width`×`height` (source pixel = (x·w)/W, (y·h)/H, floor — the
+    * documented mapping the oracle replays), re-encode with
+    * `ImageIO.write` as PNG. The graded query decodes the RE-ENCODED
+    * payload again, so the whole decode→scale→encode→decode chain must
+    * be lossless. Unreadable payloads pass through null (quarantine). */
+  def resize(withPayload: DataFrame, width: Int, height: Int): DataFrame = {
+    require(width > 0 && height > 0, s"target dims must be positive: $width x $height")
+    val spark = withPayload.sparkSession
+    import spark.implicits._
+    withPayload.select(col("media_id"), col("payload"))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .mapPartitions { it =>
+        it.map { case (id, p) =>
+          val img = try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
+                    catch { case _: Exception => null }
+          if (img == null) (id, null: Array[Byte])
+          else {
+            val out = new java.awt.image.BufferedImage(
+              width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < height) {
+              val sy = y * img.getHeight / height
+              var x = 0
+              while (x < width) {
+                out.setRGB(x, y, img.getRGB(x * img.getWidth / width, sy))
+                x += 1
+              }
+              y += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(out, "png", bos)
+            (id, bos.toByteArray)
+          }
+        }
+      }.toDF("media_id", "payload")
+  }
+
+  /** Per-frame decoded stats ([[sampleFrames]]): `src_frame` is which of
+    * the stream's frames this sample came from. */
+  case class FrameStats(media_id: Long, frame_idx: Int, src_frame: Int,
+                        width: Long, height: Long,
+                        sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** Split a concatenated-PNG stream into complete per-frame byte
+    * ranges by WALKING the published PNG structure: 8-byte signature,
+    * then chunks of (u32-BE length, 4-byte type, data, 4-byte CRC)
+    * until IEND closes the frame. Stops cleanly at a malformed tail. */
+  private[graft] def pngFrameRanges(p: Array[Byte]): Seq[(Int, Int)] = {
+    def u32(i: Int): Long =
+      ((p(i) & 0xffL) << 24) | ((p(i + 1) & 0xffL) << 16) |
+        ((p(i + 2) & 0xffL) << 8) | (p(i + 3) & 0xffL)
+    val sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    var i = 0
+    var ok = true
+    while (ok && i + 8 <= p.length) {
+      ok = (0 until 8).forall(k => (p(i + k) & 0xff) == sig(k))
+      if (ok) {
+        val start = i
+        var j = i + 8
+        var closed = false
+        while (ok && !closed) {
+          if (j + 8 > p.length) ok = false
+          else {
+            val len = u32(j)
+            val typ = new String(p, j + 4, 4, "US-ASCII")
+            val next = j + 8 + len.toInt + 4
+            if (len > Int.MaxValue - 16 || next > p.length) ok = false
+            else { if (typ == "IEND") closed = true; j = next }
+          }
+        }
+        if (ok) { out += ((start, j)); i = j }
+      }
+    }
+    out.toSeq
+  }
+
+  /** REAL frame sampling: walk the concatenated-PNG stream's chunk
+    * structure to index the frames, pick `n` evenly spaced ones
+    * (src = ⌊i·T/n⌋ — a video pipeline's keyframe stride), decode each
+    * with `ImageIO.read`, and emit one decoded-stats row per sampled
+    * frame — the one-row-per-frame shape downstream training pipelines
+    * consume. Malformed streams simply yield fewer (or zero) frames. */
+  def sampleFrames(withPayload: DataFrame, n: Int): Dataset[FrameStats] = {
+    require(n > 0, s"frame count must be positive, got $n")
+    implicit val enc = Encoders.product[FrameStats]
+    withPayload.select(col("media_id"), col("payload"))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .mapPartitions { it =>
+        it.flatMap { case (id, p) =>
+          val ranges = pngFrameRanges(p)
+          val total = ranges.length
+          (0 until (n min total)).iterator.flatMap { k =>
+            val src = k * total / n
+            val (s0, e0) = ranges(src)
+            val img = try javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(p.slice(s0, e0)))
+            catch { case _: Exception => null }
+            if (img == null) None
+            else {
+              val st = statsOf(id, img)
+              Some(FrameStats(id, k, src, st.width.get, st.height.get,
+                st.sum_r.get, st.sum_g.get, st.sum_b.get))
+            }
+          }
+        }
+      }
+  }
+
+  /** Per-partition batched feature extraction over REAL decoded pixels:
+    * `ImageIO.read`, then a `dim`-bin luminance histogram (bin =
+    * ⌊(r+g+b)/3⌋·dim/256 — integer counts, so the vector is exact and
+    * oracle-replayable). `mapPartitions` (not a per-row UDF) so the
+    * decoder amortizes init per task — the Pandas-UDF batch-inference
+    * shape, expressed natively in Scala. Undecodable payloads emit an
+    * all-zero vector with n_pixels 0 (quarantine). */
+  def extractFeatures(withPayload: DataFrame,
+                      dim: Int = 16): Dataset[MediaFeatures] = {
+    require(dim > 0 && dim <= 256, s"histogram dim must be in [1,256], got $dim")
+    implicit val enc = Encoders.product[MediaFeatures]
+    withPayload.select(col("media_id"), col("payload"))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .mapPartitions { it =>
+        it.map { case (id, p) =>
+          val img = try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
+                    catch { case _: Exception => null }
+          val hist = new Array[Float](dim)
+          var np = 0
+          if (img != null) {
+            np = img.getWidth * img.getHeight
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                val px = img.getRGB(x, y)
+                val luma = (((px >> 16) & 0xff) + ((px >> 8) & 0xff) + (px & 0xff)) / 3
+                hist(luma * dim / 256) += 1f
+                x += 1
+              }
+              y += 1
+            }
+          }
+          MediaFeatures(id, np, hist)
         }
       }
   }

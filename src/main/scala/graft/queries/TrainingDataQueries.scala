@@ -1476,39 +1476,58 @@ object TrainingDataQueries {
         .orderBy("lang")
     }),
 
-    "multimodal_resize" -> ((s, dir) =>
-      Multimodal.resize(
-          Multimodal.attachBinary(Tables.documents(s, dir), "doc_id", "text"),
-          width = 320, height = 240)
-        .select(col("media_id"), col("meta.n_bytes").as("n_bytes"),
-          col("meta.width").as("width"), col("meta.height").as("height"),
-          md5(col("payload")).as("payload_md5"))
+    // REAL image decode: payloads are genuine PNGs (ImageIO.write of a
+    // closed-form pixel formula); the query ImageIO.read-decodes them
+    // and reports exact per-channel pixel sums, which the oracle
+    // recomputes ARITHMETICALLY from the formula — any mis-decoded
+    // byte anywhere flips the hash.
+    "multimodal_decode" -> ((s, dir) =>
+      Multimodal.decodeImageStats(
+          Multimodal.synthesizeRealPng(Tables.documents(s, dir), "doc_id"))
+        .toDF()
         .orderBy("media_id")),
 
-    // Stubbed frame sampling: n evenly-spaced slices per media row — the
-    // one-row-per-frame shape a video pipeline needs.
+    // REAL resize: decode → nearest-neighbor scale to 8×6 → RE-ENCODE
+    // as PNG → decode AGAIN for grading. The oracle replays the
+    // nearest-neighbor source mapping (⌊x'·w/W⌋) over the pixel
+    // formula, so the whole decode→scale→encode→decode chain must be
+    // lossless and offset-exact.
+    "multimodal_resize" -> ((s, dir) =>
+      Multimodal.decodeImageStats(
+          Multimodal.resize(
+            Multimodal.synthesizeRealPng(Tables.documents(s, dir), "doc_id"),
+            width = 8, height = 6))
+        .toDF()
+        .orderBy("media_id")),
+
+    // REAL frame sampling: the payload is 4 complete PNGs concatenated
+    // (the MJPEG pattern); sampleFrames must WALK the PNG chunk
+    // structure to find frame boundaries, stride-select 2 of 4, and
+    // ImageIO-decode each — graded on per-frame dims + channel sums
+    // (frame t shifts the formula's constant term, so decoding the
+    // wrong frame flips the hash).
     "multimodal_frames" -> ((s, dir) =>
       Multimodal.sampleFrames(
-          Multimodal.attachBinary(Tables.documents(s, dir), "doc_id", "text"),
-          n = 4)
-        .select(col("media_id"), col("frame_idx"),
-          length(col("frame_bytes")).as("n_bytes"),
-          md5(col("frame_bytes")).as("frame_md5"))
+          Multimodal.synthesizeFrameStream(Tables.documents(s, dir), "doc_id",
+            nFrames = 4),
+          n = 2)
+        .toDF()
         .orderBy("media_id", "frame_idx")),
 
-    // Binary decode + feature extraction (stubbed decoder). The graded
-    // projection is integer-exact scalars that flow THROUGH the
-    // mapPartitions decode (n_bytes and dim come out of the Dataset, not
-    // recomputed) — the float feature values themselves are float32
-    // accumulations no other engine reproduces bit-exactly, and the
-    // driver's pandas sort cannot hash an array column anyway. The full
-    // features stay on the ungraded Dataset API (asserted in
-    // MultimodalSpec).
+    // REAL feature extraction: ImageIO decode + 16-bin luminance
+    // histogram (integer counts — exact). Graded: pixel count, dim, and
+    // the bin-weighted checksum Σ bin·count, all flowing THROUGH the
+    // decoded histogram; the oracle rebuilds the histogram per-pixel
+    // from the formula. The float vector itself stays on the Dataset
+    // API (asserted in TextAnalysisSpec).
     "multimodal_features" -> ((s, dir) =>
       Multimodal.extractFeatures(
-          Multimodal.attachBinary(Tables.documents(s, dir), "doc_id", "text"))
+          Multimodal.synthesizeRealPng(Tables.documents(s, dir), "doc_id"))
         .toDF()
-        .select(col("media_id"), col("n_bytes"), size(col("features")).as("dim"))
+        .select(col("media_id"), col("n_pixels"), size(col("features")).as("dim"),
+          expr("cast(aggregate(zip_with(features, sequence(0, size(features)-1)," +
+            " (c, i) -> c * i), cast(0 as double), (a, x) -> a + x) as long)")
+            .as("hist_checksum"))
         .orderBy("media_id")))
 
   // --- generated ANN oracle fragments -------------------------------
@@ -2924,27 +2943,73 @@ object TrainingDataQueries {
         |WHERE source = (SELECT min(source) FROM documents)
         |GROUP BY lang ORDER BY lang""".stripMargin,
 
-    // Fixture text is pure ASCII (asserted against octet_length), so
-    // byte slices of the payload are replayable as string substrings.
+    // Arithmetic replay of the closed-form pixel formula the real-PNG
+    // synthesizer rasterizes: w = id%29+4, h = id%23+4, per-channel
+    // sums in closed form (Σ3x = 3·h·w(w−1)/2 etc.; no mod wrap since
+    // every channel value < 256 by construction). The Spark side must
+    // reproduce these by actually ImageIO-decoding the PNG bytes.
+    "multimodal_decode" ->
+      """WITH m AS (SELECT doc_id, doc_id % 29 + 4 AS w, doc_id % 23 + 4 AS h
+        |           FROM documents)
+        |SELECT doc_id AS media_id, 'png' AS format,
+        |       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |       CAST(3 * h * (w * (w-1) // 2) + 5 * w * (h * (h-1) // 2)
+        |            + w * h * (doc_id % 7) AS BIGINT) AS sum_r,
+        |       CAST(2 * h * (w * (w-1) // 2) + 7 * w * (h * (h-1) // 2)
+        |            + w * h * (doc_id % 11) AS BIGINT) AS sum_g,
+        |       CAST(1 * h * (w * (w-1) // 2) + 4 * w * (h * (h-1) // 2)
+        |            + w * h * (doc_id % 13) AS BIGINT) AS sum_b
+        |FROM m ORDER BY media_id""".stripMargin,
+
+    // Nearest-neighbor replay: target 8×6, source pixel (⌊x'·w/8⌋,
+    // ⌊y'·h/6⌋), summed over the 48 target pixels per doc.
     "multimodal_resize" ->
-      """SELECT doc_id AS media_id,
-        |       least(octet_length(encode(text)), 300) AS n_bytes,
-        |       320 AS width, 240 AS height,
-        |       md5(substring(text, 1, 300)) AS payload_md5
-        |FROM documents ORDER BY media_id""".stripMargin,
+      """WITH m AS (SELECT doc_id, doc_id % 29 + 4 AS w, doc_id % 23 + 4 AS h
+        |           FROM documents),
+        |     g AS (SELECT doc_id, (xp * w) // 8 AS sx, (yp * h) // 6 AS sy
+        |           FROM m
+        |           CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS xp) xs
+        |           CROSS JOIN (SELECT unnest(generate_series(0, 5)) AS yp) ys)
+        |SELECT doc_id AS media_id, 'png' AS format,
+        |       CAST(8 AS BIGINT) AS width, CAST(6 AS BIGINT) AS height,
+        |       CAST(sum(3*sx + 5*sy + (doc_id % 7)) AS BIGINT) AS sum_r,
+        |       CAST(sum(2*sx + 7*sy + (doc_id % 11)) AS BIGINT) AS sum_g,
+        |       CAST(sum(sx + 4*sy + (doc_id % 13)) AS BIGINT) AS sum_b
+        |FROM g GROUP BY doc_id ORDER BY media_id""".stripMargin,
 
+    // Frame replay: 4 frames synthesized, 2 sampled at stride ⌊k·4/2⌋
+    // → source frames 0 and 2; frame t shifts the formula constant
+    // ((id+t) mod c), so decoding the wrong frame flips the sums.
     "multimodal_frames" ->
-      """SELECT doc_id AS media_id, f.idx AS frame_idx,
-        |       octet_length(encode(substring(text, (f.idx * (octet_length(encode(text)) // 4))::INT + 1, 16))) AS n_bytes,
-        |       md5(substring(text, (f.idx * (octet_length(encode(text)) // 4))::INT + 1, 16)) AS frame_md5
-        |FROM documents CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS idx) f
-        |ORDER BY media_id, frame_idx""".stripMargin,
+      """WITH m AS (SELECT doc_id, doc_id % 29 + 4 AS w, doc_id % 23 + 4 AS h,
+        |                  f.k AS frame_idx, f.k * 2 AS t
+        |           FROM documents
+        |           CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS k) f)
+        |SELECT doc_id AS media_id, frame_idx, t AS src_frame,
+        |       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |       CAST(3 * h * (w * (w-1) // 2) + 5 * w * (h * (h-1) // 2)
+        |            + w * h * ((doc_id + t) % 7) AS BIGINT) AS sum_r,
+        |       CAST(2 * h * (w * (w-1) // 2) + 7 * w * (h * (h-1) // 2)
+        |            + w * h * ((doc_id + t) % 11) AS BIGINT) AS sum_g,
+        |       CAST(1 * h * (w * (w-1) // 2) + 4 * w * (h * (h-1) // 2)
+        |            + w * h * ((doc_id + t) % 13) AS BIGINT) AS sum_b
+        |FROM m ORDER BY media_id, frame_idx""".stripMargin,
 
-    // The decode stub always emits a 16-wide feature vector; n_bytes is
-    // the UTF-8 payload length — both replayable without the decoder.
+    // Histogram replay: per-pixel luminance ⌊(r+g+b)/3⌋ binned into 16
+    // (bin = luma·16//256), graded as the bin-weighted checksum
+    // Σ bin·count ≡ Σ_pixels bin(pixel).
     "multimodal_features" ->
-      """SELECT doc_id AS media_id,
-        |       octet_length(encode(text)) AS n_bytes,
-        |       16 AS dim
-        |FROM documents ORDER BY media_id""".stripMargin)
+      """WITH m AS (SELECT doc_id, doc_id % 29 + 4 AS w, doc_id % 23 + 4 AS h
+        |           FROM documents),
+        |     px AS (SELECT doc_id, w, h,
+        |                   (((3*xp + 5*yp + (doc_id % 7))
+        |                     + (2*xp + 7*yp + (doc_id % 11))
+        |                     + (xp + 4*yp + (doc_id % 13))) // 3) * 16 // 256 AS bin
+        |            FROM m
+        |            CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS xp) xs
+        |            CROSS JOIN (SELECT unnest(generate_series(0, 25)) AS yp) ys
+        |            WHERE xp < w AND yp < h)
+        |SELECT doc_id AS media_id, CAST(w * h AS INT) AS n_pixels,
+        |       16 AS dim, CAST(sum(bin) AS BIGINT) AS hist_checksum
+        |FROM px GROUP BY doc_id, w, h ORDER BY media_id""".stripMargin)
 }

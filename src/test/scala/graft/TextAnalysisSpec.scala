@@ -290,7 +290,7 @@ class TextAnalysisSpec extends SparkSpec {
       (1 to 6).map(i => s"x$i").toSet)
   }
 
-  test("multimodal: binary payload + deterministic metadata + feature extraction") {
+  test("multimodal: binary payload + deterministic metadata") {
     val withBin = Multimodal.attachBinary(docs, "doc_id", "text").cache()
     val meta = withBin.select("media_id", "meta.n_bytes", "meta.width", "meta.height")
       .collect()
@@ -299,25 +299,109 @@ class TextAnalysisSpec extends SparkSpec {
       assert(r.getAs[Long]("width") >= 0 && r.getAs[Long]("width") < 640)
       assert(r.getAs[Long]("height") >= 0 && r.getAs[Long]("height") < 480)
     }
-    // resize keeps payload/meta consistent at the target budget
-    val resized = Multimodal.resize(withBin, 64, 64).collect()
-    resized.foreach { r =>
-      val bytes = r.getAs[Array[Byte]]("payload")
-      assert(bytes.length <= 16 && bytes.length > 0)
-      assert(r.getAs[org.apache.spark.sql.Row]("meta").getAs[Long]("width") === 64L)
-    }
-    // frame sampling emits n rows per media with non-empty slices
-    val frames = Multimodal.sampleFrames(withBin, 4)
-    assert(frames.count() === 3 * 4)
-    assert(frames.groupBy("media_id").count().collect().forall(_.getLong(1) === 4L))
+  }
 
-    val feats = Multimodal.extractFeatures(withBin, dim = 8).collect()
+  // Independent ground truth for the REAL decode chain: recompute the
+  // formula sums in plain Scala (no Spark, no ImageIO) and require the
+  // ImageIO-decoded stats to agree — a shared bug between the PNG
+  // encoder and decoder cannot cancel out because PNG is a published
+  // format read by the JDK's own codec, and the expected values here
+  // never touch it.
+  private def expectSums(id: Long, t: Int): (Int, Int, Long, Long, Long) = {
+    val (w, h) = Multimodal.formulaDims(id)
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    for (y <- 0 until h; x <- 0 until w) {
+      val p = Multimodal.formulaRgb(id, t, x, y)
+      sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+    }
+    (w, h, sr, sg, sb)
+  }
+
+  test("multimodal: real PNG synthesis decodes back to the exact formula pixels") {
+    val withPng = Multimodal.synthesizeRealPng(docs, "doc_id").cache()
+    // the payloads are REAL PNGs: correct signature, ImageIO-readable
+    withPng.collect().foreach { r =>
+      val b = r.getAs[Array[Byte]]("payload")
+      assert((b(0) & 0xff) === 0x89 && b(1) === 'P'.toByte)
+    }
+    val stats = Multimodal.decodeImageStats(withPng).collect()
+    assert(stats.length === 3)
+    stats.foreach { s =>
+      val (w, h, sr, sg, sb) = expectSums(s.media_id, 0)
+      assert(s.format === "png")
+      assert(s.width.get === w.toLong && s.height.get === h.toLong)
+      assert((s.sum_r.get, s.sum_g.get, s.sum_b.get) === ((sr, sg, sb)))
+    }
+    // corrupt payload quarantines instead of failing the scan
+    val junk = spark.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row(9L, Array[Byte](1, 2, 3))),
+      new org.apache.spark.sql.types.StructType()
+        .add("media_id", org.apache.spark.sql.types.LongType)
+        .add("payload", org.apache.spark.sql.types.BinaryType))
+    val q = Multimodal.decodeImageStats(junk).collect()
+    assert(q.head.format === "unknown" && q.head.width.isEmpty)
+  }
+
+  test("multimodal: real resize round-trips decode→scale→encode→decode") {
+    val withPng = Multimodal.synthesizeRealPng(docs, "doc_id")
+    val resized = Multimodal.decodeImageStats(
+      Multimodal.resize(withPng, 4, 3)).collect()
+    resized.foreach { s =>
+      assert(s.format === "png")
+      assert(s.width.get === 4L && s.height.get === 3L)
+      // nearest-neighbor replay: source pixel (⌊x'·w/4⌋, ⌊y'·h/3⌋)
+      val (w, h) = Multimodal.formulaDims(s.media_id)
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      for (y <- 0 until 3; x <- 0 until 4) {
+        val p = Multimodal.formulaRgb(s.media_id, 0, x * w / 4, y * h / 3)
+        sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+      }
+      assert((s.sum_r.get, s.sum_g.get, s.sum_b.get) === ((sr, sg, sb)))
+    }
+  }
+
+  test("multimodal: frame stream walk + stride sampling decodes the right frames") {
+    val stream = Multimodal.synthesizeFrameStream(docs, "doc_id", nFrames = 3)
+    // the chunk walk finds exactly the 3 frame boundaries
+    stream.collect().foreach { r =>
+      val ranges = Multimodal.pngFrameRanges(r.getAs[Array[Byte]]("payload"))
+      assert(ranges.length === 3)
+      assert(ranges.head._1 === 0)
+      assert(ranges(1)._1 === ranges.head._2) // frames abut exactly
+    }
+    val frames = Multimodal.sampleFrames(stream, n = 3).collect()
+    assert(frames.length === 3 * 3)
+    frames.foreach { f =>
+      assert(f.src_frame === f.frame_idx) // n == total → identity stride
+      val (w, h, sr, sg, sb) = expectSums(f.media_id, f.src_frame)
+      assert(f.width === w.toLong && f.height === h.toLong)
+      assert((f.sum_r, f.sum_g, f.sum_b) === ((sr, sg, sb)))
+    }
+    // stride selection: 2 of 3 → source frames 0 and 1 (⌊k·3/2⌋)
+    val two = Multimodal.sampleFrames(stream, n = 2).collect()
+    assert(two.filter(_.media_id == two.head.media_id)
+      .map(_.src_frame).sorted.toSeq === Seq(0, 1))
+  }
+
+  test("multimodal: feature extraction is a real decoded-pixel histogram") {
+    val withPng = Multimodal.synthesizeRealPng(docs, "doc_id")
+    val feats = Multimodal.extractFeatures(withPng, dim = 8).collect()
     assert(feats.length === 3)
-    assert(feats.forall(_.features.length === 8))
-    // deterministic stub: same input bytes => same features
-    val again = Multimodal.extractFeatures(withBin, dim = 8).collect()
-    assert(feats.sortBy(_.media_id).zip(again.sortBy(_.media_id))
-      .forall { case (a, b) => a.features.sameElements(b.features) })
+    feats.foreach { f =>
+      val (w, h) = Multimodal.formulaDims(f.media_id)
+      assert(f.n_pixels === w * h)
+      assert(f.features.length === 8)
+      // histogram counts are exact and conserve the pixel count
+      assert(f.features.map(_.toLong).sum === (w * h).toLong)
+      // replay the binning from the formula
+      val expect = new Array[Long](8)
+      for (y <- 0 until h; x <- 0 until w) {
+        val p = Multimodal.formulaRgb(f.media_id, 0, x, y)
+        val luma = (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)) / 3
+        expect(luma * 8 / 256) += 1
+      }
+      assert(f.features.map(_.toLong).toSeq === expect.toSeq)
+    }
   }
 
   test("multimodal: imageMeta parses real PNG/BMP headers, independent ground truth") {
