@@ -369,10 +369,16 @@ object Dedup {
     * NODE IN THE PAIR GRAPH (≪ corpus — only docs with a near-dup
     * candidate appear); nothing is ever collected to the driver except
     * the per-round convergence count. The edge list and each round's
-    * labels are materialized via `localCheckpoint` — an iterative
-    * dataflow must cut lineage or round N replays rounds 1..N-1 (and
-    * the upstream LSH join) N times; a cluster run would swap this for
-    * a reliable `checkpoint`/storage write, same plan otherwise.
+    * labels are MATERIALIZED — an iterative dataflow must cut lineage
+    * or round N replays rounds 1..N-1 (and the upstream LSH join) N
+    * times. The cut is pluggable: by default `localCheckpoint`
+    * (executor-resident — fine single-node and fastest); pass a
+    * `checkpointDir` ON A CLUSTER to round-trip each cut through
+    * parquet in reliable storage instead, so a lost executor replays
+    * from the store rather than recomputing the whole iteration (the
+    * plan is otherwise identical — DedupSpec asserts both paths yield
+    * the same components in the same round count). The caller owns the
+    * directory's lifecycle (one subdir per cut is written inside it).
     *
     * Input pairs should be distinct (all the pair operators here emit
     * distinct pairs); duplicate edges cost extra join work but do not
@@ -382,21 +388,29 @@ object Dedup {
     * corpus scale. */
   def connectedComponentsWithRounds(pairs: DataFrame,
       aCol: String = "doc_a", bCol: String = "doc_b",
-      maxIterations: Int = 30): (DataFrame, Int) = {
+      maxIterations: Int = 30,
+      checkpointDir: Option[String] = None): (DataFrame, Int) = {
+    var cutSeq = 0
+    val cut: DataFrame => DataFrame = checkpointDir match {
+      case Some(dir) => df => {
+        val path = s"$dir/cc_cut_$cutSeq"
+        cutSeq += 1
+        df.write.mode("overwrite").parquet(path)
+        df.sparkSession.read.parquet(path)
+      }
+      case None => _.localCheckpoint()
+    }
     // Checkpoint the symmetrized edge list FIRST: `nodes` and `edges`
     // both consume it, and without this cut each of their checkpoints
     // would re-evaluate the upstream pair operator (the LSH join — the
     // expensive half of the whole query) once more.
-    val rawEdges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
-      .union(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
-      .localCheckpoint()
-    val nodes = rawEdges.select(col("u")).distinct().localCheckpoint()
+    val rawEdges = cut(pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+      .union(pairs.select(col(bCol).as("u"), col(aCol).as("v"))))
+    val nodes = cut(rawEdges.select(col("u")).distinct())
     // self-loops fold "min with my own label" into the one join+groupBy
-    val edges = rawEdges
-      .union(nodes.select(col("u").as("u"), col("u").as("v")))
-      .localCheckpoint()
-    var labels = nodes.select(col("u").as("node"), col("u").as("component"))
-      .localCheckpoint()
+    val edges = cut(rawEdges
+      .union(nodes.select(col("u").as("u"), col("u").as("v"))))
+    var labels = cut(nodes.select(col("u").as("node"), col("u").as("component")))
     // Convergence = label-sum fixpoint: labels are monotone
     // non-increasing per node (the min fold includes the node's own
     // label via its self-loop, and the pointer jump only follows to a
@@ -428,11 +442,10 @@ object Dedup {
       // pointer jump: component ids are themselves node ids, so follow
       // one hop of the label chain (left join: the component rep maps to
       // itself and needs no jump)
-      val jumped = minned.alias("x")
+      val jumped = cut(minned.alias("x")
         .join(minned.alias("y"), col("x.component") === col("y.node"), "left")
         .select(col("x.node").as("node"),
-          coalesce(col("y.component"), col("x.component")).as("component"))
-        .localCheckpoint()
+          coalesce(col("y.component"), col("x.component")).as("component")))
       val curSum = labelSum(jumped)
       converged = curSum.compareTo(prevSum) == 0
       prevSum = curSum

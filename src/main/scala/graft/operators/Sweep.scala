@@ -35,11 +35,20 @@ object Sweep {
 
   /** Adds `outCol` = cumulative sum of `delta` in the total order given
     * by `order` (which must be total — include a unique tiebreak, or
-    * values within ties are partition-placement-dependent). */
+    * values within ties are partition-placement-dependent). `delta`
+    * must evaluate non-null on every row (coalesce a nullable measure
+    * to 0 at the call site): a null would otherwise surface as an
+    * opaque NPE deep inside the partition fold, so it is rejected with
+    * a clear error instead. */
   def runningSum(df: DataFrame, delta: Column, outCol: String,
                  order: Column*): DataFrame = {
     val spark = df.sparkSession
-    val ranged = df.withColumn("__delta", delta.cast("long"))
+    require(!df.columns.contains("__delta"),
+      "runningSum uses '__delta' as a reserved internal column; rename it")
+    val ranged = df.withColumn("__delta",
+        when(delta.cast("long").isNull, raise_error(
+          lit("runningSum: delta evaluated to null; coalesce nullable measures to 0")))
+        .otherwise(delta.cast("long")))
       .repartitionByRange(order: _*)
       .sortWithinPartitions(order: _*)
     val di = ranged.schema.fieldIndex("__delta")

@@ -54,7 +54,7 @@ object Streaming {
     * the topic has ≥ task-count partitions), so for a single-batch
     * `AvailableNow` run the (partition, offset) read order IS the
     * global sort order — the "single ordered topic" form the reference
-    * validates (`cmd/validator/main.go`). The batch must carry `line`
+    * validates (`scripts/test_validation.sh`). The batch must carry `line`
     * plus the sort columns; only `line` reaches the sink. */
   def sortedCopyToSink(stream: DataFrame, sink: graft.sources.RecordSink,
                        checkpointDir: String,

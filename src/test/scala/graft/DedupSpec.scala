@@ -191,6 +191,25 @@ class DedupSpec extends SparkSpec {
     assert(rounds <= 14, s"pointer jumping must beat O(diameter): $rounds rounds")
   }
 
+  test("connected components: reliable checkpointDir path matches localCheckpoint") {
+    // the cluster-grade lineage cut (parquet round-trip in reliable
+    // storage) must be a pure materialization swap: same components,
+    // same convergence round count as the executor-resident default
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 21L))
+      .toDF("doc_a", "doc_b")
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString
+    val (local, localRounds) = Dedup.connectedComponentsWithRounds(pairs)
+    val (stored, storedRounds) = Dedup.connectedComponentsWithRounds(
+      pairs, checkpointDir = Some(dir))
+    def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("component")).toMap
+    assert(toMap(stored) === toMap(local))
+    assert(storedRounds === localRounds)
+    // the cuts really went through the reliable store
+    val cuts = new java.io.File(dir).listFiles()
+    assert(cuts != null && cuts.exists(_.getName.startsWith("cc_cut_")))
+  }
+
   test("connected components: empty pair set returns empty labels") {
     val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
     assert(Dedup.connectedComponents(empty).count() === 0)

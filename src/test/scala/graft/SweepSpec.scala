@@ -52,6 +52,25 @@ class SweepSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("runningSum rejects null deltas and reserved column names loudly") {
+    val withNull = Seq((1L, Some(2L)), (2L, None), (3L, Some(5L)))
+      .toDF("k", "m")
+    val ex = intercept[Exception] {
+      Sweep.runningSum(withNull, col("m"), "run", col("k")).collect()
+    }
+    assert(ex.getMessage.contains("coalesce nullable measures"))
+    // coalescing at the call site (the documented contract) works
+    val ok = Sweep.runningSum(withNull, coalesce(col("m"), lit(0L)), "run", col("k"))
+      .select("k", "run").as[(Long, Long)].collect().toMap
+    assert(ok === Map(1L -> 2L, 2L -> 2L, 3L -> 7L))
+    // reserved internal name is guarded like AsOfJoin's __k/__t/__side
+    val clash = Seq((1L, 1L)).toDF("k", "__delta")
+    val ex2 = intercept[IllegalArgumentException] {
+      Sweep.runningSum(clash, lit(1L), "run", col("k"))
+    }
+    assert(ex2.getMessage.contains("__delta"))
+  }
+
   test("concurrency on disjoint intervals is all ones") {
     val iv = (0L until 100L).map(i => (i, i * 10, i * 10 + 5)).toDF("iid", "s", "e")
     val got = Sweep.concurrency(iv, "s", "e", "iid")
