@@ -47,6 +47,10 @@ object PlanDump {
     "q_partition_prune" -> "the source predicate is answered by DIRECTORY pruning on the hive-partitioned layout: the scan shows it under PartitionFilters (no per-row data filter), so only the matching partition's files are listed and read",
     "q_sweep_concurrency" -> "sweep-line running sum with NO SinglePartition window: the +/-1 delta relation range-partitions once, per-partition folds run in parallel over the SAME RDD instance (offsets = P longs to the driver, shuffle reused between the passes — the scan below is that RDD)",
     "q_funnel" -> "each funnel step is a partial-aggregable per-user min gated on the previous step via an equi-join on user_id — three HashAggregates + two shuffles on the same key, no sequence window, no per-user sort",
+    "q_attribution" -> "last-touch attribution = per-(user,ts) campaign rollup (one partial-aggregable max_by) feeding the as-of join's single shuffle-on-key + one window pass; revenue rollup is a two-phase HashAggregate over |campaigns| rows — no ts-range join explosion, no per-purchase subquery",
+    "q_cohort_retention" -> "the first-seen rollup is a two-phase HashAggregate whose |users| output broadcasts back onto the activity scan (the event table never shuffles for the join); the cohort-cell countDistinct is the standard partial/final expand pair whose output is |cohorts|x|offsets| cells, never the data",
+    "q_transition_matrix" -> "one lead() window over the session partitioning (the exchange every session query shares), then a partial-aggregable pair count; the probability normalization window runs over the GROUPED |types|^2 rows — bounded by the event vocabulary, never the data",
+    "graph_pagerank" -> "per iteration: edges equi-join ranks (shuffle on src), partial-aggregable groupBy dst, left join back to nodes — integer micro-unit arithmetic makes the iterative result exactly replayable; no driver-side state, plan depth linear in iterations (checkpoint every few rounds at cluster scale)",
     "q_triangles" -> "degree-oriented triangle counting: every join is an equi-join (co-occurrence self-join on orderkey, degree attach, wedge self-join on src, closing-edge join on (u,v)); orientation bounds the wedge fan-out by O(sqrt(E)) so no hub explosion",
     "ann_rrf_fusion" -> "rank fusion = full outer join of two top-k candidate lists (|Q| x k rows each) + one fixed-order score expression + the per-query top-k window — the corpus is never rescanned; both inputs are the compressed/bucketed retrieval paths",
     "q_null_semantics" -> "the NOT IN leg plans as BroadcastNestedLoopJoin LeftAnti with the null-aware single-column condition (Spark's null-aware anti join), NOT EXISTS as a plain broadcast anti join, and <=> as a null-safe broadcast semi join — three different join operators for three different null contracts")

@@ -167,6 +167,94 @@ object ScaleProbe {
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"PROBE x$factor components docs=${nBase * factor} " +
         f"components=$comps rounds=$rounds time=$sec%.2fs")
+      // End-to-end curation pipeline (the graded pipeline_curation_v3
+      // composite: exact dedup → minhash components → per-source
+      // quantile quality gate → n-gram novelty gate) over the SAME
+      // replicated corpus: every stage is individually probed above, so
+      // cross-factor growth here should track the corpus + its pair
+      // mass — a superlinear jump would mean the COMPOSITION introduced
+      // a shape the stages don't have (e.g. a corpus-sized broadcast or
+      // a re-derived all-pairs join).
+      locally {
+        val tmp = java.nio.file.Files
+          .createTempDirectory(s"graft-probe-cur-x$factor").toString
+        df.withColumn("lang", lit("en"))
+          .withColumn("source", concat(lit("src"), pmod(col("doc_id"), lit(7L))))
+          .withColumn("n_chars", length(col("text")).cast("long"))
+          .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+        val cur = () =>
+          graft.SparkEntry.queries("pipeline_curation_v3")(spark, tmp).count()
+        cur() // warm
+        val (rows, sec) = time(cur())
+        println(f"PROBE x$factor curation_v3 docs=${nBase * factor} " +
+          f"kept=$rows time=$sec%.2fs")
+      }
+    }
+
+    // ---- streaming state probes -------------------------------------
+    // The scaling claim for the stateful streaming operators is NOT
+    // "state grows slowly with the stream" — it is "state tracks the
+    // WATERMARK HORIZON, not the stream length". Probe: replay streams
+    // of 2/8/32 equal-volume time slices (slices 2h apart, 1h
+    // watermark, so at most ~one slice is ever inside the horizon),
+    // AvailableNow + maxFilesPerTrigger=1 so each slice is its own
+    // micro-batch in event-time order, and record the state store's
+    // peak rows/memory across batches from StreamingQueryProgress.
+    // PASS = peak state stays ~flat as the stream grows 16×.
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    def stageSlices(nSlices: Int): String = {
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft-probe-stream-$nSlices").toString
+      (0 until nSlices).foreach { i =>
+        // sequential single-file writes => increasing mod-times, which
+        // is the order FileStreamSource replays (latestFirst=false)
+        base.select(
+          (col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+          concat(lit(s"slice$i marker token "), col("text")).as("text"),
+          (lit(i * 7200000L) + pmod(col("doc_id"), lit(1000L))).as("ts_ms"))
+          .coalesce(1).write.mode("append").parquet(dir)
+      }
+      dir
+    }
+    def runStream(build: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+                  dir: String): (Long, Long, Long, Int) = {
+      val schema = spark.read.parquet(dir).schema
+      val in = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir)
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-probe-ck").toString
+      val q = build(in).writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .format("noop").start()
+      q.awaitTermination()
+      var (peakRows, peakMem, outRows) = (0L, 0L, 0L)
+      var batches = 0
+      q.recentProgress.foreach { p =>
+        batches += 1
+        outRows += p.sink.numOutputRows
+        p.stateOperators.foreach { so =>
+          peakRows = peakRows max so.numRowsTotal
+          peakMem = peakMem max so.memoryUsedBytes
+        }
+      }
+      (peakRows, peakMem, outRows, batches)
+    }
+    Seq(1 -> 2, 4 -> 8, 16 -> 32).foreach { case (label, nSlices) =>
+      val dir = stageSlices(nSlices)
+      // custom flatMapGroupsWithState LSH banding: state = banded docs
+      // inside the horizon, expired by EventTimeTimeout
+      val (nr, nm, out, nb) = runStream(
+        in => graft.streaming.Streaming.minhashNearDupStream(in).toDF(), dir)
+      println(f"PROBE stream x$label neardup slices=$nSlices batches=$nb " +
+        f"pairs=$out peak_state_rows=$nr peak_state_mb=${nm / 1e6}%.1f")
+      // built-in dropDuplicatesWithinWatermark: state = distinct keys
+      // inside the horizon
+      val (dr, dm, dout, dnb) = runStream(
+        in => graft.streaming.Streaming.dedupStream(
+          in.withColumn("k", pmod(col("doc_id"), lit(2500L))),
+          Seq("k"), watermark = "1 hour"), dir)
+      println(f"PROBE stream x$label dedup slices=$nSlices batches=$dnb " +
+        f"kept=$dout peak_state_rows=$dr peak_state_mb=${dm / 1e6}%.1f")
     }
     spark.stop()
   }
