@@ -193,6 +193,63 @@ object Multimodal {
         .otherwise(lit(null).cast("long")).as("duration_ms"))
   }
 
+  /** Decoded-audio stats ([[audioDecodeStats]]): format fields come
+    * from the decoder's `AudioFormat`, `sum_samples` from the PCM
+    * frames themselves. Nulls = undecodable payload (quarantine). */
+  case class AudioStats(media_id: Long, format: String,
+                        n_channels: Option[Long], sample_rate: Option[Long],
+                        n_frames: Option[Long], sum_samples: Option[Long])
+
+  /** REAL audio decode through the JDK's `javax.sound.sampled`: parse
+    * the WAV container with `AudioSystem.getAudioInputStream`, read the
+    * PCM frames, and sum every 16-bit little-endian sample across all
+    * channels — the audio leg of the real-decode story, same
+    * `mapPartitions` batch shape as the image path. The synthesized WAV
+    * body is ASCII text bytes, so every sample is `b0 + 256·b1` with
+    * both bytes < 128 (never negative), which the DuckDB oracle replays
+    * as character-pair arithmetic over the same text. Partial trailing
+    * frames are dropped by the decoder's frame alignment (frames =
+    * ⌊data bytes / block align⌋ — exactly what the oracle floors).
+    * Unreadable payloads quarantine as format 'unknown'. */
+  def audioDecodeStats(withPayload: DataFrame): Dataset[AudioStats] = {
+    implicit val enc = Encoders.product[AudioStats]
+    withPayload.select(col("media_id"), col("payload"))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .mapPartitions { it =>
+        it.map { case (id, p) =>
+          try {
+            val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(p))
+            val fmt = in.getFormat
+            val nch = fmt.getChannels
+            val frameBytes = fmt.getFrameSize
+            val nFrames = in.getFrameLength
+            val buf = new Array[Byte]((nFrames * frameBytes).toInt)
+            var off = 0
+            var read = 0
+            while (off < buf.length && read >= 0) {
+              read = in.read(buf, off, buf.length - off)
+              if (read > 0) off += read
+            }
+            var sum = 0L
+            var i = 0
+            while (i + 1 < off) {
+              // s16 LE; sign extension via toShort (ASCII bodies never
+              // go negative, but a real decoder must handle it)
+              sum += (((buf(i) & 0xff) | ((buf(i + 1) & 0xff) << 8)).toShort).toLong
+              i += 2
+            }
+            AudioStats(id, "wav", Some(nch.toLong),
+              Some(fmt.getSampleRate.toLong), Some(nFrames),
+              Some(sum))
+          } catch {
+            case _: Exception =>
+              AudioStats(id, "unknown", None, None, None, None)
+          }
+        }
+      }
+  }
+
   /** A parsed JPEG header record ([[jpegMeta]]); width/height are None
     * when no SOF frame header is found (quarantine, not failure). */
   case class JpegMeta(media_id: Long, n_bytes: Long, format: String,

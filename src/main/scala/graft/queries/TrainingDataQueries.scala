@@ -1437,6 +1437,18 @@ object TrainingDataQueries {
           Multimodal.synthesizeAudioPayload(Tables.documents(s, dir), "doc_id", "text"))
         .orderBy("media_id")),
 
+    // REAL audio decode: the synthesized WAVs are parsed by the JDK's
+    // own javax.sound.sampled decoder (AudioSystem), and the graded
+    // sample sum is computed from the decoded PCM frames — the oracle
+    // replays it as character-pair arithmetic over the ASCII body
+    // (sample = b0 + 256·b1), with frame alignment flooring the
+    // trailing partial frame exactly as the decoder does.
+    "multimodal_audio_decode" -> ((s, dir) =>
+      Multimodal.audioDecodeStats(
+          Multimodal.synthesizeAudioPayload(Tables.documents(s, dir), "doc_id", "text"))
+        .toDF()
+        .orderBy("media_id")),
+
     // The VARIABLE-OFFSET leg: synthesized JPEGs carry an md5-length COM
     // segment before SOF0, so the frame header sits at a different byte
     // offset per row — the mapPartitions parser must genuinely walk the
@@ -2921,6 +2933,32 @@ object TrainingDataQueries {
         |       CAST(nb // (nch * 2) AS BIGINT) AS n_samples,
         |       CAST((nb // (nch * 2)) * 1000 // rate AS BIGINT) AS duration_ms
         |FROM m ORDER BY media_id""".stripMargin,
+
+    // PCM replay: the WAV body is the ASCII text, so decoded sample i is
+    // ord(c_{2i+1}) + 256·ord(c_{2i+2}) (both bytes < 128 — never a
+    // negative s16); frames floor-align to the block size (2·nch bytes)
+    // exactly as the decoder truncates, and the per-doc sample count is
+    // frames·nch. Docs too short for one frame sum to 0 over an empty
+    // series.
+    "multimodal_audio_decode" ->
+      """WITH m AS (SELECT doc_id, text, octet_length(encode(text)) AS nb,
+        |         ('0x' || substr(md5(text), 9, 4))::BIGINT % 2 + 1 AS nch,
+        |         list_value(8000, 16000, 22050, 44100)[
+        |           (('0x' || substr(md5(text), 13, 4))::BIGINT % 4 + 1)::INT] AS rate
+        |       FROM documents),
+        |s AS (SELECT m.doc_id,
+        |        CAST(sum(ord(substr(m.text, 2*u.i + 1, 1))
+        |             + 256 * ord(substr(m.text, 2*u.i + 2, 1))) AS BIGINT) AS ss
+        |      FROM m, LATERAL unnest(generate_series(0,
+        |             (m.nb // (2 * m.nch)) * m.nch - 1)) AS u(i)
+        |      GROUP BY m.doc_id)
+        |SELECT m.doc_id AS media_id, 'wav' AS format,
+        |       CAST(m.nch AS BIGINT) AS n_channels,
+        |       CAST(m.rate AS BIGINT) AS sample_rate,
+        |       CAST(m.nb // (2 * m.nch) AS BIGINT) AS n_frames,
+        |       coalesce(s.ss, 0) AS sum_samples
+        |FROM m LEFT JOIN s ON s.doc_id = m.doc_id
+        |ORDER BY media_id""".stripMargin,
 
     // JPEG replay: total bytes = SOI(2) + COM(4 + n) + SOF0(13) + EOI(2)
     // + body, with n, width, height from the same md5 formulas the

@@ -484,6 +484,29 @@ class TextAnalysisSpec extends SparkSpec {
         (col("n_channels") * 2)).cast("long")).count() === 0)
   }
 
+  test("multimodal: audioDecodeStats reads real PCM frames via javax.sound") {
+    val parsed = Multimodal.audioDecodeStats(
+      Multimodal.synthesizeAudioPayload(docs, "doc_id", "text")).collect()
+      .map(s => s.media_id -> s).toMap
+    val texts = docs.select("doc_id", "text").as[(Long, String)].collect().toMap
+    parsed.values.foreach { s =>
+      assert(s.format === "wav")
+      val body = texts(s.media_id).getBytes("US-ASCII")
+      val nch = s.n_channels.get.toInt
+      val frames = body.length / (2 * nch)
+      assert(s.n_frames.get === frames.toLong)
+      // independent replay: sample i = b[2i] + 256*b[2i+1] over the
+      // frame-aligned prefix (ASCII bytes < 128 => never negative)
+      val want = (0 until frames * nch).map(i =>
+        (body(2 * i) & 0xff) + 256L * (body(2 * i + 1) & 0xff)).sum
+      assert(s.sum_samples.get === want)
+    }
+    // junk quarantines
+    val junk = Seq((5L, "not audio".getBytes("US-ASCII"))).toDF("media_id", "payload")
+    val q = Multimodal.audioDecodeStats(junk).collect().head
+    assert(q.format === "unknown" && q.sum_samples.isEmpty)
+  }
+
   test("multimodal: jpegMeta walks the segment chain, independent ground truth") {
     // hand-built literal JPEG with KNOWN dims behind a COM segment of a
     // DIFFERENT length than the synthesizer would pick — a fixed-offset
