@@ -59,4 +59,128 @@ object Graph {
     }
     pr.select(col("id"), col("pr").as("pr_micro"))
   }
+
+  /** Per-node degree profile of a DIRECTED edge list: out/in degree plus
+    * distinct-neighbor counts (multi-edges counted once in the latter).
+    *
+    * Scale shape: two partial-aggregable groupBys (one per direction) and
+    * an outer join on the node id — shuffle volume is O(|E|) with map-side
+    * combine collapsing multi-edges early; no driver state. Distinct
+    * neighbor counts are exact `count(distinct)` per single key, which
+    * Spark plans as a two-phase partial-distinct aggregate (no expand:
+    * one distinct column per aggregation). */
+  def degreeStats(edges: DataFrame,
+                  srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val out = e.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("out_deg"),
+        countDistinct(col("dst")).as("out_nbrs"))
+    val in = e.groupBy(col("dst").as("id"))
+      .agg(count(lit(1)).as("in_deg"),
+        countDistinct(col("src")).as("in_nbrs"))
+    out.join(in, Seq("id"), "full")
+      .select(col("id"),
+        coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+        coalesce(col("out_nbrs"), lit(0L)).as("out_nbrs"),
+        coalesce(col("in_deg"), lit(0L)).as("in_deg"),
+        coalesce(col("in_nbrs"), lit(0L)).as("in_nbrs"))
+  }
+
+  /** Label-pack base for [[labelPropagation]]: labels (node ids) must lie
+    * in [0, 2^31) so a (count, label) vote packs into one BIGINT and the
+    * per-round argmax stays a true fixed-width HashAggregate (the same
+    * SortAggregate-demotion dodge as the IVF assignment pack —
+    * Similarity.scala's one-BIGINT min_by shape). */
+  private val LabelPack = 1L << 31
+
+  /** Synchronous label propagation (community detection) over an
+    * UNDIRECTED view of the edge list, `iterations` fixed rounds.
+    *
+    * Round t+1: label(v) = the most frequent label among v's neighbors at
+    * round t, ties broken toward the SMALLEST label; isolated nodes keep
+    * their own label. Synchronous update + deterministic tie-break makes
+    * the "heuristic" algorithm bit-reproducible in any partition order,
+    * so it carries an exact replayable oracle (the pageRank trick).
+    *
+    * Scale shape per round: one equi-join of the symmetrized edges
+    * against the current labels (shuffle on src), one groupBy
+    * (dst, label) with map-side combine, then the argmax-by-vote as a
+    * single max() over a packed BIGINT — `cnt * 2^31 + (2^31-1-label)` —
+    * so both aggregations are partial-aggregable fixed-width
+    * HashAggregates. Driver holds nothing; lineage grows linearly with
+    * rounds (checkpoint every few rounds at cluster scale, as
+    * [[Dedup.connectedComponentsWithRounds]] documents). */
+  def labelPropagation(edges: DataFrame, iterations: Int,
+                       srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    require(iterations >= 0, s"iterations must be >= 0, got $iterations")
+    val d = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    // Symmetrize and drop self-loops: a self-loop would let a node vote
+    // for its own label, which defeats propagation.
+    val e = d.union(d.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+    val nodes = d.select(col("src").as("id"))
+      .union(d.select(col("dst").as("id"))).distinct()
+    var labels = nodes.withColumn("label", col("id"))
+    (0 until iterations).foreach { _ =>
+      val votes = e.join(labels.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("id"))
+        .agg(max(col("cnt") * lit(LabelPack) +
+          (lit(LabelPack - 1) - col("label"))).as("packed"))
+        .select(col("id"),
+          (lit(LabelPack - 1) - pmod(col("packed"), lit(LabelPack))).as("vote"))
+      labels = labels.join(votes, Seq("id"), "left")
+        .select(col("id"), coalesce(col("vote"), col("label")).as("label"))
+    }
+    labels
+  }
+
+  /** Common-neighbor link prediction over an UNDIRECTED view of the edge
+    * list: for every node pair (a < b) sharing at least one neighbor,
+    * the shared-neighbor count and the exact-integer Jaccard numerator /
+    * denominator plus a rounded score.
+    *
+    * Scale shape: wedge enumeration — self-join of the adjacency list on
+    * the MIDDLE node (shuffle on the neighbor id), emitting each wedge
+    * a−m−b once with a < b, then a partial-aggregable groupBy on the
+    * pair. The wedge count at a hub explodes as deg², so nodes with
+    * degree > `degCap` are EXCLUDED as middles (the same hot-key cap as
+    * the shingle df cap in [[Dedup]]; at corpus scale a few celebrity
+    * hubs would otherwise dominate the shuffle while adding no
+    * discriminative signal). `common` therefore counts shared neighbors
+    * THROUGH capped middles only — the score degrades gracefully at hubs
+    * instead of exploding the shuffle; degrees stay uncapped. Degrees join back broadcast-sized when the
+    * node set is bounded; at 100 TB the degree table shuffles on id like
+    * any dimension. The Jaccard division happens once per surviving pair
+    * on exact integer inputs — identical IEEE doubles in any engine. */
+  def commonNeighbors(edges: DataFrame, degCap: Int = 64,
+                      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    require(degCap >= 1, s"degCap must be >= 1, got $degCap")
+    val d = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val e = d.union(d.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+    val deg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+    // Wedges a-m-b through middles under the cap; each unordered pair
+    // emitted once per shared neighbor.
+    val adj = e.select(col("src").as("m"), col("dst").as("n"))
+      .join(deg.select(col("id").as("m"), col("deg")), "m")
+      .filter(col("deg") <= degCap)
+      .select(col("m"), col("n"))
+    val wedges = adj.as("l").join(adj.as("r"), col("l.m") === col("r.m"))
+      .filter(col("l.n") < col("r.n"))
+      .select(col("l.n").as("a"), col("r.n").as("b"))
+    val common = wedges.groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(deg.select(col("id").as("a"), col("deg").as("deg_a")), "a")
+      .join(deg.select(col("id").as("b"), col("deg").as("deg_b")), "b")
+      .select(col("a"), col("b"), col("common"),
+        (col("deg_a") + col("deg_b") - col("common")).as("union_sz"),
+        round(col("common").cast("double") /
+          (col("deg_a") + col("deg_b") - col("common")).cast("double"), 6)
+          .as("jaccard"))
+  }
 }

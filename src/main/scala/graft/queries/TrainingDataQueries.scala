@@ -1020,6 +1020,52 @@ object TrainingDataQueries {
       Graph.pageRank(edges, iterations = 5).orderBy("id")
     }),
 
+    // Degree profile of the same synthetic link graph: out/in multi-edge
+    // degrees plus distinct-neighbor counts — two partial-aggregable
+    // groupBys and one full outer join, no expand (one distinct column
+    // per aggregate).
+    "graph_degrees" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"))
+      val n = docs.count()
+      val edges = docs
+        .select(col("doc_id").as("src"),
+          explode(array(lit(1L), lit(2L), lit(3L))).as("k"))
+        .select(col("src"),
+          pmod(col("src") * 7 + col("k") * 13, lit(n)).as("dst"))
+      Graph.degreeStats(edges).orderBy("id")
+    }),
+
+    // Synchronous label propagation over a block-ring community graph
+    // (40-doc blocks, each doc linked to the next two in its ring): three
+    // exact deterministic rounds — min-label tie-break makes the
+    // heuristic replayable, and the oracle unrolls the identical
+    // recurrence with a window argmax.
+    "graph_label_prop" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"))
+      val edges = docs
+        .select(col("doc_id").as("src"),
+          explode(array(lit(1L), lit(2L))).as("k"))
+        .select(col("src"),
+          (expr("src div 40") * 40 +
+            pmod(pmod(col("src"), lit(40)) + col("k"), lit(40))).as("dst"))
+      Graph.labelPropagation(edges, iterations = 3).orderBy("id")
+    }),
+
+    // Common-neighbor link prediction on the synthetic link graph:
+    // wedge enumeration through degree-capped middles (cap 64 — far
+    // above this graph's max degree, so the Jaccard here is exact),
+    // then one groupBy per unordered pair.
+    "graph_link_pred" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"))
+      val n = docs.count()
+      val edges = docs
+        .select(col("doc_id").as("src"),
+          explode(array(lit(1L), lit(2L), lit(3L))).as("k"))
+        .select(col("src"),
+          pmod(col("src") * 7 + col("k") * 13, lit(n)).as("dst"))
+      Graph.commonNeighbors(edges, degCap = 64).orderBy("a", "b")
+    }),
+
     // HTML → text extraction over deterministically synthesized pages
     // (the fixture is plain text, so the query builds the HTML wrapper
     // identically in both engines): script/style/comment blocks drop
@@ -2524,6 +2570,68 @@ object TrainingDataQueries {
          |$iters
          |SELECT id, pr AS pr_micro FROM i5 ORDER BY id""".stripMargin
     },
+
+    "graph_degrees" ->
+      """WITH e AS (SELECT doc_id AS src,
+        |             (doc_id * 7 + k * 13) % (SELECT count(*) FROM documents) AS dst
+        |           FROM documents CROSS JOIN (SELECT unnest([1, 2, 3]) AS k) ks),
+        |o AS (SELECT src AS id, count(*) AS out_deg,
+        |             count(DISTINCT dst) AS out_nbrs FROM e GROUP BY 1),
+        |i AS (SELECT dst AS id, count(*) AS in_deg,
+        |             count(DISTINCT src) AS in_nbrs FROM e GROUP BY 1)
+        |SELECT coalesce(o.id, i.id) AS id,
+        |       coalesce(out_deg, 0) AS out_deg,
+        |       coalesce(out_nbrs, 0) AS out_nbrs,
+        |       coalesce(in_deg, 0) AS in_deg,
+        |       coalesce(in_nbrs, 0) AS in_nbrs
+        |FROM o FULL JOIN i ON o.id = i.id
+        |ORDER BY id""".stripMargin,
+
+    // Three unrolled synchronous rounds of the identical vote/argmax
+    // recurrence; the window row_number mirrors the packed-BIGINT
+    // max-count-min-label tie-break.
+    "graph_label_prop" -> {
+      val rounds = (1 to 3).map { r =>
+        s"""v$r AS (SELECT e.dst AS id, l.label, count(*) AS cnt
+           |  FROM e JOIN l${r - 1} l ON e.src = l.id GROUP BY 1, 2),
+           |p$r AS (SELECT id, label, row_number() OVER
+           |          (PARTITION BY id ORDER BY cnt DESC, label) AS rn
+           |        FROM v$r),
+           |l$r AS (SELECT l.id, coalesce(p.label, l.label) AS label
+           |        FROM l${r - 1} l LEFT JOIN
+           |          (SELECT id, label FROM p$r WHERE rn = 1) p USING (id))"""
+      }.mkString(",\n")
+      s"""WITH d AS (SELECT doc_id AS src,
+         |             (doc_id // 40) * 40 + (doc_id % 40 + k) % 40 AS dst
+         |           FROM documents CROSS JOIN (SELECT unnest([1, 2]) AS k) ks),
+         |e AS (SELECT src, dst FROM
+         |        (SELECT src, dst FROM d UNION SELECT dst, src FROM d)
+         |      WHERE src <> dst),
+         |nodes AS (SELECT src AS id FROM d UNION SELECT dst FROM d),
+         |l0 AS (SELECT id, id AS label FROM nodes),
+         |$rounds
+         |SELECT id, label FROM l3 ORDER BY id""".stripMargin
+    },
+
+    "graph_link_pred" ->
+      """WITH d AS (SELECT doc_id AS src,
+        |             (doc_id * 7 + k * 13) % (SELECT count(*) FROM documents) AS dst
+        |           FROM documents CROSS JOIN (SELECT unnest([1, 2, 3]) AS k) ks),
+        |e AS (SELECT src, dst FROM
+        |        (SELECT src, dst FROM d UNION SELECT dst, src FROM d)
+        |      WHERE src <> dst),
+        |deg AS (SELECT src AS id, count(*) AS deg FROM e GROUP BY 1),
+        |adj AS (SELECT e.src AS m, e.dst AS n
+        |        FROM e JOIN deg ON e.src = deg.id WHERE deg <= 64),
+        |w AS (SELECT l.n AS a, r.n AS b
+        |      FROM adj l JOIN adj r ON l.m = r.m AND l.n < r.n),
+        |c AS (SELECT a, b, count(*) AS common FROM w GROUP BY 1, 2)
+        |SELECT a, b, common,
+        |       da.deg + db.deg - common AS union_sz,
+        |       round(CAST(common AS DOUBLE) / (da.deg + db.deg - common), 6)
+        |         AS jaccard
+        |FROM c JOIN deg da ON c.a = da.id JOIN deg db ON c.b = db.id
+        |ORDER BY a, b""".stripMargin,
 
     "text_html_strip" ->
       """WITH h AS (SELECT doc_id,

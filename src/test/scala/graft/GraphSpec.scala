@@ -37,4 +37,70 @@ class GraphSpec extends SparkSpec {
     assert(total <= 20L * 1000000L, s"mass grew: $total")
     assert(total >= 20L * 1000000L - 20L * 6L * 100L, s"floor loss too big: $total")
   }
+
+  test("degreeStats: multi-edges count in degree but once in neighbors") {
+    val edges = Seq((1L, 2L), (1L, 2L), (1L, 3L), (2L, 1L)).toDF("src", "dst")
+    val d = Graph.degreeStats(edges)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    assert(d(1L) === ((3L, 2L, 1L, 1L)), "node 1: out 3 edges / 2 nbrs, in 1/1")
+    assert(d(2L) === ((1L, 1L, 2L, 1L)), "node 2: out 1/1, in 2 edges / 1 nbr")
+    assert(d(3L) === ((0L, 0L, 1L, 1L)), "pure sink gets zeros on the out side")
+  }
+
+  test("labelPropagation: two cliques joined by one edge converge to two communities") {
+    // K4 on {0..3} and K4 on {10..13}, bridged 3-10.
+    def clique(ns: Seq[Long]) =
+      for (a <- ns; b <- ns if a < b) yield (a, b)
+    val edges = (clique(Seq(0L, 1L, 2L, 3L)) ++
+      clique(Seq(10L, 11L, 12L, 13L)) :+ (3L, 10L)).toDF("src", "dst")
+    val labels = Graph.labelPropagation(edges, iterations = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(Seq(0L, 1L, 2L, 3L).map(labels).distinct.size === 1,
+      "left clique agrees on one label")
+    assert(Seq(10L, 11L, 12L, 13L).map(labels).distinct.size === 1,
+      "right clique agrees on one label")
+    assert(labels(0L) !== labels(11L), "the two cliques keep distinct labels")
+  }
+
+  test("labelPropagation: isolated self-loop node keeps its own label; iterations=0 is init") {
+    val edges = Seq((1L, 2L), (7L, 7L)).toDF("src", "dst")
+    val init = Graph.labelPropagation(edges, iterations = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(init === Map(1L -> 1L, 2L -> 2L, 7L -> 7L))
+    val l = Graph.labelPropagation(edges, iterations = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(l(7L) === 7L, "self-loop-only node never changes label")
+    // 1-2 ping-pong under synchronous update with min tie-break: each
+    // round both nodes adopt the other's CURRENT label, so after an odd
+    // round they have swapped, after an even round they are back.
+    assert(l(1L) === 2L && l(2L) === 1L)
+  }
+
+  test("commonNeighbors: square graph scores opposite corners via two shared neighbors") {
+    // Cycle 0-1-2-3-0: opposite corners (0,2) and (1,3) share exactly
+    // their two mutual neighbors; adjacent corners share none.
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L)).toDF("src", "dst")
+    val rows = Graph.commonNeighbors(edges, degCap = 64)
+      .select("a", "b", "common", "union_sz")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(rows === Map((0L, 2L) -> ((2L, 2L)), (1L, 3L) -> ((2L, 2L))))
+  }
+
+  test("commonNeighbors: degCap drops hub middles but keeps true degrees") {
+    // Hub 100 connects 0..4; 0-1 also share low-degree middle 200.
+    val hub = (0L to 4L).map(i => (100L, i))
+    val edges = (hub ++ Seq((200L, 0L), (200L, 1L))).toDF("src", "dst")
+    val capped = Graph.commonNeighbors(edges, degCap = 4)
+      .select("a", "b", "common", "union_sz")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    // Hub degree 5 > cap: its wedges vanish, so (0,1) keeps only the
+    // 200-middle wedge — but union_sz still uses the UNCAPPED degrees
+    // (2 and 2). Low-degree middles 0 and 1 still wedge (100, 200).
+    assert(capped.keySet === Set((0L, 1L), (100L, 200L)))
+    assert(capped((0L, 1L)) === ((1L, 3L)), "common via 200 only; union 2+2-1")
+    assert(capped((100L, 200L)) === ((2L, 5L)), "wedged via middles 0 and 1")
+  }
 }
