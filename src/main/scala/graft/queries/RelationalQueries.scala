@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsOfJoin, Profiling, Sampling, Skew, Sweep, Upsert}
+import graft.operators.{AsOfJoin, Hierarchy, Profiling, Sampling, Skew, Sweep, Upsert}
 import graft.sources.Tables
 
 /** The general relational query surface the reference lacks entirely
@@ -639,6 +639,87 @@ object RelationalQueries {
           expr("min_by(o_orderkey, struct(o_totalprice, -o_orderkey))").as("bottom_order"),
           round(max(col("o_totalprice")), 2).as("max_tp"))
         .orderBy(col("o_custkey"))),
+
+    // Bivariate statistics (Pearson correlation, population covariance,
+    // OLS slope/intercept/R²) from EXACT integer moments: quantities and
+    // prices become cents, the five sums accumulate as DECIMAL(38,0)
+    // (DuckDB's BIGINT sum widens to HUGEINT — exact in both engines, and
+    // Σy² at 10^14/row would overflow a raw BIGINT by sf0.1), and only
+    // the FINAL combination runs in doubles. Because both engines combine
+    // the same exact integers through the same IEEE expression tree, the
+    // rounded statistics are bit-deterministic — no reliance on either
+    // engine's streaming corr() kernel, whose partial-merge order is not
+    // reproducible. One partial-aggregable groupBy; 3 groups.
+    "q_corr_agg" -> ((s, dir) => {
+      val m = Tables.lineitem(s, dir)
+        .select(col("l_returnflag"),
+          floor(col("l_quantity") * 100).cast("long").as("x"),
+          floor(col("l_extendedprice") * 100).cast("long").as("y"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x").cast("decimal(38,0)")).as("sx"),
+          sum(col("y").cast("decimal(38,0)")).as("sy"),
+          sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"),
+          sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
+          sum((col("y") * col("y")).cast("decimal(38,0)")).as("syy"))
+      val nd = col("n").cast("double")
+      val sxd = col("sx").cast("double")
+      val syd = col("sy").cast("double")
+      val sxyd = col("sxy").cast("double")
+      val sxxd = col("sxx").cast("double")
+      val syyd = col("syy").cast("double")
+      val covNum = nd * sxyd - sxd * syd
+      val varX = nd * sxxd - sxd * sxd
+      val varY = nd * syyd - syd * syd
+      m.select(col("l_returnflag"), col("n"),
+          round(covNum / sqrt(varX * varY), 6).as("corr_xy"),
+          round(covNum / (nd * nd), 6).as("covar_pop"),
+          round(covNum / varX, 6).as("slope"),
+          round((syd - covNum / varX * sxd) / nd, 6).as("intercept"),
+          round(covNum * covNum / (varX * varY), 6).as("r2"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // Exact per-group mode with a deterministic smallest-value tie-break:
+    // two stacked partial-aggregable HashAggregates — (event_type, user)
+    // counts, then an argmax packed into ONE BIGINT
+    // (cnt·2^31 + (2^31−1−user)) so the buffer stays fixed-width (the
+    // IVF-assignment / label-propagation pack; a struct max_by would
+    // demote to ObjectHashAggregate). No window over the raw rows.
+    "q_mode" -> ((s, dir) => {
+      val pack = 1L << 31
+      Tables.events(s, dir)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("event_type"))
+        .agg(max(col("cnt") * lit(pack) +
+            (lit(pack - 1) - col("user_id"))).as("packed"),
+          sum(col("cnt")).as("n_events"),
+          count(lit(1)).as("n_users"))
+        .select(col("event_type"),
+          (lit(pack - 1) - pmod(col("packed"), lit(pack))).as("mode_user"),
+          expr(s"packed div ${pack}").as("mode_cnt"),
+          col("n_events"), col("n_users"))
+        .orderBy(col("event_type"))
+    }),
+
+    // WITH RECURSIVE, distributed: every customer's root ancestor and
+    // exact depth along the synthetic parent chain c → c − (c mod 7 + 1)
+    // (root when the step goes negative). The sequential oracle walks
+    // the chain one edge per recursion step (depth ≈ N/7 rounds); the
+    // Spark side pointer-DOUBLES in 12 fixed self-joins — 2^12 = 4096
+    // depth headroom covers sf0.1's max depth of 2,142 with the round
+    // count growing only logarithmically in scale.
+    "q_recursive_hierarchy" -> ((s, dir) =>
+      Hierarchy.rootAndDepth(
+        Tables.customer(s, dir)
+          .select(col("c_custkey"),
+            when(col("c_custkey") - (pmod(col("c_custkey"), lit(7)) + 1) < 0,
+              lit(null).cast("long"))
+              .otherwise(col("c_custkey") -
+                (pmod(col("c_custkey"), lit(7)) + 1)).as("parent")),
+        "c_custkey", "parent", rounds = 12)
+        .orderBy(col("id"))),
 
     // Snapshot diff — classify every key across two corpus versions as
     // added / removed / changed / same in one full-outer join (the audit
@@ -1501,6 +1582,64 @@ object RelationalQueries {
         |       max(CASE WHEN rmin = 1 THEN o_orderkey END) AS bottom_order,
         |       round(max(o_totalprice), 2) AS max_tp
         |FROM r GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    // Same exact-integer-moments → one-shot double combination as the
+    // Spark side; DuckDB's sum(BIGINT) widens to HUGEINT, mirroring the
+    // DECIMAL(38,0) accumulators.
+    "q_corr_agg" ->
+      """WITH m AS (SELECT l_returnflag, count(*) AS n,
+        |             sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+        |             sum(x * x) AS sxx, sum(y * y) AS syy
+        |           FROM (SELECT l_returnflag,
+        |                   CAST(floor(l_quantity * 100) AS BIGINT) AS x,
+        |                   CAST(floor(l_extendedprice * 100) AS BIGINT) AS y
+        |                 FROM lineitem)
+        |           GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |         * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS corr_xy,
+        |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS covar_pop,
+        |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope,
+        |  round((CAST(sy AS DOUBLE)
+        |      - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |        / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |        * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6) AS intercept,
+        |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |      * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |     * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS r2
+        |FROM m ORDER BY l_returnflag""".stripMargin,
+
+    "q_mode" ->
+      """WITH c AS (SELECT event_type, user_id, count(*) AS cnt
+        |           FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, user_id, cnt,
+        |        row_number() OVER (PARTITION BY event_type
+        |          ORDER BY cnt DESC, user_id) AS rn
+        |      FROM c)
+        |SELECT event_type,
+        |       max(CASE WHEN rn = 1 THEN user_id END) AS mode_user,
+        |       max(CASE WHEN rn = 1 THEN cnt END) AS mode_cnt,
+        |       CAST(sum(cnt) AS BIGINT) AS n_events,
+        |       count(*) AS n_users
+        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // The sequential form of the parent-chain walk: one edge per
+    // recursion round; the terminal row per id carries root + depth.
+    "q_recursive_hierarchy" ->
+      """WITH RECURSIVE walk AS (
+        |  SELECT c_custkey AS id, c_custkey AS cur, CAST(0 AS BIGINT) AS depth
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT id, cur - (cur % 7 + 1) AS cur, depth + 1
+        |  FROM walk WHERE cur - (cur % 7 + 1) >= 0
+        |)
+        |SELECT id, cur AS root, depth FROM walk
+        |QUALIFY row_number() OVER (PARTITION BY id ORDER BY depth DESC) = 1
+        |ORDER BY id""".stripMargin,
     "q_table_diff" ->
       """WITH o AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
         |v1 AS (SELECT * FROM o WHERE o_orderkey % 3 <> 0),
