@@ -108,6 +108,32 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Range (radius) search: ALL corpus vectors with cosine similarity
+    * ≥ `minCos` to each query — the "find everything this close" sibling
+    * of top-k, used for near-duplicate sweeps and label transfer where
+    * the neighbor COUNT is the unknown. Filtering on the 6-decimal
+    * ROUNDED similarity keeps the τ boundary engine-portable.
+    *
+    * Scale shape: broadcast the (small) query side, stream the corpus
+    * once — a pure narrow filter after the scored cross join, NO window
+    * and no per-query state at all, so unlike top-k there is nothing to
+    * rank and the operator is embarrassingly parallel; output size is
+    * governed by τ, not k. For corpus×corpus radius sweeps use the
+    * banded [[embeddingNearDupPairs]] instead — a broadcast cross join
+    * is only right while one side stays dimension-sized. */
+  def bruteForceRadius(corpus: DataFrame, queries: DataFrame, minCos: Double,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    val q = prep(queries, idCol, vecCol, "q_id", "q_vec", "q_nrm")
+    val c = prep(corpus, idCol, vecCol, "c_id", "c_vec", "c_nrm")
+    c.crossJoin(broadcast(q))
+      .filter(col("c_id") =!= col("q_id"))
+      .select(col("q_id"), col("c_id"),
+        round(VectorFunctions.dot(col("q_vec"), col("c_vec")) /
+          (col("q_nrm") * col("c_nrm")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= minCos)
+  }
+
   /** Deterministic ±1 random hyperplane signs: plane p, component i is
     * the parity of a hash of (p, i). Public so the DuckDB oracle builder
     * bakes the IDENTICAL sign literals into its SQL — one source of
@@ -157,6 +183,44 @@ object Similarity {
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val cb = lshBuckets(corpus, numPlanes, numBands, dim, idCol, vecCol)
     val qb = lshBuckets(queries, numPlanes, numBands, dim, idCol, vecCol)
+    val cand = cb.alias("c").join(qb.alias("q"),
+        col("c.band") === col("q.band") && col("c.band_key") === col("q.band_key"))
+      .select(col("q.id").as("q_id"), col("c.id").as("c_id"))
+      .filter(col("q_id") =!= col("c_id"))
+      .distinct()
+    val qv = prep(queries, idCol, vecCol, "q_id", "q_vec", "q_nrm")
+    val cv = prep(corpus, idCol, vecCol, "c_id", "c_vec", "c_nrm")
+    val scored = cand.join(broadcast(qv), "q_id").join(cv, "c_id")
+      .select(col("q_id"), col("c_id"),
+        round(VectorFunctions.dot(col("q_vec"), col("c_vec")) /
+          (col("q_nrm") * col("c_nrm")), 6).as("cos_sim"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("c_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Multi-probe LSH top-k: in addition to the query's own band key,
+    * probe every key at Hamming distance 1 within each band (flip each
+    * of the band's sign bits in turn). A query whose true neighbor fell
+    * just on the other side of ONE hyperplane still finds it, so recall
+    * rises sharply — candidates are a strict superset of single-probe
+    * [[lshTopK]]'s — while the CORPUS side is untouched: the probe
+    * fan-out ((bits/band + 1)× rows) is paid only on the dimension-sized
+    * query side, the classic multi-probe trade (Lv et al., VLDB 2007)
+    * of a few more bucket lookups for fewer hash tables. */
+  def lshMultiProbeTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                        numPlanes: Int = 16, numBands: Int = 4, dim: Int = 64,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding"): DataFrame = {
+    val perBand = numPlanes / numBands
+    val cb = lshBuckets(corpus, numPlanes, numBands, dim, idCol, vecCol)
+    val qb = lshBuckets(queries, numPlanes, numBands, dim, idCol, vecCol)
+      .select(col("id"), col("band"), col("band_key"),
+        explode(array((lit(0L) +: (0 until perBand).map(i => lit(1L << i))): _*))
+          .as("flip"))
+      .select(col("id"), col("band"),
+        col("band_key").bitwiseXOR(col("flip")).as("band_key"))
     val cand = cb.alias("c").join(qb.alias("q"),
         col("c.band") === col("q.band") && col("c.band_key") === col("q.band_key"))
       .select(col("q.id").as("q_id"), col("c.id").as("c_id"))

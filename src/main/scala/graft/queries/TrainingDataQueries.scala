@@ -621,6 +621,23 @@ object TrainingDataQueries {
         .orderBy("q_id", "rank")
     }),
 
+    // Range search: every neighbor within cosine ≥ 0.25 — no window, no
+    // per-query state; output size is governed by the radius.
+    "ann_radius" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.bruteForceRadius(emb, emb.filter(col("vec_id") < 10), 0.25)
+        .orderBy("q_id", "c_id")
+    }),
+
+    // Multi-probe LSH: Hamming-1 band-key probes on the QUERY side only —
+    // candidate superset of ann_lsh at identical corpus-side cost; recall
+    // gain asserted in SimilaritySpec.
+    "ann_multiprobe" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.lshMultiProbeTopK(emb, emb.filter(col("vec_id") < 10), 10)
+        .orderBy("q_id", "rank")
+    }),
+
     // IVF approximate ANN — centroids are an md5-ordered prefix of the
     // corpus, replayable in SQL; recall vs brute force asserted in
     // ScalaTest.
@@ -1961,6 +1978,41 @@ object TrainingDataQueries {
          |cand AS (SELECT DISTINCT q.id AS q_id, c.id AS c_id
          |         FROM cb c JOIN cb q ON c.band = q.band AND c.band_key = q.band_key
          |         WHERE q.id < 10 AND q.id <> c.id),
+         |sc AS (SELECT q_id, c_id, round(${cos("qe", "ce")}, 6) AS cos_sim
+         |       FROM cand JOIN e qe ON qe.vec_id = q_id
+         |                 JOIN e ce ON ce.vec_id = c_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+         |                ORDER BY cos_sim DESC, c_id) AS rank FROM sc)
+         |SELECT q_id, c_id, cos_sim, rank FROM r WHERE rank <= 10
+         |ORDER BY q_id, rank""".stripMargin,
+
+    "ann_radius" ->
+      s"""WITH $embCte,
+         |q AS (SELECT * FROM e WHERE vec_id < 10),
+         |sc AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         |         round(${cos("q", "c")}, 6) AS cos_sim
+         |       FROM q JOIN e c ON c.vec_id <> q.vec_id)
+         |SELECT q_id, c_id, cos_sim FROM sc
+         |WHERE cos_sim >= 0.25
+         |ORDER BY q_id, c_id""".stripMargin,
+
+    // Identical to ann_lsh except the query-side buckets expand to the
+    // Hamming-1 probe set (xor with 0 and each single bit of the band).
+    "ann_multiprobe" ->
+      s"""WITH $embCte,
+         |bits AS (SELECT vec_id,
+         |         $lshBitsSql
+         |       FROM e),
+         |bk AS (SELECT vec_id,
+         |       $lshBandKeySql
+         |       FROM bits),
+         |cb AS ($lshBucketsUnion),
+         |qp AS (SELECT id, band, xor(band_key, f) AS band_key
+         |       FROM cb CROSS JOIN (SELECT unnest([0, 1, 2, 4, 8]) AS f) fs
+         |       WHERE id < 10),
+         |cand AS (SELECT DISTINCT q.id AS q_id, c.id AS c_id
+         |         FROM cb c JOIN qp q ON c.band = q.band AND c.band_key = q.band_key
+         |         WHERE q.id <> c.id),
          |sc AS (SELECT q_id, c_id, round(${cos("qe", "ce")}, 6) AS cos_sim
          |       FROM cand JOIN e qe ON qe.vec_id = q_id
          |                 JOIN e ce ON ce.vec_id = c_id),

@@ -83,6 +83,44 @@ class SimilaritySpec extends SparkSpec {
     assert(hits >= 5, s"top-1 recall in approximate candidates: $hits/10")
   }
 
+  test("bruteForceRadius: exactly the brute-force pairs at or above the threshold") {
+    val tau = 0.2
+    val radius = Similarity.bruteForceRadius(emb, queries, tau)
+      .select("q_id", "c_id", "cos_sim")
+      .as[(Long, Long, Double)].collect()
+    assert(radius.nonEmpty, "threshold chosen to keep the result nonempty")
+    assert(radius.forall(_._3 >= tau), "no pair below the radius")
+    // Agreement with the full scored set filtered driver-side.
+    val all = Similarity.bruteForceTopK(emb, queries, Int.MaxValue)
+      .select("q_id", "c_id", "cos_sim")
+      .as[(Long, Long, Double)].collect()
+      .filter(_._3 >= tau)
+    assert(radius.toSet === all.toSet)
+  }
+
+  test("multi-probe LSH: candidate superset of single-probe, never worse top-1 recall") {
+    val planes = 8; val bands = 4
+    val bf = Similarity.bruteForceTopK(emb, queries, 1)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toMap
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "c_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val single = pairs(Similarity.lshTopK(emb, queries, 1000,
+      numPlanes = planes, numBands = bands))
+    val multi = pairs(Similarity.lshMultiProbeTopK(emb, queries, 1000,
+      numPlanes = planes, numBands = bands))
+    // With k larger than any candidate set, the outputs ARE the candidate
+    // sets — multi-probe must contain every single-probe candidate.
+    single.foreach { case (q, cs) =>
+      assert(cs.subsetOf(multi.getOrElse(q, Set.empty)),
+        s"query $q lost single-probe candidates")
+    }
+    val hitsSingle = bf.count { case (q, t) => single.getOrElse(q, Set.empty)(t) }
+    val hitsMulti = bf.count { case (q, t) => multi.getOrElse(q, Set.empty)(t) }
+    assert(hitsMulti >= hitsSingle, s"recall regressed: $hitsMulti < $hitsSingle")
+    assert(hitsMulti >= 7, s"top-1 recall in multi-probe candidates: $hitsMulti/10")
+  }
+
   test("native codegen DotProduct is bit-identical to the interpreted HOF fold") {
     import graft.functions.VectorFunctions
     val pairs = emb.alias("a").crossJoin(emb.limit(20).alias("b"))
