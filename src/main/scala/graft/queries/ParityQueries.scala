@@ -281,6 +281,37 @@ object ParityQueries {
         .outputMode("append").format("memory").queryName(qn).start()
       q.awaitTermination()
       s.table(qn).orderBy("l_event", "r_event")
+    }),
+
+    // Stream–static enrichment graded: events arrive as 3 staged files
+    // read with maxFilesPerTrigger=1 (three genuine micro-batches), each
+    // batch joining the static customer dimension via the broadcast
+    // stream–static join (no state, no watermark — the lookup shape).
+    // Append mode emits every enriched row as its batch completes; the
+    // accumulated memory-sink table must equal the batch join, which is
+    // what the oracle states.
+    "stream_enrich" -> ((s, dir) => withShufflePartitions(s, 4) {
+      val hand = java.nio.file.Files.createTempDirectory("graft-sen-hand").toString
+      s.read.parquet(s"$dir/events.parquet").repartition(3)
+        .write.mode("overwrite").parquet(hand)
+      val schema = s.read.parquet(hand).schema
+      val stream = Tables.withTsMs(s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(hand))
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      val dim = Tables.customer(s, dir)
+        .select(col("c_custkey").as("user_id"), col("c_name"), col("c_mktsegment"))
+      val enriched = graft.streaming.Streaming.enrichStream(stream, dim, Seq("user_id"))
+      val qn = "stream_en_" + java.util.UUID.randomUUID().toString.take(8)
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-sen-ckpt").toString
+      val q = enriched.writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").format("memory").queryName(qn).start()
+      q.awaitTermination()
+      s.table(qn)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          round(col("value"), 4).as("value_r"), col("c_name"), col("c_mktsegment"))
+        .orderBy("event_id")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -349,5 +380,11 @@ object ParityQueries {
         |FROM e l JOIN e r ON l.user_id = r.user_id
         |WHERE l.event_type = 'click' AND r.event_type = 'purchase'
         |  AND r.ts_ms >= l.ts_ms AND r.ts_ms <= l.ts_ms + 21600000
-        |ORDER BY l_event, r_event""".stripMargin)
+        |ORDER BY l_event, r_event""".stripMargin,
+
+    "stream_enrich" ->
+      """SELECT event_id, user_id, event_type, round(value, 4) AS value_r,
+        |       c_name, c_mktsegment
+        |FROM events JOIN customer ON user_id = c_custkey
+        |ORDER BY event_id""".stripMargin)
 }

@@ -906,6 +906,27 @@ object TrainingDataQueries {
         .orderBy(col("n_occurrences").desc, col("word"))
         .limit(20)),
 
+    // Per-source lexical diversity: type/token ratio and hapax-legomenon
+    // share — the vocabulary-health metrics of a corpus mix. Two stacked
+    // partial-aggregable HashAggregates (shuffle on (source, word), then
+    // on source); the division runs once per source on exact longs.
+    "text_lexical_diversity" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("source"),
+          explode(TextFunctions.words(col("text"))).as("word"))
+        .groupBy(col("source"), col("word"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("source"))
+        .agg(sum(col("n")).as("n_tokens"),
+          count(lit(1)).as("n_types"),
+          sum(when(col("n") === 1, 1L).otherwise(0L)).as("n_hapax"))
+        .select(col("source"), col("n_tokens"), col("n_types"), col("n_hapax"),
+          round(col("n_types").cast("double") / col("n_tokens").cast("double"), 6)
+            .as("ttr"),
+          round(col("n_hapax").cast("double") / col("n_types").cast("double"), 6)
+            .as("hapax_ratio"))
+        .orderBy("source")),
+
     // PII scrubbing: URLs / emails / phone-like runs replaced by typed
     // placeholders. The fixture text carries no PII, so deterministic
     // synthetic PII (derived from fixture columns, identically in both
@@ -1164,6 +1185,23 @@ object TrainingDataQueries {
           min(col("x")).as("min_x"), max(col("x")).as("max_x"),
           min(col("y")).as("min_y"), max(col("y")).as("max_y"))
         .orderBy(col("z_range"))
+    }),
+
+    // Small-file compaction graded end-to-end: fragment the events table
+    // into 16 files, compact to <=2 with Layout.compact (one shuffle-free
+    // coalesce + write), read back — the oracle states bit-identical
+    // content, so any row lost, duplicated, or value-mangled by the
+    // rewrite flips the hash. File-count bounds are asserted in
+    // StorageSpec (not SQL-expressible).
+    "data_compact" -> ((s, dir) => {
+      val frag = java.nio.file.Files.createTempDirectory("graft-dc-frag").toString
+      val out = java.nio.file.Files.createTempDirectory("graft-dc-out").toString
+      Tables.events(s, dir)
+        .select("event_id", "user_id", "event_type", "value", "props")
+        .repartition(16)
+        .write.mode("overwrite").parquet(frag)
+      Layout.compact(s, frag, out, targetFiles = 2)
+      s.read.parquet(out).orderBy("event_id")
     }),
 
     "text_fingerprint" -> ((s, dir) =>
@@ -2349,6 +2387,23 @@ object TrainingDataQueries {
          |       count(DISTINCT doc_id) AS n_docs
          |FROM t GROUP BY word
          |ORDER BY n_occurrences DESC, word LIMIT 20""".stripMargin,
+
+    "text_lexical_diversity" ->
+      s"""WITH t AS (SELECT source, unnest($wordsSql) AS word FROM documents),
+         |wc AS (SELECT source, word, count(*) AS n FROM t GROUP BY 1, 2)
+         |SELECT source,
+         |       CAST(sum(n) AS BIGINT) AS n_tokens,
+         |       count(*) AS n_types,
+         |       CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+         |       round(CAST(count(*) AS DOUBLE) / CAST(sum(n) AS DOUBLE), 6) AS ttr,
+         |       round(CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         |             / CAST(count(*) AS DOUBLE), 6) AS hapax_ratio
+         |FROM wc GROUP BY source ORDER BY source""".stripMargin,
+
+    // Content identity through the fragment → compact → read-back cycle.
+    "data_compact" ->
+      """SELECT event_id, user_id, event_type, value, props
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "text_redact" -> {
       val urlP = TextAnalysis.UrlPattern
