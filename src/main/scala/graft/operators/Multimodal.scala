@@ -594,4 +594,96 @@ object Multimodal {
         }
       }
   }
+
+  /** dHash output: 56 gradient-sign bits packed into one BIGINT (7
+    * horizontal comparisons × 8 rows — 56 < 63 keeps the pack inside a
+    * signed long in BOTH engines; a 64-bit pack would overflow DuckDB's
+    * checked BIGINT `<<`). Null on undecodable payloads (quarantine). */
+  case class PHash(media_id: Long, phash: Option[Long], n_ones: Option[Int])
+
+  /** Difference-hash (dHash) perceptual image fingerprint over REAL
+    * decoded pixels: `ImageIO.read`, nearest-neighbor sample an 8×8
+    * luminance grid (the same floor mapping as [[resize]]: source pixel
+    * (x·W)/8, (y·H)/8), luma in exact integer milli-weights
+    * (299R + 587G + 114B — the BT.601 coefficients ×1000, no floats
+    * anywhere), then one sign bit per horizontal neighbor pair. Two
+    * images within a few bits of Hamming distance are visually
+    * near-identical under crops/rescales/re-encodes — the image-side
+    * analogue of SimHash for text, and the standard first pass of
+    * image dedup in multimodal training pipelines.
+    *
+    * `mapPartitions` for decoder amortization; the whole pipeline is
+    * integer, so the hash is exactly replayable from the synthesized
+    * pixel formula by the SQL oracle. */
+  def perceptualHash(withPayload: DataFrame): Dataset[PHash] = {
+    implicit val enc = Encoders.product[PHash]
+    withPayload.select(col("media_id"), col("payload"))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .mapPartitions { it =>
+        it.map { case (id, p) =>
+          val img = try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
+                    catch { case _: Exception => null }
+          if (img == null) PHash(id, None, None)
+          else {
+            val w = img.getWidth
+            val h = img.getHeight
+            val lum = Array.ofDim[Long](8, 8)
+            var y = 0
+            while (y < 8) {
+              val sy = y * h / 8
+              var x = 0
+              while (x < 8) {
+                val px = img.getRGB(x * w / 8, sy)
+                lum(y)(x) = 299L * ((px >> 16) & 0xff) +
+                  587L * ((px >> 8) & 0xff) + 114L * (px & 0xff)
+                x += 1
+              }
+              y += 1
+            }
+            var hash = 0L
+            var ones = 0
+            y = 0
+            while (y < 8) {
+              var x = 0
+              while (x < 7) {
+                if (lum(y)(x + 1) > lum(y)(x)) {
+                  hash |= 1L << (y * 7 + x); ones += 1
+                }
+                x += 1
+              }
+              y += 1
+            }
+            PHash(id, Some(hash), Some(ones))
+          }
+        }
+      }
+  }
+
+  /** Near-duplicate image pairs by perceptual hash: candidates share at
+    * least one of the hash's 7 bytes (pigeonhole: Hamming ≤ `maxHamming`
+    * ≤ 6 over 56 bits forces ≥ 1 equal byte — the SimHash byte-band
+    * recipe on the image side), verified with an exact `bit_count` of
+    * the XOR. The band equi-join keeps candidate generation linear in
+    * the bucket sizes — never an all-pairs cross join; undecodable
+    * (null-hash) rows drop out before banding. */
+  def phashNearDupPairs(hashes: DataFrame, maxHamming: Int = 6): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 6,
+      s"maxHamming must be in [0,6] — 7 bands over 56 bits only " +
+        s"pigeonhole-guarantee distance <= 6, got $maxHamming")
+    val h = hashes.filter(col("phash").isNotNull)
+      .select(col("media_id"), col("phash"))
+    val banded = h.select(col("media_id"), col("phash"),
+        explode(array((0 until 7).map(b =>
+          struct(lit(b).as("band"),
+            pmod(shiftright(col("phash"), b * 8), lit(256L)).as("bk"))): _*))
+          .as("s"))
+      .select(col("media_id"), col("phash"), col("s.band"), col("s.bk"))
+    banded.alias("a").join(banded.alias("b"),
+        col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"),
+        bit_count(col("a.phash").bitwiseXOR(col("b.phash"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
 }

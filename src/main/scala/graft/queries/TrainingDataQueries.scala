@@ -1641,7 +1641,36 @@ object TrainingDataQueries {
           expr("cast(aggregate(zip_with(features, sequence(0, size(features)-1)," +
             " (c, i) -> c * i), cast(0 as double), (a, x) -> a + x) as long)")
             .as("hist_checksum"))
-        .orderBy("media_id")))
+        .orderBy("media_id")),
+
+    // dHash perceptual fingerprint over REAL decoded pixels: 8×8
+    // nearest-neighbor luminance grid (BT.601 integer milli-weights),
+    // 56 horizontal gradient-sign bits packed into one BIGINT. The
+    // oracle replays the full decode→sample→luma→pack chain from the
+    // pixel formula — a wrong sample coordinate, luma weight, or bit
+    // position flips the hash.
+    "multimodal_phash" -> ((s, dir) =>
+      Multimodal.perceptualHash(
+          Multimodal.synthesizeRealPng(Tables.documents(s, dir), "doc_id"))
+        .toDF()
+        .orderBy("media_id")),
+
+    // Image exact-dup grouping by perceptual hash — the first pass of
+    // image dedup (keep = min id per hash group). One partial-aggregable
+    // groupBy on the 56-bit hash; output is bounded by the number of
+    // DISTINCT fingerprints, never the image count. (The Hamming-banded
+    // near-dup pair join is spec-tested on structurally distinct images
+    // — this fixture's gradient images collapse to 5 hash groups, which
+    // is exactly what the grouping shows.)
+    "multimodal_phash_groups" -> ((s, dir) =>
+      Multimodal.perceptualHash(
+          Multimodal.synthesizeRealPng(Tables.documents(s, dir), "doc_id"))
+        .toDF()
+        .groupBy(col("phash"))
+        .agg(count(lit(1)).as("n_images"),
+          min(col("media_id")).as("keep_id"),
+          max(col("media_id")).as("max_id"))
+        .orderBy("phash")))
 
   // --- generated ANN oracle fragments -------------------------------
   // One CASE per hyperplane, sign literals baked from the SAME
@@ -3264,5 +3293,42 @@ object TrainingDataQueries {
         |            WHERE xp < w AND yp < h)
         |SELECT doc_id AS media_id, CAST(w * h AS INT) AS n_pixels,
         |       16 AS dim, CAST(sum(bin) AS BIGINT) AS hist_checksum
-        |FROM px GROUP BY doc_id, w, h ORDER BY media_id""".stripMargin)
+        |FROM px GROUP BY doc_id, w, h ORDER BY media_id""".stripMargin,
+
+    "multimodal_phash" -> (phashOracleCore +
+      """
+        |SELECT media_id, phash, n_ones FROM ph ORDER BY media_id""".stripMargin),
+
+    "multimodal_phash_groups" -> (phashOracleCore +
+      """
+        |SELECT phash, count(*) AS n_images, min(media_id) AS keep_id,
+        |       max(media_id) AS max_id
+        |FROM ph GROUP BY phash ORDER BY phash""".stripMargin))
+
+  // dHash replay from the pixel formula: sampled source columns
+  // (x·w)//8 for the 8 grid columns, BT.601 milli-weight luma, one sign
+  // bit per adjacent-column pair packed at y*7+x.
+  private lazy val phashOracleCore =
+    """WITH d AS (SELECT doc_id AS media_id, doc_id % 29 + 4 AS w,
+      |             doc_id % 23 + 4 AS h FROM documents),
+      |cells AS (SELECT media_id, x, y,
+      |            (x * w) // 8 AS sx, ((x + 1) * w) // 8 AS sx1,
+      |            (y * h) // 8 AS sy
+      |          FROM d
+      |          CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS x) xs
+      |          CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS y) ys),
+      |lums AS (SELECT media_id, x, y,
+      |           299*(3*sx + 5*sy + media_id % 7)
+      |           + 587*(2*sx + 7*sy + media_id % 11)
+      |           + 114*(sx + 4*sy + media_id % 13) AS l0,
+      |           299*(3*sx1 + 5*sy + media_id % 7)
+      |           + 587*(2*sx1 + 7*sy + media_id % 11)
+      |           + 114*(sx1 + 4*sy + media_id % 13) AS l1
+      |         FROM cells),
+      |ph AS (SELECT media_id,
+      |         CAST(sum(CASE WHEN l1 > l0
+      |                       THEN (1::BIGINT << (y*7 + x)) ELSE 0 END)
+      |           AS BIGINT) AS phash,
+      |         CAST(sum(CASE WHEN l1 > l0 THEN 1 ELSE 0 END) AS INT) AS n_ones
+      |       FROM lums GROUP BY media_id)""".stripMargin
 }

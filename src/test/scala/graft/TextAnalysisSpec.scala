@@ -360,6 +360,54 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("multimodal: perceptual hash replays from the formula; corrupt payloads null out") {
+    val withPng = Multimodal.synthesizeRealPng(docs, "doc_id")
+    val got = Multimodal.perceptualHash(withPng).collect()
+      .map(p => p.media_id -> p).toMap
+    assert(got.size === 3)
+    got.foreach { case (id, p) =>
+      val (w, h) = Multimodal.formulaDims(id)
+      def lum(gx: Int, gy: Int): Long = {
+        val px = Multimodal.formulaRgb(id, 0, gx * w / 8, gy * h / 8)
+        299L * ((px >> 16) & 0xff) + 587L * ((px >> 8) & 0xff) + 114L * (px & 0xff)
+      }
+      var exp = 0L; var ones = 0
+      for (y <- 0 until 8; x <- 0 until 7)
+        if (lum(x + 1, y) > lum(x, y)) { exp |= 1L << (y * 7 + x); ones += 1 }
+      assert(p.phash.get === exp, s"hash mismatch for image $id")
+      assert(p.n_ones.get === ones)
+    }
+    val junk = spark.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row(9L, Array[Byte](1, 2, 3))),
+      new org.apache.spark.sql.types.StructType()
+        .add("media_id", org.apache.spark.sql.types.LongType)
+        .add("payload", org.apache.spark.sql.types.BinaryType))
+    val q = Multimodal.perceptualHash(junk).collect()
+    assert(q.head.phash.isEmpty && q.head.n_ones.isEmpty)
+  }
+
+  test("multimodal: phash near-dup pairs via byte bands, exact Hamming verify") {
+    import spark.implicits._
+    val base = 0x00A5A5A5A5A5A5L // 56-bit pattern
+    val hashes = Seq(
+      (1L, Some(base)),
+      (2L, Some(base ^ (1L << 13))), // Hamming 1 from 1
+      (3L, Some(base ^ 0x00FFFFFFFFFFFFL)), // far away from everything
+      (4L, None)) // undecodable: must drop out silently
+      .toDF("media_id", "phash")
+    val pairs = graft.operators.Multimodal.phashNearDupPairs(hashes, maxHamming = 6)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(pairs === Set((1L, 2L, 1)), s"got $pairs")
+    // tightening the radius to 0 keeps only exact duplicates
+    val exact = graft.operators.Multimodal.phashNearDupPairs(hashes, maxHamming = 0)
+      .collect()
+    assert(exact.isEmpty)
+    // the pigeonhole guarantee stops at 6 — wider radii must be rejected
+    intercept[IllegalArgumentException] {
+      graft.operators.Multimodal.phashNearDupPairs(hashes, maxHamming = 7)
+    }
+  }
+
   test("multimodal: frame stream walk + stride sampling decodes the right frames") {
     val stream = Multimodal.synthesizeFrameStream(docs, "doc_id", nFrames = 3)
     // the chunk walk finds exactly the 3 frame boundaries
