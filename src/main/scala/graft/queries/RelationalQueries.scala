@@ -396,6 +396,24 @@ object RelationalQueries {
     // forward with last(ignoreNulls) — the standard repair step before
     // feeding time-series features to training. One shuffle for the
     // rollup, one broadcast-sized spine join, one window pass.
+    // Gaps-and-islands: maximal runs of CONSECUTIVE active days per
+    // user via the day − row_number() grouping constant. One shuffle on
+    // user_id for the window; the island aggregation groups on
+    // (user, grp), a refinement of the window partitioning, so the
+    // partial aggregate runs without a second exchange.
+    "q_islands" -> ((s, dir) => {
+      val days = Tables.events(s, dir)
+        .select(col("user_id"), expr("ts_ms div 86400000").as("day"))
+        .distinct()
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      days.withColumn("grp", col("day") - row_number().over(w))
+        .groupBy(col("user_id"), col("grp"))
+        .agg(min(col("day")).as("start_day"), max(col("day")).as("end_day"),
+          count(lit(1)).as("n_days"))
+        .select(col("user_id"), col("start_day"), col("end_day"), col("n_days"))
+        .orderBy("user_id", "start_day")
+    }),
+
     "q_gap_fill" -> ((s, dir) => {
       val hourly = Tables.events(s, dir)
         .withColumn("cents", floor(col("value") * 100).cast("long"))
@@ -1541,6 +1559,19 @@ object RelationalQueries {
         |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
         |         AS filled_cents
         |FROM j ORDER BY event_type, hour_ms""".stripMargin,
+
+    "q_islands" ->
+      """WITH d AS (SELECT DISTINCT user_id,
+        |             epoch_ms(ts) // 86400000 AS day FROM events),
+        |g AS (SELECT user_id, day,
+        |        day - row_number() OVER (PARTITION BY user_id
+        |                                 ORDER BY day) AS grp
+        |      FROM d)
+        |SELECT user_id, min(day) AS start_day, max(day) AS end_day,
+        |       count(*) AS n_days
+        |FROM g GROUP BY user_id, grp
+        |ORDER BY user_id, start_day""".stripMargin,
+
     "q_sql_surface" ->
       """SELECT n_name, o_orderpriority, count(*) AS n,
         |       round(sum(o_totalprice), 2) AS sum_tp

@@ -53,7 +53,17 @@ object PlanDump {
     "graph_pagerank" -> "per iteration: edges equi-join ranks (shuffle on src), partial-aggregable groupBy dst, left join back to nodes — integer micro-unit arithmetic makes the iterative result exactly replayable; no driver-side state, plan depth linear in iterations (checkpoint every few rounds at cluster scale)",
     "q_triangles" -> "degree-oriented triangle counting: every join is an equi-join (co-occurrence self-join on orderkey, degree attach, wedge self-join on src, closing-edge join on (u,v)); orientation bounds the wedge fan-out by O(sqrt(E)) so no hub explosion",
     "ann_rrf_fusion" -> "rank fusion = full outer join of two top-k candidate lists (|Q| x k rows each) + one fixed-order score expression + the per-query top-k window — the corpus is never rescanned; both inputs are the compressed/bucketed retrieval paths",
-    "q_null_semantics" -> "the NOT IN leg plans as BroadcastNestedLoopJoin LeftAnti with the null-aware single-column condition (Spark's null-aware anti join), NOT EXISTS as a plain broadcast anti join, and <=> as a null-safe broadcast semi join — three different join operators for three different null contracts")
+    "q_null_semantics" -> "the NOT IN leg plans as BroadcastNestedLoopJoin LeftAnti with the null-aware single-column condition (Spark's null-aware anti join), NOT EXISTS as a plain broadcast anti join, and <=> as a null-safe broadcast semi join — three different join operators for three different null contracts",
+    "graph_degrees" -> "two partial-aggregable HashAggregates (one per edge direction, each with a single-column partial distinct — no expand) + one full outer join on the node id; shuffle volume is O(|E|) with map-side combine collapsing multi-edges before the exchange",
+    "graph_label_prop" -> "per round: symmetrized edges equi-join labels (shuffle on src), then the vote argmax as TWO stacked fixed-width HashAggregates — the (count,label) vote packs into one BIGINT so neither aggregate demotes to ObjectHash/SortAggregate; left join back keeps isolated nodes; plan depth linear in rounds (checkpoint cadence documented)",
+    "graph_link_pred" -> "wedge enumeration = adjacency self-join on the MIDDLE node with the degree cap filtered BEFORE the join (hot hubs never enter the exchange); pair counting is a partial-aggregable HashAggregate; degrees attach by two joins on the bounded node table",
+    "q_recursive_hierarchy" -> "WITH RECURSIVE as pointer doubling: 12 fixed self-joins (state never grows — one row per node), each an equi-join of the state against itself; depth accumulates in exact longs so the distributed O(log depth) plan hash-matches the sequential recursive oracle",
+    "q_corr_agg" -> "five exact DECIMAL(38,0) moment sums in ONE two-phase HashAggregate over the scan (no second pass per statistic); corr/covar/slope/intercept/R² are pure projections over the 3 group rows — the engine's streaming corr kernel is bypassed for a deterministic integer-moment formulation",
+    "q_mode" -> "two stacked fixed-width HashAggregates: (group,value) counts collapse map-side, then the argmax-by-count packs (count,value) into one BIGINT max() — no window over raw rows, no ObjectHashAggregate",
+    "ann_radius" -> "range search: corpus scanned once against the broadcast query side, similarity filter applied directly — NO window, no per-query ranking state at all (the top-k family's Sort+Window disappears); output scales with the radius, not k·|Q|",
+    "ann_multiprobe" -> "multi-probe LSH: the Hamming-1 probe explode multiplies only the dimension-sized QUERY side (corpus buckets unchanged); candidates stay an equi-join on (band, band_key) and scoring touches candidates only",
+    "multimodal_phash_groups" -> "perceptual hashes come from a mapPartitions decode (codec amortized per task, no per-row UDF); the dup-grouping is one partial-aggregable HashAggregate on the 56-bit BIGINT hash — output bounded by distinct fingerprints, never the image count",
+    "text_lexical_diversity" -> "explode feeds two STACKED partial-aggregable HashAggregates ((source,word) then source) — the hapax/type/token statistics all ride the same shuffle; one exact-long division per source at the end")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"

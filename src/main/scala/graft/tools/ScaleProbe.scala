@@ -3,7 +3,7 @@ package graft.tools
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Similarity, Sweep, TextAnalysis}
+import graft.operators.{Dedup, Graph, Hierarchy, Similarity, Sweep, TextAnalysis}
 
 /** Empirical scaling probe for the near-dup operators: replicates the
   * sf0.1 documents corpus xN (ids shifted, text perturbed per copy so
@@ -188,6 +188,50 @@ object ScaleProbe {
         val (rows, sec) = time(cur())
         println(f"PROBE x$factor curation_v3 docs=${nBase * factor} " +
           f"kept=$rows time=$sec%.2fs")
+      }
+      // Graph operators over the xN synthetic link graph (N nodes,
+      // 3N edges): label propagation is 3 fixed rounds of join +
+      // packed-argmax aggregation (per-round cost linear in |E|), and
+      // common-neighbor link prediction is the degree-capped wedge join
+      // (pairs track Σ deg², bounded by the cap — never the node
+      // count²). Superlinear growth in either would mean a round or
+      // wedge stage picked up a corpus-sized key.
+      locally {
+        val n = nBase * factor
+        val nodes = df.select(col("doc_id"))
+        val edges = nodes
+          .select(col("doc_id").as("src"),
+            explode(array(lit(1L), lit(2L), lit(3L))).as("k"))
+          .select(col("src"), pmod(col("src") * 7 + col("k") * 13, lit(n)).as("dst"))
+        val lp = () => Graph.labelPropagation(edges, iterations = 3).count()
+        lp() // warm
+        val (lpRows, lpSec) = time(lp())
+        println(f"PROBE x$factor label_prop nodes=$lpRows time=$lpSec%.2fs")
+        val cn = () => Graph.commonNeighbors(edges, degCap = 64).count()
+        cn() // warm
+        val (cnPairs, cnSec) = time(cn())
+        println(f"PROBE x$factor link_pred nodes=$n pairs=$cnPairs time=$cnSec%.2fs")
+      }
+      // Pointer-doubling hierarchy at xN: chain depth grows LINEARLY
+      // with the id range (max depth ≈ N/7) but the round count only
+      // log2 — 12/14/16 rounds at x1/x4/x16 — so wall time per node
+      // should grow ~(rounds/12), not (depth/2142). This is the whole
+      // argument for doubling over sequential recursion at 100 TB.
+      locally {
+        val n = nBase * factor
+        val rounds = (math.log(n.toDouble / 7.0) / math.log(2.0)).ceil.toInt + 1
+        val nodes = spark.range(n).select(col("id").as("nid"),
+          when(col("id") - (pmod(col("id"), lit(7)) + 1) < 0,
+            lit(null).cast("long"))
+            .otherwise(col("id") - (pmod(col("id"), lit(7)) + 1)).as("parent"))
+        val hd = () => Hierarchy.rootAndDepth(nodes, "nid", "parent", rounds)
+          .agg(max(col("depth"))).collect()(0).getLong(0)
+        hd() // warm
+        val t0h = System.nanoTime()
+        val maxDepth = hd()
+        val secH = (System.nanoTime() - t0h) / 1e9
+        println(f"PROBE x$factor hierarchy nodes=$n rounds=$rounds " +
+          f"max_depth=$maxDepth time=$secH%.2fs")
       }
     }
 
