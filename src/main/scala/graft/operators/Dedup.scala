@@ -530,6 +530,68 @@ object Dedup {
       .distinct()
   }
 
+  /** Prefix-filtered EXACT set-similarity self-join (the PPJoin family:
+    * Chaudhuri/Ganti/Kaushik ICDE'06, Xiao et al. WWW'08): every pair of
+    * documents with shingle-hash Jaccard ≥ `minJaccard`, with NO
+    * document-frequency cap and NO approximation — yet never joining on
+    * every token.
+    *
+    * Why it scales: order each document's distinct shingle hashes by
+    * ascending global document frequency (rarest first; ties by hash —
+    * a total order shared corpus-wide). Two sets of sizes na, nb with
+    * Jaccard ≥ τ must overlap in ≥ ceil(τ·na) elements, so if a set
+    * contributes only its first `n − ceil(τ·n) + 1` tokens (its
+    * PREFIX) to the join, any qualifying pair still collides on at
+    * least one prefix token — dropping the suffix is lossless. Because
+    * the prefix holds each document's RAREST tokens, hot shingles
+    * (boilerplate) land in suffixes and never generate candidates: the
+    * df² blowup that forces [[shingleJaccardPairs]]' maxDocFreq cap
+    * disappears by construction instead of by truncation. The length
+    * filter (τ·na ≤ nb ∧ τ·nb ≤ na) — also lossless — prunes
+    * candidates before the distinct. Survivors are verified EXACTLY on
+    * the full hash sets (one array_intersect per candidate pair; sets
+    * ride a join keyed by doc id, bounded by candidate count, not
+    * corpus²).
+    *
+    * Dataflow: shuffle on hash (df counts) → shuffle on doc (rank
+    * window + full-set collect) → shuffle on hash (prefix self-join,
+    * prefix ≈ (1−τ)·tokens of the corpus) → shuffle on candidate pair.
+    * Adversarial caveat: a corpus whose documents are drawn from a
+    * tiny token universe makes every token hot and prefixes stay hot
+    * too — prefix filtering bounds WORK only through rarity skew,
+    * which real near-dup corpora have. */
+  def prefixFilterPairs(df: DataFrame, idCol: String, textCol: String,
+                        minJaccard: Double = 0.8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keyed = hashKeyed(df, idCol, textCol, graft.plans.ShingleHashes(_))
+    val dfreq = keyed.groupBy(col("key")).agg(count(lit(1)).as("df"))
+    val ranked = keyed.join(dfreq, "key")
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("doc")).orderBy(col("df"), col("key"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("doc"))))
+    // Prefix bound and length filter use the same IEEE double
+    // ceil(τ·n) on both engines, so grading is bit-stable.
+    val prefix = ranked.filter(
+      col("pos") <= col("n") - ceil(lit(minJaccard) * col("n")) + 1)
+    val cand = prefix.alias("a").join(prefix.alias("b"),
+        col("a.key") === col("b.key") && col("a.doc") < col("b.doc") &&
+          col("b.n") >= ceil(lit(minJaccard) * col("a.n")) &&
+          col("a.n") >= ceil(lit(minJaccard) * col("b.n")))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .distinct()
+    val sets = keyed.groupBy(col("doc"))
+      .agg(collect_list(col("key")).as("ks"), count(lit(1)).as("n"))
+    cand
+      .join(sets.select(col("doc").as("doc_a"), col("ks").as("ka"),
+        col("n").as("na")), "doc_a")
+      .join(sets.select(col("doc").as("doc_b"), col("ks").as("kb"),
+        col("n").as("nb")), "doc_b")
+      .withColumn("c", size(array_intersect(col("ka"), col("kb"))))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("c") / (col("na") + col("nb") - col("c")), 4).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
   /** Edit-distance (Levenshtein ≤ 1) near-dup pairs over a SHORT string
     * column — the entity-resolution fuzzy join (titles, names, product
     * ids). Candidate generation is the DELETION-NEIGHBORHOOD equi-join:
@@ -564,6 +626,44 @@ object Dedup {
       .join(base.select(col("id").as("id_b"), col("s").as("sb")), "id_b")
       .select(col("id_a"), col("id_b"),
         levenshtein(col("sa"), col("sb")).cast("long").as("dist"))
+      .filter(col("dist") <= 1)
+  }
+
+  /** Record LINKAGE across two sources — the asymmetric cousin of
+    * [[editDistancePairs]]: every (left, right) pair with equal blocking
+    * key AND Levenshtein ≤ 1 between the string columns. Candidate
+    * generation is the same deletion-neighborhood equi-join, but keyed
+    * on (block, variant): the blocking key rides INSIDE the join key, so
+    * a hot variant shared across blocks (e.g. a common name fragment)
+    * never pairs cross-block, and per-block candidate volume is what a
+    * 1000-executor shuffle partitions on. Exact `levenshtein` verifies
+    * every candidate (the shared-variant neighborhood is a superset);
+    * losslessness of the 1-deletion key is the [[editDistancePairs]]
+    * argument unchanged. Inputs: `left`/`right` with columns (`idCol`,
+    * `strCol`, `blockCol`); output (id_l, id_r, dist). */
+  def editDistanceLink(left: DataFrame, right: DataFrame, idCol: String,
+                       strCol: String, blockCol: String): DataFrame = {
+    def prep(df: DataFrame) =
+      df.select(col(idCol).as("id"), col(strCol).as("s"),
+        col(blockCol).as("blk"))
+    def variants(df: DataFrame) = {
+      val dels = expr(
+        """CASE WHEN length(s) = 0 THEN array(s) ELSE array_union(array(s),
+          |  transform(sequence(1, length(s)),
+          |    i -> concat(substring(s, 1, i - 1), substring(s, i + 1, length(s)))))
+          |END""".stripMargin)
+      df.select(col("id"), col("blk"), explode(dels).as("v"))
+    }
+    val l = prep(left); val r = prep(right)
+    val cand = variants(l).alias("a").join(variants(r).alias("b"),
+        col("a.blk") === col("b.blk") && col("a.v") === col("b.v"))
+      .select(col("a.id").as("id_l"), col("b.id").as("id_r"))
+      .distinct()
+    cand
+      .join(l.select(col("id").as("id_l"), col("s").as("sl")), "id_l")
+      .join(r.select(col("id").as("id_r"), col("s").as("sr")), "id_r")
+      .select(col("id_l"), col("id_r"),
+        levenshtein(col("sl"), col("sr")).cast("long").as("dist"))
       .filter(col("dist") <= 1)
   }
 }

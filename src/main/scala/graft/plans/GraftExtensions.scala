@@ -25,6 +25,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_top_count"),
       new ExpressionInfo(classOf[TopElementCount].getName, "graft_top_count"),
       (children: Seq[Expression]) => TopElementCount(children(0))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_char_stats"),
+      new ExpressionInfo(classOf[CharStats].getName, "graft_char_stats"),
+      (children: Seq[Expression]) => CharStats(children(0))))
     // optimizer rule: size(filter(w, x -> x IN (...))) -> CountInSet
     ext.injectOptimizerRule(_ => RewriteCountInSet)
   }

@@ -372,6 +372,34 @@ object RelationalQueries {
         .orderBy(col("user_id"), col("ts_ms"), col("event_id"))
     }),
 
+    // Exponentially weighted moving average over a bounded 16-row frame:
+    // the decay recurrence s_i = a·s_{i−1} + (1−a)·x_i is sequential, but
+    // truncating to 16 taps (0.8^16 ≈ 2.8% residual weight) makes it a
+    // per-row FRAME computation — collect_list over the running window,
+    // then a codegen'd higher-order fold with position weights. No state
+    // chain, no driver loop; at 100 TB it is one window pass per user
+    // partition, identical in shape to q_rolling_window. Both engines
+    // fold the frame list left-to-right, so even the float summation
+    // order matches.
+    "q_ewma" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_ms"), col("event_id"))
+        .rowsBetween(-15, Window.currentRow)
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts_ms"),
+          col("value").cast("double").as("v"))
+        .withColumn("vals", collect_list(col("v")).over(w))
+        .select(col("user_id"), col("event_id"), col("ts_ms"),
+          expr("""round(
+            aggregate(transform(sequence(1, size(vals)),
+                k -> element_at(vals, k) * power(0.8D, size(vals) - k)),
+              0D, (a, x) -> a + x)
+            / aggregate(transform(sequence(1, size(vals)),
+                k -> power(0.8D, size(vals) - k)),
+              0D, (a, x) -> a + x), 4)""").as("ewma"))
+        .orderBy(col("user_id"), col("ts_ms"), col("event_id"))
+    }),
+
     // Time-based RANGE window frame: trailing-1-hour per-user totals.
     // Unlike the ROWS frame above, the frame edge is a VALUE offset on
     // the (numeric) order key, so peers at the same timestamp share one
@@ -696,6 +724,48 @@ object RelationalQueries {
           round((syd - covNum / varX * sxd) / nd, 6).as("intercept"),
           round(covNum * covNum / (varX * varY), 6).as("r2"))
         .orderBy(col("l_returnflag"))
+    }),
+
+    // Chi-square test of independence (order priority × market segment):
+    // the contingency table is one partial-aggregable count over the
+    // fact-dim join; marginals and the statistic are computed on the
+    // 25-CELL aggregate, never the raw rows — row/col totals and the
+    // grand total ride back as broadcast joins (at 100 TB the post-agg
+    // stage is constant-size regardless of fact cardinality). Expected
+    // counts go through doubles BEFORE multiplying (row_tot·col_tot
+    // overflows BIGINT at cluster scale).
+    "q_chi_squared" -> ((s, dir) => {
+      val cells = Tables.orders(s, dir)
+        .select(col("o_custkey"), col("o_orderpriority"))
+        .join(Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_mktsegment")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_orderpriority"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("obs"))
+      val rowTot = cells.groupBy("o_orderpriority")
+        .agg(sum("obs").as("row_tot"))
+      val colTot = cells.groupBy("c_mktsegment")
+        .agg(sum("obs").as("col_tot"))
+      val grand = cells.agg(sum("obs").as("grand"))
+      val scored = cells
+        .join(broadcast(rowTot), "o_orderpriority")
+        .join(broadcast(colTot), "c_mktsegment")
+        .crossJoin(broadcast(grand))
+        .withColumn("expected", col("row_tot").cast("double") *
+          col("col_tot").cast("double") / col("grand").cast("double"))
+        .withColumn("contrib",
+          (col("obs") - col("expected")) * (col("obs") - col("expected")) /
+            col("expected"))
+      val totals = scored.agg(sum(col("contrib")).as("chi2t"),
+        countDistinct(col("o_orderpriority")).as("np"),
+        countDistinct(col("c_mktsegment")).as("ns"))
+      scored.crossJoin(broadcast(totals))
+        .select(col("o_orderpriority"), col("c_mktsegment"), col("obs"),
+          round(col("expected"), 4).as("expected"),
+          round(col("contrib"), 6).as("contrib"),
+          round(col("chi2t"), 4).as("chi2_total"),
+          ((col("np") - 1) * (col("ns") - 1)).as("dof"))
+        .orderBy(col("o_orderpriority"), col("c_mktsegment"))
     }),
 
     // Exact per-group mode with a deterministic smallest-value tie-break:
@@ -1643,6 +1713,51 @@ object RelationalQueries {
         |    / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
         |     * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS r2
         |FROM m ORDER BY l_returnflag""".stripMargin,
+
+    // Same 25-cell contingency → marginals → expected/contribution
+    // combination; doubles before the row_tot·col_tot product.
+    "q_chi_squared" ->
+      """WITH j AS (SELECT o_orderpriority, c_mktsegment
+        |           FROM orders JOIN customer ON o_custkey = c_custkey),
+        |cells AS (SELECT o_orderpriority, c_mktsegment, count(*) AS obs
+        |          FROM j GROUP BY 1, 2),
+        |rt AS (SELECT o_orderpriority, sum(obs) AS row_tot FROM cells GROUP BY 1),
+        |ct AS (SELECT c_mktsegment, sum(obs) AS col_tot FROM cells GROUP BY 1),
+        |g AS (SELECT sum(obs) AS grand FROM cells),
+        |e AS (SELECT o_orderpriority, c_mktsegment, obs,
+        |        CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)
+        |          / CAST(grand AS DOUBLE) AS expected
+        |      FROM cells JOIN rt USING (o_orderpriority)
+        |      JOIN ct USING (c_mktsegment) CROSS JOIN g),
+        |c AS (SELECT *, (obs - expected) * (obs - expected) / expected AS contrib
+        |      FROM e),
+        |t AS (SELECT sum(contrib) AS chi2t,
+        |        (count(DISTINCT o_orderpriority) - 1)
+        |          * (count(DISTINCT c_mktsegment) - 1) AS dof
+        |      FROM c)
+        |SELECT o_orderpriority, c_mktsegment, obs,
+        |       round(expected, 4) AS expected, round(contrib, 6) AS contrib,
+        |       round(chi2t, 4) AS chi2_total, dof
+        |FROM c CROSS JOIN t
+        |ORDER BY o_orderpriority, c_mktsegment""".stripMargin,
+
+    // Same 16-tap truncated decay over the identical frame list; both
+    // engines fold the list left-to-right with pow(0.8, L−k) weights.
+    "q_ewma" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+        |             CAST(value AS DOUBLE) AS v
+        |           FROM events),
+        |l AS (SELECT user_id, event_id, ts_ms,
+        |        list(v) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+        |                      ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS vals
+        |      FROM e)
+        |SELECT user_id, event_id, ts_ms,
+        |  round(
+        |    list_sum(list_transform(generate_series(1, len(vals)),
+        |      k -> vals[k] * pow(0.8, len(vals) - k)))
+        |    / list_sum(list_transform(generate_series(1, len(vals)),
+        |      k -> pow(0.8, len(vals) - k))), 4) AS ewma
+        |FROM l ORDER BY user_id, ts_ms, event_id""".stripMargin,
 
     "q_mode" ->
       """WITH c AS (SELECT event_type, user_id, count(*) AS cnt

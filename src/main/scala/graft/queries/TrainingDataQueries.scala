@@ -367,6 +367,16 @@ object TrainingDataQueries {
           minJaccard = 0.8)
         .orderBy("doc_a", "doc_b")),
 
+    // PPJoin-family prefix filtering: EXACT Jaccard ≥ 0.8 pairs with no
+    // df cap and no approximation — candidates only where two docs'
+    // rarest-token PREFIXES collide. The oracle replays the identical
+    // df-ordered prefix selection + full-set verify, so both the bound
+    // math and the exact intersection are graded.
+    "dedup_prefix_filter" -> ((s, dir) =>
+      Dedup.prefixFilterPairs(Tables.documents(s, dir), "doc_id", "text",
+          minJaccard = 0.8)
+        .orderBy("doc_a", "doc_b")),
+
     // Pairs → components: min-label propagation with pointer jumping
     // (O(log diameter) shuffle rounds). Graded against a recursive-CTE
     // reachability oracle over the SAME minhash pair SQL.
@@ -579,6 +589,33 @@ object TrainingDataQueries {
     "dedup_fuzzy" -> ((s, dir) =>
       Dedup.editDistancePairs(Tables.customer(s, dir), "c_custkey", "c_name")
         .orderBy("id_a", "id_b")),
+
+    // Record linkage across two sources: source B is a deterministically
+    // "dirtied" copy of the customer file (one character deleted at a
+    // key-dependent position), linked back to source A by nation-blocked
+    // deletion-neighborhood candidates + exact levenshtein ≤ 1, then
+    // survivorship picks the best match per B record (min dist, min id).
+    // The ORACLE is brute force within the nation block — independent of
+    // the candidate algorithm, so a dropped true match hash-mismatches.
+    "pipeline_record_linkage" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val a = c.select(col("c_custkey").as("rid"), col("c_name").as("nm"),
+        col("c_nationkey").as("nation"))
+      val b = c.select(col("c_custkey").as("rid"),
+        expr("""concat(substring(c_name, 1, cast(c_custkey % length(c_name) as int)),
+               |       substring(c_name, cast(c_custkey % length(c_name) as int) + 2))"""
+          .stripMargin).as("nm"),
+        col("c_nationkey").as("nation"))
+      val w = Window.partitionBy(col("id_r"))
+      Dedup.editDistanceLink(a, b, "rid", "nm", "nation")
+        .withColumn("n_cands", count(lit(1)).over(w))
+        .withColumn("rk", row_number().over(
+          w.orderBy(col("dist"), col("id_l"))))
+        .filter(col("rk") === 1)
+        .select(col("id_r").as("b_id"), col("id_l").as("best_a_id"),
+          col("dist"), col("n_cands"))
+        .orderBy("b_id")
+    }),
 
     // int8 quantization — the driver compare can't hash array columns,
     // so the graded surface is integer-exact scalars of the quantized
@@ -926,6 +963,19 @@ object TrainingDataQueries {
           round(col("n_hapax").cast("double") / col("n_types").cast("double"), 6)
             .as("hapax_ratio"))
         .orderBy("source")),
+
+    // Character-entropy quality signal as ONE native codegen projection
+    // (plans.CharStats): code-point count, distinct code points, and
+    // log2 Shannon entropy in a single pass — no per-character explode,
+    // no shuffle before the final order. The oracle pays the explode
+    // (unnest + entropy() aggregate); the Spark side must not.
+    "text_entropy" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), graft.plans.CharStats(col("text")).as("cs"))
+        .select(col("doc_id"), col("cs.chars").as("chars"),
+          col("cs.uniq_chars").as("uniq_chars"),
+          round(col("cs.entropy"), 4).as("entropy"))
+        .orderBy("doc_id")),
 
     // PII scrubbing: URLs / emails / phone-like runs replaced by typed
     // placeholders. The fixture text carries no PII, so deterministic
@@ -1986,6 +2036,59 @@ object TrainingDataQueries {
         |WHERE levenshtein(a.s, b.s) <= 1
         |ORDER BY id_a, id_b""".stripMargin,
 
+    // Same df-ordered prefix selection + exact full-set verify as the
+    // Spark operator: rarest-first rank, prefix bound n - ceil(τn) + 1,
+    // length filter, then list_intersect on the complete hash sets.
+    "dedup_prefix_filter" ->
+      s"""WITH $wordCte,
+         |sh AS (SELECT doc_id,
+         |         unnest(list_distinct(list_transform(
+         |           list_transform(generate_series(1, len(l) - 2),
+         |             i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]),
+         |           s -> ('0x' || substr(md5(s), 1, 12))::BIGINT))) AS h
+         |       FROM w),
+         |df AS (SELECT h, count(*) AS df FROM sh GROUP BY 1),
+         |rk AS (SELECT s.doc_id, s.h,
+         |         row_number() OVER (PARTITION BY s.doc_id ORDER BY d.df, s.h) AS pos,
+         |         count(*) OVER (PARTITION BY s.doc_id) AS n
+         |       FROM sh s JOIN df d USING (h)),
+         |pre AS (SELECT * FROM rk WHERE pos <= n - ceil(0.8 * n) + 1),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM pre a JOIN pre b
+         |           ON a.h = b.h AND a.doc_id < b.doc_id
+         |          AND b.n >= ceil(0.8 * a.n) AND a.n >= ceil(0.8 * b.n)),
+         |sets AS (SELECT doc_id, list(h) AS ks, count(*) AS n FROM sh GROUP BY 1),
+         |j AS (SELECT doc_a, doc_b,
+         |        round(len(list_intersect(sa.ks, sb.ks)) * 1.0 /
+         |              (sa.n + sb.n - len(list_intersect(sa.ks, sb.ks))), 4) AS jaccard
+         |      FROM cand
+         |      JOIN sets sa ON sa.doc_id = doc_a
+         |      JOIN sets sb ON sb.doc_id = doc_b)
+         |SELECT doc_a, doc_b, jaccard FROM j
+         |WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Brute-force linkage within the nation block (algorithm-independent
+    // of the Spark side's deletion-neighborhood candidates), with the
+    // same key-dependent one-character deletion building source B.
+    "pipeline_record_linkage" ->
+      """WITH a AS (SELECT c_custkey AS a_id, c_name AS nm, c_nationkey AS nation
+        |           FROM customer),
+        |b AS (SELECT c_custkey AS b_id,
+        |        substr(c_name, 1, (c_custkey % length(c_name))::INT) ||
+        |        substr(c_name, (c_custkey % length(c_name))::INT + 2) AS nm,
+        |        c_nationkey AS nation
+        |      FROM customer),
+        |m AS (SELECT b.b_id, a.a_id,
+        |        CAST(levenshtein(a.nm, b.nm) AS BIGINT) AS dist
+        |      FROM b JOIN a USING (nation)
+        |      WHERE levenshtein(a.nm, b.nm) <= 1),
+        |r AS (SELECT b_id, a_id, dist,
+        |        count(*) OVER (PARTITION BY b_id) AS n_cands,
+        |        row_number() OVER (PARTITION BY b_id ORDER BY dist, a_id) AS rk
+        |      FROM m)
+        |SELECT b_id, a_id AS best_a_id, dist, n_cands
+        |FROM r WHERE rk = 1 ORDER BY b_id""".stripMargin,
+
     "embedding_quantize" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |s AS (SELECT vec_id, greatest(list_max(v), -list_min(v)) / 127.0 AS scale, v
@@ -2428,6 +2531,16 @@ object TrainingDataQueries {
          |       round(CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE)
          |             / CAST(count(*) AS DOUBLE), 6) AS hapax_ratio
          |FROM wc GROUP BY source ORDER BY source""".stripMargin,
+
+    // Per-character unnest + DuckDB's native entropy() aggregate (log2,
+    // same base as CharStats); length() counts characters on both sides.
+    "text_entropy" ->
+      """WITH c AS (SELECT doc_id, unnest(string_split(text, '')) AS ch
+        |           FROM documents WHERE length(text) > 0)
+        |SELECT doc_id, count(*)::INT AS chars,
+        |       count(DISTINCT ch)::INT AS uniq_chars,
+        |       round(entropy(ch), 4) AS entropy
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // Content identity through the fragment → compact → read-back cycle.
     "data_compact" ->

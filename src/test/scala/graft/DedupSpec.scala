@@ -336,4 +336,51 @@ class DedupSpec extends SparkSpec {
     assert(!got.exists { case (a, b, _) => a == 6L && b == 8L },
       "distance-2 pair must be rejected")
   }
+
+  test("prefixFilterPairs is LOSSLESS: equals the uncapped exact Jaccard join") {
+    // The prefix-filtering theorem says dropping suffix tokens loses no
+    // pair at Jaccard >= tau; grade it against shingleJaccardPairs with
+    // the df cap disabled (maxDocFreq = MaxValue), whose candidate
+    // generation joins on EVERY token — a completely different path.
+    val toSet = (df: org.apache.spark.sql.DataFrame) =>
+      df.collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Double]("jaccard"))).toSet
+    val pf = toSet(Dedup.prefixFilterPairs(docs, "doc_id", "text",
+      minJaccard = 0.8))
+    val exact = toSet(Dedup.shingleJaccardPairs(docs, "doc_id", "text",
+      minJaccard = 0.8, maxDocFreq = Int.MaxValue))
+    assert(pf.nonEmpty, "fixture must contain near-dup pairs")
+    assert(pf === exact)
+  }
+
+  test("prefixFilterPairs thresholds exactly on tiny crafted sets") {
+    // 10 shared + 2/2 private shingles => J = 10/14 = 0.7143; at tau 0.7
+    // the pair survives, at tau 0.75 it must not.
+    val shared = (1 to 12).map(i => s"tok$i").mkString(" ")
+    val df = Seq(
+      (1L, shared + " aaa bbb"),
+      (2L, shared + " ccc ddd"),
+      (3L, "zzz yyy xxx www vvv uuu")).toDF("doc_id", "text")
+    val lo = Dedup.prefixFilterPairs(df, "doc_id", "text", minJaccard = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(lo === Seq((1L, 2L)))
+    val hi = Dedup.prefixFilterPairs(df, "doc_id", "text", minJaccard = 0.75)
+    assert(hi.count() === 0L)
+  }
+
+  test("editDistanceLink blocks strictly and links all dist<=1 cross-source pairs") {
+    val left = Seq((1L, "alpha", 10L), (2L, "beta", 10L), (3L, "alpha", 20L))
+      .toDF("id", "s", "blk")
+    val right = Seq(
+      (101L, "alpha", 10L),  // dist 0, block 10 -> links 1 only (3 is block 20)
+      (102L, "alpa", 20L),   // deletion, block 20 -> links 3 only
+      (103L, "betta", 10L),  // insertion -> links 2
+      (104L, "gamma", 10L)   // no link
+    ).toDF("id", "s", "blk")
+    val got = Dedup.editDistanceLink(left, right, "id", "s", "blk")
+      .orderBy("id_r", "id_l")
+      .collect().map(r => (r.getAs[Long]("id_l"), r.getAs[Long]("id_r"),
+        r.getAs[Long]("dist"))).toSeq
+    assert(got === Seq((1L, 101L, 0L), (3L, 102L, 1L), (2L, 103L, 1L)))
+  }
 }

@@ -140,4 +140,51 @@ class NativeExprSpec extends SparkSpec {
     assert(got(1L) === ((true, true, false)))
     assert(got(2L) === ((false, false, false)))
   }
+
+  test("CharStats: known entropies, code-point counting, null propagation") {
+    val df = Seq(
+      (1L, Some("aaaa")),          // one symbol -> H = 0
+      (2L, Some("ab")),            // two equiprobable -> H = 1
+      (3L, Some("aabb")),          // still 1 bit
+      (4L, Some("abcd")),          // four equiprobable -> H = 2
+      (5L, Some("")),              // empty -> all zeros
+      (6L, Some("ééx")), // 2-byte char counted as ONE code point
+      (7L, None)                   // null in -> null out
+    ).toDF("id", "t")
+      .select(col("id"), graft.plans.CharStats(col("t")).as("cs"))
+      .select(col("id"), col("cs.chars"), col("cs.uniq_chars"),
+        col("cs.entropy"))
+    val got = df.collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null
+        else (r.getInt(1), r.getInt(2), r.getDouble(3)))).toMap
+    assert(got(1L) === ((4, 1, 0.0)))
+    assert(got(2L) === ((2, 2, 1.0)))
+    assert(got(3L) === ((4, 2, 1.0)))
+    assert(got(4L) === ((4, 4, 2.0)))
+    assert(got(5L) === ((0, 0, 0.0)))
+    val (c6, u6, h6) = got(6L).asInstanceOf[(Int, Int, Double)]
+    assert((c6, u6) === ((3, 2)))
+    val expected6 = -(2.0 / 3 * math.log(2.0 / 3) + 1.0 / 3 * math.log(1.0 / 3)) / math.log(2)
+    assert(math.abs(h6 - expected6) < 1e-12)
+    assert(got(7L) === null)
+  }
+
+  test("CharStats equals the explode-per-character aggregate formulation") {
+    val native = docs
+      .select(col("doc_id"), graft.plans.CharStats(col("text")).as("cs"))
+      .select(col("doc_id"), col("cs.chars"), col("cs.uniq_chars"),
+        round(col("cs.entropy"), 8).as("h"))
+      .as[(Long, Int, Int, Double)].collect()
+      .map(t => t._1 -> (t._2, t._3, t._4)).toMap
+    val interpreted = docs
+      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+      .groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).cast("int").as("chars"),
+        count(lit(1)).cast("int").as("uniq"),
+        round(expr("log2(sum(c)) - sum(c * log2(c)) / sum(c)"), 8).as("h"))
+      .as[(Long, Int, Int, Double)].collect()
+      .map(t => t._1 -> (t._2, t._3, t._4)).toMap
+    assert(native.nonEmpty && native === interpreted)
+  }
 }
