@@ -312,6 +312,62 @@ object ParityQueries {
         .select(col("event_id"), col("user_id"), col("event_type"),
           round(col("value"), 4).as("value_r"), col("c_name"), col("c_mktsegment"))
         .orderBy("event_id")
+    }),
+
+    // WATERMARK LATE-DATA DROP graded: the defining semantics of
+    // event-time streaming — rows that arrive after their window passed
+    // the watermark are DROPPED, and append mode emits only windows the
+    // watermark has closed. The events fixture is split into three
+    // time-tertile slices; a deterministic subset of tertile-1 rows
+    // (event_id % 17 = 0) is PLANTED into slice 3, arriving ~20 days
+    // late against a 1-hour watermark. Slices get strictly increasing
+    // mtimes so maxFilesPerTrigger=1 replays them as ordered
+    // micro-batches. The oracle replays the engine's TWO-watermark
+    // protocol in SQL (late-filter watermark lags one batch behind the
+    // eviction watermark — see the oracle comment): a row survives iff
+    // its window end exceeds its batch's LATE watermark, and a window
+    // emits iff its end ≤ the final eviction watermark — so the drop
+    // rule, its one-batch slack, and the append-mode close rule are all
+    // hash-graded.
+    "stream_late_drop" -> ((s, dir) => withShufflePartitions(s, 4) {
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("ts_ms"), col("event_type"), col("value"))
+        .withColumn("day", expr("ts_ms div 86400000"))
+      val bounds = ev.agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+      val batched = ev.crossJoin(broadcast(bounds))
+        .withColumn("tb", expr("((day - mn) * 3) div (mx - mn + 1) + 1"))
+        .withColumn("batch",
+          when(col("tb") === 1 && col("event_id") % 17 === 0, 3)
+            .otherwise(col("tb")))
+      val hand = java.nio.file.Files.createTempDirectory("graft-sld-hand")
+      val base = System.currentTimeMillis()
+      (1 to 3).foreach { k =>
+        val tmp = java.nio.file.Files.createTempDirectory(s"graft-sld-$k").toString
+        batched.filter(col("batch") === k)
+          .select("event_id", "ts_ms", "event_type", "value")
+          .repartition(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dst = new java.io.File(hand.toFile, s"slice-$k.parquet")
+        java.nio.file.Files.copy(part.toPath, dst.toPath)
+        dst.setLastModified(base + k * 10000L)
+      }
+      val schema = s.read.parquet(hand.toString).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(hand.toString)
+      val agg = graft.streaming.Streaming.windowedCounts(stream)
+      val qn = "stream_ld_" + java.util.UUID.randomUUID().toString.take(8)
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-sld-ckpt").toString
+      val q = agg.writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").format("memory").queryName(qn).start()
+      q.awaitTermination()
+      s.table(qn)
+        .select(unix_millis(col("window_start")).as("window_start_ms"),
+          col("event_type"), col("n"),
+          round(col("sum_value"), 2).as("sum_value"))
+        .orderBy("window_start_ms", "event_type")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -386,5 +442,41 @@ object ParityQueries {
       """SELECT event_id, user_id, event_type, round(value, 4) AS value_r,
         |       c_name, c_mktsegment
         |FROM events JOIN customer ON user_id = c_custkey
-        |ORDER BY event_id""".stripMargin)
+        |ORDER BY event_id""".stripMargin,
+
+    // Replays the engine's TWO-watermark protocol (SPARK-42376, the
+    // multiple-stateful-operator design): a batch filters LATE rows
+    // with the watermark of the PREVIOUS batch (max event time through
+    // batch k−2, minus delay) while EVICTION/emission advances with the
+    // current one — so the append-mode output closes against the final
+    // watermark, but a late row survives one extra batch of slack. The
+    // planted fixture makes the distinction observable: the two newest
+    // planted rows sit between the two watermarks and must be KEPT.
+    "stream_late_drop" ->
+      """WITH e AS (SELECT event_id, epoch_ms(ts) AS ts_ms, event_type,
+        |             CAST(value AS DOUBLE) AS v,
+        |             epoch_ms(ts) // 86400000 AS day
+        |           FROM events),
+        |bounds AS (SELECT min(day) AS mn, max(day) AS mx FROM e),
+        |b AS (SELECT e.*,
+        |        CASE WHEN ((day - mn) * 3) // (mx - mn + 1) + 1 = 1
+        |                  AND event_id % 17 = 0 THEN 3
+        |             ELSE ((day - mn) * 3) // (mx - mn + 1) + 1 END AS batch
+        |      FROM e CROSS JOIN bounds),
+        |m AS (SELECT batch, max(ts_ms) AS mb FROM b GROUP BY 1),
+        |w AS (SELECT k.batch,
+        |        (SELECT max(mb) FROM m WHERE m.batch < k.batch - 1) - 3600000
+        |          AS wm_late
+        |      FROM m k),
+        |surv AS (SELECT b.* FROM b JOIN w ON w.batch = b.batch
+        |         WHERE w.wm_late IS NULL
+        |            OR ((b.ts_ms // 3600000) + 1) * 3600000 > w.wm_late),
+        |wfin AS (SELECT max(mb) - 3600000 AS wf FROM m),
+        |agg AS (SELECT (ts_ms // 3600000) * 3600000 AS window_start_ms,
+        |          event_type, count(*) AS n, round(sum(v), 2) AS sum_value
+        |        FROM surv GROUP BY 1, 2)
+        |SELECT window_start_ms, event_type, n, sum_value
+        |FROM agg CROSS JOIN wfin
+        |WHERE window_start_ms + 3600000 <= wf
+        |ORDER BY window_start_ms, event_type""".stripMargin)
 }
