@@ -32,27 +32,46 @@ object Hierarchy {
     * iterative algorithm carries a replayable sequential oracle
     * (DuckDB `WITH RECURSIVE`).
     *
-    * Scale notes: state is one row per node forever (never grows);
-    * lineage grows linearly with rounds — for rounds ≳ 8 at cluster
-    * scale cut it with `df.checkpoint`/parquet round-trips every few
-    * rounds exactly as [[Dedup.connectedComponentsWithRounds]] does
-    * (grading-scale plans stay under the codegen limits without it). */
+    * Scale notes: state is one row per node forever (never grows), but
+    * LINEAGE doubles per round — each round's plan embeds the previous
+    * round twice (the self-join), so an uncut walk is O(2^rounds) plan
+    * nodes: beyond ~12 rounds Catalyst analysis dominates wall time and
+    * the driver eventually OOMs just RENDERING the tree (observed at 15
+    * rounds in ScaleProbe). `cutEvery` therefore cuts lineage every few
+    * rounds — `localCheckpoint` by default, a parquet round-trip under
+    * `checkpointDir` for cluster-grade fault tolerance, exactly the
+    * [[Dedup.connectedComponentsWithRounds]] policy. Results are
+    * unaffected (the cut is a materialization barrier, not a semantic
+    * change). */
   def rootAndDepth(nodes: DataFrame, idCol: String, parentCol: String,
-                   rounds: Int): DataFrame = {
+                   rounds: Int, cutEvery: Int = 6,
+                   checkpointDir: Option[String] = None): DataFrame = {
     require(rounds >= 0 && rounds <= 40,
       s"rounds must be in [0, 40] (depth <= 2^rounds), got $rounds")
+    require(cutEvery >= 1, s"cutEvery must be >= 1, got $cutEvery")
+    var cutSeq = 0
+    val cut: DataFrame => DataFrame = checkpointDir match {
+      case Some(dir) => df => {
+        val path = s"$dir/hier_cut_$cutSeq"
+        cutSeq += 1
+        df.write.mode("overwrite").parquet(path)
+        df.sparkSession.read.parquet(path)
+      }
+      case None => _.localCheckpoint()
+    }
     var state = nodes.select(
       col(idCol).as("id"),
       when(col(parentCol).isNull, col(idCol)).otherwise(col(parentCol))
         .as("anc"),
       when(col(parentCol).isNull, lit(0L)).otherwise(lit(1L)).as("d"))
-    (0 until rounds).foreach { _ =>
+    (1 to rounds).foreach { r =>
       val up = state.select(col("id").as("__aid"), col("anc").as("__aanc"),
         col("d").as("__ad"))
-      state = state.join(up, col("anc") === col("__aid"), "left")
+      val next = state.join(up, col("anc") === col("__aid"), "left")
         .select(col("id"),
           coalesce(col("__aanc"), col("anc")).as("anc"),
           (col("d") + coalesce(col("__ad"), lit(0L))).as("d"))
+      state = if (r % cutEvery == 0 && r < rounds) cut(next) else next
     }
     state.select(col("id"), col("anc").as("root"), col("d").as("depth"))
   }

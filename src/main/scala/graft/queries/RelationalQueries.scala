@@ -417,6 +417,29 @@ object RelationalQueries {
         .orderBy(col("user_id"), col("ts_ms"), col("event_id"))
     }),
 
+    // Sliding-window distinct counting (7-day rolling DAU): windowed
+    // COUNT DISTINCT has no partial-aggregable window form, so the
+    // scalable shape EXPANDS each (user, day) fact into the ≤7 window
+    // ends it covers and counts distinct per window — shuffle volume is
+    // 7× the DAILY-distinct table (already collapsed map-side), never
+    // 7× the raw events. The window spine stays dense because every
+    // event day contributes its own window end.
+    "q_sliding_dau" -> ((s, dir) => {
+      val ud = Tables.events(s, dir)
+        .select(col("user_id"), expr("ts_ms div 86400000").as("day"))
+        .distinct()
+      val d1 = ud.groupBy("day").agg(countDistinct("user_id").as("dau"))
+      val d7 = ud
+        .select(col("user_id"), explode(expr("sequence(day, day + 6)")).as("w_end"))
+        .groupBy("w_end").agg(countDistinct("user_id").as("dau7"))
+      val bounds = ud.agg(min("day").as("mn"), max("day").as("mx"))
+      d1.join(d7, d1("day") === d7("w_end"))
+        .crossJoin(broadcast(bounds))
+        .filter(col("day").between(col("mn"), col("mx")))
+        .select(col("day"), col("dau"), col("dau7"))
+        .orderBy("day")
+    }),
+
     // Time-series gap fill: per event type, the observed hourly rollup is
     // left-joined onto a dense generated hour spine (sequence + explode —
     // the spine is derived per group, never a driver-side loop), missing
@@ -1740,6 +1763,20 @@ object RelationalQueries {
         |       round(chi2t, 4) AS chi2_total, dof
         |FROM c CROSS JOIN t
         |ORDER BY o_orderpriority, c_mktsegment""".stripMargin,
+
+    // Same expand-to-window-ends shape: each (user, day) row covers the
+    // seven window ends day..day+6; distinct-count per end.
+    "q_sliding_dau" ->
+      """WITH ud AS (SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day
+        |            FROM events),
+        |w AS (SELECT unnest(generate_series(day, day + 6)) AS day, user_id
+        |      FROM ud),
+        |b AS (SELECT min(day) AS mn, max(day) AS mx FROM ud),
+        |d7 AS (SELECT day, count(DISTINCT user_id) AS dau7 FROM w GROUP BY 1),
+        |d1 AS (SELECT day, count(DISTINCT user_id) AS dau FROM ud GROUP BY 1)
+        |SELECT d1.day, d1.dau, d7.dau7
+        |FROM d1 JOIN d7 USING (day) CROSS JOIN b
+        |WHERE d1.day BETWEEN mn AND mx ORDER BY day""".stripMargin,
 
     // Same 16-tap truncated decay over the identical frame list; both
     // engines fold the list left-to-right with pow(0.8, L−k) weights.

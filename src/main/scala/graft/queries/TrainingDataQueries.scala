@@ -964,6 +964,63 @@ object TrainingDataQueries {
             .as("hapax_ratio"))
         .orderBy("source")),
 
+    // Per-source distribution drift: Jensen–Shannon divergence between
+    // each source's unigram distribution and the corpus distribution —
+    // the mixture-health diagnostic that flags a source whose vocabulary
+    // departed from the blend. The |vocab| × |sources| expansion is the
+    // honest cost of the zero-term rows (a corpus word ABSENT from a
+    // source still contributes its q-side term); both factors are
+    // bounded (vocabulary, not documents), and every aggregate is
+    // partial-aggregable. Natural log on both engines; rounded to 6 so
+    // cross-engine float-sum order cannot flip the hash.
+    "text_js_divergence" -> ((s, dir) => {
+      val tok = Tables.documents(s, dir)
+        .select(col("source"), explode(TextFunctions.words(col("text"))).as("word"))
+      val sw = tok.groupBy(col("source"), col("word")).agg(count(lit(1)).as("c"))
+      val stot = sw.groupBy(col("source")).agg(sum(col("c")).as("n_s"))
+      val cw = sw.groupBy(col("word")).agg(sum(col("c")).as("cc"))
+      val ctot = cw.agg(sum(col("cc")).as("n_c"))
+      val sources = stot.select(col("source"), col("n_s"))
+      val expanded = cw.crossJoin(broadcast(sources))
+        .join(sw, Seq("source", "word"), "left")
+        .crossJoin(broadcast(ctot))
+        .withColumn("p", coalesce(col("c"), lit(0L)).cast("double") / col("n_s"))
+        .withColumn("q", col("cc").cast("double") / col("n_c"))
+        .withColumn("m", (col("p") + col("q")) / 2)
+        .withColumn("term",
+          when(col("p") > 0, col("p") * log(col("p") / col("m")) / 2).otherwise(0.0) +
+            col("q") * log(col("q") / col("m")) / 2)
+      expanded.groupBy(col("source"))
+        .agg(round(sum(col("term")), 6).as("jsd"),
+          count(when(col("c").isNotNull, 1)).as("n_shared_vocab"),
+          first(col("n_s")).as("n_tokens"))
+        .orderBy("source")
+    }),
+
+    // ε-differential-privacy SHAPE: Laplace-noised group counts via the
+    // inverse-CDF transform of a uniform DERIVED FROM THE GROUP KEY's
+    // md5 (48-bit prefix / 2^48). The hash-seeded uniform makes the
+    // mechanism exactly replayable for grading — REAL privacy requires a
+    // CSPRNG draw per release in its place; everything else (sensitivity
+    // 1 counts, b = 1/ε scale, the noisy-release shape) is the
+    // production mechanism. Runs entirely on the post-aggregation group
+    // table (|sources|×|langs| rows).
+    "data_dp_noise" -> ((s, dir) => {
+      val b = 1.0 // sensitivity 1 / epsilon 1
+      Tables.documents(s, dir)
+        .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("n"))
+        .withColumn("u",
+          expr("cast(conv(substr(md5(concat(source, '|', lang)), 1, 12), 16, 10) as double)")
+            / lit(281474976710656.0))
+        .withColumn("noise",
+          lit(-b) * signum(col("u") - 0.5) *
+            log(lit(1.0) - lit(2.0) * abs(col("u") - 0.5)))
+        .select(col("source"), col("lang"), col("n"),
+          round(col("noise"), 6).as("noise"),
+          round(col("n") + col("noise"), 6).as("noisy_n"))
+        .orderBy("source", "lang")
+    }),
+
     // Character-entropy quality signal as ONE native codegen projection
     // (plans.CharStats): code-point count, distinct code points, and
     // log2 Shannon entropy in a single pass — no per-character explode,
@@ -2531,6 +2588,43 @@ object TrainingDataQueries {
          |       round(CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE)
          |             / CAST(count(*) AS DOUBLE), 6) AS hapax_ratio
          |FROM wc GROUP BY source ORDER BY source""".stripMargin,
+
+    // Same |vocab| × |sources| expansion with explicit zero-p rows via
+    // the left join; natural log; identical rounding.
+    "text_js_divergence" ->
+      s"""WITH t AS (SELECT source, unnest($wordsSql) AS word FROM documents),
+         |sw AS (SELECT source, word, count(*) AS c FROM t GROUP BY 1, 2),
+         |stot AS (SELECT source, sum(c) AS n_s FROM sw GROUP BY 1),
+         |cw AS (SELECT word, sum(c) AS cc FROM sw GROUP BY 1),
+         |ctot AS (SELECT sum(cc) AS n_c FROM cw),
+         |x AS (SELECT s.source, w.word, sw.c, s.n_s, w.cc, ctot.n_c
+         |      FROM cw w CROSS JOIN stot s
+         |      LEFT JOIN sw ON sw.source = s.source AND sw.word = w.word
+         |      CROSS JOIN ctot),
+         |y AS (SELECT source, c, n_s,
+         |        coalesce(c, 0) * 1.0 / n_s AS p, cc * 1.0 / n_c AS q
+         |      FROM x),
+         |z AS (SELECT source, c, n_s,
+         |        CASE WHEN p > 0 THEN p * ln(p / ((p + q) / 2)) / 2 ELSE 0 END
+         |          + q * ln(q / ((p + q) / 2)) / 2 AS term
+         |      FROM y)
+         |SELECT source, round(sum(term), 6) AS jsd,
+         |       count(CASE WHEN c IS NOT NULL THEN 1 END) AS n_shared_vocab,
+         |       CAST(max(n_s) AS BIGINT) AS n_tokens
+         |FROM z GROUP BY source ORDER BY source""".stripMargin,
+
+    // Same md5-seeded inverse-CDF Laplace draw per group key.
+    "data_dp_noise" ->
+      """WITH g AS (SELECT source, lang, count(*) AS n
+        |           FROM documents GROUP BY 1, 2),
+        |u AS (SELECT *, ('0x' || substr(md5(source || '|' || lang), 1, 12))::BIGINT
+        |             / 281474976710656.0 AS u
+        |      FROM g)
+        |SELECT source, lang, n,
+        |       round(-1.0 * sign(u - 0.5) * ln(1 - 2 * abs(u - 0.5)), 6) AS noise,
+        |       round(n + (-1.0 * sign(u - 0.5) * ln(1 - 2 * abs(u - 0.5))), 6)
+        |         AS noisy_n
+        |FROM u ORDER BY source, lang""".stripMargin,
 
     // Per-character unnest + DuckDB's native entropy() aggregate (log2,
     // same base as CharStats); length() counts characters on both sides.

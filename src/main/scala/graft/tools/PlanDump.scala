@@ -63,7 +63,12 @@ object PlanDump {
     "ann_radius" -> "range search: corpus scanned once against the broadcast query side, similarity filter applied directly — NO window, no per-query ranking state at all (the top-k family's Sort+Window disappears); output scales with the radius, not k·|Q|",
     "ann_multiprobe" -> "multi-probe LSH: the Hamming-1 probe explode multiplies only the dimension-sized QUERY side (corpus buckets unchanged); candidates stay an equi-join on (band, band_key) and scoring touches candidates only",
     "multimodal_phash_groups" -> "perceptual hashes come from a mapPartitions decode (codec amortized per task, no per-row UDF); the dup-grouping is one partial-aggregable HashAggregate on the 56-bit BIGINT hash — output bounded by distinct fingerprints, never the image count",
-    "text_lexical_diversity" -> "explode feeds two STACKED partial-aggregable HashAggregates ((source,word) then source) — the hapax/type/token statistics all ride the same shuffle; one exact-long division per source at the end")
+    "text_lexical_diversity" -> "explode feeds two STACKED partial-aggregable HashAggregates ((source,word) then source) — the hapax/type/token statistics all ride the same shuffle; one exact-long division per source at the end",
+    "dedup_prefix_filter" -> "EXACT set-similarity join with no df cap: df counts shuffle on the shingle hash, the rarest-first rank + set collect share one shuffle on doc, and the candidate self-join touches only PREFIX tokens (hot boilerplate shingles rank last and never enter the join); the exact verify joins collected hash sets by candidate id — bounded by candidates, never corpus²",
+    "pipeline_record_linkage" -> "cross-source linkage: the blocking key rides INSIDE the deletion-neighborhood join key ((block, variant) composite), candidates distinct on id pairs only, short strings re-join for the exact levenshtein verify; survivorship is one window over the right-id partitioning",
+    "q_chi_squared" -> "the fact-dim join + contingency count is the ONLY data-sized stage; marginals, expected counts, and the statistic are broadcast joins over the 25-cell aggregate — constant-size post-agg plan regardless of fact cardinality",
+    "q_ewma" -> "ONE window pass per user partition: collect_list over the running 16-row frame, then the truncated-decay fold as codegen'd higher-order expressions — no self-join, no sequential state chain, no second exchange",
+    "text_entropy" -> "character entropy is a single native-codegen projection (graft CharStats: one pass, per-row alphabet map) — scan speed, no per-character explode, no shuffle before the final order")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"

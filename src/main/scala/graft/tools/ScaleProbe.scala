@@ -54,6 +54,14 @@ object ScaleProbe {
         "minhash" -> (() => Dedup.minhashPairs(df, "doc_id", "text").count()),
         "ngram" -> (() => Dedup.shingleJaccardPairs(df, "doc_id", "text").count()),
         "simhash" -> (() => Dedup.simhashPairs(df, "doc_id", "text").count()),
+        // Prefix filtering is EXACT with no df cap: the nonlinearity
+        // risk is the candidate join on prefix tokens. Replication
+        // makes every copy-family shingle hotter (df grows with the
+        // factor), so this probe stresses exactly the hot-token case
+        // the rarest-first prefix ordering is supposed to defuse —
+        // growth should track the true pair mass, never df².
+        "prefix_filter" -> (() =>
+          Dedup.prefixFilterPairs(df, "doc_id", "text").count()),
         "incremental" -> (() =>
           Dedup.incrementalMinhashMatches(delta, df, "doc_id", "text").count()))
       ops.foreach { case (name, f) =>

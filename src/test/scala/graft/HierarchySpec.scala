@@ -54,4 +54,25 @@ class HierarchySpec extends SparkSpec {
       .as[(Long, Long, Long)].collect())
     assert(exact === more)
   }
+
+  test("rootAndDepth: lineage cuts (local and dir-backed) leave results identical") {
+    // A 200-deep chain needs 9 rounds — enough that both cut cadences
+    // actually fire mid-walk.
+    val nodes = (0L to 199L)
+      .map(i => (i, if (i == 0L) None else Some(i - 1)))
+      .toDF("id", "parent")
+    val uncut = flatten(Hierarchy.rootAndDepth(nodes, "id", "parent",
+      rounds = 9, cutEvery = 100).as[(Long, Long, Long)].collect())
+    val local = flatten(Hierarchy.rootAndDepth(nodes, "id", "parent",
+      rounds = 9, cutEvery = 3).as[(Long, Long, Long)].collect())
+    val dir = java.nio.file.Files.createTempDirectory("graft-hier-ckpt").toString
+    val reliable = flatten(Hierarchy.rootAndDepth(nodes, "id", "parent",
+      rounds = 9, cutEvery = 3, checkpointDir = Some(dir))
+      .as[(Long, Long, Long)].collect())
+    assert(uncut(199L) === ((0L, 199L)))
+    assert(uncut === local)
+    assert(uncut === reliable)
+    assert(new java.io.File(dir).listFiles().nonEmpty,
+      "dir-backed cuts must actually materialize under the checkpoint dir")
+  }
 }
