@@ -29,6 +29,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_char_stats"),
       new ExpressionInfo(classOf[CharStats].getName, "graft_char_stats"),
       (children: Seq[Expression]) => CharStats(children(0))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinkler].getName, "graft_jaro_winkler"),
+      (children: Seq[Expression]) => JaroWinkler(children(0), children(1))))
     // optimizer rule: size(filter(w, x -> x IN (...))) -> CountInSet
     ext.injectOptimizerRule(_ => RewriteCountInSet)
   }

