@@ -183,4 +183,48 @@ object Graph {
           (col("deg_a") + col("deg_b") - col("common")).cast("double"), 6)
           .as("jaccard"))
   }
+
+  /** Multi-source BFS: the DIRECTED hop distance from the nearest source
+    * node, for every node reachable within `rounds` hops — landmark
+    * distance, blast-radius, and "how far is this doc from a trusted
+    * seed" all reduce to this. Frontier relaxation: each round extends
+    * the reached set by one hop (state joins edges on the src side,
+    * union, groupBy-min — all partial-aggregable), so after r rounds the
+    * state holds the exact min distance for every node at distance ≤ r.
+    * Unreached nodes are ABSENT (not null-distance rows): the caller
+    * left-joins if it wants explicit infinities.
+    *
+    * Scale shape: state is ≤ one row per reached node; each round is one
+    * shuffle on the edge src + one map-side-combined min. Fixed rounds
+    * keep the plan static (no driver convergence probe); `cutEvery`
+    * cuts the doubling lineage exactly as [[Hierarchy.rootAndDepth]] —
+    * same `checkpointDir` escape hatch for cluster fault tolerance. */
+  def bfsDistance(edges: DataFrame, sources: DataFrame, rounds: Int,
+                  srcCol: String = "src", dstCol: String = "dst",
+                  idCol: String = "id", cutEvery: Int = 6,
+                  checkpointDir: Option[String] = None): DataFrame = {
+    require(rounds >= 0 && rounds <= 64, s"rounds must be in [0, 64], got $rounds")
+    require(cutEvery >= 1, s"cutEvery must be >= 1, got $cutEvery")
+    var cutSeq = 0
+    val cut: DataFrame => DataFrame = checkpointDir match {
+      case Some(dir) => df => {
+        val path = s"$dir/bfs_cut_$cutSeq"
+        cutSeq += 1
+        df.write.mode("overwrite").parquet(path)
+        df.sparkSession.read.parquet(path)
+      }
+      case None => _.localCheckpoint()
+    }
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    var state = sources.select(col(idCol).as("node")).distinct()
+      .withColumn("dist", lit(0L))
+    (1 to rounds).foreach { r =>
+      val next = state.join(e, state("node") === e("src"))
+        .select(col("dst").as("node"), (col("dist") + 1).as("dist"))
+        .union(state)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+      state = if (r % cutEvery == 0 && r < rounds) cut(next) else next
+    }
+    state
+  }
 }

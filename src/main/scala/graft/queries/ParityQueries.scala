@@ -314,6 +314,63 @@ object ParityQueries {
         .orderBy("event_id")
     }),
 
+    // Stream–stream LEFT OUTER interval join graded: the semantics that
+    // only exist in streaming — an unmatched click emits its null row
+    // ONLY once the watermark proves no purchase can still match
+    // (l_ts + upper behind the final eviction watermark); clicks whose
+    // horizon is still open when the bounded run ends are ABSENT. Both
+    // sides stage as time-tertile slices sharing global day bounds, so
+    // batch k pairs slice k of each side, watermarks advance in event
+    // time, and nothing is late-dropped; the REAL 1-hour watermark then
+    // drives null emission. The oracle = all predicate matches UNION
+    // unmatched clicks with l_ts + 6 h < min(side maxima) − 1 h.
+    "stream_outer_join" -> ((s, dir) => withShufflePartitions(s, 4) {
+      val allDays = Tables.events(s, dir)
+        .select(expr("ts_ms div 86400000").as("day"))
+      val bounds = allDays.agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+      def stageSide(t: String): String = {
+        val hand = java.nio.file.Files.createTempDirectory(s"graft-soj-$t")
+        val base = System.currentTimeMillis()
+        val side = Tables.events(s, dir).filter(col("event_type") === t)
+          .select(col("event_id"), col("ts_ms"), col("user_id"))
+          .withColumn("day", expr("ts_ms div 86400000"))
+          .crossJoin(broadcast(bounds))
+          .withColumn("batch", expr("((day - mn) * 3) div (mx - mn + 1) + 1"))
+        (1 to 3).foreach { k =>
+          val tmp = java.nio.file.Files.createTempDirectory(s"graft-soj-$t-$k").toString
+          side.filter(col("batch") === k)
+            .select("event_id", "ts_ms", "user_id")
+            .repartition(1).write.mode("overwrite").parquet(tmp)
+          val dst = new java.io.File(hand.toFile, s"slice-$k.parquet")
+          java.nio.file.Files.copy(new java.io.File(tmp).listFiles()
+            .filter(_.getName.endsWith(".parquet")).head.toPath, dst.toPath)
+          dst.setLastModified(base + k * 10000L)
+        }
+        hand.toString
+      }
+      val lDir = stageSide("click")
+      val rDir = stageSide("purchase")
+      val schema = s.read.parquet(lDir).schema
+      def rd(d: String) = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(d)
+      val left = rd(lDir).select(col("event_id").as("l_event"),
+        col("user_id"), col("ts_ms").as("l_ts"))
+      val right = rd(rDir).select(col("event_id").as("r_event"),
+        col("user_id"), col("ts_ms").as("r_ts"))
+      val joined = graft.streaming.Streaming.streamStreamLeftOuterJoin(
+        left, right, Seq("user_id"), leftTsMs = "l_ts", rightTsMs = "r_ts",
+        lowerMs = 0L, upperMs = 21600000L, watermark = "1 hour")
+      val qn = "stream_oj_" + java.util.UUID.randomUUID().toString.take(8)
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-soj-ckpt").toString
+      val q = joined.select("l_event", "r_event", "user_id", "l_ts", "r_ts")
+        .writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").format("memory").queryName(qn).start()
+      q.awaitTermination()
+      s.table(qn).orderBy(col("l_event"), col("r_event").asc_nulls_first)
+    }),
+
     // foreachBatch MERGE SINK graded: the production pattern for
     // streaming upserts into a keyed table without a transactional
     // format — each micro-batch reduces to its latest row per key (a
@@ -508,6 +565,31 @@ object ParityQueries {
         |       c_name, c_mktsegment
         |FROM events JOIN customer ON user_id = c_custkey
         |ORDER BY event_id""".stripMargin,
+
+    // Matches = the full predicate join; null rows = unmatched clicks
+    // whose match horizon closed under the final watermark (min of the
+    // two sides' max event times, minus the 1-hour delay). Clicks with
+    // an open horizon are absent — the bounded-run analogue of "the
+    // stream might still match them".
+    "stream_outer_join" ->
+      """WITH e AS (SELECT event_id, epoch_ms(ts) AS ts_ms, user_id, event_type
+        |           FROM events),
+        |l AS (SELECT event_id AS l_event, user_id, ts_ms AS l_ts FROM e
+        |      WHERE event_type = 'click'),
+        |r AS (SELECT event_id AS r_event, user_id, ts_ms AS r_ts FROM e
+        |      WHERE event_type = 'purchase'),
+        |m AS (SELECT l.l_event, r.r_event, l.user_id, l.l_ts, r.r_ts
+        |      FROM l JOIN r ON l.user_id = r.user_id
+        |       AND r.r_ts >= l.l_ts AND r.r_ts <= l.l_ts + 21600000),
+        |wm AS (SELECT least((SELECT max(l_ts) FROM l),
+        |                    (SELECT max(r_ts) FROM r)) - 3600000 AS wf),
+        |u AS (SELECT l.l_event, NULL::BIGINT AS r_event, l.user_id, l.l_ts,
+        |             NULL::BIGINT AS r_ts
+        |      FROM l CROSS JOIN wm
+        |      WHERE l.l_ts + 21600000 < wm.wf
+        |        AND NOT EXISTS (SELECT 1 FROM m WHERE m.l_event = l.l_event))
+        |SELECT * FROM m UNION ALL SELECT * FROM u
+        |ORDER BY l_event, r_event NULLS FIRST""".stripMargin,
 
     // The accumulated foreachBatch state must equal the batch
     // latest-row-per-key reduction over the full fixture.

@@ -1231,6 +1231,25 @@ object TrainingDataQueries {
       Graph.commonNeighbors(edges, degCap = 64).orderBy("a", "b")
     }),
 
+    // Multi-source BFS over the same synthetic link graph: hop distance
+    // from the nearest landmark (doc_id % 50 = 0) within 8 rounds of
+    // frontier relaxation. The oracle's recursive CTE explores
+    // (node, dist) pairs with the same dist < 8 cap, so both sides
+    // compute min path length ≤ 8 exactly; unreached nodes are absent
+    // from both.
+    "graph_bfs" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"))
+      val n = docs.count()
+      val edges = docs
+        .select(col("doc_id").as("src"),
+          explode(array(lit(1L), lit(2L), lit(3L))).as("k"))
+        .select(col("src"),
+          pmod(col("src") * 7 + col("k") * 13, lit(n)).as("dst"))
+      val sources = docs.filter(col("doc_id") % 50 === 0)
+      Graph.bfsDistance(edges, sources, rounds = 8, idCol = "doc_id")
+        .orderBy("node")
+    }),
+
     // HTML → text extraction over deterministically synthesized pages
     // (the fixture is plain text, so the query builds the HTML wrapper
     // identically in both engines): script/style/comment blocks drop
@@ -3006,6 +3025,23 @@ object TrainingDataQueries {
         |         AS jaccard
         |FROM c JOIN deg da ON c.a = da.id JOIN deg db ON c.b = db.id
         |ORDER BY a, b""".stripMargin,
+
+    // Genuine sequential BFS: the recursive CTE explores (node, dist)
+    // pairs under the same dist < 8 cap the Spark relaxation rounds
+    // impose; UNION dedup bounds exploration at nodes × 9 rows.
+    "graph_bfs" ->
+      """WITH RECURSIVE
+        |d AS (SELECT doc_id AS src,
+        |        (doc_id * 7 + k * 13) % (SELECT count(*) FROM documents) AS dst
+        |      FROM documents CROSS JOIN (SELECT unnest([1, 2, 3]) AS k) ks),
+        |walk(node, dist) AS (
+        |  SELECT DISTINCT doc_id, CAST(0 AS BIGINT) FROM documents
+        |  WHERE doc_id % 50 = 0
+        |  UNION
+        |  SELECT d.dst, walk.dist + 1 FROM walk JOIN d ON d.src = walk.node
+        |  WHERE walk.dist < 8)
+        |SELECT node, min(dist) AS dist FROM walk
+        |GROUP BY node ORDER BY node""".stripMargin,
 
     "text_html_strip" ->
       """WITH h AS (SELECT doc_id,

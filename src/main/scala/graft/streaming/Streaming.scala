@@ -249,6 +249,45 @@ object Streaming {
     }
   }
 
+  /** Stream–stream LEFT OUTER interval join: like
+    * [[streamStreamIntervalJoin]], but an unmatched left row EMITS with
+    * a null right side — and only once the watermark proves no future
+    * right row can still match (the engine holds the left row in join
+    * state until `l_event_time + upperMs` falls behind the eviction
+    * watermark, then flushes the null result). This is the semantics
+    * that makes outer results correct on unbounded streams: emitting
+    * the null row any earlier could be contradicted by a late match.
+    * Left rows whose expiry horizon is still ahead of the final
+    * watermark when a bounded run ends are NEVER emitted as null —
+    * the bounded-run analogue of "the stream might still match them".
+    * The watermark delay is therefore a REAL one here (not the
+    * span-wider-than-fixture pin the inner-join query uses): null
+    * emission is driven by watermark passage. */
+  def streamStreamLeftOuterJoin(left: DataFrame, right: DataFrame,
+                                joinCols: Seq[String],
+                                leftTsMs: String = "ts_ms",
+                                rightTsMs: String = "ts_ms",
+                                lowerMs: Long = 0L,
+                                upperMs: Long = 1800000L,
+                                watermark: String = "1 hour"): DataFrame = {
+    val l = left
+      .withColumn("l_event_time", timestamp_millis(col(leftTsMs)))
+      .withWatermark("l_event_time", watermark).alias("l")
+    val r = right
+      .withColumn("r_event_time", timestamp_millis(col(rightTsMs)))
+      .withWatermark("r_event_time", watermark).alias("r")
+    val keyCond = joinCols.map(c => col(s"l.$c") === col(s"r.$c"))
+      .reduce(_ && _)
+    val timeCond =
+      col("r.r_event_time") >= col("l.l_event_time") -
+        expr(s"INTERVAL $lowerMs MILLISECONDS") &&
+      col("r.r_event_time") <= col("l.l_event_time") +
+        expr(s"INTERVAL $upperMs MILLISECONDS")
+    joinCols.foldLeft(l.join(r, keyCond && timeCond, "left_outer")) {
+      (df, c) => df.drop(col(s"r.$c"))
+    }
+  }
+
   // event_time rides along: flatMapGroupsWithState with event-time
   // timeout requires the watermarked column in its input schema
   case class BandedDoc(bucket: String, doc: Long, sig: Array[Long], tsMs: Long,

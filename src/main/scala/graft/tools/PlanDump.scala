@@ -68,7 +68,12 @@ object PlanDump {
     "pipeline_record_linkage" -> "cross-source linkage: the blocking key rides INSIDE the deletion-neighborhood join key ((block, variant) composite), candidates distinct on id pairs only, short strings re-join for the exact levenshtein verify; survivorship is one window over the right-id partitioning",
     "q_chi_squared" -> "the fact-dim join + contingency count is the ONLY data-sized stage; marginals, expected counts, and the statistic are broadcast joins over the 25-cell aggregate — constant-size post-agg plan regardless of fact cardinality",
     "q_ewma" -> "ONE window pass per user partition: collect_list over the running 16-row frame, then the truncated-decay fold as codegen'd higher-order expressions — no self-join, no sequential state chain, no second exchange",
-    "text_entropy" -> "character entropy is a single native-codegen projection (graft CharStats: one pass, per-row alphabet map) — scan speed, no per-character explode, no shuffle before the final order")
+    "text_entropy" -> "character entropy is a single native-codegen projection (graft CharStats: one pass, per-row alphabet map) — scan speed, no per-character explode, no shuffle before the final order",
+    "dedup_jaro" -> "blocked similarity scoring: the nation block key bounds the self-join (never corpus²) and the Jaro-Winkler score is the native codegen JaroWinkler expression inside the join's projection — no UDF, no serialization per pair",
+    "q_sliding_dau" -> "sliding distinct count via window-end EXPANSION: the (user, day) distinct collapses map-side first, then each fact explodes into ≤7 window ends and the per-window countDistinct is the standard partial/final expand — shuffle is 7× the daily-distinct table, never 7× raw events",
+    "text_js_divergence" -> "three stacked partial-aggregable HashAggregates off ONE explode; the |vocab|×|sources| expansion joins the broadcast source list and the broadcast corpus total — the corpus is scanned once, the expansion is bounded by vocabulary",
+    "data_dp_noise" -> "the Laplace mechanism runs entirely ON the group aggregate: one two-phase HashAggregate over the scan, then the md5-seeded inverse-CDF draw as a pure projection over |groups| rows",
+    "graph_bfs" -> "per relaxation round: state joins edges on src (shuffle on src) + union + map-side-combined groupBy-min — state stays ≤ one row per reached node; fixed rounds keep the plan static and cutEvery bounds the lineage (the Hierarchy policy)")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"

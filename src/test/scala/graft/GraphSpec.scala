@@ -103,4 +103,24 @@ class GraphSpec extends SparkSpec {
     assert(capped((0L, 1L)) === ((1L, 3L)), "common via 200 only; union 2+2-1")
     assert(capped((100L, 200L)) === ((2L, 5L)), "wedged via middles 0 and 1")
   }
+
+  test("bfsDistance: min over sources, round cap, directedness, unreached absence") {
+    // Directed chain 1->2->3->4->5, source 1 and source 4; 9 is isolated;
+    // 6->1 points INTO the component (6 unreachable — edges are directed).
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (6L, 1L))
+      .toDF("src", "dst")
+    val sources = Seq(1L, 4L).toDF("id")
+    val got = Graph.bfsDistance(edges, sources, rounds = 8)
+      .as[(Long, Long)].collect().toMap
+    // node 5: dist 1 via source 4 (not 4 via source 1); node 4: source
+    assert(got === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 0L, 5L -> 1L))
+    // round cap: 2 rounds can't reach node 4 from source 1 alone
+    val capped = Graph.bfsDistance(edges, Seq(1L).toDF("id"), rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(capped === Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+    // lineage-cut paths agree
+    val cut = Graph.bfsDistance(edges, sources, rounds = 8, cutEvery = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(cut === got)
+  }
 }
