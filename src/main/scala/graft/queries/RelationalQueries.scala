@@ -1462,6 +1462,146 @@ object RelationalQueries {
           .as("seq"))
         .withColumn("converted", col("seq").rlike("v.*c.*p"))
         .orderBy(col("user_id"), col("session_id"))
+    }),
+
+    // Higher central moments (skewness / excess kurtosis) per group from
+    // EXACT integer power sums: values go to micro-units (×1000), the four
+    // raw power sums accumulate in decimal(38,0) (x⁴ ≈ 10²³ per row —
+    // BIGINT would overflow; DuckDB mirrors with HUGEINT), and only the
+    // final constant-per-group algebra runs in doubles. One
+    // partial-aggregable HashAggregate — the same single-pass shape as
+    // q_corr_agg, so at 100 TB the shuffle carries 5 groups × 5 numbers.
+    // skew = m3/(m2·√m2) deliberately avoids pow(x, 1.5): sqrt is
+    // correctly-rounded IEEE in both engines, libm pow is not.
+    "q_moments" -> ((s, dir) => {
+      val x = col("x")
+      val m = Tables.events(s, dir)
+        .select(col("event_type"),
+          floor(col("value") * 1000).cast("decimal(38,0)").as("x"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(x).as("s1"), sum(x * x).as("s2"),
+          sum(x * x * x).as("s3"), sum(x * x * x * x).as("s4"))
+      val nd = col("n").cast("double")
+      val a1 = col("s1").cast("double") / nd
+      val a2 = col("s2").cast("double") / nd
+      val a3 = col("s3").cast("double") / nd
+      val a4 = col("s4").cast("double") / nd
+      val m2 = a2 - a1 * a1
+      val m3 = a3 - lit(3.0) * a1 * a2 + lit(2.0) * a1 * a1 * a1
+      val m4 = a4 - lit(4.0) * a1 * a3 + lit(6.0) * a1 * a1 * a2 -
+        lit(3.0) * a1 * a1 * a1 * a1
+      m.select(col("event_type"), col("n"),
+          round(a1 / 1000.0, 4).as("mean"),
+          round(m3 / (m2 * sqrt(m2)), 6).as("skewness"),
+          round(m4 / (m2 * m2) - 3.0, 6).as("excess_kurtosis"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Benford first-significant-digit audit over order totals — the
+    // data-quality screen for fabricated/synthetic numerics. The digit is
+    // taken from the decimal STRING rendering (both engines print doubles
+    // via shortest-round-trip, so no libm log10 edge at powers of ten);
+    // everything after the 9-row digit histogram is constant-size.
+    "q_benford" -> ((s, dir) => {
+      val digits = Tables.orders(s, dir)
+        .select(substring(col("o_totalprice").cast("string"), 1, 1)
+          .cast("int").as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      val tot = digits.agg(sum(col("n")).as("total"))
+      digits.crossJoin(broadcast(tot))
+        .withColumn("obs_share", col("n").cast("double") / col("total").cast("double"))
+        .withColumn("exp_share", log10(lit(1.0) + lit(1.0) / col("digit").cast("double")))
+        .select(col("digit"), col("n"),
+          round(col("obs_share"), 6).as("obs_share"),
+          round(col("exp_share"), 6).as("exp_share"),
+          round(col("total").cast("double") *
+            (col("obs_share") - col("exp_share")) *
+            (col("obs_share") - col("exp_share")) / col("exp_share"), 6)
+            .as("chi2_contrib"))
+        .orderBy(col("digit"))
+    }),
+
+    // Welch's unequal-variance t-test (click vs view event values) from
+    // ONE conditional-aggregation pass over exact integer cents: n/Σx/Σx²
+    // per arm ride a single partial-aggregable HashAggregate, and the
+    // t-statistic + Welch–Satterthwaite df are constant-time algebra on
+    // the 1-row aggregate. At petabyte counts the Σx² sums would move to
+    // decimal(38,0) like q_moments; BIGINT is exact through sf100.
+    "q_ttest_welch" -> ((s, dir) => {
+      val cents = floor(col("value") * 100).cast("long")
+      val isA = col("event_type") === "click"
+      val isB = col("event_type") === "view"
+      val m = Tables.events(s, dir)
+        .filter(isA || isB)
+        .select(col("event_type"), cents.as("c"))
+        .agg(
+          sum(when(isA, 1L).otherwise(0L)).as("n1"),
+          sum(when(isA, col("c")).otherwise(0L)).as("s1"),
+          sum(when(isA, col("c") * col("c")).otherwise(0L)).as("q1"),
+          sum(when(isB, 1L).otherwise(0L)).as("n2"),
+          sum(when(isB, col("c")).otherwise(0L)).as("s2"),
+          sum(when(isB, col("c") * col("c")).otherwise(0L)).as("q2"))
+      val n1 = col("n1").cast("double"); val n2 = col("n2").cast("double")
+      val m1 = col("s1").cast("double") / n1
+      val m2 = col("s2").cast("double") / n2
+      val v1 = (col("q1").cast("double") - col("s1").cast("double") * col("s1").cast("double") / n1) / (n1 - 1.0)
+      val v2 = (col("q2").cast("double") - col("s2").cast("double") * col("s2").cast("double") / n2) / (n2 - 1.0)
+      val se1 = v1 / n1; val se2 = v2 / n2
+      m.select(col("n1"), col("n2"),
+          round(m1 / 100.0, 4).as("mean_click"),
+          round(m2 / 100.0, 4).as("mean_view"),
+          round((m1 - m2) / sqrt(se1 + se2), 6).as("t_stat"),
+          round((se1 + se2) * (se1 + se2) /
+            (se1 * se1 / (n1 - 1.0) + se2 * se2 / (n2 - 1.0)), 4).as("welch_df"))
+    }),
+
+    // Robust outlier screen: per-group median + MAD (median absolute
+    // deviation), flagging |x − med| > 3·1.4826·MAD. Three passes over
+    // events, but the per-group medians/MADs come back as BROADCAST
+    // joins (5 rows), so no pass shuffles the fact table. The exact
+    // `percentile` buffers per-group values — same documented bound as
+    // q_percentiles; the sketch variant is the stated 100 TB path.
+    "q_mad_outliers" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .select(col("event_type"), floor(col("value") * 100).cast("long").as("cents"))
+      val med = e.groupBy(col("event_type"))
+        .agg(expr("percentile(cents, 0.5D)").as("med"), count(lit(1)).as("n"))
+      val dev = e.join(broadcast(med), "event_type")
+        .withColumn("adev", abs(col("cents") - col("med")))
+      val mad = dev.groupBy(col("event_type"))
+        .agg(expr("percentile(adev, 0.5D)").as("mad"))
+      dev.join(broadcast(mad), "event_type")
+        .groupBy(col("event_type"))
+        .agg(max(col("n")).as("n"), max(col("med")).as("med_c"), max(col("mad")).as("mad_c"),
+          sum(when(col("adev") > lit(4.4478) * col("mad"), 1L).otherwise(0L)).as("n_outliers"))
+        .select(col("event_type"), col("n"),
+          round(col("med_c") / 100.0, 4).as("median"),
+          round(col("mad_c") / 100.0, 4).as("mad"),
+          col("n_outliers"),
+          round(col("n_outliers").cast("double") / col("n").cast("double"), 6).as("outlier_pct"))
+        .orderBy(col("event_type"))
+    }),
+
+    // k-anonymity audit over quasi-identifiers (nation × market segment)
+    // — the privacy gate a training-data release pipeline runs before
+    // shipping user-derived rows. Group sizes are one partial-aggregable
+    // count; the corpus-level k / at-risk mass is a 1-row aggregate of
+    // the ≤175-row group table crossed back by broadcast.
+    "q_k_anonymity" -> ((s, dir) => {
+      val g = Tables.customer(s, dir)
+        .groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("k"))
+      val tot = g.agg(min(col("k")).as("k_anonymity"),
+        sum(when(col("k") < 5, col("k")).otherwise(0L)).as("at_risk_rows"),
+        sum(col("k")).as("n_rows"))
+      g.crossJoin(broadcast(tot))
+        .select(col("c_nationkey"), col("c_mktsegment"), col("k"),
+          (col("k") < 5).as("at_risk"),
+          col("k_anonymity"), col("at_risk_rows"),
+          round(col("at_risk_rows").cast("double") / col("n_rows").cast("double"), 6)
+            .as("at_risk_pct"))
+        .orderBy(col("c_nationkey"), col("c_mktsegment"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -2329,5 +2469,116 @@ object RelationalQueries {
         |       string_agg(substr(event_type, 1, 1), '' ORDER BY ts_ms, event_id) AS seq,
         |       regexp_matches(string_agg(substr(event_type, 1, 1), ''
         |                        ORDER BY ts_ms, event_id), 'v.*c.*p') AS converted
-        |FROM t GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin)
+        |FROM t GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+
+    // Same exact power sums (HUGEINT stands in for decimal(38,0)) and the
+    // same left-associated double algebra; m2·sqrt(m2) instead of
+    // pow(m2, 1.5) keeps both engines on correctly-rounded IEEE ops.
+    "q_moments" ->
+      """WITH x AS (SELECT event_type,
+        |             CAST(floor(value * 1000) AS HUGEINT) AS x
+        |           FROM events),
+        |m AS (SELECT event_type, count(*) AS n,
+        |        sum(x) AS s1, sum(x * x) AS s2,
+        |        sum(x * x * x) AS s3, sum(x * x * x * x) AS s4
+        |      FROM x GROUP BY 1),
+        |d AS (SELECT event_type, n,
+        |        CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS a1,
+        |        CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS a2,
+        |        CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS a3,
+        |        CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS a4
+        |      FROM m),
+        |c AS (SELECT event_type, n, a1,
+        |        a2 - a1 * a1 AS m2,
+        |        a3 - 3.0 * a1 * a2 + 2.0 * a1 * a1 * a1 AS m3,
+        |        a4 - 4.0 * a1 * a3 + 6.0 * a1 * a1 * a2
+        |           - 3.0 * a1 * a1 * a1 * a1 AS m4
+        |      FROM d)
+        |SELECT event_type, n, round(a1 / 1000.0, 4) AS mean,
+        |       round(m3 / (m2 * sqrt(m2)), 6) AS skewness,
+        |       round(m4 / (m2 * m2) - 3.0, 6) AS excess_kurtosis
+        |FROM c ORDER BY event_type""".stripMargin,
+
+    // Digit from the string rendering on both sides — no log10 edge.
+    "q_benford" ->
+      """WITH d AS (SELECT CAST(substr(CAST(o_totalprice AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+        |             count(*) AS n
+        |           FROM orders GROUP BY 1),
+        |t AS (SELECT sum(n) AS total FROM d),
+        |s AS (SELECT digit, n,
+        |        CAST(n AS DOUBLE) / CAST(total AS DOUBLE) AS obs_share,
+        |        log10(1.0 + 1.0 / CAST(digit AS DOUBLE)) AS exp_share,
+        |        CAST(total AS DOUBLE) AS totd
+        |      FROM d CROSS JOIN t)
+        |SELECT digit, n, round(obs_share, 6) AS obs_share,
+        |       round(exp_share, 6) AS exp_share,
+        |       round(totd * (obs_share - exp_share) * (obs_share - exp_share)
+        |             / exp_share, 6) AS chi2_contrib
+        |FROM s ORDER BY digit""".stripMargin,
+
+    // Identical conditional-aggregation pass and Welch algebra.
+    "q_ttest_welch" ->
+      """WITH e AS (SELECT event_type,
+        |             CAST(floor(value * 100) AS BIGINT) AS c
+        |           FROM events WHERE event_type IN ('click', 'view')),
+        |m AS (SELECT
+        |        CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |        CAST(sum(CASE WHEN event_type = 'click' THEN c ELSE 0 END) AS BIGINT) AS s1,
+        |        CAST(sum(CASE WHEN event_type = 'click' THEN c * c ELSE 0 END) AS BIGINT) AS q1,
+        |        CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |        CAST(sum(CASE WHEN event_type = 'view' THEN c ELSE 0 END) AS BIGINT) AS s2,
+        |        CAST(sum(CASE WHEN event_type = 'view' THEN c * c ELSE 0 END) AS BIGINT) AS q2
+        |      FROM e),
+        |d AS (SELECT n1, n2,
+        |        CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1,
+        |        CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS m2,
+        |        (CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+        |          / (CAST(n1 AS DOUBLE) - 1.0) AS v1,
+        |        (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+        |          / (CAST(n2 AS DOUBLE) - 1.0) AS v2,
+        |        CAST(n1 AS DOUBLE) AS n1d, CAST(n2 AS DOUBLE) AS n2d
+        |      FROM m),
+        |f AS (SELECT n1, n2, m1, m2, n1d, n2d,
+        |        v1 / n1d AS se1, v2 / n2d AS se2
+        |      FROM d)
+        |SELECT n1, n2, round(m1 / 100.0, 4) AS mean_click,
+        |       round(m2 / 100.0, 4) AS mean_view,
+        |       round((m1 - m2) / sqrt(se1 + se2), 6) AS t_stat,
+        |       round((se1 + se2) * (se1 + se2)
+        |             / (se1 * se1 / (n1d - 1.0) + se2 * se2 / (n2d - 1.0)), 4) AS welch_df
+        |FROM f""".stripMargin,
+
+    // quantile_cont shares Spark percentile's (n-1)·q interpolation.
+    "q_mad_outliers" ->
+      """WITH e AS (SELECT event_type,
+        |             CAST(floor(value * 100) AS BIGINT) AS cents
+        |           FROM events),
+        |med AS (SELECT event_type, quantile_cont(cents, 0.5) AS med,
+        |          count(*) AS n
+        |        FROM e GROUP BY 1),
+        |dev AS (SELECT e.event_type, abs(e.cents - med.med) AS adev, med.med, med.n
+        |        FROM e JOIN med USING (event_type)),
+        |mad AS (SELECT event_type, quantile_cont(adev, 0.5) AS mad
+        |        FROM dev GROUP BY 1)
+        |SELECT d.event_type, max(d.n) AS n,
+        |       round(max(d.med) / 100.0, 4) AS median,
+        |       round(max(mad.mad) / 100.0, 4) AS mad,
+        |       CAST(sum(CASE WHEN d.adev > 4.4478 * mad.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |       round(CAST(sum(CASE WHEN d.adev > 4.4478 * mad.mad THEN 1 ELSE 0 END) AS DOUBLE)
+        |             / CAST(max(d.n) AS DOUBLE), 6) AS outlier_pct
+        |FROM dev d JOIN mad USING (event_type)
+        |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin,
+
+    "q_k_anonymity" ->
+      """WITH g AS (SELECT c_nationkey, c_mktsegment, count(*) AS k
+        |           FROM customer GROUP BY 1, 2),
+        |t AS (SELECT min(k) AS k_anonymity,
+        |        CAST(sum(CASE WHEN k < 5 THEN k ELSE 0 END) AS BIGINT) AS at_risk_rows,
+        |        sum(k) AS n_rows
+        |      FROM g)
+        |SELECT c_nationkey, c_mktsegment, k, k < 5 AS at_risk,
+        |       k_anonymity, at_risk_rows,
+        |       round(CAST(at_risk_rows AS DOUBLE) / CAST(n_rows AS DOUBLE), 6) AS at_risk_pct
+        |FROM g CROSS JOIN t
+        |ORDER BY c_nationkey, c_mktsegment""".stripMargin)
 }
