@@ -134,6 +134,42 @@ object Similarity {
       .filter(col("cos_sim") >= minCos)
   }
 
+  /** Late-interaction (ColBERT-style MaxSim) retrieval: each vector is
+    * treated as `numChunks` token sub-vectors of `chunkDim` dims, and
+    * score(q, c) = Σ_i max_j ⟨q_i, c_j⟩ / (‖q‖·‖c‖) — every query chunk
+    * soft-aligns to its best-matching candidate chunk, which rewards
+    * documents matching ALL query facets over one dominant facet (the
+    * behavior plain cosine cannot express). The whole interaction matrix
+    * is a nested higher-order expression over the two array columns —
+    * built-ins only, fully codegen-friendly, no UDF — so the plan is the
+    * exact broadcast-query × corpus-scan shape of [[bruteForceTopK]]:
+    * one corpus pass, zero shuffle of the big side, per-query ranking
+    * windows bounded by |Q|. Chunk dots are exact float-product double
+    * folds in ascending index order, mirrored by the oracle's
+    * list_inner_product over the same slices. */
+  def maxSimTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                 numChunks: Int = 8, chunkDim: Int = 8,
+                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = prep(queries, idCol, vecCol, "q_id", "q_vec", "q_nrm")
+    val c = prep(corpus, idCol, vecCol, "c_id", "c_vec", "c_nrm")
+    val score = expr(
+      s"""aggregate(
+         |  transform(sequence(0, ${numChunks - 1}), i -> slice(q_vec, i * $chunkDim + 1, $chunkDim)),
+         |  cast(0 as double),
+         |  (acc, qc) -> acc + array_max(
+         |    transform(sequence(0, ${numChunks - 1}), j ->
+         |      aggregate(zip_with(qc, slice(c_vec, j * $chunkDim + 1, $chunkDim), (x, y) -> x * y),
+         |        cast(0 as double), (a, p) -> a + p))))""".stripMargin)
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("c_id") =!= col("q_id"))
+      .select(col("q_id"), col("c_id"),
+        round(score / (col("q_nrm") * col("c_nrm")), 6).as("maxsim"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("maxsim").desc, col("c_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Deterministic ±1 random hyperplane signs: plane p, component i is
     * the parity of a hash of (p, i). Public so the DuckDB oracle builder
     * bakes the IDENTICAL sign literals into its SQL — one source of

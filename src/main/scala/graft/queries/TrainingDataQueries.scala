@@ -686,6 +686,16 @@ object TrainingDataQueries {
         .orderBy("q_id", "c_id")
     }),
 
+    // Late-interaction MaxSim (ColBERT-style): 8 token sub-vectors of 8
+    // dims per embedding; every query chunk aligns to its best candidate
+    // chunk. Same broadcast-query corpus-scan shape as brute force — the
+    // interaction matrix is a nested HOF expression, not a join.
+    "ann_maxsim" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.maxSimTopK(emb, emb.filter(col("vec_id") < 8), 5)
+        .orderBy("q_id", "rank")
+    }),
+
     // Multi-probe LSH: Hamming-1 band-key probes on the QUERY side only —
     // candidate superset of ann_lsh at identical corpus-side cost; recall
     // gain asserted in SimilaritySpec.
@@ -962,6 +972,69 @@ object TrainingDataQueries {
           countDistinct(col("doc_id")).as("n_docs"))
         .orderBy(col("n_occurrences").desc, col("word"))
         .limit(20)),
+
+    // PMI-scored bigram collocations — the phrase-mining pass that finds
+    // word pairs co-occurring far above chance ("new york"-style units a
+    // tokenizer should learn). Adjacent pairs come from ONE pass over the
+    // words array (no self-join of the exploded form); bigram and unigram
+    // counts are both partial-aggregable HashAggregates shuffled on their
+    // word keys, and the two unigram joins run AFTER the min-count filter
+    // has cut the bigram table to the interesting tail. The size(l) >= 2
+    // guard dodges Spark's descending sequence(1, 0) pitfall.
+    "text_pmi" -> ((s, dir) => {
+      val bg = Tables.documents(s, dir)
+        .select(TextFunctions.words(col("text")).as("l"))
+        .select(explode(expr(
+          """CASE WHEN size(l) >= 2 THEN
+            |  transform(sequence(1, size(l) - 1),
+            |    k -> struct(element_at(l, k) AS w1, element_at(l, k + 1) AS w2))
+            |ELSE array() END""".stripMargin)).as("bg"))
+        .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      val bgc = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cxy"))
+        .filter(col("cxy") >= 5)
+      val uni = Tables.documents(s, dir)
+        .select(explode(TextFunctions.words(col("text"))).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("cw"))
+      val totals = bg.agg(count(lit(1)).as("nb"))
+        .crossJoin(uni.agg(sum(col("cw")).as("nu")))
+      val nb = col("nb").cast("double"); val nu = col("nu").cast("double")
+      bgc
+        .join(uni.withColumnRenamed("word", "w1").withColumnRenamed("cw", "cx"), "w1")
+        .join(uni.withColumnRenamed("word", "w2").withColumnRenamed("cw", "cy"), "w2")
+        .crossJoin(broadcast(totals))
+        .select(col("w1"), col("w2"), col("cxy"), col("cx"), col("cy"),
+          round(log2((col("cxy").cast("double") / nb) /
+            ((col("cx").cast("double") / nu) * (col("cy").cast("double") / nu))), 6)
+            .as("pmi"))
+        .orderBy(col("pmi").desc, col("w1"), col("w2"))
+        .limit(30)
+    }),
+
+    // Readability scoring (Flesch reading ease + Flesch–Kincaid grade)
+    // with a vowel-group syllable heuristic — the classic curriculum /
+    // audience-targeting signal. Pure per-row codegen projections: the
+    // sentence split, word array, and syllable fold never leave the row,
+    // so the operator runs at scan speed with zero shuffle at any scale.
+    "text_readability" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextFunctions.words(col("text")).as("l"),
+          expr("size(filter(split(text, '[.!?]+'), x -> trim(x) != ''))").as("ns0"))
+        .select(col("doc_id"),
+          size(col("l")).cast("long").as("n_words"),
+          greatest(col("ns0"), lit(1)).cast("long").as("n_sentences"),
+          expr("""aggregate(l, cast(0 as bigint), (acc, w) ->
+            acc + greatest(cast(1 as bigint),
+              cast(size(regexp_extract_all(w, '[aeiouy]+', 0)) as bigint)))""")
+            .as("n_syllables"))
+        .select(col("doc_id"), col("n_words"), col("n_sentences"), col("n_syllables"),
+          round(lit(206.835) -
+            lit(1.015) * (col("n_words").cast("double") / col("n_sentences").cast("double")) -
+            lit(84.6) * (col("n_syllables").cast("double") / col("n_words").cast("double")), 4)
+            .as("flesch_ease"),
+          round(lit(0.39) * (col("n_words").cast("double") / col("n_sentences").cast("double")) +
+            lit(11.8) * (col("n_syllables").cast("double") / col("n_words").cast("double")) -
+            lit(15.59), 4).as("fk_grade"))
+        .orderBy("doc_id")),
 
     // Per-source lexical diversity: type/token ratio and hapax-legomenon
     // share — the vocabulary-health metrics of a corpus mix. Two stacked
@@ -1429,6 +1502,37 @@ object TrainingDataQueries {
       Sampling.quotaSample(Tables.documents(s, dir), "doc_id", "source", k = 20)
         .select("doc_id", "source")
         .orderBy("doc_id")),
+
+    // Curriculum assignment: order the corpus easy→hard WITHOUT a global
+    // sort. Difficulty is an exact integer blend of lexical complexity
+    // (mean word length, milli-units) and document length; the three
+    // quartile cut points come from ONE percentile aggregate broadcast
+    // back, so stage assignment is a pure comparison projection — no
+    // ntile window over all rows (the single-partition trap), no shuffle
+    // of the corpus at any scale. The within-stage pacing key is the
+    // engine-portable md5 bucket, giving each stage a deterministic
+    // interleave into 16 training batches.
+    "data_curriculum" -> ((s, dir) => {
+      val scored = Tables.documents(s, dir)
+        .select(col("doc_id"), TextFunctions.words(col("text")).as("l"))
+        .select(col("doc_id"), size(col("l")).cast("long").as("n_words"),
+          expr("aggregate(l, cast(0 as bigint), (acc, w) -> acc + length(w))")
+            .as("n_wchars"))
+        .select(col("doc_id"), col("n_words"),
+          (floor(col("n_wchars") * 1000 / col("n_words")) + col("n_words"))
+            .cast("long").as("difficulty"))
+      val cuts = scored.agg(
+        expr("percentile(difficulty, array(0.25D, 0.5D, 0.75D))").as("__c"))
+        .select(col("__c").getItem(0).as("c1"), col("__c").getItem(1).as("c2"),
+          col("__c").getItem(2).as("c3"))
+      scored.crossJoin(broadcast(cuts))
+        .select(col("doc_id"), col("n_words"), col("difficulty"),
+          (lit(1) + when(col("difficulty") > col("c1"), 1).otherwise(0) +
+            when(col("difficulty") > col("c2"), 1).otherwise(0) +
+            when(col("difficulty") > col("c3"), 1).otherwise(0)).as("stage"),
+          pmod(Sampling.bucketPpm("doc_id"), lit(16)).as("batch"))
+        .orderBy("doc_id")
+    }),
 
     // Round-robin source interleaving: any prefix of the emitted order
     // mixes all sources evenly — graded on the order itself (like
@@ -2273,6 +2377,23 @@ object TrainingDataQueries {
          |WHERE cos_sim >= 0.25
          |ORDER BY q_id, c_id""".stripMargin,
 
+    // Same 8×8 chunk slices and Σ max chunk-dot interaction, normalized
+    // by the full-vector norms.
+    "ann_maxsim" ->
+      s"""WITH $embCte,
+         |q AS (SELECT * FROM e WHERE vec_id < 8),
+         |sc AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         |         round(list_sum(list_transform(generate_series(0, 7), i ->
+         |             list_max(list_transform(generate_series(0, 7), j ->
+         |               list_inner_product(q.v[i*8+1 : i*8+8],
+         |                                  c.v[j*8+1 : j*8+8])))))
+         |           / (q.nrm * c.nrm), 6) AS maxsim
+         |       FROM q JOIN e c ON c.vec_id <> q.vec_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+         |                ORDER BY maxsim DESC, c_id) AS rank FROM sc)
+         |SELECT q_id, c_id, maxsim, rank FROM r WHERE rank <= 5
+         |ORDER BY q_id, rank""".stripMargin,
+
     // Identical to ann_lsh except the query-side buckets expand to the
     // Hamming-1 probe set (xor with 0 and each single bit of the band).
     "ann_multiprobe" ->
@@ -2626,6 +2747,51 @@ object TrainingDataQueries {
          |       count(DISTINCT doc_id) AS n_docs
          |FROM t GROUP BY word
          |ORDER BY n_occurrences DESC, word LIMIT 20""".stripMargin,
+
+    // Same adjacent-pair construction (1-based list indexing; DuckDB's
+    // generate_series(1, 0) is already empty, so no length guard) and the
+    // identical double PMI formula.
+    "text_pmi" ->
+      s"""WITH $wordCte,
+         |bg AS (SELECT l[k] AS w1, l[k+1] AS w2
+         |       FROM (SELECT l, unnest(generate_series(1, len(l) - 1)) AS k
+         |             FROM w) t),
+         |bgc AS (SELECT w1, w2, count(*) AS cxy FROM bg GROUP BY 1, 2
+         |        HAVING count(*) >= 5),
+         |uni AS (SELECT unnest(l) AS word FROM w),
+         |uc AS (SELECT word, count(*) AS cw FROM uni GROUP BY 1),
+         |tot AS (SELECT (SELECT count(*) FROM bg) AS nb,
+         |               (SELECT count(*) FROM uni) AS nu)
+         |SELECT w1, w2, cxy, x.cw AS cx, y.cw AS cy,
+         |       round(log2((CAST(cxy AS DOUBLE) / CAST(nb AS DOUBLE))
+         |         / ((CAST(x.cw AS DOUBLE) / CAST(nu AS DOUBLE))
+         |          * (CAST(y.cw AS DOUBLE) / CAST(nu AS DOUBLE)))), 6) AS pmi
+         |FROM bgc JOIN uc x ON x.word = w1
+         |         JOIN uc y ON y.word = w2
+         |CROSS JOIN tot
+         |ORDER BY pmi DESC, w1, w2 LIMIT 30""".stripMargin,
+
+    // Same vowel-group syllable heuristic and Flesch constants.
+    "text_readability" ->
+      s"""WITH b AS (SELECT doc_id, $wordsSql AS l,
+         |             len(list_filter(string_split_regex(text, '[.!?]+'),
+         |                             x -> trim(x) <> ''))::BIGINT AS ns0
+         |           FROM documents),
+         |m AS (SELECT doc_id, len(l)::BIGINT AS n_words,
+         |        greatest(ns0, 1) AS n_sentences,
+         |        CAST(list_sum(list_transform(l, w ->
+         |          greatest(1, len(regexp_extract_all(w, '[aeiouy]+'))))) AS BIGINT)
+         |          AS n_syllables
+         |      FROM b)
+         |SELECT doc_id, n_words, n_sentences, n_syllables,
+         |  round(206.835
+         |    - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+         |    - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)), 4)
+         |    AS flesch_ease,
+         |  round(0.39 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+         |    + 11.8 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
+         |    - 15.59, 4) AS fk_grade
+         |FROM m ORDER BY doc_id""".stripMargin,
 
     "text_lexical_diversity" ->
       s"""WITH t AS (SELECT source, unnest($wordsSql) AS word FROM documents),
@@ -3214,6 +3380,28 @@ object TrainingDataQueries {
         |               ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
         |           FROM documents)
         |SELECT doc_id, source FROM r WHERE rn <= 20 ORDER BY doc_id""".stripMargin,
+
+    // Same exact integer difficulty, quantile_cont cut points, and md5
+    // pacing bucket.
+    "data_curriculum" ->
+      s"""WITH b AS (SELECT doc_id, $wordsSql AS l FROM documents),
+         |s AS (SELECT doc_id, len(l)::BIGINT AS n_words,
+         |        CAST(list_sum(list_transform(l, w -> len(w))) AS BIGINT) AS n_wchars
+         |      FROM b),
+         |d AS (SELECT doc_id, n_words,
+         |        CAST(floor(n_wchars * 1000 / n_words) + n_words AS BIGINT) AS difficulty
+         |      FROM s),
+         |c AS (SELECT quantile_cont(difficulty, 0.25) AS c1,
+         |             quantile_cont(difficulty, 0.5) AS c2,
+         |             quantile_cont(difficulty, 0.75) AS c3
+         |      FROM d)
+         |SELECT doc_id, n_words, difficulty,
+         |       1 + CASE WHEN difficulty > c1 THEN 1 ELSE 0 END
+         |         + CASE WHEN difficulty > c2 THEN 1 ELSE 0 END
+         |         + CASE WHEN difficulty > c3 THEN 1 ELSE 0 END AS stage,
+         |       ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 1000000 % 16
+         |         AS batch
+         |FROM d CROSS JOIN c ORDER BY doc_id""".stripMargin,
 
     "data_interleave" ->
       """SELECT row_number() OVER (PARTITION BY source

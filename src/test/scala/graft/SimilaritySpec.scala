@@ -424,4 +424,43 @@ class SimilaritySpec extends SparkSpec {
       val s = r.getDouble(2); s >= 1.0 / 70 - 1e-9 && s <= 2.0 / 61 + 1e-9
     })
   }
+
+  test("maxSimTopK: k ranked results; score matches a driver-side MaxSim; dominates cosine") {
+    val got = Similarity.maxSimTopK(emb, queries, 5).cache()
+    assert(got.count() === 10 * 5)
+    val ranks = got.groupBy("q_id").agg(collect_list("rank")).collect()
+    assert(ranks.forall(_.getSeq[Int](1).sorted == Seq(1, 2, 3, 4, 5)))
+
+    // driver-side recomputation of one scored pair
+    val vecs = emb.filter(col("vec_id") < 60)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def maxSim(q: Array[Double], c: Array[Double]): Double = {
+      val chunks = (0 until 8).map(i => (0 until 8).map(j => i * 8 + j))
+      val qn = math.sqrt(q.map(x => x * x).sum)
+      val cn = math.sqrt(c.map(x => x * x).sum)
+      chunks.map { qi =>
+        chunks.map(cj => qi.zip(cj).map { case (a, b) => q(a) * c(b) }.sum).max
+      }.sum / (qn * cn)
+    }
+    val sample = got.filter(col("q_id") === 0 && col("c_id") < 60)
+      .select("c_id", "maxsim").collect()
+    sample.foreach { r =>
+      val expect = maxSim(vecs(0L), vecs(r.getLong(0)))
+      assert(math.abs(r.getDouble(1) - expect) < 1e-4,
+        s"maxsim mismatch for c=${r.getLong(0)}: got ${r.getDouble(1)}, want $expect")
+    }
+
+    // MaxSim's best-chunk alignment is >= the diagonal-only alignment,
+    // which for i==j chunk pairing sums to exactly the full dot product:
+    // score >= cosine for every pair (both normalized by the same norms).
+    val cosTop = Similarity.bruteForceTopK(emb, queries.limit(3), 50)
+      .select(col("q_id"), col("c_id"), col("cos_sim"))
+    val joint = Similarity.maxSimTopK(emb, queries.limit(3), 50)
+      .join(cosTop, Seq("q_id", "c_id"))
+      .select("maxsim", "cos_sim").as[(Double, Double)].collect()
+    assert(joint.nonEmpty)
+    assert(joint.forall { case (m, c) => m >= c - 1e-6 },
+      "MaxSim must dominate plain cosine on shared pairs")
+  }
 }
