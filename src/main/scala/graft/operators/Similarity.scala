@@ -170,6 +170,53 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Simplified (centroid-based) silhouette per cluster — the clustering
+    * quality diagnostic: a = cosine distance to the OWN centroid, b =
+    * distance to the nearest OTHER centroid, s = (b − a)/max(a, b) which
+    * for round-6 top-2 centroid similarities s1 ≥ s2 reduces to
+    * (s1 − s2)/(1 − s2). The true silhouette needs all point-pair
+    * distances (N² — never at scale); the centroid form is the standard
+    * O(N·k) surrogate. Centroids are the md5-ordered seed prefix (the
+    * cluster_assign convention) so the oracle replays them exactly.
+    *
+    * Shape: one broadcast cross join corpus × k centroids, then a
+    * per-point top-2 via a k-BOUNDED collect_list (state ≤ k rows per
+    * point — not a data-sized buffer), then one partial-aggregable
+    * groupBy(cell). Per-point silhouettes quantize to exact micro-unit
+    * BIGINTs before the per-cluster mean, so aggregation order cannot
+    * perturb the graded digits. */
+  def silhouette(corpus: DataFrame, k: Int, idCol: String = "vec_id",
+                 vecCol: String = "embedding"): DataFrame = {
+    val c = prep(corpus, idCol, vecCol, "c_id", "c_vec", "c_nrm")
+    val cent = c.orderBy(md5(col("c_id").cast("string")), col("c_id")).limit(k)
+      .select(col("c_id").as("cell_id"), col("c_vec").as("cell_vec"),
+        col("c_nrm").as("cell_nrm"))
+    val sims = c.crossJoin(broadcast(cent))
+      .select(col("c_id"), col("cell_id"),
+        round(VectorFunctions.dot(col("c_vec"), col("cell_vec")) /
+          (col("c_nrm") * col("cell_nrm")), 6).as("sim"))
+    // top-2 centroids per point: sort the k-element list by (1−sim,
+    // cell_id) — ascending distance == descending similarity with the
+    // cluster_assign tie-break; sim rides along unreconstructed.
+    val per = sims.groupBy(col("c_id"))
+      .agg(sort_array(collect_list(struct(
+        (lit(1.0) - col("sim")).as("d"), col("cell_id"), col("sim")))).as("o"))
+      .select(col("c_id"),
+        col("o").getItem(0).getField("cell_id").as("cell_id"),
+        col("o").getItem(0).getField("sim").as("s1"),
+        col("o").getItem(1).getField("sim").as("s2"))
+      .withColumn("sil",
+        when(col("s2") >= 1.0, 0L)
+          .otherwise(round((col("s1") - col("s2")) / (lit(1.0) - col("s2")) * 1e6)
+            .cast("long")))
+    per.groupBy(col("cell_id"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("sil")).cast("double") / count(lit(1)) / 1e6, 4)
+          .as("mean_silhouette"),
+        round(min(col("sil")) / 1e6, 6).as("min_silhouette"),
+        round(max(col("sil")) / 1e6, 6).as("max_silhouette"))
+  }
+
   /** Deterministic ±1 random hyperplane signs: plane p, component i is
     * the parity of a hash of (p, i). Public so the DuckDB oracle builder
     * bakes the IDENTICAL sign literals into its SQL — one source of

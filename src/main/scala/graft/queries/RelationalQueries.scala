@@ -1602,6 +1602,98 @@ object RelationalQueries {
           round(col("at_risk_rows").cast("double") / col("n_rows").cast("double"), 6)
             .as("at_risk_pct"))
         .orderBy(col("c_nationkey"), col("c_mktsegment"))
+    }),
+
+    // Pairwise audience overlap (Jaccard of user sets per event type) —
+    // the segment-overlap matrix. The self-join runs on the DISTINCT
+    // (type, user) table and shuffles on user_id: each user contributes
+    // ≤ |types|² pair rows, so the join output is |users|·|types|² —
+    // linear in users at any scale — and the per-type set sizes ride
+    // back as a broadcast of the |types|-row aggregate.
+    "q_audience_overlap" -> ((s, dir) => {
+      val ut = Tables.events(s, dir)
+        .select(col("event_type"), col("user_id")).distinct()
+      val sizes = ut.groupBy(col("event_type")).agg(count(lit(1)).as("n_users"))
+      val pairs = ut.as("a")
+        .join(ut.as("b"),
+          col("a.user_id") === col("b.user_id") &&
+            col("a.event_type") < col("b.event_type"))
+        .groupBy(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
+        .agg(count(lit(1)).as("n_both"))
+      pairs
+        .join(broadcast(sizes.withColumnRenamed("event_type", "type_a")
+          .withColumnRenamed("n_users", "n_a")), "type_a")
+        .join(broadcast(sizes.withColumnRenamed("event_type", "type_b")
+          .withColumnRenamed("n_users", "n_b")), "type_b")
+        .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"), col("n_both"),
+          (col("n_a") + col("n_b") - col("n_both")).as("n_union"),
+          round(col("n_both").cast("double") /
+            (col("n_a") + col("n_b") - col("n_both")).cast("double"), 6)
+            .as("jaccard"))
+        .orderBy(col("type_a"), col("type_b"))
+    }),
+
+    // Hour-of-day × day-of-week seasonality matrix — the usage-rhythm
+    // profile. Bucketing is pure integer epoch arithmetic (no timezone
+    // surface to disagree on), so the whole query is ONE
+    // partial-aggregable HashAggregate to ≤168 cells plus a broadcast
+    // 1-row total; epoch day 0 is a Thursday, hence the +4 shift.
+    "q_seasonality" -> ((s, dir) => {
+      val cells = Tables.events(s, dir)
+        .select(pmod(expr("ts_ms div 86400000") + 4, lit(7)).cast("int").as("dow"),
+          expr("pmod(ts_ms, 86400000) div 3600000").cast("int").as("hod"),
+          floor(col("value") * 100).cast("long").as("cents"))
+        .groupBy(col("dow"), col("hod"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"))
+      val tot = cells.agg(sum(col("n")).as("total"))
+      cells.crossJoin(broadcast(tot))
+        .select(col("dow"), col("hod"), col("n"),
+          // exact integer mean in 1e-4-dollar units, then ONE double
+          // division — no round() call to land on a half-digit boundary
+          (expr("(s * 100) div n") / 10000.0).as("avg_value"),
+          round(col("n").cast("double") / col("total").cast("double"), 6)
+            .as("share"))
+        .orderBy(col("dow"), col("hod"))
+    }),
+
+    // Single change-point detection over the daily value series: the
+    // split day maximizing |mean_left − mean_right|·√(n_l·n_r/(n_l+n_r))
+    // (the two-sample CUSUM-style statistic). The fact table collapses
+    // to ONE partial-aggregable daily aggregate first; every remaining
+    // step (prefix sums, the argmax scan) runs on the DIMENSION-SIZED
+    // day series (≤366 rows/year), so the unpartitioned window is
+    // bounded by the calendar, not the data.
+    "q_changepoint" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .select(expr("ts_ms div 86400000").as("day"),
+          floor(col("value") * 100).cast("long").as("cents"))
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"))
+      val w = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = daily.agg(sum(col("n")).as("nt"), sum(col("s")).as("st"))
+      val scored = daily
+        .withColumn("cn", sum(col("n")).over(w))
+        .withColumn("cs", sum(col("s")).over(w))
+        .crossJoin(broadcast(tot))
+        .filter(col("cn") < col("nt"))
+        .select(col("day"), col("cn").as("n_left"),
+          (col("nt") - col("cn")).as("n_right"),
+          (col("cs").cast("double") / col("cn").cast("double")).as("ml"),
+          ((col("st") - col("cs")).cast("double") /
+            (col("nt") - col("cn")).cast("double")).as("mr"),
+          col("nt").cast("double").as("ntd"))
+        .withColumn("score",
+          round(abs(col("ml") - col("mr")) *
+            sqrt(col("n_left").cast("double") * col("n_right").cast("double") /
+              col("ntd")), 6))
+      scored
+        .select(col("day").as("split_day"), col("n_left"), col("n_right"),
+          round(col("ml") / 100.0, 4).as("mean_left"),
+          round(col("mr") / 100.0, 4).as("mean_right"),
+          col("score"))
+        .orderBy(col("score").desc, col("split_day"))
+        .limit(1)
     }))
 
   val oracles: Map[String, String] = Map(
@@ -2580,5 +2672,65 @@ object RelationalQueries {
         |       k_anonymity, at_risk_rows,
         |       round(CAST(at_risk_rows AS DOUBLE) / CAST(n_rows AS DOUBLE), 6) AS at_risk_pct
         |FROM g CROSS JOIN t
-        |ORDER BY c_nationkey, c_mktsegment""".stripMargin)
+        |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+
+    "q_audience_overlap" ->
+      """WITH ut AS (SELECT DISTINCT event_type, user_id FROM events),
+        |sz AS (SELECT event_type, count(*) AS n_users FROM ut GROUP BY 1),
+        |p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |        count(*) AS n_both
+        |      FROM ut a JOIN ut b
+        |        ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |      GROUP BY 1, 2)
+        |SELECT type_a, type_b, x.n_users AS n_a, y.n_users AS n_b, n_both,
+        |       x.n_users + y.n_users - n_both AS n_union,
+        |       round(CAST(n_both AS DOUBLE)
+        |             / CAST(x.n_users + y.n_users - n_both AS DOUBLE), 6) AS jaccard
+        |FROM p JOIN sz x ON x.event_type = type_a
+        |       JOIN sz y ON y.event_type = type_b
+        |ORDER BY type_a, type_b""".stripMargin,
+
+    // Same integer epoch-bucket arithmetic (epoch day 0 = Thursday).
+    "q_seasonality" ->
+      """WITH e AS (SELECT epoch_ms(ts) AS ts_ms,
+        |             CAST(floor(value * 100) AS BIGINT) AS cents
+        |           FROM events),
+        |c AS (SELECT CAST((ts_ms // 86400000 + 4) % 7 AS INTEGER) AS dow,
+        |        CAST((ts_ms % 86400000) // 3600000 AS INTEGER) AS hod,
+        |        count(*) AS n, sum(cents) AS s
+        |      FROM e GROUP BY 1, 2),
+        |t AS (SELECT sum(n) AS total FROM c)
+        |SELECT dow, hod, n,
+        |       CAST((s * 100) // n AS BIGINT) / 10000.0 AS avg_value,
+        |       round(CAST(n AS DOUBLE) / CAST(total AS DOUBLE), 6) AS share
+        |FROM c CROSS JOIN t ORDER BY dow, hod""".stripMargin,
+
+    // Same daily aggregate, prefix sums, and CUSUM-style statistic.
+    "q_changepoint" ->
+      """WITH e AS (SELECT epoch_ms(ts) // 86400000 AS day,
+        |             CAST(floor(value * 100) AS BIGINT) AS cents
+        |           FROM events),
+        |d AS (SELECT day, count(*) AS n,
+        |        CAST(sum(cents) AS BIGINT) AS s FROM e GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS nt,
+        |        CAST(sum(s) AS BIGINT) AS st FROM d),
+        |c AS (SELECT day,
+        |        CAST(sum(n) OVER (ORDER BY day
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cn,
+        |        CAST(sum(s) OVER (ORDER BY day
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cs
+        |      FROM d),
+        |sc AS (SELECT day, cn AS n_left, nt - cn AS n_right,
+        |         CAST(cs AS DOUBLE) / CAST(cn AS DOUBLE) AS ml,
+        |         CAST(st - cs AS DOUBLE) / CAST(nt - cn AS DOUBLE) AS mr,
+        |         CAST(nt AS DOUBLE) AS ntd
+        |       FROM c CROSS JOIN t WHERE cn < nt),
+        |f AS (SELECT day, n_left, n_right, ml, mr,
+        |        round(abs(ml - mr) * sqrt(CAST(n_left AS DOUBLE)
+        |          * CAST(n_right AS DOUBLE) / ntd), 6) AS score
+        |      FROM sc)
+        |SELECT day AS split_day, n_left, n_right,
+        |       round(ml / 100.0, 4) AS mean_left,
+        |       round(mr / 100.0, 4) AS mean_right, score
+        |FROM f ORDER BY score DESC, split_day LIMIT 1""".stripMargin)
 }

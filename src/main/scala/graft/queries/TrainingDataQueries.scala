@@ -832,6 +832,13 @@ object TrainingDataQueries {
         .orderBy("c_id")
     }),
 
+    // Clustering-quality diagnostic: centroid-based silhouette per
+    // cluster (O(N·k), never the N² true silhouette) — exact micro-unit
+    // per-point scores, one broadcast cross join + one shuffle on cell.
+    "cluster_silhouette" -> ((s, dir) =>
+      Similarity.silhouette(Tables.embeddings(s, dir), k = 8)
+        .orderBy("cell_id")),
+
     // SemDeDup (cluster-blocked semantic dedup): deterministic
     // nearest-centroid assignment as the blocking key, intra-cluster
     // round-6 cosine pairs at eps, drop every member with a MORE
@@ -2568,6 +2575,33 @@ object TrainingDataQueries {
          |                            cent.cell_id) AS rn
          |          FROM e CROSS JOIN cent) t WHERE rn = 1)
          |SELECT c_id, cell_id, sim FROM asg ORDER BY c_id""".stripMargin,
+
+    // Same seed-prefix centroids, round-6 top-2 similarities with the
+    // cell_id tie-break, and exact micro-unit silhouette scores.
+    "cluster_silhouette" ->
+      s"""WITH $embCte,
+         |cent AS (SELECT vec_id AS cell_id, v AS cv, nrm AS cn FROM e
+         |         ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 8),
+         |sc AS (SELECT e.vec_id AS c_id, cent.cell_id,
+         |         round(list_inner_product(e.v, cent.cv) / (e.nrm * cent.cn), 6) AS sim
+         |       FROM e CROSS JOIN cent),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY c_id
+         |                ORDER BY sim DESC, cell_id) AS rn FROM sc),
+         |p AS (SELECT c_id,
+         |        max(CASE WHEN rn = 1 THEN cell_id END) AS cell_id,
+         |        max(CASE WHEN rn = 1 THEN sim END) AS s1,
+         |        max(CASE WHEN rn = 2 THEN sim END) AS s2
+         |      FROM r WHERE rn <= 2 GROUP BY c_id),
+         |m AS (SELECT c_id, cell_id,
+         |        CASE WHEN s2 >= 1.0 THEN 0
+         |             ELSE CAST(round((s1 - s2) / (1.0 - s2) * 1e6) AS BIGINT)
+         |        END AS sil
+         |      FROM p)
+         |SELECT cell_id, count(*) AS n,
+         |       round(CAST(sum(sil) AS DOUBLE) / count(*) / 1e6, 4) AS mean_silhouette,
+         |       round(min(sil) / 1e6, 6) AS min_silhouette,
+         |       round(max(sil) / 1e6, 6) AS max_silhouette
+         |FROM m GROUP BY cell_id ORDER BY cell_id""".stripMargin,
 
     // SemDeDup oracle: shares cluster_assign's assignment CTE; pairs
     // join on the cell, dominance is a CASE over (cent_sim, -id).
