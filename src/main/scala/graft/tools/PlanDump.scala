@@ -73,7 +73,20 @@ object PlanDump {
     "q_sliding_dau" -> "sliding distinct count via window-end EXPANSION: the (user, day) distinct collapses map-side first, then each fact explodes into ≤7 window ends and the per-window countDistinct is the standard partial/final expand — shuffle is 7× the daily-distinct table, never 7× raw events",
     "text_js_divergence" -> "three stacked partial-aggregable HashAggregates off ONE explode; the |vocab|×|sources| expansion joins the broadcast source list and the broadcast corpus total — the corpus is scanned once, the expansion is bounded by vocabulary",
     "data_dp_noise" -> "the Laplace mechanism runs entirely ON the group aggregate: one two-phase HashAggregate over the scan, then the md5-seeded inverse-CDF draw as a pure projection over |groups| rows",
-    "graph_bfs" -> "per relaxation round: state joins edges on src (shuffle on src) + union + map-side-combined groupBy-min — state stays ≤ one row per reached node; fixed rounds keep the plan static and cutEvery bounds the lineage (the Hierarchy policy)")
+    "graph_bfs" -> "per relaxation round: state joins edges on src (shuffle on src) + union + map-side-combined groupBy-min — state stays ≤ one row per reached node; fixed rounds keep the plan static and cutEvery bounds the lineage (the Hierarchy policy)",
+    "q_moments" -> "skewness/kurtosis from four exact DECIMAL(38,0) power sums in ONE two-phase HashAggregate (the q_corr_agg pattern extended to 3rd/4th moments); the central-moment algebra is a pure projection over 5 group rows",
+    "q_ttest_welch" -> "Welch's t-test = ONE conditional-aggregation HashAggregate (six exact BIGINT sums in a single pass over both arms); the statistic and Satterthwaite df are constant-time projections over the 1-row aggregate",
+    "q_mad_outliers" -> "median + MAD + outlier count in three passes, but the per-group medians/MADs return as BROADCAST joins (|groups| rows) — the fact table is never shuffled, only rescanned; the exact percentile buffer is per-group bounded (sketch variant is the stated petabyte path)",
+    "q_benford" -> "first-digit histogram is one partial-aggregable count to 9 rows (digit from the string rendering — no libm log10 edge); expected shares and χ² contributions are projections over the 9-row aggregate crossed with a broadcast 1-row total",
+    "q_k_anonymity" -> "QI group sizes = one two-phase HashAggregate; corpus-level k and at-risk mass aggregate the ≤175-row group table and cross back by broadcast — nothing data-sized after the first aggregate",
+    "q_audience_overlap" -> "pairwise segment Jaccard: the self-join runs on the DISTINCT (type,user) table shuffled on user — each user emits ≤|types|² pairs so output is linear in users; set sizes ride back as a broadcast of the |types|-row aggregate",
+    "q_seasonality" -> "pure integer epoch bucketing (no timezone kernel) -> ONE partial-aggregable HashAggregate to ≤168 cells + broadcast total; the per-cell mean is an exact integer division, no float rounding boundary",
+    "q_changepoint" -> "the fact table collapses to a daily aggregate FIRST (partial-aggregable); prefix sums + the CUSUM argmax run on the calendar-bounded day series — the unpartitioned window is over ≤366 rows by construction, never the data",
+    "ann_maxsim" -> "late-interaction MaxSim: the 8×8 chunk interaction matrix is a nested higher-order expression inside the broadcast-query × corpus-scan projection — same single-corpus-pass shape as brute force, no join per chunk, no UDF",
+    "text_pmi" -> "adjacent bigrams from ONE pass over the words array (no positional self-join); bigram + unigram counts are stacked partial-aggregable HashAggregates and the unigram joins attach AFTER the min-count filter cuts the bigram tail; top-30 via TakeOrderedAndProject",
+    "text_readability" -> "sentence split, word array, and the syllable fold are all per-row codegen projections — scan speed, zero shuffle before the final order at any scale",
+    "data_curriculum" -> "difficulty is an exact integer projection; the three quartile cuts broadcast back from ONE percentile aggregate so stage assignment is a comparison projection — no ntile window over the corpus, no global sort",
+    "cluster_silhouette" -> "centroid-based silhouette (O(N·k), never N² true silhouette): broadcast cross join to k centroids, per-point top-2 via a k-BOUNDED collect_list, then one partial-aggregable groupBy(cell) over exact micro-unit scores")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
