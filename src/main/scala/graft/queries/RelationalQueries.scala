@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsOfJoin, Hierarchy, Profiling, Sampling, Skew, Sweep, Upsert}
+import graft.operators.{AsOfJoin, Hierarchy, Profiling, Sampling, Skew, Sorting, Sweep, Upsert}
 import graft.sources.Tables
 
 /** The general relational query surface the reference lacks entirely
@@ -1604,6 +1604,62 @@ object RelationalQueries {
         .orderBy(col("c_nationkey"), col("c_mktsegment"))
     }),
 
+    // Gini concentration of order revenue — the inequality/concentration
+    // audit (is 1% of orders most of the revenue?). Gini needs a GLOBAL
+    // rank over the value column; that rank comes from the two-pass
+    // zipWithIndex globalIds (range-partition once, P partition counts
+    // to the driver, per-partition local numbering — NO single-partition
+    // window at any scale). The rank-weighted sum is exact BIGINT through
+    // sf100 (Σ i·cents ≈ n²·mean/2; move to decimal(38,0) beyond) and
+    // the closed form G = 2·Σi·xᵢ/(n·Σx) − (n+1)/n is a 1-row projection.
+    "q_gini" -> ((s, dir) => {
+      val cents = Tables.orders(s, dir)
+        .select(col("o_orderkey"), floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      val ranked = Sorting.globalIds(cents, col("cents"), col("o_orderkey"))
+        .withColumn("i", col("gid") + 1)
+      ranked.agg(count(lit(1)).as("n"),
+          sum(col("cents")).as("total_cents"),
+          sum(col("i") * col("cents")).as("w"))
+        .select(col("n"), col("total_cents"),
+          round(lit(2.0) * col("w") / (col("n") * col("total_cents")).cast("double") -
+            (col("n") + 1).cast("double") / col("n").cast("double"), 6).as("gini"))
+    }),
+
+    // Market-basket association rules over orders (item = partkey bucket):
+    // pairwise support / confidence / lift. The self-join runs on the
+    // DISTINCT (basket, item) table shuffled on the basket key — each
+    // basket emits ≤ |its items|² pairs (TPC-H baskets are ~7 lines), so
+    // the join output is linear in baskets; item totals and the basket
+    // count ride back as broadcasts of dimension-sized aggregates.
+    "q_market_basket" -> ((s, dir) => {
+      val items = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("bk"), pmod(col("l_partkey"), lit(50)).as("item"))
+        .distinct()
+      val sizes = items.groupBy(col("item")).agg(count(lit(1)).as("n_item"))
+      val tot = items.agg(countDistinct(col("bk")).as("n_baskets"))
+      val pairs = items.as("a")
+        .join(items.as("b"),
+          col("a.bk") === col("b.bk") && col("a.item") < col("b.item"))
+        .groupBy(col("a.item").as("item_a"), col("b.item").as("item_b"))
+        .agg(count(lit(1)).as("n_pair"))
+        .filter(col("n_pair") >= 20)
+      pairs
+        .join(broadcast(sizes.withColumnRenamed("item", "item_a")
+          .withColumnRenamed("n_item", "n_a")), "item_a")
+        .join(broadcast(sizes.withColumnRenamed("item", "item_b")
+          .withColumnRenamed("n_item", "n_b")), "item_b")
+        .crossJoin(broadcast(tot))
+        .select(col("item_a"), col("item_b"), col("n_pair"), col("n_a"), col("n_b"),
+          round(col("n_pair").cast("double") / col("n_baskets").cast("double"), 6)
+            .as("support"),
+          round(col("n_pair").cast("double") / col("n_a").cast("double"), 6)
+            .as("confidence"),
+          round(col("n_pair").cast("double") * col("n_baskets").cast("double") /
+            (col("n_a").cast("double") * col("n_b").cast("double")), 6).as("lift"))
+        .orderBy(col("lift").desc, col("item_a"), col("item_b"))
+        .limit(20)
+    }),
+
     // Pairwise audience overlap (Jaccard of user sets per event type) —
     // the segment-overlap matrix. The self-join runs on the DISTINCT
     // (type, user) table and shuffles on user_id: each user contributes
@@ -2673,6 +2729,43 @@ object RelationalQueries {
         |       round(CAST(at_risk_rows AS DOUBLE) / CAST(n_rows AS DOUBLE), 6) AS at_risk_pct
         |FROM g CROSS JOIN t
         |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+
+    // Sequential row_number stands in for the distributed two-pass
+    // globalIds; same exact rank-weighted integer sums.
+    "q_gini" ->
+      """WITH c AS (SELECT o_orderkey,
+        |             CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        |           FROM orders),
+        |r AS (SELECT cents,
+        |        row_number() OVER (ORDER BY cents, o_orderkey) AS i
+        |      FROM c),
+        |m AS (SELECT count(*) AS n, CAST(sum(cents) AS BIGINT) AS total_cents,
+        |        CAST(sum(i * cents) AS BIGINT) AS w
+        |      FROM r)
+        |SELECT n, total_cents,
+        |       round(2.0 * w / CAST(n * total_cents AS DOUBLE)
+        |             - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS gini
+        |FROM m""".stripMargin,
+
+    "q_market_basket" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS bk,
+        |                 l_partkey % 50 AS item
+        |               FROM lineitem),
+        |sz AS (SELECT item, count(*) AS n_item FROM items GROUP BY 1),
+        |t AS (SELECT count(DISTINCT bk) AS n_baskets FROM items),
+        |p AS (SELECT a.item AS item_a, b.item AS item_b, count(*) AS n_pair
+        |      FROM items a JOIN items b
+        |        ON a.bk = b.bk AND a.item < b.item
+        |      GROUP BY 1, 2 HAVING count(*) >= 20)
+        |SELECT item_a, item_b, n_pair, x.n_item AS n_a, y.n_item AS n_b,
+        |       round(CAST(n_pair AS DOUBLE) / CAST(n_baskets AS DOUBLE), 6) AS support,
+        |       round(CAST(n_pair AS DOUBLE) / CAST(x.n_item AS DOUBLE), 6) AS confidence,
+        |       round(CAST(n_pair AS DOUBLE) * CAST(n_baskets AS DOUBLE)
+        |             / (CAST(x.n_item AS DOUBLE) * CAST(y.n_item AS DOUBLE)), 6) AS lift
+        |FROM p JOIN sz x ON x.item = item_a
+        |       JOIN sz y ON y.item = item_b
+        |CROSS JOIN t
+        |ORDER BY lift DESC, item_a, item_b LIMIT 20""".stripMargin,
 
     "q_audience_overlap" ->
       """WITH ut AS (SELECT DISTINCT event_type, user_id FROM events),

@@ -980,6 +980,44 @@ object TrainingDataQueries {
         .orderBy(col("n_occurrences").desc, col("word"))
         .limit(20)),
 
+    // RAKE keyphrase extraction: candidate phrases are maximal stopword-
+    // free word runs (gaps-and-islands over word positions: island id =
+    // pos − row_number, one window per doc partition — the sessionize
+    // shuffle shape); word degree/frequency scores aggregate over phrase
+    // members (shuffle on word), and the per-phrase score sums EXACT
+    // integer micro-units ((deg·10⁶) div freq), so no double-sum order
+    // can perturb the ranking. Output: top-20 phrases by score.
+    "text_keyphrase" -> ((s, dir) => {
+      val stop = TextAnalysis.Stopwords
+      val pw = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          posexplode(TextFunctions.words(col("text"))).as(Seq("pos", "w")))
+        .filter(!col("w").isin(stop: _*) && col("w") =!= "")
+      val isl = pw.withColumn("rn", row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+        .withColumn("grp", col("pos") - col("rn"))
+      val phrases = isl.groupBy(col("doc_id"), col("grp"))
+        .agg(concat_ws(" ",
+            expr("transform(array_sort(collect_list(struct(pos, w))), x -> x.w)"))
+          .as("phrase"),
+          count(lit(1)).as("plen"))
+      val members = phrases
+        .select(col("doc_id"), col("grp"), col("phrase"), col("plen"),
+          explode(split(col("phrase"), " ")).as("w"))
+      val wstats = members.groupBy(col("w"))
+        .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
+        .withColumn("smicro", expr("(deg * 1000000) div freq"))
+      val perOcc = members.join(wstats.select("w", "smicro"), "w")
+        .groupBy(col("doc_id"), col("grp"), col("phrase"))
+        .agg(sum(col("smicro")).as("score_micro"))
+      perOcc.groupBy(col("phrase"))
+        .agg(count(lit(1)).as("n_occurrences"),
+          max(col("score_micro")).as("score_micro"))
+        .withColumn("score", col("score_micro") / 1e6)
+        .orderBy(col("score_micro").desc, col("phrase"))
+        .limit(20)
+    }),
+
     // PMI-scored bigram collocations — the phrase-mining pass that finds
     // word pairs co-occurring far above chance ("new york"-style units a
     // tokenizer should learn). Adjacent pairs come from ONE pass over the
@@ -2781,6 +2819,38 @@ object TrainingDataQueries {
          |       count(DISTINCT doc_id) AS n_docs
          |FROM t GROUP BY word
          |ORDER BY n_occurrences DESC, word LIMIT 20""".stripMargin,
+
+    // Same islands construction (1-based positions — island ids differ
+    // by a constant from Spark's 0-based, which the grouping ignores),
+    // same exact integer micro-unit word scores.
+    "text_keyphrase" ->
+      s"""WITH $wordCte,
+         |pw AS (SELECT doc_id, unnest(l) AS w,
+         |         unnest(generate_series(1, len(l))) AS pos
+         |       FROM w),
+         |ns AS (SELECT doc_id, w, pos FROM pw
+         |       WHERE w NOT IN ($stopList) AND w <> ''),
+         |isl AS (SELECT doc_id, w, pos,
+         |          pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+         |        FROM ns),
+         |ph AS (SELECT doc_id, grp,
+         |         string_agg(w, ' ' ORDER BY pos) AS phrase,
+         |         count(*) AS plen
+         |       FROM isl GROUP BY 1, 2),
+         |mem AS (SELECT doc_id, grp, phrase, plen,
+         |          unnest(string_split(phrase, ' ')) AS w
+         |        FROM ph),
+         |ws AS (SELECT w, count(*) AS freq, CAST(sum(plen) AS BIGINT) AS deg
+         |       FROM mem GROUP BY 1),
+         |sm AS (SELECT w, (deg * 1000000) // freq AS smicro FROM ws),
+         |po AS (SELECT doc_id, grp, phrase,
+         |         CAST(sum(smicro) AS BIGINT) AS score_micro
+         |       FROM mem JOIN sm USING (w) GROUP BY 1, 2, 3)
+         |SELECT phrase, count(*) AS n_occurrences,
+         |       max(score_micro) AS score_micro,
+         |       max(score_micro) / 1e6 AS score
+         |FROM po GROUP BY phrase
+         |ORDER BY score_micro DESC, phrase LIMIT 20""".stripMargin,
 
     // Same adjacent-pair construction (1-based list indexing; DuckDB's
     // generate_series(1, 0) is already empty, so no length guard) and the
