@@ -1492,7 +1492,9 @@ object RelationalQueries {
       val m4 = a4 - lit(4.0) * a1 * a3 + lit(6.0) * a1 * a1 * a2 -
         lit(3.0) * a1 * a1 * a1 * a1
       m.select(col("event_type"), col("n"),
-          round(a1 / 1000.0, 4).as("mean"),
+          // exact integer mean in 1e-4 units (micro-sum·10 div n) — the
+          // round()-free form that cannot hit a half-digit boundary
+          (expr("(cast(s1 as bigint) * 10) div n") / 10000.0).as("mean"),
           round(m3 / (m2 * sqrt(m2)), 6).as("skewness"),
           round(m4 / (m2 * m2) - 3.0, 6).as("excess_kurtosis"))
         .orderBy(col("event_type"))
@@ -1549,8 +1551,10 @@ object RelationalQueries {
       val v2 = (col("q2").cast("double") - col("s2").cast("double") * col("s2").cast("double") / n2) / (n2 - 1.0)
       val se1 = v1 / n1; val se2 = v2 / n2
       m.select(col("n1"), col("n2"),
-          round(m1 / 100.0, 4).as("mean_click"),
-          round(m2 / 100.0, 4).as("mean_view"),
+          // exact integer means — cents/n ratios can land on decimal
+          // half-digit boundaries where the engines' round() disagree
+          (expr("(s1 * 100) div n1") / 10000.0).as("mean_click"),
+          (expr("(s2 * 100) div n2") / 10000.0).as("mean_view"),
           round((m1 - m2) / sqrt(se1 + se2), 6).as("t_stat"),
           round((se1 + se2) * (se1 + se2) /
             (se1 * se1 / (n1 - 1.0) + se2 * se2 / (n2 - 1.0)), 4).as("welch_df"))
@@ -1604,6 +1608,62 @@ object RelationalQueries {
         .orderBy(col("c_nationkey"), col("c_mktsegment"))
     }),
 
+    // CUPED variance reduction (the experimentation-analytics workhorse):
+    // pre-period covariate X and post-period metric Y per user, θ =
+    // cov(X,Y)/var(X) fitted GLOBALLY, per-arm adjusted means and the
+    // achieved variance reduction. One shuffle on user_id builds the
+    // exact per-user integer (x, y) cents; everything after is a 2-row
+    // per-arm aggregate of exact BIGINT moment sums + broadcast global
+    // algebra — constant-size regardless of event volume. The split day
+    // derives from the data's own min/max (scale-factor-free).
+    "q_cuped" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .select(col("user_id"), expr("ts_ms div 86400000").as("day"),
+          floor(col("value") * 100).cast("long").as("cents"))
+      val split = e.agg(expr("(min(day) + max(day) + 1) div 2").as("split_day"))
+      val per = e.crossJoin(broadcast(split))
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("day") < col("split_day"), col("cents")).otherwise(0L)).as("x"),
+          sum(when(col("day") >= col("split_day"), col("cents")).otherwise(0L)).as("y"))
+        .withColumn("arm", pmod(col("user_id"), lit(2)))
+      val arms = per.groupBy(col("arm"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+      val g = arms.agg(sum(col("n")).as("gn"), sum(col("sx")).as("gsx"),
+        sum(col("sy")).as("gsy"), sum(col("sxy")).as("gsxy"),
+        sum(col("sxx")).as("gsxx"))
+      val gn = col("gn").cast("double"); val gsx = col("gsx").cast("double")
+      val gsy = col("gsy").cast("double"); val gsxy = col("gsxy").cast("double")
+      val gsxx = col("gsxx").cast("double")
+      val theta = (gn * gsxy - gsx * gsy) / (gn * gsxx - gsx * gsx)
+      val nd = col("n").cast("double")
+      val sx = col("sx").cast("double"); val sy = col("sy").cast("double")
+      val sxy = col("sxy").cast("double"); val sxx = col("sxx").cast("double")
+      val syy = col("syy").cast("double")
+      val meanY = sy / nd
+      val meanYadj = meanY - col("theta") * (sx / nd - col("mean_x_g"))
+      val varY = syy / nd - (sy / nd) * (sy / nd)
+      val eAdj2 = (syy - lit(2.0) * col("theta") * sxy +
+        col("theta") * col("theta") * sxx) / nd
+      val eAdj = (sy - col("theta") * sx) / nd
+      val varYadj = eAdj2 - eAdj * eAdj
+      arms.crossJoin(broadcast(
+          g.select(theta.as("theta"), (gsx / gn).as("mean_x_g"))))
+        .select(col("arm"), col("n"),
+          // exact integer mean (the q_seasonality lesson: cents/n ratios
+          // land on decimal half-digit boundaries where the two engines'
+          // round() kernels disagree); the θ-adjusted mean cannot
+          // terminate decimally, so its round() is safe
+          (expr("(sy * 100) div n") / 10000.0).as("mean_y"),
+          round(meanYadj / 100.0, 4).as("mean_y_adj"),
+          round(col("theta"), 6).as("theta"),
+          round(lit(1.0) - varYadj / varY, 6).as("var_reduction"))
+        .orderBy(col("arm"))
+    }),
+
     // Gini concentration of order revenue — the inequality/concentration
     // audit (is 1% of orders most of the revenue?). Gini needs a GLOBAL
     // rank over the value column; that rank comes from the two-pass
@@ -1623,6 +1683,28 @@ object RelationalQueries {
         .select(col("n"), col("total_cents"),
           round(lit(2.0) * col("w") / (col("n") * col("total_cents")).cast("double") -
             (col("n") + 1).cast("double") / col("n").cast("double"), 6).as("gini"))
+    }),
+
+    // Weighted median (quantity-weighted line price): the global
+    // cumulative-weight scan reuses Sweep.runningSum — range partition on
+    // the value order, per-partition folds, P longs of driver state (no
+    // single-partition window at any scale); the crossing point is then
+    // ONE aggregate min over the qualifying suffix. Exact integer
+    // weights and cents throughout; the displayed median is a single
+    // deterministic double division, no round() boundary.
+    "q_weighted_median" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(floor(col("l_extendedprice") * 100).cast("long").as("cents"),
+          floor(col("l_quantity")).cast("long").as("wgt"),
+          col("l_orderkey"), col("l_linenumber"))
+      val run = Sweep.runningSum(li, col("wgt"), "cw",
+        col("cents"), col("l_orderkey"), col("l_linenumber"))
+      val tot = li.agg(sum(col("wgt")).as("w_total"))
+      run.crossJoin(broadcast(tot))
+        .filter(col("cw") * 2 >= col("w_total"))
+        .groupBy(col("w_total"))
+        .agg(min(col("cents")).as("med_cents"))
+        .select(col("w_total"), (col("med_cents") / 100.0).as("median_price"))
     }),
 
     // Market-basket association rules over orders (item = partkey bucket):
@@ -2642,10 +2724,12 @@ object RelationalQueries {
         |        a4 - 4.0 * a1 * a3 + 6.0 * a1 * a1 * a2
         |           - 3.0 * a1 * a1 * a1 * a1 AS m4
         |      FROM d)
-        |SELECT event_type, n, round(a1 / 1000.0, 4) AS mean,
+        |SELECT c.event_type, c.n,
+        |       CAST((CAST(m.s1 AS BIGINT) * 10) // m.n AS BIGINT) / 10000.0 AS mean,
         |       round(m3 / (m2 * sqrt(m2)), 6) AS skewness,
         |       round(m4 / (m2 * m2) - 3.0, 6) AS excess_kurtosis
-        |FROM c ORDER BY event_type""".stripMargin,
+        |FROM c JOIN m ON m.event_type = c.event_type
+        |ORDER BY c.event_type""".stripMargin,
 
     // Digit from the string rendering on both sides — no log10 edge.
     "q_benford" ->
@@ -2677,7 +2761,7 @@ object RelationalQueries {
         |        CAST(sum(CASE WHEN event_type = 'view' THEN c ELSE 0 END) AS BIGINT) AS s2,
         |        CAST(sum(CASE WHEN event_type = 'view' THEN c * c ELSE 0 END) AS BIGINT) AS q2
         |      FROM e),
-        |d AS (SELECT n1, n2,
+        |d AS (SELECT n1, n2, s1, s2,
         |        CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1,
         |        CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS m2,
         |        (CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
@@ -2686,11 +2770,12 @@ object RelationalQueries {
         |          / (CAST(n2 AS DOUBLE) - 1.0) AS v2,
         |        CAST(n1 AS DOUBLE) AS n1d, CAST(n2 AS DOUBLE) AS n2d
         |      FROM m),
-        |f AS (SELECT n1, n2, m1, m2, n1d, n2d,
+        |f AS (SELECT n1, n2, s1, s2, m1, m2, n1d, n2d,
         |        v1 / n1d AS se1, v2 / n2d AS se2
         |      FROM d)
-        |SELECT n1, n2, round(m1 / 100.0, 4) AS mean_click,
-        |       round(m2 / 100.0, 4) AS mean_view,
+        |SELECT n1, n2,
+        |       CAST((s1 * 100) // n1 AS BIGINT) / 10000.0 AS mean_click,
+        |       CAST((s2 * 100) // n2 AS BIGINT) / 10000.0 AS mean_view,
         |       round((m1 - m2) / sqrt(se1 + se2), 6) AS t_stat,
         |       round((se1 + se2) * (se1 + se2)
         |             / (se1 * se1 / (n1d - 1.0) + se2 * se2 / (n2d - 1.0)), 4) AS welch_df
@@ -2730,6 +2815,45 @@ object RelationalQueries {
         |FROM g CROSS JOIN t
         |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
 
+    // Same exact per-user integer (x, y), per-arm moment sums, and the
+    // identical global-θ double algebra.
+    "q_cuped" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) // 86400000 AS day,
+        |             CAST(floor(value * 100) AS BIGINT) AS cents
+        |           FROM events),
+        |sp AS (SELECT (min(day) + max(day) + 1) // 2 AS split_day FROM e),
+        |pu AS (SELECT user_id,
+        |         CAST(sum(CASE WHEN day < split_day THEN cents ELSE 0 END) AS BIGINT) AS x,
+        |         CAST(sum(CASE WHEN day >= split_day THEN cents ELSE 0 END) AS BIGINT) AS y
+        |       FROM e CROSS JOIN sp GROUP BY user_id),
+        |a AS (SELECT user_id % 2 AS arm, x, y FROM pu),
+        |arms AS (SELECT arm, count(*) AS n,
+        |           CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |           CAST(sum(x * y) AS BIGINT) AS sxy,
+        |           CAST(sum(x * x) AS BIGINT) AS sxx,
+        |           CAST(sum(y * y) AS BIGINT) AS syy
+        |         FROM a GROUP BY arm),
+        |g AS (SELECT CAST(sum(n) AS DOUBLE) AS gn,
+        |        CAST(sum(sx) AS DOUBLE) AS gsx, CAST(sum(sy) AS DOUBLE) AS gsy,
+        |        CAST(sum(sxy) AS DOUBLE) AS gsxy, CAST(sum(sxx) AS DOUBLE) AS gsxx
+        |      FROM arms),
+        |t AS (SELECT (gn * gsxy - gsx * gsy) / (gn * gsxx - gsx * gsx) AS theta,
+        |        gsx / gn AS mean_x_g FROM g)
+        |SELECT arm, n,
+        |  CAST((sy * 100) // n AS BIGINT) / 10000.0 AS mean_y,
+        |  round((CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+        |         - theta * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) - mean_x_g))
+        |        / 100.0, 4) AS mean_y_adj,
+        |  round(theta, 6) AS theta,
+        |  round(1.0 - ((CAST(syy AS DOUBLE) - 2.0 * theta * CAST(sxy AS DOUBLE)
+        |                + theta * theta * CAST(sxx AS DOUBLE)) / CAST(n AS DOUBLE)
+        |               - ((CAST(sy AS DOUBLE) - theta * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE))
+        |                 * ((CAST(sy AS DOUBLE) - theta * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)))
+        |            / (CAST(syy AS DOUBLE) / CAST(n AS DOUBLE)
+        |               - (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+        |                 * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))), 6) AS var_reduction
+        |FROM arms CROSS JOIN t ORDER BY arm""".stripMargin,
+
     // Sequential row_number stands in for the distributed two-pass
     // globalIds; same exact rank-weighted integer sums.
     "q_gini" ->
@@ -2746,6 +2870,21 @@ object RelationalQueries {
         |       round(2.0 * w / CAST(n * total_cents AS DOUBLE)
         |             - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS gini
         |FROM m""".stripMargin,
+
+    // Sequential window prefix sum stands in for the distributed sweep.
+    "q_weighted_median" ->
+      """WITH li AS (SELECT CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents,
+        |             CAST(floor(l_quantity) AS BIGINT) AS wgt,
+        |             l_orderkey, l_linenumber
+        |           FROM lineitem),
+        |r AS (SELECT cents,
+        |        CAST(sum(wgt) OVER (ORDER BY cents, l_orderkey, l_linenumber
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cw
+        |      FROM li),
+        |t AS (SELECT CAST(sum(wgt) AS BIGINT) AS w_total FROM li)
+        |SELECT w_total, CAST(min(cents) AS BIGINT) / 100.0 AS median_price
+        |FROM r CROSS JOIN t WHERE cw * 2 >= w_total
+        |GROUP BY w_total""".stripMargin,
 
     "q_market_basket" ->
       """WITH items AS (SELECT DISTINCT l_orderkey AS bk,

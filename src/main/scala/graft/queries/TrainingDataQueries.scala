@@ -418,6 +418,56 @@ object TrainingDataQueries {
     // 3-word minimum, since shorter docs have no shingles). Every stage
     // is a graded operator in its own right; the pipeline is their
     // join-composition with no new shuffle shapes.
+    // Curation v4 — composes THIS wave's signals into the pipeline
+    // shape: readability band-pass (Flesch 30..100, the audience gate)
+    // → exact dedup survivorship (md5 fingerprint, min-id winner with
+    // its stats carried by one partial-aggregable min_by — no join-back)
+    // → curriculum staging over the SURVIVORS (quartile cuts broadcast
+    // from one percentile aggregate). Graded on the per-stage rollup:
+    // counts, token mass, id range — each stage of the composition
+    // individually oracle-graded elsewhere (text_readability,
+    // dedup_exact, data_curriculum).
+    "pipeline_curation_v4" -> ((s, dir) => {
+      val base = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"),
+          TextFunctions.words(col("text")).as("l"),
+          expr("size(filter(split(text, '[.!?]+'), x -> trim(x) != ''))").as("ns0"))
+        .select(col("doc_id"), col("text"),
+          size(col("l")).cast("long").as("n_words"),
+          greatest(col("ns0"), lit(1)).cast("long").as("n_sent"),
+          expr("""aggregate(l, cast(0 as bigint), (acc, w) ->
+            acc + greatest(cast(1 as bigint),
+              cast(size(regexp_extract_all(w, '[aeiouy]+', 0)) as bigint)))""")
+            .as("n_syll"),
+          expr("aggregate(l, cast(0 as bigint), (acc, w) -> acc + length(w))")
+            .as("n_wchars"))
+        .withColumn("flesch", lit(206.835) -
+          lit(1.015) * (col("n_words").cast("double") / col("n_sent").cast("double")) -
+          lit(84.6) * (col("n_syll").cast("double") / col("n_words").cast("double")))
+      val kept = base.filter(col("flesch") >= 30.0 && col("flesch") <= 100.0)
+      val sv = kept.withColumn("fp", md5(col("text")))
+        .groupBy(col("fp"))
+        .agg(expr("min_by(struct(doc_id, n_words, n_wchars), doc_id)").as("s"))
+        .select(col("s.doc_id").as("doc_id"), col("s.n_words").as("n_words"),
+          col("s.n_wchars").as("n_wchars"))
+        .withColumn("difficulty",
+          (floor(col("n_wchars") * 1000 / col("n_words")) + col("n_words"))
+            .cast("long"))
+      val cuts = sv.agg(
+        expr("percentile(difficulty, array(0.25D, 0.5D, 0.75D))").as("__c"))
+        .select(col("__c").getItem(0).as("c1"), col("__c").getItem(1).as("c2"),
+          col("__c").getItem(2).as("c3"))
+      sv.crossJoin(broadcast(cuts))
+        .select(col("doc_id"), col("n_words"),
+          (lit(1) + when(col("difficulty") > col("c1"), 1).otherwise(0) +
+            when(col("difficulty") > col("c2"), 1).otherwise(0) +
+            when(col("difficulty") > col("c3"), 1).otherwise(0)).as("stage"))
+        .groupBy(col("stage"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("sum_words"),
+          min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+        .orderBy("stage")
+    }),
+
     "pipeline_curation_v3" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val keepers = docs.groupBy(col("text"))
@@ -602,11 +652,16 @@ object TrainingDataQueries {
       val c = Tables.customer(s, dir)
         .select(col("c_custkey").as("id"), col("c_name").as("nm"),
           col("c_nationkey").as("nation"))
+      // The threshold test lives INSIDE the generator (filter-HOF over a
+      // 1-element array + explode) rather than as a .filter() above the
+      // projection: a plain filter is pushed below the Project by
+      // Catalyst and re-evaluates the O(|a|·|b|) Jaro–Winkler per pair —
+      // measured 2× the scoring cost on the 4.5M-pair block join.
+      val jw = round(graft.plans.JaroWinkler(col("a.nm"), col("b.nm")), 6)
       c.alias("a").join(c.alias("b"),
           col("a.nation") === col("b.nation") && col("a.id") < col("b.id"))
         .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-          round(graft.plans.JaroWinkler(col("a.nm"), col("b.nm")), 6).as("jw"))
-        .filter(col("jw") >= 0.97)
+          explode(filter(array(jw), x => x >= 0.97)).as("jw"))
         .orderBy("id_a", "id_b")
     }),
 
@@ -1548,6 +1603,25 @@ object TrainingDataQueries {
         .select("doc_id", "source")
         .orderBy("doc_id")),
 
+    // Class rebalancing by downsampling to the minority-label count:
+    // per-label deterministic hash order, keep the first `target` rows
+    // where target = min label size (broadcast 1-row aggregate). The
+    // rank window partitions by label — as many partitions as labels
+    // carry data; for few huge labels the md5 order key also serves as
+    // a salt prefix if a per-label top-N heap (quotaSample) is needed.
+    "data_label_balance" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("label"))
+      val target = emb.groupBy(col("label")).agg(count(lit(1)).as("n"))
+        .agg(min(col("n")).as("target"))
+      emb.withColumn("rk", row_number().over(
+          Window.partitionBy(col("label"))
+            .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))))
+        .crossJoin(broadcast(target))
+        .filter(col("rk") <= col("target"))
+        .select(col("label"), col("vec_id"))
+        .orderBy("label", "vec_id")
+    }),
+
     // Curriculum assignment: order the corpus easy→hard WITHOUT a global
     // sort. Difficulty is an exact integer blend of lexical complexity
     // (mean word length, milli-units) and document length; the three
@@ -2069,6 +2143,43 @@ object TrainingDataQueries {
          |             / count(*), 6) AS novelty
          |FROM hs JOIN dfc USING (h)
          |GROUP BY hs.doc_id ORDER BY doc_id""".stripMargin,
+
+    // Same readability band, md5 survivor, and survivor-quartile staging.
+    "pipeline_curation_v4" ->
+      s"""WITH b AS (SELECT doc_id, text, $wordsSql AS l,
+         |             len(list_filter(string_split_regex(text, '[.!?]+'),
+         |                             x -> trim(x) <> ''))::BIGINT AS ns0
+         |           FROM documents),
+         |m AS (SELECT doc_id, text, len(l)::BIGINT AS n_words,
+         |        greatest(ns0, 1) AS n_sent,
+         |        CAST(list_sum(list_transform(l, w ->
+         |          greatest(1, len(regexp_extract_all(w, '[aeiouy]+'))))) AS BIGINT)
+         |          AS n_syll,
+         |        CAST(list_sum(list_transform(l, w -> len(w))) AS BIGINT) AS n_wchars
+         |      FROM b),
+         |f AS (SELECT *, 206.835
+         |        - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sent AS DOUBLE))
+         |        - 84.6 * (CAST(n_syll AS DOUBLE) / CAST(n_words AS DOUBLE)) AS flesch
+         |      FROM m),
+         |k AS (SELECT * FROM f WHERE flesch >= 30.0 AND flesch <= 100.0),
+         |s AS (SELECT md5(text) AS fp, min(doc_id) AS doc_id FROM k GROUP BY 1),
+         |sv AS (SELECT k.doc_id, k.n_words,
+         |         CAST(floor(k.n_wchars * 1000 / k.n_words) + k.n_words AS BIGINT)
+         |           AS difficulty
+         |       FROM k JOIN s ON k.doc_id = s.doc_id),
+         |c AS (SELECT quantile_cont(difficulty, 0.25) AS c1,
+         |             quantile_cont(difficulty, 0.5) AS c2,
+         |             quantile_cont(difficulty, 0.75) AS c3
+         |      FROM sv),
+         |st AS (SELECT doc_id, n_words,
+         |         1 + CASE WHEN difficulty > c1 THEN 1 ELSE 0 END
+         |           + CASE WHEN difficulty > c2 THEN 1 ELSE 0 END
+         |           + CASE WHEN difficulty > c3 THEN 1 ELSE 0 END AS stage
+         |       FROM sv CROSS JOIN c)
+         |SELECT stage, count(*) AS n_docs,
+         |       CAST(sum(n_words) AS BIGINT) AS sum_words,
+         |       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+         |FROM st GROUP BY stage ORDER BY stage""".stripMargin,
 
     "pipeline_curation_v3" ->
       s"""WITH RECURSIVE $minhashCtes,
@@ -3484,6 +3595,16 @@ object TrainingDataQueries {
         |               ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
         |           FROM documents)
         |SELECT doc_id, source FROM r WHERE rn <= 20 ORDER BY doc_id""".stripMargin,
+
+    "data_label_balance" ->
+      """WITH t AS (SELECT min(n) AS target FROM
+        |             (SELECT label, count(*) AS n FROM embeddings GROUP BY 1)),
+        |r AS (SELECT label, vec_id,
+        |        row_number() OVER (PARTITION BY label
+        |          ORDER BY md5(vec_id::VARCHAR), vec_id) AS rk
+        |      FROM embeddings)
+        |SELECT label, vec_id FROM r CROSS JOIN t
+        |WHERE rk <= target ORDER BY label, vec_id""".stripMargin,
 
     // Same exact integer difficulty, quantile_cont cut points, and md5
     // pacing bucket.

@@ -86,7 +86,14 @@ object PlanDump {
     "text_pmi" -> "adjacent bigrams from ONE pass over the words array (no positional self-join); bigram + unigram counts are stacked partial-aggregable HashAggregates and the unigram joins attach AFTER the min-count filter cuts the bigram tail; top-30 via TakeOrderedAndProject",
     "text_readability" -> "sentence split, word array, and the syllable fold are all per-row codegen projections — scan speed, zero shuffle before the final order at any scale",
     "data_curriculum" -> "difficulty is an exact integer projection; the three quartile cuts broadcast back from ONE percentile aggregate so stage assignment is a comparison projection — no ntile window over the corpus, no global sort",
-    "cluster_silhouette" -> "centroid-based silhouette (O(N·k), never N² true silhouette): broadcast cross join to k centroids, per-point top-2 via a k-BOUNDED collect_list, then one partial-aggregable groupBy(cell) over exact micro-unit scores")
+    "cluster_silhouette" -> "centroid-based silhouette (O(N·k), never N² true silhouette): broadcast cross join to k centroids, per-point top-2 via a k-BOUNDED collect_list, then one partial-aggregable groupBy(cell) over exact micro-unit scores",
+    "q_gini" -> "global value rank via the two-pass zipWithIndex globalIds (range partition + P counts to the driver — NO single-partition window); the rank-weighted sum is one exact-BIGINT aggregate and the Gini closed form a 1-row projection",
+    "q_market_basket" -> "pair generation on the DISTINCT (basket,item) table shuffled on the basket key (≤ items² per basket — linear in baskets); item totals + basket count broadcast back; top-20 via TakeOrderedAndProject",
+    "text_keyphrase" -> "RAKE: stopword-free runs via gaps-and-islands (one row_number window per doc partition), phrase assembly as an ObjectHashAggregate bounded by phrase length, word scores as exact integer micro-units — no double-sum order sensitivity in the ranking",
+    "q_cuped" -> "per-user (x,y) from ONE shuffle on user_id; per-arm exact BIGINT moment sums (2 rows); θ and the adjusted means are broadcast 1-row algebra — constant-size after the first aggregate at any event volume",
+    "q_weighted_median" -> "cumulative weight via Sweep.runningSum (range partition + per-partition folds + P longs of driver state); the crossing point is one aggregate min over the qualifying suffix — no single-partition window, no global sort materialization",
+    "data_label_balance" -> "per-label rank window (as many partitions as labels) + broadcast 1-row minority target; the kept membership is a pure filter — no global sort, no collect",
+    "pipeline_curation_v4" -> "readability gate is per-row codegen; dedup survivorship is one partial-aggregable min_by on the md5 fingerprint (the survivor's stats ride the aggregate — no join-back); staging reuses the broadcast-quartile comparison projection")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"

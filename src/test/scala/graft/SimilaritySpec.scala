@@ -425,6 +425,23 @@ class SimilaritySpec extends SparkSpec {
     })
   }
 
+  test("silhouette: every point counted once, scores in [-1, 1], means consistent") {
+    val got = Similarity.silhouette(emb, k = 8).cache()
+    // every corpus vector lands in exactly one cluster row
+    assert(got.agg(sum("n")).first().getLong(0) === emb.count())
+    val rows = got.collect()
+    // s = (s1-s2)/(1-s2) with s1 in [s2, 1] and s2 < 1 ⇒ s in [0, 1];
+    // cosine can make s2 negative but s1 >= s2 keeps s >= 0 here, and
+    // min <= mean <= max must hold per cluster
+    rows.foreach { r =>
+      val (mean, mn, mx) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(mn >= -1.0 - 1e-9 && mx <= 1.0 + 1e-9, s"silhouette out of range: $r")
+      assert(mn <= mean + 1e-9 && mean <= mx + 1e-9, s"mean outside min/max: $r")
+    }
+    // k clusters at most, all cells from the seed prefix
+    assert(rows.length <= 8)
+  }
+
   test("maxSimTopK: k ranked results; score matches a driver-side MaxSim; dominates cosine") {
     val got = Similarity.maxSimTopK(emb, queries, 5).cache()
     assert(got.count() === 10 * 5)
