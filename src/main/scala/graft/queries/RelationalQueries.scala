@@ -1608,6 +1608,62 @@ object RelationalQueries {
         .orderBy(col("c_nationkey"), col("c_mktsegment"))
     }),
 
+    // TPC-H Q5 shape — the 6-table star join with the LOCAL-SUPPLIER
+    // correlation (c_nationkey = s_nationkey rides in the supplier join
+    // key next to l_suppkey). Dimension chain region→nation folds into
+    // one broadcast before touching any fact table; orders carries its
+    // date filter to the scan; the only data-sized shuffles are the two
+    // fact-fact joins on their natural keys. The classic plan the
+    // optimizer must get right at 100 TB: broadcast the dims, never
+    // shuffle a fact against a dimension.
+    "q5_local_supplier" -> ((s, dir) => {
+      val nat = Tables.nation(s, dir)
+        .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      val cust = Tables.customer(s, dir)
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_nationkey"), col("n_name"))
+      val ord = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_suppkey"),
+          col("l_extendedprice"), col("l_discount"))
+      val sup = Tables.supplier(s, dir).select(col("s_suppkey"), col("s_nationkey"))
+      cust.join(ord, col("c_custkey") === col("o_custkey"))
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(sup),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
+    // TPC-H Q18 shape — large-volume orders: the HAVING-filtered
+    // aggregate (Σ quantity > 250) is built FIRST as a partial-aggregable
+    // rollup of lineitem, and only its tiny survivor set joins back to
+    // orders and customer — the aggregate-then-join shape that keeps the
+    // big tables out of any post-filter join. Top-100 via
+    // TakeOrderedAndProject.
+    "q18_large_orders" -> ((s, dir) => {
+      val big = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .filter(col("sum_qty") > 250.0)
+      Tables.orders(s, dir)
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          to_date(col("o_orderdate")).as("o_orderdate"),
+          round(col("o_totalprice"), 2).as("o_totalprice"), col("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    }),
+
     // CUPED variance reduction (the experimentation-analytics workhorse):
     // pre-period covariate X and post-period metric Y per user, θ =
     // cov(X,Y)/var(X) fitted GLOBALLY, per-arm adjusted means and the
@@ -2814,6 +2870,32 @@ object RelationalQueries {
         |       round(CAST(at_risk_rows AS DOUBLE) / CAST(n_rows AS DOUBLE), 6) AS at_risk_pct
         |FROM g CROSS JOIN t
         |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+
+    "q5_local_supplier" ->
+      """SELECT n_name,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q18_large_orders" ->
+      """WITH big AS (SELECT l_orderkey, round(sum(l_quantity), 2) AS sum_qty
+        |             FROM lineitem GROUP BY 1
+        |             HAVING round(sum(l_quantity), 2) > 250.0)
+        |SELECT c_custkey, c_name, o_orderkey,
+        |       CAST(o_orderdate AS DATE) AS o_orderdate,
+        |       round(o_totalprice, 2) AS o_totalprice, sum_qty
+        |FROM orders JOIN big ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
 
     // Same exact per-user integer (x, y), per-arm moment sums, and the
     // identical global-θ double algebra.

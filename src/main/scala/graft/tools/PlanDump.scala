@@ -93,7 +93,9 @@ object PlanDump {
     "q_cuped" -> "per-user (x,y) from ONE shuffle on user_id; per-arm exact BIGINT moment sums (2 rows); θ and the adjusted means are broadcast 1-row algebra — constant-size after the first aggregate at any event volume",
     "q_weighted_median" -> "cumulative weight via Sweep.runningSum (range partition + per-partition folds + P longs of driver state); the crossing point is one aggregate min over the qualifying suffix — no single-partition window, no global sort materialization",
     "data_label_balance" -> "per-label rank window (as many partitions as labels) + broadcast 1-row minority target; the kept membership is a pure filter — no global sort, no collect",
-    "pipeline_curation_v4" -> "readability gate is per-row codegen; dedup survivorship is one partial-aggregable min_by on the md5 fingerprint (the survivor's stats ride the aggregate — no join-back); staging reuses the broadcast-quartile comparison projection")
+    "pipeline_curation_v4" -> "readability gate is per-row codegen; dedup survivorship is one partial-aggregable min_by on the md5 fingerprint (the survivor's stats ride the aggregate — no join-back); staging reuses the broadcast-quartile comparison projection",
+    "q5_local_supplier" -> "the TPC-H Q5 star: region→nation folds into ONE broadcast before any fact table; customer joins it broadcast; the only data-sized shuffles are the two fact-fact joins (orders, lineitem) on their natural keys; supplier (with the local-supplier correlation in its join key) broadcasts — no fact table ever shuffles against a dimension",
+    "q18_large_orders" -> "aggregate-then-join: the HAVING-filtered lineitem rollup is a two-phase HashAggregate whose tiny survivor set drives broadcast joins back to orders/customer — the post-filter joins never see the full fact tables; top-100 via TakeOrderedAndProject")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
