@@ -731,4 +731,104 @@ object TextAnalysis {
   def winnowedFingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol), TextFunctions.words(col(textCol)).as("__w"))
       .select(col(idCol), explode(graft.plans.WinnowedHashes(col("__w"))).as("fp"))
+
+  /** PMI-scored bigram collocations — the phrase-mining pass that finds
+    * word pairs co-occurring far above chance. Adjacent pairs come from
+    * ONE pass over the words array (no positional self-join); bigram and
+    * unigram counts are both partial-aggregable HashAggregates shuffled
+    * on their word keys, and the two unigram joins attach only AFTER the
+    * min-count filter has cut the bigram table to the interesting tail.
+    * The size ≥ 2 guard dodges Spark's descending sequence(1, 0). */
+  def pmiCollocations(df: DataFrame, textCol: String,
+                      minCount: Long = 5, topK: Int = 30): DataFrame = {
+    val bg = df
+      .select(TextFunctions.words(col(textCol)).as("l"))
+      .select(explode(expr(
+        """CASE WHEN size(l) >= 2 THEN
+          |  transform(sequence(1, size(l) - 1),
+          |    k -> struct(element_at(l, k) AS w1, element_at(l, k + 1) AS w2))
+          |ELSE array() END""".stripMargin)).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val bgc = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cxy"))
+      .filter(col("cxy") >= minCount)
+    val uni = df
+      .select(explode(TextFunctions.words(col(textCol))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cw"))
+    val totals = bg.agg(count(lit(1)).as("nb"))
+      .crossJoin(uni.agg(sum(col("cw")).as("nu")))
+    val nb = col("nb").cast("double"); val nu = col("nu").cast("double")
+    bgc
+      .join(uni.withColumnRenamed("word", "w1").withColumnRenamed("cw", "cx"), "w1")
+      .join(uni.withColumnRenamed("word", "w2").withColumnRenamed("cw", "cy"), "w2")
+      .crossJoin(broadcast(totals))
+      .select(col("w1"), col("w2"), col("cxy"), col("cx"), col("cy"),
+        round(log2((col("cxy").cast("double") / nb) /
+          ((col("cx").cast("double") / nu) * (col("cy").cast("double") / nu))), 6)
+          .as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(topK)
+  }
+
+  /** RAKE keyphrase extraction: candidate phrases are maximal stopword-
+    * free word runs (gaps-and-islands over word positions: island id =
+    * pos − row_number, one window per doc partition — the sessionize
+    * shuffle shape); word degree/frequency scores aggregate over phrase
+    * members (shuffle on word), and the per-phrase score sums EXACT
+    * integer micro-units ((deg·10⁶) div freq) so no double-sum order
+    * can perturb the ranking. */
+  def rakeKeyphrases(df: DataFrame, idCol: String, textCol: String,
+                     topK: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pw = df
+      .select(col(idCol).as("__doc"),
+        posexplode(TextFunctions.words(col(textCol))).as(Seq("pos", "w")))
+      .filter(!col("w").isin(Stopwords: _*) && col("w") =!= "")
+    val isl = pw.withColumn("rn", row_number().over(
+        Window.partitionBy(col("__doc")).orderBy(col("pos"))))
+      .withColumn("grp", col("pos") - col("rn"))
+    val phrases = isl.groupBy(col("__doc"), col("grp"))
+      .agg(concat_ws(" ",
+          expr("transform(array_sort(collect_list(struct(pos, w))), x -> x.w)"))
+        .as("phrase"),
+        count(lit(1)).as("plen"))
+    val members = phrases
+      .select(col("__doc"), col("grp"), col("phrase"), col("plen"),
+        explode(split(col("phrase"), " ")).as("w"))
+    val wstats = members.groupBy(col("w"))
+      .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
+      .withColumn("smicro", expr("(deg * 1000000) div freq"))
+    val perOcc = members.join(wstats.select("w", "smicro"), "w")
+      .groupBy(col("__doc"), col("grp"), col("phrase"))
+      .agg(sum(col("smicro")).as("score_micro"))
+    perOcc.groupBy(col("phrase"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        max(col("score_micro")).as("score_micro"))
+      .withColumn("score", col("score_micro") / 1e6)
+      .orderBy(col("score_micro").desc, col("phrase"))
+      .limit(topK)
+  }
+
+  /** Readability scoring (Flesch reading ease + Flesch–Kincaid grade)
+    * with a vowel-group syllable heuristic. Pure per-row codegen
+    * projections — the sentence split, word array, and syllable fold
+    * never leave the row, so the operator runs at scan speed with zero
+    * shuffle at any scale. */
+  def readability(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), TextFunctions.words(col(textCol)).as("l"),
+        expr(s"size(filter(split($textCol, '[.!?]+'), x -> trim(x) != ''))").as("ns0"))
+      .select(col(idCol),
+        size(col("l")).cast("long").as("n_words"),
+        greatest(col("ns0"), lit(1)).cast("long").as("n_sentences"),
+        expr("""aggregate(l, cast(0 as bigint), (acc, w) ->
+          acc + greatest(cast(1 as bigint),
+            cast(size(regexp_extract_all(w, '[aeiouy]+', 0)) as bigint)))""")
+          .as("n_syllables"))
+      .select(col(idCol), col("n_words"), col("n_sentences"), col("n_syllables"),
+        round(lit(206.835) -
+          lit(1.015) * (col("n_words").cast("double") / col("n_sentences").cast("double")) -
+          lit(84.6) * (col("n_syllables").cast("double") / col("n_words").cast("double")), 4)
+          .as("flesch_ease"),
+        round(lit(0.39) * (col("n_words").cast("double") / col("n_sentences").cast("double")) +
+          lit(11.8) * (col("n_syllables").cast("double") / col("n_words").cast("double")) -
+          lit(15.59), 4).as("fk_grade"))
 }

@@ -94,7 +94,18 @@ object ScaleProbe {
           TextAnalysis.duplicatedSpans(df, "doc_id", "text")
             .filter(col("max_run") >= 0).count()),
         "lmscore" -> (() =>
-          TextAnalysis.bigramLmScore(df, "doc_id", "text").count()))
+          TextAnalysis.bigramLmScore(df, "doc_id", "text").count()),
+        // PMI's nonlinearity risk is the two unigram joins against the
+        // bigram tail; replication multiplies every count by the factor
+        // but the VOCAB stays ~constant, so time must track the corpus
+        // scan, not the factor².
+        "pmi" -> (() =>
+          TextAnalysis.pmiCollocations(df, "text").count()),
+        // RAKE's risks are the per-doc islands window and the word-stats
+        // join over phrase members — both linear in the corpus; the
+        // distinct-phrase aggregate is bounded by the phrase vocabulary.
+        "keyphrase" -> (() =>
+          TextAnalysis.rakeKeyphrases(df, "doc_id", "text").count()))
       textOps.foreach { case (name, f) =>
         f() // warm
         val (rows, sec) = time(f())
