@@ -43,6 +43,15 @@ object TrainingDataQueries {
     "customer", "column", "slow", "key", "the", "a", "of", "table").sorted
 
   // DuckDB fragments mirrored by the Spark operators.
+  /** RBO depth weights p^(d−1) (p = 0.9) as one shared CASE of 17-digit
+    * double literals — both engines parse the identical bit pattern, so
+    * no libm pow() divergence can enter the graded sum. */
+  private def rboWeightCase(dCol: String): String =
+    (1 to 10).map { d =>
+      val w = math.pow(0.9, d - 1)
+      f"WHEN $dCol = $d THEN $w%.17g"
+    }.mkString("CASE ", " ", " ELSE 0.0 END")
+
   private val wordsSql = "string_split_regex(lower(trim(text)), '\\s+')"
   private val wordCte = s"w AS (SELECT doc_id, $wordsSql AS l FROM documents)"
   private def shingleCteFrom(tbl: String) =
@@ -801,6 +810,57 @@ object TrainingDataQueries {
           round(col("hits") / 10.0, 6).as("recall"))
         .orderBy("q_id")
     }),
+
+    // Rank-biased overlap (Webber 2010, truncated @10, p = 0.9) between
+    // the exact and LSH rankings — recall@k ignores ORDER; RBO weights
+    // agreement at the top. Per shared candidate only max(rankA, rankB)
+    // matters: exploding it to the depths it contributes to turns the
+    // per-depth prefix-intersection into ONE partial-aggregable count
+    // (≤ 10 rows per query), and the weighted sum runs over those ≤10
+    // terms. The p-powers are shared double literals — no libm pow.
+    "ann_rbo_eval" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val qs = emb.filter(col("vec_id") < 10)
+      val exact = Similarity.bruteForceTopK(emb, qs, 10)
+        .select(col("q_id"), col("c_id"), col("rank").as("ra"))
+      val approx = Similarity.lshTopK(emb, qs, 10)
+        .select(col("q_id").as("aq"), col("c_id").as("ac"), col("rank").as("rb"))
+      val j = exact.join(approx,
+          col("q_id") === col("aq") && col("c_id") === col("ac"))
+        .select(col("q_id"), greatest(col("ra"), col("rb")).as("rmax"))
+      val terms = j
+        .select(col("q_id"), explode(sequence(col("rmax"), lit(10))).as("d"))
+        .groupBy(col("q_id"), col("d")).agg(count(lit(1)).as("x"))
+      qs.select(col("vec_id").as("q_id"))
+        .join(terms, Seq("q_id"), "left")
+        .groupBy(col("q_id"))
+        .agg(
+          coalesce(sum(expr(s"x * (${rboWeightCase("d")}) / d")), lit(0.0)).as("s"),
+          coalesce(max(when(col("d") === 10, col("x"))), lit(0L)).as("overlap_at_10"))
+        .select(col("q_id"),
+          round(lit(1.0 - 0.9) * col("s"), 6).as("rbo"),
+          col("overlap_at_10"))
+        .orderBy("q_id")
+    }),
+
+    // Conversion latency: first view → first purchase per user, graded
+    // on the cohort size and the exact/interpolated delay statistics.
+    // ONE conditional-min aggregate per user (partial-aggregable), then
+    // a single constant-size stats row; the mean is an exact integer
+    // division, the percentiles interpolate over integer minutes.
+    "q_time_to_convert" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(min(when(col("event_type") === "view", col("ts_ms"))).as("fv"),
+          min(when(col("event_type") === "purchase", col("ts_ms"))).as("fp"))
+        .filter(col("fv").isNotNull && col("fp").isNotNull && col("fp") > col("fv"))
+        .select(expr("(fp - fv) div 60000").as("mins"))
+        .agg(count(lit(1)).as("n_converted"),
+          expr("((sum(mins) * 100) div count(1))").as("__m100"),
+          expr("round(percentile(mins, 0.5D), 4)").as("p50_mins"),
+          expr("round(percentile(mins, 0.9D), 4)").as("p90_mins"))
+        .select(col("n_converted"), (col("__m100") / 100.0).as("mean_mins"),
+          col("p50_mins"), col("p90_mins"))),
 
     // Reciprocal-rank fusion of two INDEPENDENT retrieval systems (LSH
     // cosine and PQ/ADC) — the standard hybrid-search combiner
@@ -2533,6 +2593,60 @@ object TrainingDataQueries {
          |       round(count(lt.c_id) / 10.0, 6) AS recall
          |FROM bft LEFT JOIN lt ON lt.q_id = bft.q_id AND lt.c_id = bft.c_id
          |GROUP BY bft.q_id ORDER BY bft.q_id""".stripMargin,
+
+    // Same two ranked lists, same max(rank) depth expansion, same
+    // literal p-power weights.
+    "ann_rbo_eval" ->
+      s"""WITH $embCte,
+         |q AS (SELECT * FROM e WHERE vec_id < 10),
+         |bf AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         |         round(${cos("q", "c")}, 6) AS cos_sim
+         |       FROM q JOIN e c ON c.vec_id <> q.vec_id),
+         |bfr AS (SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
+         |                ORDER BY cos_sim DESC, c_id) AS ra FROM bf),
+         |bft AS (SELECT q_id, c_id, ra FROM bfr WHERE ra <= 10),
+         |bits AS (SELECT vec_id,
+         |         $lshBitsSql
+         |       FROM e),
+         |bk AS (SELECT vec_id,
+         |       $lshBandKeySql
+         |       FROM bits),
+         |cb AS ($lshBucketsUnion),
+         |cand AS (SELECT DISTINCT q.id AS q_id, c.id AS c_id
+         |         FROM cb c JOIN cb q ON c.band = q.band AND c.band_key = q.band_key
+         |         WHERE q.id < 10 AND q.id <> c.id),
+         |lsc AS (SELECT q_id, c_id, round(${cos("qe", "ce")}, 6) AS cos_sim
+         |        FROM cand JOIN e qe ON qe.vec_id = q_id
+         |                  JOIN e ce ON ce.vec_id = c_id),
+         |lr AS (SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
+         |               ORDER BY cos_sim DESC, c_id) AS rb FROM lsc),
+         |lt AS (SELECT q_id, c_id, rb FROM lr WHERE rb <= 10),
+         |j AS (SELECT bft.q_id, greatest(bft.ra, lt.rb) AS rmax
+         |      FROM bft JOIN lt ON lt.q_id = bft.q_id AND lt.c_id = bft.c_id),
+         |terms AS (SELECT q_id, unnest(generate_series(rmax, 10)) AS d FROM j),
+         |tc AS (SELECT q_id, d, count(*) AS x FROM terms GROUP BY 1, 2),
+         |qs AS (SELECT vec_id AS q_id FROM e WHERE vec_id < 10)
+         |SELECT qs.q_id,
+         |       round(0.09999999999999998 *
+         |         coalesce(sum(x * (${rboWeightCase("d")}) / d), 0.0), 6) AS rbo,
+         |       CAST(coalesce(max(CASE WHEN d = 10 THEN x END), 0) AS BIGINT)
+         |         AS overlap_at_10
+         |FROM qs LEFT JOIN tc ON tc.q_id = qs.q_id
+         |GROUP BY qs.q_id ORDER BY qs.q_id""".stripMargin,
+
+    "q_time_to_convert" ->
+      """WITH p AS (SELECT user_id,
+        |             min(CASE WHEN event_type = 'view' THEN epoch_ms(ts) END) AS fv,
+        |             min(CASE WHEN event_type = 'purchase' THEN epoch_ms(ts) END) AS fp
+        |           FROM events GROUP BY 1),
+        |d AS (SELECT (fp - fv) // 60000 AS mins FROM p
+        |      WHERE fv IS NOT NULL AND fp IS NOT NULL AND fp > fv)
+        |SELECT count(*) AS n_converted,
+        |       CAST((CAST(sum(mins) AS BIGINT) * 100) // count(*) AS BIGINT)
+        |         / 100.0 AS mean_mins,
+        |       round(quantile_cont(mins, 0.5), 4) AS p50_mins,
+        |       round(quantile_cont(mins, 0.9), 4) AS p90_mins
+        |FROM d""".stripMargin,
 
     "ann_rrf_fusion" ->
       s"""WITH $embCte,
