@@ -250,6 +250,65 @@ object Multimodal {
       }
   }
 
+  /** Decoded-audio features ([[audioFeatures]]): RMS energy from the
+    * exact integer Σs², per-channel sums from de-interleaved frames.
+    * Nulls = undecodable payload or zero frames. */
+  case class AudioFeatures(media_id: Long, format: String,
+                           n_frames: Option[Long], rms: Option[Double],
+                           ch0_sum: Option[Long], ch1_sum: Option[Long])
+
+  /** Audio feature extraction over REAL decoded PCM: RMS energy
+    * (√(Σs²/n) from an exact integer square sum — only the final sqrt
+    * is floating point) and per-channel sample sums, which force the
+    * decoder to de-interleave frames correctly (sample i belongs to
+    * channel i mod nch) — a channel-order bug flips ch0/ch1 and
+    * hash-fails. Same `mapPartitions` batch shape as the other decode
+    * legs: the decoder object is amortized per task, no per-row UDF,
+    * and the operator parallelizes by file at any scale. Mono payloads
+    * report ch1_sum = null (absent, not zero). */
+  def audioFeatures(withPayload: DataFrame): Dataset[AudioFeatures] = {
+    implicit val enc = Encoders.product[AudioFeatures]
+    withPayload.select(col("media_id"), col("payload"))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .mapPartitions { it =>
+        it.map { case (id, p) =>
+          try {
+            val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(p))
+            val fmt = in.getFormat
+            val nch = fmt.getChannels
+            val frameBytes = fmt.getFrameSize
+            val nFrames = in.getFrameLength
+            val buf = new Array[Byte]((nFrames * frameBytes).toInt)
+            var off = 0
+            var read = 0
+            while (off < buf.length && read >= 0) {
+              read = in.read(buf, off, buf.length - off)
+              if (read > 0) off += read
+            }
+            var ssq = 0L
+            val chSum = new Array[Long](nch)
+            var i = 0
+            var k = 0
+            while (i + 1 < off) {
+              val s = (((buf(i) & 0xff) | ((buf(i + 1) & 0xff) << 8)).toShort).toLong
+              ssq += s * s
+              chSum(k % nch) += s
+              k += 1
+              i += 2
+            }
+            val n = k.toLong
+            AudioFeatures(id, "wav", Some(nFrames),
+              if (n == 0) None else Some(math.sqrt(ssq.toDouble / n)),
+              Some(chSum(0)), if (nch > 1) Some(chSum(1)) else None)
+          } catch {
+            case _: Exception =>
+              AudioFeatures(id, "unknown", None, None, None, None)
+          }
+        }
+      }
+  }
+
   /** A parsed JPEG header record ([[jpegMeta]]); width/height are None
     * when no SOF frame header is found (quarantine, not failure). */
   case class JpegMeta(media_id: Long, n_bytes: Long, format: String,

@@ -1908,6 +1908,20 @@ object TrainingDataQueries {
         .toDF()
         .orderBy("media_id")),
 
+    // Feature extraction over the decoded PCM: RMS energy (exact
+    // integer Σs², one sqrt) and per-channel sample sums — the
+    // channel-interleave grading leg: assigning sample i to channel
+    // (i mod nch) wrong flips ch0/ch1 and hash-fails. Mono rows carry
+    // ch1_sum = null. The rms is rounded AFTER the identical sqrt on
+    // both engines.
+    "multimodal_audio_features" -> ((s, dir) =>
+      Multimodal.audioFeatures(
+          Multimodal.synthesizeAudioPayload(Tables.documents(s, dir), "doc_id", "text"))
+        .toDF()
+        .select(col("media_id"), col("format"), col("n_frames"),
+          round(col("rms"), 4).as("rms"), col("ch0_sum"), col("ch1_sum"))
+        .orderBy("media_id")),
+
     // The VARIABLE-OFFSET leg: synthesized JPEGs carry an md5-length COM
     // segment before SOF0, so the frame header sits at a different byte
     // offset per row — the mapPartitions parser must genuinely walk the
@@ -3931,6 +3945,36 @@ object TrainingDataQueries {
         |       CAST(m.rate AS BIGINT) AS sample_rate,
         |       CAST(m.nb // (2 * m.nch) AS BIGINT) AS n_frames,
         |       coalesce(s.ss, 0) AS sum_samples
+        |FROM m LEFT JOIN s ON s.doc_id = m.doc_id
+        |ORDER BY media_id""".stripMargin,
+
+    // Same character-pair PCM replay as audio_decode, extended with the
+    // square sum (RMS) and the i-mod-nch channel de-interleave.
+    "multimodal_audio_features" ->
+      """WITH m AS (SELECT doc_id, text, octet_length(encode(text)) AS nb,
+        |         ('0x' || substr(md5(text), 9, 4))::BIGINT % 2 + 1 AS nch
+        |       FROM documents),
+        |s AS (SELECT m.doc_id, m.nch, count(*) AS cnt,
+        |        CAST(sum((ord(substr(m.text, 2*u.i + 1, 1))
+        |                  + 256 * ord(substr(m.text, 2*u.i + 2, 1)))
+        |               * (ord(substr(m.text, 2*u.i + 1, 1))
+        |                  + 256 * ord(substr(m.text, 2*u.i + 2, 1)))) AS BIGINT) AS ssq,
+        |        CAST(sum(CASE WHEN u.i % m.nch = 0 THEN
+        |               ord(substr(m.text, 2*u.i + 1, 1))
+        |               + 256 * ord(substr(m.text, 2*u.i + 2, 1)) END) AS BIGINT) AS c0,
+        |        CAST(sum(CASE WHEN u.i % m.nch = 1 THEN
+        |               ord(substr(m.text, 2*u.i + 1, 1))
+        |               + 256 * ord(substr(m.text, 2*u.i + 2, 1)) END) AS BIGINT) AS c1
+        |      FROM m, LATERAL unnest(generate_series(0,
+        |             (m.nb // (2 * m.nch)) * m.nch - 1)) AS u(i)
+        |      GROUP BY m.doc_id, m.nch)
+        |SELECT m.doc_id AS media_id, 'wav' AS format,
+        |       CAST(m.nb // (2 * m.nch) AS BIGINT) AS n_frames,
+        |       CASE WHEN s.cnt IS NULL OR s.cnt = 0 THEN NULL
+        |            ELSE round(sqrt(CAST(s.ssq AS DOUBLE) / CAST(s.cnt AS DOUBLE)), 4)
+        |       END AS rms,
+        |       coalesce(s.c0, 0) AS ch0_sum,
+        |       CASE WHEN m.nch = 2 THEN coalesce(s.c1, 0) ELSE NULL END AS ch1_sum
         |FROM m LEFT JOIN s ON s.doc_id = m.doc_id
         |ORDER BY media_id""".stripMargin,
 
