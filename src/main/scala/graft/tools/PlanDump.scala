@@ -95,7 +95,10 @@ object PlanDump {
     "data_label_balance" -> "per-label rank window (as many partitions as labels) + broadcast 1-row minority target; the kept membership is a pure filter — no global sort, no collect",
     "pipeline_curation_v4" -> "readability gate is per-row codegen; dedup survivorship is one partial-aggregable min_by on the md5 fingerprint (the survivor's stats ride the aggregate — no join-back); staging reuses the broadcast-quartile comparison projection",
     "q5_local_supplier" -> "the TPC-H Q5 star: region→nation folds into ONE broadcast before any fact table; customer joins it broadcast; the only data-sized shuffles are the two fact-fact joins (orders, lineitem) on their natural keys; supplier (with the local-supplier correlation in its join key) broadcasts — no fact table ever shuffles against a dimension",
-    "q18_large_orders" -> "aggregate-then-join: the HAVING-filtered lineitem rollup is a two-phase HashAggregate whose tiny survivor set drives broadcast joins back to orders/customer — the post-filter joins never see the full fact tables; top-100 via TakeOrderedAndProject")
+    "q18_large_orders" -> "aggregate-then-join: the HAVING-filtered lineitem rollup is a two-phase HashAggregate whose tiny survivor set drives broadcast joins back to orders/customer — the post-filter joins never see the full fact tables; top-100 via TakeOrderedAndProject",
+    "ann_rbo_eval" -> "RBO: the two top-k lists join on (query, candidate); per shared candidate the max-rank depth expansion (≤10 rows) feeds one partial-aggregable count per (query, depth); the weighted sum runs over ≤10 terms per query with literal p-powers — no pow(), no rescan of the corpus",
+    "q_time_to_convert" -> "ONE conditional-min HashAggregate per user (partial-aggregable), then a single constant-size stats row — the percentile buffer holds only the converted cohort's integer minutes",
+    "multimodal_audio_features" -> "mapPartitions decode (codec amortized per task) with exact integer Σs² and channel sums accumulated in the same PCM pass; the plan stays scan → decode → sort, parallel by file, no per-row UDF")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
