@@ -555,6 +555,105 @@ class TextAnalysisSpec extends SparkSpec {
     assert(q.format === "unknown" && q.sum_samples.isEmpty)
   }
 
+  test("multimodal: audioFeatures de-interleaves channels and replays RMS exactly") {
+    val parsed = Multimodal.audioFeatures(
+      Multimodal.synthesizeAudioPayload(docs, "doc_id", "text")).collect()
+      .map(s => s.media_id -> s).toMap
+    val texts = docs.select("doc_id", "text").as[(Long, String)].collect().toMap
+    val meta = Multimodal.audioMeta(
+      Multimodal.synthesizeAudioPayload(docs, "doc_id", "text"))
+      .select("media_id", "n_channels").as[(Long, Long)].collect().toMap
+    parsed.values.foreach { s =>
+      val body = texts(s.media_id).getBytes("US-ASCII")
+      val nch = meta(s.media_id).toInt
+      val frames = body.length / (2 * nch)
+      val samples = (0 until frames * nch).map(i =>
+        (body(2 * i) & 0xff) + 256L * (body(2 * i + 1) & 0xff))
+      assert(s.n_frames.get === frames.toLong)
+      // channel j gets samples i with i % nch == j — the interleave law
+      val c0 = samples.zipWithIndex.collect { case (v, i) if i % nch == 0 => v }.sum
+      assert(s.ch0_sum.get === c0)
+      if (nch == 2) {
+        val c1 = samples.zipWithIndex.collect { case (v, i) if i % nch == 1 => v }.sum
+        assert(s.ch1_sum.get === c1)
+        assert(s.ch0_sum.get + s.ch1_sum.get === samples.sum)
+      } else assert(s.ch1_sum.isEmpty)
+      if (samples.nonEmpty) {
+        val rms = math.sqrt(samples.map(v => v.toDouble * v).sum / samples.size)
+        assert(math.abs(s.rms.get - rms) < 1e-6, s"rms mismatch for ${s.media_id}")
+      }
+    }
+    // junk quarantines with all-null features
+    val junk = Seq((9L, "still not audio".getBytes("US-ASCII"))).toDF("media_id", "payload")
+    val q = Multimodal.audioFeatures(junk).collect().head
+    assert(q.format === "unknown" && q.rms.isEmpty && q.ch0_sum.isEmpty)
+  }
+
+  test("pmiCollocations: PMI matches a driver-side replay on a tiny corpus") {
+    val tiny = Seq(
+      (1L, "strong coffee every morning"),
+      (2L, "strong coffee beats weak tea"),
+      (3L, "strong coffee strong coffee strong coffee"),
+      (4L, "weak tea weak tea weak tea weak tea")).toDF("doc_id", "text")
+    val got = TextAnalysis.pmiCollocations(tiny, "text", minCount = 2, topK = 10)
+      .select("w1", "w2", "cxy", "pmi").collect()
+    assert(got.nonEmpty)
+    // independent counts
+    val docs2 = Seq("strong coffee every morning",
+      "strong coffee beats weak tea",
+      "strong coffee strong coffee strong coffee",
+      "weak tea weak tea weak tea weak tea").map(_.split(" ").toSeq)
+    val bigrams = docs2.flatMap(ws => ws.zip(ws.tail))
+    val uni = docs2.flatten.groupBy(identity).view.mapValues(_.size).toMap
+    val nb = bigrams.size.toDouble
+    val nu = docs2.flatten.size.toDouble
+    got.foreach { r =>
+      val (w1, w2, cxy) = (r.getString(0), r.getString(1), r.getLong(2))
+      assert(bigrams.count(p => p._1 == w1 && p._2 == w2) === cxy)
+      val want = math.log((cxy / nb) / ((uni(w1) / nu) * (uni(w2) / nu))) / math.log(2.0)
+      assert(math.abs(r.getDouble(3) - want) < 1e-4)
+    }
+  }
+
+  test("rakeKeyphrases: stopword-split islands and degree/freq scoring on a known corpus") {
+    val tiny = Seq(
+      (1L, "machine learning of the machine learning pipeline"),
+      (2L, "deep learning and machine learning")).toDF("doc_id", "text")
+    val got = TextAnalysis.rakeKeyphrases(tiny, "doc_id", "text", topK = 10)
+      .select("phrase", "n_occurrences", "score_micro").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // phrases: "machine learning" x2 (doc1 split by "of the", doc2 after "and"),
+    // "machine learning pipeline" x1, "deep learning" x1
+    assert(got.keySet === Set("machine learning", "machine learning pipeline",
+      "deep learning"))
+    assert(got("machine learning")._1 === 2L)
+    // word stats over phrase members: machine f=3 d=7, learning f=4 d=9,
+    // pipeline f=1 d=3, deep f=1 d=2
+    val sm = Map("machine" -> 7000000L / 3, "learning" -> 9000000L / 4,
+      "pipeline" -> 3000000L, "deep" -> 2000000L)
+    assert(got("machine learning")._2 === sm("machine") + sm("learning"))
+    assert(got("machine learning pipeline")._2 ===
+      sm("machine") + sm("learning") + sm("pipeline"))
+    assert(got("deep learning")._2 === sm("deep") + sm("learning"))
+  }
+
+  test("readability: hand-computed Flesch on a two-sentence doc; guards hold") {
+    val tiny = Seq((1L, "The cat sat. The cat ran away!"),
+      (2L, "word")).toDF("doc_id", "text")
+    val got = TextAnalysis.readability(tiny, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val r1 = got(1L)
+    // words = 7, sentences = 2, syllables: the(1) cat(1) sat(1) the(1)
+    // cat(1) ran(1) away(2) = 8  ("sat." keeps its punctuation in the
+    // whitespace tokenization; vowel groups are unaffected)
+    assert(r1.getLong(1) === 7L && r1.getLong(2) === 2L && r1.getLong(3) === 8L)
+    val flesch = 206.835 - 1.015 * (7.0 / 2.0) - 84.6 * (8.0 / 7.0)
+    assert(math.abs(r1.getDouble(4) - flesch) < 1e-3)
+    // single word, no terminator: sentence guard clamps to 1
+    val r2 = got(2L)
+    assert(r2.getLong(1) === 1L && r2.getLong(2) === 1L)
+  }
+
   test("multimodal: jpegMeta walks the segment chain, independent ground truth") {
     // hand-built literal JPEG with KNOWN dims behind a COM segment of a
     // DIFFERENT length than the synthesizer would pick — a fixed-offset
