@@ -1608,6 +1608,27 @@ object RelationalQueries {
         .orderBy(col("c_nationkey"), col("c_mktsegment"))
     }),
 
+    // Year-over-year growth — the BI staple: monthly revenue (one
+    // partial-aggregable rollup to |months| rows, exact integer cents),
+    // then a self-join of the MONTH table against itself shifted one
+    // year. Everything after the first aggregate is dimension-sized;
+    // months without a prior year report null growth (left join), not 0.
+    "q_yoy_growth" -> ((s, dir) => {
+      val monthly = Tables.orders(s, dir)
+        .select((year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+          .cast("long").as("ym"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        .groupBy(col("ym"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("rev_cents"))
+      val prev = monthly.select((col("ym") + 100).as("ym"),
+        col("rev_cents").as("prev_cents"))
+      monthly.join(prev, Seq("ym"), "left")
+        .select(col("ym"), col("n_orders"), col("rev_cents"), col("prev_cents"),
+          round((col("rev_cents") - col("prev_cents")).cast("double") /
+            col("prev_cents").cast("double"), 6).as("yoy_growth"))
+        .orderBy("ym")
+    }),
+
     // TPC-H Q5 shape — the 6-table star join with the LOCAL-SUPPLIER
     // correlation (c_nationkey = s_nationkey rides in the supplier join
     // key next to l_suppkey). Dimension chain region→nation folds into
@@ -2870,6 +2891,19 @@ object RelationalQueries {
         |       round(CAST(at_risk_rows AS DOUBLE) / CAST(n_rows AS DOUBLE), 6) AS at_risk_pct
         |FROM g CROSS JOIN t
         |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+
+    "q_yoy_growth" ->
+      """WITH mth AS (SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate)
+        |               AS BIGINT) AS ym,
+        |               count(*) AS n_orders,
+        |               CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+        |                 AS BIGINT) AS rev_cents
+        |             FROM orders GROUP BY 1)
+        |SELECT m.ym, m.n_orders, m.rev_cents, p.rev_cents AS prev_cents,
+        |       round(CAST(m.rev_cents - p.rev_cents AS DOUBLE)
+        |             / CAST(p.rev_cents AS DOUBLE), 6) AS yoy_growth
+        |FROM mth m LEFT JOIN mth p ON p.ym = m.ym - 100
+        |ORDER BY m.ym""".stripMargin,
 
     "q5_local_supplier" ->
       """SELECT n_name,

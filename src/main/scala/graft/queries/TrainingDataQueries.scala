@@ -52,6 +52,31 @@ object TrainingDataQueries {
       f"WHEN $dCol = $d THEN $w%.17g"
     }.mkString("CASE ", " ", " ELSE 0.0 END")
 
+  /** Shared label-propagation CTE chain (synthetic 40-ring graph, 3
+    * rounds) — consumed by graph_label_prop AND graph_modularity so both
+    * grade the identical communities. */
+  private val labelPropCtes: String = {
+    val rounds = (1 to 3).map { r =>
+      s"""v$r AS (SELECT e.dst AS id, l.label, count(*) AS cnt
+         |  FROM e JOIN l${r - 1} l ON e.src = l.id GROUP BY 1, 2),
+         |p$r AS (SELECT id, label, row_number() OVER
+         |          (PARTITION BY id ORDER BY cnt DESC, label) AS rn
+         |        FROM v$r),
+         |l$r AS (SELECT l.id, coalesce(p.label, l.label) AS label
+         |        FROM l${r - 1} l LEFT JOIN
+         |          (SELECT id, label FROM p$r WHERE rn = 1) p USING (id))"""
+    }.mkString(",\n")
+    s"""d AS (SELECT doc_id AS src,
+       |             (doc_id // 40) * 40 + (doc_id % 40 + k) % 40 AS dst
+       |           FROM documents CROSS JOIN (SELECT unnest([1, 2]) AS k) ks),
+       |e AS (SELECT src, dst FROM
+       |        (SELECT src, dst FROM d UNION SELECT dst, src FROM d)
+       |      WHERE src <> dst),
+       |nodes AS (SELECT src AS id FROM d UNION SELECT dst FROM d),
+       |l0 AS (SELECT id, id AS label FROM nodes),
+       |$rounds""".stripMargin
+  }
+
   private val wordsSql = "string_split_regex(lower(trim(text)), '\\s+')"
   private val wordCte = s"w AS (SELECT doc_id, $wordsSql AS l FROM documents)"
   private def shingleCteFrom(tbl: String) =
@@ -1376,6 +1401,54 @@ object TrainingDataQueries {
           (expr("src div 40") * 40 +
             pmod(pmod(col("src"), lit(40)) + col("k"), lit(40))).as("dst"))
       Graph.labelPropagation(edges, iterations = 3).orderBy("id")
+    }),
+
+    // Modularity Q = Σ_c (e_c/m − (d_c/2m)²) of the label-propagation
+    // communities over the DISTINCT undirected edge set — the
+    // partition-quality score that closes the community-detection loop
+    // (propagate → score). Everything after the edge/degree aggregates
+    // is |communities|-sized algebra with the edge total crossed back
+    // by broadcast; exact integer counts feed one fixed double formula.
+    "graph_modularity" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"))
+      val d = docs
+        .select(col("doc_id").as("src"),
+          explode(array(lit(1L), lit(2L))).as("k"))
+        .select(col("src"),
+          (expr("src div 40") * 40 +
+            pmod(pmod(col("src"), lit(40)) + col("k"), lit(40))).as("dst"))
+      val labels = Graph.labelPropagation(d, iterations = 3)
+      val ud = d.filter(col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .distinct()
+      val m = ud.agg(count(lit(1)).as("m"))
+      val e = d.select("src", "dst")
+        .union(d.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+        .filter(col("src") =!= col("dst"))
+      val deg = e.groupBy(col("src").as("nid")).agg(count(lit(1)).as("deg"))
+      val ein = ud
+        .join(labels.select(col("id").as("a"), col("label").as("la")), "a")
+        .join(labels.select(col("id").as("b"), col("label").as("lb")), "b")
+        .filter(col("la") === col("lb"))
+        .groupBy(col("la").as("label")).agg(count(lit(1)).as("e_in"))
+      val dt = labels.join(deg, col("id") === col("nid"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("d_tot"))
+      val md = col("m").cast("double")
+      val co = dt.join(ein, Seq("label"), "left").crossJoin(broadcast(m))
+        .select(col("label"), col("n_nodes"),
+          coalesce(col("e_in"), lit(0L)).as("e_in"), col("d_tot"),
+          (coalesce(col("e_in"), lit(0L)).cast("double") / md -
+            (col("d_tot").cast("double") / (lit(2.0) * md)) *
+              (col("d_tot").cast("double") / (lit(2.0) * md))).as("contrib"))
+      val t = co.agg(sum(col("contrib")).as("q"))
+      co.crossJoin(broadcast(t))
+        .select(col("label"), col("n_nodes"), col("e_in"), col("d_tot"),
+          round(col("contrib"), 6).as("contrib"),
+          round(col("q"), 6).as("modularity"))
+        .orderBy("label")
     }),
 
     // Common-neighbor link prediction on the synthetic link graph:
@@ -3421,28 +3494,38 @@ object TrainingDataQueries {
     // Three unrolled synchronous rounds of the identical vote/argmax
     // recurrence; the window row_number mirrors the packed-BIGINT
     // max-count-min-label tie-break.
-    "graph_label_prop" -> {
-      val rounds = (1 to 3).map { r =>
-        s"""v$r AS (SELECT e.dst AS id, l.label, count(*) AS cnt
-           |  FROM e JOIN l${r - 1} l ON e.src = l.id GROUP BY 1, 2),
-           |p$r AS (SELECT id, label, row_number() OVER
-           |          (PARTITION BY id ORDER BY cnt DESC, label) AS rn
-           |        FROM v$r),
-           |l$r AS (SELECT l.id, coalesce(p.label, l.label) AS label
-           |        FROM l${r - 1} l LEFT JOIN
-           |          (SELECT id, label FROM p$r WHERE rn = 1) p USING (id))"""
-      }.mkString(",\n")
-      s"""WITH d AS (SELECT doc_id AS src,
-         |             (doc_id // 40) * 40 + (doc_id % 40 + k) % 40 AS dst
-         |           FROM documents CROSS JOIN (SELECT unnest([1, 2]) AS k) ks),
-         |e AS (SELECT src, dst FROM
-         |        (SELECT src, dst FROM d UNION SELECT dst, src FROM d)
-         |      WHERE src <> dst),
-         |nodes AS (SELECT src AS id FROM d UNION SELECT dst FROM d),
-         |l0 AS (SELECT id, id AS label FROM nodes),
-         |$rounds
-         |SELECT id, label FROM l3 ORDER BY id""".stripMargin
-    },
+    "graph_label_prop" ->
+      s"""WITH $labelPropCtes
+         |SELECT id, label FROM l3 ORDER BY id""".stripMargin,
+
+    // Modularity of the label-propagation communities: Q = Σ_c (e_c/m −
+    // (d_c/2m)²) over the DISTINCT undirected edge set — the standard
+    // partition-quality score. Shares the full label-prop CTE chain so
+    // both queries grade the identical communities.
+    "graph_modularity" ->
+      s"""WITH $labelPropCtes,
+         |ud AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |       FROM d WHERE src <> dst),
+         |m AS (SELECT count(*) AS m FROM ud),
+         |deg AS (SELECT src AS id, count(*) AS deg FROM e GROUP BY 1),
+         |ein AS (SELECT la.label, count(*) AS e_in
+         |        FROM ud JOIN l3 la ON ud.a = la.id
+         |                JOIN l3 lb ON ud.b = lb.id
+         |        WHERE la.label = lb.label GROUP BY 1),
+         |dt AS (SELECT l3.label, count(*) AS n_nodes,
+         |         CAST(sum(deg.deg) AS BIGINT) AS d_tot
+         |       FROM l3 JOIN deg ON deg.id = l3.id GROUP BY 1),
+         |co AS (SELECT dt.label, dt.n_nodes,
+         |         CAST(coalesce(ein.e_in, 0) AS BIGINT) AS e_in, dt.d_tot,
+         |         CAST(coalesce(ein.e_in, 0) AS DOUBLE) / CAST(m.m AS DOUBLE)
+         |           - (CAST(dt.d_tot AS DOUBLE) / (2.0 * CAST(m.m AS DOUBLE)))
+         |             * (CAST(dt.d_tot AS DOUBLE) / (2.0 * CAST(m.m AS DOUBLE)))
+         |           AS contrib
+         |       FROM dt LEFT JOIN ein USING (label) CROSS JOIN m),
+         |t AS (SELECT sum(contrib) AS q FROM co)
+         |SELECT label, n_nodes, e_in, d_tot,
+         |       round(contrib, 6) AS contrib, round(q, 6) AS modularity
+         |FROM co CROSS JOIN t ORDER BY label""".stripMargin,
 
     "graph_link_pred" ->
       """WITH d AS (SELECT doc_id AS src,
