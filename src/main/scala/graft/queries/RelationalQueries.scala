@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1608,6 +1608,67 @@ object RelationalQueries {
         .orderBy(col("c_nationkey"), col("c_mktsegment"))
     }),
 
+    // RFM segmentation — the lifecycle-marketing classic: per-user
+    // recency/frequency/monetary from ONE conditional aggregate over
+    // purchases, quintile scores from a single percentile aggregate
+    // broadcast back (comparison projections — no ntile window over
+    // users). Scores are value-ascending (r_score 5 = longest-stale);
+    // exact integer inputs, interpolated cut points compared exactly.
+    "q_rfm" -> ((s, dir) => {
+      val p = Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), expr("ts_ms div 86400000").as("day"),
+          floor(col("value") * 100).cast("long").as("cents"))
+      val horizon = p.agg(max(col("day")).as("maxday"))
+      val rfm = p.crossJoin(broadcast(horizon))
+        .groupBy(col("user_id"))
+        .agg(min(col("maxday") - col("day")).as("r_days"),
+          count(lit(1)).as("freq"), sum(col("cents")).as("monetary"))
+      val cuts = rfm.agg(
+        expr("percentile(r_days, array(0.2D, 0.4D, 0.6D, 0.8D))").as("rc"),
+        expr("percentile(freq, array(0.2D, 0.4D, 0.6D, 0.8D))").as("fc"),
+        expr("percentile(monetary, array(0.2D, 0.4D, 0.6D, 0.8D))").as("mc"))
+      def score(v: Column, c: Column): Column =
+        lit(1) + (0 to 3).map(i => when(v > c.getItem(i), 1).otherwise(0))
+          .reduce(_ + _)
+      rfm.crossJoin(broadcast(cuts))
+        .select(col("user_id"), col("r_days"), col("freq"), col("monetary"),
+          score(col("r_days"), col("rc")).as("r_score"),
+          score(col("freq"), col("fc")).as("f_score"),
+          score(col("monetary"), col("mc")).as("m_score"))
+        .orderBy("user_id")
+    }),
+
+    // ABC inventory classification — cumulative-revenue-share classes
+    // over the part dimension: per-part revenue (one partial-aggregable
+    // rollup), the DESCENDING cumulative sum via Sweep.runningSum (range
+    // partition + per-partition folds — no single-partition window),
+    // class cut at 80%/95% of the broadcast total, then a |3|-row class
+    // rollup. The Pareto sibling of q_gini on the same machinery.
+    "q_abc_analysis" -> ((s, dir) => {
+      val parts = Tables.lineitem(s, dir)
+        .select(col("l_partkey"),
+          floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+            .cast("long").as("cents"))
+        .groupBy(col("l_partkey"))
+        .agg(sum(col("cents")).as("rev"))
+      val run = Sweep.runningSum(parts, col("rev"), "cum",
+        col("rev").desc, col("l_partkey"))
+      val tot = parts.agg(sum(col("rev")).as("total"))
+      run.crossJoin(broadcast(tot))
+        .withColumn("cls",
+          when(col("cum") * 100 <= col("total") * 80, "A")
+            .when(col("cum") * 100 <= col("total") * 95, "B")
+            .otherwise("C"))
+        .groupBy(col("cls"))
+        .agg(count(lit(1)).as("n_parts"), sum(col("rev")).as("rev_cents"),
+          max(col("total")).as("__t"))
+        .select(col("cls"), col("n_parts"), col("rev_cents"),
+          round(col("rev_cents").cast("double") / col("__t").cast("double"), 6)
+            .as("rev_share"))
+        .orderBy("cls")
+    }),
+
     // Year-over-year growth — the BI staple: monthly revenue (one
     // partial-aggregable rollup to |months| rows, exact integer cents),
     // then a self-join of the MONTH table against itself shifted one
@@ -2891,6 +2952,58 @@ object RelationalQueries {
         |       round(CAST(at_risk_rows AS DOUBLE) / CAST(n_rows AS DOUBLE), 6) AS at_risk_pct
         |FROM g CROSS JOIN t
         |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+
+    "q_rfm" ->
+      """WITH p AS (SELECT user_id, epoch_ms(ts) // 86400000 AS day,
+        |             CAST(floor(value * 100) AS BIGINT) AS cents
+        |           FROM events WHERE event_type = 'purchase'),
+        |h AS (SELECT max(day) AS maxday FROM p),
+        |rfm AS (SELECT user_id, CAST(min(maxday - day) AS BIGINT) AS r_days,
+        |          count(*) AS freq, CAST(sum(cents) AS BIGINT) AS monetary
+        |        FROM p CROSS JOIN h GROUP BY 1),
+        |c AS (SELECT
+        |        quantile_cont(r_days, 0.2) AS rc1, quantile_cont(r_days, 0.4) AS rc2,
+        |        quantile_cont(r_days, 0.6) AS rc3, quantile_cont(r_days, 0.8) AS rc4,
+        |        quantile_cont(freq, 0.2) AS fc1, quantile_cont(freq, 0.4) AS fc2,
+        |        quantile_cont(freq, 0.6) AS fc3, quantile_cont(freq, 0.8) AS fc4,
+        |        quantile_cont(monetary, 0.2) AS mc1, quantile_cont(monetary, 0.4) AS mc2,
+        |        quantile_cont(monetary, 0.6) AS mc3, quantile_cont(monetary, 0.8) AS mc4
+        |      FROM rfm)
+        |SELECT user_id, r_days, freq, monetary,
+        |  1 + (CASE WHEN r_days > rc1 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN r_days > rc2 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN r_days > rc3 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN r_days > rc4 THEN 1 ELSE 0 END) AS r_score,
+        |  1 + (CASE WHEN freq > fc1 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN freq > fc2 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN freq > fc3 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN freq > fc4 THEN 1 ELSE 0 END) AS f_score,
+        |  1 + (CASE WHEN monetary > mc1 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN monetary > mc2 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN monetary > mc3 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN monetary > mc4 THEN 1 ELSE 0 END) AS m_score
+        |FROM rfm CROSS JOIN c ORDER BY user_id""".stripMargin,
+
+    // Sequential window cumulative stands in for the distributed sweep.
+    "q_abc_analysis" ->
+      """WITH parts AS (SELECT l_partkey,
+        |                 CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+        |                   * 100) AS BIGINT)) AS BIGINT) AS rev
+        |               FROM lineitem GROUP BY 1),
+        |t AS (SELECT CAST(sum(rev) AS BIGINT) AS total FROM parts),
+        |r AS (SELECT rev,
+        |        CAST(sum(rev) OVER (ORDER BY rev DESC, l_partkey
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |      FROM parts),
+        |cl AS (SELECT rev, total,
+        |         CASE WHEN cum * 100 <= total * 80 THEN 'A'
+        |              WHEN cum * 100 <= total * 95 THEN 'B'
+        |              ELSE 'C' END AS cls
+        |       FROM r CROSS JOIN t)
+        |SELECT cls, count(*) AS n_parts, CAST(sum(rev) AS BIGINT) AS rev_cents,
+        |       round(CAST(sum(rev) AS DOUBLE) / CAST(max(total) AS DOUBLE), 6)
+        |         AS rev_share
+        |FROM cl GROUP BY cls ORDER BY cls""".stripMargin,
 
     "q_yoy_growth" ->
       """WITH mth AS (SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate)
