@@ -1260,6 +1260,34 @@ object TrainingDataQueries {
         .orderBy("doc_id")
     }),
 
+    // Per-SOURCE PII prevalence — the release-audit rollup a curation
+    // pipeline runs before shipping a source: same planted-PII corpus
+    // and regexes as text_redact, aggregated to docs-affected counts
+    // and rates per source. One codegen regexp_count projection + one
+    // partial-aggregable rollup; the per-doc redaction never runs.
+    "text_pii_audit" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).withColumn("txt",
+        concat(col("text"),
+          lit(" contact "), col("source"), lit("-"),
+          col("doc_id").cast("string"), lit("@example.com via https://"),
+          col("lang"), lit(".example.org/d/"), col("doc_id").cast("string"),
+          lit(" tel +1 (555) 010-"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
+      d.select(col("source"),
+          regexp_count(col("txt"), lit(TextAnalysis.UrlPattern)).as("u"),
+          regexp_count(col("txt"), lit(TextAnalysis.EmailPattern)).as("e"),
+          regexp_count(col("txt"), lit(TextAnalysis.PhonePattern)).as("p"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("u")).as("n_urls"), sum(col("e")).as("n_emails"),
+          sum(col("p")).as("n_phones"),
+          sum(when(col("u") + col("e") + col("p") > 0, 1L).otherwise(0L))
+            .as("docs_with_pii"))
+        .withColumn("pii_rate",
+          round(col("docs_with_pii").cast("double") / col("n_docs").cast("double"), 6))
+        .orderBy("source")
+    }),
+
     // Per-document top-3 terms by smoothed TF-IDF — the relevance
     // ranking a retrieval/quality pipeline derives from the same
     // (doc, word) counts the repetition filters use.
@@ -3201,6 +3229,33 @@ object TrainingDataQueries {
     "data_compact" ->
       """SELECT event_id, user_id, event_type, value, props
         |FROM events ORDER BY event_id""".stripMargin,
+
+    // Same planted corpus and patterns as text_redact, rolled up.
+    "text_pii_audit" -> {
+      val urlP = TextAnalysis.UrlPattern
+      val emailP = TextAnalysis.EmailPattern
+      val phoneP = TextAnalysis.PhonePattern
+      s"""WITH d AS (SELECT source,
+         |    text || ' contact ' || source || '-' || doc_id::VARCHAR ||
+         |    '@example.com via https://' || lang || '.example.org/d/' ||
+         |    doc_id::VARCHAR || ' tel +1 (555) 010-' ||
+         |    lpad((doc_id % 10000)::VARCHAR, 4, '0') AS txt
+         |  FROM documents),
+         |c AS (SELECT source,
+         |        len(regexp_extract_all(txt, '$urlP')) AS u,
+         |        len(regexp_extract_all(txt, '$emailP')) AS e,
+         |        len(regexp_extract_all(txt, '$phoneP')) AS p
+         |      FROM d)
+         |SELECT source, count(*) AS n_docs,
+         |       CAST(sum(u) AS BIGINT) AS n_urls,
+         |       CAST(sum(e) AS BIGINT) AS n_emails,
+         |       CAST(sum(p) AS BIGINT) AS n_phones,
+         |       CAST(sum(CASE WHEN u + e + p > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS docs_with_pii,
+         |       round(CAST(sum(CASE WHEN u + e + p > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+         |             / CAST(count(*) AS DOUBLE), 6) AS pii_rate
+         |FROM c GROUP BY source ORDER BY source""".stripMargin
+    },
 
     "text_redact" -> {
       val urlP = TextAnalysis.UrlPattern
