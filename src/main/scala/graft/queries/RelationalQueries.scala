@@ -1608,6 +1608,26 @@ object RelationalQueries {
         .orderBy(col("c_nationkey"), col("c_mktsegment"))
     }),
 
+    // New-vs-returning daily actives — the growth-accounting split:
+    // first-seen day per user is ONE partial-aggregable min, joined back
+    // on user_id (the same shuffle axis as the distinct), and the daily
+    // rollup is a second HashAggregate — no window over the fact table.
+    "q_new_vs_returning" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .select(col("user_id"), expr("ts_ms div 86400000").as("day"))
+        .distinct()
+      val first = e.groupBy(col("user_id")).agg(min(col("day")).as("first_day"))
+      e.join(first, "user_id")
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("n_active"),
+          sum(when(col("day") === col("first_day"), 1L).otherwise(0L)).as("n_new"))
+        .select(col("day"), col("n_active"), col("n_new"),
+          (col("n_active") - col("n_new")).as("n_returning"),
+          round(col("n_new").cast("double") / col("n_active").cast("double"), 6)
+            .as("new_share"))
+        .orderBy("day")
+    }),
+
     // RFM segmentation — the lifecycle-marketing classic: per-user
     // recency/frequency/monetary from ONE conditional aggregate over
     // purchases, quintile scores from a single percentile aggregate
@@ -2952,6 +2972,20 @@ object RelationalQueries {
         |       round(CAST(at_risk_rows AS DOUBLE) / CAST(n_rows AS DOUBLE), 6) AS at_risk_pct
         |FROM g CROSS JOIN t
         |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+
+    "q_new_vs_returning" ->
+      """WITH e AS (SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day
+        |           FROM events),
+        |f AS (SELECT user_id, min(day) AS first_day FROM e GROUP BY 1)
+        |SELECT day, count(*) AS n_active,
+        |       CAST(sum(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_new,
+        |       count(*) - CAST(sum(CASE WHEN day = first_day THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_returning,
+        |       round(CAST(sum(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS DOUBLE)
+        |             / CAST(count(*) AS DOUBLE), 6) AS new_share
+        |FROM e JOIN f USING (user_id)
+        |GROUP BY day ORDER BY day""".stripMargin,
 
     "q_rfm" ->
       """WITH p AS (SELECT user_id, epoch_ms(ts) // 86400000 AS day,

@@ -1260,6 +1260,38 @@ object TrainingDataQueries {
         .orderBy("doc_id")
     }),
 
+    // Vocabulary growth (Heaps'-law curve): per word, the FIRST document
+    // (one partial-aggregable min over the exploded words), bucketed
+    // into corpus deciles by doc id; new-type counts per decile plus the
+    // cumulative vocabulary — everything after the word-level min is a
+    // 10-row table (the dimension-sized window is bounded by the decile
+    // count, never the data). Sub-linear growth of cum_vocab is the
+    // expected Heaps shape; a flat line means the corpus stopped adding
+    // types — the diversity-exhaustion signal for data sourcing.
+    "text_vocab_growth" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val maxId = docs.agg(max(col("doc_id")).as("mx"))
+      val toks = docs
+        .select(col("doc_id"), explode(TextFunctions.words(col("text"))).as("w"))
+        .filter(col("w") =!= "")
+      val tokensPer = toks.crossJoin(broadcast(maxId))
+        .select(expr("least(9, (doc_id * 10) div (mx + 1))").as("decile"))
+        .groupBy(col("decile")).agg(count(lit(1)).as("n_tokens"))
+      val typesPer = toks
+        .groupBy(col("w")).agg(min(col("doc_id")).as("first_doc"))
+        .crossJoin(broadcast(maxId))
+        .select(expr("least(9, (first_doc * 10) div (mx + 1))").as("decile"))
+        .groupBy(col("decile")).agg(count(lit(1)).as("new_types"))
+      val w10 = Window.orderBy(col("decile"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tokensPer.join(typesPer, Seq("decile"), "left")
+        .select(col("decile"), col("n_tokens"),
+          coalesce(col("new_types"), lit(0L)).as("new_types"))
+        .withColumn("cum_tokens", sum(col("n_tokens")).over(w10))
+        .withColumn("cum_vocab", sum(col("new_types")).over(w10))
+        .orderBy("decile")
+    }),
+
     // Per-SOURCE PII prevalence — the release-audit rollup a curation
     // pipeline runs before shipping a source: same planted-PII corpus
     // and regexes as text_redact, aggregated to docs-affected counts
@@ -3229,6 +3261,30 @@ object TrainingDataQueries {
     "data_compact" ->
       """SELECT event_id, user_id, event_type, value, props
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "text_vocab_growth" ->
+      s"""WITH $wordCte,
+         |mx AS (SELECT max(doc_id) AS mx FROM documents),
+         |t AS (SELECT doc_id, unnest(l) AS w FROM w),
+         |tk AS (SELECT doc_id, w FROM t WHERE w <> ''),
+         |tp AS (SELECT least(9, (doc_id * 10) // (mx + 1)) AS decile,
+         |         count(*) AS n_tokens
+         |       FROM tk CROSS JOIN mx GROUP BY 1),
+         |f AS (SELECT w, min(doc_id) AS first_doc FROM tk GROUP BY 1),
+         |pd AS (SELECT least(9, (first_doc * 10) // (mx + 1)) AS decile,
+         |         count(*) AS new_types
+         |       FROM f CROSS JOIN mx GROUP BY 1),
+         |j AS (SELECT tp.decile, tp.n_tokens,
+         |        CAST(coalesce(pd.new_types, 0) AS BIGINT) AS new_types
+         |      FROM tp LEFT JOIN pd USING (decile))
+         |SELECT decile, n_tokens, new_types,
+         |       CAST(sum(n_tokens) OVER (ORDER BY decile
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |         AS cum_tokens,
+         |       CAST(sum(new_types) OVER (ORDER BY decile
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |         AS cum_vocab
+         |FROM j ORDER BY decile""".stripMargin,
 
     // Same planted corpus and patterns as text_redact, rolled up.
     "text_pii_audit" -> {
