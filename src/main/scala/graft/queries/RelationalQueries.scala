@@ -1608,6 +1608,46 @@ object RelationalQueries {
         .orderBy(col("c_nationkey"), col("c_mktsegment"))
     }),
 
+    // Join-key skew audit — the diagnostic a 100 TB engineer runs BEFORE
+    // choosing salted-vs-plain join: per-key fan-out from one
+    // partial-aggregable count, then the count-of-counts distribution
+    // (bounded by the max fan-out, never the key count) with each
+    // fan-out tier's share of total rows. A heavy tier at high fan-out =
+    // salt the join (Skew.saltedJoin); flat = plain shuffle is fine.
+    "q_key_skew_audit" -> ((s, dir) => {
+      val fanout = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey")).agg(count(lit(1)).as("fanout"))
+      val tot = fanout.agg(count(lit(1)).as("n_keys"), sum(col("fanout")).as("n_rows"))
+      fanout.groupBy(col("fanout")).agg(count(lit(1)).as("n_keys_at"))
+        .crossJoin(broadcast(tot))
+        .select(col("fanout"), col("n_keys_at"),
+          (col("fanout") * col("n_keys_at")).as("rows_at"),
+          round((col("fanout") * col("n_keys_at")).cast("double") /
+            col("n_rows").cast("double"), 6).as("row_share"),
+          round(col("n_keys_at").cast("double") / col("n_keys").cast("double"), 6)
+            .as("key_share"))
+        .orderBy("fanout")
+    }),
+
+    // Split-integrity audit — the assertion a pipeline runs before
+    // training: per-split counts, exact coverage (Σ splits = corpus,
+    // graded — a row lost by the assigner breaks the hash), and the
+    // permille drift from the 800/100/100 target. All on the |3|-row
+    // rollup of one partial-aggregable count.
+    "data_split_audit" -> ((s, dir) => {
+      val sp = Sampling.splitAssign(Tables.documents(s, dir), "doc_id")
+        .groupBy(col("split")).agg(count(lit(1)).as("n_docs"))
+      val tot = sp.agg(sum(col("n_docs")).as("corpus"))
+      val target = when(col("split") === "train", 800)
+        .when(col("split") === "val", 100).otherwise(100)
+      sp.crossJoin(broadcast(tot))
+        .select(col("split"), col("n_docs"), col("corpus"),
+          expr("(n_docs * 1000) div corpus").as("permille"),
+          (abs(expr("(n_docs * 1000) div corpus") - target) <= 30)
+            .as("within_3pct"))
+        .orderBy("split")
+    }),
+
     // New-vs-returning daily actives — the growth-accounting split:
     // first-seen day per user is ONE partial-aggregable min, joined back
     // on user_id (the same shuffle axis as the distinct), and the daily
@@ -2972,6 +3012,37 @@ object RelationalQueries {
         |       round(CAST(at_risk_rows AS DOUBLE) / CAST(n_rows AS DOUBLE), 6) AS at_risk_pct
         |FROM g CROSS JOIN t
         |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+
+    "q_key_skew_audit" ->
+      """WITH f AS (SELECT l_orderkey, count(*) AS fanout
+        |           FROM lineitem GROUP BY 1),
+        |t AS (SELECT count(*) AS n_keys, CAST(sum(fanout) AS BIGINT) AS n_rows
+        |      FROM f)
+        |SELECT fanout, count(*) AS n_keys_at,
+        |       fanout * count(*) AS rows_at,
+        |       round(CAST(fanout * count(*) AS DOUBLE) / CAST(max(n_rows) AS DOUBLE), 6)
+        |         AS row_share,
+        |       round(CAST(count(*) AS DOUBLE) / CAST(max(n_keys) AS DOUBLE), 6)
+        |         AS key_share
+        |FROM f CROSS JOIN t
+        |GROUP BY fanout ORDER BY fanout""".stripMargin,
+
+    "data_split_audit" ->
+      """WITH b AS (SELECT doc_id,
+        |             ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 1000 AS bk
+        |           FROM documents),
+        |sp AS (SELECT CASE WHEN bk < 800 THEN 'train'
+        |              WHEN bk < 900 THEN 'val' ELSE 'test' END AS split,
+        |         count(*) AS n_docs
+        |       FROM b GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS corpus FROM sp)
+        |SELECT split, n_docs, corpus,
+        |       (n_docs * 1000) // corpus AS permille,
+        |       abs((n_docs * 1000) // corpus
+        |           - (CASE WHEN split = 'train' THEN 800
+        |              WHEN split = 'val' THEN 100 ELSE 100 END)) <= 30
+        |         AS within_3pct
+        |FROM sp CROSS JOIN t ORDER BY split""".stripMargin,
 
     "q_new_vs_returning" ->
       """WITH e AS (SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day
