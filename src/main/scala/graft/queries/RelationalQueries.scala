@@ -1608,6 +1608,30 @@ object RelationalQueries {
         .orderBy(col("c_nationkey"), col("c_mktsegment"))
     }),
 
+    // Maximum drawdown of the cumulative daily revenue curve — the
+    // risk-analytics classic (peak-to-trough drop of a running series).
+    // The fact table collapses to the DAILY rollup first; cumulative
+    // sum, running max, and the argmax drawdown all run on the
+    // calendar-bounded series (≤366 rows/year — the q_changepoint
+    // contract), so the unpartitioned windows never see data-sized
+    // input. Exact integer cents end to end.
+    "q_drawdown" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .select(expr("ts_ms div 86400000").as("day"),
+          floor(col("value") * 100).cast("long").as("cents"))
+        .groupBy(col("day")).agg(sum(col("cents")).as("rev"))
+      val w = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily
+        .withColumn("cum", sum(col("rev")).over(w))
+        .withColumn("runmax", max(col("cum")).over(w))
+        .withColumn("drawdown", col("runmax") - col("cum"))
+        .select(col("day").as("trough_day"), col("cum"), col("runmax"),
+          col("drawdown"))
+        .orderBy(col("drawdown").desc, col("trough_day"))
+        .limit(1)
+    }),
+
     // Join-key skew audit — the diagnostic a 100 TB engineer runs BEFORE
     // choosing salted-vs-plain join: per-key fan-out from one
     // partial-aggregable count, then the count-of-counts distribution
@@ -3012,6 +3036,23 @@ object RelationalQueries {
         |       round(CAST(at_risk_rows AS DOUBLE) / CAST(n_rows AS DOUBLE), 6) AS at_risk_pct
         |FROM g CROSS JOIN t
         |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+
+    "q_drawdown" ->
+      """WITH daily AS (SELECT epoch_ms(ts) // 86400000 AS day,
+        |                 CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+        |                   AS rev
+        |               FROM events GROUP BY 1),
+        |c AS (SELECT day,
+        |        CAST(sum(rev) OVER (ORDER BY day
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |      FROM daily),
+        |r AS (SELECT day, cum,
+        |        CAST(max(cum) OVER (ORDER BY day
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |          AS runmax
+        |      FROM c)
+        |SELECT day AS trough_day, cum, runmax, runmax - cum AS drawdown
+        |FROM r ORDER BY drawdown DESC, trough_day LIMIT 1""".stripMargin,
 
     "q_key_skew_audit" ->
       """WITH f AS (SELECT l_orderkey, count(*) AS fanout

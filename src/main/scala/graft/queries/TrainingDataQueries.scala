@@ -1725,6 +1725,27 @@ object TrainingDataQueries {
         .select("doc_id", "source")
         .orderBy("doc_id")),
 
+    // Class rebalancing by OVERSAMPLING: every label replicates to an
+    // integer factor = ⌊max count / count⌋ (explode of a per-row
+    // sequence — the replication is a generator, never a driver loop or
+    // self-union chain). Graded on per-label counts and an exact
+    // replica-weighted checksum, so a wrong replication factor or a
+    // dropped replica hash-fails.
+    "data_oversample" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("label"))
+      val counts = emb.groupBy(col("label")).agg(count(lit(1)).as("n"))
+      val mx = counts.agg(max(col("n")).as("maxn"))
+      val factor = counts.crossJoin(broadcast(mx))
+        .select(col("label"), expr("maxn div n").as("factor"))
+      emb.join(broadcast(factor), "label")
+        .select(col("label"), col("vec_id"),
+          explode(expr("sequence(1, cast(factor as int))")).as("rep"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_after"),
+          sum(col("vec_id") * col("rep")).as("checksum"))
+        .orderBy("label")
+    }),
+
     // Class rebalancing by downsampling to the minority-label count:
     // per-label deterministic hash order, keep the first `target` rows
     // where target = min label size (broadcast 1-row aggregate). The
@@ -3846,6 +3867,17 @@ object TrainingDataQueries {
         |               ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
         |           FROM documents)
         |SELECT doc_id, source FROM r WHERE rn <= 20 ORDER BY doc_id""".stripMargin,
+
+    "data_oversample" ->
+      """WITH c AS (SELECT label, count(*) AS n FROM embeddings GROUP BY 1),
+        |m AS (SELECT max(n) AS maxn FROM c),
+        |f AS (SELECT label, maxn // n AS factor FROM c CROSS JOIN m),
+        |r AS (SELECT e.label, e.vec_id, u.rep
+        |      FROM embeddings e JOIN f USING (label),
+        |      LATERAL unnest(generate_series(1, f.factor)) AS u(rep))
+        |SELECT label, count(*) AS n_after,
+        |       CAST(sum(vec_id * rep) AS BIGINT) AS checksum
+        |FROM r GROUP BY label ORDER BY label""".stripMargin,
 
     "data_label_balance" ->
       """WITH t AS (SELECT min(n) AS target FROM
