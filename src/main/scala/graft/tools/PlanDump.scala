@@ -98,7 +98,18 @@ object PlanDump {
     "q18_large_orders" -> "aggregate-then-join: the HAVING-filtered lineitem rollup is a two-phase HashAggregate whose tiny survivor set drives broadcast joins back to orders/customer — the post-filter joins never see the full fact tables; top-100 via TakeOrderedAndProject",
     "ann_rbo_eval" -> "RBO: the two top-k lists join on (query, candidate); per shared candidate the max-rank depth expansion (≤10 rows) feeds one partial-aggregable count per (query, depth); the weighted sum runs over ≤10 terms per query with literal p-powers — no pow(), no rescan of the corpus",
     "q_time_to_convert" -> "ONE conditional-min HashAggregate per user (partial-aggregable), then a single constant-size stats row — the percentile buffer holds only the converted cohort's integer minutes",
-    "multimodal_audio_features" -> "mapPartitions decode (codec amortized per task) with exact integer Σs² and channel sums accumulated in the same PCM pass; the plan stays scan → decode → sort, parallel by file, no per-row UDF")
+    "multimodal_audio_features" -> "mapPartitions decode (codec amortized per task) with exact integer Σs² and channel sums accumulated in the same PCM pass; the plan stays scan → decode → sort, parallel by file, no per-row UDF",
+    "graph_modularity" -> "modularity over label-prop communities: edge/degree aggregates are the only data-sized stages; e_c and d_c join the |communities| label table and the edge total crosses back by broadcast — the Q formula runs on community-sized rows",
+    "q_rfm" -> "R/F/M from ONE conditional aggregate per user; quintile cut points broadcast from a single percentile aggregate — score assignment is a comparison projection, no ntile window over users",
+    "q_abc_analysis" -> "per-part rollup → Sweep.runningSum descending (range partition + per-partition folds, driver state = P longs) → broadcast-total class cut → 3-row rollup; the Pareto sibling of q_gini with the opposite sort order",
+    "q_key_skew_audit" -> "two stacked partial-aggregable HashAggregates (per-key fan-out, then count-of-counts bounded by max fan-out) + one broadcast total — the skew diagnostic itself never skews",
+    "q_yoy_growth" -> "monthly rollup (partial-aggregable, exact cents) self-joined against itself shifted one year — dimension-sized after the first aggregate, null growth for first-year months",
+    "text_vocab_growth" -> "per-word first-doc min is the one word-level shuffle; decile bucketing and both cumulatives run on the 10-row table — the Heaps curve costs one corpus explode",
+    "q_drawdown" -> "daily rollup first (the q_changepoint contract), then cum/runmax/argmax windows over the calendar-bounded series — never a data-sized unpartitioned window",
+    "data_oversample" -> "replication factor from a broadcast |labels|-row aggregate; the replication itself is a per-row sequence GENERATOR (explode) — no driver loop, no k-way self-union plan",
+    "q_new_vs_returning" -> "distinct (user, day) collapses map-side; first-seen min joins back on the SAME user_id shuffle axis; the daily split is a second HashAggregate — no window over events",
+    "text_pii_audit" -> "regexp counts are a single codegen projection over the scan; the per-source rollup is one partial-aggregable HashAggregate — the redaction rewrite never runs",
+    "data_split_audit" -> "one partial-aggregable count to |3| split rows; coverage and permille drift are broadcast algebra — the audit costs one scan")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
