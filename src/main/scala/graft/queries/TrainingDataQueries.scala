@@ -686,16 +686,21 @@ object TrainingDataQueries {
       val c = Tables.customer(s, dir)
         .select(col("c_custkey").as("id"), col("c_name").as("nm"),
           col("c_nationkey").as("nation"))
-      // The threshold test lives INSIDE the generator (filter-HOF over a
-      // 1-element array + explode) rather than as a .filter() above the
-      // projection: a plain filter is pushed below the Project by
-      // Catalyst and re-evaluates the O(|a|·|b|) Jaro–Winkler per pair —
-      // measured 2× the scoring cost on the 4.5M-pair block join.
+      // The threshold test lives INSIDE the generator (a when/array
+      // CASE exploded) rather than as a .filter() above the projection:
+      // a plain filter is pushed below the Project by Catalyst and
+      // re-evaluates the O(|a|·|b|) Jaro–Winkler per pair. The jw
+      // expression appears twice in ONE operator's expression tree, so
+      // whole-stage-codegen common-subexpression elimination computes it
+      // once — measured 11.7 s (double eval) → 10.6 s (interpreted
+      // filter-HOF generator) → 6.5 s (this form) on the 4.5M-pair
+      // block join at sf0.1.
       val jw = round(graft.plans.JaroWinkler(col("a.nm"), col("b.nm")), 6)
       c.alias("a").join(c.alias("b"),
           col("a.nation") === col("b.nation") && col("a.id") < col("b.id"))
         .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-          explode(filter(array(jw), x => x >= 0.97)).as("jw"))
+          explode(when(jw >= 0.97, array(jw))
+            .otherwise(array().cast("array<double>"))).as("jw"))
         .orderBy("id_a", "id_b")
     }),
 
