@@ -141,7 +141,10 @@ object Similarity {
     * documents matching ALL query facets over one dominant facet (the
     * behavior plain cosine cannot express). The whole interaction matrix
     * is a nested higher-order expression over the two array columns —
-    * built-ins only, fully codegen-friendly, no UDF — so the plan is the
+    * built-ins only, no UDF (higher-order functions evaluate interpreted,
+    * not codegen'd; at |Q|·N pair counts that is measured fine, and the
+    * dedup_jaro case-array lesson applies if a chunk kernel ever needs
+    * compiling) — so the plan is the
     * exact broadcast-query × corpus-scan shape of [[bruteForceTopK]]:
     * one corpus pass, zero shuffle of the big side, per-query ranking
     * windows bounded by |Q|. Chunk dots are exact float-product double
