@@ -265,7 +265,11 @@ object Multimodal {
     * hash-fails. Same `mapPartitions` batch shape as the other decode
     * legs: the decoder object is amortized per task, no per-row UDF,
     * and the operator parallelizes by file at any scale. Mono payloads
-    * report ch1_sum = null (absent, not zero). */
+    * report ch1_sum = null (absent, not zero). The sample loop assembles
+    * 16-bit signed little-endian PCM, so any OTHER valid encoding (8-bit,
+    * big-endian, float, µ-law) is quarantined as "unknown" rather than
+    * silently mis-decoded — the format check is the contract, not the
+    * decode's happy path. */
   def audioFeatures(withPayload: DataFrame): Dataset[AudioFeatures] = {
     implicit val enc = Encoders.product[AudioFeatures]
     withPayload.select(col("media_id"), col("payload"))
@@ -276,6 +280,11 @@ object Multimodal {
             val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
               new java.io.ByteArrayInputStream(p))
             val fmt = in.getFormat
+            if (fmt.getEncoding !=
+                  javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+                fmt.getSampleSizeInBits != 16 || fmt.isBigEndian)
+              throw new javax.sound.sampled.UnsupportedAudioFileException(
+                s"not 16-bit LE signed PCM: $fmt")
             val nch = fmt.getChannels
             val frameBytes = fmt.getFrameSize
             val nFrames = in.getFrameLength

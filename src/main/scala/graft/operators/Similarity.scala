@@ -149,12 +149,28 @@ object Similarity {
     * one corpus pass, zero shuffle of the big side, per-query ranking
     * windows bounded by |Q|. Chunk dots are exact float-product double
     * folds in ascending index order, mirrored by the oracle's
-    * list_inner_product over the same slices. */
+    * list_inner_product over the same slices.
+    *
+    * CONTRACT: every vector on both sides must have at least
+    * numChunks·chunkDim elements. `slice` past the end returns a short
+    * array and `zip_with` null-pads, so an undersized embedding would
+    * otherwise yield a silent null maxsim (the row just vanishes from
+    * the ranking); a size guard WRAPPING the vector column itself (so
+    * column pruning cannot elide it) turns that into a loud
+    * `raise_error` instead — one codegen'd comparison per row. */
   def maxSimTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                  numChunks: Int = 8, chunkDim: Int = 8,
                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val q = prep(queries, idCol, vecCol, "q_id", "q_vec", "q_nrm")
-    val c = prep(corpus, idCol, vecCol, "c_id", "c_vec", "c_nrm")
+    val need = numChunks * chunkDim
+    def dimChecked(df: DataFrame, vec: String, id: String): DataFrame =
+      df.withColumn(vec, when(size(col(vec)) >= need, col(vec))
+        .otherwise(raise_error(
+          concat(lit(s"maxSimTopK: embedding shorter than $need dims at $id="),
+            col(id).cast("string")))))
+    val q = dimChecked(prep(queries, idCol, vecCol, "q_id", "q_vec", "q_nrm"),
+      "q_vec", "q_id")
+    val c = dimChecked(prep(corpus, idCol, vecCol, "c_id", "c_vec", "c_nrm"),
+      "c_vec", "c_id")
     val score = expr(
       s"""aggregate(
          |  transform(sequence(0, ${numChunks - 1}), i -> slice(q_vec, i * $chunkDim + 1, $chunkDim)),

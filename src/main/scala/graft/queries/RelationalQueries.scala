@@ -779,14 +779,24 @@ object RelationalQueries {
         .withColumn("contrib",
           (col("obs") - col("expected")) * (col("obs") - col("expected")) /
             col("expected"))
-      val totals = scored.agg(sum(col("contrib")).as("chi2t"),
+        // Quantize each cell's contribution to exact micro-units BEFORE
+        // the total: sum(double) is order-dependent (partial-aggregate
+        // order vs DuckDB's sequential sum) and round(·, 4) can flip on
+        // the disagreement — the r6 graph_modularity trap. The per-cell
+        // round happens on identical IEEE inputs in both engines; the
+        // micro-unit BIGINT sum is associative; and the final 4-decimal
+        // rounding is integer HALF_UP, so no engine round() kernel ever
+        // sees a boundary. BIGINT holds χ²·10⁶ < 9.2e18 — χ² beyond
+        // ~9e12 has no statistical meaning at any scale.
+        .withColumn("cmicro", round(col("contrib") * 1e6, 0).cast("long"))
+      val totals = scored.agg(sum(col("cmicro")).as("chi2m"),
         countDistinct(col("o_orderpriority")).as("np"),
         countDistinct(col("c_mktsegment")).as("ns"))
       scored.crossJoin(broadcast(totals))
         .select(col("o_orderpriority"), col("c_mktsegment"), col("obs"),
           round(col("expected"), 4).as("expected"),
-          round(col("contrib"), 6).as("contrib"),
-          round(col("chi2t"), 4).as("chi2_total"),
+          (col("cmicro") / 1e6).as("contrib"),
+          (expr("(chi2m + 50) div 100") / 1e4).as("chi2_total"),
           ((col("np") - 1) * (col("ns") - 1)).as("dof"))
         .orderBy(col("o_orderpriority"), col("c_mktsegment"))
     }),
@@ -1891,9 +1901,14 @@ object RelationalQueries {
     // rank over the value column; that rank comes from the two-pass
     // zipWithIndex globalIds (range-partition once, P partition counts
     // to the driver, per-partition local numbering — NO single-partition
-    // window at any scale). The rank-weighted sum is exact BIGINT through
-    // sf100 (Σ i·cents ≈ n²·mean/2; move to decimal(38,0) beyond) and
-    // the closed form G = 2·Σi·xᵢ/(n·Σx) − (n+1)/n is a 1-row projection.
+    // window at any scale). The rank-weighted sum Σ i·cents is
+    // accumulated in decimal(38,0): the per-row product i·cents stays
+    // in BIGINT far past sf1000 (overflow needs n > ~6e11 rows), but the
+    // SUM crosses 9.2e18 around sf1 — Spark sum(long) would wrap
+    // silently while DuckDB's HUGEINT would not, so the exact
+    // accumulator type is the scale contract, not a nicety. The closed
+    // form G = 2·Σi·xᵢ/(n·Σx) − (n+1)/n is a 1-row projection; n·Σx is
+    // likewise a double product (its exact long product also wraps ~sf1).
     "q_gini" -> ((s, dir) => {
       val cents = Tables.orders(s, dir)
         .select(col("o_orderkey"), floor(col("o_totalprice") * 100).cast("long").as("cents"))
@@ -1901,9 +1916,10 @@ object RelationalQueries {
         .withColumn("i", col("gid") + 1)
       ranked.agg(count(lit(1)).as("n"),
           sum(col("cents")).as("total_cents"),
-          sum(col("i") * col("cents")).as("w"))
+          sum((col("i") * col("cents")).cast("decimal(38,0)")).as("w"))
         .select(col("n"), col("total_cents"),
-          round(lit(2.0) * col("w") / (col("n") * col("total_cents")).cast("double") -
+          round(lit(2.0) * col("w").cast("double") /
+              (col("n").cast("double") * col("total_cents").cast("double")) -
             (col("n") + 1).cast("double") / col("n").cast("double"), 6).as("gini"))
     }),
 
@@ -2344,15 +2360,16 @@ object RelationalQueries {
         |          / CAST(grand AS DOUBLE) AS expected
         |      FROM cells JOIN rt USING (o_orderpriority)
         |      JOIN ct USING (c_mktsegment) CROSS JOIN g),
-        |c AS (SELECT *, (obs - expected) * (obs - expected) / expected AS contrib
+        |c AS (SELECT *, CAST(round((obs - expected) * (obs - expected)
+        |                            / expected * 1e6) AS BIGINT) AS cmicro
         |      FROM e),
-        |t AS (SELECT sum(contrib) AS chi2t,
+        |t AS (SELECT CAST(sum(cmicro) AS BIGINT) AS chi2m,
         |        (count(DISTINCT o_orderpriority) - 1)
         |          * (count(DISTINCT c_mktsegment) - 1) AS dof
         |      FROM c)
         |SELECT o_orderpriority, c_mktsegment, obs,
-        |       round(expected, 4) AS expected, round(contrib, 6) AS contrib,
-        |       round(chi2t, 4) AS chi2_total, dof
+        |       round(expected, 4) AS expected, cmicro / 1e6 AS contrib,
+        |       ((chi2m + 50) // 100) / 1e4 AS chi2_total, dof
         |FROM c CROSS JOIN t
         |ORDER BY o_orderpriority, c_mktsegment""".stripMargin,
 
@@ -3239,10 +3256,11 @@ object RelationalQueries {
         |        row_number() OVER (ORDER BY cents, o_orderkey) AS i
         |      FROM c),
         |m AS (SELECT count(*) AS n, CAST(sum(cents) AS BIGINT) AS total_cents,
-        |        CAST(sum(i * cents) AS BIGINT) AS w
+        |        sum(CAST(i AS HUGEINT) * cents) AS w
         |      FROM r)
         |SELECT n, total_cents,
-        |       round(2.0 * w / CAST(n * total_cents AS DOUBLE)
+        |       round(2.0 * CAST(w AS DOUBLE)
+        |             / (CAST(n AS DOUBLE) * CAST(total_cents AS DOUBLE))
         |             - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS gini
         |FROM m""".stripMargin,
 

@@ -676,33 +676,20 @@ object TrainingDataQueries {
 
     // Blocked Jaro–Winkler similarity scoring — the OTHER half of the
     // record-linkage toolbox (editDistanceLink covers edit distance ≤ 1;
-    // JW scores graded prefixes/transpositions continuously). The block
-    // (nation) bounds the quadratic term: pairs form only within a
-    // block, scored by the native codegen JaroWinkler expression, kept
-    // at ≥ 0.97. At 100 TB the block key is whatever keeps block sizes
-    // bounded (sorted-neighborhood or LSH over name tokens when no
-    // natural block exists).
-    "dedup_jaro" -> ((s, dir) => {
-      val c = Tables.customer(s, dir)
-        .select(col("c_custkey").as("id"), col("c_name").as("nm"),
-          col("c_nationkey").as("nation"))
-      // The threshold test lives INSIDE the generator (a when/array
-      // CASE exploded) rather than as a .filter() above the projection:
-      // a plain filter is pushed below the Project by Catalyst and
-      // re-evaluates the O(|a|·|b|) Jaro–Winkler per pair. The jw
-      // expression appears twice in ONE operator's expression tree, so
-      // whole-stage-codegen common-subexpression elimination computes it
-      // once — measured 11.7 s (double eval) → 10.6 s (interpreted
-      // filter-HOF generator) → 6.5 s (this form) on the 4.5M-pair
-      // block join at sf0.1.
-      val jw = round(graft.plans.JaroWinkler(col("a.nm"), col("b.nm")), 6)
-      c.alias("a").join(c.alias("b"),
-          col("a.nation") === col("b.nation") && col("a.id") < col("b.id"))
-        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-          explode(when(jw >= 0.97, array(jw))
-            .otherwise(array().cast("array<double>"))).as("jw"))
-        .orderBy("id_a", "id_b")
-    }),
+    // JW scores graded prefixes/transpositions continuously). Semantics
+    // = every same-nation pair with JW ≥ 0.97, but the candidate
+    // generator is the SOUND sorted-chars deletion-neighborhood
+    // equi-join (Dedup.jaroWinklerPairs) — linear in customers, unlike
+    // the nation block² self-join it replaced (25 fixed blocks grow
+    // linearly with the corpus, so pairs grew quadratically: 4.5 M at
+    // sf0.1 → ~45 G at sf10). The ORACLE stays the brute-force block
+    // join — independent of the blocking algorithm, so a neighborhood
+    // bug that DROPS a true pair hash-mismatches, not just one that
+    // admits extras.
+    "dedup_jaro" -> ((s, dir) =>
+      Dedup.jaroWinklerPairs(Tables.customer(s, dir),
+          "c_custkey", "c_name", "c_nationkey", minJw = 0.97)
+        .orderBy("id_a", "id_b")),
 
     // Record linkage across two sources: source B is a deterministically
     // "dirtied" copy of the customer file (one character deleted at a
@@ -1183,8 +1170,13 @@ object TrainingDataQueries {
     // honest cost of the zero-term rows (a corpus word ABSENT from a
     // source still contributes its q-side term); both factors are
     // bounded (vocabulary, not documents), and every aggregate is
-    // partial-aggregable. Natural log on both engines; rounded to 6 so
-    // cross-engine float-sum order cannot flip the hash.
+    // partial-aggregable. Natural log on both engines. The per-word
+    // terms quantize to exact PICO-units (1e-12) before the sum — a
+    // raw sum(double) is aggregation-order-dependent and round(·, 6)
+    // can flip on the disagreement (the r6 graph_modularity trap);
+    // the pico BIGINT sum is associative and bounded (JSD ≤ ln 2 ⇒
+    // Σ ≤ 7e11 at ANY corpus scale), and the final 6-decimal rounding
+    // is integer HALF_UP so no engine round() kernel sees a boundary.
     "text_js_divergence" -> ((s, dir) => {
       val tok = Tables.documents(s, dir)
         .select(col("source"), explode(TextFunctions.words(col("text"))).as("word"))
@@ -1202,10 +1194,14 @@ object TrainingDataQueries {
         .withColumn("term",
           when(col("p") > 0, col("p") * log(col("p") / col("m")) / 2).otherwise(0.0) +
             col("q") * log(col("q") / col("m")) / 2)
+        .withColumn("pico", round(col("term") * 1e12, 0).cast("long"))
       expanded.groupBy(col("source"))
-        .agg(round(sum(col("term")), 6).as("jsd"),
+        .agg(sum(col("pico")).as("jsd_pico"),
           count(when(col("c").isNotNull, 1)).as("n_shared_vocab"),
           first(col("n_s")).as("n_tokens"))
+        .select(col("source"),
+          (expr("(jsd_pico + 500000) div 1000000") / 1e6).as("jsd"),
+          col("n_shared_vocab"), col("n_tokens"))
         .orderBy("source")
     }),
 
@@ -1473,7 +1469,13 @@ object TrainingDataQueries {
     // partition-quality score that closes the community-detection loop
     // (propagate → score). Everything after the edge/degree aggregates
     // is |communities|-sized algebra with the edge total crossed back
-    // by broadcast; exact integer counts feed one fixed double formula.
+    // by broadcast. House style: the per-community contribution is the
+    // EXACT integer numerator 4·m·e_c − d_c² (decimal(38,0): at 100 TB
+    // m≈1e12 the product 4·m·e_c≈4e24 overflows BIGINT but fits decimal
+    // with room for a 1e6-community sum), summed associatively, with ONE
+    // double division by 4m² at the end — so Spark's partition-dependent
+    // partial-aggregate order and DuckDB's sequential sum land on the
+    // identical IEEE double before round(…, 6).
     "graph_modularity" -> ((s, dir) => {
       val docs = Tables.documents(s, dir).select(col("doc_id"))
       val d = docs
@@ -1501,18 +1503,20 @@ object TrainingDataQueries {
       val dt = labels.join(deg, col("id") === col("nid"))
         .groupBy(col("label"))
         .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("d_tot"))
-      val md = col("m").cast("double")
+      val dec = "decimal(38,0)"
       val co = dt.join(ein, Seq("label"), "left").crossJoin(broadcast(m))
         .select(col("label"), col("n_nodes"),
           coalesce(col("e_in"), lit(0L)).as("e_in"), col("d_tot"),
-          (coalesce(col("e_in"), lit(0L)).cast("double") / md -
-            (col("d_tot").cast("double") / (lit(2.0) * md)) *
-              (col("d_tot").cast("double") / (lit(2.0) * md))).as("contrib"))
-      val t = co.agg(sum(col("contrib")).as("q"))
+          col("m"),
+          (lit(4).cast(dec) * col("m").cast(dec) *
+            coalesce(col("e_in"), lit(0L)).cast(dec) -
+            col("d_tot").cast(dec) * col("d_tot").cast(dec)).as("cnum"))
+      val t = co.agg(sum(col("cnum")).as("qnum"))
+      val denom = lit(4.0) * col("m").cast("double") * col("m").cast("double")
       co.crossJoin(broadcast(t))
         .select(col("label"), col("n_nodes"), col("e_in"), col("d_tot"),
-          round(col("contrib"), 6).as("contrib"),
-          round(col("q"), 6).as("modularity"))
+          round(col("cnum").cast("double") / denom, 6).as("contrib"),
+          round(col("qnum").cast("double") / denom, 6).as("modularity"))
         .orderBy("label")
     }),
 
@@ -3252,10 +3256,13 @@ object TrainingDataQueries {
          |        coalesce(c, 0) * 1.0 / n_s AS p, cc * 1.0 / n_c AS q
          |      FROM x),
          |z AS (SELECT source, c, n_s,
-         |        CASE WHEN p > 0 THEN p * ln(p / ((p + q) / 2)) / 2 ELSE 0 END
-         |          + q * ln(q / ((p + q) / 2)) / 2 AS term
+         |        CAST(round((CASE WHEN p > 0 THEN p * ln(p / ((p + q) / 2)) / 2
+         |                         ELSE 0 END
+         |                    + q * ln(q / ((p + q) / 2)) / 2) * 1e12) AS BIGINT)
+         |          AS pico
          |      FROM y)
-         |SELECT source, round(sum(term), 6) AS jsd,
+         |SELECT source,
+         |       ((CAST(sum(pico) AS BIGINT) + 500000) // 1000000) / 1e6 AS jsd,
          |       count(CASE WHEN c IS NOT NULL THEN 1 END) AS n_shared_vocab,
          |       CAST(max(n_s) AS BIGINT) AS n_tokens
          |FROM z GROUP BY source ORDER BY source""".stripMargin,
@@ -3638,7 +3645,10 @@ object TrainingDataQueries {
     // Modularity of the label-propagation communities: Q = Σ_c (e_c/m −
     // (d_c/2m)²) over the DISTINCT undirected edge set — the standard
     // partition-quality score. Shares the full label-prop CTE chain so
-    // both queries grade the identical communities.
+    // both queries grade the identical communities. Mirrors the Spark
+    // side's exact-integer algebra: HUGEINT numerator 4·m·e_c − d_c²
+    // summed exactly, one double division by 4m² before round — no
+    // order-dependent float sum on either engine.
     "graph_modularity" ->
       s"""WITH $labelPropCtes,
          |ud AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
@@ -3654,14 +3664,14 @@ object TrainingDataQueries {
          |       FROM l3 JOIN deg ON deg.id = l3.id GROUP BY 1),
          |co AS (SELECT dt.label, dt.n_nodes,
          |         CAST(coalesce(ein.e_in, 0) AS BIGINT) AS e_in, dt.d_tot,
-         |         CAST(coalesce(ein.e_in, 0) AS DOUBLE) / CAST(m.m AS DOUBLE)
-         |           - (CAST(dt.d_tot AS DOUBLE) / (2.0 * CAST(m.m AS DOUBLE)))
-         |             * (CAST(dt.d_tot AS DOUBLE) / (2.0 * CAST(m.m AS DOUBLE)))
-         |           AS contrib
+         |         4 * CAST(m.m AS HUGEINT) * coalesce(ein.e_in, 0)
+         |           - CAST(dt.d_tot AS HUGEINT) * dt.d_tot AS cnum,
+         |         4.0 * CAST(m.m AS DOUBLE) * CAST(m.m AS DOUBLE) AS denom
          |       FROM dt LEFT JOIN ein USING (label) CROSS JOIN m),
-         |t AS (SELECT sum(contrib) AS q FROM co)
+         |t AS (SELECT sum(cnum) AS qnum FROM co)
          |SELECT label, n_nodes, e_in, d_tot,
-         |       round(contrib, 6) AS contrib, round(q, 6) AS modularity
+         |       round(CAST(cnum AS DOUBLE) / denom, 6) AS contrib,
+         |       round(CAST(t.qnum AS DOUBLE) / denom, 6) AS modularity
          |FROM co CROSS JOIN t ORDER BY label""".stripMargin,
 
     "graph_link_pred" ->

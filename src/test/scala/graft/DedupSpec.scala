@@ -383,4 +383,45 @@ class DedupSpec extends SparkSpec {
         r.getAs[Long]("dist"))).toSeq
     assert(got === Seq((1L, 101L, 0L), (3L, 102L, 1L), (2L, 103L, 1L)))
   }
+
+  test("jaroWinklerPairs is LOSSLESS vs the brute-force block join at 0.97") {
+    // Identifier-shaped fixture (uniform length, the documented
+    // contract): substitution, transposition, and far pairs, plus a
+    // cross-block twin that must NOT pair.
+    val df = Seq(
+      (1L, "Customer#000000190", 10L),
+      (2L, "Customer#000000191", 10L), // one substitution from 1
+      (3L, "Customer#000000910", 10L), // transposed digits of 2
+      (4L, "Customer#000007777", 10L), // far from everything
+      (5L, "Customer#000000190", 20L), // identical to 1 but other block
+      (6L, "Customer#000000019", 20L), // transposition of 5's tail
+      (7L, "Supplier#000000190", 10L)  // same digits, other prefix
+    ).toDF("id", "nm", "nation")
+    val got = Dedup.jaroWinklerPairs(df, "id", "nm", "nation", minJw = 0.97)
+      .orderBy("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // Brute force: every same-block pair scored by the same codegen
+    // expression — independent of the deletion-neighborhood blocking,
+    // so a candidate generator that DROPS a true pair fails here.
+    val b = df.select(col("id"), col("nm"), col("nation"))
+    val brute = b.alias("a").join(b.alias("b"),
+        col("a.nation") === col("b.nation") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        round(graft.plans.JaroWinkler(col("a.nm"), col("b.nm")), 6).as("jw"))
+      .filter(col("jw") >= 0.97)
+      .orderBy("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got === brute, s"got $got vs brute $brute")
+    assert(got.map(p => (p._1, p._2)).contains((1L, 2L)),
+      "substitution pair must survive")
+    assert(!got.exists(p => p._1 == 1L && p._2 == 5L),
+      "identical strings in different blocks must not pair")
+  }
+
+  test("jaroWinklerPairs rejects thresholds below the lossless bound") {
+    val df = Seq((1L, "aa", 1L)).toDF("id", "nm", "nation")
+    intercept[IllegalArgumentException] {
+      Dedup.jaroWinklerPairs(df, "id", "nm", "nation", minJw = 0.9)
+    }
+  }
 }

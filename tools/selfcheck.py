@@ -22,6 +22,9 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
 
+EXACT = False
+
+
 def values_equal(a, b):
     if a is None or b is None:
         return a is None and b is None
@@ -37,6 +40,11 @@ def values_equal(a, b):
             return False
         if math.isnan(fa) and math.isnan(fb):
             return True
+        if EXACT:
+            # The grading driver hashes values bit-exactly; --exact makes
+            # this gate as strict, surfacing order-dependent float sums
+            # that a tolerance would mask (the r6 graph_modularity trap).
+            return fa == fb
         return fa == fb or abs(fa - fb) <= 1e-9 * max(1.0, abs(fa), abs(fb))
     if isinstance(a, (list, tuple)) and isinstance(b, (list, tuple)):
         return len(a) == len(b) and all(values_equal(x, y) for x, y in zip(a, b))
@@ -46,6 +54,8 @@ def values_equal(a, b):
 def main():
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     flags = [a for a in sys.argv[1:] if a.startswith("--")]
+    global EXACT
+    EXACT = "--exact" in flags
     sf_dir = args[0] if len(args) > 0 else "/root/testdata/sf0.01"
     out_dir = args[1] if len(args) > 1 else "/tmp/graft_verify"
     only = set(args[2:])
