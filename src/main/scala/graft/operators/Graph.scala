@@ -40,10 +40,19 @@ object Graph {
     require(iterations >= 0, s"iterations must be >= 0, got $iterations")
     require(dampNum >= 0 && dampNum <= dampDen,
       s"damping $dampNum/$dampDen must lie in [0,1]")
+    // Materialize the loop-invariant inputs ONCE (lineage-truncating
+    // localCheckpoint, freed by the context cleaner when unreferenced):
+    // without it every iteration re-derives edges/nodes/degrees from the
+    // source scan, so an 8-round run pays the scan 8×. At cluster scale
+    // this is the standard iterative-graph shape (one materialized edge
+    // set, rounds shuffle only the rank table); swap localCheckpoint for
+    // a reliable checkpoint dir when executor loss must be survivable.
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .localCheckpoint()
     val nodes = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).distinct()
+      .union(e.select(col("dst").as("id"))).distinct().localCheckpoint()
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
     val base = (unit * (dampDen - dampNum)) / dampDen
     var pr = nodes.withColumn("pr", lit(unit))
     (0 until iterations).foreach { _ =>
@@ -115,12 +124,15 @@ object Graph {
     require(iterations >= 0, s"iterations must be >= 0, got $iterations")
     val d = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
     // Symmetrize and drop self-loops: a self-loop would let a node vote
-    // for its own label, which defeats propagation.
+    // for its own label, which defeats propagation. Both loop
+    // invariants materialize once (the pageRank localCheckpoint
+    // argument) — otherwise each round re-runs the symmetrize+distinct
+    // shuffle from the source scan.
     val e = d.union(d.select(col("dst").as("src"), col("src").as("dst")))
       .filter(col("src") =!= col("dst"))
-      .distinct()
+      .distinct().localCheckpoint()
     val nodes = d.select(col("src").as("id"))
-      .union(d.select(col("dst").as("id"))).distinct()
+      .union(d.select(col("dst").as("id"))).distinct().localCheckpoint()
     var labels = nodes.withColumn("label", col("id"))
     (0 until iterations).foreach { _ =>
       val votes = e.join(labels.withColumnRenamed("id", "src"), "src")
@@ -184,6 +196,43 @@ object Graph {
           .as("jaccard"))
   }
 
+  /** Fixed-round k-core peel over the UNDIRECTED view of the edge list:
+    * iteratively remove nodes whose degree in the surviving induced
+    * subgraph is < k, `rounds` times, then report each survivor's
+    * induced degree. The k-core (the maximal subgraph of min-degree k)
+    * is the fixpoint of this peel; a FIXED round count keeps the plan
+    * static and exactly replayable (the labelPropagation contract) —
+    * callers that need the true fixpoint raise `rounds` until the
+    * survivor count stops changing (the peel is monotone, so the
+    * round-R result is always a superset of the core).
+    *
+    * Scale shape per round: two equi-joins of the edge set against the
+    * alive node set (shuffle on src / dst) + one map-side-combined
+    * degree count; alive sets only shrink. The edge set materializes
+    * once (localCheckpoint), and each round's alive set is checkpointed
+    * to cut the doubling lineage — the [[bfsDistance]] policy. */
+  def kCore(edges: DataFrame, k: Int, rounds: Int,
+            srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rounds >= 1 && rounds <= 64,
+      s"rounds must be in [1, 64], got $rounds")
+    val d = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val e = d.union(d.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .distinct().localCheckpoint()
+    var alive = e.select(col("src").as("id")).distinct().localCheckpoint()
+    (1 to rounds).foreach { _ =>
+      val deg = e
+        .join(alive.select(col("id").as("src")), "src")
+        .join(alive.select(col("id").as("dst")), "dst")
+        .groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+      alive = deg.filter(col("deg") >= k).select("id").localCheckpoint()
+    }
+    e.join(alive.select(col("id").as("src")), "src")
+      .join(alive.select(col("id").as("dst")), "dst")
+      .groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+  }
+
   /** Multi-source BFS: the DIRECTED hop distance from the nearest source
     * node, for every node reachable within `rounds` hops — landmark
     * distance, blast-radius, and "how far is this doc from a trusted
@@ -215,7 +264,11 @@ object Graph {
       }
       case None => _.localCheckpoint()
     }
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    // The edge set is loop-invariant: materialize it once through the
+    // same cut channel the state uses (reliable checkpoint when a dir
+    // is given, localCheckpoint otherwise) instead of re-deriving it
+    // from the source scan every round.
+    val e = cut(edges.select(col(srcCol).as("src"), col(dstCol).as("dst")))
     var state = sources.select(col(idCol).as("node")).distinct()
       .withColumn("dist", lit(0L))
     (1 to rounds).foreach { r =>

@@ -249,6 +249,69 @@ object RelationalQueries {
             col("exact_users") * 0.1).as("approx_within_10pct"))
         .orderBy(col("event_type"))),
 
+    // Fully REPLAYABLE HyperLogLog (Flajolet et al. 2007, the
+    // HLL/HLL++ family every engine's approx_count_distinct descends
+    // from) — unlike q_approx_distinct, which can only bound-check the
+    // engine's opaque sketch, this builds the 256 registers explicitly
+    // from md5 bits, so the estimate itself hash-grades against an
+    // oracle that replays the identical algorithm. This IS the 100 TB
+    // distinct-count path: register construction is one
+    // partial-aggregable max per (group, bucket) — map-side combine
+    // collapses each partition to ≤ m rows, i.e. the sketch MERGES by
+    // construction across any partitioning — and everything after is
+    // |groups|·256 algebra. Exactness discipline: the harmonic sum
+    // Σ 2^(−M_j) scales by 2^60 into exact integers (M ≤ 57 ⇒ terms
+    // are exact longs; the 256-term sum is an associative decimal
+    // sum), so the only floats are the final α·m²·2^60/Σ division and
+    // the small-range ln branch — both single deterministic ops on
+    // identical inputs in both engines. The rho derivation is pure
+    // STRING algebra on the hex digest (leading-'0' count + first
+    // nonzero digit's bit length), mirrored verbatim by the oracle —
+    // no 56-bit integer parsing anywhere.
+    "q_hll_sketch" -> ((s, dir) => {
+      val h = Tables.events(s, dir)
+        .select(col("event_type"), md5(col("user_id").cast("string")).as("hx"))
+      val reg = h
+        .select(col("event_type"),
+          expr("cast(conv(substring(hx, 1, 2), 16, 10) as int)").as("bucket"),
+          expr("ltrim('0', substring(hx, 3, 14))").as("stripped"))
+        .withColumn("d",
+          expr("cast(conv(substring(stripped, 1, 1), 16, 10) as int)"))
+        .withColumn("rho",
+          when(col("stripped") === "", lit(57))
+            .otherwise(lit(4) * (lit(14) - length(col("stripped"))) +
+              (lit(4) - when(col("d") >= 8, 4).when(col("d") >= 4, 3)
+                .when(col("d") >= 2, 2).otherwise(1)) + lit(1)))
+        .groupBy(col("event_type"), col("bucket"))
+        .agg(max(col("rho")).as("mreg"))
+      val spine = h.select(col("event_type")).distinct()
+        .select(col("event_type"), explode(expr("sequence(0, 255)")).as("bucket"))
+      val regs = spine.join(reg, Seq("event_type", "bucket"), "left")
+        .select(col("event_type"),
+          coalesce(col("mreg"), lit(0)).as("mreg"))
+      val agg = regs.groupBy(col("event_type"))
+        .agg(sum(expr("cast(shiftleft(cast(1 as bigint), 60 - mreg) as decimal(38,0))"))
+            .as("ssum"),
+          sum(when(col("mreg") === 0, 1L).otherwise(0L)).as("v0"))
+      val exact = Tables.events(s, dir).groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+      // α_256·m²·2^60 — written with the identical literal sequence in
+      // the oracle so the constant is the same IEEE double
+      val alphaM2 = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0)) *
+        lit(65536.0) * lit(1.152921504606846976e18)
+      val rawE = alphaM2 / col("ssum").cast("double")
+      val est = when(rawE <= 640.0 && col("v0") > 0,
+        lit(256.0) * log(lit(256.0) / col("v0").cast("double")))
+        .otherwise(rawE)
+      agg.join(exact, "event_type")
+        .select(col("event_type"), col("exact_users"),
+          (lit(256L) - col("v0")).as("registers_nonzero"),
+          round(est, 2).as("hll_estimate"),
+          round((est - col("exact_users")) / col("exact_users"), 4)
+            .as("rel_err"))
+        .orderBy(col("event_type"))
+    }),
+
     // Explicit salting — the defense for shuffle joins AQE won't split:
     // the skewed side's join key is widened to (key, salt). Results are
     // row-identical to the plain join, which is exactly what the oracle
@@ -1570,6 +1633,91 @@ object RelationalQueries {
             (se1 * se1 / (n1 - 1.0) + se2 * se2 / (n2 - 1.0)), 4).as("welch_df"))
     }),
 
+    // Rank-based AUC (Mann–Whitney U) of the value signal as a
+    // purchase classifier — the eval-side companion of the statistical
+    // tests: every model-quality pipeline ends in "what's the AUC".
+    // Shape: the fact table collapses to per-VALUE (count, positives)
+    // first (partial-aggregable, output bounded by distinct values);
+    // tie-corrected average ranks come from Sweep.runningSum over that
+    // value table (range partition + P longs of driver state — no
+    // single-partition window at any scale). Exactness: average ranks
+    // are half-integers, so everything runs in DOUBLED rank units —
+    // U2 = Σ pos_v·(2·cum_before_v + cnt_v + 1) is an exact BIGINT
+    // (≈ 2·n_pos·n at sf100 ≈ 1e17, within range), and
+    // AUC = (U2 − n_pos(n_pos+1)) / (2·n_pos·n_neg) is ONE double
+    // division — no float sum, no round() boundary anywhere upstream.
+    "q_auc" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .select(floor(col("value") * 100).cast("long").as("cents"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("pos"))
+      val byVal = e.groupBy(col("cents"))
+        .agg(count(lit(1)).as("cnt"), sum(col("pos")).as("npos"))
+      val run = Sweep.runningSum(byVal, col("cnt"), "cum", col("cents"))
+      val u = run
+        .select((col("npos") *
+          (lit(2) * (col("cum") - col("cnt")) + col("cnt") + 1)).as("u2"),
+          col("npos"), col("cnt"))
+        .agg(sum(col("u2")).as("u2"), sum(col("npos")).as("n_pos"),
+          sum(col("cnt")).as("n"))
+      u.select(col("n_pos"), (col("n") - col("n_pos")).as("n_neg"),
+        round((col("u2") - col("n_pos") * (col("n_pos") + 1)).cast("double") /
+          (lit(2.0) * col("n_pos").cast("double") *
+            (col("n") - col("n_pos")).cast("double")), 6).as("auc"))
+    }),
+
+    // Holt double-exponential (level + trend) smoothing over the daily
+    // revenue series — the forecasting primitive behind every capacity
+    // and demand dashboard. The recurrence l_t = ½(y_t + l + b),
+    // b_t = ½((l_t − l) + b) runs ENTIRELY in exact integer cents with
+    // explicit floor-halving (v − pmod(v, 2) makes the operand even, so
+    // Spark's truncating `div` and DuckDB's flooring `//` agree on
+    // negatives too) — the "approximate" smoother carries an exact
+    // replayable oracle, the pageRank trick applied to a sequential
+    // recurrence. Shape: the fact table collapses to the calendar-
+    // bounded daily rollup FIRST (partial-aggregable, ≤ 2.4k rows at
+    // any SF — the q_changepoint contract), and the fold runs once over
+    // the collected series in day order (sequential by nature; the
+    // array is dimension-sized, never the data).
+    "q_holt" -> ((s, dir) => {
+      val daily = Tables.orders(s, dir)
+        .select(to_date(col("o_orderdate")).as("day"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        .groupBy(col("day")).agg(sum(col("cents")).as("cents"))
+      val packed = daily
+        .agg(sort_array(collect_list(struct(col("day"), col("cents")))).as("s"))
+      packed.select(explode(expr(
+        """aggregate(
+          |  s,
+          |  named_struct('l', cast(null as bigint), 'b', cast(0 as bigint),
+          |    'out', cast(array() as array<struct<day:date,cents:bigint,level:bigint,trend:bigint>>)),
+          |  (acc, x) -> CASE WHEN acc.l IS NULL THEN
+          |      named_struct('l', x.cents, 'b', cast(0 as bigint),
+          |        'out', array(named_struct('day', x.day, 'cents', x.cents,
+          |          'level', x.cents, 'trend', cast(0 as bigint))))
+          |    ELSE named_struct(
+          |      'l', (x.cents + acc.l + acc.b
+          |            - pmod(x.cents + acc.l + acc.b, 2)) div 2,
+          |      'b', ((((x.cents + acc.l + acc.b
+          |              - pmod(x.cents + acc.l + acc.b, 2)) div 2) - acc.l + acc.b)
+          |            - pmod(((x.cents + acc.l + acc.b
+          |              - pmod(x.cents + acc.l + acc.b, 2)) div 2) - acc.l + acc.b, 2))
+          |           div 2,
+          |      'out', array_append(acc.out, named_struct('day', x.day,
+          |        'cents', x.cents,
+          |        'level', (x.cents + acc.l + acc.b
+          |                  - pmod(x.cents + acc.l + acc.b, 2)) div 2,
+          |        'trend', ((((x.cents + acc.l + acc.b
+          |                - pmod(x.cents + acc.l + acc.b, 2)) div 2) - acc.l + acc.b)
+          |              - pmod(((x.cents + acc.l + acc.b
+          |                - pmod(x.cents + acc.l + acc.b, 2)) div 2) - acc.l + acc.b, 2))
+          |             div 2)))
+          |    END,
+          |  acc -> acc.out)""".stripMargin)).as("r"))
+        .select(col("r.day").as("day"), col("r.cents").as("cents"),
+          col("r.level").as("level_cents"), col("r.trend").as("trend_cents"))
+        .orderBy("day")
+    }),
+
     // Robust outlier screen: per-group median + MAD (median absolute
     // deviation), flagging |x − med| > 3·1.4826·MAD. Three passes over
     // events, but the per-group medians/MADs come back as BROADCAST
@@ -2148,6 +2296,57 @@ object RelationalQueries {
       """SELECT event_type, count(DISTINCT user_id) AS exact_users,
         |       TRUE AS approx_within_10pct
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // Replays the EXACT register construction: same md5 string algebra
+    // (leading-'0' hex count + first nonzero digit's bit length), same
+    // 2^60-scaled integer harmonic sum, same literal constant sequence.
+    "q_hll_sketch" ->
+      """WITH h AS (SELECT event_type,
+        |             md5(CAST(user_id AS VARCHAR)) AS hx
+        |           FROM events),
+        |r0 AS (SELECT event_type,
+        |         16 * (strpos('0123456789abcdef', substr(hx, 1, 1)) - 1)
+        |           + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) AS bucket,
+        |         ltrim(substr(hx, 3, 14), '0') AS stripped
+        |       FROM h),
+        |r1 AS (SELECT event_type, bucket,
+        |         CASE WHEN stripped = '' THEN 57
+        |              ELSE 4 * (14 - length(stripped))
+        |                + (4 - CASE WHEN strpos('0123456789abcdef',
+        |                                        substr(stripped, 1, 1)) - 1 >= 8 THEN 4
+        |                           WHEN strpos('0123456789abcdef',
+        |                                        substr(stripped, 1, 1)) - 1 >= 4 THEN 3
+        |                           WHEN strpos('0123456789abcdef',
+        |                                        substr(stripped, 1, 1)) - 1 >= 2 THEN 2
+        |                           ELSE 1 END) + 1 END AS rho
+        |       FROM r0),
+        |reg AS (SELECT event_type, bucket, max(rho) AS mreg
+        |        FROM r1 GROUP BY 1, 2),
+        |spine AS (SELECT event_type, bucket
+        |          FROM (SELECT DISTINCT event_type FROM events)
+        |          CROSS JOIN (SELECT unnest(generate_series(0, 255)) AS bucket)),
+        |regs AS (SELECT s.event_type, coalesce(reg.mreg, 0) AS mreg
+        |         FROM spine s LEFT JOIN reg
+        |           ON reg.event_type = s.event_type AND reg.bucket = s.bucket),
+        |agg AS (SELECT event_type,
+        |          sum(CAST(1 AS BIGINT) << (60 - mreg)) AS ssum,
+        |          sum(CASE WHEN mreg = 0 THEN 1 ELSE 0 END) AS v0
+        |        FROM regs GROUP BY 1),
+        |ex AS (SELECT event_type, count(DISTINCT user_id) AS exact_users
+        |       FROM events GROUP BY 1),
+        |est AS (SELECT a.event_type, ex.exact_users,
+        |          CAST(256 - v0 AS BIGINT) AS registers_nonzero,
+        |          CASE WHEN 0.7213 / (1.0 + 1.079 / 256.0) * 65536.0
+        |                      * 1152921504606846976.0 / CAST(ssum AS DOUBLE) <= 640.0
+        |                    AND v0 > 0
+        |               THEN 256.0 * ln(256.0 / CAST(v0 AS DOUBLE))
+        |               ELSE 0.7213 / (1.0 + 1.079 / 256.0) * 65536.0
+        |                      * 1152921504606846976.0 / CAST(ssum AS DOUBLE) END AS e
+        |        FROM agg a JOIN ex ON ex.event_type = a.event_type)
+        |SELECT event_type, exact_users, registers_nonzero,
+        |       round(e, 2) AS hll_estimate,
+        |       round((e - exact_users) / exact_users, 4) AS rel_err
+        |FROM est ORDER BY event_type""".stripMargin,
     "q_skew_salted_join" ->
       """SELECT e.event_id, e.event_type, t.type_total
         |FROM events e
@@ -3019,6 +3218,50 @@ object RelationalQueries {
         |       round((se1 + se2) * (se1 + se2)
         |             / (se1 * se1 / (n1d - 1.0) + se2 * se2 / (n2d - 1.0)), 4) AS welch_df
         |FROM f""".stripMargin,
+
+    // The identical integer recurrence as a recursive CTE; the pmod
+    // trick makes // and div agree (operands forced even).
+    "q_holt" ->
+      """WITH RECURSIVE
+        |daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |            CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |              AS cents
+        |          FROM orders GROUP BY 1),
+        |ix AS (SELECT day, cents, row_number() OVER (ORDER BY day) AS rn
+        |       FROM daily),
+        |rec(rn, day, cents, level, trend) AS (
+        |  SELECT rn, day, cents, cents, CAST(0 AS BIGINT)
+        |  FROM ix WHERE rn = 1
+        |  UNION ALL
+        |  SELECT t.rn, t.day, t.cents, t.newl,
+        |         (t.newl - t.pl + t.pb
+        |          - ((((t.newl - t.pl + t.pb) % 2) + 2) % 2)) // 2
+        |  FROM (SELECT ix.rn, ix.day, ix.cents,
+        |          (ix.cents + rec.level + rec.trend
+        |           - ((((ix.cents + rec.level + rec.trend) % 2) + 2) % 2)) // 2
+        |            AS newl,
+        |          rec.level AS pl, rec.trend AS pb
+        |        FROM rec JOIN ix ON ix.rn = rec.rn + 1) t)
+        |SELECT day, cents, level AS level_cents, trend AS trend_cents
+        |FROM rec ORDER BY day""".stripMargin,
+
+    // Sequential tie-corrected ranks replay the doubled-rank-unit U
+    // statistic exactly; one final double division.
+    "q_auc" ->
+      """WITH e AS (SELECT CAST(floor(value * 100) AS BIGINT) AS cents,
+        |             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+        |           FROM events),
+        |v AS (SELECT cents, count(*) AS cnt, CAST(sum(pos) AS BIGINT) AS npos
+        |      FROM e GROUP BY 1),
+        |r AS (SELECT *, sum(cnt) OVER (ORDER BY cents) AS cum FROM v),
+        |u AS (SELECT CAST(sum(npos * (2 * (cum - cnt) + cnt + 1)) AS BIGINT) AS u2,
+        |        CAST(sum(npos) AS BIGINT) AS n_pos, CAST(sum(cnt) AS BIGINT) AS n
+        |      FROM r)
+        |SELECT n_pos, n - n_pos AS n_neg,
+        |       round(CAST(u2 - n_pos * (n_pos + 1) AS DOUBLE)
+        |             / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n - n_pos AS DOUBLE)),
+        |             6) AS auc
+        |FROM u""".stripMargin,
 
     // quantile_cont shares Spark percentile's (n-1)·q interpolation.
     "q_mad_outliers" ->

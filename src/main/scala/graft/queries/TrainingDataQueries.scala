@@ -1484,7 +1484,9 @@ object TrainingDataQueries {
         .select(col("src"),
           (expr("src div 40") * 40 +
             pmod(pmod(col("src"), lit(40)) + col("k"), lit(40))).as("dst"))
-      val labels = Graph.labelPropagation(d, iterations = 3)
+      // labels feed TWO joins (endpoint a and endpoint b): checkpoint
+      // the 3-round lineage once instead of replaying it per join arm.
+      val labels = Graph.labelPropagation(d, iterations = 3).localCheckpoint()
       val ud = d.filter(col("src") =!= col("dst"))
         .select(least(col("src"), col("dst")).as("a"),
           greatest(col("src"), col("dst")).as("b"))
@@ -1552,6 +1554,31 @@ object TrainingDataQueries {
       val sources = docs.filter(col("doc_id") % 50 === 0)
       Graph.bfsDistance(edges, sources, rounds = 8, idCol = "doc_id")
         .orderBy("node")
+    }),
+
+    // k-core decomposition (4 fixed peel rounds, k = 8) — the standard
+    // "dense enough to matter" subgraph extraction (spam-farm
+    // detection, influence cores). The graph is the synthetic 3N-edge
+    // link graph with a PLANTED dense community: docs 0–39 additionally
+    // link to their next 5 ring neighbors, so the 8-core is exactly
+    // that community (degree ~10 internally) while the ~6-regular bulk
+    // peels away — the query must both find the core and discard
+    // everything else. Peel converges in 2 rounds here; 4 rounds give
+    // slack. The oracle unrolls the identical peel as a CTE chain, so
+    // a dropped or spared node in ANY round hash-mismatches.
+    "graph_kcore" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"))
+      val n = docs.count()
+      val ring = docs
+        .select(col("doc_id").as("src"),
+          explode(array(lit(1L), lit(2L), lit(3L))).as("k"))
+        .select(col("src"),
+          pmod(col("src") * 7 + col("k") * 13, lit(n)).as("dst"))
+      val planted = docs.filter(col("doc_id") < 40)
+        .select(col("doc_id").as("src"),
+          explode(array(lit(1L), lit(2L), lit(3L), lit(4L), lit(5L))).as("j"))
+        .select(col("src"), pmod(col("src") + col("j"), lit(40L)).as("dst"))
+      Graph.kCore(ring.unionAll(planted), k = 8, rounds = 4).orderBy("id")
     }),
 
     // HTML → text extraction over deterministically synthesized pages
@@ -2161,6 +2188,33 @@ object TrainingDataQueries {
           n = 2)
         .toDF()
         .orderBy("media_id", "frame_idx")),
+
+    // Scene-cut detection over the REAL decoded frame stream: decode
+    // ALL 4 frames per stream, then flag frames whose per-pixel channel
+    // delta vs the previous frame crosses a threshold — the video
+    // curation primitive (shot boundaries → keyframe selection). The
+    // synthetic frames shift each channel's constant term by
+    // (id+t) mod {7,11,13}, so most steps move ≈3 luma units/pixel and
+    // a modular WRAP jumps ≥8 — a deterministic, id-dependent cut
+    // pattern the oracle replays from the pixel formula. All integer
+    // arithmetic (channel sums, abs deltas, one exact div by w·h); the
+    // lag window partitions by media (4 rows each), never the corpus.
+    "multimodal_scene_cut" -> ((s, dir) => {
+      val f = Multimodal.sampleFrames(
+          Multimodal.synthesizeFrameStream(Tables.documents(s, dir), "doc_id",
+            nFrames = 4),
+          n = 4)
+        .toDF()
+      val w = Window.partitionBy(col("media_id")).orderBy(col("frame_idx"))
+      f.withColumn("pd",
+          abs(col("sum_r") - lag(col("sum_r"), 1).over(w)) +
+            abs(col("sum_g") - lag(col("sum_g"), 1).over(w)) +
+            abs(col("sum_b") - lag(col("sum_b"), 1).over(w)))
+        .select(col("media_id"), col("frame_idx"),
+          expr("pd div (width * height)").as("delta_ppx"),
+          (expr("pd div (width * height)") >= 8).as("is_cut"))
+        .orderBy("media_id", "frame_idx")
+    }),
 
     // REAL feature extraction: ImageIO decode + 16-bin luminance
     // histogram (integer counts — exact). Graded: pixel count, dim, and
@@ -3711,6 +3765,31 @@ object TrainingDataQueries {
         |SELECT node, min(dist) AS dist FROM walk
         |GROUP BY node ORDER BY node""".stripMargin,
 
+    // The identical 4-round peel unrolled as a CTE chain (k = 8).
+    "graph_kcore" -> {
+      val peel = (1 to 4).map { i =>
+        s"""d$i AS (SELECT e.src AS id, count(*) AS deg FROM e
+           |      WHERE e.src IN (SELECT id FROM a${i - 1})
+           |        AND e.dst IN (SELECT id FROM a${i - 1}) GROUP BY 1),
+           |a$i AS (SELECT id FROM d$i WHERE deg >= 8)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH d AS (SELECT doc_id AS src,
+         |        (doc_id * 7 + k * 13) % (SELECT count(*) FROM documents) AS dst
+         |      FROM documents CROSS JOIN (SELECT unnest([1, 2, 3]) AS k) ks
+         |      UNION ALL
+         |      SELECT doc_id AS src, (doc_id + j) % 40 AS dst
+         |      FROM documents CROSS JOIN (SELECT unnest([1, 2, 3, 4, 5]) AS j) js
+         |      WHERE doc_id < 40),
+         |e AS (SELECT src, dst FROM
+         |        (SELECT src, dst FROM d UNION SELECT dst, src FROM d)
+         |      WHERE src <> dst),
+         |a0 AS (SELECT DISTINCT src AS id FROM e),
+         |$peel
+         |SELECT e.src AS id, count(*) AS deg FROM e
+         |WHERE e.src IN (SELECT id FROM a4) AND e.dst IN (SELECT id FROM a4)
+         |GROUP BY 1 ORDER BY id""".stripMargin
+    },
+
     "text_html_strip" ->
       """WITH h AS (SELECT doc_id,
         |  '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
@@ -4291,6 +4370,33 @@ object TrainingDataQueries {
         |       CAST(1 * h * (w * (w-1) // 2) + 4 * w * (h * (h-1) // 2)
         |            + w * h * ((doc_id + t) % 13) AS BIGINT) AS sum_b
         |FROM m ORDER BY media_id, frame_idx""".stripMargin,
+
+    // Frame-delta replay from the pixel formula: channel sums differ
+    // only in the w·h·((id+t) mod m) term, so the per-pixel delta is
+    // |Δmod7| + |Δmod11| + |Δmod13| exactly.
+    "multimodal_scene_cut" ->
+      """WITH m AS (SELECT doc_id, doc_id % 29 + 4 AS w, doc_id % 23 + 4 AS h,
+        |                  f.k AS frame_idx
+        |           FROM documents
+        |           CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k) f),
+        |s AS (SELECT doc_id AS media_id, frame_idx, w, h,
+        |        CAST(3 * h * (w * (w-1) // 2) + 5 * w * (h * (h-1) // 2)
+        |             + w * h * ((doc_id + frame_idx) % 7) AS BIGINT) AS sum_r,
+        |        CAST(2 * h * (w * (w-1) // 2) + 7 * w * (h * (h-1) // 2)
+        |             + w * h * ((doc_id + frame_idx) % 11) AS BIGINT) AS sum_g,
+        |        CAST(1 * h * (w * (w-1) // 2) + 4 * w * (h * (h-1) // 2)
+        |             + w * h * ((doc_id + frame_idx) % 13) AS BIGINT) AS sum_b
+        |      FROM m),
+        |d AS (SELECT media_id, frame_idx, w, h,
+        |        abs(sum_r - lag(sum_r) OVER (PARTITION BY media_id ORDER BY frame_idx))
+        |        + abs(sum_g - lag(sum_g) OVER (PARTITION BY media_id ORDER BY frame_idx))
+        |        + abs(sum_b - lag(sum_b) OVER (PARTITION BY media_id ORDER BY frame_idx))
+        |          AS pd
+        |      FROM s)
+        |SELECT media_id, frame_idx,
+        |       CAST(pd // (w * h) AS BIGINT) AS delta_ppx,
+        |       pd // (w * h) >= 8 AS is_cut
+        |FROM d ORDER BY media_id, frame_idx""".stripMargin,
 
     // Histogram replay: per-pixel luminance ⌊(r+g+b)/3⌋ binned into 16
     // (bin = luma·16//256), graded as the bin-weighted checksum

@@ -69,11 +69,11 @@ object PlanDump {
     "q_chi_squared" -> "the fact-dim join + contingency count is the ONLY data-sized stage; marginals, expected counts, and the statistic are broadcast joins over the 25-cell aggregate — constant-size post-agg plan regardless of fact cardinality",
     "q_ewma" -> "ONE window pass per user partition: collect_list over the running 16-row frame, then the truncated-decay fold as codegen'd higher-order expressions — no self-join, no sequential state chain, no second exchange",
     "text_entropy" -> "character entropy is a single native-codegen projection (graft CharStats: one pass, per-row alphabet map) — scan speed, no per-character explode, no shuffle before the final order",
-    "dedup_jaro" -> "blocked similarity scoring: the nation block key bounds the self-join (never corpus²) and the Jaro-Winkler score is the native codegen JaroWinkler expression inside the join's projection — no UDF, no serialization per pair",
+    "dedup_jaro" -> "sound sub-quadratic candidate generation: jw>=0.97 forces multiset overlap >= L-1, so candidates meet in a (block, sorted-chars-delete-<=1-variant) equi-join (linear in the corpus — the old nation-block self-join grew pairs ~N²); the codegen JaroWinkler CASE-array generator verifies each distinct candidate exactly once",
     "q_sliding_dau" -> "sliding distinct count via window-end EXPANSION: the (user, day) distinct collapses map-side first, then each fact explodes into ≤7 window ends and the per-window countDistinct is the standard partial/final expand — shuffle is 7× the daily-distinct table, never 7× raw events",
     "text_js_divergence" -> "three stacked partial-aggregable HashAggregates off ONE explode; the |vocab|×|sources| expansion joins the broadcast source list and the broadcast corpus total — the corpus is scanned once, the expansion is bounded by vocabulary",
     "data_dp_noise" -> "the Laplace mechanism runs entirely ON the group aggregate: one two-phase HashAggregate over the scan, then the md5-seeded inverse-CDF draw as a pure projection over |groups| rows",
-    "graph_bfs" -> "per relaxation round: state joins edges on src (shuffle on src) + union + map-side-combined groupBy-min — state stays ≤ one row per reached node; fixed rounds keep the plan static and cutEvery bounds the lineage (the Hierarchy policy)",
+    "graph_bfs" -> "per relaxation round: state joins edges on src (shuffle on src) + union + map-side-combined groupBy-min — state stays ≤ one row per reached node; the edge set materializes ONCE through the cut channel (localCheckpoint, or the reliable checkpointDir) so rounds never re-derive it from the source scan; fixed rounds keep the plan static and cutEvery bounds the lineage",
     "q_moments" -> "skewness/kurtosis from four exact DECIMAL(38,0) power sums in ONE two-phase HashAggregate (the q_corr_agg pattern extended to 3rd/4th moments); the central-moment algebra is a pure projection over 5 group rows",
     "q_ttest_welch" -> "Welch's t-test = ONE conditional-aggregation HashAggregate (six exact BIGINT sums in a single pass over both arms); the statistic and Satterthwaite df are constant-time projections over the 1-row aggregate",
     "q_mad_outliers" -> "median + MAD + outlier count in three passes, but the per-group medians/MADs return as BROADCAST joins (|groups| rows) — the fact table is never shuffled, only rescanned; the exact percentile buffer is per-group bounded (sketch variant is the stated petabyte path)",
@@ -99,7 +99,7 @@ object PlanDump {
     "ann_rbo_eval" -> "RBO: the two top-k lists join on (query, candidate); per shared candidate the max-rank depth expansion (≤10 rows) feeds one partial-aggregable count per (query, depth); the weighted sum runs over ≤10 terms per query with literal p-powers — no pow(), no rescan of the corpus",
     "q_time_to_convert" -> "ONE conditional-min HashAggregate per user (partial-aggregable), then a single constant-size stats row — the percentile buffer holds only the converted cohort's integer minutes",
     "multimodal_audio_features" -> "mapPartitions decode (codec amortized per task) with exact integer Σs² and channel sums accumulated in the same PCM pass; the plan stays scan → decode → sort, parallel by file, no per-row UDF",
-    "graph_modularity" -> "modularity over label-prop communities: edge/degree aggregates are the only data-sized stages; e_c and d_c join the |communities| label table and the edge total crosses back by broadcast — the Q formula runs on community-sized rows",
+    "graph_modularity" -> "modularity over label-prop communities: edge/degree aggregates are the only data-sized stages; the 3-round label lineage checkpoints once before fanning into the two endpoint joins; per-community contributions are EXACT decimal(38,0) numerators (4·m·e_c − d_c²) summed associatively with one double division at the end — no order-dependent float sum anywhere in the plan",
     "q_rfm" -> "R/F/M from ONE conditional aggregate per user; quintile cut points broadcast from a single percentile aggregate — score assignment is a comparison projection, no ntile window over users",
     "q_abc_analysis" -> "per-part rollup → Sweep.runningSum descending (range partition + per-partition folds, driver state = P longs) → broadcast-total class cut → 3-row rollup; the Pareto sibling of q_gini with the opposite sort order",
     "q_key_skew_audit" -> "two stacked partial-aggregable HashAggregates (per-key fan-out, then count-of-counts bounded by max fan-out) + one broadcast total — the skew diagnostic itself never skews",
@@ -109,7 +109,8 @@ object PlanDump {
     "data_oversample" -> "replication factor from a broadcast |labels|-row aggregate; the replication itself is a per-row sequence GENERATOR (explode) — no driver loop, no k-way self-union plan",
     "q_new_vs_returning" -> "distinct (user, day) collapses map-side; first-seen min joins back on the SAME user_id shuffle axis; the daily split is a second HashAggregate — no window over events",
     "text_pii_audit" -> "regexp counts are a single codegen projection over the scan; the per-source rollup is one partial-aggregable HashAggregate — the redaction rewrite never runs",
-    "data_split_audit" -> "one partial-aggregable count to |3| split rows; coverage and permille drift are broadcast algebra — the audit costs one scan")
+    "data_split_audit" -> "one partial-aggregable count to |3| split rows; coverage and permille drift are broadcast algebra — the audit costs one scan",
+    "pipeline_curation_v3" -> "composite cost audit (2.9 s isolated at sf0.1, vs 2.3 s in r5): the delta is connectedComponents' r6 reliability protocol — convergence now proves itself via a label-sum fixpoint (one extra aggregate job per round) and every cut is restart-safe, worth the 2 small jobs/round on a bounded graded fixture and negligible against real data volumes; the dataflow itself is unchanged — exact-dup groupBy, banded minhash join, per-source percent_rank, novelty semi-join, all partial-aggregable with the pair graph cut ONCE before the loop")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"

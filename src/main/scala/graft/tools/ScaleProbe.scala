@@ -207,6 +207,40 @@ object ScaleProbe {
         val (rows, sec) = time(cur())
         println(f"PROBE x$factor curation_v3 docs=${nBase * factor} " +
           f"kept=$rows time=$sec%.2fs")
+        // Iterative-graph probes over the SAME scaled corpus (ids → the
+        // graded 3N-edge synthetic link graph / 40-block ring): BFS is
+        // 8 frontier relaxations with a FIXED round count, so
+        // cross-factor growth must track |E| per round; modularity is 3
+        // label-prop rounds + |communities|-sized exact-integer algebra
+        // whose formula stage is corpus-independent. Superlinear growth
+        // would mean a round picked up a corpus-sized key or the
+        // lineage cuts stopped holding.
+        val bfs = () => graft.SparkEntry.queries("graph_bfs")(spark, tmp).count()
+        bfs() // warm
+        val (bfsRows, bfsSec) = time(bfs())
+        println(f"PROBE x$factor graph_bfs nodes=${nBase * factor} " +
+          f"reached=$bfsRows time=$bfsSec%.2fs")
+        val mod = () =>
+          graft.SparkEntry.queries("graph_modularity")(spark, tmp).count()
+        mod() // warm
+        val (modRows, modSec) = time(mod())
+        println(f"PROBE x$factor graph_modularity nodes=${nBase * factor} " +
+          f"communities=$modRows time=$modSec%.2fs")
+      }
+      // Jaro–Winkler pair probe: TPC-H-shaped names over xN ids in 25
+      // blocks. The sorted-chars deletion-neighborhood candidate join
+      // must keep pair growth ~linear in the corpus (multiset-class
+      // sizes are a property of the 9-digit id format, not of N) — the
+      // nation-block² self-join this operator replaced grew pairs ~N².
+      locally {
+        val n = nBase * factor
+        val cust = spark.range(n).select(col("id"),
+          format_string("Customer#%09d", col("id")).as("nm"),
+          pmod(col("id"), lit(25L)).as("nation"))
+        val jw = () => Dedup.jaroWinklerPairs(cust, "id", "nm", "nation").count()
+        jw() // warm
+        val (pairs, sec) = time(jw())
+        println(f"PROBE x$factor jaro names=$n pairs=$pairs time=$sec%.2fs")
       }
       // Graph operators over the xN synthetic link graph (N nodes,
       // 3N edges): label propagation is 3 fixed rounds of join +

@@ -123,4 +123,30 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(cut === got)
   }
+
+  test("kCore: peel cascade, induced degrees, undirected view, empty core") {
+    // 4-clique {1,2,3,4} + tail 4-5-6: the 3-core is the clique alone,
+    // and the peel must CASCADE (removing 6 drops 5's degree to 1,
+    // removing 5 drops 4's to 3 — still in; a one-round peel would
+    // keep 5). Edges given directed one way; the operator symmetrizes.
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L)).toDF("src", "dst")
+    val core3 = Graph.kCore(edges, k = 3, rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(core3 === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L),
+      s"3-core must be the clique with induced degree 3, got $core3")
+    // one round is NOT enough: 6 peels (deg 1) but 5 survives round 1
+    // (deg 2 ≥ 2... with k=3: 5 has deg 2 < 3 and peels round 1; use
+    // k=2 to show the cascade instead: round 1 peels 6 only).
+    val oneRound = Graph.kCore(edges, k = 2, rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(oneRound.contains(5L) && !oneRound.contains(6L),
+      "after one k=2 round only the leaf peels; 5 still survives")
+    val conv = Graph.kCore(edges, k = 2, rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(conv.keySet === Set(1L, 2L, 3L, 4L),
+      "the converged 2-core drops the whole tail")
+    // k above the max degree: empty result, not an error
+    assert(Graph.kCore(edges, k = 10, rounds = 3).count() === 0L)
+  }
 }
