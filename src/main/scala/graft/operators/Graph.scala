@@ -69,6 +69,54 @@ object Graph {
     pr.select(col("id"), col("pr").as("pr_micro"))
   }
 
+  /** Personalized PageRank: [[pageRank]]'s exact integer micro-unit
+    * recurrence with the RESTART MASS confined to `sources` — the
+    * proximity score behind "how close is this doc to the trusted
+    * seeds" crawl prioritization and seed-expansion labeling (the
+    * rank-mass companion of [[bfsDistance]]'s hop distance).
+    * pr_{t+1}(v) = [v ∈ S]·base + d·Σ_{u→v} pr_t(u) div outdeg(u),
+    * with pr_0 = unit on sources and 0 elsewhere. Same scale shape and
+    * exactness argument as [[pageRank]] (all-BIGINT, associative sums,
+    * loop invariants materialized once); the source membership joins
+    * as a dimension-sized left semi marker, never a filter on the rank
+    * table. Ranks are unnormalized (Σ restart mass is |S|·base, not
+    * N·base) — rankings and ratios are unaffected. */
+  def personalizedPageRank(edges: DataFrame, sources: DataFrame,
+                           iterations: Int,
+                           srcCol: String = "src", dstCol: String = "dst",
+                           idCol: String = "id",
+                           dampNum: Long = 85, dampDen: Long = 100,
+                           unit: Long = 1000000L): DataFrame = {
+    require(iterations >= 0, s"iterations must be >= 0, got $iterations")
+    require(dampNum >= 0 && dampNum <= dampDen,
+      s"damping $dampNum/$dampDen must lie in [0,1]")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .localCheckpoint()
+    val src = sources.select(col(idCol).as("id")).distinct()
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+      .join(src.withColumn("is_src", lit(1L)), Seq("id"), "left")
+      .select(col("id"), coalesce(col("is_src"), lit(0L)).as("is_src"))
+      .localCheckpoint()
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    val base = (unit * (dampDen - dampNum)) / dampDen
+    var pr = nodes.withColumn("pr", col("is_src") * lit(unit))
+      .select("id", "pr")
+    (0 until iterations).foreach { _ =>
+      val contrib = e.join(pr.withColumnRenamed("id", "src"), "src")
+        .join(outdeg, "src")
+        .select(col("dst").as("id"), expr("pr div deg").as("c"))
+        .groupBy(col("id"))
+        .agg(sum(col("c")).as("m"))
+      pr = nodes.join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          (col("is_src") * lit(base) +
+            expr(s"($dampNum * coalesce(m, 0L)) div $dampDen")).as("pr"))
+    }
+    pr.select(col("id"), col("pr").as("ppr_micro"))
+  }
+
   /** Per-node degree profile of a DIRECTED edge list: out/in degree plus
     * distinct-neighbor counts (multi-edges counted once in the latter).
     *

@@ -491,7 +491,16 @@ object TextAnalysis {
       .join(broadcast(weights), "bucket")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tokens"), sum(col("wt_micro")).as("logit_micro"))
-      .withColumn("score", round(col("logit_micro") / col("n_tokens") / 1e6, 6))
+      // Exact integer mean-logit in micro-units: round(micro/n/1e6, 6)
+      // can land EXACTLY on a half-digit boundary (micro/n terminating
+      // in .5), where Spark's BigDecimal HALF_UP and DuckDB's float
+      // round() disagree — caught by the dual-SF exact gate at sf0.1.
+      // Floor division sidesteps the rounding kernel entirely; the
+      // pmod subtraction makes the numerator divisible, so truncating
+      // `div` equals floor for negative logits too (mirroring DuckDB's
+      // flooring `//`).
+      .withColumn("score",
+        expr("(logit_micro - pmod(logit_micro, n_tokens)) div n_tokens") / 1e6)
       .withColumn("keep", col("logit_micro") > 0)
   }
 

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsOfJoin, Hierarchy, Profiling, Sampling, Skew, Sorting, Sweep, Upsert}
+import graft.operators.{AsOfJoin, Hierarchy, Profiling, Sampling, Sketches, Skew, Sorting, Sweep, Upsert}
 import graft.sources.Tables
 
 /** The general relational query surface the reference lacks entirely
@@ -269,46 +269,16 @@ object RelationalQueries {
     // nonzero digit's bit length), mirrored verbatim by the oracle —
     // no 56-bit integer parsing anywhere.
     "q_hll_sketch" -> ((s, dir) => {
-      val h = Tables.events(s, dir)
-        .select(col("event_type"), md5(col("user_id").cast("string")).as("hx"))
-      val reg = h
-        .select(col("event_type"),
-          expr("cast(conv(substring(hx, 1, 2), 16, 10) as int)").as("bucket"),
-          expr("ltrim('0', substring(hx, 3, 14))").as("stripped"))
-        .withColumn("d",
-          expr("cast(conv(substring(stripped, 1, 1), 16, 10) as int)"))
-        .withColumn("rho",
-          when(col("stripped") === "", lit(57))
-            .otherwise(lit(4) * (lit(14) - length(col("stripped"))) +
-              (lit(4) - when(col("d") >= 8, 4).when(col("d") >= 4, 3)
-                .when(col("d") >= 2, 2).otherwise(1)) + lit(1)))
-        .groupBy(col("event_type"), col("bucket"))
-        .agg(max(col("rho")).as("mreg"))
-      val spine = h.select(col("event_type")).distinct()
-        .select(col("event_type"), explode(expr("sequence(0, 255)")).as("bucket"))
-      val regs = spine.join(reg, Seq("event_type", "bucket"), "left")
-        .select(col("event_type"),
-          coalesce(col("mreg"), lit(0)).as("mreg"))
-      val agg = regs.groupBy(col("event_type"))
-        .agg(sum(expr("cast(shiftleft(cast(1 as bigint), 60 - mreg) as decimal(38,0))"))
-            .as("ssum"),
-          sum(when(col("mreg") === 0, 1L).otherwise(0L)).as("v0"))
-      val exact = Tables.events(s, dir).groupBy(col("event_type"))
+      val ev = Tables.events(s, dir)
+      val est = Sketches.hllEstimate(
+        Sketches.hllRegisters(ev, "event_type", col("user_id")), "event_type")
+      val exact = ev.groupBy(col("event_type"))
         .agg(countDistinct(col("user_id")).as("exact_users"))
-      // α_256·m²·2^60 — written with the identical literal sequence in
-      // the oracle so the constant is the same IEEE double
-      val alphaM2 = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0)) *
-        lit(65536.0) * lit(1.152921504606846976e18)
-      val rawE = alphaM2 / col("ssum").cast("double")
-      val est = when(rawE <= 640.0 && col("v0") > 0,
-        lit(256.0) * log(lit(256.0) / col("v0").cast("double")))
-        .otherwise(rawE)
-      agg.join(exact, "event_type")
+      est.join(exact, "event_type")
         .select(col("event_type"), col("exact_users"),
-          (lit(256L) - col("v0")).as("registers_nonzero"),
-          round(est, 2).as("hll_estimate"),
-          round((est - col("exact_users")) / col("exact_users"), 4)
-            .as("rel_err"))
+          col("registers_nonzero"), col("hll_estimate"),
+          round((col("hll_estimate") - col("exact_users")) /
+            col("exact_users"), 4).as("rel_err"))
         .orderBy(col("event_type"))
     }),
 
@@ -1718,6 +1688,131 @@ object RelationalQueries {
         .orderBy("day")
     }),
 
+    // Difference-in-differences — the quasi-experimental effect
+    // estimator (did = (μ_treat,post − μ_treat,pre) − (μ_ctrl,post −
+    // μ_ctrl,pre)). ONE conditional-aggregation pass over exact integer
+    // cents builds all four cell sums; every displayed number derives
+    // from the QUANTIZED integer means ((s·100) div n — the
+    // q_seasonality lesson: raw cents/n ratios land on half-digit
+    // round() boundaries), so the effect is exact integer algebra with
+    // no round() call anywhere. Constant-size after the first aggregate
+    // at any event volume; the split day comes from the data's own
+    // min/max (scale-factor-free), matching q_cuped's protocol.
+    "q_diff_in_diff" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .select(col("user_id"), expr("ts_ms div 86400000").as("day"),
+          floor(col("value") * 100).cast("long").as("cents"))
+      val split = e.agg(expr("(min(day) + max(day) + 1) div 2").as("sd"))
+      val cells = e.crossJoin(broadcast(split))
+        .select(pmod(col("user_id"), lit(2)).as("arm"),
+          when(col("day") >= col("sd"), 1).otherwise(0).as("post"),
+          col("cents"))
+        .groupBy(col("arm"), col("post"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"))
+        .withColumn("mean_e4", expr("(s * 100) div n"))
+      val wide = cells.groupBy()
+        .pivot(concat(col("arm"), lit("_"), col("post")),
+          Seq("0_0", "0_1", "1_0", "1_1"))
+        .agg(first(col("mean_e4")))
+      wide.select(
+        (col("0_0") / 1e4).as("ctrl_pre"), (col("0_1") / 1e4).as("ctrl_post"),
+        (col("1_0") / 1e4).as("treat_pre"), (col("1_1") / 1e4).as("treat_post"),
+        ((col("1_1") - col("1_0") - (col("0_1") - col("0_0"))) / 1e4).as("did"))
+    }),
+
+    // Sample-ratio-mismatch guard — the first sanity gate of every A/B
+    // readout (a biased assignment invalidates q_diff_in_diff/q_cuped
+    // before any effect math). For a 50/50 design the 1-dof chi-square
+    // collapses algebraically to (a−b)²/N — exact integer numerator,
+    // ONE division — and the 3.841 cut (p < 0.05) compares on exact
+    // values. One distinct-user aggregate; everything after is 1-row
+    // algebra.
+    "q_ab_srm" -> ((s, dir) => {
+      val arms = Tables.events(s, dir)
+        .select(col("user_id")).distinct()
+        .select(pmod(col("user_id"), lit(2)).as("arm"))
+        .groupBy(col("arm")).agg(count(lit(1)).as("n"))
+      val w = arms.agg(
+        sum(when(col("arm") === 0, col("n")).otherwise(0L)).as("n_a"),
+        sum(when(col("arm") === 1, col("n")).otherwise(0L)).as("n_b"))
+      w.select(col("n_a"), col("n_b"),
+        round((col("n_a") - col("n_b")).cast("double") *
+          (col("n_a") - col("n_b")).cast("double") /
+          (col("n_a") + col("n_b")).cast("double"), 6).as("chi2"),
+        ((col("n_a") - col("n_b")).cast("double") *
+          (col("n_a") - col("n_b")).cast("double") /
+          (col("n_a") + col("n_b")).cast("double") > 3.841).as("srm_flag"))
+    }),
+
+    // Population Stability Index between the first and second half of
+    // the event stream — the drift monitor every production scoring
+    // pipeline runs (PSI > 0.2 ⇒ retrain). Bins are the full-stream
+    // value deciles (ONE percentile aggregate, broadcast back — no
+    // ntile window over events); per-bin shares are exact counts and
+    // the Σ (p−q)·ln(p/q) total quantizes each term to pico-units
+    // before an associative BIGINT sum with integer HALF_UP rounding —
+    // the text_js_divergence discipline (PSI's ln terms are the same
+    // order-dependent float-sum trap).
+    "q_psi" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .select(expr("ts_ms div 86400000").as("day"),
+          floor(col("value") * 100).cast("long").as("cents"))
+      val split = e.agg(expr("(min(day) + max(day) + 1) div 2").as("sd"))
+      val cuts = e.agg(expr(
+        "percentile(cents, array(0.1D,0.2D,0.3D,0.4D,0.5D,0.6D,0.7D,0.8D,0.9D))")
+        .as("cs"))
+      val binned = e.crossJoin(broadcast(split)).crossJoin(broadcast(cuts))
+        .select(when(col("day") < col("sd"), 0).otherwise(1).as("half"),
+          expr("size(filter(cs, c -> c < cents))").as("bin"))
+        .groupBy(col("bin"))
+        .agg(sum(when(col("half") === 0, 1L).otherwise(0L)).as("na"),
+          sum(when(col("half") === 1, 1L).otherwise(0L)).as("nb"))
+      val tot = binned.agg(sum(col("na")).as("ta"), sum(col("nb")).as("tb"))
+      val scored = binned.crossJoin(broadcast(tot))
+        .withColumn("p", col("na").cast("double") / col("ta").cast("double"))
+        .withColumn("q", col("nb").cast("double") / col("tb").cast("double"))
+        .withColumn("pico",
+          round((col("p") - col("q")) * log(col("p") / col("q")) * 1e12, 0)
+            .cast("long"))
+      val t = scored.agg(sum(col("pico")).as("psi_pico"))
+      scored.crossJoin(broadcast(t))
+        .select(col("bin"), col("na"), col("nb"),
+          (col("pico") / 1e12).as("term"),
+          (expr("(psi_pico + 500000) div 1000000") / 1e6).as("psi"))
+        .orderBy("bin")
+    }),
+
+    // Kaplan–Meier survivor curve over user lifetime (days between
+    // first and last event; the fixture observes every lifetime, so the
+    // KM product-limit estimator reduces EXACTLY to the empirical
+    // survivor function — each step is (N − cum_deaths)/N, one exact
+    // integer ratio, no running float product anywhere). Shape: the
+    // event table collapses to per-user (first, last) in ONE
+    // partial-aggregable pass; the curve lives on the ≤ |distinct
+    // lifetime| day grid with Sweep-free cumulative counting via a
+    // calendar-bounded window (lifetimes ≤ the fixture's day span).
+    "q_survival_km" -> ((s, dir) => {
+      val life = Tables.events(s, dir)
+        .select(col("user_id"), expr("ts_ms div 86400000").as("day"))
+        .groupBy(col("user_id"))
+        .agg((max(col("day")) - min(col("day"))).as("lifetime"))
+      val byT = life.groupBy(col("lifetime").as("t"))
+        .agg(count(lit(1)).as("d"))
+      val tot = byT.agg(sum(col("d")).as("n_users"))
+      val w = Window.orderBy(col("t"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      byT.crossJoin(broadcast(tot))
+        .withColumn("cum_d", sum(col("d")).over(w))
+        .select(col("t"), col("d"),
+          (col("n_users") - col("cum_d") + col("d")).as("n_at_risk"),
+          round(col("d").cast("double") /
+            (col("n_users") - col("cum_d") + col("d")).cast("double"), 6)
+            .as("hazard"),
+          round((col("n_users") - col("cum_d")).cast("double") /
+            col("n_users").cast("double"), 6).as("survival"))
+        .orderBy("t")
+    }),
+
     // Robust outlier screen: per-group median + MAD (median absolute
     // deviation), flagging |x − med| > 3·1.4826·MAD. Three passes over
     // events, but the per-group medians/MADs come back as BROADCAST
@@ -2345,7 +2440,7 @@ object RelationalQueries {
         |        FROM agg a JOIN ex ON ex.event_type = a.event_type)
         |SELECT event_type, exact_users, registers_nonzero,
         |       round(e, 2) AS hll_estimate,
-        |       round((e - exact_users) / exact_users, 4) AS rel_err
+        |       round((round(e, 2) - exact_users) / exact_users, 4) AS rel_err
         |FROM est ORDER BY event_type""".stripMargin,
     "q_skew_salted_join" ->
       """SELECT e.event_id, e.event_type, t.type_total
@@ -3218,6 +3313,96 @@ object RelationalQueries {
         |       round((se1 + se2) * (se1 + se2)
         |             / (se1 * se1 / (n1d - 1.0) + se2 * se2 / (n2d - 1.0)), 4) AS welch_df
         |FROM f""".stripMargin,
+
+    // Four conditional cells in one pass; every displayed value derives
+    // from the quantized integer means, so no round() exists to flip.
+    "q_diff_in_diff" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) // 86400000 AS day,
+        |             CAST(floor(value * 100) AS BIGINT) AS cents
+        |           FROM events),
+        |sp AS (SELECT (min(day) + max(day) + 1) // 2 AS sd FROM e),
+        |cells AS (SELECT user_id % 2 AS arm,
+        |            CASE WHEN day >= sd THEN 1 ELSE 0 END AS post,
+        |            count(*) AS n, CAST(sum(cents) AS BIGINT) AS s
+        |          FROM e CROSS JOIN sp GROUP BY 1, 2),
+        |m AS (SELECT arm, post, (s * 100) // n AS mean_e4 FROM cells),
+        |w AS (SELECT
+        |        max(CASE WHEN arm = 0 AND post = 0 THEN mean_e4 END) AS c00,
+        |        max(CASE WHEN arm = 0 AND post = 1 THEN mean_e4 END) AS c01,
+        |        max(CASE WHEN arm = 1 AND post = 0 THEN mean_e4 END) AS c10,
+        |        max(CASE WHEN arm = 1 AND post = 1 THEN mean_e4 END) AS c11
+        |      FROM m)
+        |SELECT c00 / 1e4 AS ctrl_pre, c01 / 1e4 AS ctrl_post,
+        |       c10 / 1e4 AS treat_pre, c11 / 1e4 AS treat_post,
+        |       (c11 - c10 - (c01 - c00)) / 1e4 AS did
+        |FROM w""".stripMargin,
+
+    // Same closed form; exact integers until the one division.
+    "q_ab_srm" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |a AS (SELECT
+        |        CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS n_a,
+        |        CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS n_b
+        |      FROM u)
+        |SELECT n_a, n_b,
+        |       round(CAST(n_a - n_b AS DOUBLE) * CAST(n_a - n_b AS DOUBLE)
+        |             / CAST(n_a + n_b AS DOUBLE), 6) AS chi2,
+        |       CAST(n_a - n_b AS DOUBLE) * CAST(n_a - n_b AS DOUBLE)
+        |         / CAST(n_a + n_b AS DOUBLE) > 3.841 AS srm_flag
+        |FROM a""".stripMargin,
+
+    // Same decile cuts (quantile_cont ≡ Spark percentile), same
+    // pico-unit quantization before the associative sum.
+    "q_psi" ->
+      """WITH e AS (SELECT epoch_ms(ts) // 86400000 AS day,
+        |             CAST(floor(value * 100) AS BIGINT) AS cents
+        |           FROM events),
+        |sp AS (SELECT (min(day) + max(day) + 1) // 2 AS sd FROM e),
+        |cu AS (SELECT quantile_cont(cents,
+        |                [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS cs
+        |       FROM e),
+        |b AS (SELECT CASE WHEN day < sd THEN 0 ELSE 1 END AS half,
+        |        length(list_filter(cs, c -> c < cents)) AS bin
+        |      FROM e CROSS JOIN sp CROSS JOIN cu),
+        |binned AS (SELECT bin,
+        |             CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        |             CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb
+        |           FROM b GROUP BY 1),
+        |tt AS (SELECT CAST(sum(na) AS BIGINT) AS ta, CAST(sum(nb) AS BIGINT) AS tb
+        |       FROM binned),
+        |sc AS (SELECT bin, na, nb,
+        |         CAST(round((CAST(na AS DOUBLE) / CAST(ta AS DOUBLE)
+        |                     - CAST(nb AS DOUBLE) / CAST(tb AS DOUBLE))
+        |                    * ln((CAST(na AS DOUBLE) / CAST(ta AS DOUBLE))
+        |                         / (CAST(nb AS DOUBLE) / CAST(tb AS DOUBLE)))
+        |                    * 1e12) AS BIGINT) AS pico
+        |       FROM binned CROSS JOIN tt),
+        |t AS (SELECT CAST(sum(pico) AS BIGINT) AS psi_pico FROM sc)
+        |SELECT bin, na, nb, pico / 1e12 AS term,
+        |       ((psi_pico + 500000) // 1000000) / 1e6 AS psi
+        |FROM sc CROSS JOIN t ORDER BY bin""".stripMargin,
+
+    // With every lifetime observed, KM's product limit telescopes to
+    // the exact empirical ratio (N − cum_d)/N — integer counting plus
+    // one division per step.
+    "q_survival_km" ->
+      """WITH life AS (SELECT user_id,
+        |                max(epoch_ms(ts) // 86400000)
+        |                  - min(epoch_ms(ts) // 86400000) AS lifetime
+        |              FROM events GROUP BY user_id),
+        |bt AS (SELECT lifetime AS t, count(*) AS d FROM life GROUP BY 1),
+        |tot AS (SELECT CAST(sum(d) AS BIGINT) AS n_users FROM bt),
+        |c AS (SELECT t, d, n_users,
+        |        CAST(sum(d) OVER (ORDER BY t) AS BIGINT) AS cum_d
+        |      FROM bt CROSS JOIN tot)
+        |SELECT t, d, n_users - cum_d + d AS n_at_risk,
+        |       round(CAST(d AS DOUBLE) / CAST(n_users - cum_d + d AS DOUBLE), 6)
+        |         AS hazard,
+        |       round(CAST(n_users - cum_d AS DOUBLE) / CAST(n_users AS DOUBLE), 6)
+        |         AS survival
+        |FROM c ORDER BY t""".stripMargin,
 
     // The identical integer recurrence as a recursive CTE; the pmod
     // trick makes // and div agree (operands forced even).

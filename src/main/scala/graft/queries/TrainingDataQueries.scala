@@ -828,6 +828,31 @@ object TrainingDataQueries {
         .orderBy("q_id")
     }),
 
+    // Matryoshka-truncation retrieval eval: recall@10 of the FIRST-16-
+    // dims ranking against the full 64-dim exact top-10 — the decision
+    // harness for "can we serve the 4×-cheaper truncated index?"
+    // (Kusupati et al. 2022's MRL serving question, answered with the
+    // same join-and-count shape as ann_recall_eval). Truncation is a
+    // zero-copy `slice` projection; both rankings are the graded
+    // brute-force operator, so the eval adds one left join + one
+    // partial-aggregable count.
+    "ann_matryoshka_eval" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val trunc = emb.select(col("vec_id"),
+        expr("slice(embedding, 1, 16)").as("embedding"))
+      val full = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), 10)
+        .select(col("q_id"), col("c_id"))
+      val tr = Similarity.bruteForceTopK(trunc, trunc.filter(col("vec_id") < 10), 10)
+        .select(col("q_id").as("tq"), col("c_id").as("tc"))
+      full.join(tr,
+          col("q_id") === col("tq") && col("c_id") === col("tc"), "left")
+        .groupBy(col("q_id"))
+        .agg(count(col("tc")).as("hits"))
+        .select(col("q_id"), col("hits"),
+          round(col("hits") / 10.0, 6).as("recall_at_10"))
+        .orderBy("q_id")
+    }),
+
     // Rank-biased overlap (Webber 2010, truncated @10, p = 0.9) between
     // the exact and LSH rankings — recall@k ignores ORDER; RBO weights
     // agreement at the top. Per shared candidate only max(rankA, rankB)
@@ -1431,6 +1456,26 @@ object TrainingDataQueries {
         .select(col("src"),
           pmod(col("src") * 7 + col("k") * 13, lit(n)).as("dst"))
       Graph.pageRank(edges, iterations = 5).orderBy("id")
+    }),
+
+    // Personalized PageRank from the SAME landmark set graph_bfs uses
+    // (doc_id % 50 = 0): rank mass measures proximity to trusted
+    // seeds, the seed-expansion companion of hop distance. Five rounds
+    // of the exact micro-unit integer recurrence with restart mass
+    // confined to the landmarks; the oracle unrolls the identical five
+    // rounds.
+    "graph_ppr" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"))
+      val n = docs.count()
+      val edges = docs
+        .select(col("doc_id").as("src"),
+          explode(array(lit(1L), lit(2L), lit(3L))).as("k"))
+        .select(col("src"),
+          pmod(col("src") * 7 + col("k") * 13, lit(n)).as("dst"))
+      val landmarks = docs.filter(col("doc_id") % 50 === 0)
+      Graph.personalizedPageRank(edges, landmarks, iterations = 5,
+          idCol = "doc_id")
+        .orderBy("id")
     }),
 
     // Degree profile of the same synthetic link graph: out/in multi-edge
@@ -2825,6 +2870,30 @@ object TrainingDataQueries {
          |FROM bft LEFT JOIN lt ON lt.q_id = bft.q_id AND lt.c_id = bft.c_id
          |GROUP BY bft.q_id ORDER BY bft.q_id""".stripMargin,
 
+    // Full-dim vs first-16-dims rankings, same join-and-count recall.
+    "ann_matryoshka_eval" ->
+      s"""WITH $embCte,
+         |q AS (SELECT * FROM e WHERE vec_id < 10),
+         |bf AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         |         round(${cos("q", "c")}, 6) AS cos_sim
+         |       FROM q JOIN e c ON c.vec_id <> q.vec_id),
+         |bfr AS (SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
+         |                ORDER BY cos_sim DESC, c_id) AS rank FROM bf),
+         |bft AS (SELECT q_id, c_id FROM bfr WHERE rank <= 10),
+         |t AS (SELECT vec_id, v[1:16] AS v,
+         |        sqrt(list_inner_product(v[1:16], v[1:16])) AS nrm FROM e),
+         |tq AS (SELECT * FROM t WHERE vec_id < 10),
+         |ts AS (SELECT tq.vec_id AS q_id, c.vec_id AS c_id,
+         |         round(${cos("tq", "c")}, 6) AS cos_sim
+         |       FROM tq JOIN t c ON c.vec_id <> tq.vec_id),
+         |tr AS (SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
+         |               ORDER BY cos_sim DESC, c_id) AS rank FROM ts),
+         |tt AS (SELECT q_id, c_id FROM tr WHERE rank <= 10)
+         |SELECT bft.q_id AS q_id, count(tt.c_id) AS hits,
+         |       round(count(tt.c_id) / 10.0, 6) AS recall_at_10
+         |FROM bft LEFT JOIN tt ON tt.q_id = bft.q_id AND tt.c_id = bft.c_id
+         |GROUP BY bft.q_id ORDER BY bft.q_id""".stripMargin,
+
     // Same two ranked lists, same max(rank) depth expansion, same
     // literal p-power weights.
     "ann_rbo_eval" ->
@@ -3646,7 +3715,9 @@ object TrainingDataQueries {
          |       FROM (SELECT doc_id, unnest($wordsSql) AS word FROM documents) u)
          |SELECT doc_id, count(*) AS n_tokens,
          |       CAST(sum(w.wt_micro) AS BIGINT) AS logit_micro,
-         |       round(CAST(sum(w.wt_micro) AS BIGINT) / count(*) / 1e6, 6) AS score,
+         |       ((CAST(sum(w.wt_micro) AS BIGINT)
+         |         - ((CAST(sum(w.wt_micro) AS BIGINT) % count(*) + count(*))
+         |            % count(*))) // count(*)) / 1e6 AS score,
          |       CAST(sum(w.wt_micro) AS BIGINT) > 0 AS keep
          |FROM tk JOIN wt w USING (bucket)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
@@ -3671,6 +3742,29 @@ object TrainingDataQueries {
          |p0 AS (SELECT id, CAST(1000000 AS BIGINT) AS pr FROM nodes),
          |$iters
          |SELECT id, pr AS pr_micro FROM i5 ORDER BY id""".stripMargin
+    },
+
+    // Five unrolled rounds with the restart term gated on landmark
+    // membership — otherwise identical to the pagerank replay.
+    "graph_ppr" -> {
+      val iters = (1 to 5).map { i =>
+        val prev = if (i == 1) "p0" else s"i${i - 1}"
+        s"""i$i AS (SELECT n.id,
+           |  CAST(n.is_src * 150000 + (85 * coalesce(s$i.m, 0)) // 100 AS BIGINT) AS pr
+           |  FROM nodes n LEFT JOIN (
+           |    SELECT e.dst AS id, CAST(sum(p.pr // d.deg) AS BIGINT) AS m
+           |    FROM e JOIN $prev p ON e.src = p.id JOIN od d ON e.src = d.src
+           |    GROUP BY e.dst) s$i ON n.id = s$i.id)"""
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT doc_id AS src,
+         |             (doc_id * 7 + k * 13) % (SELECT count(*) FROM documents) AS dst
+         |           FROM documents CROSS JOIN (SELECT unnest([1, 2, 3]) AS k) ks),
+         |nodes AS (SELECT id, CASE WHEN id % 50 = 0 THEN 1 ELSE 0 END AS is_src
+         |          FROM (SELECT src AS id FROM e UNION SELECT dst FROM e)),
+         |od AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+         |p0 AS (SELECT id, CAST(is_src * 1000000 AS BIGINT) AS pr FROM nodes),
+         |$iters
+         |SELECT id, pr AS ppr_micro FROM i5 ORDER BY id""".stripMargin
     },
 
     "graph_degrees" ->

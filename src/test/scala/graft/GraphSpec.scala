@@ -149,4 +149,27 @@ class GraphSpec extends SparkSpec {
     // k above the max degree: empty result, not an error
     assert(Graph.kCore(edges, k = 10, rounds = 3).count() === 0L)
   }
+
+  test("personalizedPageRank: mass flows FROM sources only; non-source restart is 0") {
+    // chain 1->2->3 plus isolated pair 4->5 (no path from the source 1)
+    val edges = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("src", "dst")
+    val got = Graph.personalizedPageRank(edges, Seq(1L).toDF("id"),
+        iterations = 5)
+      .as[(Long, Long)].collect().toMap
+    // replay the integer recurrence by hand: base=150000 on source only
+    var pr = Map(1L -> 1000000L, 2L -> 0L, 3L -> 0L, 4L -> 0L, 5L -> 0L)
+    val out = Map(1L -> Seq(2L), 2L -> Seq(3L), 4L -> Seq(5L))
+    (1 to 5).foreach { _ =>
+      val m = out.toSeq.flatMap { case (u, vs) =>
+        vs.map(v => v -> pr(u) / vs.size) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      pr = pr.keys.map(v => v ->
+        ((if (v == 1L) 150000L else 0L) + 85L * m.getOrElse(v, 0L) / 100L)).toMap
+    }
+    assert(got === pr, s"got $got expected $pr")
+    // nothing reaches the disconnected pair
+    assert(got(4L) === 0L && got(5L) === 0L)
+    // mass decays along the chain but reaches node 3
+    assert(got(1L) > got(2L) && got(2L) > got(3L) && got(3L) > 0L)
+  }
 }

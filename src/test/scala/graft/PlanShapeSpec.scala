@@ -138,4 +138,28 @@ class PlanShapeSpec extends SparkSpec {
         "source predicate leaked into the data filters:\n" + pushed)
     }
   }
+
+  test("registry sweep: no ScalaUDF / Python eval in ANY graded batch plan") {
+    // The repo-wide codegen contract ("functions, not UDFs") enforced
+    // mechanically over the ENTIRE registry: every scalar computation
+    // must lower to built-ins or native graft Expressions. Typed
+    // Aggregators (ObjectHashAggregate buffers) and mapPartitions codec
+    // work are allowed by design — this asserts only that no per-row
+    // scalar ScalaUDF/Python eval sneaks into a hot path. Streaming
+    // queries are excluded (constructing one EXECUTES it; their shapes
+    // are covered by StreamingSpec + the graded runs).
+    val skip = (n: String) => n.startsWith("stream_")
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(skip)
+      .flatMap { name =>
+        val p = try formatted(name) catch {
+          case e: Throwable => s"PLAN-FAILED: ${e.getMessage}"
+        }
+        if (p.contains("ScalaUDF") || p.contains("BatchEvalPython") ||
+            p.startsWith("PLAN-FAILED")) Some(name -> p.take(200))
+        else None
+      }
+    assert(offenders.isEmpty,
+      s"queries with UDF/Python eval or unplannable:\n${offenders.mkString("\n")}")
+  }
 }
