@@ -1720,6 +1720,51 @@ object RelationalQueries {
         ((col("1_1") - col("1_0") - (col("0_1") - col("0_0"))) / 1e4).as("did"))
     }),
 
+    // Poisson bootstrap CI for the mean — THE scalable bootstrap
+    // (Chamandy et al., Google 2012): instead of resampling n rows B
+    // times (impossible distributed), each row draws an independent
+    // Poisson(1) weight per replicate — one pass, B counters per
+    // partition, fully partial-aggregable at 100 TB. Weights come from
+    // the md5-seeded inverse CDF (the data_dp_noise replayability
+    // device: a real release swaps in a CSPRNG); the cumulative
+    // thresholds are shared literals, so both engines draw identical
+    // weights. Replicate sums are exact longs; each replicate mean is
+    // one double division; the CI is one percentile over B=48 values.
+    "q_bootstrap_ci" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .select(col("event_id"), floor(col("value") * 100).cast("long").as("cents"))
+      val reps = e.select(col("event_id"), col("cents"),
+          explode(expr("sequence(0, 47)")).as("b"))
+        .withColumn("u", expr(
+          """cast(conv(substr(md5(concat(cast(event_id as string), '|',
+            |  cast(b as string))), 1, 12), 16, 10) as double)""".stripMargin)
+          / lit(281474976710656.0))
+        .withColumn("w", when(col("u") < 0.36787944117144233, 0L)
+          .when(col("u") < 0.7357588823428847, 1L)
+          .when(col("u") < 0.9196986029286058, 2L)
+          .when(col("u") < 0.9810118431238462, 3L)
+          .when(col("u") < 0.9963401531726563, 4L)
+          .when(col("u") < 0.9994058151824183, 5L)
+          .when(col("u") < 0.9999167588507119, 6L)
+          .when(col("u") < 0.9999897508033253, 7L).otherwise(8L))
+      val repMeans = reps.groupBy(col("b"))
+        .agg(sum(col("w")).as("n"), sum(col("w") * col("cents")).as("sc"))
+        .select(col("b"),
+          (col("sc").cast("double") / col("n").cast("double")).as("m"))
+      val ci = repMeans.agg(
+        expr("percentile(m, array(0.025D, 0.975D))").as("ci"),
+        count(lit(1)).as("n_replicates"))
+      val base = e.agg(count(lit(1)).as("n"), sum(col("cents")).as("sc"))
+      base.crossJoin(broadcast(ci))
+        .select(col("n"),
+          // exact integer point mean in 1e-4 cents (the half-digit-safe
+          // form)
+          (expr("(sc * 10000) div n") / 1e4).as("point_mean_cents"),
+          round(col("ci").getItem(0), 4).as("ci_lo_cents"),
+          round(col("ci").getItem(1), 4).as("ci_hi_cents"),
+          col("n_replicates"))
+    }),
+
     // Sample-ratio-mismatch guard — the first sanity gate of every A/B
     // readout (a biased assignment invalidates q_diff_in_diff/q_cuped
     // before any effect math). For a 50/50 design the 1-dof chi-square
@@ -3336,6 +3381,41 @@ object RelationalQueries {
         |       c10 / 1e4 AS treat_pre, c11 / 1e4 AS treat_post,
         |       (c11 - c10 - (c01 - c00)) / 1e4 AS did
         |FROM w""".stripMargin,
+
+    // Same md5-seeded Poisson draws (shared CDF literals), same exact
+    // replicate sums; quantile_cont ≡ Spark percentile interpolation.
+    "q_bootstrap_ci" ->
+      """WITH e AS (SELECT event_id,
+        |             CAST(floor(value * 100) AS BIGINT) AS cents
+        |           FROM events),
+        |r AS (SELECT event_id, cents, b,
+        |        CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR) || '|' ||
+        |                                 CAST(b AS VARCHAR)), 1, 12))::BIGINT
+        |             AS DOUBLE) / 281474976710656.0 AS u
+        |      FROM e CROSS JOIN
+        |        (SELECT unnest(generate_series(0, 47)) AS b) bs),
+        |w AS (SELECT b, cents,
+        |        CASE WHEN u < 0.36787944117144233 THEN 0
+        |             WHEN u < 0.7357588823428847 THEN 1
+        |             WHEN u < 0.9196986029286058 THEN 2
+        |             WHEN u < 0.9810118431238462 THEN 3
+        |             WHEN u < 0.9963401531726563 THEN 4
+        |             WHEN u < 0.9994058151824183 THEN 5
+        |             WHEN u < 0.9999167588507119 THEN 6
+        |             WHEN u < 0.9999897508033253 THEN 7
+        |             ELSE 8 END AS w
+        |      FROM r),
+        |rm AS (SELECT b, CAST(sum(w * cents) AS DOUBLE)
+        |                 / CAST(sum(w) AS DOUBLE) AS m
+        |       FROM w GROUP BY b),
+        |ci AS (SELECT quantile_cont(m, [0.025, 0.975]) AS ci,
+        |         count(*) AS n_replicates FROM rm),
+        |base AS (SELECT count(*) AS n, CAST(sum(cents) AS BIGINT) AS sc FROM e)
+        |SELECT n, ((sc * 10000) // n) / 1e4 AS point_mean_cents,
+        |       round(ci[1], 4) AS ci_lo_cents,
+        |       round(ci[2], 4) AS ci_hi_cents,
+        |       n_replicates
+        |FROM base CROSS JOIN ci""".stripMargin,
 
     // Same closed form; exact integers until the one division.
     "q_ab_srm" ->
