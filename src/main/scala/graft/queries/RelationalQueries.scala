@@ -1906,6 +1906,41 @@ object RelationalQueries {
         .orderBy(col("c_nationkey"), col("c_mktsegment"))
     }),
 
+    // l-diversity audit — k-anonymity's stronger sibling: a QI group
+    // can be large (k-safe) yet expose its members if everyone shares
+    // the SAME sensitive value. Per (nation, segment) group: distinct
+    // sensitive values (order priority of the members' orders) and the
+    // frequency of the modal value; l = min distinct, and groups where
+    // one value dominates (> 80%) flag even when k passes. Two stacked
+    // partial-aggregable HashAggregates (group × value, then group)
+    // with the packed-BIGINT argmax — bounded by |QI| × |values|.
+    "q_l_diversity" -> ((s, dir) => {
+      val pack = 1L << 31
+      val joined = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"))
+        .join(Tables.orders(s, dir)
+          .select(col("o_custkey"), col("o_orderpriority")),
+          col("c_custkey") === col("o_custkey"))
+      val byVal = joined
+        .groupBy(col("c_nationkey"), col("c_mktsegment"),
+          col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"))
+      // priority rank 1..5 from its leading digit keeps the argmax pack
+      // numeric without hashing the string
+      val g = byVal
+        .withColumn("pv", substring(col("o_orderpriority"), 1, 1).cast("long"))
+        .groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("l_distinct"),
+          sum(col("cnt")).as("n_rows"),
+          max(col("cnt") * lit(pack) + (lit(pack - 1) - col("pv"))).as("packed"))
+      g.select(col("c_nationkey"), col("c_mktsegment"),
+          col("l_distinct"), col("n_rows"),
+          expr(s"packed div $pack").as("modal_cnt"),
+          (lit(pack - 1) - pmod(col("packed"), lit(pack))).as("modal_priority"),
+          (expr(s"packed div $pack") * 5 > col("n_rows") * 4).as("dominance_flag"))
+        .orderBy(col("c_nationkey"), col("c_mktsegment"))
+    }),
+
     // Maximum drawdown of the cumulative daily revenue curve — the
     // risk-analytics classic (peak-to-trough drop of a running series).
     // The fact table collapses to the DAILY rollup first; cumulative
@@ -2105,6 +2140,80 @@ object RelationalQueries {
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
           .as("revenue"))
         .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
+    // TPC-H Q7 shape — volume shipping between two nations: the
+    // DISJUNCTIVE cross-nation predicate ((n1, n2) ∈ {(A,B), (B,A)})
+    // rides entirely in the two BROADCAST nation joins, so neither fact
+    // table ever shuffles against a dimension; the only data-sized
+    // exchanges are lineitem⋈orders and orders⋈customer on their
+    // natural keys, and the shipdate range pushes into the lineitem
+    // scan. Revenue in exact cents (the money-sum audit's BIGINT path):
+    // price·(1−disc) is a 4-decimal-exact value, so scaling by 10⁴
+    // before the sum makes the aggregate associative-exact.
+    "q7_volume_shipping" -> ((s, dir) => {
+      val n1 = Tables.nation(s, dir)
+        .filter(col("n_name").isin("NATION_1", "NATION_2"))
+        .select(col("n_nationkey").as("s_natkey"), col("n_name").as("supp_nation"))
+      val n2 = Tables.nation(s, dir)
+        .filter(col("n_name").isin("NATION_1", "NATION_2"))
+        .select(col("n_nationkey").as("c_natkey"), col("n_name").as("cust_nation"))
+      val li = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .select(col("l_orderkey"), col("l_suppkey"), year(col("l_shipdate")).as("l_year"),
+          (floor(col("l_extendedprice") * 100).cast("long") *
+            (lit(10000L) - floor(col("l_discount") * 10000).cast("long")))
+            .as("vol_e6"))
+      val sup = Tables.supplier(s, dir).select(col("s_suppkey"), col("s_nationkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("s_natkey"))
+        .select(col("s_suppkey"), col("supp_nation"))
+      val cust = Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"))
+        .join(broadcast(n2), col("c_nationkey") === col("c_natkey"))
+        .select(col("c_custkey"), col("cust_nation"))
+      val ord = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+      li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+        // decimal accumulator: Σ cents·1e4 crosses BIGINT ~sf100
+        .agg((sum(col("vol_e6").cast("decimal(38,0)")).cast("double") / 1e6)
+          .as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    }),
+
+    // TPC-H Q10 shape — returned-item revenue ranking: one quarter of
+    // orders, only returned lines (flag pushed to the lineitem scan),
+    // revenue per customer with the nation dim broadcast; top 20 via
+    // TakeOrderedAndProject. Exact-cents revenue like Q7.
+    "q10_returned_items" -> ((s, dir) => {
+      val ord = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val li = Tables.lineitem(s, dir)
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"),
+          (floor(col("l_extendedprice") * 100).cast("long") *
+            (lit(10000L) - floor(col("l_discount") * 10000).cast("long")))
+            .as("vol_e6"))
+      val cust = Tables.customer(s, dir)
+        .join(broadcast(Tables.nation(s, dir)
+          .select(col("n_nationkey"), col("n_name"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_name"),
+          floor(col("c_acctbal") * 100).cast("long").as("acctbal_cents"),
+          col("n_name"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("acctbal_cents"), col("n_name"))
+        .agg(sum(col("vol_e6").cast("decimal(38,0)")).as("rev_e6"))
+        .select(col("c_custkey"), col("c_name"),
+          (col("rev_e6").cast("double") / 1e6).as("revenue"),
+          (col("acctbal_cents") / 100.0).as("c_acctbal"), col("n_name"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
     }),
 
     // TPC-H Q18 shape — large-volume orders: the HAVING-filtered
@@ -3562,6 +3671,24 @@ object RelationalQueries {
         |FROM g CROSS JOIN t
         |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
 
+    // Same packed-BIGINT modal argmax (count·2^31 + (2^31−1−priority)).
+    "q_l_diversity" ->
+      """WITH j AS (SELECT c_nationkey, c_mktsegment, o_orderpriority
+        |           FROM customer JOIN orders ON c_custkey = o_custkey),
+        |bv AS (SELECT c_nationkey, c_mktsegment, o_orderpriority,
+        |         count(*) AS cnt,
+        |         CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS pv
+        |       FROM j GROUP BY 1, 2, 3),
+        |g AS (SELECT c_nationkey, c_mktsegment,
+        |        count(*) AS l_distinct, CAST(sum(cnt) AS BIGINT) AS n_rows,
+        |        max(cnt * 2147483648 + (2147483647 - pv)) AS packed
+        |      FROM bv GROUP BY 1, 2)
+        |SELECT c_nationkey, c_mktsegment, l_distinct, n_rows,
+        |       CAST(packed // 2147483648 AS BIGINT) AS modal_cnt,
+        |       CAST(2147483647 - packed % 2147483648 AS BIGINT) AS modal_priority,
+        |       (packed // 2147483648) * 5 > n_rows * 4 AS dominance_flag
+        |FROM g ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+
     "q_drawdown" ->
       """WITH daily AS (SELECT epoch_ms(ts) // 86400000 AS day,
         |                 CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
@@ -3688,6 +3815,50 @@ object RelationalQueries {
         |             / CAST(p.rev_cents AS DOUBLE), 6) AS yoy_growth
         |FROM mth m LEFT JOIN mth p ON p.ym = m.ym - 100
         |ORDER BY m.ym""".stripMargin,
+
+    // Same exact-cents volume units (cents · discount-e4 = 1e-6
+    // dollars), HUGEINT sum, one division.
+    "q7_volume_shipping" ->
+      """WITH li AS (SELECT l_orderkey, l_suppkey,
+        |              CAST(year(l_shipdate) AS INT) AS l_year,
+        |              CAST(floor(l_extendedprice * 100) AS BIGINT)
+        |                * (10000 - CAST(floor(l_discount * 10000) AS BIGINT))
+        |                AS vol_e6
+        |            FROM lineitem
+        |            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |              AND l_shipdate < TIMESTAMP '1998-01-01')
+        |SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, l_year,
+        |       CAST(sum(vol_e6) AS DOUBLE) / 1e6 AS revenue
+        |FROM li
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+        |  AND n2.n_name IN ('NATION_1', 'NATION_2')
+        |  AND n1.n_name <> n2.n_name
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "q10_returned_items" ->
+      """WITH li AS (SELECT l_orderkey,
+        |              CAST(floor(l_extendedprice * 100) AS BIGINT)
+        |                * (10000 - CAST(floor(l_discount * 10000) AS BIGINT))
+        |                AS vol_e6
+        |            FROM lineitem WHERE l_returnflag = 'R'),
+        |o AS (SELECT o_orderkey, o_custkey FROM orders
+        |      WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |        AND o_orderdate < TIMESTAMP '1996-04-01'),
+        |g AS (SELECT c_custkey, c_name,
+        |        CAST(floor(c_acctbal * 100) AS BIGINT) AS acctbal_cents,
+        |        n_name, CAST(sum(vol_e6) AS HUGEINT) AS rev_e6
+        |      FROM li JOIN o ON l_orderkey = o_orderkey
+        |      JOIN customer ON o_custkey = c_custkey
+        |      JOIN nation ON c_nationkey = n_nationkey
+        |      GROUP BY 1, 2, 3, 4)
+        |SELECT c_custkey, c_name, CAST(rev_e6 AS DOUBLE) / 1e6 AS revenue,
+        |       acctbal_cents / 100.0 AS c_acctbal, n_name
+        |FROM g ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
 
     "q5_local_supplier" ->
       """SELECT n_name,

@@ -110,6 +110,21 @@ object PlanDump {
     "q_new_vs_returning" -> "distinct (user, day) collapses map-side; first-seen min joins back on the SAME user_id shuffle axis; the daily split is a second HashAggregate — no window over events",
     "text_pii_audit" -> "regexp counts are a single codegen projection over the scan; the per-source rollup is one partial-aggregable HashAggregate — the redaction rewrite never runs",
     "data_split_audit" -> "one partial-aggregable count to |3| split rows; coverage and permille drift are broadcast algebra — the audit costs one scan",
+    "q_hll_sketch" -> "replayable HLL: register build is ONE partial-aggregable max per (group, bucket) — map-side combine collapses each partition to ≤256 rows, so the sketch merges by construction; the 2^60-scaled harmonic sum is an exact decimal aggregate over the 256-row spine, and the raw-vs-linear-counting branch is a 1-row projection",
+    "q_auc" -> "Mann-Whitney AUC: the fact table collapses to per-VALUE (count, positives) first (output bounded by distinct values); tie-corrected ranks ride Sweep.runningSum (range partition + P driver longs — no single-partition window); U2 is one exact BIGINT aggregate and AUC one division",
+    "q_psi" -> "PSI drift: decile cuts broadcast from ONE percentile aggregate (no ntile window over events); per-bin shares are exact counts; the (p−q)·ln(p/q) terms quantize to pico BIGINTs before the associative total — the js_divergence discipline",
+    "q_holt" -> "Holt smoothing: the fact table collapses to the calendar-bounded daily rollup FIRST (partial-aggregable); the sequential recurrence folds once over the collected ≤2.4k-row series in exact integer cents with engine-agnostic floor-halving",
+    "q_survival_km" -> "KM survivor curve: per-user (first,last) in one partial-aggregable pass; the curve lives on the ≤|distinct lifetime| grid, so the unpartitioned cum window is dimension-bounded; every survival/hazard value is one exact integer ratio",
+    "q_diff_in_diff" -> "DiD: four conditional cells from ONE aggregation pass over exact cents; every displayed value derives from quantized integer means — constant-size after the first aggregate, no round() anywhere",
+    "q_bootstrap_ci" -> "Poisson bootstrap: per-row md5-seeded Poisson(1) weights per replicate — ONE pass, B=48 counters per partition, fully partial-aggregable (never resampling n rows B times); the CI is one percentile over the 48-row replicate table",
+    "q_ab_srm" -> "SRM guard: one distinct-user aggregate; the 50/50 chi-square collapses algebraically to (a−b)²/N — 1-row algebra after the count",
+    "graph_kcore" -> "k-core peel: per round two equi-joins of the once-materialized edge set against the shrinking alive set + one map-side-combined degree count; alive sets checkpoint each round (the bfs lineage policy)",
+    "graph_ppr" -> "personalized PageRank: pageRank's per-round join/agg shape with restart mass gated on a dimension-sized membership marker; all-BIGINT micro-unit arithmetic, loop invariants materialized once",
+    "ann_matryoshka_eval" -> "matryoshka eval: truncation is a zero-copy slice projection; both rankings are the graded brute-force broadcast-query × corpus-scan path; the eval adds one left join + one partial-aggregable count",
+    "multimodal_scene_cut" -> "scene cut: real decode in mapPartitions (codec amortized per task), then a lag window PARTITIONED BY media (4 rows each — never corpus-wide); integer channel deltas with one exact div by w·h",
+    "q7_volume_shipping" -> "TPC-H Q7: the disjunctive cross-nation predicate rides in two BROADCAST nation joins (no fact-side shuffle against dimensions); only lineitem⋈orders and orders⋈customer exchange on natural keys; shipdate range pushed to the lineitem scan; revenue in exact 1e-6-dollar units summed in decimal",
+    "q10_returned_items" -> "TPC-H Q10: returnflag pushed to the lineitem scan, quarter filter to orders; the nation dim broadcasts; top-20 via TakeOrderedAndProject after a partial-aggregable revenue rollup in exact units",
+    "q_l_diversity" -> "l-diversity: two stacked fixed-width HashAggregates ((QI, value) counts, then the packed-BIGINT modal argmax) — bounded by |QI|·|values|, no window over raw rows",
     "pipeline_curation_v3" -> "composite cost audit (2.9 s isolated at sf0.1, vs 2.3 s in r5): the delta is connectedComponents' r6 reliability protocol — convergence now proves itself via a label-sum fixpoint (one extra aggregate job per round) and every cut is restart-safe, worth the 2 small jobs/round on a bounded graded fixture and negligible against real data volumes; the dataflow itself is unchanged — exact-dup groupBy, banded minhash join, per-source percent_rank, novelty semi-join, all partial-aggregable with the pair graph cut ONCE before the loop")
 
   def main(args: Array[String]): Unit = {
