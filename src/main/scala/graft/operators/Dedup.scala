@@ -651,13 +651,16 @@ object Dedup {
     * the alphabet/format, NOT of corpus size), and every candidate is
     * verified by the exact codegen [[graft.plans.JaroWinkler]].
     *
-    * Contract: lossless for τ ≥ 0.97 over strings of (near-)uniform
-    * length ≤ 26 — identifier-shaped columns (names, SKUs, codes).
-    * Length-(L, L+1) pairs are covered (m₀ ≥ L forces containment,
-    * which the 0/1-deletion keys meet); length gaps ≥ 2 or L > 26
-    * would need the k-deletion neighborhood, which grows L^k — chain a
-    * stronger blocking key first at that point, exactly the
-    * [[editDistancePairs]] guidance.
+    * Contract: lossless for τ ≥ 0.97 over strings of UNIFORM length
+    * L ≤ 26 — identifier-shaped columns (names, SKUs, codes). Mixed
+    * lengths are covered ONLY for |Δlen| = 1 with L ≤ 19: there
+    * m₀ = ⌈1.85·L(L+1)/(2L+1)⌉ ≥ L forces containment, which the
+    * 0/1-deletion keys meet — but m₀ drops below L at L = 20
+    * (⌈18.95⌉ = 19 < 20), so a length-(20, 21) pair can clear τ with
+    * overlap L−1 and NO containment, sharing no key. Length gaps ≥ 2,
+    * L > 26, or mixed lengths at 20 ≤ L ≤ 26 need the k-deletion
+    * neighborhood, which grows L^k — chain a stronger blocking key
+    * first at that point, exactly the [[editDistancePairs]] guidance.
     *
     * The threshold test lives INSIDE an exploded when/array CASE
     * generator rather than a .filter() above the projection: Catalyst

@@ -93,8 +93,11 @@ object Graph {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .localCheckpoint()
     val src = sources.select(col(idCol).as("id")).distinct()
+    // Node spine = edge endpoints ∪ SOURCES: an isolated seed (no
+    // edges at all) still carries its restart mass — ppr = base —
+    // rather than silently vanishing from the output.
     val nodes = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).distinct()
+      .union(e.select(col("dst").as("id"))).union(src).distinct()
       .join(src.withColumn("is_src", lit(1L)), Seq("id"), "left")
       .select(col("id"), coalesce(col("is_src"), lit(0L)).as("is_src"))
       .localCheckpoint()

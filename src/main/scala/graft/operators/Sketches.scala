@@ -71,4 +71,56 @@ object Sketches {
       (lit(256L) - col("v0")).as("registers_nonzero"),
       round(est, 2).as("hll_estimate"))
   }
+
+  /** DuckDB replay of [[hllRegisters]] + the register/harmonic half of
+    * [[hllEstimate]], shared by every HLL oracle (q_hll_sketch AND
+    * stream_hll) so the replay cannot drift from the one Spark
+    * implementation above. Emits CTEs `h → r0 → r1 → reg → spine →
+    * regs → agg` over the `events` fixture table, grouped by
+    * event_type, hashing user_id; `agg` exposes (event_type, ssum,
+    * v0). The caller appends its own final SELECT using
+    * [[oracleEstimateExpr]]. */
+  val oracleCtes: String =
+    """h AS (SELECT event_type,
+      |        md5(CAST(user_id AS VARCHAR)) AS hx
+      |      FROM events),
+      |r0 AS (SELECT event_type,
+      |         16 * (strpos('0123456789abcdef', substr(hx, 1, 1)) - 1)
+      |           + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) AS bucket,
+      |         ltrim(substr(hx, 3, 14), '0') AS stripped
+      |       FROM h),
+      |r1 AS (SELECT event_type, bucket,
+      |         CASE WHEN stripped = '' THEN 57
+      |              ELSE 4 * (14 - length(stripped))
+      |                + (4 - CASE WHEN strpos('0123456789abcdef',
+      |                                        substr(stripped, 1, 1)) - 1 >= 8 THEN 4
+      |                           WHEN strpos('0123456789abcdef',
+      |                                        substr(stripped, 1, 1)) - 1 >= 4 THEN 3
+      |                           WHEN strpos('0123456789abcdef',
+      |                                        substr(stripped, 1, 1)) - 1 >= 2 THEN 2
+      |                           ELSE 1 END) + 1 END AS rho
+      |       FROM r0),
+      |reg AS (SELECT event_type, bucket, max(rho) AS mreg
+      |        FROM r1 GROUP BY 1, 2),
+      |spine AS (SELECT event_type, bucket
+      |          FROM (SELECT DISTINCT event_type FROM events)
+      |          CROSS JOIN (SELECT unnest(generate_series(0, 255)) AS bucket)),
+      |regs AS (SELECT s.event_type, coalesce(reg.mreg, 0) AS mreg
+      |         FROM spine s LEFT JOIN reg
+      |           ON reg.event_type = s.event_type AND reg.bucket = s.bucket),
+      |agg AS (SELECT event_type,
+      |          sum(CAST(1 AS BIGINT) << (60 - mreg)) AS ssum,
+      |          sum(CASE WHEN mreg = 0 THEN 1 ELSE 0 END) AS v0
+      |        FROM regs GROUP BY 1)""".stripMargin
+
+  /** The estimate expression over `agg`'s (ssum, v0) — α·m²·2^60/Σ
+    * with the linear-counting small-range branch; literal sequence
+    * matches [[hllEstimate]] exactly. */
+  val oracleEstimateExpr: String =
+    """CASE WHEN 0.7213 / (1.0 + 1.079 / 256.0) * 65536.0
+      |            * 1152921504606846976.0 / CAST(ssum AS DOUBLE) <= 640.0
+      |          AND v0 > 0
+      |     THEN 256.0 * ln(256.0 / CAST(v0 AS DOUBLE))
+      |     ELSE 0.7213 / (1.0 + 1.079 / 256.0) * 65536.0
+      |            * 1152921504606846976.0 / CAST(ssum AS DOUBLE) END""".stripMargin
 }

@@ -696,48 +696,14 @@ object ParityQueries {
         |WHERE window_start_ms + 3600000 <= wf
         |ORDER BY window_start_ms, event_type""".stripMargin,
 
-    // The batch HLL replay (q_hll_sketch's oracle without the exact
-    // comparison columns): register max is merge-safe, so accumulating
-    // across micro-batches must land on the identical registers.
+    // The batch HLL replay (shared CTEs from Sketches.oracleCtes, next
+    // to the one Spark implementation): register max is merge-safe, so
+    // accumulating across micro-batches must land on the identical
+    // registers.
     "stream_hll" ->
-      """WITH h AS (SELECT event_type,
-        |             md5(CAST(user_id AS VARCHAR)) AS hx
-        |           FROM events),
-        |r0 AS (SELECT event_type,
-        |         16 * (strpos('0123456789abcdef', substr(hx, 1, 1)) - 1)
-        |           + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) AS bucket,
-        |         ltrim(substr(hx, 3, 14), '0') AS stripped
-        |       FROM h),
-        |r1 AS (SELECT event_type, bucket,
-        |         CASE WHEN stripped = '' THEN 57
-        |              ELSE 4 * (14 - length(stripped))
-        |                + (4 - CASE WHEN strpos('0123456789abcdef',
-        |                                        substr(stripped, 1, 1)) - 1 >= 8 THEN 4
-        |                           WHEN strpos('0123456789abcdef',
-        |                                        substr(stripped, 1, 1)) - 1 >= 4 THEN 3
-        |                           WHEN strpos('0123456789abcdef',
-        |                                        substr(stripped, 1, 1)) - 1 >= 2 THEN 2
-        |                           ELSE 1 END) + 1 END AS rho
-        |       FROM r0),
-        |reg AS (SELECT event_type, bucket, max(rho) AS mreg
-        |        FROM r1 GROUP BY 1, 2),
-        |spine AS (SELECT event_type, bucket
-        |          FROM (SELECT DISTINCT event_type FROM events)
-        |          CROSS JOIN (SELECT unnest(generate_series(0, 255)) AS bucket)),
-        |regs AS (SELECT s.event_type, coalesce(reg.mreg, 0) AS mreg
-        |         FROM spine s LEFT JOIN reg
-        |           ON reg.event_type = s.event_type AND reg.bucket = s.bucket),
-        |agg AS (SELECT event_type,
-        |          sum(CAST(1 AS BIGINT) << (60 - mreg)) AS ssum,
-        |          sum(CASE WHEN mreg = 0 THEN 1 ELSE 0 END) AS v0
-        |        FROM regs GROUP BY 1)
-        |SELECT event_type, CAST(256 - v0 AS BIGINT) AS registers_nonzero,
-        |       round(CASE WHEN 0.7213 / (1.0 + 1.079 / 256.0) * 65536.0
-        |                         * 1152921504606846976.0 / CAST(ssum AS DOUBLE)
-        |                       <= 640.0 AND v0 > 0
-        |                  THEN 256.0 * ln(256.0 / CAST(v0 AS DOUBLE))
-        |                  ELSE 0.7213 / (1.0 + 1.079 / 256.0) * 65536.0
-        |                         * 1152921504606846976.0 / CAST(ssum AS DOUBLE) END,
-        |             2) AS hll_estimate
-        |FROM agg ORDER BY event_type""".stripMargin)
+      s"""WITH ${graft.operators.Sketches.oracleCtes}
+         |SELECT event_type, CAST(256 - v0 AS BIGINT) AS registers_nonzero,
+         |       round(${graft.operators.Sketches.oracleEstimateExpr},
+         |             2) AS hll_estimate
+         |FROM agg ORDER BY event_type""".stripMargin)
 }

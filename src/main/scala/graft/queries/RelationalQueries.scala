@@ -1709,7 +1709,9 @@ object RelationalQueries {
           col("cents"))
         .groupBy(col("arm"), col("post"))
         .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"))
-        .withColumn("mean_e4", expr("(s * 100) div n"))
+        // pmod-subtraction: truncating div ≡ floor even for a negative
+        // cents sum (refund-heavy cells), matching the oracle's //
+        .withColumn("mean_e4", expr("(s * 100 - pmod(s * 100, n)) div n"))
       val wide = cells.groupBy()
         .pivot(concat(col("arm"), lit("_"), col("post")),
           Seq("0_0", "0_1", "1_0", "1_1"))
@@ -1758,8 +1760,9 @@ object RelationalQueries {
       base.crossJoin(broadcast(ci))
         .select(col("n"),
           // exact integer point mean in 1e-4 cents (the half-digit-safe
-          // form)
-          (expr("(sc * 10000) div n") / 1e4).as("point_mean_cents"),
+          // form; pmod-subtraction keeps div ≡ floor for negative sums)
+          (expr("(sc * 10000 - pmod(sc * 10000, n)) div n") / 1e4)
+            .as("point_mean_cents"),
           round(col("ci").getItem(0), 4).as("ci_lo_cents"),
           round(col("ci").getItem(1), 4).as("ci_hi_cents"),
           col("n_replicates"))
@@ -1816,14 +1819,23 @@ object RelationalQueries {
       val scored = binned.crossJoin(broadcast(tot))
         .withColumn("p", col("na").cast("double") / col("ta").cast("double"))
         .withColumn("q", col("nb").cast("double") / col("tb").cast("double"))
+        // An EMPTY half-bin makes the textbook term infinite (ln of 0
+        // or of ∞) — precisely the total-drift case. Flag it instead
+        // of letting ±Inf corrupt the BIGINT sum (Spark) or crash the
+        // cast (DuckDB): the flag IS the alarm, and finite bins still
+        // report their mass.
+        .withColumn("empty_bin", col("na") === 0 || col("nb") === 0)
         .withColumn("pico",
-          round((col("p") - col("q")) * log(col("p") / col("q")) * 1e12, 0)
-            .cast("long"))
-      val t = scored.agg(sum(col("pico")).as("psi_pico"))
+          when(col("empty_bin"), lit(0L)).otherwise(
+            round((col("p") - col("q")) * log(col("p") / col("q")) * 1e12, 0)
+              .cast("long")))
+      val t = scored.agg(sum(col("pico")).as("psi_pico"),
+        max(col("empty_bin")).as("psi_truncated"))
       scored.crossJoin(broadcast(t))
-        .select(col("bin"), col("na"), col("nb"),
+        .select(col("bin"), col("na"), col("nb"), col("empty_bin"),
           (col("pico") / 1e12).as("term"),
-          (expr("(psi_pico + 500000) div 1000000") / 1e6).as("psi"))
+          (expr("(psi_pico + 500000) div 1000000") / 1e6).as("psi"),
+          col("psi_truncated"))
         .orderBy("bin")
     }),
 
@@ -2549,53 +2561,21 @@ object RelationalQueries {
     // Replays the EXACT register construction: same md5 string algebra
     // (leading-'0' hex count + first nonzero digit's bit length), same
     // 2^60-scaled integer harmonic sum, same literal constant sequence.
+    // The register/estimate replay lives next to the Spark
+    // implementation (Sketches.oracleCtes) and is shared with
+    // stream_hll's oracle, so the two graded replays cannot drift.
     "q_hll_sketch" ->
-      """WITH h AS (SELECT event_type,
-        |             md5(CAST(user_id AS VARCHAR)) AS hx
-        |           FROM events),
-        |r0 AS (SELECT event_type,
-        |         16 * (strpos('0123456789abcdef', substr(hx, 1, 1)) - 1)
-        |           + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) AS bucket,
-        |         ltrim(substr(hx, 3, 14), '0') AS stripped
-        |       FROM h),
-        |r1 AS (SELECT event_type, bucket,
-        |         CASE WHEN stripped = '' THEN 57
-        |              ELSE 4 * (14 - length(stripped))
-        |                + (4 - CASE WHEN strpos('0123456789abcdef',
-        |                                        substr(stripped, 1, 1)) - 1 >= 8 THEN 4
-        |                           WHEN strpos('0123456789abcdef',
-        |                                        substr(stripped, 1, 1)) - 1 >= 4 THEN 3
-        |                           WHEN strpos('0123456789abcdef',
-        |                                        substr(stripped, 1, 1)) - 1 >= 2 THEN 2
-        |                           ELSE 1 END) + 1 END AS rho
-        |       FROM r0),
-        |reg AS (SELECT event_type, bucket, max(rho) AS mreg
-        |        FROM r1 GROUP BY 1, 2),
-        |spine AS (SELECT event_type, bucket
-        |          FROM (SELECT DISTINCT event_type FROM events)
-        |          CROSS JOIN (SELECT unnest(generate_series(0, 255)) AS bucket)),
-        |regs AS (SELECT s.event_type, coalesce(reg.mreg, 0) AS mreg
-        |         FROM spine s LEFT JOIN reg
-        |           ON reg.event_type = s.event_type AND reg.bucket = s.bucket),
-        |agg AS (SELECT event_type,
-        |          sum(CAST(1 AS BIGINT) << (60 - mreg)) AS ssum,
-        |          sum(CASE WHEN mreg = 0 THEN 1 ELSE 0 END) AS v0
-        |        FROM regs GROUP BY 1),
-        |ex AS (SELECT event_type, count(DISTINCT user_id) AS exact_users
-        |       FROM events GROUP BY 1),
-        |est AS (SELECT a.event_type, ex.exact_users,
-        |          CAST(256 - v0 AS BIGINT) AS registers_nonzero,
-        |          CASE WHEN 0.7213 / (1.0 + 1.079 / 256.0) * 65536.0
-        |                      * 1152921504606846976.0 / CAST(ssum AS DOUBLE) <= 640.0
-        |                    AND v0 > 0
-        |               THEN 256.0 * ln(256.0 / CAST(v0 AS DOUBLE))
-        |               ELSE 0.7213 / (1.0 + 1.079 / 256.0) * 65536.0
-        |                      * 1152921504606846976.0 / CAST(ssum AS DOUBLE) END AS e
-        |        FROM agg a JOIN ex ON ex.event_type = a.event_type)
-        |SELECT event_type, exact_users, registers_nonzero,
-        |       round(e, 2) AS hll_estimate,
-        |       round((round(e, 2) - exact_users) / exact_users, 4) AS rel_err
-        |FROM est ORDER BY event_type""".stripMargin,
+      s"""WITH ${Sketches.oracleCtes},
+         |ex AS (SELECT event_type, count(DISTINCT user_id) AS exact_users
+         |       FROM events GROUP BY 1),
+         |est AS (SELECT a.event_type, ex.exact_users,
+         |          CAST(256 - v0 AS BIGINT) AS registers_nonzero,
+         |          ${Sketches.oracleEstimateExpr} AS e
+         |        FROM agg a JOIN ex ON ex.event_type = a.event_type)
+         |SELECT event_type, exact_users, registers_nonzero,
+         |       round(e, 2) AS hll_estimate,
+         |       round((round(e, 2) - exact_users) / exact_users, 4) AS rel_err
+         |FROM est ORDER BY event_type""".stripMargin,
     "q_skew_salted_join" ->
       """SELECT e.event_id, e.event_type, t.type_total
         |FROM events e
@@ -3479,7 +3459,9 @@ object RelationalQueries {
         |            CASE WHEN day >= sd THEN 1 ELSE 0 END AS post,
         |            count(*) AS n, CAST(sum(cents) AS BIGINT) AS s
         |          FROM e CROSS JOIN sp GROUP BY 1, 2),
-        |m AS (SELECT arm, post, (s * 100) // n AS mean_e4 FROM cells),
+        |m AS (SELECT arm, post,
+        |        (s * 100 - ((s * 100 % n + n) % n)) // n AS mean_e4
+        |      FROM cells),
         |w AS (SELECT
         |        max(CASE WHEN arm = 0 AND post = 0 THEN mean_e4 END) AS c00,
         |        max(CASE WHEN arm = 0 AND post = 1 THEN mean_e4 END) AS c01,
@@ -3520,7 +3502,9 @@ object RelationalQueries {
         |ci AS (SELECT quantile_cont(m, [0.025, 0.975]) AS ci,
         |         count(*) AS n_replicates FROM rm),
         |base AS (SELECT count(*) AS n, CAST(sum(cents) AS BIGINT) AS sc FROM e)
-        |SELECT n, ((sc * 10000) // n) / 1e4 AS point_mean_cents,
+        |SELECT n,
+        |       ((sc * 10000 - ((sc * 10000 % n + n) % n)) // n) / 1e4
+        |         AS point_mean_cents,
         |       round(ci[1], 4) AS ci_lo_cents,
         |       round(ci[2], 4) AS ci_hi_cents,
         |       n_replicates
@@ -3561,16 +3545,18 @@ object RelationalQueries {
         |           FROM b GROUP BY 1),
         |tt AS (SELECT CAST(sum(na) AS BIGINT) AS ta, CAST(sum(nb) AS BIGINT) AS tb
         |       FROM binned),
-        |sc AS (SELECT bin, na, nb,
-        |         CAST(round((CAST(na AS DOUBLE) / CAST(ta AS DOUBLE)
+        |sc AS (SELECT bin, na, nb, na = 0 OR nb = 0 AS empty_bin,
+        |         CASE WHEN na = 0 OR nb = 0 THEN 0
+        |              ELSE CAST(round((CAST(na AS DOUBLE) / CAST(ta AS DOUBLE)
         |                     - CAST(nb AS DOUBLE) / CAST(tb AS DOUBLE))
         |                    * ln((CAST(na AS DOUBLE) / CAST(ta AS DOUBLE))
         |                         / (CAST(nb AS DOUBLE) / CAST(tb AS DOUBLE)))
-        |                    * 1e12) AS BIGINT) AS pico
+        |                    * 1e12) AS BIGINT) END AS pico
         |       FROM binned CROSS JOIN tt),
-        |t AS (SELECT CAST(sum(pico) AS BIGINT) AS psi_pico FROM sc)
-        |SELECT bin, na, nb, pico / 1e12 AS term,
-        |       ((psi_pico + 500000) // 1000000) / 1e6 AS psi
+        |t AS (SELECT CAST(sum(pico) AS BIGINT) AS psi_pico,
+        |        bool_or(empty_bin) AS psi_truncated FROM sc)
+        |SELECT bin, na, nb, empty_bin, pico / 1e12 AS term,
+        |       ((psi_pico + 500000) // 1000000) / 1e6 AS psi, psi_truncated
         |FROM sc CROSS JOIN t ORDER BY bin""".stripMargin,
 
     // With every lifetime observed, KM's product limit telescopes to

@@ -853,6 +853,32 @@ object TrainingDataQueries {
         .orderBy("q_id")
     }),
 
+    // SFT conversation packing: thread documents into 8-turn
+    // conversations with alternating user/assistant roles, fit each
+    // conversation to a 256-token context by TRUNCATING FROM THE START
+    // (a reverse cumulative token sum keeps the LATEST turns — the
+    // standard chat-template fit), and mark the assistant-only loss
+    // mask. The reverse-cumsum window partitions by conversation (8
+    // rows each — never corpus-wide); everything is exact integer
+    // token counts and boolean algebra.
+    "data_sft_pack" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), expr("doc_id div 8").as("conv_id"),
+          pmod(col("doc_id"), lit(8)).as("turn_idx"),
+          size(TextFunctions.words(col("text"))).cast("long").as("n_tokens"))
+        .withColumn("role",
+          when(pmod(col("turn_idx"), lit(2)) === 0, "user")
+            .otherwise("assistant"))
+      val w = Window.partitionBy(col("conv_id"))
+        .orderBy(col("turn_idx").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      d.withColumn("rev_cum", sum(col("n_tokens")).over(w))
+        .select(col("conv_id"), col("turn_idx"), col("role"), col("n_tokens"),
+          (col("rev_cum") <= 256).as("kept"),
+          (col("rev_cum") <= 256 && col("role") === "assistant").as("loss_mask"))
+        .orderBy("conv_id", "turn_idx")
+    }),
+
     // Rank-biased overlap (Webber 2010, truncated @10, p = 0.9) between
     // the exact and LSH rankings — recall@k ignores ORDER; RBO weights
     // agreement at the top. Per shared candidate only max(rankA, rankB)
@@ -2869,6 +2895,24 @@ object TrainingDataQueries {
          |       round(count(lt.c_id) / 10.0, 6) AS recall
          |FROM bft LEFT JOIN lt ON lt.q_id = bft.q_id AND lt.c_id = bft.c_id
          |GROUP BY bft.q_id ORDER BY bft.q_id""".stripMargin,
+
+    // Same reverse-cumsum fit over the identical token counts.
+    "data_sft_pack" ->
+      s"""WITH t AS (SELECT doc_id, doc_id // 8 AS conv_id,
+         |             doc_id % 8 AS turn_idx,
+         |             CAST(len($wordsSql) AS BIGINT) AS n_tokens
+         |           FROM documents),
+         |r AS (SELECT *,
+         |        CASE WHEN turn_idx % 2 = 0 THEN 'user'
+         |             ELSE 'assistant' END AS role,
+         |        CAST(sum(n_tokens) OVER (PARTITION BY conv_id
+         |               ORDER BY turn_idx DESC
+         |               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS rev_cum
+         |      FROM t)
+         |SELECT conv_id, turn_idx, role, n_tokens,
+         |       rev_cum <= 256 AS kept,
+         |       rev_cum <= 256 AND role = 'assistant' AS loss_mask
+         |FROM r ORDER BY conv_id, turn_idx""".stripMargin,
 
     // Full-dim vs first-16-dims rankings, same join-and-count recall.
     "ann_matryoshka_eval" ->

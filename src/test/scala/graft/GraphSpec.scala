@@ -171,5 +171,12 @@ class GraphSpec extends SparkSpec {
     assert(got(4L) === 0L && got(5L) === 0L)
     // mass decays along the chain but reaches node 3
     assert(got(1L) > got(2L) && got(2L) > got(3L) && got(3L) > 0L)
+    // an ISOLATED seed (not an edge endpoint) still carries its
+    // restart mass — it must appear with ppr = base, not vanish
+    val iso = Graph.personalizedPageRank(edges, Seq(1L, 99L).toDF("id"),
+        iterations = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(iso(99L) === 150000L,
+      s"isolated seed must keep its restart mass, got ${iso.get(99L)}")
   }
 }
