@@ -456,6 +456,34 @@ object ParityQueries {
         .orderBy("user_id")
     }),
 
+    // SLIDING-window streaming aggregation graded: 1-hour windows every
+    // 30 minutes, so each event fans into exactly TWO overlapping
+    // windows — the semantic tumbling windows cannot express. Complete
+    // mode (same AvailableNow protocol as stream_windowed_counts); the
+    // oracle replays the fan-out by expanding each event to its two
+    // epoch-aligned window starts.
+    "stream_sliding_window" -> ((s, dir) => withShufflePartitions(s, 4) {
+      val hand = StagedInputs(s"$dir|events|plain") { d =>
+        s.read.parquet(s"$dir/events.parquet")
+          .write.mode("overwrite").parquet(d)
+      }
+      val schema = s.read.parquet(hand).schema
+      val stream = Tables.withTsMs(s.readStream.schema(schema).parquet(hand))
+      val agg = graft.streaming.Streaming.slidingCounts(stream)
+      val qn = "stream_slw_" + java.util.UUID.randomUUID().toString.take(8)
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-slw-ckpt").toString
+      val q = agg.writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .outputMode("complete").format("memory").queryName(qn).start()
+      q.awaitTermination()
+      s.table(qn)
+        .select(unix_millis(col("window_start")).as("window_start_ms"),
+          col("event_type"), col("n"),
+          round(col("sum_value"), 2).as("sum_value"))
+        .orderBy("window_start_ms", "event_type")
+    }),
+
     // STREAMING HLL graded: the mergeable-sketch argument made
     // executable — hllRegisters' per-(group, bucket) max is idempotent
     // and commutative, so the registers accumulated across three
@@ -695,6 +723,20 @@ object ParityQueries {
         |FROM agg CROSS JOIN wfin
         |WHERE window_start_ms + 3600000 <= wf
         |ORDER BY window_start_ms, event_type""".stripMargin,
+
+    // Each event belongs to exactly two 1h/30min windows: the one
+    // starting at its 30-minute floor and the one 30 minutes earlier.
+    "stream_sliding_window" ->
+      """WITH x AS (SELECT epoch_ms(ts) AS ts_ms, event_type,
+        |             CAST(value AS DOUBLE) AS v
+        |           FROM events),
+        |w AS (SELECT (ts_ms // 1800000) * 1800000 - k * 1800000
+        |               AS window_start_ms,
+        |        event_type, v
+        |      FROM x CROSS JOIN (SELECT unnest([0, 1]) AS k) ks)
+        |SELECT window_start_ms, event_type, count(*) AS n,
+        |       round(sum(v), 2) AS sum_value
+        |FROM w GROUP BY 1, 2 ORDER BY window_start_ms, event_type""".stripMargin,
 
     // The batch HLL replay (shared CTEs from Sketches.oracleCtes, next
     // to the one Spark implementation): register max is merge-safe, so

@@ -100,6 +100,24 @@ object Streaming {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** SLIDING-window streaming aggregation — the overlapping-window
+    * semantic tumbling windows cannot express (each event lands in
+    * windowLen/slide windows; the engine fans it out and maintains one
+    * aggregate per open window). State is bounded by the number of
+    * windows inside the watermark horizon × group cardinality, not by
+    * the stream. */
+  def slidingCounts(events: DataFrame, tsMsCol: String = "ts_ms",
+                    watermark: String = "1 hour",
+                    windowLen: String = "1 hour",
+                    slide: String = "30 minutes"): DataFrame =
+    events
+      .withColumn("event_time", timestamp_millis(col(tsMsCol)))
+      .withWatermark("event_time", watermark)
+      .groupBy(window(col("event_time"), windowLen, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
   /** Streaming exact dedup — the training-data dedup operator in its
     * streaming form: keep the first occurrence of each key, with state
     * bounded by the watermark horizon (late duplicates beyond it are

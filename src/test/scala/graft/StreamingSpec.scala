@@ -117,6 +117,36 @@ class StreamingSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("slidingCounts: each event lands in exactly windowLen/slide windows") {
+    val events = Tables.events(spark, sf("sf0.001"))
+      .select("event_id", "user_id", "event_type", "value", "ts_ms")
+    val input = MemoryStream[(Long, Long, String, Double, Long)](spark)
+    input.addData(events.as[(Long, Long, String, Double, Long)].collect().toSeq)
+
+    val streamDf = input.toDF()
+      .toDF("event_id", "user_id", "event_type", "value", "ts_ms")
+    val agg = Streaming.slidingCounts(streamDf)
+    val q = agg.writeStream.format("memory").queryName("slw")
+      .outputMode(OutputMode.Complete()).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val got = spark.table("slw")
+      .select(unix_millis(col("window_start")).as("w"), col("event_type"), col("n"))
+      .as[(Long, String, Long)].collect().toSet
+    // batch replay of the fan-out: each event belongs to the window
+    // starting at its 30-minute floor and the one 30 minutes earlier
+    val expected = events
+      .select(col("event_type"), explode(array(lit(0L), lit(1L))).as("k"),
+        col("ts_ms"))
+      .groupBy(expr("(ts_ms div 1800000) * 1800000 - k * 1800000").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(got === expected)
+    // fan-out conservation: total weighted count = 2x the event count
+    assert(got.toSeq.map(_._3).sum === 2L * events.count())
+  }
+
   test("dedupStream: duplicate keys within the watermark are dropped") {
     val input = MemoryStream[(Long, String, Long)](spark)
     input.addData(
