@@ -331,4 +331,63 @@ object Graph {
     }
     state
   }
+
+  /** HyperBall (Boldi, Rosa & Vigna 2011): the neighborhood function
+    * N(t) = Σ_v |B(v,t)| estimated with one HyperLogLog sketch PER
+    * NODE, merged along edges — the algorithm that measured the
+    * effective diameter of the Facebook friendship graph, and THE
+    * 100 TB shape for reachability statistics: exact all-pairs BFS is
+    * |V|·|E| and infeasible, while HyperBall is O(rounds·|E|) with
+    * constant per-node state.
+    *
+    * Each node starts with the sketch of {itself}; round t merges in
+    * its out-neighbors' round-(t−1) sketches, so after round t the
+    * sketch covers exactly the OUT-ball B(v,t) (every path ≤ t hops).
+    * The merge is register-wise max — idempotent, commutative,
+    * associative — so every round's state is bit-identical under ANY
+    * partitioning and the "approximate" algorithm carries an exact
+    * replayable oracle (the pageRank trick, lifted to sketches).
+    * Per-node estimates quantize to exact micro-unit BIGINTs BEFORE
+    * the global sum ([[Sketches.hllEstimateMicro]] — the silhouette
+    * discipline), so each round's reported total is one exact integer:
+    * no order-dependent float sum anywhere.
+    *
+    * Scale shape: state is (node, bucket, mreg) with ≤ min(|ball|,256)
+    * rows per node; each round is ONE equi-join of the edge set
+    * against the state (shuffle on dst) + one partial-aggregable max
+    * per (node, bucket), and each round's finalize is one more
+    * partial-aggregable pass — no spine explode, no driver state
+    * beyond `rounds` single-row results. Loop invariants materialize
+    * once and each round's state cuts lineage (the [[bfsDistance]]
+    * policy). Output: one row per t ∈ [0, rounds] —
+    * (t, n_nodes, sum_ball_micro) where sum_ball_micro =
+    * Σ_v floor(est|B(v,t)|·1e6); sum fits BIGINT through ~3e6 nodes —
+    * beyond that, switch the quantum to centi-units or sum in decimal
+    * (documented, not silent). */
+  def hyperBall(edges: DataFrame, rounds: Int,
+                srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    require(rounds >= 0 && rounds <= 32,
+      s"rounds must be in [0, 32], got $rounds")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .localCheckpoint()
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+    var state = Sketches.hllRegisters(nodes, "id", col("id")).localCheckpoint()
+    def roundTotal(t: Int, st: DataFrame): DataFrame =
+      Sketches.hllEstimateMicro(st, "id")
+        .agg(count(lit(1)).as("n_nodes"),
+          sum(col("est_micro")).as("sum_ball_micro"))
+        .select(lit(t.toLong).as("t"), col("n_nodes"), col("sum_ball_micro"))
+    val perRound = scala.collection.mutable.ArrayBuffer(roundTotal(0, state))
+    (1 to rounds).foreach { t =>
+      val absorbed = e
+        .join(state.withColumnRenamed("id", "dst"), "dst")
+        .select(col("src").as("id"), col("bucket"), col("mreg"))
+      state = absorbed.unionAll(state.select("id", "bucket", "mreg"))
+        .groupBy(col("id"), col("bucket")).agg(max(col("mreg")).as("mreg"))
+        .localCheckpoint()
+      perRound += roundTotal(t, state)
+    }
+    perRound.reduce(_ unionAll _)
+  }
 }

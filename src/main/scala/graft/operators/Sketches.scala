@@ -72,6 +72,39 @@ object Sketches {
       round(est, 2).as("hll_estimate"))
   }
 
+  /** Per-group HLL estimate quantized to an exact micro-unit BIGINT —
+    * the SUMMABLE finalization for sketch-SET rollups (HyperBall's
+    * Σ_v |B(v,t)|, union-size audits): `floor(est·1e6)` is computed
+    * per group from exact integer inputs, so any downstream total is
+    * an associative BIGINT sum (the silhouette discipline — quantize
+    * BEFORE the cross-group aggregate, never sum raw doubles).
+    *
+    * Unlike [[hllEstimate]] this needs NO 256-bucket spine explode:
+    * stored registers always have mreg ≥ 1, so the missing buckets'
+    * harmonic mass is the closed form (256 − present)·2^60 and
+    * v0 = 256 − present — the finalize is ONE partial-aggregable pass
+    * over the (group, bucket, mreg) rows, whose count is bounded by
+    * min(ball, 256) per group, not 256·|groups|. Output:
+    * (group, est_micro). est ≤ ~1.5·|distinct keys| by construction,
+    * so est_micro fits BIGINT through ~10^12 distinct keys. */
+  def hllEstimateMicro(registers: DataFrame, groupCol: String): DataFrame = {
+    val agg = registers.groupBy(col(groupCol))
+      .agg(
+        (sum(expr(
+          "cast(shiftleft(cast(1 as bigint), 60 - mreg) as decimal(38,0))")) +
+          (lit(256L) - count(lit(1))).cast("decimal(38,0)") *
+            lit(1152921504606846976L).cast("decimal(38,0)")).as("ssum"),
+        (lit(256L) - count(lit(1))).as("v0"))
+    // identical literal sequence to [[hllEstimate]] / the oracle replay
+    val alphaM2 = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0)) *
+      lit(65536.0) * lit(1.152921504606846976e18)
+    val rawE = alphaM2 / col("ssum").cast("double")
+    val est = when(rawE <= 640.0 && col("v0") > 0,
+      lit(256.0) * log(lit(256.0) / col("v0").cast("double")))
+      .otherwise(rawE)
+    agg.select(col(groupCol), floor(est * lit(1000000.0)).as("est_micro"))
+  }
+
   /** DuckDB replay of [[hllRegisters]] + the register/harmonic half of
     * [[hllEstimate]], shared by every HLL oracle (q_hll_sketch AND
     * stream_hll) so the replay cannot drift from the one Spark

@@ -1635,6 +1635,45 @@ object RelationalQueries {
             (col("n") - col("n_pos")).cast("double")), 6).as("auc"))
     }),
 
+    // Two-sample Kolmogorov–Smirnov: D = max_x |F_a(x) − F_b(x)|
+    // between the purchase and non-purchase value distributions — the
+    // distribution-equality test the drift battery (PSI, JSD, chi²)
+    // lacks: nonparametric, sensitive to ANY shape difference, not
+    // just binned mass. Exactness: D's numerator runs entirely in
+    // integers — per distinct value the single delta
+    // ca·n_b − cb·n_a accumulates to cumA·n_b − cumB·n_a (one
+    // runningSum), so D_num = max|·| is an exact BIGINT and
+    // D = D_num/(n_a·n_b) is ONE double division (the q_auc
+    // contract; products ≤ n² fit BIGINT through ~3e9 rows). The max
+    // LOCATION ties break to the smallest value. Shape: the fact
+    // table collapses to per-VALUE counts first (partial-aggregable,
+    // bounded by distinct values); the cumulative walk is
+    // Sweep.runningSum — range partition + P driver longs, never a
+    // single-partition window; the two scalar re-joins broadcast
+    // 1-row aggregates.
+    "q_ks_test" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .select(floor(col("value") * 100).cast("long").as("cents"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("isa"))
+      val byVal = e.groupBy(col("cents"))
+        .agg(sum(col("isa")).as("ca"),
+          (count(lit(1)) - sum(col("isa"))).as("cb"))
+      val tot = byVal.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+      val d = byVal.crossJoin(broadcast(tot))
+        .select(col("cents"),
+          (col("ca") * col("nb") - col("cb") * col("na")).as("delta"))
+      val run = Sweep.runningSum(d, col("delta"), "g", col("cents"))
+      val mx = run.agg(max(abs(col("g"))).as("dnum"))
+      val at = run.crossJoin(broadcast(mx))
+        .filter(abs(col("g")) === col("dnum"))
+        .agg(min(col("cents")).as("at_cents"))
+      tot.crossJoin(broadcast(mx)).crossJoin(broadcast(at))
+        .select(col("na").as("n_a"), col("nb").as("n_b"),
+          round(col("dnum").cast("double") /
+            (col("na") * col("nb")).cast("double"), 6).as("ks_d"),
+          (col("at_cents") / lit(100.0)).as("ks_at"))
+    }),
+
     // Holt double-exponential (level + trend) smoothing over the daily
     // revenue series — the forecasting primitive behind every capacity
     // and demand dashboard. The recurrence l_t = ½(y_t + l + b),
@@ -1916,6 +1955,63 @@ object RelationalQueries {
           round(col("at_risk_rows").cast("double") / col("n_rows").cast("double"), 6)
             .as("at_risk_pct"))
         .orderBy(col("c_nationkey"), col("c_mktsegment"))
+    }),
+
+    // Order-independent table fingerprint — the migration/replication
+    // integrity check ("is the copied table EXACTLY the source?"). Each
+    // row hashes its full field tuple through md5 (48-bit prefix); the
+    // fingerprint is the SUM of row hashes — commutative/associative,
+    // so ANY partitioning, file order, or engine computes the same
+    // value, and a single changed, dropped, or duplicated row flips
+    // it. The accumulator is decimal(38,0) (Σ 2^48-scale hashes passes
+    // BIGINT ~1e5 rows) folded to BIGINT by one modulus. ONE scan, one
+    // partial-aggregable sum — the cheapest possible whole-table
+    // equality witness at 100 TB.
+    "q_table_fingerprint" -> ((s, dir) => {
+      val h = Tables.customer(s, dir)
+        .select(expr(
+          """cast(conv(substr(md5(concat_ws('|',
+            |  cast(c_custkey as string), c_name,
+            |  cast(c_nationkey as string), c_mktsegment)), 1, 12), 16, 10)
+            |  as decimal(38,0))""".stripMargin).as("h"))
+      h.agg(count(lit(1)).as("n_rows"), sum(col("h")).as("s"))
+        .select(col("n_rows"),
+          expr("cast(s % 9223372036854775807 as bigint)").as("fingerprint"))
+    }),
+
+    // Degree assortativity of the synthetic link graph — Newman's
+    // degree-correlation coefficient (do hubs link to hubs?), the
+    // topology diagnostic for crawl/link graphs. Per symmetrized edge
+    // the endpoint degrees join from the degree table; the Pearson r
+    // over (deg_u, deg_v) pairs runs on exact BIGINT moment sums (the
+    // q_corr_agg pattern on graph data) with one sqrt at the end.
+    "graph_assortativity" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"))
+      val n = docs.count()
+      val d = docs
+        .select(col("doc_id").as("src"),
+          explode(array(lit(1L), lit(2L), lit(3L))).as("k"))
+        .select(col("src"),
+          pmod(col("src") * 7 + col("k") * 13, lit(n)).as("dst"))
+      val e = d.union(d.select(col("dst").as("src"), col("src").as("dst")))
+        .filter(col("src") =!= col("dst")).distinct()
+      val deg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+      val pairs = e
+        .join(deg.select(col("id").as("src"), col("deg").as("x")), "src")
+        .join(deg.select(col("id").as("dst"), col("deg").as("y")), "dst")
+      val m = pairs.agg(count(lit(1)).as("ne"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      val ne = col("ne").cast("double")
+      val sx = col("sx").cast("double"); val sy = col("sy").cast("double")
+      val sxy = col("sxy").cast("double"); val sxx = col("sxx").cast("double")
+      val syy = col("syy").cast("double")
+      m.select(col("ne").as("n_edges"),
+        round((ne * sxy - sx * sy) /
+          sqrt((ne * sxx - sx * sx) * (ne * syy - sy * sy)), 6)
+          .as("assortativity"))
     }),
 
     // l-diversity audit — k-anonymity's stronger sibling: a QI group
@@ -3623,6 +3719,30 @@ object RelationalQueries {
         |             6) AS auc
         |FROM u""".stripMargin,
 
+    // Same integer KS numerator: sequential window cumsum of the
+    // per-value delta ca·n_b − cb·n_a equals the runningSum exactly;
+    // one division for D, min-value tie-break for the location.
+    "q_ks_test" ->
+      """WITH e AS (SELECT CAST(floor(value * 100) AS BIGINT) AS cents,
+        |             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS isa
+        |           FROM events),
+        |v AS (SELECT cents, CAST(sum(isa) AS BIGINT) AS ca,
+        |        CAST(count(*) - sum(isa) AS BIGINT) AS cb
+        |      FROM e GROUP BY 1),
+        |t AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+        |        CAST(sum(cb) AS BIGINT) AS nb FROM v),
+        |r AS (SELECT cents,
+        |        CAST(sum(ca * (SELECT nb FROM t) - cb * (SELECT na FROM t))
+        |               OVER (ORDER BY cents) AS BIGINT) AS g
+        |      FROM v),
+        |m AS (SELECT max(abs(g)) AS dnum FROM r),
+        |loc AS (SELECT min(cents) AS at_cents FROM r, m WHERE abs(r.g) = m.dnum)
+        |SELECT t.na AS n_a, t.nb AS n_b,
+        |       round(CAST(m.dnum AS DOUBLE) / CAST(t.na * t.nb AS DOUBLE), 6)
+        |         AS ks_d,
+        |       at_cents / 100.0 AS ks_at
+        |FROM t, m, loc""".stripMargin,
+
     // quantile_cont shares Spark percentile's (n-1)·q interpolation.
     "q_mad_outliers" ->
       """WITH e AS (SELECT event_type,
@@ -3656,6 +3776,45 @@ object RelationalQueries {
         |       round(CAST(at_risk_rows AS DOUBLE) / CAST(n_rows AS DOUBLE), 6) AS at_risk_pct
         |FROM g CROSS JOIN t
         |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+
+    // Same row-hash sum (HUGEINT accumulator), same modulus fold.
+    "q_table_fingerprint" ->
+      """WITH h AS (SELECT ('0x' || substr(md5(concat_ws('|',
+        |             CAST(c_custkey AS VARCHAR), c_name,
+        |             CAST(c_nationkey AS VARCHAR), c_mktsegment)), 1, 12))::BIGINT
+        |             AS h
+        |           FROM customer)
+        |SELECT count(*) AS n_rows,
+        |       CAST(CAST(sum(h) AS HUGEINT) % 9223372036854775807 AS BIGINT)
+        |         AS fingerprint
+        |FROM h""".stripMargin,
+
+    // Same exact BIGINT moment sums over the symmetrized edge list.
+    "graph_assortativity" ->
+      """WITH d AS (SELECT doc_id AS src,
+        |        (doc_id * 7 + k * 13) % (SELECT count(*) FROM documents) AS dst
+        |      FROM documents CROSS JOIN (SELECT unnest([1, 2, 3]) AS k) ks),
+        |e AS (SELECT src, dst FROM
+        |        (SELECT src, dst FROM d UNION SELECT dst, src FROM d)
+        |      WHERE src <> dst),
+        |deg AS (SELECT src AS id, count(*) AS deg FROM e GROUP BY 1),
+        |p AS (SELECT dx.deg AS x, dy.deg AS y
+        |      FROM e JOIN deg dx ON e.src = dx.id JOIN deg dy ON e.dst = dy.id),
+        |m AS (SELECT count(*) AS ne,
+        |        CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |        CAST(sum(x * y) AS BIGINT) AS sxy,
+        |        CAST(sum(x * x) AS BIGINT) AS sxx,
+        |        CAST(sum(y * y) AS BIGINT) AS syy
+        |      FROM p)
+        |SELECT ne AS n_edges,
+        |       round((CAST(ne AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |             / sqrt((CAST(ne AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |                    * (CAST(ne AS DOUBLE) * CAST(syy AS DOUBLE)
+        |                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+        |             6) AS assortativity
+        |FROM m""".stripMargin,
 
     // Same packed-BIGINT modal argmax (count·2^31 + (2^31−1−priority)).
     "q_l_diversity" ->

@@ -1652,6 +1652,25 @@ object TrainingDataQueries {
       Graph.kCore(ring.unionAll(planted), k = 8, rounds = 4).orderBy("id")
     }),
 
+    // HyperBall neighborhood function N(t) = Σ_v |B(v,t)| over the
+    // synthetic link graph (3 rounds): per-node HLL sketches merged
+    // along out-edges — THE web-scale reachability/effective-diameter
+    // algorithm (exact all-pairs BFS is |V|·|E|; this is rounds·|E|
+    // with register-max merges that are bit-identical under any
+    // partitioning). Per-node estimates quantize to micro-unit BIGINTs
+    // before the total, so every reported value is an exact integer
+    // the oracle replays register-for-register.
+    "graph_hyperball" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"))
+      val n = docs.count()
+      val edges = docs
+        .select(col("doc_id").as("src"),
+          explode(array(lit(1L), lit(2L), lit(3L))).as("k"))
+        .select(col("src"),
+          pmod(col("src") * 7 + col("k") * 13, lit(n)).as("dst"))
+      Graph.hyperBall(edges, rounds = 3).orderBy("t")
+    }),
+
     // HTML → text extraction over deterministically synthesized pages
     // (the fixture is plain text, so the query builds the HTML wrapper
     // identically in both engines): script/style/comment blocks drop
@@ -3926,6 +3945,70 @@ object TrainingDataQueries {
          |SELECT e.src AS id, count(*) AS deg FROM e
          |WHERE e.src IN (SELECT id FROM a4) AND e.dst IN (SELECT id FROM a4)
          |GROUP BY 1 ORDER BY id""".stripMargin
+    },
+
+    // Register-for-register HyperBall replay: per-node registers of
+    // {self} (the shared hex-string rho algebra), 3 unrolled rounds of
+    // max-merge along out-edges, then each round's closed-form
+    // finalize — missing buckets contribute (256−present)·2^60 and
+    // v0 = 256−present, so no 256-bucket spine is materialized. The
+    // estimate expression repeats the Spark literal sequence exactly;
+    // per-node floor(est·1e6) happens BEFORE the total, which is an
+    // associative integer sum (HUGEINT here, BIGINT in Spark — cast
+    // to BIGINT for the dtype match).
+    "graph_hyperball" -> {
+      val merges = (1 to 3).map { t =>
+        s"""s$t AS (SELECT id, bucket, max(mreg) AS mreg FROM (
+           |        SELECT d.src AS id, s.bucket, s.mreg
+           |        FROM d JOIN s${t - 1} s ON s.id = d.dst
+           |        UNION ALL SELECT id, bucket, mreg FROM s${t - 1})
+           |      GROUP BY 1, 2)""".stripMargin
+      }.mkString(",\n")
+      val rawExpr = "0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 " +
+        "* 1152921504606846976.0 / CAST(ssum AS DOUBLE)"
+      val ests = (0 to 3).map { t =>
+        s"""est$t AS (SELECT CAST($t AS BIGINT) AS t, count(*) AS n_nodes,
+           |    CAST(sum(est_micro) AS BIGINT) AS sum_ball_micro
+           |  FROM (SELECT id,
+           |          CAST(floor((CASE WHEN $rawExpr <= 640.0 AND v0 > 0
+           |                 THEN 256.0 * ln(256.0 / CAST(v0 AS DOUBLE))
+           |                 ELSE $rawExpr END) * 1000000.0) AS BIGINT)
+           |            AS est_micro
+           |        FROM (SELECT id,
+           |                sum(CAST(1 AS BIGINT) << (60 - mreg))
+           |                  + CAST(256 - count(*) AS HUGEINT)
+           |                    * CAST(1152921504606846976 AS HUGEINT) AS ssum,
+           |                256 - count(*) AS v0
+           |              FROM s$t GROUP BY 1)))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH d AS (SELECT doc_id AS src,
+         |        (doc_id * 7 + k * 13) % (SELECT count(*) FROM documents) AS dst
+         |      FROM documents CROSS JOIN (SELECT unnest([1, 2, 3]) AS k) ks),
+         |n AS (SELECT DISTINCT id FROM
+         |        (SELECT src AS id FROM d UNION ALL SELECT dst FROM d)),
+         |h AS (SELECT id, md5(CAST(id AS VARCHAR)) AS hx FROM n),
+         |r0 AS (SELECT id,
+         |         16 * (strpos('0123456789abcdef', substr(hx, 1, 1)) - 1)
+         |           + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) AS bucket,
+         |         ltrim(substr(hx, 3, 14), '0') AS stripped
+         |       FROM h),
+         |s0 AS (SELECT id, bucket,
+         |         CASE WHEN stripped = '' THEN 57
+         |              ELSE 4 * (14 - length(stripped))
+         |                + (4 - CASE WHEN strpos('0123456789abcdef',
+         |                                        substr(stripped, 1, 1)) - 1 >= 8 THEN 4
+         |                           WHEN strpos('0123456789abcdef',
+         |                                        substr(stripped, 1, 1)) - 1 >= 4 THEN 3
+         |                           WHEN strpos('0123456789abcdef',
+         |                                        substr(stripped, 1, 1)) - 1 >= 2 THEN 2
+         |                           ELSE 1 END) + 1 END AS mreg
+         |       FROM r0),
+         |$merges,
+         |$ests
+         |SELECT t, n_nodes, sum_ball_micro FROM (
+         |  SELECT * FROM est0 UNION ALL SELECT * FROM est1
+         |  UNION ALL SELECT * FROM est2 UNION ALL SELECT * FROM est3)
+         |ORDER BY t""".stripMargin
     },
 
     "text_html_strip" ->

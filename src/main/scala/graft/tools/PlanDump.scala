@@ -125,6 +125,11 @@ object PlanDump {
     "q7_volume_shipping" -> "TPC-H Q7: the disjunctive cross-nation predicate rides in two BROADCAST nation joins (no fact-side shuffle against dimensions); only lineitem⋈orders and orders⋈customer exchange on natural keys; shipdate range pushed to the lineitem scan; revenue in exact 1e-6-dollar units summed in decimal",
     "q10_returned_items" -> "TPC-H Q10: returnflag pushed to the lineitem scan, quarter filter to orders; the nation dim broadcasts; top-20 via TakeOrderedAndProject after a partial-aggregable revenue rollup in exact units",
     "q_l_diversity" -> "l-diversity: two stacked fixed-width HashAggregates ((QI, value) counts, then the packed-BIGINT modal argmax) — bounded by |QI|·|values|, no window over raw rows",
+    "q_table_fingerprint" -> "table fingerprint: ONE scan, row hashes in a codegen projection, one partial-aggregable decimal sum — commutative/associative, so any partitioning or file order computes the same witness; the cheapest whole-table equality check at 100 TB",
+    "graph_assortativity" -> "degree assortativity: symmetrized edges shuffle once for the degree count, endpoint degrees attach via two equi-joins on the SAME node axis, and the Pearson r collapses to ONE pass of exact BIGINT moment sums (the q_corr_agg pattern) — 1-row algebra after the aggregate",
+    "data_sft_pack" -> "SFT packing: per-conversation windows over the conversation-id partitioning (8 rows each — never corpus-wide); the reverse cumulative token sum and the loss mask are codegen window/projection work, one shuffle total",
+    "q_ks_test" -> "two-sample KS: the fact table collapses to per-VALUE counts first (partial-aggregable, bounded by distinct values); the CDF walk is Sweep.runningSum (range partition + P driver longs — no single-partition window); D's numerator is exact BIGINT throughout with ONE division at the end; scalar max/argmax re-joins broadcast 1-row aggregates",
+    "graph_hyperball" -> "HyperBall: per round ONE equi-join of the once-materialized edge set against the (node,bucket,mreg) sketch state (shuffle on dst) + one partial-aggregable register max — rounds·|E| total vs the |V|·|E| of exact all-pairs BFS; the finalize is a closed-form single pass (no 256-bucket spine explode) and per-node estimates quantize to micro-BIGINTs BEFORE the exact integer total",
     "pipeline_curation_v3" -> "composite cost audit (2.9 s isolated at sf0.1, vs 2.3 s in r5): the delta is connectedComponents' r6 reliability protocol — convergence now proves itself via a label-sum fixpoint (one extra aggregate job per round) and every cut is restart-safe, worth the 2 small jobs/round on a bounded graded fixture and negligible against real data volumes; the dataflow itself is unchanged — exact-dup groupBy, banded minhash join, per-source percent_rank, novelty semi-join, all partial-aggregable with the pair graph cut ONCE before the loop")
 
   def main(args: Array[String]): Unit = {

@@ -179,4 +179,35 @@ class GraphSpec extends SparkSpec {
     assert(iso(99L) === 150000L,
       s"isolated seed must keep its restart mass, got ${iso.get(99L)}")
   }
+
+  test("hyperBall: ball totals are monotone and track exact ball sizes on a path") {
+    // directed path 0→1→2→…→9: |B(v,t)| = min(t, 9−v) + 1 exactly
+    val edges = (0L until 9L).map(i => (i, i + 1)).toDF("src", "dst")
+    val rows = Graph.hyperBall(edges, rounds = 3)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq === Seq(0L, 1L, 2L, 3L))
+    assert(rows.forall(_._2 == 10L), "all 10 nodes present every round")
+    // t=0: every ball is {self}; the m=256 HLL of one element estimates
+    // 256·ln(256/255) ≈ 1.0019 — within 1% of 1 per node
+    val t0 = rows(0)._3
+    assert(math.abs(t0 - 10L * 1000000L) < 10L * 1000000L / 100,
+      s"t=0 total should be ~10e6 micro-units, got $t0")
+    // totals are monotone nondecreasing in t (register max only grows)
+    assert(rows.sliding(2).forall(p => p(0)._3 <= p(1)._3), "monotone in t")
+    // t=3 exact N(3) = Σ min(3, 9−v)+1 = 10+9+8+7·... = Σ_v (min(3,9-v)+1)
+    val exact3 = (0L until 10L).map(v => math.min(3L, 9L - v) + 1L).sum
+    val est3 = rows(3)._3.toDouble / 1e6
+    assert(math.abs(est3 - exact3) / exact3 < 0.15,
+      s"t=3 estimate $est3 should be within 15% of exact $exact3 (m=256)")
+  }
+
+  test("hyperBall: state is invariant to input partitioning") {
+    val edges = (0L until 40L).map(i => (i, (i * 7 + 3) % 40)).toDF("src", "dst")
+    val a = Graph.hyperBall(edges, rounds = 2)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val b = Graph.hyperBall(edges.repartition(7).sortWithinPartitions("dst"),
+        rounds = 2)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(a === b, "register-max merge must be partition-order independent")
+  }
 }
