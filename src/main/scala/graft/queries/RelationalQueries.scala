@@ -1769,17 +1769,24 @@ object RelationalQueries {
     // the md5-seeded inverse CDF (the data_dp_noise replayability
     // device: a real release swaps in a CSPRNG); the cumulative
     // thresholds are shared literals, so both engines draw identical
-    // weights. Replicate sums are exact longs; each replicate mean is
-    // one double division; the CI is one percentile over B=48 values.
+    // weights. The digest is AMORTIZED: each 128-bit md5 carves into
+    // FOUR 24-bit uniforms (hex chars 1–6, 7–12, 13–18, 19–24), so
+    // B=48 replicates cost 12 digests per row, not 48 — md5 dominates
+    // this query's CPU and this is a straight 4× on the hot loop.
+    // Replicate sums are exact longs; each replicate mean is one
+    // double division; the CI is one percentile over B=48 values.
     "q_bootstrap_ci" -> ((s, dir) => {
       val e = Tables.events(s, dir)
         .select(col("event_id"), floor(col("value") * 100).cast("long").as("cents"))
       val reps = e.select(col("event_id"), col("cents"),
-          explode(expr("sequence(0, 47)")).as("b"))
-        .withColumn("u", expr(
-          """cast(conv(substr(md5(concat(cast(event_id as string), '|',
-            |  cast(b as string))), 1, 12), 16, 10) as double)""".stripMargin)
-          / lit(281474976710656.0))
+          explode(expr("sequence(0, 11)")).as("g"))
+        .withColumn("hx", md5(concat(col("event_id").cast("string"), lit("|"),
+          col("g").cast("string"))))
+        .select(col("cents"), col("g"), col("hx"),
+          explode(expr("sequence(0, 3)")).as("j"))
+        .select(col("cents"), (col("g") * 4 + col("j")).as("b"),
+          (expr("cast(conv(substr(hx, 1 + 6 * j, 6), 16, 10) as double)")
+            / lit(16777216.0)).as("u"))
         .withColumn("w", when(col("u") < 0.36787944117144233, 0L)
           .when(col("u") < 0.7357588823428847, 1L)
           .when(col("u") < 0.9196986029286058, 2L)
@@ -3569,18 +3576,20 @@ object RelationalQueries {
         |       (c11 - c10 - (c01 - c00)) / 1e4 AS did
         |FROM w""".stripMargin,
 
-    // Same md5-seeded Poisson draws (shared CDF literals), same exact
-    // replicate sums; quantile_cont ≡ Spark percentile interpolation.
+    // Same md5-seeded Poisson draws (shared CDF literals, one digest
+    // carved into four 24-bit uniforms), same exact replicate sums;
+    // quantile_cont ≡ Spark percentile interpolation.
     "q_bootstrap_ci" ->
       """WITH e AS (SELECT event_id,
         |             CAST(floor(value * 100) AS BIGINT) AS cents
         |           FROM events),
-        |r AS (SELECT event_id, cents, b,
+        |r AS (SELECT cents, g * 4 + j AS b,
         |        CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR) || '|' ||
-        |                                 CAST(b AS VARCHAR)), 1, 12))::BIGINT
-        |             AS DOUBLE) / 281474976710656.0 AS u
+        |                                 CAST(g AS VARCHAR)), 1 + 6 * j, 6))::BIGINT
+        |             AS DOUBLE) / 16777216.0 AS u
         |      FROM e CROSS JOIN
-        |        (SELECT unnest(generate_series(0, 47)) AS b) bs),
+        |        (SELECT unnest(generate_series(0, 11)) AS g) gs CROSS JOIN
+        |        (SELECT unnest(generate_series(0, 3)) AS j) js),
         |w AS (SELECT b, cents,
         |        CASE WHEN u < 0.36787944117144233 THEN 0
         |             WHEN u < 0.7357588823428847 THEN 1

@@ -116,7 +116,7 @@ object PlanDump {
     "q_holt" -> "Holt smoothing: the fact table collapses to the calendar-bounded daily rollup FIRST (partial-aggregable); the sequential recurrence folds once over the collected ≤2.4k-row series in exact integer cents with engine-agnostic floor-halving",
     "q_survival_km" -> "KM survivor curve: per-user (first,last) in one partial-aggregable pass; the curve lives on the ≤|distinct lifetime| grid, so the unpartitioned cum window is dimension-bounded; every survival/hazard value is one exact integer ratio",
     "q_diff_in_diff" -> "DiD: four conditional cells from ONE aggregation pass over exact cents; every displayed value derives from quantized integer means — constant-size after the first aggregate, no round() anywhere",
-    "q_bootstrap_ci" -> "Poisson bootstrap: per-row md5-seeded Poisson(1) weights per replicate — ONE pass, B=48 counters per partition, fully partial-aggregable (never resampling n rows B times); the CI is one percentile over the 48-row replicate table",
+    "q_bootstrap_ci" -> "Poisson bootstrap: md5-seeded Poisson(1) weights per replicate — ONE pass, B=48 counters per partition, fully partial-aggregable (never resampling n rows B times); each 128-bit digest carves into FOUR 24-bit uniforms so 48 replicates cost 12 digests/row; the CI is one percentile over the 48-row replicate table",
     "q_ab_srm" -> "SRM guard: one distinct-user aggregate; the 50/50 chi-square collapses algebraically to (a−b)²/N — 1-row algebra after the count",
     "graph_kcore" -> "k-core peel: per round two equi-joins of the once-materialized edge set against the shrinking alive set + one map-side-combined degree count; alive sets checkpoint each round (the bfs lineage policy)",
     "graph_ppr" -> "personalized PageRank: pageRank's per-round join/agg shape with restart mass gated on a dimension-sized membership marker; all-BIGINT micro-unit arithmetic, loop invariants materialized once",
