@@ -77,6 +77,70 @@ object TrainingDataQueries {
        |$rounds""".stripMargin
   }
 
+  /** Shared HyperBall replay (graph_hyperball AND
+    * graph_effective_diameter grade the identical register evolution):
+    * per-node registers of {self} via the house hex-string rho algebra,
+    * 3 unrolled rounds of max-merge along out-edges, then each round's
+    * closed-form finalize — missing buckets contribute
+    * (256−present)·2^60 and v0 = 256−present, so no 256-bucket spine is
+    * materialized. The estimate expression repeats the Spark literal
+    * sequence exactly; per-node floor(est·1e6) happens BEFORE the
+    * total, which is an associative integer sum (HUGEINT here, BIGINT
+    * in Spark — cast for the dtype match). Exposes `nb` =
+    * (t, n_nodes, sum_ball_micro), one row per round. */
+  private val hyperballCtes: String = {
+    val merges = (1 to 3).map { t =>
+      s"""s$t AS (SELECT id, bucket, max(mreg) AS mreg FROM (
+         |        SELECT d.src AS id, s.bucket, s.mreg
+         |        FROM d JOIN s${t - 1} s ON s.id = d.dst
+         |        UNION ALL SELECT id, bucket, mreg FROM s${t - 1})
+         |      GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
+    val rawExpr = "0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 " +
+      "* 1152921504606846976.0 / CAST(ssum AS DOUBLE)"
+    val ests = (0 to 3).map { t =>
+      s"""est$t AS (SELECT CAST($t AS BIGINT) AS t, count(*) AS n_nodes,
+         |    CAST(sum(est_micro) AS BIGINT) AS sum_ball_micro
+         |  FROM (SELECT id,
+         |          CAST(floor((CASE WHEN $rawExpr <= 640.0 AND v0 > 0
+         |                 THEN 256.0 * ln(256.0 / CAST(v0 AS DOUBLE))
+         |                 ELSE $rawExpr END) * 1000000.0) AS BIGINT)
+         |            AS est_micro
+         |        FROM (SELECT id,
+         |                sum(CAST(1 AS BIGINT) << (60 - mreg))
+         |                  + CAST(256 - count(*) AS HUGEINT)
+         |                    * CAST(1152921504606846976 AS HUGEINT) AS ssum,
+         |                256 - count(*) AS v0
+         |              FROM s$t GROUP BY 1)))""".stripMargin
+    }.mkString(",\n")
+    s"""d AS (SELECT doc_id AS src,
+       |        (doc_id * 7 + k * 13) % (SELECT count(*) FROM documents) AS dst
+       |      FROM documents CROSS JOIN (SELECT unnest([1, 2, 3]) AS k) ks),
+       |n AS (SELECT DISTINCT id FROM
+       |        (SELECT src AS id FROM d UNION ALL SELECT dst FROM d)),
+       |h AS (SELECT id, md5(CAST(id AS VARCHAR)) AS hx FROM n),
+       |r0 AS (SELECT id,
+       |         16 * (strpos('0123456789abcdef', substr(hx, 1, 1)) - 1)
+       |           + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) AS bucket,
+       |         ltrim(substr(hx, 3, 14), '0') AS stripped
+       |       FROM h),
+       |s0 AS (SELECT id, bucket,
+       |         CASE WHEN stripped = '' THEN 57
+       |              ELSE 4 * (14 - length(stripped))
+       |                + (4 - CASE WHEN strpos('0123456789abcdef',
+       |                                        substr(stripped, 1, 1)) - 1 >= 8 THEN 4
+       |                           WHEN strpos('0123456789abcdef',
+       |                                        substr(stripped, 1, 1)) - 1 >= 4 THEN 3
+       |                           WHEN strpos('0123456789abcdef',
+       |                                        substr(stripped, 1, 1)) - 1 >= 2 THEN 2
+       |                           ELSE 1 END) + 1 END AS mreg
+       |       FROM r0),
+       |$merges,
+       |$ests,
+       |nb AS (SELECT * FROM est0 UNION ALL SELECT * FROM est1
+       |       UNION ALL SELECT * FROM est2 UNION ALL SELECT * FROM est3)""".stripMargin
+  }
+
   private val wordsSql = "string_split_regex(lower(trim(text)), '\\s+')"
   private val wordCte = s"w AS (SELECT doc_id, $wordsSql AS l FROM documents)"
   private def shingleCteFrom(tbl: String) =
@@ -1669,6 +1733,38 @@ object TrainingDataQueries {
         .select(col("src"),
           pmod(col("src") * 7 + col("k") * 13, lit(n)).as("dst"))
       Graph.hyperBall(edges, rounds = 3).orderBy("t")
+    }),
+
+    // Interpolated effective diameter — the HyperANF/HADI headline
+    // number ("90% of reachable pairs are within d_eff hops"; the
+    // famous four-degrees-of-separation measurement): the first round
+    // t with N(t) ≥ 0.9·N(rmax), linearly interpolated between N(t−1)
+    // and N(t). Everything up to the final division is exact integer
+    // algebra on hyperBall's micro-unit totals (cur·10 ≥ nmax·9
+    // comparisons, 9·nmax − 10·prev numerator); the lag window runs
+    // over the rounds-sized table (4 rows), never the data.
+    "graph_effective_diameter" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"))
+      val n = docs.count()
+      val edges = docs
+        .select(col("doc_id").as("src"),
+          explode(array(lit(1L), lit(2L), lit(3L))).as("k"))
+        .select(col("src"),
+          pmod(col("src") * 7 + col("k") * 13, lit(n)).as("dst"))
+      val nb = Graph.hyperBall(edges, rounds = 3)
+      val mx = nb.agg(max(col("sum_ball_micro")).as("nmax"))
+      val w = Window.orderBy("t")
+      val x = nb.select(col("t"), col("sum_ball_micro").as("cur"))
+        .withColumn("prev", lag(col("cur"), 1).over(w))
+      x.crossJoin(broadcast(mx))
+        .filter(col("cur") * 10 >= col("nmax") * 9)
+        .orderBy("t").limit(1)
+        .select(col("t").as("t_reached"),
+          round(when(col("t") === 0, lit(0.0))
+            .otherwise((col("t") - 1) +
+              (lit(9L) * col("nmax") - lit(10L) * col("prev")).cast("double") /
+                (lit(10L) * (col("cur") - col("prev"))).cast("double")), 6)
+            .as("effective_diameter"))
     }),
 
     // HTML → text extraction over deterministically synthesized pages
@@ -3956,60 +4052,30 @@ object TrainingDataQueries {
     // per-node floor(est·1e6) happens BEFORE the total, which is an
     // associative integer sum (HUGEINT here, BIGINT in Spark — cast
     // to BIGINT for the dtype match).
-    "graph_hyperball" -> {
-      val merges = (1 to 3).map { t =>
-        s"""s$t AS (SELECT id, bucket, max(mreg) AS mreg FROM (
-           |        SELECT d.src AS id, s.bucket, s.mreg
-           |        FROM d JOIN s${t - 1} s ON s.id = d.dst
-           |        UNION ALL SELECT id, bucket, mreg FROM s${t - 1})
-           |      GROUP BY 1, 2)""".stripMargin
-      }.mkString(",\n")
-      val rawExpr = "0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 " +
-        "* 1152921504606846976.0 / CAST(ssum AS DOUBLE)"
-      val ests = (0 to 3).map { t =>
-        s"""est$t AS (SELECT CAST($t AS BIGINT) AS t, count(*) AS n_nodes,
-           |    CAST(sum(est_micro) AS BIGINT) AS sum_ball_micro
-           |  FROM (SELECT id,
-           |          CAST(floor((CASE WHEN $rawExpr <= 640.0 AND v0 > 0
-           |                 THEN 256.0 * ln(256.0 / CAST(v0 AS DOUBLE))
-           |                 ELSE $rawExpr END) * 1000000.0) AS BIGINT)
-           |            AS est_micro
-           |        FROM (SELECT id,
-           |                sum(CAST(1 AS BIGINT) << (60 - mreg))
-           |                  + CAST(256 - count(*) AS HUGEINT)
-           |                    * CAST(1152921504606846976 AS HUGEINT) AS ssum,
-           |                256 - count(*) AS v0
-           |              FROM s$t GROUP BY 1)))""".stripMargin
-      }.mkString(",\n")
-      s"""WITH d AS (SELECT doc_id AS src,
-         |        (doc_id * 7 + k * 13) % (SELECT count(*) FROM documents) AS dst
-         |      FROM documents CROSS JOIN (SELECT unnest([1, 2, 3]) AS k) ks),
-         |n AS (SELECT DISTINCT id FROM
-         |        (SELECT src AS id FROM d UNION ALL SELECT dst FROM d)),
-         |h AS (SELECT id, md5(CAST(id AS VARCHAR)) AS hx FROM n),
-         |r0 AS (SELECT id,
-         |         16 * (strpos('0123456789abcdef', substr(hx, 1, 1)) - 1)
-         |           + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) AS bucket,
-         |         ltrim(substr(hx, 3, 14), '0') AS stripped
-         |       FROM h),
-         |s0 AS (SELECT id, bucket,
-         |         CASE WHEN stripped = '' THEN 57
-         |              ELSE 4 * (14 - length(stripped))
-         |                + (4 - CASE WHEN strpos('0123456789abcdef',
-         |                                        substr(stripped, 1, 1)) - 1 >= 8 THEN 4
-         |                           WHEN strpos('0123456789abcdef',
-         |                                        substr(stripped, 1, 1)) - 1 >= 4 THEN 3
-         |                           WHEN strpos('0123456789abcdef',
-         |                                        substr(stripped, 1, 1)) - 1 >= 2 THEN 2
-         |                           ELSE 1 END) + 1 END AS mreg
-         |       FROM r0),
-         |$merges,
-         |$ests
-         |SELECT t, n_nodes, sum_ball_micro FROM (
-         |  SELECT * FROM est0 UNION ALL SELECT * FROM est1
-         |  UNION ALL SELECT * FROM est2 UNION ALL SELECT * FROM est3)
-         |ORDER BY t""".stripMargin
-    },
+    "graph_hyperball" ->
+      s"""WITH $hyperballCtes
+         |SELECT t, n_nodes, sum_ball_micro FROM nb ORDER BY t""".stripMargin,
+
+    // Interpolated effective diameter over the SAME replayed
+    // neighborhood function: the first round t whose N(t) reaches 90%
+    // of N(rmax), linearly interpolated between N(t−1) and N(t) — one
+    // exact integer comparison (cur·10 ≥ nmax·9) and one division of
+    // exact integers.
+    "graph_effective_diameter" ->
+      s"""WITH $hyperballCtes,
+         |mx AS (SELECT max(sum_ball_micro) AS nmax FROM nb),
+         |x AS (SELECT t, sum_ball_micro AS cur,
+         |        lag(sum_ball_micro) OVER (ORDER BY t) AS prev
+         |      FROM nb),
+         |q AS (SELECT x.t, x.cur, x.prev, mx.nmax FROM x, mx
+         |      WHERE x.cur * 10 >= mx.nmax * 9
+         |      ORDER BY x.t LIMIT 1)
+         |SELECT t AS t_reached,
+         |       round(CASE WHEN t = 0 THEN 0.0
+         |         ELSE (t - 1) + CAST(9 * nmax - 10 * prev AS DOUBLE)
+         |              / CAST(10 * (cur - prev) AS DOUBLE) END, 6)
+         |         AS effective_diameter
+         |FROM q""".stripMargin,
 
     "text_html_strip" ->
       """WITH h AS (SELECT doc_id,

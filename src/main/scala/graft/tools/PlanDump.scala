@@ -130,6 +130,7 @@ object PlanDump {
     "data_sft_pack" -> "SFT packing: per-conversation windows over the conversation-id partitioning (8 rows each — never corpus-wide); the reverse cumulative token sum and the loss mask are codegen window/projection work, one shuffle total",
     "q_ks_test" -> "two-sample KS: the fact table collapses to per-VALUE counts first (partial-aggregable, bounded by distinct values); the CDF walk is Sweep.runningSum (range partition + P driver longs — no single-partition window); D's numerator is exact BIGINT throughout with ONE division at the end; scalar max/argmax re-joins broadcast 1-row aggregates",
     "graph_hyperball" -> "HyperBall: per round ONE equi-join of the once-materialized edge set against the (node,bucket,mreg) sketch state (shuffle on dst) + one partial-aggregable register max — rounds·|E| total vs the |V|·|E| of exact all-pairs BFS; the finalize is a closed-form single pass (no 256-bucket spine explode) and per-node estimates quantize to micro-BIGINTs BEFORE the exact integer total",
+    "graph_effective_diameter" -> "effective diameter: hyperBall's per-round totals (rounds+1 rows) feed a lag window + one broadcast 1-row max — exact integer 90%-threshold comparisons and ONE division for the interpolation; the window is rounds-sized, never the data",
     "pipeline_curation_v3" -> "composite cost audit (2.9 s isolated at sf0.1, vs 2.3 s in r5): the delta is connectedComponents' r6 reliability protocol — convergence now proves itself via a label-sum fixpoint (one extra aggregate job per round) and every cut is restart-safe, worth the 2 small jobs/round on a bounded graded fixture and negligible against real data volumes; the dataflow itself is unchanged — exact-dup groupBy, banded minhash join, per-source percent_rank, novelty semi-join, all partial-aggregable with the pair graph cut ONCE before the loop")
 
   def main(args: Array[String]): Unit = {
