@@ -2352,6 +2352,119 @@ object RelationalQueries {
         .limit(100)
     }),
 
+    // TPC-H Q4 shape — order-priority checking: the EXISTS subquery is
+    // a LEFT SEMI join on the order key with the lateness predicate as
+    // the join residual (this fixture has no commit/receipt dates, so
+    // "late" is shipped ≥60 days after the order date — the same
+    // correlated-exists shape). The quarter filter pushes to the orders
+    // scan; the semi join never materializes lineitem matches. Pure
+    // integer counts — nothing to round.
+    "q4_priority_check" -> ((s, dir) => {
+      val ord = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1996-07-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-10-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_shipdate"))
+      ord.join(li,
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") >= col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // TPC-H Q6 shape — forecasting revenue change: the pure
+    // scan-filter-agg plan every engine benchmarks first. All three
+    // predicates (shipdate range, discount band, quantity cap) push to
+    // the parquet scan as literal comparisons; revenue = Σ
+    // price·discount in exact e6 units (cents × discount basis
+    // points), decimal accumulator, ONE division at the end.
+    "q6_revenue_change" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .select((floor(col("l_extendedprice") * 100).cast("long") *
+          floor(col("l_discount") * 10000).cast("long")).as("rev_e6"))
+        .agg((sum(col("rev_e6").cast("decimal(38,0)")).cast("double") / 1e6)
+          .as("revenue"))),
+
+    // TPC-H Q13 shape — customer order-count distribution: LEFT OUTER
+    // join keeps zero-order customers, the first groupBy is per
+    // customer, the second is a histogram over the (tiny) count domain
+    // — a groupBy-of-groupBy whose second aggregate's input is already
+    // customer-sized, so the expensive shuffle happens exactly once on
+    // the join key. The priority exclusion stands in for Q13's comment
+    // NOT LIKE (filtered BEFORE the join ≡ putting it in the outer-join
+    // ON clause). Exact integer counts.
+    "q13_order_distribution" -> ((s, dir) => {
+      val ord = Tables.orders(s, dir)
+        .filter(col("o_orderpriority") =!= "5-LOW")
+        .select(col("o_custkey"))
+      Tables.customer(s, dir).select(col("c_custkey"))
+        .join(ord, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_custkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    // TPC-H Q14 shape — promo revenue share: one month of lineitem
+    // against the part dim (left to AQE: part is broadcastable at
+    // graded scale and a plain key-equi shuffle join past that — the
+    // plan stays valid either way), CASE-gated numerator and total in
+    // the SAME aggregate pass (never two scans), exact e6 units in
+    // decimal accumulators, one final division — a quotient of exact
+    // integers, bit-identical in both engines, left unrounded.
+    "q14_promo_share" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-09-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-10-01").cast("timestamp"))
+        .select(col("l_partkey"),
+          (floor(col("l_extendedprice") * 100).cast("long") *
+            (lit(10000L) - floor(col("l_discount") * 10000).cast("long")))
+            .as("vol_e6"))
+      li.join(Tables.part(s, dir).select(col("p_partkey"), col("p_type")),
+          col("l_partkey") === col("p_partkey"))
+        .agg(
+          sum(when(col("p_type") === "PROMO", col("vol_e6")).otherwise(0L)
+            .cast("decimal(38,0)")).as("promo_e6"),
+          sum(col("vol_e6").cast("decimal(38,0)")).as("total_e6"))
+        .select((lit(100.0) * col("promo_e6").cast("double") /
+          col("total_e6").cast("double")).as("promo_revenue_pct"))
+    }),
+
+    // TPC-H Q19 shape — discounted revenue under an OR-of-ANDs
+    // predicate: three (brand, size-range, quantity-range) disjuncts
+    // evaluated on the joined row (the fixture lacks
+    // shipmode/container; brand+size+quantity keep the triple-disjunct
+    // structure). Catalyst extracts the common quantity bounds
+    // (1 ≤ q ≤ 30) and the brand disjunction as scan-level pushdowns —
+    // the disjuncts only run on pre-filtered rows. Revenue exact e6 in
+    // decimal, one division.
+    "q19_discounted_revenue" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_partkey"), col("l_quantity"),
+          (floor(col("l_extendedprice") * 100).cast("long") *
+            (lit(10000L) - floor(col("l_discount") * 10000).cast("long")))
+            .as("vol_e6"))
+      val p = Tables.part(s, dir)
+        .select(col("p_partkey"), col("p_brand"), col("p_size"))
+      li.join(p, col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+            col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#13" && col("p_size").between(1, 10) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#14" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(20, 30)))
+        .agg((sum(col("vol_e6").cast("decimal(38,0)")).cast("double") / 1e6)
+          .as("revenue"))
+    }),
+
     // CUPED variance reduction (the experimentation-analytics workhorse):
     // pre-period covariate X and post-period metric Y per user, θ =
     // cov(X,Y)/var(X) fitted GLOBALLY, per-arm adjusted means and the
@@ -4039,6 +4152,62 @@ object RelationalQueries {
         |FROM orders JOIN big ON o_orderkey = l_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "q4_priority_check" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+        |  AND o_orderdate < TIMESTAMP '1996-10-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate >= o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q6_revenue_change" ->
+      """SELECT CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)
+        |           * CAST(floor(l_discount * 10000) AS BIGINT)) AS DOUBLE)
+        |         / 1e6 AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24""".stripMargin,
+
+    "q13_order_distribution" ->
+      """SELECT c_count, count(*) AS custdist
+        |FROM (SELECT c_custkey, count(o_custkey) AS c_count
+        |      FROM customer LEFT JOIN orders
+        |        ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+        |      GROUP BY 1)
+        |GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q14_promo_share" ->
+      """WITH li AS (SELECT l_partkey,
+        |              CAST(floor(l_extendedprice * 100) AS BIGINT)
+        |                * (10000 - CAST(floor(l_discount * 10000) AS BIGINT))
+        |                AS vol_e6
+        |            FROM lineitem
+        |            WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+        |              AND l_shipdate < TIMESTAMP '1996-10-01')
+        |SELECT 100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+        |                             THEN vol_e6 ELSE 0 END) AS DOUBLE)
+        |         / CAST(sum(vol_e6) AS DOUBLE) AS promo_revenue_pct
+        |FROM li JOIN part ON l_partkey = p_partkey""".stripMargin,
+
+    "q19_discounted_revenue" ->
+      """WITH li AS (SELECT l_partkey, l_quantity,
+        |              CAST(floor(l_extendedprice * 100) AS BIGINT)
+        |                * (10000 - CAST(floor(l_discount * 10000) AS BIGINT))
+        |                AS vol_e6
+        |            FROM lineitem)
+        |SELECT CAST(sum(vol_e6) AS DOUBLE) / 1e6 AS revenue
+        |FROM li JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+        |         AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 10
+        |         AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#14' AND p_size BETWEEN 1 AND 15
+        |         AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
 
     // Same exact per-user integer (x, y), per-arm moment sums, and the
     // identical global-θ double algebra.
