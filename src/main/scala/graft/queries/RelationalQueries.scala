@@ -2465,6 +2465,160 @@ object RelationalQueries {
           .as("revenue"))
     }),
 
+    // TPC-H Q8 shape — national market share: what fraction of one
+    // region's market for one part type does a given supplier nation
+    // hold, by year? The region restriction rides in two BROADCAST
+    // dimension joins (nation⋈region → customer; nation → supplier);
+    // the part-type filter is an inner filtering join; the share is a
+    // CASE-gated numerator and total in ONE aggregate pass over exact
+    // e6 units — never two scans of the fact join. Per-year division
+    // of exact integers, left unrounded.
+    "q8_market_share" -> ((s, dir) => {
+      val natR = Tables.nation(s, dir)
+        .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"))
+      val cust = Tables.customer(s, dir)
+        .join(broadcast(natR), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"))
+      val ord = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"),
+          year(col("o_orderdate")).as("o_year"))
+      val pp = Tables.part(s, dir).filter(col("p_type") === "ECONOMY")
+        .select(col("p_partkey"))
+      val supN = Tables.supplier(s, dir)
+        .join(broadcast(Tables.nation(s, dir)
+          .select(col("n_nationkey"), col("n_name"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name"))
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          (floor(col("l_extendedprice") * 100).cast("long") *
+            (lit(10000L) - floor(col("l_discount") * 10000).cast("long")))
+            .as("vol_e6"))
+        .join(pp, col("l_partkey") === col("p_partkey"))
+        .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_year"))
+        .agg(
+          sum(when(col("n_name") === "NATION_5", col("vol_e6")).otherwise(0L)
+            .cast("decimal(38,0)")).as("nat_e6"),
+          sum(col("vol_e6").cast("decimal(38,0)")).as("tot_e6"))
+        .select(col("o_year"),
+          (col("nat_e6").cast("double") / col("tot_e6").cast("double"))
+            .as("mkt_share"))
+        .orderBy("o_year")
+    }),
+
+    // TPC-H Q15 shape — top supplier(s) by quarterly revenue: the
+    // revenue view is ONE partial-aggregable rollup of lineitem; the
+    // scalar max comes back as a broadcast 1-row aggregate and the
+    // survivors (exact integer equality on e6 units — no float
+    // threshold) join the supplier dim. The revenue rollup is
+    // supplier-sized, so everything after the first aggregate is
+    // dimension-scale.
+    "q15_top_supplier" -> ((s, dir) => {
+      val rev = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .select(col("l_suppkey"),
+          (floor(col("l_extendedprice") * 100).cast("long") *
+            (lit(10000L) - floor(col("l_discount") * 10000).cast("long")))
+            .as("vol_e6"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(col("vol_e6").cast("decimal(38,0)")).as("rev_e6"))
+      val mx = rev.agg(max(col("rev_e6")).as("max_e6"))
+      rev.crossJoin(broadcast(mx))
+        .filter(col("rev_e6") === col("max_e6"))
+        .join(broadcast(Tables.supplier(s, dir)
+          .select(col("s_suppkey"), col("s_name"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          (col("rev_e6").cast("double") / 1e6).as("total_revenue"))
+        .orderBy("s_suppkey")
+    }),
+
+    // TPC-H Q16 shape — supplier-count distribution: distinct
+    // suppliers able to supply each surviving (brand, type, size)
+    // combo, with the complaints exclusion as a LEFT ANTI join (the
+    // fixture has no partsupp, so the part↔supplier link is the
+    // observed lineitem pairs, and no comment column means the
+    // exclusion keys on a name substring). count(DISTINCT) runs as the
+    // standard two-phase expand — partial-aggregable, no single-point
+    // collect of the pair set.
+    "q16_supplier_count" -> ((s, dir) => {
+      val excl = Tables.supplier(s, dir)
+        .filter(col("s_name").contains("7")).select(col("s_suppkey"))
+      val p = Tables.part(s, dir)
+        .filter(col("p_brand") =!= "Brand#5" &&
+          col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29))
+        .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+      Tables.lineitem(s, dir).select(col("l_partkey"), col("l_suppkey"))
+        .join(p, col("l_partkey") === col("p_partkey"))
+        .join(broadcast(excl), col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+          col("p_size"))
+    }),
+
+    // TPC-H Q17 shape — small-quantity-order revenue: lines below 20%
+    // of their part's average quantity. The correlated avg is a
+    // per-part rollup joined back to the filtered lines, and the
+    // threshold test cross-multiplies to exact integers
+    // (qty·5·n < Σqty — quantities are integral) so no float average
+    // ever exists to disagree on. One division at the very end
+    // (cents/700 = dollars/7).
+    "q17_small_quantity" -> ((s, dir) => {
+      val p = Tables.part(s, dir)
+        .filter(col("p_brand") === "Brand#10" && col("p_size") <= 10)
+        .select(col("p_partkey"))
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_partkey"),
+          floor(col("l_quantity")).cast("long").as("qty_i"),
+          floor(col("l_extendedprice") * 100).cast("long").as("cents"))
+        .join(p, col("l_partkey") === col("p_partkey"))
+      val stats = li.groupBy(col("l_partkey").as("sp_key"))
+        .agg(count(lit(1)).as("n"), sum(col("qty_i")).as("sq"))
+      li.join(stats, col("l_partkey") === col("sp_key"))
+        .filter(col("qty_i") * 5 * col("n") < col("sq"))
+        .agg((sum(col("cents").cast("decimal(38,0)")).cast("double") / 700.0)
+          .as("avg_yearly"))
+    }),
+
+    // TPC-H Q22 shape — global sales opportunity: customers from a
+    // country-code set (nationkey mod 10 stands in for the phone
+    // prefix) with above-average positive balances and NO orders. The
+    // average is a broadcast 1-row (Σ, n) pair and the threshold test
+    // cross-multiplies (cents·n > Σcents) — exact integers, no float
+    // average; the "lapsed" test is a LEFT ANTI join on the natural
+    // customer key against the recent-order window (the date filter
+    // pushes to the orders scan, shrinking the anti side before the
+    // shuffle). Integer cent sums; one display division.
+    "q22_sales_opportunity" -> ((s, dir) => {
+      val cust = Tables.customer(s, dir)
+        .select(col("c_custkey"),
+          floor(col("c_acctbal") * 100).cast("long").as("cents"),
+          pmod(col("c_nationkey"), lit(10)).as("cntrycode"))
+        .filter(col("cntrycode").isin(1, 3, 5, 7, 9))
+      val avgPos = cust.filter(col("cents") > 0)
+        .agg(sum(col("cents")).as("s_cents"), count(lit(1)).as("n_pos"))
+      cust.join(Tables.orders(s, dir)
+            .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+            .select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .crossJoin(broadcast(avgPos))
+        .filter(col("cents") * col("n_pos") > col("s_cents"))
+        .groupBy(col("cntrycode"))
+        .agg(count(lit(1)).as("numcust"), sum(col("cents")).as("bal_cents"))
+        .select(col("cntrycode"), col("numcust"),
+          (col("bal_cents") / 100.0).as("totacctbal"))
+        .orderBy("cntrycode")
+    }),
+
     // CUPED variance reduction (the experimentation-analytics workhorse):
     // pre-period covariate X and post-period metric Y per user, θ =
     // cov(X,Y)/var(X) fitted GLOBALLY, per-arm adjusted means and the
@@ -4208,6 +4362,85 @@ object RelationalQueries {
         |         AND l_quantity BETWEEN 10 AND 20)
         |   OR (p_brand = 'Brand#14' AND p_size BETWEEN 1 AND 15
         |         AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    "q8_market_share" ->
+      """WITH li AS (SELECT l_orderkey, l_partkey, l_suppkey,
+        |              CAST(floor(l_extendedprice * 100) AS BIGINT)
+        |                * (10000 - CAST(floor(l_discount * 10000) AS BIGINT))
+        |                AS vol_e6
+        |            FROM lineitem)
+        |SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+        |       CAST(sum(CASE WHEN n1.n_name = 'NATION_5'
+        |                     THEN vol_e6 ELSE 0 END) AS DOUBLE)
+        |         / CAST(sum(vol_e6) AS DOUBLE) AS mkt_share
+        |FROM li
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |JOIN region ON n2.n_regionkey = r_regionkey
+        |WHERE p_type = 'ECONOMY' AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q15_top_supplier" ->
+      """WITH rev AS (SELECT l_suppkey,
+        |               CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)
+        |                 * (10000 - CAST(floor(l_discount * 10000) AS BIGINT)))
+        |                 AS HUGEINT) AS rev_e6
+        |             FROM lineitem
+        |             WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |               AND l_shipdate < TIMESTAMP '1996-04-01'
+        |             GROUP BY 1)
+        |SELECT s_suppkey, s_name, CAST(rev_e6 AS DOUBLE) / 1e6 AS total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE rev_e6 = (SELECT max(rev_e6) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q16_supplier_count" ->
+      """SELECT p_brand, p_type, p_size,
+        |       count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#5'
+        |  AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+        |                        WHERE contains(s_name, '7'))
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+
+    "q17_small_quantity" ->
+      """WITH li AS (SELECT l_partkey,
+        |              CAST(floor(l_quantity) AS BIGINT) AS qty_i,
+        |              CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents
+        |            FROM lineitem
+        |            WHERE l_partkey IN (SELECT p_partkey FROM part
+        |                                WHERE p_brand = 'Brand#10'
+        |                                  AND p_size <= 10)),
+        |st AS (SELECT l_partkey AS sp_key, count(*) AS n,
+        |         sum(qty_i) AS sq FROM li GROUP BY 1)
+        |SELECT CAST(sum(cents) AS DOUBLE) / 700.0 AS avg_yearly
+        |FROM li JOIN st ON l_partkey = sp_key
+        |WHERE qty_i * 5 * n < sq""".stripMargin,
+
+    "q22_sales_opportunity" ->
+      """WITH cust AS (SELECT c_custkey,
+        |                CAST(floor(c_acctbal * 100) AS BIGINT) AS cents,
+        |                c_nationkey % 10 AS cntrycode
+        |              FROM customer
+        |              WHERE c_nationkey % 10 IN (1, 3, 5, 7, 9)),
+        |ap AS (SELECT sum(cents) AS s_cents, count(*) AS n_pos
+        |       FROM cust WHERE cents > 0)
+        |SELECT cntrycode, count(*) AS numcust,
+        |       sum(cents) / 100.0 AS totacctbal
+        |FROM cust CROSS JOIN ap
+        |WHERE cents * n_pos > s_cents
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // Same exact per-user integer (x, y), per-arm moment sums, and the
     // identical global-θ double algebra.
