@@ -2619,6 +2619,143 @@ object RelationalQueries {
         .orderBy("cntrycode")
     }),
 
+    // TPC-H Q2 shape — minimum-cost supplier: for each part in a
+    // size/type slice, the cheapest regional supplier. No partsupp in
+    // the fixture, so the offer book is the OBSERVED lineitem unit
+    // price; the unit price is an exact scaled integer
+    // (cents·10⁴ div qty — positive, so truncating div ≡ floor in both
+    // engines), which makes the correlated-min join-back an exact
+    // integer equality instead of a float threshold. Region and
+    // supplier dims ride broadcast; the per-part min is a rollup of
+    // the already part-filtered offers.
+    "q2_min_cost_supplier" -> ((s, dir) => {
+      val natE = Tables.nation(s, dir)
+        .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      val sup = Tables.supplier(s, dir)
+        .join(broadcast(natE), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          floor(col("s_acctbal") * 100).cast("long").as("acct_cents"),
+          col("n_name"))
+      val p = Tables.part(s, dir)
+        .filter(col("p_size") === 15 && col("p_type") === "STANDARD")
+        .select(col("p_partkey"), col("p_name"))
+      val offers = Tables.lineitem(s, dir)
+        .select(col("l_partkey"), col("l_suppkey"),
+          expr("(CAST(floor(l_extendedprice * 100) AS BIGINT) * 10000) div " +
+            "CAST(floor(l_quantity) AS BIGINT)").as("u_e6"))
+        .join(p, col("l_partkey") === col("p_partkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("p_partkey"), col("p_name"), col("s_suppkey"),
+          col("s_name"), col("acct_cents"), col("n_name"))
+        .agg(min(col("u_e6")).as("u_e6"))
+      val best = offers.groupBy(col("p_partkey").as("bp"))
+        .agg(min(col("u_e6")).as("best_e6"))
+      offers.join(best,
+          col("p_partkey") === col("bp") && col("u_e6") === col("best_e6"))
+        .select((col("acct_cents") / 100.0).as("s_acctbal"), col("s_name"),
+          col("n_name"), col("p_partkey"), col("p_name"),
+          (col("u_e6").cast("double") / 1e6).as("unit_cost"))
+        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+          col("p_partkey"))
+        .limit(100)
+    }),
+
+    // TPC-H Q9 shape — product-type profit by nation and year: profit
+    // = revenue − cost where cost stands in as 60% of the part's
+    // retail price per unit (no partsupp supplycost in the fixture).
+    // Everything is exact e6 integer units — vol_e6 minus
+    // qty·retail_cents·6000 — summed in decimal (profits can be
+    // negative; the signed sum is still associative-exact), ONE
+    // division for display. The name filter prunes part before the
+    // fact join; supplier→nation rides broadcast.
+    "q9_product_profit" -> ((s, dir) => {
+      val p = Tables.part(s, dir)
+        .filter(col("p_name").contains("widget"))
+        .select(col("p_partkey"),
+          floor(col("p_retailprice") * 100).cast("long").as("retail_cents"))
+      val supN = Tables.supplier(s, dir)
+        .join(broadcast(Tables.nation(s, dir)
+          .select(col("n_nationkey"), col("n_name"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name"))
+      val ord = Tables.orders(s, dir)
+        .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year"))
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          floor(col("l_quantity")).cast("long").as("qty_i"),
+          (floor(col("l_extendedprice") * 100).cast("long") *
+            (lit(10000L) - floor(col("l_discount") * 10000).cast("long")))
+            .as("vol_e6"))
+        .join(p, col("l_partkey") === col("p_partkey"))
+        .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .select(col("n_name").as("nation"), col("o_year"),
+          (col("vol_e6") - col("qty_i") * col("retail_cents") * lit(6000L))
+            .as("profit_e6"))
+        .groupBy(col("nation"), col("o_year"))
+        .agg((sum(col("profit_e6").cast("decimal(38,0)")).cast("double") / 1e6)
+          .as("sum_profit"))
+        .orderBy(col("nation"), col("o_year").desc)
+    }),
+
+    // TPC-H Q12 shape — shipping priority classes: lines shipped ≥30
+    // days after their order (the lateness stand-in for Q12's
+    // commit/receipt window; no shipmode column, so the class axis is
+    // l_linestatus), split into urgent-or-high vs other order
+    // priorities — both counts CASE-gated in ONE aggregate pass over
+    // the joined rows. Exact integer counts.
+    "q12_ship_priority" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .select(col("l_orderkey"), col("l_linestatus"), col("l_shipdate"))
+      val ord = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") >= col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+        .groupBy(col("l_linestatus"))
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("high_line_count"),
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+            .otherwise(1L)).as("low_line_count"))
+        .orderBy("l_linestatus")
+    }),
+
+    // TPC-H Q21 shape — suppliers who kept orders waiting: late lines
+    // (shipped ≥75 days after a finished order) where ANOTHER supplier
+    // was on the order (LEFT SEMI with a ≠-supplier residual) but NO
+    // other supplier was late (LEFT ANTI against the late set itself)
+    // — the classic exists/not-exists double-correlated pair as two
+    // equi-key joins with inequality residuals. Pure counts, top 100.
+    "q21_waiting_supplier" -> ((s, dir) => {
+      val ord = Tables.orders(s, dir)
+        .filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_orderdate"))
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      val late = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") >= col("o_orderdate") + expr("INTERVAL 75 DAYS"))
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val withOther = late.join(
+        li.select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2")),
+        col("l_orderkey") === col("o2") && col("s2") =!= col("l_suppkey"),
+        "left_semi")
+      val sole = withOther.join(
+        late.select(col("l_orderkey").as("o3"), col("l_suppkey").as("s3")),
+        col("l_orderkey") === col("o3") && col("s3") =!= col("l_suppkey"),
+        "left_anti")
+      sole.join(broadcast(Tables.supplier(s, dir)
+          .select(col("s_suppkey"), col("s_name"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(100)
+    }),
+
     // CUPED variance reduction (the experimentation-analytics workhorse):
     // pre-period covariate X and post-period metric Y per user, θ =
     // cov(X,Y)/var(X) fitted GLOBALLY, per-arm adjusted means and the
@@ -4441,6 +4578,71 @@ object RelationalQueries {
         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
         |                  AND o_orderdate >= TIMESTAMP '2000-01-01')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q2_min_cost_supplier" ->
+      """WITH offers AS (
+        |  SELECT p_partkey, p_name, s_suppkey, s_name,
+        |         CAST(floor(s_acctbal * 100) AS BIGINT) AS acct_cents,
+        |         n_name,
+        |         min((CAST(floor(l_extendedprice * 100) AS BIGINT) * 10000)
+        |             // CAST(floor(l_quantity) AS BIGINT)) AS u_e6
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE p_size = 15 AND p_type = 'STANDARD' AND r_name = 'EUROPE'
+        |  GROUP BY 1, 2, 3, 4, 5, 6),
+        |best AS (SELECT p_partkey AS bp, min(u_e6) AS best_e6
+        |         FROM offers GROUP BY 1)
+        |SELECT acct_cents / 100.0 AS s_acctbal, s_name, n_name,
+        |       p_partkey, p_name, CAST(u_e6 AS DOUBLE) / 1e6 AS unit_cost
+        |FROM offers JOIN best ON p_partkey = bp AND u_e6 = best_e6
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        |LIMIT 100""".stripMargin,
+
+    "q9_product_profit" ->
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+        |       CAST(sum(CAST(CAST(floor(l_extendedprice * 100) AS BIGINT)
+        |           * (10000 - CAST(floor(l_discount * 10000) AS BIGINT))
+        |           - CAST(floor(l_quantity) AS BIGINT)
+        |             * CAST(floor(p_retailprice * 100) AS BIGINT) * 6000
+        |           AS HUGEINT)) AS DOUBLE) / 1e6 AS sum_profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE contains(p_name, 'widget')
+        |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
+
+    "q12_ship_priority" ->
+      """SELECT l_linestatus,
+        |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_shipdate >= o_orderdate + INTERVAL 30 DAY
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q21_waiting_supplier" ->
+      """WITH late AS (
+        |  SELECT l_orderkey, l_suppkey
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F'
+        |    AND l_shipdate >= o_orderdate + INTERVAL 75 DAY)
+        |SELECT s_name, count(*) AS numwait
+        |FROM late l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+        |WHERE EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM late l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey)
+        |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin,
 
     // Same exact per-user integer (x, y), per-arm moment sums, and the
     // identical global-θ double algebra.
