@@ -124,6 +124,20 @@ object PlanDump {
     "multimodal_scene_cut" -> "scene cut: real decode in mapPartitions (codec amortized per task), then a lag window PARTITIONED BY media (4 rows each — never corpus-wide); integer channel deltas with one exact div by w·h",
     "q7_volume_shipping" -> "TPC-H Q7: the disjunctive cross-nation predicate rides in two BROADCAST nation joins (no fact-side shuffle against dimensions); only lineitem⋈orders and orders⋈customer exchange on natural keys; shipdate range pushed to the lineitem scan; revenue in exact 1e-6-dollar units summed in decimal",
     "q10_returned_items" -> "TPC-H Q10: returnflag pushed to the lineitem scan, quarter filter to orders; the nation dim broadcasts; top-20 via TakeOrderedAndProject after a partial-aggregable revenue rollup in exact units",
+    "q2_min_cost_supplier" -> "TPC-H Q2: the correlated min decorrelates to a per-part rollup of the ALREADY part+region-filtered offers joined back on an EXACT integer unit price (cents·10⁴ div qty — no float threshold); region→nation→supplier folds into one broadcast; top-100 via TakeOrderedAndProject",
+    "q4_priority_check" -> "TPC-H Q4: the EXISTS subquery is a LEFT SEMI join on the order key with the lateness predicate as join residual — lineitem matches are never materialized; quarter filter pushed to the orders scan",
+    "q6_revenue_change" -> "TPC-H Q6: the canonical scan-filter-agg — all three predicates (shipdate range, discount band, quantity cap) appear in PushedFilters; 4-column ReadSchema; one two-phase HashAggregate over exact e6 units",
+    "q8_market_share" -> "TPC-H Q8: region restriction folded into two broadcast dimension joins; part-type filtering join prunes the fact side early; CASE-gated numerator + total in ONE aggregate pass (never two fact scans); per-year division of exact integers",
+    "q9_product_profit" -> "TPC-H Q9: name filter prunes part before the fact join; supplier→nation broadcasts; profit = exact signed e6 integers (vol − qty·retail·0.6) summed in decimal — associative even with negative terms",
+    "q12_ship_priority" -> "TPC-H Q12: one lineitem⋈orders equi-join with the lateness comparison as residual; both priority-class counts CASE-gated in a single two-phase HashAggregate",
+    "q13_order_distribution" -> "TPC-H Q13: LEFT OUTER join keeps zero-order customers; first groupBy on the join key (one data-sized shuffle), second groupBy is a histogram over the tiny count domain",
+    "q14_promo_share" -> "TPC-H Q14: month filter pushed to the lineitem scan; part joins broadcast (AQE) at graded scale, plain key-equi beyond; numerator and total in the SAME aggregate pass; final division of exact integers left unrounded",
+    "q15_top_supplier" -> "TPC-H Q15: the revenue view is one partial-aggregable rollup; the scalar max re-enters as a broadcast 1-row aggregate and the survivor test is EXACT integer equality on e6 units",
+    "q16_supplier_count" -> "TPC-H Q16: complaints exclusion as a broadcast LEFT ANTI join; count(DISTINCT supplier) runs the standard two-phase partial-distinct expand — never a collected pair set",
+    "q17_small_quantity" -> "TPC-H Q17: the correlated 0.2·avg threshold cross-multiplies to exact integers (qty·5·n < Σqty) so no float average exists; per-part rollup joins back to the pre-filtered lines only",
+    "q19_discounted_revenue" -> "TPC-H Q19: Catalyst extracts the common quantity bounds and the brand disjunction from the OR-of-ANDs into scan-level pushdowns; the residual disjuncts evaluate on pre-filtered rows only",
+    "q21_waiting_supplier" -> "TPC-H Q21: the exists/not-exists pair plans as LEFT SEMI + LEFT ANTI equi-joins on the order key with ≠-supplier residuals — no correlated re-execution; late-line filter applied before both self-joins",
+    "q22_sales_opportunity" -> "TPC-H Q22: the positive-balance average re-enters as a broadcast 1-row (Σ,n) pair with a cross-multiplied integer threshold; the lapsed test is a LEFT ANTI join against the date-pruned orders scan",
     "q_l_diversity" -> "l-diversity: two stacked fixed-width HashAggregates ((QI, value) counts, then the packed-BIGINT modal argmax) — bounded by |QI|·|values|, no window over raw rows",
     "q_table_fingerprint" -> "table fingerprint: ONE scan, row hashes in a codegen projection, one partial-aggregable decimal sum — commutative/associative, so any partitioning or file order computes the same witness; the cheapest whole-table equality check at 100 TB",
     "graph_assortativity" -> "degree assortativity: symmetrized edges shuffle once for the degree count, endpoint degrees attach via two equi-joins on the SAME node axis, and the Pearson r collapses to ONE pass of exact BIGINT moment sums (the q_corr_agg pattern) — 1-row algebra after the aggregate",
