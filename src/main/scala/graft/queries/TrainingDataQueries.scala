@@ -5,7 +5,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, Graph, Layout, Multimodal, Sampling, Similarity, TextAnalysis, Upsert}
+import graft.operators.{Dedup, Graph, Layout, Multimodal, Sampling, Similarity, Sketches, TextAnalysis, Upsert}
+import graft.plans.ShingleHashes
 import graft.sources.Tables
 
 /** Graded queries for the LLM-training-data operators (dedup, similarity
@@ -1765,6 +1766,58 @@ object TrainingDataQueries {
               (lit(9L) * col("nmax") - lit(10L) * col("prev")).cast("double") /
                 (lit(10L) * (col("cur") - col("prev"))).cast("double")), 6)
             .as("effective_diameter"))
+    }),
+
+    // Corpus-overlap audit via sketch SET ALGEBRA — the "how much of
+    // corpus B is already in corpus A" question every data-mixing
+    // decision needs, answered without ever joining the two shingle
+    // sets: per-segment HLL registers over the 48-bit shingle hashes
+    // (one corpus pass, ≤256 rows of state per segment), the UNION
+    // sketch as a bucketwise register max (the defining HLL merge —
+    // idempotent/commutative, so any partitioning computes the same
+    // registers), and the intersection by inclusion–exclusion on the
+    // micro-unit estimates — exact BIGINT algebra after the two
+    // single-division finalizes. Exact distinct counts ride along
+    // (two-phase expand) so the output exhibits the sketch error it
+    // is promising to stay inside. At 100 TB the exact legs would be
+    // the expensive half; the sketch half's state is 256 longs per
+    // corpus regardless of scale.
+    "text_corpus_overlap" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(when(pmod(expr("cast(substring(source, 4, 10) as int)"),
+            lit(2)) === 0, lit("even_sources"))
+            .otherwise(lit("odd_sources")).as("seg"),
+          TextFunctions.words(col("text")).as("w"))
+        .filter(size(col("w")) >= 3)
+      val keyed = docs.select(col("seg"), explode(ShingleHashes(col("w"))).as("k"))
+      // registers feed three consumers (per-seg finalize, union merge,
+      // and nothing else recomputes the corpus): materialize the ≤512
+      // rows once instead of re-scanning documents per consumer.
+      val regs = Sketches.hllRegisters(keyed, "seg", col("k")).localCheckpoint()
+      val per = Sketches.hllEstimateMicro(regs, "seg")
+      val perRow = per.groupBy()
+        .agg(max(when(col("seg") === "even_sources", col("est_micro")))
+            .as("est_even_micro"),
+          max(when(col("seg") === "odd_sources", col("est_micro")))
+            .as("est_odd_micro"))
+      val uni = Sketches.hllEstimateMicro(
+          regs.groupBy(col("bucket")).agg(max(col("mreg")).as("mreg"))
+            .select(lit("u").as("seg"), col("bucket"), col("mreg")), "seg")
+        .select(col("est_micro").as("est_union_micro"))
+      val exact = keyed.groupBy(col("seg"))
+        .agg(countDistinct(col("k")).as("ex"))
+      val exactRow = exact.groupBy()
+        .agg(max(when(col("seg") === "even_sources", col("ex"))).as("exact_even"),
+          max(when(col("seg") === "odd_sources", col("ex"))).as("exact_odd"))
+      perRow.crossJoin(broadcast(uni)).crossJoin(broadcast(exactRow))
+        .select(col("est_even_micro"), col("est_odd_micro"),
+          col("est_union_micro"),
+          (col("est_even_micro") + col("est_odd_micro") -
+            col("est_union_micro")).as("est_inter_micro"),
+          ((col("est_even_micro") + col("est_odd_micro") -
+            col("est_union_micro")).cast("double") /
+            col("est_union_micro").cast("double")).as("est_jaccard"),
+          col("exact_even"), col("exact_odd"))
     }),
 
     // HTML → text extraction over deterministically synthesized pages
@@ -4076,6 +4129,75 @@ object TrainingDataQueries {
          |              / CAST(10 * (cur - prev) AS DOUBLE) END, 6)
          |         AS effective_diameter
          |FROM q""".stripMargin,
+
+    // Register-for-register replay of the HLL set algebra: per-segment
+    // rho registers over the SAME 48-bit shingle hashes, the union as
+    // a bucketwise max, closed-form finalize (no 256-bucket spine),
+    // inclusion–exclusion on micro-unit BIGINTs.
+    "text_corpus_overlap" -> {
+      val raw = "0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 " +
+        "* 1152921504606846976.0 / CAST(ssum AS DOUBLE)"
+      val estCase = s"""CASE WHEN $raw <= 640.0 AND v0 > 0
+                       |  THEN 256.0 * ln(256.0 / CAST(v0 AS DOUBLE))
+                       |  ELSE $raw END""".stripMargin
+      val finBody = """sum(CAST(1 AS BIGINT) << (60 - mreg))
+                      |  + CAST(256 - count(*) AS HUGEINT)
+                      |    * CAST(1152921504606846976 AS HUGEINT) AS ssum,
+                      |256 - count(*) AS v0""".stripMargin
+      s"""WITH w AS (SELECT CASE WHEN CAST(substr(source, 4, 10) AS INT) % 2 = 0
+         |             THEN 'even_sources' ELSE 'odd_sources' END AS seg,
+         |           $wordsSql AS l FROM documents),
+         |sh AS (SELECT seg,
+         |         unnest(list_transform(generate_series(1, len(l) - 2),
+         |           i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS shingle
+         |       FROM w WHERE len(l) >= 3),
+         |kk AS (SELECT seg, ('0x' || substr(md5(shingle), 1, 12))::BIGINT AS k
+         |       FROM sh),
+         |h AS (SELECT seg, md5(CAST(k AS VARCHAR)) AS hx FROM kk),
+         |r0 AS (SELECT seg,
+         |         16 * (strpos('0123456789abcdef', substr(hx, 1, 1)) - 1)
+         |           + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) AS bucket,
+         |         ltrim(substr(hx, 3, 14), '0') AS stripped
+         |       FROM h),
+         |r1 AS (SELECT seg, bucket,
+         |         CASE WHEN stripped = '' THEN 57
+         |              ELSE 4 * (14 - length(stripped))
+         |                + (4 - CASE WHEN strpos('0123456789abcdef',
+         |                                        substr(stripped, 1, 1)) - 1 >= 8 THEN 4
+         |                           WHEN strpos('0123456789abcdef',
+         |                                        substr(stripped, 1, 1)) - 1 >= 4 THEN 3
+         |                           WHEN strpos('0123456789abcdef',
+         |                                        substr(stripped, 1, 1)) - 1 >= 2 THEN 2
+         |                           ELSE 1 END) + 1 END AS rho
+         |       FROM r0),
+         |reg AS (SELECT seg, bucket, max(rho) AS mreg FROM r1 GROUP BY 1, 2),
+         |fin AS (SELECT seg, $finBody FROM reg GROUP BY 1),
+         |est AS (SELECT seg,
+         |          CAST(floor(($estCase) * 1000000.0) AS BIGINT) AS est_micro
+         |        FROM fin),
+         |ureg AS (SELECT bucket, max(mreg) AS mreg FROM reg GROUP BY 1),
+         |ufin AS (SELECT $finBody FROM ureg),
+         |uest AS (SELECT CAST(floor(($estCase) * 1000000.0) AS BIGINT)
+         |           AS est_union_micro FROM ufin),
+         |ex AS (SELECT seg, count(DISTINCT k) AS ex FROM kk GROUP BY 1),
+         |p AS (SELECT
+         |        max(CASE WHEN seg = 'even_sources' THEN est_micro END)
+         |          AS est_even_micro,
+         |        max(CASE WHEN seg = 'odd_sources' THEN est_micro END)
+         |          AS est_odd_micro FROM est),
+         |x AS (SELECT
+         |        CAST(max(CASE WHEN seg = 'even_sources' THEN ex END) AS BIGINT)
+         |          AS exact_even,
+         |        CAST(max(CASE WHEN seg = 'odd_sources' THEN ex END) AS BIGINT)
+         |          AS exact_odd FROM ex)
+         |SELECT est_even_micro, est_odd_micro, est_union_micro,
+         |       est_even_micro + est_odd_micro - est_union_micro
+         |         AS est_inter_micro,
+         |       CAST(est_even_micro + est_odd_micro - est_union_micro AS DOUBLE)
+         |         / CAST(est_union_micro AS DOUBLE) AS est_jaccard,
+         |       exact_even, exact_odd
+         |FROM p CROSS JOIN uest CROSS JOIN x""".stripMargin
+    },
 
     "text_html_strip" ->
       """WITH h AS (SELECT doc_id,

@@ -145,6 +145,7 @@ object PlanDump {
     "q_ks_test" -> "two-sample KS: the fact table collapses to per-VALUE counts first (partial-aggregable, bounded by distinct values); the CDF walk is Sweep.runningSum (range partition + P driver longs — no single-partition window); D's numerator is exact BIGINT throughout with ONE division at the end; scalar max/argmax re-joins broadcast 1-row aggregates",
     "graph_hyperball" -> "HyperBall: per round ONE equi-join of the once-materialized edge set against the (node,bucket,mreg) sketch state (shuffle on dst) + one partial-aggregable register max — rounds·|E| total vs the |V|·|E| of exact all-pairs BFS; the finalize is a closed-form single pass (no 256-bucket spine explode) and per-node estimates quantize to micro-BIGINTs BEFORE the exact integer total",
     "graph_effective_diameter" -> "effective diameter: hyperBall's per-round totals (rounds+1 rows) feed a lag window + one broadcast 1-row max — exact integer 90%-threshold comparisons and ONE division for the interpolation; the window is rounds-sized, never the data",
+    "text_corpus_overlap" -> "HLL set algebra: ONE corpus pass builds per-segment registers (partial-aggregable max — ≤256 rows of state per segment through the exchange); the union sketch is a bucketwise register max over the ≤512 materialized rows, intersection by inclusion-exclusion on micro-unit BIGINTs — the two shingle sets are never joined; the exact countDistinct legs are the only corpus-sized consumers",
     "pipeline_curation_v3" -> "composite cost audit (2.9 s isolated at sf0.1, vs 2.3 s in r5): the delta is connectedComponents' r6 reliability protocol — convergence now proves itself via a label-sum fixpoint (one extra aggregate job per round) and every cut is restart-safe, worth the 2 small jobs/round on a bounded graded fixture and negligible against real data volumes; the dataflow itself is unchanged — exact-dup groupBy, banded minhash join, per-source percent_rank, novelty semi-join, all partial-aggregable with the pair graph cut ONCE before the loop")
 
   def main(args: Array[String]): Unit = {
