@@ -2986,6 +2986,160 @@ object RelationalQueries {
           col("score"))
         .orderBy(col("score").desc, col("split_day"))
         .limit(1)
+    }),
+
+    // 2-D Pareto skyline (minimize price, maximize size): the classic
+    // "best tradeoff frontier" operator (Börzsönyi et al., ICDE 2001),
+    // expressed WITHOUT the quadratic all-pairs dominance test. For a
+    // 2-D skyline, a point survives iff no strictly-cheaper point has
+    // size >= its size AND no equal-price point has size > its size —
+    // i.e. it is the max-size point of its price group AND its size
+    // strictly exceeds the running max over cheaper price groups. The
+    // expensive pass is ONE distributed groupBy(cents, size); the
+    // running-max walk runs on the per-price rollup, whose cardinality
+    // is bounded by the PRICE DOMAIN (distinct cent values of a bounded
+    // decimal price), not the row count — the same dimension-bounded
+    // window contract as q_changepoint's calendar. The oracle is the
+    // textbook NOT EXISTS dominance query — a genuinely independent
+    // formulation, so the differential gate checks the sweep's
+    // semantics, not its implementation.
+    "q_skyline" -> ((s, dir) => {
+      val p = Tables.part(s, dir)
+        .select(floor(col("p_retailprice") * 100).cast("long").as("cents"),
+          col("p_size").cast("long").as("size"))
+      val b = p.groupBy(col("cents"), col("size"))
+        .agg(count(lit(1)).as("n_parts"))
+      val g = b.groupBy(col("cents")).agg(max(col("size")).as("gmax"))
+      val w = Window.orderBy(col("cents"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val sky = g.withColumn("rm", max(col("gmax")).over(w))
+        .filter(col("rm").isNull || col("gmax") > col("rm"))
+        .select(col("cents"), col("gmax"))
+      b.join(broadcast(sky), Seq("cents"))
+        .filter(col("size") === col("gmax"))
+        .select(col("cents"), col("size"), col("n_parts"))
+        .orderBy("cents")
+    }),
+
+    // Grouped closed-form OLS (revenue-vs-time trend per customer
+    // nation): slope/intercept/R² from the five sufficient statistics
+    // n, Σx, Σy, Σxy, Σx², Σy² — ONE distributed aggregate over the
+    // orders⋈customer join, then 25-row algebra. x is exact epoch-days,
+    // y exact cents, every sum an ASSOCIATIVE decimal(38,0) integer sum
+    // (per-row products x·y ≈ 6e11 and y² ≈ 2.5e15 sit far inside
+    // BIGINT; the group sums n·Σxy ≈ 2e25 at sf100 need the decimal
+    // accumulator — same contract as q_gini), so aggregation order
+    // cannot move a bit. The only doubles are per-GROUP single
+    // divisions of exact numerators (slope = (nΣxy−ΣxΣy)/(nΣx²−(Σx)²);
+    // R² squares the covariance numerator in double because its exact
+    // square would overflow decimal(38)) — deterministic IEEE ops both
+    // engines. Degenerate groups (den_x or den_y = 0) are filtered, not
+    // NaN'd.
+    "q_linreg" -> ((s, dir) => {
+      val dec = "decimal(38,0)"
+      val o = Tables.orders(s, dir)
+        .select(col("o_custkey"),
+          datediff(to_date(col("o_orderdate")), lit("1995-01-01").cast("date"))
+            .cast("long").as("x"),
+          floor(col("o_totalprice") * 100).cast("long").as("y"))
+      val c = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_nationkey").cast("long").as("nation"))
+      val sums = o.join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("nation"))
+        .agg(count(lit(1)).cast(dec).as("n"),
+          sum(col("x").cast(dec)).as("sx"),
+          sum(col("y").cast(dec)).as("sy"),
+          sum((col("x") * col("y")).cast(dec)).as("sxy"),
+          sum((col("x") * col("x")).cast(dec)).as("sxx"),
+          sum((col("y") * col("y")).cast(dec)).as("syy"))
+      sums
+        .withColumn("num", col("n") * col("sxy") - col("sx") * col("sy"))
+        .withColumn("den_x", col("n") * col("sxx") - col("sx") * col("sx"))
+        .withColumn("den_y", col("n") * col("syy") - col("sy") * col("sy"))
+        .filter(col("den_x") > 0 && col("den_y") > 0)
+        .withColumn("slope",
+          col("num").cast("double") / col("den_x").cast("double"))
+        .select(col("nation"), col("n").cast("long").as("n"),
+          round(col("slope"), 6).as("slope"),
+          round((col("sy").cast("double") -
+              col("slope") * col("sx").cast("double")) /
+            col("n").cast("double"), 2).as("intercept"),
+          round(col("num").cast("double") * col("num").cast("double") /
+            (col("den_x").cast("double") * col("den_y").cast("double")), 6)
+            .as("r2"))
+        .orderBy("nation")
+    }),
+
+    // Autocorrelation function of the daily-revenue series, lags 1..7 —
+    // the seasonality/trend diagnostic every forecasting pipeline runs
+    // before model choice. The series index is gap-collapsed via the
+    // two-pass globalIds (range partition + P partition counts — never
+    // a single-partition window over the raw series), lag pairing is an
+    // EQUI-join on gid+k = gid2 (7 bounded copies of the day-level
+    // rollup), and the whole statistic is computed in mean-free exact
+    // integer form: multiplying the centered covariance by n² clears
+    // every μ=S/n denominator, giving acf_k = (n²·C_k − n·S·(A_k+B_k) +
+    // n_k·S²) / (n²·Q − n·S²) with every term an associative
+    // decimal(38,0) product of BIGINT sums (n²·C_k ≈ 1.4e30 at sf100 —
+    // inside decimal(38) and DuckDB's HUGEINT alike). ONE double
+    // division per lag at the end.
+    "q_acf" -> ((s, dir) => {
+      val dec = "decimal(38,0)"
+      val daily = Tables.orders(s, dir)
+        .select(datediff(to_date(col("o_orderdate")), lit("1995-01-01").cast("date"))
+            .cast("long").as("day"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        .groupBy(col("day")).agg(sum(col("cents")).as("x"))
+      val idx = Sorting.globalIds(daily, col("day")).select(col("gid"), col("x"))
+      val tot = idx.agg(count(lit(1)).cast(dec).as("n"),
+        sum(col("x").cast(dec)).as("s"),
+        sum(col("x").cast(dec) * col("x").cast(dec)).as("q"))
+      val pairs = idx
+        .select(col("gid"), col("x"),
+          explode(sequence(lit(1L), lit(7L))).as("lag_k"))
+        .join(idx.select(col("gid").as("gid2"), col("x").as("x2")),
+          col("gid") + col("lag_k") === col("gid2"))
+      val per = pairs.groupBy(col("lag_k"))
+        .agg(count(lit(1)).cast(dec).as("nk"),
+          sum(col("x").cast(dec)).as("ak"),
+          sum(col("x2").cast(dec)).as("bk"),
+          sum(col("x").cast(dec) * col("x2").cast(dec)).as("ck"))
+      per.crossJoin(broadcast(tot))
+        .select(col("lag_k"), col("nk").cast("long").as("n_pairs"),
+          round((col("n") * col("n") * col("ck")
+              - col("n") * col("s") * (col("ak") + col("bk"))
+              + col("nk") * col("s") * col("s")).cast("double")
+            / (col("n") * col("n") * col("q")
+              - col("n") * col("s") * col("s")).cast("double"), 6).as("acf"))
+        .orderBy("lag_k")
+    }),
+
+    // Sequential pattern mining (ordered event bigrams): which action
+    // FOLLOWS which, per user journey — the order-aware counterpart of
+    // q_market_basket's unordered lift. Consecutive pairs come from ONE
+    // lead() over the user-partitioned time order (scale-right: the
+    // window shuffles on user_id, never a global sort), support counts
+    // both occurrences and distinct users (two-phase distinct), and
+    // confidence n(a→b)/n(a→*) is a single division of exact counts —
+    // the denominator joins back from a ≤|event-type-alphabet|-row
+    // broadcast rollup.
+    "q_seq_mining" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_ms"), col("event_id"))
+      val big = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts_ms"), col("event_id"))
+        .withColumn("b", lead(col("event_type"), 1).over(w))
+        .filter(col("b").isNotNull)
+      val pairs = big
+        .groupBy(col("event_type").as("a"), col("b"))
+        .agg(count(lit(1)).as("n_occ"),
+          count_distinct(col("user_id")).as("n_users"))
+      val fromA = pairs.groupBy(col("a")).agg(sum(col("n_occ")).as("n_from_a"))
+      pairs.join(broadcast(fromA), Seq("a"))
+        .select(col("a"), col("b"), col("n_occ"), col("n_users"),
+          round(col("n_occ").cast("double") / col("n_from_a").cast("double"), 6)
+            .as("confidence"))
+        .orderBy("a", "b")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -4794,5 +4948,96 @@ object RelationalQueries {
         |SELECT day AS split_day, n_left, n_right,
         |       round(ml / 100.0, 4) AS mean_left,
         |       round(mr / 100.0, 4) AS mean_right, score
-        |FROM f ORDER BY score DESC, split_day LIMIT 1""".stripMargin)
+        |FROM f ORDER BY score DESC, split_day LIMIT 1""".stripMargin,
+
+    // The textbook quadratic NOT EXISTS dominance test — deliberately a
+    // DIFFERENT algorithm from the Spark sweep, so the gate compares
+    // skyline semantics, not implementations.
+    "q_skyline" ->
+      """WITH p AS (SELECT CAST(floor(p_retailprice * 100) AS BIGINT) AS cents,
+        |             CAST(p_size AS BIGINT) AS size
+        |           FROM part),
+        |b AS (SELECT cents, size, count(*) AS n_parts FROM p GROUP BY 1, 2)
+        |SELECT cents, size, n_parts FROM b x
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM b y
+        |  WHERE y.cents <= x.cents AND y.size >= x.size
+        |    AND (y.cents < x.cents OR y.size > x.size))
+        |ORDER BY cents""".stripMargin,
+
+    // Identical sufficient-statistic algebra in HUGEINT.
+    "q_linreg" ->
+      """WITH o AS (SELECT o_custkey,
+        |             CAST(datediff('day', DATE '1995-01-01',
+        |               o_orderdate::DATE) AS BIGINT) AS x,
+        |             CAST(floor(o_totalprice * 100) AS BIGINT) AS y
+        |           FROM orders),
+        |s AS (SELECT CAST(c.c_nationkey AS BIGINT) AS nation,
+        |        CAST(count(*) AS HUGEINT) AS n,
+        |        sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+        |        sum(CAST(x AS HUGEINT) * y) AS sxy,
+        |        sum(CAST(x AS HUGEINT) * x) AS sxx,
+        |        sum(CAST(y AS HUGEINT) * y) AS syy
+        |      FROM o JOIN customer c ON o.o_custkey = c.c_custkey
+        |      GROUP BY 1),
+        |d AS (SELECT nation, n, sx, sy,
+        |        n * sxy - sx * sy AS num,
+        |        n * sxx - sx * sx AS den_x,
+        |        n * syy - sy * sy AS den_y
+        |      FROM s WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0),
+        |f AS (SELECT nation, n, sx, sy, num, den_x, den_y,
+        |        CAST(num AS DOUBLE) / CAST(den_x AS DOUBLE) AS slope
+        |      FROM d)
+        |SELECT nation, CAST(n AS BIGINT) AS n,
+        |       round(slope, 6) AS slope,
+        |       round((CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+        |             / CAST(n AS DOUBLE), 2) AS intercept,
+        |       round(CAST(num AS DOUBLE) * CAST(num AS DOUBLE)
+        |             / (CAST(den_x AS DOUBLE) * CAST(den_y AS DOUBLE)), 6) AS r2
+        |FROM f ORDER BY nation""".stripMargin,
+
+    // Same mean-free integer form: n² clears every μ denominator so
+    // both engines sum only exact HUGEINTs before one double division.
+    "q_acf" ->
+      """WITH d AS (SELECT CAST(datediff('day', DATE '1995-01-01',
+        |               o_orderdate::DATE) AS BIGINT) AS day,
+        |             CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        |           FROM orders),
+        |x AS (SELECT day, CAST(sum(cents) AS BIGINT) AS x FROM d GROUP BY 1),
+        |i AS (SELECT x, row_number() OVER (ORDER BY day) - 1 AS gid FROM x),
+        |t AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+        |        sum(CAST(x AS HUGEINT)) AS s,
+        |        sum(CAST(x AS HUGEINT) * x) AS q FROM i),
+        |p AS (SELECT lag_k, CAST(count(*) AS HUGEINT) AS nk,
+        |        sum(CAST(a.x AS HUGEINT)) AS ak,
+        |        sum(CAST(b.x AS HUGEINT)) AS bk,
+        |        sum(CAST(a.x AS HUGEINT) * b.x) AS ck
+        |      FROM i a
+        |      CROSS JOIN (SELECT unnest([1, 2, 3, 4, 5, 6, 7]) AS lag_k) ls
+        |      JOIN i b ON a.gid + lag_k = b.gid
+        |      GROUP BY lag_k)
+        |SELECT CAST(lag_k AS BIGINT) AS lag_k, CAST(nk AS BIGINT) AS n_pairs,
+        |       round(CAST(t.n * t.n * p.ck - t.n * t.s * (p.ak + p.bk)
+        |               + p.nk * t.s * t.s AS DOUBLE)
+        |           / CAST(t.n * t.n * t.q - t.n * t.s * t.s AS DOUBLE), 6)
+        |         AS acf
+        |FROM p CROSS JOIN t ORDER BY lag_k""".stripMargin,
+
+    // Identical lead() bigram walk; confidence = exact count division.
+    "q_seq_mining" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ts_ms, event_id
+        |           FROM events),
+        |g AS (SELECT user_id, event_type AS a,
+        |        lead(event_type, 1) OVER (PARTITION BY user_id
+        |          ORDER BY ts_ms, event_id) AS b
+        |      FROM e),
+        |p AS (SELECT a, b, count(*) AS n_occ,
+        |        count(DISTINCT user_id) AS n_users
+        |      FROM g WHERE b IS NOT NULL GROUP BY 1, 2),
+        |f AS (SELECT a, CAST(sum(n_occ) AS BIGINT) AS n_from_a
+        |      FROM p GROUP BY 1)
+        |SELECT p.a, p.b, p.n_occ, p.n_users,
+        |       round(CAST(p.n_occ AS DOUBLE) / CAST(f.n_from_a AS DOUBLE), 6)
+        |         AS confidence
+        |FROM p JOIN f USING (a) ORDER BY a, b""".stripMargin)
 }
