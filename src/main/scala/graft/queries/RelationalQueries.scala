@@ -3140,6 +3140,90 @@ object RelationalQueries {
           round(col("n_occ").cast("double") / col("n_from_a").cast("double"), 6)
             .as("confidence"))
         .orderBy("a", "b")
+    }),
+
+    // Grid-bucketed spatial nearest-neighbor join: each customer finds
+    // its nearest supplier among the 3×3 grid-cell neighborhood — the
+    // standard way a spatial kNN becomes an EQUI-join (geohash/grid
+    // bucketing), never an all-pairs cross. Coordinates are
+    // hash-derived micro-degree integers (the fixture has no geo
+    // columns; the md5-unit derivation is the house Sampling
+    // convention, replayed bit-for-bit by the oracle), so the squared
+    // Euclidean distance is an EXACT BIGINT (δ ≤ 1e6 → δ² ≤ 2e12) and
+    // the argmin needs no float compare. Semantics: bounded-radius NN —
+    // customers with an empty 3×3 neighborhood are absent by contract
+    // (grid search, not exhaustive scan). Tie on distance breaks to the
+    // smallest supplier key via a second exact aggregate (min-over-ties),
+    // not a nondeterministic min_by. 100 TB shape: pick the cell size so
+    // per-cell supplier counts stay bounded; the probe side explodes
+    // ×9 and the join shuffles on the cell key only — at graded scale
+    // the supplier side is dimension-sized and broadcasts.
+    "q_geo_knn" -> ((s, dir) => {
+      def coord(k: String, off: Int): Column = expr(
+        s"pmod(cast(conv(substr(md5(cast($k as string)), $off, 8), 16, 10) as bigint), 1000000)")
+      val cell = 62500L
+      val cust = Tables.customer(s, dir)
+        .select(col("c_custkey"),
+          coord("c_custkey", 1).as("clat"), coord("c_custkey", 9).as("clon"))
+      val supp = Tables.supplier(s, dir)
+        .select(col("s_suppkey"),
+          coord("s_suppkey", 1).as("slat"), coord("s_suppkey", 9).as("slon"))
+        .withColumn("cx", expr(s"slat div $cell"))
+        .withColumn("cy", expr(s"slon div $cell"))
+      val probe = cust
+        .withColumn("dx", explode(array(lit(-1L), lit(0L), lit(1L))))
+        .withColumn("dy", explode(array(lit(-1L), lit(0L), lit(1L))))
+        .withColumn("cx", expr(s"clat div $cell") + col("dx"))
+        .withColumn("cy", expr(s"clon div $cell") + col("dy"))
+      val cand = probe.join(broadcast(supp), Seq("cx", "cy"))
+        .select(col("c_custkey"),
+          ((col("clat") - col("slat")) * (col("clat") - col("slat")) +
+            (col("clon") - col("slon")) * (col("clon") - col("slon"))).as("d2"),
+          col("s_suppkey"))
+      val best = cand.groupBy(col("c_custkey").as("bk"))
+        .agg(min(col("d2")).as("dist2"))
+      cand.join(best,
+          col("c_custkey") === col("bk") && col("d2") === col("dist2"))
+        .groupBy(col("c_custkey").as("custkey"), col("dist2"))
+        .agg(min(col("s_suppkey")).as("suppkey"))
+        .orderBy("custkey")
+    }),
+
+    // Cumulative gains / lift curve: rank users by total spend, cut
+    // into deciles, and ask how much of all purchase volume the top
+    // k/10 captures — the targeting-model evaluation chart. The global
+    // rank is the two-pass globalIds (range partition + P partition
+    // counts — no single-partition window over users); everything after
+    // is 10-row algebra: cumulative sums over the DECILE rollup
+    // (cardinality 10 by construction) and lift/capture as single
+    // divisions of exact counts against a broadcast 1-row total.
+    "q_lift_curve" -> ((s, dir) => {
+      val ut = Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(sum(floor(col("value") * 100).cast("long")).as("spend"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("npurch"))
+      val n = ut.count()
+      val ranked = Sorting.globalIds(ut, col("spend").desc, col("user_id"))
+        .withColumn("decile", expr(s"(gid * 10) div $n"))
+      val byDec = ranked.groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_users"), sum(col("npurch")).as("n_purchases"))
+      val tot = byDec.agg(sum(col("n_users")).as("nu"),
+        sum(col("n_purchases")).as("np"))
+      val w = Window.orderBy(col("decile"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      byDec
+        .withColumn("cum_users", sum(col("n_users")).over(w))
+        .withColumn("cum_purchases", sum(col("n_purchases")).over(w))
+        .crossJoin(broadcast(tot))
+        .select(col("decile"), col("n_users"), col("n_purchases"),
+          col("cum_purchases"),
+          round(col("cum_purchases").cast("double") / col("np").cast("double"),
+            6).as("capture_rate"),
+          round(col("cum_purchases").cast("double") * col("nu").cast("double") /
+            (col("np").cast("double") * col("cum_users").cast("double")), 6)
+            .as("lift"))
+        .orderBy("decile")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -5039,5 +5123,73 @@ object RelationalQueries {
         |SELECT p.a, p.b, p.n_occ, p.n_users,
         |       round(CAST(p.n_occ AS DOUBLE) / CAST(f.n_from_a AS DOUBLE), 6)
         |         AS confidence
-        |FROM p JOIN f USING (a) ORDER BY a, b""".stripMargin)
+        |FROM p JOIN f USING (a) ORDER BY a, b""".stripMargin,
+
+    // Identical hash-derived coordinates, grid cells, and two-stage
+    // exact argmin (min distance, then min supplier key over ties).
+    "q_geo_knn" ->
+      """WITH cu AS (SELECT c_custkey,
+        |    ('0x' || substr(md5(c_custkey::VARCHAR), 1, 8))::BIGINT
+        |      % 1000000 AS clat,
+        |    ('0x' || substr(md5(c_custkey::VARCHAR), 9, 8))::BIGINT
+        |      % 1000000 AS clon
+        |  FROM customer),
+        |su AS (SELECT s_suppkey,
+        |    ('0x' || substr(md5(s_suppkey::VARCHAR), 1, 8))::BIGINT
+        |      % 1000000 AS slat,
+        |    ('0x' || substr(md5(s_suppkey::VARCHAR), 9, 8))::BIGINT
+        |      % 1000000 AS slon
+        |  FROM supplier),
+        |sc AS (SELECT s_suppkey, slat, slon,
+        |         slat // 62500 AS cx, slon // 62500 AS cy FROM su),
+        |pr AS (SELECT c_custkey, clat, clon,
+        |         clat // 62500 + dx AS cx, clon // 62500 + dy AS cy
+        |       FROM cu
+        |       CROSS JOIN (SELECT unnest([-1, 0, 1]) AS dx) xs
+        |       CROSS JOIN (SELECT unnest([-1, 0, 1]) AS dy) ys),
+        |cand AS (SELECT c_custkey,
+        |           (clat - slat) * (clat - slat)
+        |             + (clon - slon) * (clon - slon) AS d2,
+        |           s_suppkey
+        |         FROM pr JOIN sc USING (cx, cy)),
+        |b AS (SELECT c_custkey, min(d2) AS dist2 FROM cand GROUP BY 1)
+        |SELECT b.c_custkey AS custkey, b.dist2,
+        |       min(cand.s_suppkey) AS suppkey
+        |FROM cand JOIN b ON cand.c_custkey = b.c_custkey
+        |                AND cand.d2 = b.dist2
+        |GROUP BY 1, 2 ORDER BY custkey""".stripMargin,
+
+    // row_number stands in for globalIds; same decile algebra.
+    "q_lift_curve" ->
+      """WITH ut AS (SELECT user_id,
+        |              CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+        |                AS spend,
+        |              CAST(sum(CASE WHEN event_type = 'purchase' THEN 1
+        |                            ELSE 0 END) AS BIGINT) AS npurch
+        |            FROM events GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM ut),
+        |r AS (SELECT npurch,
+        |        ((row_number() OVER (ORDER BY spend DESC, user_id) - 1) * 10)
+        |          // (SELECT n FROM n) AS decile
+        |      FROM ut),
+        |d AS (SELECT decile, count(*) AS n_users,
+        |        CAST(sum(npurch) AS BIGINT) AS n_purchases
+        |      FROM r GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_users) AS BIGINT) AS nu,
+        |        CAST(sum(n_purchases) AS BIGINT) AS np FROM d),
+        |c AS (SELECT decile, n_users, n_purchases,
+        |        CAST(sum(n_users) OVER (ORDER BY decile
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |          AS cum_users,
+        |        CAST(sum(n_purchases) OVER (ORDER BY decile
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |          AS cum_purchases
+        |      FROM d)
+        |SELECT decile, n_users, n_purchases, cum_purchases,
+        |       round(CAST(cum_purchases AS DOUBLE) / CAST(t.np AS DOUBLE), 6)
+        |         AS capture_rate,
+        |       round(CAST(cum_purchases AS DOUBLE) * CAST(t.nu AS DOUBLE)
+        |             / (CAST(t.np AS DOUBLE) * CAST(cum_users AS DOUBLE)), 6)
+        |         AS lift
+        |FROM c CROSS JOIN t ORDER BY decile""".stripMargin)
 }
