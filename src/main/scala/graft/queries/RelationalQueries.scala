@@ -3154,10 +3154,18 @@ object RelationalQueries {
     // customers with an empty 3×3 neighborhood are absent by contract
     // (grid search, not exhaustive scan). Tie on distance breaks to the
     // smallest supplier key via a second exact aggregate (min-over-ties),
-    // not a nondeterministic min_by. 100 TB shape: pick the cell size so
-    // per-cell supplier counts stay bounded; the probe side explodes
-    // ×9 and the join shuffles on the cell key only — at graded scale
-    // the supplier side is dimension-sized and broadcasts.
+    // not a nondeterministic min_by — and both ride ONE packed argmin
+    // min(d2·10¹⁰ + suppkey) in exact decimal(38,0) (the packed-BIGINT
+    // argmax house pattern, widened to decimal because d2·10¹⁰ ≈ 2e22
+    // overflows BIGINT; 10¹⁰ > any practical suppkey so the pack order
+    // IS the lexicographic (d2, suppkey) order). The decimal min keeps
+    // the aggregate a fixed-width two-phase HashAggregate — min(struct)
+    // would demote both phases to SortAggregate and sort the candidate
+    // relation map-side — and the candidate relation is scanned once:
+    // no aggregate-then-join-back rescan. 100 TB shape: pick the cell
+    // size so per-cell supplier counts stay bounded; the probe side
+    // explodes ×9 and the join shuffles on the cell key only — at
+    // graded scale the supplier side is dimension-sized and broadcasts.
     "q_geo_knn" -> ((s, dir) => {
       def coord(k: String, off: Int): Column = expr(
         s"pmod(cast(conv(substr(md5(cast($k as string)), $off, 8), 16, 10) as bigint), 1000000)")
@@ -3180,12 +3188,13 @@ object RelationalQueries {
           ((col("clat") - col("slat")) * (col("clat") - col("slat")) +
             (col("clon") - col("slon")) * (col("clon") - col("slon"))).as("d2"),
           col("s_suppkey"))
-      val best = cand.groupBy(col("c_custkey").as("bk"))
-        .agg(min(col("d2")).as("dist2"))
-      cand.join(best,
-          col("c_custkey") === col("bk") && col("d2") === col("dist2"))
-        .groupBy(col("c_custkey").as("custkey"), col("dist2"))
-        .agg(min(col("s_suppkey")).as("suppkey"))
+      val dec = "decimal(38,0)"
+      cand.groupBy(col("c_custkey").as("custkey"))
+        .agg(min(col("d2").cast(dec) * lit(10000000000L) +
+          col("s_suppkey").cast(dec)).as("pack"))
+        .select(col("custkey"),
+          expr("pack div 10000000000").as("dist2"),
+          pmod(col("pack"), lit(10000000000L)).cast("long").as("suppkey"))
         .orderBy("custkey")
     }),
 

@@ -146,6 +146,12 @@ object PlanDump {
     "graph_hyperball" -> "HyperBall: per round ONE equi-join of the once-materialized edge set against the (node,bucket,mreg) sketch state (shuffle on dst) + one partial-aggregable register max — rounds·|E| total vs the |V|·|E| of exact all-pairs BFS; the finalize is a closed-form single pass (no 256-bucket spine explode) and per-node estimates quantize to micro-BIGINTs BEFORE the exact integer total",
     "graph_effective_diameter" -> "effective diameter: hyperBall's per-round totals (rounds+1 rows) feed a lag window + one broadcast 1-row max — exact integer 90%-threshold comparisons and ONE division for the interpolation; the window is rounds-sized, never the data",
     "text_corpus_overlap" -> "HLL set algebra: ONE corpus pass builds per-segment registers (partial-aggregable max — ≤256 rows of state per segment through the exchange); the union sketch is a bucketwise register max over the ≤512 materialized rows, intersection by inclusion-exclusion on micro-unit BIGINTs — the two shingle sets are never joined; the exact countDistinct legs are the only corpus-sized consumers",
+    "q_skyline" -> "Pareto skyline via the monotone-frontier trick: the fact table collapses to the distinct (cents, size) grid FIRST (two stacked partial-aggregable HashAggregates), the running-max frontier window runs over the ≤|distinct cents| grid rows — never the data — and survivors broadcast back onto the grid",
+    "q_linreg" -> "grouped closed-form OLS: all five sufficient statistics in ONE two-phase HashAggregate over the fact join (associative decimal(38,0) integer sums); slope/intercept/R² are single-division projections over the ≤25 group rows — the q_corr_agg discipline applied to regression",
+    "q_acf" -> "autocorrelation: the fact table collapses to the calendar-bounded daily rollup, gid comes from the two-pass globalIds (no single-partition window), and lag pairing is an EQUI-join of 7 bounded copies of the ≤2.4k-row series against itself; the mean-free n²-cleared algebra keeps every aggregate an associative decimal sum with one double division per lag",
+    "q_seq_mining" -> "sequential patterns: consecutive event bigrams from ONE lead() window on the user_id partitioning (the exchange every session query shares); support is a partial-aggregable pair count + two-phase distinct; confidence denominators broadcast back from the ≤|alphabet|-row rollup",
+    "q_geo_knn" -> "spatial kNN as an EQUI-join: grid-cell bucketing turns the nearest-neighbor search into a 3×3-neighborhood cell join (supplier side broadcast at dimension scale, shuffle-on-cell beyond); the squared distance is an exact BIGINT argmin with a min-key tie-break — no cross join, no float compare",
+    "q_lift_curve" -> "cumulative gains: the per-user rollup is one partial-aggregable HashAggregate, the global spend rank is the two-pass globalIds (range partition + P driver longs — no single-partition window over users), and the decile cumulatives run on the 10-row rollup with a broadcast 1-row total",
     "pipeline_curation_v3" -> "composite cost audit (2.9 s isolated at sf0.1, vs 2.3 s in r5): the delta is connectedComponents' r6 reliability protocol — convergence now proves itself via a label-sum fixpoint (one extra aggregate job per round) and every cut is restart-safe, worth the 2 small jobs/round on a bounded graded fixture and negligible against real data volumes; the dataflow itself is unchanged — exact-dup groupBy, banded minhash join, per-source percent_rank, novelty semi-join, all partial-aggregable with the pair graph cut ONCE before the loop")
 
   def main(args: Array[String]): Unit = {
