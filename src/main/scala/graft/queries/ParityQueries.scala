@@ -575,6 +575,58 @@ object ParityQueries {
           col("event_type"), col("n"),
           round(col("sum_value"), 2).as("sum_value"))
         .orderBy("window_start_ms", "event_type")
+    }),
+
+    // CUSTOM flatMapGroupsWithState graded: gap DETECTION — per
+    // event_type, O(1) state holds only the last seen 6-hour bucket;
+    // when an arriving event's bucket skips ahead, every missed bucket
+    // in between is emitted (the live twin of the batch gap-fill spine
+    // join). Reuses the clean time-tertile staging (monotone slices:
+    // every bucket in batch k precedes batch k+1, and a 6 h bucket
+    // never straddles the day-aligned tertile boundary), so the emitted
+    // set must equal the batch interior-gap oracle — a gap spanning a
+    // batch boundary is only revealed by a LATER batch's event, which
+    // grades that the custom state genuinely carries across
+    // micro-batches. Emission is arrival-order-deterministic because
+    // the slices are globally time-ordered by construction.
+    "stream_gap_detect" -> ((s, dir) => withShufflePartitions(s, 4) {
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("ts_ms"), col("user_id"),
+          col("event_type"), col("value"))
+        .withColumn("day", expr("ts_ms div 86400000"))
+      val bounds = ev.agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+      val batched = ev.crossJoin(broadcast(bounds))
+        .withColumn("batch", expr("((day - mn) * 3) div (mx - mn + 1) + 1"))
+      val hand = StagedInputs(s"$dir|events|tertiles-full") { d =>
+        val base = System.currentTimeMillis()
+        (1 to 3).foreach { k =>
+          val tmp = java.nio.file.Files.createTempDirectory(s"graft-sgd-$k").toString
+          batched.filter(col("batch") === k)
+            .select("event_id", "ts_ms", "user_id", "event_type", "value")
+            .repartition(1).write.mode("overwrite").parquet(tmp)
+          val dst = new java.io.File(d, s"slice-$k.parquet")
+          java.nio.file.Files.copy(new java.io.File(tmp).listFiles()
+            .filter(_.getName.endsWith(".parquet")).head.toPath, dst.toPath)
+          dst.setLastModified(base + k * 10000L)
+        }
+      }
+      val schema = s.read.parquet(hand).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(hand)
+      import s.implicits._
+      val ticks = stream.select(col("event_type").as("key"), col("ts_ms"))
+        .as[graft.streaming.Streaming.Tick]
+      val gaps = graft.streaming.Streaming
+        .gapDetectStream(ticks, bucketMs = 21600000L)
+      val qn = "stream_gd_" + java.util.UUID.randomUUID().toString.take(8)
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-sgd-ckpt").toString
+      val q = gaps.toDF().writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").format("memory").queryName(qn).start()
+      q.awaitTermination()
+      s.table(qn).select(col("key"), col("bucket_ms"))
+        .orderBy("key", "bucket_ms")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -747,5 +799,20 @@ object ParityQueries {
          |SELECT event_type, CAST(256 - v0 AS BIGINT) AS registers_nonzero,
          |       round(${graft.operators.Sketches.oracleEstimateExpr},
          |             2) AS hll_estimate
-         |FROM agg ORDER BY event_type""".stripMargin)
+         |FROM agg ORDER BY event_type""".stripMargin,
+
+    // Batch interior-gap replay: globally time-ordered slices mean the
+    // stream's final emitted set is exactly every missed bucket between
+    // consecutive observed buckets per key.
+    "stream_gap_detect" ->
+      """WITH b AS (SELECT DISTINCT event_type AS key,
+        |             epoch_ms(ts) // 21600000 AS bucket
+        |           FROM events),
+        |p AS (SELECT key, bucket,
+        |        lag(bucket) OVER (PARTITION BY key ORDER BY bucket) AS prev
+        |      FROM b),
+        |g AS (SELECT key, unnest(generate_series(prev + 1, bucket - 1)) AS gb
+        |      FROM p WHERE prev IS NOT NULL AND bucket > prev + 1)
+        |SELECT key, gb * 21600000 AS bucket_ms
+        |FROM g ORDER BY key, bucket_ms""".stripMargin)
 }

@@ -3233,6 +3233,119 @@ object RelationalQueries {
             (col("np").cast("double") * col("cum_users").cast("double")), 6)
             .as("lift"))
         .orderBy("decile")
+    }),
+
+    // Cohen's kappa — inter-annotator agreement between two independent
+    // labelers of the same orders (every labeled-training-data pipeline
+    // audits its raters before trusting the labels): rater A grades by
+    // price tercile, rater B by order priority (urgent/high → 2,
+    // medium → 1, low → 0). The two signals are independent in the
+    // fixture, so kappa ≈ 0 — chance-level agreement, which is exactly
+    // what the statistic should report. Exactness: the confusion matrix
+    // is pure counts; po = D/N, pe = S/N², and
+    // kappa = (N·D − S)/(N² − S) are each ONE floor division of exact
+    // BIGINTs to micro-units (pmod-subtraction keeps div ≡ floor when
+    // N·D < S makes the numerator negative — kappa can be), so no
+    // round() boundary exists anywhere. Shape: one partial-aggregable
+    // pass builds the 9-cell matrix; everything after is algebra on
+    // broadcast 3-row marginals — at 100 TB the only data-sized stage
+    // is the first groupBy.
+    "q_cohens_kappa" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .select(
+          least(expr("cast(floor(o_totalprice * 100) as bigint) div 16666667"),
+            lit(2L)).as("rater_a"),
+          when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 2L)
+            .when(col("o_orderpriority") === "3-MEDIUM", 1L)
+            .otherwise(0L).as("rater_b"))
+      val cells = o.groupBy(col("rater_a"), col("rater_b"))
+        .agg(count(lit(1)).as("n"))
+      val ra = cells.groupBy(col("rater_a").as("k")).agg(sum(col("n")).as("ra"))
+      val cb = cells.groupBy(col("rater_b").as("k")).agg(sum(col("n")).as("cb"))
+      val stats = cells.agg(
+          sum(col("n")).as("nn"),
+          sum(when(col("rater_a") === col("rater_b"), col("n"))
+            .otherwise(0L)).as("d"))
+        .crossJoin(broadcast(
+          ra.join(cb, "k").agg(sum(col("ra") * col("cb")).as("s"))))
+        .select(col("nn"), col("d"), col("s"),
+          expr("(d * 1000000) div nn").as("po_micro"),
+          expr("(s * 1000000) div (nn * nn)").as("pe_micro"),
+          expr("((nn * d - s) * 1000000" +
+            " - pmod((nn * d - s) * 1000000, nn * nn - s))" +
+            " div (nn * nn - s)").as("kappa_micro"))
+      cells.crossJoin(broadcast(stats))
+        .select(col("rater_a"), col("rater_b"), col("n"),
+          (col("po_micro") / 1e6).as("po"),
+          (col("pe_micro") / 1e6).as("pe"),
+          (col("kappa_micro") / 1e6).as("kappa"))
+        .orderBy("rater_a", "rater_b")
+    }),
+
+    // Precision/recall curve — the classifier-eval companion of q_auc:
+    // predict "purchase" when value ≥ t, sweeping t over every distinct
+    // observed value. Shape: the fact table collapses to per-VALUE
+    // (count, positives) first (partial-aggregable, bounded by distinct
+    // values — the q_auc contract), and ONE descending
+    // Sweep.runningSum yields both cumulative counts via a packed
+    // BIGINT delta (cnt·2³¹ + npos: cum npos stays < 2³¹ through ~2e9
+    // events, far past graded SFs; a 100 TB run would widen the pack to
+    // decimal(38,0) or run two sweeps). Exactness: tp/fp/fn are exact
+    // integers; precision, recall, and F1 are each ONE floor division
+    // to micro-units — no float sum, no round() anywhere.
+    "q_pr_curve" -> ((s, dir) => {
+      val byVal = Tables.events(s, dir)
+        .select(floor(col("value") * 100).cast("long").as("cents"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("pos"))
+        .groupBy(col("cents"))
+        .agg(count(lit(1)).as("cnt"), sum(col("pos")).as("npos"))
+      val run = Sweep.runningSum(
+        byVal, col("cnt") * lit(2147483648L) + col("npos"), "packed",
+        col("cents").desc)
+      val tot = byVal.agg(sum(col("npos")).as("p"))
+      run.crossJoin(broadcast(tot))
+        .select(col("cents"), expr("packed div 2147483648").as("cumn"),
+          pmod(col("packed"), lit(2147483648L)).as("tp"), col("p"))
+        .select((col("cents") / 100.0).as("score"),
+          col("tp"), (col("cumn") - col("tp")).as("fp"),
+          (col("p") - col("tp")).as("fn"),
+          (expr("(tp * 1000000) div cumn") / 1e6).as("precision"),
+          (expr("(tp * 1000000) div p") / 1e6).as("recall"),
+          (expr("(2 * tp * 1000000) div (cumn + p)") / 1e6).as("f1"))
+        .orderBy(col("score").desc)
+    }),
+
+    // Expected calibration error — the reliability audit every
+    // quality-classifier pipeline runs before trusting model scores as
+    // probabilities: bin predictions by confidence decile, compare each
+    // bin's mean confidence to its empirical positive rate. Confidence
+    // is a replayable md5-carved uniform in micro-units (the
+    // data_dp_noise device — a real run reads the model's score column);
+    // independence from the label means every bin's accuracy sits at the
+    // base rate, so the report shows the textbook signature of an
+    // uncalibrated uniform scorer. Exactness: per-bin n/pos/Σconf are
+    // exact BIGINTs; |pos·1e6 − Σconf| is exact; acc, avg_conf, and
+    // ECE = Σ_b |…| / (N·1e6) are each ONE floor division to
+    // micro-units. Shape: one partial-aggregable pass to 10 bin rows;
+    // the total is a broadcast 1-row aggregate.
+    "q_ece_calibration" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .select(
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("pos"),
+          expr("(cast(conv(substr(md5(cast(event_id as string)), 1, 6)," +
+            " 16, 10) as bigint) * 1000000) div 16777216").as("conf_micro"))
+      val bins = e.groupBy(expr("conf_micro div 100000").as("bin"))
+        .agg(count(lit(1)).as("n"), sum(col("pos")).as("pos"),
+          sum(col("conf_micro")).as("conf_sum"))
+        .withColumn("gap_abs", abs(col("pos") * lit(1000000L) - col("conf_sum")))
+      val tot = bins.agg(sum(col("n")).as("nn"), sum(col("gap_abs")).as("g"))
+        .select(expr("(g div nn)").as("ece_micro"))
+      bins.crossJoin(broadcast(tot))
+        .select(col("bin"), col("n"), col("pos"),
+          (expr("(pos * 1000000) div n") / 1e6).as("acc"),
+          (expr("conf_sum div n") / 1e6).as("avg_conf"),
+          (col("ece_micro") / 1e6).as("ece"))
+        .orderBy("bin")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -5200,5 +5313,80 @@ object RelationalQueries {
         |       round(CAST(cum_purchases AS DOUBLE) * CAST(t.nu AS DOUBLE)
         |             / (CAST(t.np AS DOUBLE) * CAST(cum_users AS DOUBLE)), 6)
         |         AS lift
-        |FROM c CROSS JOIN t ORDER BY decile""".stripMargin)
+        |FROM c CROSS JOIN t ORDER BY decile""".stripMargin,
+
+    // Same 9-cell confusion matrix; po/pe/kappa replay the exact
+    // floor-division micro-unit algebra (// truncates like Spark's div;
+    // the pmod-subtraction form keeps both at floor on the possibly
+    // negative kappa numerator).
+    "q_cohens_kappa" ->
+      """WITH o AS (SELECT least(CAST(floor(o_totalprice * 100) AS BIGINT)
+        |                        // 16666667, 2) AS rater_a,
+        |                  CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                         THEN 2
+        |                       WHEN o_orderpriority = '3-MEDIUM' THEN 1
+        |                       ELSE 0 END AS rater_b
+        |           FROM orders),
+        |cells AS (SELECT rater_a, rater_b, count(*) AS n FROM o GROUP BY 1, 2),
+        |ra AS (SELECT rater_a AS k, CAST(sum(n) AS BIGINT) AS ra
+        |       FROM cells GROUP BY 1),
+        |cb AS (SELECT rater_b AS k, CAST(sum(n) AS BIGINT) AS cb
+        |       FROM cells GROUP BY 1),
+        |st AS (SELECT (SELECT CAST(sum(n) AS BIGINT) FROM cells) AS nn,
+        |         (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) FROM cells
+        |          WHERE rater_a = rater_b) AS d,
+        |         (SELECT CAST(sum(ra * cb) AS BIGINT)
+        |          FROM ra JOIN cb USING (k)) AS s),
+        |k AS (SELECT nn, d, s,
+        |        (d * 1000000) // nn AS po_micro,
+        |        (s * 1000000) // (nn * nn) AS pe_micro,
+        |        ((nn * d - s) * 1000000
+        |         - ((((nn * d - s) * 1000000) % (nn * nn - s)) + (nn * nn - s))
+        |           % (nn * nn - s)) // (nn * nn - s) AS kappa_micro
+        |      FROM st)
+        |SELECT rater_a, rater_b, n,
+        |       po_micro / 1e6 AS po, pe_micro / 1e6 AS pe,
+        |       kappa_micro / 1e6 AS kappa
+        |FROM cells CROSS JOIN k ORDER BY rater_a, rater_b""".stripMargin,
+
+    // Descending window cumsums replay the packed-delta sweep exactly;
+    // precision/recall/F1 are the same micro-unit floor divisions.
+    "q_pr_curve" ->
+      """WITH e AS (SELECT CAST(floor(value * 100) AS BIGINT) AS cents,
+        |             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+        |           FROM events),
+        |v AS (SELECT cents, count(*) AS cnt, CAST(sum(pos) AS BIGINT) AS npos
+        |      FROM e GROUP BY 1),
+        |t AS (SELECT CAST(sum(npos) AS BIGINT) AS p FROM v),
+        |r AS (SELECT cents,
+        |        CAST(sum(cnt) OVER (ORDER BY cents DESC) AS BIGINT) AS cumn,
+        |        CAST(sum(npos) OVER (ORDER BY cents DESC) AS BIGINT) AS tp
+        |      FROM v)
+        |SELECT cents / 100.0 AS score, tp, cumn - tp AS fp, t.p - tp AS fn,
+        |       ((tp * 1000000) // cumn) / 1e6 AS precision,
+        |       ((tp * 1000000) // t.p) / 1e6 AS recall,
+        |       ((2 * tp * 1000000) // (cumn + t.p)) / 1e6 AS f1
+        |FROM r CROSS JOIN t ORDER BY score DESC""".stripMargin,
+
+    // Identical md5-carved confidence and per-bin integer gap algebra;
+    // ECE is the one floor division over the broadcast total.
+    "q_ece_calibration" ->
+      """WITH e AS (SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+        |             AS pos,
+        |             (('0x' || substr(md5(event_id::VARCHAR), 1, 6))::BIGINT
+        |              * 1000000) // 16777216 AS conf_micro
+        |           FROM events),
+        |b AS (SELECT conf_micro // 100000 AS bin, count(*) AS n,
+        |        CAST(sum(pos) AS BIGINT) AS pos,
+        |        CAST(sum(conf_micro) AS BIGINT) AS conf_sum
+        |      FROM e GROUP BY 1),
+        |g AS (SELECT bin, n, pos, conf_sum,
+        |        abs(pos * 1000000 - conf_sum) AS gap_abs FROM b),
+        |t AS (SELECT (CAST(sum(gap_abs) AS BIGINT)
+        |              // CAST(sum(n) AS BIGINT)) AS ece_micro FROM g)
+        |SELECT bin, n, pos,
+        |       ((pos * 1000000) // n) / 1e6 AS acc,
+        |       (conf_sum // n) / 1e6 AS avg_conf,
+        |       ece_micro / 1e6 AS ece
+        |FROM g CROSS JOIN t ORDER BY bin""".stripMargin)
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, Graph, Layout, Multimodal, Sampling, Similarity, Sketches, TextAnalysis, Upsert}
+import graft.operators.{Dedup, Graph, Layout, Multimodal, Sampling, Similarity, Sketches, Sweep, TextAnalysis, Upsert}
 import graft.plans.ShingleHashes
 import graft.sources.Tables
 
@@ -87,8 +87,9 @@ object TrainingDataQueries {
     * materialized. The estimate expression repeats the Spark literal
     * sequence exactly; per-node floor(est·1e6) happens BEFORE the
     * total, which is an associative integer sum (HUGEINT here, BIGINT
-    * in Spark — cast for the dtype match). Exposes `nb` =
-    * (t, n_nodes, sum_ball_micro), one row per round. */
+    * in Spark — cast for the dtype match). Exposes `pn0`–`pn3` =
+    * (id, est_micro) per round (graph_closeness joins these) and
+    * `nb` = (t, n_nodes, sum_ball_micro), one row per round. */
   private val hyperballCtes: String = {
     val merges = (1 to 3).map { t =>
       s"""s$t AS (SELECT id, bucket, max(mreg) AS mreg FROM (
@@ -100,19 +101,19 @@ object TrainingDataQueries {
     val rawExpr = "0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 " +
       "* 1152921504606846976.0 / CAST(ssum AS DOUBLE)"
     val ests = (0 to 3).map { t =>
-      s"""est$t AS (SELECT CAST($t AS BIGINT) AS t, count(*) AS n_nodes,
-         |    CAST(sum(est_micro) AS BIGINT) AS sum_ball_micro
+      s"""pn$t AS (SELECT id,
+         |    CAST(floor((CASE WHEN $rawExpr <= 640.0 AND v0 > 0
+         |           THEN 256.0 * ln(256.0 / CAST(v0 AS DOUBLE))
+         |           ELSE $rawExpr END) * 1000000.0) AS BIGINT) AS est_micro
          |  FROM (SELECT id,
-         |          CAST(floor((CASE WHEN $rawExpr <= 640.0 AND v0 > 0
-         |                 THEN 256.0 * ln(256.0 / CAST(v0 AS DOUBLE))
-         |                 ELSE $rawExpr END) * 1000000.0) AS BIGINT)
-         |            AS est_micro
-         |        FROM (SELECT id,
-         |                sum(CAST(1 AS BIGINT) << (60 - mreg))
-         |                  + CAST(256 - count(*) AS HUGEINT)
-         |                    * CAST(1152921504606846976 AS HUGEINT) AS ssum,
-         |                256 - count(*) AS v0
-         |              FROM s$t GROUP BY 1)))""".stripMargin
+         |          sum(CAST(1 AS BIGINT) << (60 - mreg))
+         |            + CAST(256 - count(*) AS HUGEINT)
+         |              * CAST(1152921504606846976 AS HUGEINT) AS ssum,
+         |          256 - count(*) AS v0
+         |        FROM s$t GROUP BY 1)),
+         |est$t AS (SELECT CAST($t AS BIGINT) AS t, count(*) AS n_nodes,
+         |    CAST(sum(est_micro) AS BIGINT) AS sum_ball_micro
+         |  FROM pn$t)""".stripMargin
     }.mkString(",\n")
     s"""d AS (SELECT doc_id AS src,
        |        (doc_id * 7 + k * 13) % (SELECT count(*) FROM documents) AS dst
@@ -1768,6 +1769,47 @@ object TrainingDataQueries {
             .as("effective_diameter"))
     }),
 
+    // Harmonic closeness centrality from the PER-NODE HyperBall
+    // trajectory (Boldi–Vigna "In-Core Computation of Geometric
+    // Centralities": the same register evolution that yields the
+    // neighborhood function yields each node's centrality for free):
+    // |B(v,t)| − |B(v,t−1)| nodes sit at distance t, each contributing
+    // 1/t. Shares the identical register evolution with
+    // graph_hyperball (hyperBall's totals ARE this view's groupBy).
+    // Exactness: per-node per-round estimates are the exact quantized
+    // micro-BIGINTs; the ball deltas and the per-term floor divisions
+    // (pmod-subtraction — div ≡ floor even if a quantized estimate
+    // ever dipped across the small-range branch seam) stay in integer
+    // algebra, so harmonic_micro is exact and the only doubles are
+    // final /1e6 displays. Shape: rounds × (edge join + register max),
+    // then ONE pivot-by-t groupBy over the (node, round) table —
+    // no window, no spine.
+    "graph_closeness" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"))
+      val n = docs.count()
+      val edges = docs
+        .select(col("doc_id").as("src"),
+          explode(array(lit(1L), lit(2L), lit(3L))).as("k"))
+        .select(col("src"),
+          pmod(col("src") * 7 + col("k") * 13, lit(n)).as("dst"))
+      Graph.hyperBallPerNode(edges, rounds = 3)
+        .groupBy(col("id"))
+        .agg(
+          sum(when(col("t") === 0, col("est_micro")).otherwise(0L)).as("b0"),
+          sum(when(col("t") === 1, col("est_micro")).otherwise(0L)).as("b1"),
+          sum(when(col("t") === 2, col("est_micro")).otherwise(0L)).as("b2"),
+          sum(when(col("t") === 3, col("est_micro")).otherwise(0L)).as("b3"))
+        .select(col("id"),
+          (col("b1") / 1e6).as("ball1"),
+          (col("b2") / 1e6).as("ball2"),
+          (col("b3") / 1e6).as("ball3"),
+          ((col("b1") - col("b0") +
+            expr("((b2 - b1) - pmod(b2 - b1, 2)) div 2") +
+            expr("((b3 - b2) - pmod(b3 - b2, 3)) div 3")) / 1e6)
+            .as("harmonic"))
+        .orderBy("id")
+    }),
+
     // Corpus-overlap audit via sketch SET ALGEBRA — the "how much of
     // corpus B is already in corpus A" question every data-mixing
     // decision needs, answered without ever joining the two shingle
@@ -2498,7 +2540,93 @@ object TrainingDataQueries {
         .agg(count(lit(1)).as("n_images"),
           min(col("media_id")).as("keep_id"),
           max(col("media_id")).as("max_id"))
-        .orderBy("phash")))
+        .orderBy("phash")),
+
+    // Tokenizer fertility by (labelled, predicted) language — the
+    // multilingual budget audit every tokenizer change triggers: how
+    // many BPE-ish tokens per whitespace word, and how many chars per
+    // token, does each language pay? Grouping by BOTH the fixture label
+    // and the langid prediction folds a classifier confusion view into
+    // the same rollup. Composes the graded langid classifier with the
+    // graded token counters (one scan each, one join on doc_id, one
+    // partial-aggregable groupBy on the bounded language-pair key).
+    // Exactness: all sums are exact BIGINT token/char counts; fertility
+    // and chars-per-token are ONE floor division each to micro-units —
+    // no float anywhere.
+    "text_fertility" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val lang = TextAnalysis.languageId(docs, "doc_id", "text")
+        .select(col("doc_id"), col("pred_lang"))
+      val toks = TextAnalysis.tokenCounts(docs, "doc_id", "text")
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      lang.join(toks, "doc_id")
+        .groupBy(col("lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("words"),
+          sum(col("n_tokens_bpe")).as("bpe_tokens"),
+          sum(col("n_chars")).as("chars"))
+        .select(col("lang"), col("pred_lang"), col("n_docs"), col("words"),
+          col("bpe_tokens"), col("chars"),
+          (expr("(bpe_tokens * 1000000) div words") / 1e6).as("fertility"),
+          (expr("(chars * 1000000) div bpe_tokens") / 1e6)
+            .as("chars_per_token"))
+        .orderBy("lang", "pred_lang")
+    }),
+
+    // Top-p (nucleus) vocabulary truncation — the sampling-side
+    // counterpart of the BPE vocab build: the smallest prefix of the
+    // frequency-sorted vocabulary whose cumulative mass reaches 90%.
+    // Shape: one explode + partial-aggregable term count (shuffle on
+    // term only — the text_tfidf contract), then ONE Sweep.runningSum
+    // over the count-descending total order (range partition + P driver
+    // longs; never a single-partition window). Exactness: the keep
+    // predicate (cum − cnt)·10 < 9·total is pure BIGINT algebra — a
+    // word enters iff the mass BEFORE it is under 90% — and the share
+    // column is one floor division to micro-units.
+    "text_top_p_vocab" -> ((s, dir) => {
+      val counts = Tables.documents(s, dir)
+        .select(explode(TextFunctions.words(col("text"))).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      val tot = counts.agg(sum(col("cnt")).as("total"))
+      val run = Sweep.runningSum(counts, col("cnt"), "cum",
+        col("cnt").desc, col("word"))
+      run.crossJoin(broadcast(tot))
+        .filter((col("cum") - col("cnt")) * 10 < col("total") * 9)
+        .select(col("word"), col("cnt"), col("cum"),
+          (expr("(cnt * 1000000) div total") / 1e6).as("share"))
+        .orderBy(col("cnt").desc, col("word"))
+    }),
+
+    // RLHF/DPO preference-pair construction — per source stratum, pair
+    // the highest-scoring document (chosen) against the lowest
+    // (rejected), the standard seed for preference-tuning data. The
+    // quality score is the exact-integer alpha ratio in micro-units
+    // (floor division — never a rounded float), and both argmax and
+    // argmin ride ONE packed-BIGINT aggregate pass (score·2³³ ± id with
+    // the complement trick for smallest-id tie-breaks; score ≤ 1e6 keeps
+    // the pack under 2⁵³ — exact even as a double, safe in BIGINT
+    // through any corpus). One scan, one partial-aggregable groupBy on
+    // source; no joins, no window.
+    "data_preference_pairs" -> ((s, dir) => {
+      val pack = 8589934592L // 2^33
+      val scored = Tables.documents(s, dir)
+        .select(col("source"), col("doc_id"),
+          expr("(length(regexp_replace(text, '[^A-Za-z]', '')) * 1000000)" +
+            " div length(text)").as("score_micro"))
+      scored.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          max(col("score_micro") * pack + (lit(pack - 1) - col("doc_id")))
+            .as("pmax"),
+          min(col("score_micro") * pack + col("doc_id")).as("pmin"))
+        .select(col("source"), col("n_docs"),
+          (lit(pack - 1) - pmod(col("pmax"), lit(pack))).as("chosen_id"),
+          pmod(col("pmin"), lit(pack)).as("rejected_id"),
+          (expr("(pmax div 8589934592)") / 1e6).as("chosen_score"),
+          (expr("(pmin div 8589934592)") / 1e6).as("rejected_score"),
+          ((expr("pmax div 8589934592") - expr("pmin div 8589934592")) / 1e6)
+            .as("margin"))
+        .orderBy("source")
+    }))
 
   // --- generated ANN oracle fragments -------------------------------
   // One CASE per hyperplane, sign literals baked from the SAME
@@ -4130,6 +4258,22 @@ object TrainingDataQueries {
          |         AS effective_diameter
          |FROM q""".stripMargin,
 
+    // Per-node joins over the SAME replayed register evolution (pn0–pn3
+    // are exposed by the shared CTE); ball deltas and the per-term
+    // pmod-subtraction floor divisions replay harmonic_micro exactly.
+    "graph_closeness" ->
+      s"""WITH $hyperballCtes,
+         |w AS (SELECT pn0.id, pn0.est_micro AS b0, pn1.est_micro AS b1,
+         |        pn2.est_micro AS b2, pn3.est_micro AS b3
+         |      FROM pn0 JOIN pn1 USING (id) JOIN pn2 USING (id)
+         |           JOIN pn3 USING (id))
+         |SELECT id, b1 / 1e6 AS ball1, b2 / 1e6 AS ball2, b3 / 1e6 AS ball3,
+         |       (b1 - b0
+         |        + ((b2 - b1) - (((b2 - b1) % 2) + 2) % 2) // 2
+         |        + ((b3 - b2) - (((b3 - b2) % 3) + 3) % 3) // 3) / 1e6
+         |         AS harmonic
+         |FROM w ORDER BY id""".stripMargin,
+
     // Register-for-register replay of the HLL set algebra: per-segment
     // rho registers over the SAME 48-bit shingle hashes, the union as
     // a bucketwise max, closed-form finalize (no 256-bucket spine),
@@ -4833,7 +4977,77 @@ object TrainingDataQueries {
       """
         |SELECT phash, count(*) AS n_images, min(media_id) AS keep_id,
         |       max(media_id) AS max_id
-        |FROM ph GROUP BY phash ORDER BY phash""".stripMargin))
+        |FROM ph GROUP BY phash ORDER BY phash""".stripMargin),
+
+    // Replays the langid argmax CASE chain over the same marker lists,
+    // then the exact token/char sums and micro-unit floor divisions.
+    "text_fertility" -> {
+      val scoreCols = TextAnalysis.LangMarkers.map { case (lang, markers) =>
+        val in = markers.map(m => s"'$m'").mkString(", ")
+        s"len(list_filter(l, w -> w IN ($in))) AS score_$lang"
+      }.mkString(",\n  ")
+      val langs = TextAnalysis.LangMarkers.map(_._1)
+      val pred = langs.zipWithIndex.init.foldRight(s"'${langs.last}'") {
+        case ((lang, i), elseSql) =>
+          val conds = langs.drop(i + 1)
+            .map(o => s"score_$lang >= score_$o").mkString(" AND ")
+          s"CASE WHEN $conds THEN '$lang' ELSE $elseSql END"
+      }
+      val bpe = TextAnalysis.BpeTokenPattern.replace("'", "''")
+      s"""WITH w AS (SELECT doc_id, lang, $wordsSql AS l, text FROM documents),
+         |sc AS (SELECT doc_id, lang, text, l,
+         |  $scoreCols
+         |FROM w),
+         |p AS (SELECT lang, $pred AS pred_lang,
+         |        CAST(len(l) AS BIGINT) AS n_tokens,
+         |        CAST(len(regexp_extract_all(text, '$bpe')) AS BIGINT)
+         |          AS n_tokens_bpe,
+         |        CAST(length(text) AS BIGINT) AS n_chars
+         |      FROM sc),
+         |g AS (SELECT lang, pred_lang, count(*) AS n_docs,
+         |        CAST(sum(n_tokens) AS BIGINT) AS words,
+         |        CAST(sum(n_tokens_bpe) AS BIGINT) AS bpe_tokens,
+         |        CAST(sum(n_chars) AS BIGINT) AS chars
+         |      FROM p GROUP BY 1, 2)
+         |SELECT lang, pred_lang, n_docs, words, bpe_tokens, chars,
+         |       ((bpe_tokens * 1000000) // words) / 1e6 AS fertility,
+         |       ((chars * 1000000) // bpe_tokens) / 1e6 AS chars_per_token
+         |FROM g ORDER BY lang, pred_lang""".stripMargin
+    },
+
+    // Window cumsum over the same (count desc, word) total order replays
+    // the sweep; the keep predicate is the identical BIGINT inequality.
+    "text_top_p_vocab" ->
+      s"""WITH w AS (SELECT unnest($wordsSql) AS word FROM documents),
+         |c AS (SELECT word, count(*) AS cnt FROM w GROUP BY 1),
+         |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c),
+         |r AS (SELECT word, cnt,
+         |        CAST(sum(cnt) OVER (ORDER BY cnt DESC, word) AS BIGINT) AS cum
+         |      FROM c)
+         |SELECT word, cnt, cum,
+         |       ((cnt * 1000000) // t.total) / 1e6 AS share
+         |FROM r CROSS JOIN t
+         |WHERE (cum - cnt) * 10 < t.total * 9
+         |ORDER BY cnt DESC, word""".stripMargin,
+
+    // Same exact-integer alpha-ratio score and packed min/max algebra
+    // (2^33 pack, complement trick for the smallest-id tie-break).
+    "data_preference_pairs" ->
+      """WITH sc AS (SELECT source, doc_id,
+        |              (length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+        |               * 1000000) // length(text) AS score_micro
+        |            FROM documents),
+        |g AS (SELECT source, count(*) AS n_docs,
+        |        max(score_micro * 8589934592 + (8589934591 - doc_id)) AS pmax,
+        |        min(score_micro * 8589934592 + doc_id) AS pmin
+        |      FROM sc GROUP BY 1)
+        |SELECT source, n_docs,
+        |       8589934591 - (pmax % 8589934592) AS chosen_id,
+        |       pmin % 8589934592 AS rejected_id,
+        |       (pmax // 8589934592) / 1e6 AS chosen_score,
+        |       (pmin // 8589934592) / 1e6 AS rejected_score,
+        |       ((pmax // 8589934592) - (pmin // 8589934592)) / 1e6 AS margin
+        |FROM g ORDER BY source""".stripMargin)
 
   // dHash replay from the pixel formula: sampled source columns
   // (x·w)//8 for the 8 grid columns, BT.601 milli-weight luma, one sign
