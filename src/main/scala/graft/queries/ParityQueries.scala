@@ -578,11 +578,11 @@ object ParityQueries {
     }),
 
     // CUSTOM flatMapGroupsWithState graded: gap DETECTION — per
-    // event_type, O(1) state holds only the last seen 6-hour bucket;
+    // event_type, O(1) state holds only the last seen 1-hour bucket;
     // when an arriving event's bucket skips ahead, every missed bucket
     // in between is emitted (the live twin of the batch gap-fill spine
     // join). Reuses the clean time-tertile staging (monotone slices:
-    // every bucket in batch k precedes batch k+1, and a 6 h bucket
+    // every bucket in batch k precedes batch k+1, and a 1 h bucket
     // never straddles the day-aligned tertile boundary), so the emitted
     // set must equal the batch interior-gap oracle — a gap spanning a
     // batch boundary is only revealed by a LATER batch's event, which
@@ -617,7 +617,7 @@ object ParityQueries {
       val ticks = stream.select(col("event_type").as("key"), col("ts_ms"))
         .as[graft.streaming.Streaming.Tick]
       val gaps = graft.streaming.Streaming
-        .gapDetectStream(ticks, bucketMs = 21600000L)
+        .gapDetectStream(ticks, bucketMs = 3600000L)
       val qn = "stream_gd_" + java.util.UUID.randomUUID().toString.take(8)
       val ckpt = java.nio.file.Files.createTempDirectory("graft-sgd-ckpt").toString
       val q = gaps.toDF().writeStream
@@ -806,13 +806,13 @@ object ParityQueries {
     // consecutive observed buckets per key.
     "stream_gap_detect" ->
       """WITH b AS (SELECT DISTINCT event_type AS key,
-        |             epoch_ms(ts) // 21600000 AS bucket
+        |             epoch_ms(ts) // 3600000 AS bucket
         |           FROM events),
         |p AS (SELECT key, bucket,
         |        lag(bucket) OVER (PARTITION BY key ORDER BY bucket) AS prev
         |      FROM b),
         |g AS (SELECT key, unnest(generate_series(prev + 1, bucket - 1)) AS gb
         |      FROM p WHERE prev IS NOT NULL AND bucket > prev + 1)
-        |SELECT key, gb * 21600000 AS bucket_ms
+        |SELECT key, gb * 3600000 AS bucket_ms
         |FROM g ORDER BY key, bucket_ms""".stripMargin)
 }
