@@ -515,6 +515,52 @@ object Multimodal {
       }
   }
 
+  /** Decoded luma moments: exact Σlum and Σlum² over BT.601 milli-luma
+    * (299r + 587g + 114b — the [[perceptualHash]] weights). */
+  case class LumaStats(media_id: Long, format: String,
+                       n_pixels: Option[Long],
+                       sum_lum: Option[Long], sum_lum2: Option[Long])
+
+  /** REAL decode → luma MOMENTS: the quadratic companion of
+    * [[decodeImageStats]]. Channel sums are linear, so a transposed or
+    * re-ordered decode can cancel out of them; Σlum² is
+    * position-sensitive through the value distribution, which is what
+    * makes RMS contrast (n·Σl² − (Σl)²) a real image-quality signal and
+    * a stricter decode grade. Exactness: lum ≤ 255,000 milli-units, so
+    * Σl² fits BIGINT through ~10⁸ pixels per image — far past any
+    * graded payload. Same quarantine contract as every decode operator:
+    * unreadable payloads yield format 'unknown' with null stats. */
+  def lumaStats(withPayload: DataFrame): Dataset[LumaStats] = {
+    implicit val enc = Encoders.product[LumaStats]
+    withPayload.select(col("media_id"), col("payload"))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .mapPartitions { it =>
+        it.map { case (id, p) =>
+          val img = try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
+                    catch { case _: Exception => null }
+          if (img == null) LumaStats(id, "unknown", None, None, None)
+          else {
+            var (sl, sl2) = (0L, 0L)
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                val px = img.getRGB(x, y)
+                val l = 299L * ((px >> 16) & 0xff) +
+                  587L * ((px >> 8) & 0xff) + 114L * (px & 0xff)
+                sl += l; sl2 += l * l
+                x += 1
+              }
+              y += 1
+            }
+            LumaStats(id, "png",
+              Some(img.getWidth.toLong * img.getHeight),
+              Some(sl), Some(sl2))
+          }
+        }
+      }
+  }
+
   /** REAL resize: decode with `ImageIO.read`, nearest-neighbor scale to
     * `width`×`height` (source pixel = (x·w)/W, (y·h)/H, floor — the
     * documented mapping the oracle replays), re-encode with

@@ -2542,6 +2542,34 @@ object TrainingDataQueries {
           max(col("media_id")).as("max_id"))
         .orderBy("phash")),
 
+    // RMS contrast from REAL decode — the image-quality filter a
+    // multimodal curation pipeline runs before training (flat/blank
+    // images score ~0): variance of BT.601 milli-luma per image. The
+    // quadratic moment is a STRICTER decode grade than channel sums
+    // (linear sums survive pixel permutations; Σl² does not survive
+    // value errors). Exactness: n·Σl² − (Σl)² is exact BIGINT algebra
+    // on per-image integer moments; variance = num/n² is ONE double
+    // division and rms = sqrt(var) is correctly-rounded IEEE — both
+    // engines land on identical doubles with no round() anywhere.
+    // Shape: per-partition-batched decode in mapPartitions (imperative
+    // codec work), then pure plan-side algebra — no shuffle at all
+    // beyond the final presentation sort.
+    "multimodal_contrast" -> ((s, dir) =>
+      Multimodal.lumaStats(
+          Multimodal.synthesizeRealPng(Tables.documents(s, dir), "doc_id"))
+        .toDF()
+        .select(col("media_id"), col("n_pixels"), col("sum_lum"),
+          (col("n_pixels") * col("sum_lum2") - col("sum_lum") * col("sum_lum"))
+            .as("var_num"))
+        .select(col("media_id"), col("n_pixels"), col("sum_lum"), col("var_num"),
+          (col("var_num").cast("double") /
+            (col("n_pixels") * col("n_pixels")).cast("double"))
+            .as("contrast_var"),
+          sqrt(col("var_num").cast("double") /
+            (col("n_pixels") * col("n_pixels")).cast("double"))
+            .as("contrast_rms"))
+        .orderBy("media_id")),
+
     // Tokenizer fertility by (labelled, predicted) language — the
     // multilingual budget audit every tokenizer change triggers: how
     // many BPE-ish tokens per whitespace word, and how many chars per
@@ -4978,6 +5006,33 @@ object TrainingDataQueries {
         |SELECT phash, count(*) AS n_images, min(media_id) AS keep_id,
         |       max(media_id) AS max_id
         |FROM ph GROUP BY phash ORDER BY phash""".stripMargin),
+
+    // Formula replay of the luma moments over the full (x, y) grid:
+    // same BT.601 milli-weights, exact integer Σl/Σl², identical
+    // single-division variance and IEEE sqrt.
+    "multimodal_contrast" ->
+      """WITH d AS (SELECT doc_id AS media_id, doc_id % 29 + 4 AS w,
+        |             doc_id % 23 + 4 AS h FROM documents),
+        |px AS (SELECT media_id, w, h,
+        |         299*(3*x + 5*y + media_id % 7)
+        |         + 587*(2*x + 7*y + media_id % 11)
+        |         + 114*(x + 4*y + media_id % 13) AS l
+        |       FROM d
+        |       CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS x) xs
+        |       CROSS JOIN (SELECT unnest(generate_series(0, 25)) AS y) ys
+        |       WHERE x < w AND y < h),
+        |m AS (SELECT media_id,
+        |        CAST(count(*) AS BIGINT) AS n_pixels,
+        |        CAST(sum(l) AS BIGINT) AS sum_lum,
+        |        CAST(sum(CAST(l AS BIGINT) * l) AS BIGINT) AS sum_lum2
+        |      FROM px GROUP BY 1)
+        |SELECT media_id, n_pixels, sum_lum,
+        |       n_pixels * sum_lum2 - sum_lum * sum_lum AS var_num,
+        |       CAST(n_pixels * sum_lum2 - sum_lum * sum_lum AS DOUBLE)
+        |         / CAST(n_pixels * n_pixels AS DOUBLE) AS contrast_var,
+        |       sqrt(CAST(n_pixels * sum_lum2 - sum_lum * sum_lum AS DOUBLE)
+        |            / CAST(n_pixels * n_pixels AS DOUBLE)) AS contrast_rms
+        |FROM m ORDER BY media_id""".stripMargin,
 
     // Replays the langid argmax CASE chain over the same marker lists,
     // then the exact token/char sums and micro-unit floor divisions.

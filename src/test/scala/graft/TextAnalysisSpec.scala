@@ -342,6 +342,33 @@ class TextAnalysisSpec extends SparkSpec {
     assert(q.head.format === "unknown" && q.head.width.isEmpty)
   }
 
+  test("multimodal: lumaStats matches a driver-side formula replay; corrupt quarantines") {
+    val withPng = Multimodal.synthesizeRealPng(docs, "doc_id")
+    val stats = Multimodal.lumaStats(withPng).collect()
+    assert(stats.length === 3)
+    stats.foreach { s =>
+      val id = s.media_id
+      val (w, h) = ((id % 29 + 4).toInt, (id % 23 + 4).toInt)
+      var (sl, sl2) = (0L, 0L)
+      for (y <- 0 until h; x <- 0 until w) {
+        val l = 299L * (3 * x + 5 * y + (id % 7).toInt) +
+          587L * (2 * x + 7 * y + (id % 11).toInt) +
+          114L * (x + 4 * y + (id % 13).toInt)
+        sl += l; sl2 += l * l
+      }
+      assert(s.format === "png")
+      assert(s.n_pixels.get === w.toLong * h)
+      assert((s.sum_lum.get, s.sum_lum2.get) === ((sl, sl2)))
+    }
+    val junk = spark.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row(9L, Array[Byte](1, 2, 3))),
+      new org.apache.spark.sql.types.StructType()
+        .add("media_id", org.apache.spark.sql.types.LongType)
+        .add("payload", org.apache.spark.sql.types.BinaryType))
+    val q = Multimodal.lumaStats(junk).collect()
+    assert(q.head.format === "unknown" && q.head.sum_lum.isEmpty)
+  }
+
   test("multimodal: real resize round-trips decode→scale→encode→decode") {
     val withPng = Multimodal.synthesizeRealPng(docs, "doc_id")
     val resized = Multimodal.decodeImageStats(
