@@ -152,7 +152,15 @@ object PlanDump {
     "q_seq_mining" -> "sequential patterns: consecutive event bigrams from ONE lead() window on the user_id partitioning (the exchange every session query shares); support is a partial-aggregable pair count + two-phase distinct; confidence denominators broadcast back from the ≤|alphabet|-row rollup",
     "q_geo_knn" -> "spatial kNN as an EQUI-join: grid-cell bucketing turns the nearest-neighbor search into a 3×3-neighborhood cell join (supplier side broadcast at dimension scale, shuffle-on-cell beyond); the squared distance is an exact BIGINT argmin with a min-key tie-break — no cross join, no float compare",
     "q_lift_curve" -> "cumulative gains: the per-user rollup is one partial-aggregable HashAggregate, the global spend rank is the two-pass globalIds (range partition + P driver longs — no single-partition window over users), and the decile cumulatives run on the 10-row rollup with a broadcast 1-row total",
-    "pipeline_curation_v3" -> "composite cost audit (2.9 s isolated at sf0.1, vs 2.3 s in r5): the delta is connectedComponents' r6 reliability protocol — convergence now proves itself via a label-sum fixpoint (one extra aggregate job per round) and every cut is restart-safe, worth the 2 small jobs/round on a bounded graded fixture and negligible against real data volumes; the dataflow itself is unchanged — exact-dup groupBy, banded minhash join, per-source percent_rank, novelty semi-join, all partial-aggregable with the pair graph cut ONCE before the loop")
+    "pipeline_curation_v3" -> "composite cost audit (2.9 s isolated at sf0.1, vs 2.3 s in r5): the delta is connectedComponents' r6 reliability protocol — convergence now proves itself via a label-sum fixpoint (one extra aggregate job per round) and every cut is restart-safe, worth the 2 small jobs/round on a bounded graded fixture and negligible against real data volumes; the dataflow itself is unchanged — exact-dup groupBy, banded minhash join, per-source percent_rank, novelty semi-join, all partial-aggregable with the pair graph cut ONCE before the loop",
+    "q_cohens_kappa" -> "rater agreement: ONE partial-aggregable pass builds the 9-cell confusion matrix; marginals and the kappa algebra run on broadcast 3-row/1-row aggregates — the only data-sized stage is the first HashAggregate",
+    "q_pr_curve" -> "threshold sweep: per-value collapse first (partial-aggregable, bounded by distinct values), then ONE descending Sweep.runningSum carries both cumulative counts in a packed BIGINT delta — range partition + P driver longs, never a single-partition window",
+    "q_ece_calibration" -> "calibration bins: md5-carved confidence is a pure codegen projection; one partial-aggregable pass to 10 bin rows; the ECE total is a broadcast 1-row aggregate — integer gap algebra, no float sum",
+    "text_top_p_vocab" -> "nucleus truncation: explode -> two-phase term count (shuffle on term only), ONE runningSum over the frequency-sorted order, keep predicate in pure BIGINT algebra against a broadcast 1-row total",
+    "data_preference_pairs" -> "chosen/rejected per stratum: exact integer score projection + ONE partial-aggregable groupBy carrying BOTH argmax and argmin as packed BIGINTs — no join, no window, one shuffle on the stratum key",
+    "text_fertility" -> "language-pair budget rollup: langid scores and token counts are codegen projections over two scans of the same parquet, one join on doc_id, then a partial-aggregable groupBy on the bounded language-pair key",
+    "graph_closeness" -> "per-node HyperBall centrality: rounds x (edge equi-join + partial-aggregable register max), per-round finalize, then ONE pivot-by-t groupBy over the (node, round) table — closeness costs nothing beyond the neighborhood function",
+    "multimodal_contrast" -> "real decode -> luma moments in mapPartitions (imperative codec work — the sanctioned use), then pure projection algebra; no shuffle except the presentation sort")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
