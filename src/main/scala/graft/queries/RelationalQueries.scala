@@ -3346,6 +3346,108 @@ object RelationalQueries {
           (expr("conf_sum div n") / 1e6).as("avg_conf"),
           (col("ece_micro") / 1e6).as("ece"))
         .orderBy("bin")
+    }),
+
+    // Mann–Kendall trend test over the daily revenue series — the
+    // nonparametric "is this metric drifting" monitor (no normality or
+    // linearity assumption; robust to outliers, unlike q_linreg's
+    // slope). Shape: the fact table collapses to the calendar-bounded
+    // daily rollup FIRST (partial-aggregable, ≤2.4k rows at any SF —
+    // the q_changepoint/q_acf contract), and the pair enumeration is a
+    // |days|² self-join of that dimension-sized series — never the
+    // data. Exactness: S = Σ sign(c_j − c_i) is an exact sum of
+    // {−1,0,1}; the tie-corrected variance numerator
+    // n(n−1)(2n+5) − Σ_t t(t−1)(2t+5) is exact BIGINT algebra; and
+    // z = (S ∓ 1)/sqrt(var_num/18) is one division + one
+    // correctly-rounded IEEE sqrt — both engines land on the identical
+    // double with no float accumulation anywhere.
+    "q_mann_kendall" -> ((s, dir) => {
+      val daily = Tables.orders(s, dir)
+        .select(expr("unix_millis(cast(o_orderdate as timestamp))" +
+          " div 86400000").as("day"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        .groupBy(col("day")).agg(sum(col("cents")).as("c"))
+      val pairs = daily.select(col("day").as("d1"), col("c").as("c1"))
+        .join(daily.select(col("day").as("d2"), col("c").as("c2")),
+          col("d1") < col("d2"))
+        .agg(sum(signum(col("c2") - col("c1")).cast("long")).as("s_stat"))
+      val ties = daily.groupBy(col("c")).agg(count(lit(1)).as("t"))
+        .agg(sum(expr("t * (t - 1) * (2 * t + 5)")).as("tie_term"),
+          sum(col("t")).as("n"))
+      pairs.crossJoin(broadcast(ties))
+        .select(col("n").as("n_days"), col("s_stat"),
+          expr("n * (n - 1) * (2 * n + 5) - tie_term").as("var_num"),
+          (when(col("s_stat") > 0, col("s_stat") - 1)
+            .when(col("s_stat") < 0, col("s_stat") + 1)
+            .otherwise(0L).cast("double") /
+            sqrt(expr("n * (n - 1) * (2 * n + 5) - tie_term")
+              .cast("double") / 18.0)).as("z"))
+    }),
+
+    // Cramér's V — the EFFECT SIZE the q_chi_squared significance test
+    // lacks (χ² grows with N; V ∈ [0,1] answers "how strong is the
+    // association"). Same priority × segment contingency table and the
+    // identical per-cell micro-unit quantization discipline; V is ONE
+    // division of the exact χ² micro total by N·min(r−1, c−1) and a
+    // correctly-rounded IEEE sqrt. Shape: one partial-aggregable cell
+    // count; everything downstream is algebra on broadcast marginals.
+    "q_cramers_v" -> ((s, dir) => {
+      val cells = Tables.orders(s, dir)
+        .select(col("o_custkey"), col("o_orderpriority"))
+        .join(Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_mktsegment")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_orderpriority"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("obs"))
+      val rowTot = cells.groupBy("o_orderpriority")
+        .agg(sum("obs").as("row_tot"))
+      val colTot = cells.groupBy("c_mktsegment")
+        .agg(sum("obs").as("col_tot"))
+      val grand = cells.agg(sum("obs").as("grand"))
+      val scored = cells
+        .join(broadcast(rowTot), "o_orderpriority")
+        .join(broadcast(colTot), "c_mktsegment")
+        .crossJoin(broadcast(grand))
+        .withColumn("expected", col("row_tot").cast("double") *
+          col("col_tot").cast("double") / col("grand").cast("double"))
+        .withColumn("cmicro", round(
+          (col("obs") - col("expected")) * (col("obs") - col("expected")) /
+            col("expected") * 1e6, 0).cast("long"))
+      scored.agg(sum(col("cmicro")).as("chi2m"),
+          countDistinct(col("o_orderpriority")).as("np"),
+          countDistinct(col("c_mktsegment")).as("ns"),
+          sum(col("obs")).as("nn"))
+        .select(col("nn").as("n"), (col("chi2m") / 1e6).as("chi2"),
+          ((col("np") - 1) * (col("ns") - 1)).as("dof"),
+          sqrt(col("chi2m").cast("double") /
+            (lit(1e6) * col("nn").cast("double") *
+              least(col("np") - 1, col("ns") - 1).cast("double")))
+            .as("cramers_v"))
+    }),
+
+    // Rolling 7-day lower median of daily revenue — the robust
+    // smoother a drifting-metric dashboard pairs with q_ewma (mean
+    // smoothers chase outliers; the median does not). Shape: the fact
+    // table collapses to the calendar-bounded daily rollup first; the
+    // rows-frame window runs over ≤2.4k dimension rows (the q_drawdown
+    // contract — unpartitioned windows only over calendar-bounded
+    // rollups). Exactness: the LOWER median (⌈k/2⌉-th smallest of the
+    // exact integer cents in the frame) is pure integer selection —
+    // no .5 averaging, no round(), nothing to disagree on.
+    "q_rolling_median" -> ((s, dir) => {
+      val daily = Tables.orders(s, dir)
+        .select(expr("unix_millis(cast(o_orderdate as timestamp))" +
+          " div 86400000").as("day"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        .groupBy(col("day")).agg(sum(col("cents")).as("c"))
+      val w = Window.orderBy(col("day")).rowsBetween(-6, 0)
+      daily
+        .withColumn("frame", collect_list(col("c")).over(w))
+        .select(col("day"), col("c").as("cents"),
+          size(col("frame")).as("n_window"),
+          expr("element_at(sort_array(frame), " +
+            "cast((size(frame) + 1) div 2 as int))").as("median_cents"))
+        .orderBy("day")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -5388,5 +5490,75 @@ object RelationalQueries {
         |       ((pos * 1000000) // n) / 1e6 AS acc,
         |       (conf_sum // n) / 1e6 AS avg_conf,
         |       ece_micro / 1e6 AS ece
-        |FROM g CROSS JOIN t ORDER BY bin""".stripMargin)
+        |FROM g CROSS JOIN t ORDER BY bin""".stripMargin,
+
+    // Same daily rollup, pair signs, and tie-corrected variance in
+    // exact integers; z is the identical single division + IEEE sqrt.
+    "q_mann_kendall" ->
+      """WITH daily AS (SELECT epoch_ms(o_orderdate) // 86400000 AS day,
+        |                 CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+        |                   AS BIGINT) AS c
+        |               FROM orders GROUP BY 1),
+        |p AS (SELECT CAST(sum(CASE WHEN b.c > a.c THEN 1
+        |                           WHEN b.c < a.c THEN -1 ELSE 0 END)
+        |        AS BIGINT) AS s_stat
+        |      FROM daily a JOIN daily b ON a.day < b.day),
+        |t AS (SELECT CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT)
+        |          AS tie_term,
+        |        CAST(sum(t) AS BIGINT) AS n
+        |      FROM (SELECT c, count(*) AS t FROM daily GROUP BY 1))
+        |SELECT n AS n_days, s_stat,
+        |       n * (n - 1) * (2 * n + 5) - tie_term AS var_num,
+        |       CAST(CASE WHEN s_stat > 0 THEN s_stat - 1
+        |                 WHEN s_stat < 0 THEN s_stat + 1 ELSE 0 END AS DOUBLE)
+        |       / sqrt(CAST(n * (n - 1) * (2 * n + 5) - tie_term AS DOUBLE)
+        |              / 18.0) AS z
+        |FROM p CROSS JOIN t""".stripMargin,
+
+    // Same contingency cells and per-cell micro quantization as the
+    // q_chi_squared oracle; V is one division + IEEE sqrt.
+    "q_cramers_v" ->
+      """WITH cells AS (SELECT o_orderpriority, c_mktsegment, count(*) AS obs
+        |               FROM orders JOIN customer ON o_custkey = c_custkey
+        |               GROUP BY 1, 2),
+        |rt AS (SELECT o_orderpriority, CAST(sum(obs) AS BIGINT) AS row_tot
+        |       FROM cells GROUP BY 1),
+        |ct AS (SELECT c_mktsegment, CAST(sum(obs) AS BIGINT) AS col_tot
+        |       FROM cells GROUP BY 1),
+        |g AS (SELECT CAST(sum(obs) AS BIGINT) AS grand FROM cells),
+        |sc AS (SELECT obs,
+        |         CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)
+        |           / CAST(grand AS DOUBLE) AS expected
+        |       FROM cells JOIN rt USING (o_orderpriority)
+        |                  JOIN ct USING (c_mktsegment) CROSS JOIN g),
+        |q AS (SELECT CAST(round((obs - expected) * (obs - expected)
+        |               / expected * 1e6, 0) AS BIGINT) AS cmicro, obs
+        |      FROM sc),
+        |tot AS (SELECT CAST(sum(cmicro) AS BIGINT) AS chi2m,
+        |          (SELECT count(*) FROM rt) AS np,
+        |          (SELECT count(*) FROM ct) AS ns,
+        |          CAST(sum(obs) AS BIGINT) AS nn
+        |        FROM q)
+        |SELECT nn AS n, chi2m / 1e6 AS chi2,
+        |       (np - 1) * (ns - 1) AS dof,
+        |       sqrt(CAST(chi2m AS DOUBLE)
+        |            / (1e6 * CAST(nn AS DOUBLE)
+        |               * CAST(least(np - 1, ns - 1) AS DOUBLE))) AS cramers_v
+        |FROM tot""".stripMargin,
+
+    // Window list over the same rows frame; lower-median selection is
+    // the identical integer list index.
+    "q_rolling_median" ->
+      """WITH daily AS (SELECT epoch_ms(o_orderdate) // 86400000 AS day,
+        |                 CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+        |                   AS BIGINT) AS c
+        |               FROM orders GROUP BY 1),
+        |f AS (SELECT day, c AS cents,
+        |        list(c) OVER (ORDER BY day
+        |          ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS frame
+        |      FROM daily)
+        |SELECT day, cents, CAST(len(frame) AS INT) AS n_window,
+        |       list_sort(frame)[CAST((len(frame) + 1) // 2 AS INT)]
+        |         AS median_cents
+        |FROM f ORDER BY day""".stripMargin)
 }
