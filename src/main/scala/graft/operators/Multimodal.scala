@@ -318,6 +318,68 @@ object Multimodal {
       }
   }
 
+  case class AudioFlux(media_id: Long, format: String,
+                       n_samples: Option[Long], ssq: Option[Long],
+                       diff2: Option[Long], hf_ratio: Option[Double])
+
+  /** First-difference energy over REAL decoded PCM — the high-frequency
+    * proxy (a first difference is a one-tap high-pass filter; its
+    * energy relative to total energy separates hiss/transients from
+    * tonal content). Σ(s_k − s_{k−nch})² compares each sample to its
+    * predecessor IN THE SAME CHANNEL, so unlike RMS and channel sums
+    * (order-blind bags) this grades that the decoder returns samples in
+    * the right SEQUENCE — a frame-order or interleave bug flips the
+    * value. Exactness: diffs are ≤ 2¹⁷ so Σdiff² fits BIGINT through
+    * ~2⁴⁸ samples; hf_ratio = diff2/ssq is ONE double division. Same
+    * 16-bit-LE-signed-PCM-only contract and quarantine rule as
+    * [[audioFeatures]]. */
+  def audioFlux(withPayload: DataFrame): Dataset[AudioFlux] = {
+    implicit val enc = Encoders.product[AudioFlux]
+    withPayload.select(col("media_id"), col("payload"))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .mapPartitions { it =>
+        it.map { case (id, p) =>
+          try {
+            val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(p))
+            val fmt = in.getFormat
+            if (fmt.getEncoding !=
+                  javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+                fmt.getSampleSizeInBits != 16 || fmt.isBigEndian)
+              throw new javax.sound.sampled.UnsupportedAudioFileException(
+                s"not 16-bit LE signed PCM: $fmt")
+            val nch = fmt.getChannels
+            val buf = new Array[Byte]((in.getFrameLength * fmt.getFrameSize).toInt)
+            var off = 0
+            var read = 0
+            while (off < buf.length && read >= 0) {
+              read = in.read(buf, off, buf.length - off)
+              if (read > 0) off += read
+            }
+            val n = off / 2
+            val s = new Array[Long](n)
+            var i = 0
+            while (i < n) {
+              s(i) = (((buf(2 * i) & 0xff) |
+                ((buf(2 * i + 1) & 0xff) << 8)).toShort).toLong
+              i += 1
+            }
+            var (ssq, d2) = (0L, 0L)
+            i = 0
+            while (i < n) {
+              ssq += s(i) * s(i)
+              if (i >= nch) { val d = s(i) - s(i - nch); d2 += d * d }
+              i += 1
+            }
+            AudioFlux(id, "wav", Some(n.toLong), Some(ssq), Some(d2),
+              if (ssq == 0) None else Some(d2.toDouble / ssq.toDouble))
+          } catch {
+            case _: Exception => AudioFlux(id, "unknown", None, None, None, None)
+          }
+        }
+      }
+  }
+
   /** A parsed JPEG header record ([[jpegMeta]]); width/height are None
     * when no SOF frame header is found (quarantine, not failure). */
   case class JpegMeta(media_id: Long, n_bytes: Long, format: String,

@@ -3448,6 +3448,48 @@ object RelationalQueries {
           expr("element_at(sort_array(frame), " +
             "cast((size(frame) + 1) div 2 as int))").as("median_cents"))
         .orderBy("day")
+    }),
+
+    // BITMAP-INDEX set intersection — the OLAP technique for audience
+    // overlap at scale: each event type's active-user set compresses to
+    // 62 users per BIGINT word (bit k of word w ⇔ user 62·w+k active),
+    // and pairwise overlaps reduce to bit_count(a & b) summed over
+    // co-partitioned words — the user sets are never joined row-wise.
+    // 62 bits per word keeps every shift ≤ 61, so the packed value
+    // stays positive on both engines (DuckDB's BIGINT << is checked at
+    // 63). Exactness: bit_or is idempotent/commutative/associative
+    // (identical words under any partitioning); overlap counts are
+    // exact integers; Jaccard is ONE floor division to micro-units.
+    // Shape: one distinct pass + one partial-aggregable bit_or groupBy,
+    // then a |types|²-bounded word join. vs q_audience_overlap (exact
+    // countDistinct joins): same numbers, ~64× less join traffic.
+    "q_bitmap_overlap" -> ((s, dir) => {
+      val bm = Tables.events(s, dir)
+        .select(col("event_type"), col("user_id")).distinct()
+        .select(col("event_type"), expr("user_id div 62").as("word"),
+          expr("shiftleft(cast(1 as bigint), cast(pmod(user_id, 62) as int))")
+            .as("bit"))
+        .groupBy(col("event_type"), col("word"))
+        .agg(expr("bit_or(bit)").as("bits"))
+      val sizes = bm.groupBy(col("event_type"))
+        .agg(sum(expr("bit_count(bits)")).as("n_users"))
+      val pairs = bm.select(col("event_type").as("type_a"), col("word"),
+          col("bits").as("ba"))
+        .join(bm.select(col("event_type").as("type_b"), col("word"),
+          col("bits").as("bb")), Seq("word"))
+        .filter(col("type_a") < col("type_b"))
+        .groupBy(col("type_a"), col("type_b"))
+        .agg(sum(expr("bit_count(ba & bb)")).as("overlap"))
+      pairs
+        .join(broadcast(sizes.withColumnRenamed("event_type", "type_a")
+          .withColumnRenamed("n_users", "n_a")), "type_a")
+        .join(broadcast(sizes.withColumnRenamed("event_type", "type_b")
+          .withColumnRenamed("n_users", "n_b")), "type_b")
+        .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+          col("overlap"),
+          (expr("(overlap * 1000000) div (n_a + n_b - overlap)") / 1e6)
+            .as("jaccard"))
+        .orderBy("type_a", "type_b")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -5560,5 +5602,28 @@ object RelationalQueries {
         |SELECT day, cents, CAST(len(frame) AS INT) AS n_window,
         |       list_sort(frame)[CAST((len(frame) + 1) // 2 AS INT)]
         |         AS median_cents
-        |FROM f ORDER BY day""".stripMargin)
+        |FROM f ORDER BY day""".stripMargin,
+
+    // Same 62-bit word packing; bit_or/bit_count replay the bitmap
+    // algebra exactly, Jaccard is the identical micro floor division.
+    "q_bitmap_overlap" ->
+      """WITH u AS (SELECT DISTINCT event_type, user_id FROM events),
+        |bm AS (SELECT event_type, user_id // 62 AS word,
+        |         bit_or(1::BIGINT << CAST(user_id % 62 AS INT)) AS bits
+        |       FROM u GROUP BY 1, 2),
+        |sz AS (SELECT event_type, CAST(sum(bit_count(bits)) AS BIGINT)
+        |           AS n_users
+        |       FROM bm GROUP BY 1),
+        |p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |        CAST(sum(bit_count(a.bits & b.bits)) AS BIGINT) AS overlap
+        |      FROM bm a JOIN bm b ON a.word = b.word
+        |                         AND a.event_type < b.event_type
+        |      GROUP BY 1, 2)
+        |SELECT type_a, type_b, sa.n_users AS n_a, sb.n_users AS n_b,
+        |       overlap,
+        |       ((overlap * 1000000) // (sa.n_users + sb.n_users - overlap))
+        |         / 1e6 AS jaccard
+        |FROM p JOIN sz sa ON sa.event_type = p.type_a
+        |       JOIN sz sb ON sb.event_type = p.type_b
+        |ORDER BY type_a, type_b""".stripMargin)
 }

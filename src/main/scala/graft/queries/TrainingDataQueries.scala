@@ -2393,6 +2393,20 @@ object TrainingDataQueries {
           round(col("rms"), 4).as("rms"), col("ch0_sum"), col("ch1_sum"))
         .orderBy("media_id")),
 
+    // The sample-ORDER grading leg: RMS and channel sums are
+    // order-blind bags, so a decoder returning the right multiset of
+    // samples in the wrong sequence still passes them —
+    // first-difference energy Σ(s_k − s_{k−nch})² does not. Exact
+    // integer Σs²/Σdiff²; hf_ratio is ONE double division (identical
+    // IEEE both engines, no round()).
+    "multimodal_audio_flux" -> ((s, dir) =>
+      Multimodal.audioFlux(
+          Multimodal.synthesizeAudioPayload(Tables.documents(s, dir), "doc_id", "text"))
+        .toDF()
+        .select(col("media_id"), col("format"), col("n_samples"),
+          col("ssq"), col("diff2"), col("hf_ratio"))
+        .orderBy("media_id")),
+
     // The VARIABLE-OFFSET leg: synthesized JPEGs carry an md5-length COM
     // segment before SOF0, so the frame header sits at a different byte
     // offset per row — the mapPartitions parser must genuinely walk the
@@ -4876,6 +4890,41 @@ object TrainingDataQueries {
         |       END AS rms,
         |       coalesce(s.c0, 0) AS ch0_sum,
         |       CASE WHEN m.nch = 2 THEN coalesce(s.c1, 0) ELSE NULL END AS ch1_sum
+        |FROM m LEFT JOIN s ON s.doc_id = m.doc_id
+        |ORDER BY media_id""".stripMargin,
+
+    // Same byte→sample replay plus a lag term: sample i minus sample
+    // i−nch (same channel), squared and summed in exact BIGINTs; the
+    // ratio is the identical single division.
+    "multimodal_audio_flux" ->
+      """WITH m AS (SELECT doc_id, text, octet_length(encode(text)) AS nb,
+        |         ('0x' || substr(md5(text), 9, 4))::BIGINT % 2 + 1 AS nch
+        |       FROM documents),
+        |s AS (SELECT m.doc_id, m.nch, count(*) AS cnt,
+        |        CAST(sum((ord(substr(m.text, 2*u.i + 1, 1))
+        |                  + 256 * ord(substr(m.text, 2*u.i + 2, 1)))
+        |               * (ord(substr(m.text, 2*u.i + 1, 1))
+        |                  + 256 * ord(substr(m.text, 2*u.i + 2, 1)))) AS BIGINT)
+        |          AS ssq,
+        |        CAST(sum(CASE WHEN u.i >= m.nch THEN
+        |               (ord(substr(m.text, 2*u.i + 1, 1))
+        |                + 256 * ord(substr(m.text, 2*u.i + 2, 1))
+        |                - ord(substr(m.text, 2*(u.i - m.nch) + 1, 1))
+        |                - 256 * ord(substr(m.text, 2*(u.i - m.nch) + 2, 1)))
+        |               * (ord(substr(m.text, 2*u.i + 1, 1))
+        |                  + 256 * ord(substr(m.text, 2*u.i + 2, 1))
+        |                  - ord(substr(m.text, 2*(u.i - m.nch) + 1, 1))
+        |                  - 256 * ord(substr(m.text, 2*(u.i - m.nch) + 2, 1)))
+        |             ELSE 0 END) AS BIGINT) AS diff2
+        |      FROM m, LATERAL unnest(generate_series(0,
+        |             (m.nb // (2 * m.nch)) * m.nch - 1)) AS u(i)
+        |      GROUP BY m.doc_id, m.nch)
+        |SELECT m.doc_id AS media_id, 'wav' AS format,
+        |       CAST((m.nb // (2 * m.nch)) * m.nch AS BIGINT) AS n_samples,
+        |       coalesce(s.ssq, 0) AS ssq, coalesce(s.diff2, 0) AS diff2,
+        |       CASE WHEN s.ssq IS NULL OR s.ssq = 0 THEN NULL
+        |            ELSE CAST(s.diff2 AS DOUBLE) / CAST(s.ssq AS DOUBLE)
+        |       END AS hf_ratio
         |FROM m LEFT JOIN s ON s.doc_id = m.doc_id
         |ORDER BY media_id""".stripMargin,
 
