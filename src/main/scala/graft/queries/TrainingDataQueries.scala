@@ -2639,6 +2639,51 @@ object TrainingDataQueries {
         .orderBy(col("cnt").desc, col("word"))
     }),
 
+    // Language-rebalanced token budgeting — the mixture step every
+    // multilingual pretraining run applies (an English-dominant crawl
+    // starves other languages): give each language an equal share of
+    // the global token budget and hash-downsample the over-budget ones
+    // to their allocation. The language key is the corpus's `lang`
+    // label — the column an upstream classifier (the graded
+    // text_langid/text_fertility leg) writes; the fixture's 5-language,
+    // en-dominant mix makes the rebalance non-degenerate (en keeps
+    // ~1/3, minority languages keep everything). Composes BPE token
+    // counts + the data_mixture_sample hash-gate discipline.
+    // Exactness: budgets and keep-fractions are exact floor divisions
+    // to micro-units; the keep gate compares a replayable md5-carved
+    // uniform against frac_micro — deterministic under any partitioning
+    // or reshuffle, and the report's token sums are exact BIGINTs.
+    // Shape: one scan for token counts joined to the label; the
+    // per-language rollup is bounded by |langs|; the gate is a
+    // broadcast join of 5 rows back onto the corpus — at 100 TB the
+    // only data-sized stage is the scan.
+    "pipeline_lang_rebalance" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val scored = docs.select(col("doc_id"), col("lang").as("pred_lang"))
+        .join(TextAnalysis.tokenCounts(docs, "doc_id", "text")
+          .select(col("doc_id"), col("n_tokens_bpe")), "doc_id")
+      val perLang = scored.groupBy(col("pred_lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens_bpe")).as("tok"))
+      val tot = perLang.agg(sum(col("tok")).as("t"),
+        count(lit(1)).as("nlang"))
+      val alloc = perLang.crossJoin(broadcast(tot))
+        .select(col("pred_lang"), col("n_docs"), col("tok"),
+          least(lit(1000000L),
+            expr("((t div nlang) * 1000000) div tok")).as("frac_micro"))
+      scored.join(broadcast(alloc), "pred_lang")
+        .withColumn("keep",
+          pmod(expr("cast(conv(substr(md5(cast(doc_id as string)), 1, 6)," +
+            " 16, 10) as bigint)"), lit(1000000L)) < col("frac_micro"))
+        .groupBy(col("pred_lang"))
+        .agg(first(col("n_docs")).as("n_docs"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+          first(col("tok")).as("tokens_total"),
+          sum(when(col("keep"), col("n_tokens_bpe")).otherwise(0L))
+            .as("tokens_kept"),
+          (first(col("frac_micro")) / 1e6).as("keep_frac"))
+        .orderBy("pred_lang")
+    }),
+
     // RLHF/DPO preference-pair construction — per source stratum, pair
     // the highest-scoring document (chosen) against the lowest
     // (rejected), the standard seed for preference-tuning data. The
@@ -5133,6 +5178,38 @@ object TrainingDataQueries {
          |FROM r CROSS JOIN t
          |WHERE (cum - cnt) * 10 < t.total * 9
          |ORDER BY cnt DESC, word""".stripMargin,
+
+    // Replays the label join + BPE token counts, the equal-share
+    // budget floor divisions, and the identical md5-carved keep gate.
+    "pipeline_lang_rebalance" -> {
+      val bpe = TextAnalysis.BpeTokenPattern.replace("'", "''")
+      s"""WITH p AS (SELECT doc_id, lang AS pred_lang,
+         |        CAST(len(regexp_extract_all(text, '$bpe')) AS BIGINT)
+         |          AS n_tokens_bpe
+         |      FROM documents),
+         |pl AS (SELECT pred_lang, count(*) AS n_docs,
+         |         CAST(sum(n_tokens_bpe) AS BIGINT) AS tok
+         |       FROM p GROUP BY 1),
+         |t AS (SELECT CAST(sum(tok) AS BIGINT) AS t,
+         |        count(*) AS nlang FROM pl),
+         |al AS (SELECT pred_lang, n_docs, tok,
+         |         least(1000000, ((t.t // t.nlang) * 1000000) // tok)
+         |           AS frac_micro
+         |       FROM pl CROSS JOIN t),
+         |k AS (SELECT p.pred_lang, p.n_tokens_bpe, al.n_docs, al.tok,
+         |        al.frac_micro,
+         |        (('0x' || substr(md5(p.doc_id::VARCHAR), 1, 6))::BIGINT
+         |          % 1000000) < al.frac_micro AS keep
+         |      FROM p JOIN al USING (pred_lang))
+         |SELECT pred_lang, any_value(n_docs) AS n_docs,
+         |       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_kept,
+         |       any_value(tok) AS tokens_total,
+         |       CAST(sum(CASE WHEN keep THEN n_tokens_bpe ELSE 0 END)
+         |         AS BIGINT) AS tokens_kept,
+         |       any_value(frac_micro) / 1e6 AS keep_frac
+         |FROM k GROUP BY 1 ORDER BY pred_lang""".stripMargin
+    },
 
     // Same exact-integer alpha-ratio score and packed min/max algebra
     // (2^33 pack, complement trick for the smallest-id tie-break).

@@ -264,6 +264,43 @@ object ScaleProbe {
         cn() // warm
         val (cnPairs, cnSec) = time(cn())
         println(f"PROBE x$factor link_pred nodes=$n pairs=$cnPairs time=$cnSec%.2fs")
+        // HyperBall per-node (the graph_closeness shape): 3 rounds of
+        // edge join + register max over (node, bucket) state that is
+        // ≤ min(ball, 256) rows per node — cross-factor growth must
+        // track rounds·|E|, the web-scale claim the operator makes.
+        val hb = () => Graph.hyperBallPerNode(edges, rounds = 3).count()
+        hb() // warm
+        val (hbRows, hbSec) = time(hb())
+        println(f"PROBE x$factor hyperball nodes=$n " +
+          f"rows=$hbRows time=$hbSec%.2fs")
+      }
+      // Bitmap-index overlap (q_bitmap_overlap shape) at xN user ids:
+      // word count tracks |distinct users|/62 linearly and the pair
+      // join is |types|²-bounded per word — superlinear growth would
+      // mean the bitmap groupBy or the word join picked up a
+      // corpus-sized key.
+      locally {
+        val ev = df.select(pmod(col("doc_id"), lit(5L)).cast("string")
+            .as("event_type"), col("doc_id").as("user_id"))
+        val bm = () => {
+          val b = ev.distinct()
+            .select(col("event_type"), expr("user_id div 62").as("word"),
+              expr("shiftleft(cast(1 as bigint)," +
+                " cast(pmod(user_id, 62) as int))").as("bit"))
+            .groupBy(col("event_type"), col("word"))
+            .agg(expr("bit_or(bit)").as("bits"))
+          b.select(col("event_type").as("ta"), col("word"), col("bits").as("ba"))
+            .join(b.select(col("event_type").as("tb"), col("word"),
+              col("bits").as("bb")), Seq("word"))
+            .filter(col("ta") < col("tb"))
+            .groupBy(col("ta"), col("tb"))
+            .agg(sum(expr("bit_count(ba & bb)")).as("overlap"))
+            .count()
+        }
+        bm() // warm
+        val (bmPairs, bmSec) = time(bm())
+        println(f"PROBE x$factor bitmap_overlap users=${nBase * factor} " +
+          f"pairs=$bmPairs time=$bmSec%.2fs")
       }
       // Pointer-doubling hierarchy at xN: chain depth grows LINEARLY
       // with the id range (max depth ≈ N/7) but the round count only
