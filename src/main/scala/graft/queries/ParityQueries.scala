@@ -627,6 +627,60 @@ object ParityQueries {
       q.awaitTermination()
       s.table(qn).select(col("key"), col("bucket_ms"))
         .orderBy("key", "bucket_ms")
+    }),
+
+    // CUSTOM fMGWS sessionization graded — the EAGER-emission semantics
+    // the built-in session_window cannot express (stream_session_window
+    // grades that one): a session emits the moment a later event
+    // REVEALS its closing gap, not when the watermark passes; the open
+    // tail stays in state. Same monotone time-tertile staging, so a
+    // session spanning a batch boundary must survive in state and merge
+    // with the next batch's events — the cross-batch claim under grade.
+    // On bounded input the emitted set is exactly the batch
+    // gap-and-island sessions MINUS each user's last (never-closed)
+    // session; the oracle replays that with the custom rule's STRICT
+    // gap comparison (merge at exactly 30 min, split beyond — the
+    // built-in splits AT the boundary).
+    "stream_custom_sessions" -> ((s, dir) => withShufflePartitions(s, 4) {
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("ts_ms"), col("user_id"),
+          col("event_type"), col("value"))
+        .withColumn("day", expr("ts_ms div 86400000"))
+      val bounds = ev.agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+      val batched = ev.crossJoin(broadcast(bounds))
+        .withColumn("batch", expr("((day - mn) * 3) div (mx - mn + 1) + 1"))
+      val hand = StagedInputs(s"$dir|events|tertiles-full") { d =>
+        val base = System.currentTimeMillis()
+        (1 to 3).foreach { k =>
+          val tmp = java.nio.file.Files.createTempDirectory(s"graft-scs-$k").toString
+          batched.filter(col("batch") === k)
+            .select("event_id", "ts_ms", "user_id", "event_type", "value")
+            .repartition(1).write.mode("overwrite").parquet(tmp)
+          val dst = new java.io.File(d, s"slice-$k.parquet")
+          java.nio.file.Files.copy(new java.io.File(tmp).listFiles()
+            .filter(_.getName.endsWith(".parquet")).head.toPath, dst.toPath)
+          dst.setLastModified(base + k * 10000L)
+        }
+      }
+      val schema = s.read.parquet(hand).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(hand)
+      import s.implicits._
+      val evts = stream.select(col("user_id"), col("event_id"), col("ts_ms"))
+        .as[graft.streaming.Streaming.Evt]
+      val sessions = graft.streaming.Streaming
+        .sessionize(evts, gapMs = 1800000L)
+      val qn = "stream_cs_" + java.util.UUID.randomUUID().toString.take(8)
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-scs-ckpt").toString
+      val q = sessions.toDF().writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").format("memory").queryName(qn).start()
+      q.awaitTermination()
+      s.table(qn)
+        .select(col("user_id"), col("sess_start_ms"), col("sess_end_ms"),
+          col("n_events"))
+        .orderBy("user_id", "sess_start_ms")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -814,5 +868,35 @@ object ParityQueries {
         |g AS (SELECT key, unnest(generate_series(prev + 1, bucket - 1)) AS gb
         |      FROM p WHERE prev IS NOT NULL AND bucket > prev + 1)
         |SELECT key, gb * 3600000 AS bucket_ms
-        |FROM g ORDER BY key, bucket_ms""".stripMargin)
+        |FROM g ORDER BY key, bucket_ms""".stripMargin,
+
+    // Batch gap-and-island replay with the CUSTOM operator's strict
+    // gap rule (split only when gap > 30 min; end = last event, no +gap
+    // padding), minus each user's last session (the open tail that
+    // never closes on bounded input).
+    "stream_custom_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+        |         lag(epoch_ms(ts)) OVER (PARTITION BY user_id
+        |                                 ORDER BY epoch_ms(ts), event_id)
+        |           AS prev_ms
+        |  FROM events),
+        |s AS (
+        |  SELECT *, CASE WHEN prev_ms IS NULL OR ts_ms - prev_ms > 1800000
+        |                 THEN 1 ELSE 0 END AS new_sess FROM e),
+        |t AS (
+        |  SELECT user_id, ts_ms,
+        |         sum(new_sess) OVER (PARTITION BY user_id
+        |                             ORDER BY ts_ms, event_id
+        |                             ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM s),
+        |g AS (SELECT user_id, session_id, min(ts_ms) AS sess_start_ms,
+        |        max(ts_ms) AS sess_end_ms, count(*) AS n_events
+        |      FROM t GROUP BY 1, 2),
+        |mx AS (SELECT user_id, max(session_id) AS last_sess
+        |       FROM g GROUP BY 1)
+        |SELECT g.user_id AS user_id, sess_start_ms, sess_end_ms, n_events
+        |FROM g JOIN mx ON g.user_id = mx.user_id
+        |WHERE g.session_id < mx.last_sess
+        |ORDER BY g.user_id, sess_start_ms""".stripMargin)
 }
