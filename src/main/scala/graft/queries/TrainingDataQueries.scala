@@ -2684,6 +2684,63 @@ object TrainingDataQueries {
         .orderBy("pred_lang")
     }),
 
+    // STREAMING MinHash near-dup detection graded — the streaming ×
+    // dedup composition (Streaming.minhashNearDupStream, probed for
+    // state in COVERAGE but never registry-graded until now): documents
+    // stream in 3 doc-id-tertile micro-batches with synthetic monotone
+    // event times; per-band-bucket state must carry across batches so a
+    // batch-0 near-dup of a batch-2 doc still pairs. Emission is once
+    // per COLLIDING BAND (at-least-once, documented in the operator),
+    // so the oracle replays per-band collisions — the duplicate
+    // multiplicity itself is graded. The watermark is wider than the
+    // synthetic time span, so no state is pruned and the emitted set
+    // equals the batch band join; est values are k/16 (exactly
+    // representable — the HALF_UP display round is a no-op on both
+    // engines).
+    "stream_neardup" -> ((s, dir) => {
+      val key = "spark.sql.shuffle.partitions"
+      val prev = s.conf.get(key)
+      s.conf.set(key, "4")
+      try {
+        val tag = dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + processTag +
+          "_" + Integer.toHexString(System.identityHashCode(s))
+        val hand = new java.io.File(
+          sys.props("java.io.tmpdir"), s"graft_sndp_$tag").getPath
+        if (!new java.io.File(hand).exists()) {
+          new java.io.File(hand).mkdirs()
+          val docs = Tables.documents(s, dir).select("doc_id", "text")
+          val n = docs.count()
+          val base = System.currentTimeMillis()
+          (1 to 3).foreach { k =>
+            val tmp = java.nio.file.Files
+              .createTempDirectory(s"graft-sndp-$k").toString
+            docs.filter(expr(s"(doc_id * 3) div $n + 1") === k)
+              .withColumn("ts_ms", (col("doc_id") + 1) * 60000L)
+              .repartition(1).write.mode("overwrite").parquet(tmp)
+            val dst = new java.io.File(hand, s"slice-$k.parquet")
+            java.nio.file.Files.copy(new java.io.File(tmp).listFiles()
+              .filter(_.getName.endsWith(".parquet")).head.toPath, dst.toPath)
+            dst.setLastModified(base + k * 10000L)
+          }
+        }
+        val schema = s.read.parquet(hand).schema
+        val stream = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(hand)
+        val pairs = graft.streaming.Streaming.minhashNearDupStream(
+          stream, "doc_id", "text", "ts_ms", watermark = "87600 hours")
+        val qn = "stream_nd_" + java.util.UUID.randomUUID().toString.take(8)
+        val ckpt = java.nio.file.Files
+          .createTempDirectory("graft-sndp-ckpt").toString
+        val q = pairs.toDF().writeStream
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation", ckpt)
+          .outputMode("append").format("memory").queryName(qn).start()
+        q.awaitTermination()
+        s.table(qn).select(col("doc_a"), col("doc_b"), col("est_jaccard"))
+          .orderBy("doc_a", "doc_b")
+      } finally s.conf.set(key, prev)
+    }),
+
     // RLHF/DPO preference-pair construction — per source stratum, pair
     // the highest-scoring document (chosen) against the lowest
     // (rejected), the standard seed for preference-tuning data. The
@@ -5178,6 +5235,28 @@ object TrainingDataQueries {
          |FROM r CROSS JOIN t
          |WHERE (cum - cnt) * 10 < t.total * 9
          |ORDER BY cnt DESC, word""".stripMargin,
+
+    // Per-BAND collision replay (bcand is NOT distinct — the stream
+    // emits once per colliding band, and that multiplicity is graded);
+    // est joins back from the distinct-pair signature agreement.
+    "stream_neardup" ->
+      s"""WITH ${sigBandCtesFrom("documents")},
+         |bcand AS (SELECT x.band, x.doc_id AS doc_a, y.doc_id AS doc_b
+         |          FROM bands x JOIN bands y
+         |            ON x.band = y.band AND x.band_key = y.band_key
+         |           AND x.doc_id < y.doc_id),
+         |est AS (SELECT c.doc_a, c.doc_b,
+         |          round(avg(CASE WHEN a.minh = b.minh THEN 1.0 ELSE 0.0 END),
+         |                4) AS est_jaccard
+         |        FROM (SELECT DISTINCT doc_a, doc_b FROM bcand) c
+         |        JOIN sig a ON a.doc_id = c.doc_a
+         |        JOIN sig b ON b.doc_id = c.doc_b AND a.seed = b.seed
+         |        GROUP BY c.doc_a, c.doc_b)
+         |SELECT bc.doc_a, bc.doc_b, est_jaccard
+         |FROM bcand bc JOIN est ON est.doc_a = bc.doc_a
+         |                      AND est.doc_b = bc.doc_b
+         |WHERE est_jaccard >= 0.5
+         |ORDER BY bc.doc_a, bc.doc_b""".stripMargin,
 
     // Replays the label join + BPE token counts, the equal-share
     // budget floor divisions, and the identical md5-carved keep gate.
