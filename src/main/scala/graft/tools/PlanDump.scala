@@ -160,7 +160,14 @@ object PlanDump {
     "data_preference_pairs" -> "chosen/rejected per stratum: exact integer score projection + ONE partial-aggregable groupBy carrying BOTH argmax and argmin as packed BIGINTs — no join, no window, one shuffle on the stratum key",
     "text_fertility" -> "language-pair budget rollup: langid scores and token counts are codegen projections over two scans of the same parquet, one join on doc_id, then a partial-aggregable groupBy on the bounded language-pair key",
     "graph_closeness" -> "per-node HyperBall centrality: rounds x (edge equi-join + partial-aggregable register max), per-round finalize, then ONE pivot-by-t groupBy over the (node, round) table — closeness costs nothing beyond the neighborhood function",
-    "multimodal_contrast" -> "real decode -> luma moments in mapPartitions (imperative codec work — the sanctioned use), then pure projection algebra; no shuffle except the presentation sort")
+    "multimodal_contrast" -> "real decode -> luma moments in mapPartitions (imperative codec work — the sanctioned use), then pure projection algebra; no shuffle except the presentation sort",
+    "q_mann_kendall" -> "trend test: the fact table collapses to the calendar-bounded daily rollup FIRST; the |days|^2 pair join runs over the dimension-sized series (broadcast one side), never the data; S and the tie-corrected variance are exact BIGINT aggregates",
+    "q_cramers_v" -> "effect size: one partial-aggregable contingency pass; marginals broadcast back; per-cell micro quantization before the associative sum (the q_chi_squared discipline), V = one division + IEEE sqrt",
+    "q_rolling_median" -> "rolling robust smoother: daily rollup first, then a rows-frame window over <=2.4k dimension rows (the q_drawdown contract — unpartitioned windows only over calendar-bounded rollups); lower-median selection is integer list indexing",
+    "q_bitmap_overlap" -> "bitmap index: distinct pass -> partial-aggregable bit_or groupBy (62 users/word); the overlap join is per-word with |types|^2-bounded output — the user sets are never joined row-wise",
+    "q_sql_native_funcs" -> "SparkSessionExtensions path: the SQL-text functions resolve to graft's NATIVE codegen expressions (no ScalaUDF node in this plan — check the Project), one broadcast-able equi-join, presentation sort only",
+    "pipeline_lang_rebalance" -> "mixture rebalance: one corpus scan for token counts, |langs|-row budget rollup broadcast back for the md5 keep gate; the report groupBy is partial-aggregable on the bounded language key",
+    "multimodal_audio_flux" -> "real PCM decode in mapPartitions; flux needs the sample SEQUENCE so the loop is genuinely imperative codec work; plan side is pure projection + presentation sort")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
