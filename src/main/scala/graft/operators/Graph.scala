@@ -363,7 +363,10 @@ object Graph {
     * (t, n_nodes, sum_ball_micro) where sum_ball_micro =
     * Σ_v floor(est|B(v,t)|·1e6); sum fits BIGINT through ~3e6 nodes —
     * beyond that, switch the quantum to centi-units or sum in decimal
-    * (documented, not silent). */
+    * (documented, not silent). An EMPTY edge set yields an empty
+    * result (no per-node rows to group), not rounds+1 zero rows —
+    * callers lag-windowing over t (effective diameter) see no rows,
+    * not nulls. */
   def hyperBall(edges: DataFrame, rounds: Int,
                 srcCol: String = "src", dstCol: String = "dst"): DataFrame =
     hyperBallPerNode(edges, rounds, srcCol, dstCol)

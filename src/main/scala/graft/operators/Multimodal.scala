@@ -277,36 +277,16 @@ object Multimodal {
       .mapPartitions { it =>
         it.map { case (id, p) =>
           try {
-            val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
-              new java.io.ByteArrayInputStream(p))
-            val fmt = in.getFormat
-            if (fmt.getEncoding !=
-                  javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
-                fmt.getSampleSizeInBits != 16 || fmt.isBigEndian)
-              throw new javax.sound.sampled.UnsupportedAudioFileException(
-                s"not 16-bit LE signed PCM: $fmt")
-            val nch = fmt.getChannels
-            val frameBytes = fmt.getFrameSize
-            val nFrames = in.getFrameLength
-            val buf = new Array[Byte]((nFrames * frameBytes).toInt)
-            var off = 0
-            var read = 0
-            while (off < buf.length && read >= 0) {
-              read = in.read(buf, off, buf.length - off)
-              if (read > 0) off += read
-            }
+            val (nch, nFrames, smp) = decodePcm16le(p)
             var ssq = 0L
             val chSum = new Array[Long](nch)
             var i = 0
-            var k = 0
-            while (i + 1 < off) {
-              val s = (((buf(i) & 0xff) | ((buf(i + 1) & 0xff) << 8)).toShort).toLong
-              ssq += s * s
-              chSum(k % nch) += s
-              k += 1
-              i += 2
+            while (i < smp.length) {
+              ssq += smp(i) * smp(i)
+              chSum(i % nch) += smp(i)
+              i += 1
             }
-            val n = k.toLong
+            val n = smp.length.toLong
             AudioFeatures(id, "wav", Some(nFrames),
               if (n == 0) None else Some(math.sqrt(ssq.toDouble / n)),
               Some(chSum(0)), if (nch > 1) Some(chSum(1)) else None)
@@ -316,6 +296,45 @@ object Multimodal {
           }
         }
       }
+  }
+
+  /** Shared decode prologue for the PCM feature operators: open the
+    * payload, enforce the 16-bit little-endian signed-PCM contract
+    * (any OTHER valid encoding — 8-bit, big-endian, float, µ-law —
+    * throws so the caller quarantines rather than silently
+    * mis-decodes), drain the frames, and assemble the interleaved
+    * samples. Returns (channels, frame count, samples); one
+    * definition so [[audioFeatures]] and [[audioFlux]] can never
+    * disagree on which payloads decode. */
+  private def decodePcm16le(p: Array[Byte]): (Int, Long, Array[Long]) = {
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(p))
+    val fmt = in.getFormat
+    if (fmt.getEncoding !=
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+        fmt.getSampleSizeInBits != 16 || fmt.isBigEndian)
+      throw new javax.sound.sampled.UnsupportedAudioFileException(
+        s"not 16-bit LE signed PCM: $fmt")
+    val nFrames = in.getFrameLength
+    if (nFrames < 0) // NOT_SPECIFIED: refuse rather than size a buffer by it
+      throw new javax.sound.sampled.UnsupportedAudioFileException(
+        "unspecified frame length")
+    val buf = new Array[Byte]((nFrames * fmt.getFrameSize).toInt)
+    var off = 0
+    var read = 0
+    while (off < buf.length && read >= 0) {
+      read = in.read(buf, off, buf.length - off)
+      if (read > 0) off += read
+    }
+    val n = off / 2
+    val smp = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      smp(i) = (((buf(2 * i) & 0xff) |
+        ((buf(2 * i + 1) & 0xff) << 8)).toShort).toLong
+      i += 1
+    }
+    (fmt.getChannels, nFrames, smp)
   }
 
   case class AudioFlux(media_id: Long, format: String,
@@ -340,38 +359,15 @@ object Multimodal {
       .mapPartitions { it =>
         it.map { case (id, p) =>
           try {
-            val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
-              new java.io.ByteArrayInputStream(p))
-            val fmt = in.getFormat
-            if (fmt.getEncoding !=
-                  javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
-                fmt.getSampleSizeInBits != 16 || fmt.isBigEndian)
-              throw new javax.sound.sampled.UnsupportedAudioFileException(
-                s"not 16-bit LE signed PCM: $fmt")
-            val nch = fmt.getChannels
-            val buf = new Array[Byte]((in.getFrameLength * fmt.getFrameSize).toInt)
-            var off = 0
-            var read = 0
-            while (off < buf.length && read >= 0) {
-              read = in.read(buf, off, buf.length - off)
-              if (read > 0) off += read
-            }
-            val n = off / 2
-            val s = new Array[Long](n)
-            var i = 0
-            while (i < n) {
-              s(i) = (((buf(2 * i) & 0xff) |
-                ((buf(2 * i + 1) & 0xff) << 8)).toShort).toLong
-              i += 1
-            }
+            val (nch, _, smp) = decodePcm16le(p)
             var (ssq, d2) = (0L, 0L)
-            i = 0
-            while (i < n) {
-              ssq += s(i) * s(i)
-              if (i >= nch) { val d = s(i) - s(i - nch); d2 += d * d }
+            var i = 0
+            while (i < smp.length) {
+              ssq += smp(i) * smp(i)
+              if (i >= nch) { val d = smp(i) - smp(i - nch); d2 += d * d }
               i += 1
             }
-            AudioFlux(id, "wav", Some(n.toLong), Some(ssq), Some(d2),
+            AudioFlux(id, "wav", Some(smp.length.toLong), Some(ssq), Some(d2),
               if (ssq == 0) None else Some(d2.toDouble / ssq.toDouble))
           } catch {
             case _: Exception => AudioFlux(id, "unknown", None, None, None, None)

@@ -33,7 +33,7 @@ object ParityQueries {
     * sizes this to the state volume; these bounded graded runs pin it
     * small. The streaming plan binds the value at `start()`, so setting
     * it around query construction + execution is sufficient. */
-  private def withShufflePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
+  private[queries] def withShufflePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val prev = s.conf.get(key)
     s.conf.set(key, n.toString)
@@ -56,6 +56,35 @@ object ParityQueries {
         build(d)
         d
       })
+  }
+
+  /** The clean time-tertile staging of the events fixture (three
+    * monotone micro-batch slices with increasing mtimes), shared by
+    * stream_upsert_sink, stream_gap_detect, and stream_custom_sessions
+    * — ONE writer behind the ONE StagedInputs cache key, so the staged
+    * content cannot drift between the queries that read it (the cache
+    * is first-writer-wins per JVM). */
+  private[queries] def stagedEventTertiles(s: SparkSession, dir: String): String = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("ts_ms"), col("user_id"),
+        col("event_type"), col("value"))
+      .withColumn("day", expr("ts_ms div 86400000"))
+    val bounds = ev.agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+    val batched = ev.crossJoin(broadcast(bounds))
+      .withColumn("batch", expr("((day - mn) * 3) div (mx - mn + 1) + 1"))
+    StagedInputs(s"$dir|events|tertiles-full") { d =>
+      val base = System.currentTimeMillis()
+      (1 to 3).foreach { k =>
+        val tmp = java.nio.file.Files.createTempDirectory(s"graft-tert-$k").toString
+        batched.filter(col("batch") === k)
+          .select("event_id", "ts_ms", "user_id", "event_type", "value")
+          .repartition(1).write.mode("overwrite").parquet(tmp)
+        val dst = new java.io.File(d, s"slice-$k.parquet")
+        java.nio.file.Files.copy(new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head.toPath, dst.toPath)
+        dst.setLastModified(base + k * 10000L)
+      }
+    }
   }
 
   private def eventsProjected(s: SparkSession, dir: String): DataFrame =
@@ -401,26 +430,7 @@ object ParityQueries {
     // event-time order and the final state must equal the batch
     // latest-row-per-user oracle.
     "stream_upsert_sink" -> ((s, dir) => withShufflePartitions(s, 4) {
-      val ev = Tables.events(s, dir)
-        .select(col("event_id"), col("ts_ms"), col("user_id"),
-          col("event_type"), col("value"))
-        .withColumn("day", expr("ts_ms div 86400000"))
-      val bounds = ev.agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
-      val batched = ev.crossJoin(broadcast(bounds))
-        .withColumn("batch", expr("((day - mn) * 3) div (mx - mn + 1) + 1"))
-      val hand = StagedInputs(s"$dir|events|tertiles-full") { d =>
-        val base = System.currentTimeMillis()
-        (1 to 3).foreach { k =>
-          val tmp = java.nio.file.Files.createTempDirectory(s"graft-sus-$k").toString
-          batched.filter(col("batch") === k)
-            .select("event_id", "ts_ms", "user_id", "event_type", "value")
-            .repartition(1).write.mode("overwrite").parquet(tmp)
-          val dst = new java.io.File(d, s"slice-$k.parquet")
-          java.nio.file.Files.copy(new java.io.File(tmp).listFiles()
-            .filter(_.getName.endsWith(".parquet")).head.toPath, dst.toPath)
-          dst.setLastModified(base + k * 10000L)
-        }
-      }
+      val hand = stagedEventTertiles(s, dir)
       val stateRoot = java.nio.file.Files.createTempDirectory("graft-sus-state")
       @volatile var statePath: Option[String] = None
       val schema = s.read.parquet(hand).schema
@@ -590,26 +600,7 @@ object ParityQueries {
     // micro-batches. Emission is arrival-order-deterministic because
     // the slices are globally time-ordered by construction.
     "stream_gap_detect" -> ((s, dir) => withShufflePartitions(s, 4) {
-      val ev = Tables.events(s, dir)
-        .select(col("event_id"), col("ts_ms"), col("user_id"),
-          col("event_type"), col("value"))
-        .withColumn("day", expr("ts_ms div 86400000"))
-      val bounds = ev.agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
-      val batched = ev.crossJoin(broadcast(bounds))
-        .withColumn("batch", expr("((day - mn) * 3) div (mx - mn + 1) + 1"))
-      val hand = StagedInputs(s"$dir|events|tertiles-full") { d =>
-        val base = System.currentTimeMillis()
-        (1 to 3).foreach { k =>
-          val tmp = java.nio.file.Files.createTempDirectory(s"graft-sgd-$k").toString
-          batched.filter(col("batch") === k)
-            .select("event_id", "ts_ms", "user_id", "event_type", "value")
-            .repartition(1).write.mode("overwrite").parquet(tmp)
-          val dst = new java.io.File(d, s"slice-$k.parquet")
-          java.nio.file.Files.copy(new java.io.File(tmp).listFiles()
-            .filter(_.getName.endsWith(".parquet")).head.toPath, dst.toPath)
-          dst.setLastModified(base + k * 10000L)
-        }
-      }
+      val hand = stagedEventTertiles(s, dir)
       val schema = s.read.parquet(hand).schema
       val stream = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(hand)
@@ -642,26 +633,7 @@ object ParityQueries {
     // gap comparison (merge at exactly 30 min, split beyond — the
     // built-in splits AT the boundary).
     "stream_custom_sessions" -> ((s, dir) => withShufflePartitions(s, 4) {
-      val ev = Tables.events(s, dir)
-        .select(col("event_id"), col("ts_ms"), col("user_id"),
-          col("event_type"), col("value"))
-        .withColumn("day", expr("ts_ms div 86400000"))
-      val bounds = ev.agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
-      val batched = ev.crossJoin(broadcast(bounds))
-        .withColumn("batch", expr("((day - mn) * 3) div (mx - mn + 1) + 1"))
-      val hand = StagedInputs(s"$dir|events|tertiles-full") { d =>
-        val base = System.currentTimeMillis()
-        (1 to 3).foreach { k =>
-          val tmp = java.nio.file.Files.createTempDirectory(s"graft-scs-$k").toString
-          batched.filter(col("batch") === k)
-            .select("event_id", "ts_ms", "user_id", "event_type", "value")
-            .repartition(1).write.mode("overwrite").parquet(tmp)
-          val dst = new java.io.File(d, s"slice-$k.parquet")
-          java.nio.file.Files.copy(new java.io.File(tmp).listFiles()
-            .filter(_.getName.endsWith(".parquet")).head.toPath, dst.toPath)
-          dst.setLastModified(base + k * 10000L)
-        }
-      }
+      val hand = stagedEventTertiles(s, dir)
       val schema = s.read.parquet(hand).schema
       val stream = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(hand)

@@ -52,6 +52,42 @@ object RelationalQueries {
         min(col("ts_ms")).as("sess_start_ms"),
         max(col("ts_ms")).as("sess_end_ms"))
 
+  /** Priority × segment contingency cells with expected counts and the
+    * per-cell χ² contribution quantized to exact micro-units — ONE
+    * definition shared by q_chi_squared and q_cramers_v so the
+    * quantization discipline cannot drift between the significance
+    * test and its effect size. Quantize each cell BEFORE the total:
+    * sum(double) is order-dependent (partial-aggregate order vs
+    * DuckDB's sequential sum) — the r6 graph_modularity trap. The
+    * per-cell round happens on identical IEEE inputs in both engines;
+    * the micro-unit BIGINT sum is associative. BIGINT holds χ²·10⁶
+    * < 9.2e18 — χ² beyond ~9e12 has no statistical meaning at any
+    * scale. */
+  private def priorityContingency(s: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderpriority"))
+      .join(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderpriority"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("obs"))
+    val rowTot = cells.groupBy("o_orderpriority")
+      .agg(sum("obs").as("row_tot"))
+    val colTot = cells.groupBy("c_mktsegment")
+      .agg(sum("obs").as("col_tot"))
+    val grand = cells.agg(sum("obs").as("grand"))
+    cells
+      .join(broadcast(rowTot), "o_orderpriority")
+      .join(broadcast(colTot), "c_mktsegment")
+      .crossJoin(broadcast(grand))
+      .withColumn("expected", col("row_tot").cast("double") *
+        col("col_tot").cast("double") / col("grand").cast("double"))
+      .withColumn("contrib",
+        (col("obs") - col("expected")) * (col("obs") - col("expected")) /
+          col("expected"))
+      .withColumn("cmicro", round(col("contrib") * 1e6, 0).cast("long"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // TPC-H Q1 shape: scan-heavy partial-agg-friendly aggregation. At scale
     // the groupBy keys are tiny (6 groups) so map-side partial aggregation
@@ -791,37 +827,7 @@ object RelationalQueries {
     // counts go through doubles BEFORE multiplying (row_tot·col_tot
     // overflows BIGINT at cluster scale).
     "q_chi_squared" -> ((s, dir) => {
-      val cells = Tables.orders(s, dir)
-        .select(col("o_custkey"), col("o_orderpriority"))
-        .join(Tables.customer(s, dir)
-          .select(col("c_custkey"), col("c_mktsegment")),
-          col("o_custkey") === col("c_custkey"))
-        .groupBy(col("o_orderpriority"), col("c_mktsegment"))
-        .agg(count(lit(1)).as("obs"))
-      val rowTot = cells.groupBy("o_orderpriority")
-        .agg(sum("obs").as("row_tot"))
-      val colTot = cells.groupBy("c_mktsegment")
-        .agg(sum("obs").as("col_tot"))
-      val grand = cells.agg(sum("obs").as("grand"))
-      val scored = cells
-        .join(broadcast(rowTot), "o_orderpriority")
-        .join(broadcast(colTot), "c_mktsegment")
-        .crossJoin(broadcast(grand))
-        .withColumn("expected", col("row_tot").cast("double") *
-          col("col_tot").cast("double") / col("grand").cast("double"))
-        .withColumn("contrib",
-          (col("obs") - col("expected")) * (col("obs") - col("expected")) /
-            col("expected"))
-        // Quantize each cell's contribution to exact micro-units BEFORE
-        // the total: sum(double) is order-dependent (partial-aggregate
-        // order vs DuckDB's sequential sum) and round(·, 4) can flip on
-        // the disagreement — the r6 graph_modularity trap. The per-cell
-        // round happens on identical IEEE inputs in both engines; the
-        // micro-unit BIGINT sum is associative; and the final 4-decimal
-        // rounding is integer HALF_UP, so no engine round() kernel ever
-        // sees a boundary. BIGINT holds χ²·10⁶ < 9.2e18 — χ² beyond
-        // ~9e12 has no statistical meaning at any scale.
-        .withColumn("cmicro", round(col("contrib") * 1e6, 0).cast("long"))
+      val scored = priorityContingency(s, dir)
       val totals = scored.agg(sum(col("cmicro")).as("chi2m"),
         countDistinct(col("o_orderpriority")).as("np"),
         countDistinct(col("c_mktsegment")).as("ns"))
@@ -3242,15 +3248,19 @@ object RelationalQueries {
     // medium → 1, low → 0). The two signals are independent in the
     // fixture, so kappa ≈ 0 — chance-level agreement, which is exactly
     // what the statistic should report. Exactness: the confusion matrix
-    // is pure counts; po = D/N, pe = S/N², and
-    // kappa = (N·D − S)/(N² − S) are each ONE floor division of exact
-    // BIGINTs to micro-units (pmod-subtraction keeps div ≡ floor when
-    // N·D < S makes the numerator negative — kappa can be), so no
+    // is pure counts; the marginal product S and the kappa
+    // numerator/denominator accumulate in decimal(38,0) (S ≤ N², which
+    // overflows BIGINT past ~3e6 rows — decimal holds it through 1e12
+    // rows with room, the q_moments convention); po = D/N,
+    // pe = S/N², and kappa = (N·D − S)/(N² − S) are each ONE double
+    // division of exact decimal values — both engines cast the same
+    // exact integer to the same nearest double, so no float sum and no
     // round() boundary exists anywhere. Shape: one partial-aggregable
     // pass builds the 9-cell matrix; everything after is algebra on
     // broadcast 3-row marginals — at 100 TB the only data-sized stage
     // is the first groupBy.
     "q_cohens_kappa" -> ((s, dir) => {
+      val dec = "decimal(38,0)"
       val o = Tables.orders(s, dir)
         .select(
           least(expr("cast(floor(o_totalprice * 100) as bigint) div 16666667"),
@@ -3267,18 +3277,20 @@ object RelationalQueries {
           sum(when(col("rater_a") === col("rater_b"), col("n"))
             .otherwise(0L)).as("d"))
         .crossJoin(broadcast(
-          ra.join(cb, "k").agg(sum(col("ra") * col("cb")).as("s"))))
+          ra.join(cb, "k")
+            .agg(sum(col("ra").cast(dec) * col("cb").cast(dec)).as("s"))))
         .select(col("nn"), col("d"), col("s"),
-          expr("(d * 1000000) div nn").as("po_micro"),
-          expr("(s * 1000000) div (nn * nn)").as("pe_micro"),
-          expr("((nn * d - s) * 1000000" +
-            " - pmod((nn * d - s) * 1000000, nn * nn - s))" +
-            " div (nn * nn - s)").as("kappa_micro"))
+          (col("d").cast("double") / col("nn").cast("double")).as("po"),
+          (col("s").cast("double") /
+            (col("nn").cast(dec) * col("nn").cast(dec)).cast("double"))
+            .as("pe"),
+          ((col("nn").cast(dec) * col("d").cast(dec) - col("s"))
+            .cast("double") /
+            (col("nn").cast(dec) * col("nn").cast(dec) - col("s"))
+              .cast("double")).as("kappa"))
       cells.crossJoin(broadcast(stats))
         .select(col("rater_a"), col("rater_b"), col("n"),
-          (col("po_micro") / 1e6).as("po"),
-          (col("pe_micro") / 1e6).as("pe"),
-          (col("kappa_micro") / 1e6).as("kappa"))
+          col("po"), col("pe"), col("kappa"))
         .orderBy("rater_a", "rater_b")
     }),
 
@@ -3416,31 +3428,12 @@ object RelationalQueries {
     // association"). Same priority × segment contingency table and the
     // identical per-cell micro-unit quantization discipline; V is ONE
     // division of the exact χ² micro total by N·min(r−1, c−1) and a
-    // correctly-rounded IEEE sqrt. Shape: one partial-aggregable cell
-    // count; everything downstream is algebra on broadcast marginals.
+    // correctly-rounded IEEE sqrt. Shape: the shared
+    // [[priorityContingency]] cells (ONE definition with q_chi_squared
+    // — the quantization discipline cannot drift between the two);
+    // everything downstream is algebra on broadcast marginals.
     "q_cramers_v" -> ((s, dir) => {
-      val cells = Tables.orders(s, dir)
-        .select(col("o_custkey"), col("o_orderpriority"))
-        .join(Tables.customer(s, dir)
-          .select(col("c_custkey"), col("c_mktsegment")),
-          col("o_custkey") === col("c_custkey"))
-        .groupBy(col("o_orderpriority"), col("c_mktsegment"))
-        .agg(count(lit(1)).as("obs"))
-      val rowTot = cells.groupBy("o_orderpriority")
-        .agg(sum("obs").as("row_tot"))
-      val colTot = cells.groupBy("c_mktsegment")
-        .agg(sum("obs").as("col_tot"))
-      val grand = cells.agg(sum("obs").as("grand"))
-      val scored = cells
-        .join(broadcast(rowTot), "o_orderpriority")
-        .join(broadcast(colTot), "c_mktsegment")
-        .crossJoin(broadcast(grand))
-        .withColumn("expected", col("row_tot").cast("double") *
-          col("col_tot").cast("double") / col("grand").cast("double"))
-        .withColumn("cmicro", round(
-          (col("obs") - col("expected")) * (col("obs") - col("expected")) /
-            col("expected") * 1e6, 0).cast("long"))
-      scored.agg(sum(col("cmicro")).as("chi2m"),
+      priorityContingency(s, dir).agg(sum(col("cmicro")).as("chi2m"),
           countDistinct(col("o_orderpriority")).as("np"),
           countDistinct(col("c_mktsegment")).as("ns"),
           sum(col("obs")).as("nn"))
@@ -5486,10 +5479,9 @@ object RelationalQueries {
         |         AS lift
         |FROM c CROSS JOIN t ORDER BY decile""".stripMargin,
 
-    // Same 9-cell confusion matrix; po/pe/kappa replay the exact
-    // floor-division micro-unit algebra (// truncates like Spark's div;
-    // the pmod-subtraction form keeps both at floor on the possibly
-    // negative kappa numerator).
+    // Same 9-cell confusion matrix; S and the kappa terms run in
+    // HUGEINT (the decimal(38,0) twin) and po/pe/kappa are the same
+    // single double divisions of exact integers.
     "q_cohens_kappa" ->
       """WITH o AS (SELECT least(CAST(floor(o_totalprice * 100) AS BIGINT)
         |                        // 16666667, 2) AS rater_a,
@@ -5499,25 +5491,22 @@ object RelationalQueries {
         |                       ELSE 0 END AS rater_b
         |           FROM orders),
         |cells AS (SELECT rater_a, rater_b, count(*) AS n FROM o GROUP BY 1, 2),
-        |ra AS (SELECT rater_a AS k, CAST(sum(n) AS BIGINT) AS ra
+        |ra AS (SELECT rater_a AS k, CAST(sum(n) AS HUGEINT) AS ra
         |       FROM cells GROUP BY 1),
-        |cb AS (SELECT rater_b AS k, CAST(sum(n) AS BIGINT) AS cb
+        |cb AS (SELECT rater_b AS k, CAST(sum(n) AS HUGEINT) AS cb
         |       FROM cells GROUP BY 1),
-        |st AS (SELECT (SELECT CAST(sum(n) AS BIGINT) FROM cells) AS nn,
-        |         (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) FROM cells
+        |st AS (SELECT (SELECT CAST(sum(n) AS HUGEINT) FROM cells) AS nn,
+        |         (SELECT CAST(coalesce(sum(n), 0) AS HUGEINT) FROM cells
         |          WHERE rater_a = rater_b) AS d,
-        |         (SELECT CAST(sum(ra * cb) AS BIGINT)
+        |         (SELECT CAST(sum(ra * cb) AS HUGEINT)
         |          FROM ra JOIN cb USING (k)) AS s),
-        |k AS (SELECT nn, d, s,
-        |        (d * 1000000) // nn AS po_micro,
-        |        (s * 1000000) // (nn * nn) AS pe_micro,
-        |        ((nn * d - s) * 1000000
-        |         - ((((nn * d - s) * 1000000) % (nn * nn - s)) + (nn * nn - s))
-        |           % (nn * nn - s)) // (nn * nn - s) AS kappa_micro
+        |k AS (SELECT
+        |        CAST(d AS DOUBLE) / CAST(nn AS DOUBLE) AS po,
+        |        CAST(s AS DOUBLE) / CAST(nn * nn AS DOUBLE) AS pe,
+        |        CAST(nn * d - s AS DOUBLE) / CAST(nn * nn - s AS DOUBLE)
+        |          AS kappa
         |      FROM st)
-        |SELECT rater_a, rater_b, n,
-        |       po_micro / 1e6 AS po, pe_micro / 1e6 AS pe,
-        |       kappa_micro / 1e6 AS kappa
+        |SELECT rater_a, rater_b, n, po, pe, kappa
         |FROM cells CROSS JOIN k ORDER BY rater_a, rater_b""".stripMargin,
 
     // Descending window cumsums replay the packed-delta sweep exactly;

@@ -2697,11 +2697,8 @@ object TrainingDataQueries {
     // equals the batch band join; est values are k/16 (exactly
     // representable — the HALF_UP display round is a no-op on both
     // engines).
-    "stream_neardup" -> ((s, dir) => {
-      val key = "spark.sql.shuffle.partitions"
-      val prev = s.conf.get(key)
-      s.conf.set(key, "4")
-      try {
+    "stream_neardup" -> ((s, dir) =>
+      ParityQueries.withShufflePartitions(s, 4) {
         val tag = dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + processTag +
           "_" + Integer.toHexString(System.identityHashCode(s))
         val hand = new java.io.File(
@@ -2738,8 +2735,7 @@ object TrainingDataQueries {
         q.awaitTermination()
         s.table(qn).select(col("doc_a"), col("doc_b"), col("est_jaccard"))
           .orderBy("doc_a", "doc_b")
-      } finally s.conf.set(key, prev)
-    }),
+      }),
 
     // RLHF/DPO preference-pair construction — per source stratum, pair
     // the highest-scoring document (chosen) against the lowest
