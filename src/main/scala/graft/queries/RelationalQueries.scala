@@ -3387,6 +3387,47 @@ object RelationalQueries {
           |ORDER BY d.doc_id""".stripMargin)
     }),
 
+    // Sequential probability ratio test (Wald's SPRT) — the
+    // experimentation primitive q_ab_srm/q_ttest_welch lack: instead of
+    // a fixed-horizon test, the log-likelihood ratio accumulates per
+    // observation and the experiment STOPS at the first crossing of
+    // ±ln((1−β)/α). Treatment-arm events test H0: p=0.18 vs
+    // H1: p=0.22 on the purchase rate (fixture rate ≈ 0.207, so H1
+    // wins once enough evidence accrues — it crosses at n=216 at
+    // sf0.01 and n=279 at sf0.001, a real early stop either way; the
+    // 'continue' branch is the coalesce fallback to the final row).
+    // Exactness: the per-event LLR increments are INTEGER LITERALS in
+    // e6-nats (ln ratios computed once offline; the identical literals
+    // appear in the oracle — no cross-engine libm call exists), the
+    // cumulative walk is Sweep.runningSum over the (ts, id) total
+    // order, and the crossing test is pure integer comparison. Shape:
+    // two range-partitioned sweeps (LLR sum + ordinal) over the same
+    // order — SPRT is inherently sequential, and the sweep is the
+    // distributed form of that scan; a single-pass variant would pack
+    // both counters into one decimal delta.
+    "q_ab_sequential" -> ((s, dir) => {
+      val bound = 2944439L // ln(19) e6-nats: alpha = beta = 0.05
+      val e = Tables.events(s, dir)
+        .filter(pmod(col("user_id"), lit(2)) === 1)
+        .select(col("ts_ms"), col("event_id"),
+          when(col("event_type") === "purchase", lit(200671L))
+            .otherwise(lit(-50010L)).as("llr"))
+      val cum = Sweep.runningSum(e, col("llr"), "cum",
+        col("ts_ms"), col("event_id"))
+      val idx = Sweep.runningSum(cum, lit(1L), "n",
+        col("ts_ms"), col("event_id"))
+      val firstCross = idx.filter(abs(col("cum")) >= bound)
+        .agg(min(col("n")).as("n_dec"))
+      val tot = idx.agg(count(lit(1)).as("n_obs"))
+      idx.crossJoin(broadcast(firstCross)).crossJoin(broadcast(tot))
+        .filter(col("n") === coalesce(col("n_dec"), col("n_obs")))
+        .select(col("n_obs"), col("n").as("n_at_decision"),
+          col("cum").as("llr_e6"),
+          when(col("cum") >= bound, "accept_h1")
+            .when(col("cum") <= -bound, "accept_h0")
+            .otherwise("continue").as("decision"))
+    }),
+
     // Mann–Kendall trend test over the daily revenue series — the
     // nonparametric "is this metric drifting" monitor (no normality or
     // linearity assumption; robust to outliers, unlike q_linreg's
@@ -5571,6 +5612,27 @@ object RelationalQueries {
         |JOIN embeddings e ON e.vec_id = d.doc_id
         |JOIN f ON f.doc_id = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+
+    // Identical integer LLR literals and bound; window cumsum +
+    // row_number replay the two sweeps; coalesce picks the crossing
+    // row or the final row for the 'continue' branch.
+    "q_ab_sequential" ->
+      """WITH e AS (SELECT epoch_ms(ts) AS ts_ms, event_id,
+        |             CASE WHEN event_type = 'purchase' THEN 200671
+        |                  ELSE -50010 END AS llr
+        |           FROM events WHERE user_id % 2 = 1),
+        |r AS (SELECT CAST(sum(llr) OVER w AS BIGINT) AS cum,
+        |        CAST(row_number() OVER w AS BIGINT) AS n
+        |      FROM e WINDOW w AS (ORDER BY ts_ms, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |f AS (SELECT min(n) AS n_dec FROM r WHERE abs(cum) >= 2944439),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n_obs FROM r)
+        |SELECT t.n_obs, r.n AS n_at_decision, r.cum AS llr_e6,
+        |       CASE WHEN r.cum >= 2944439 THEN 'accept_h1'
+        |            WHEN r.cum <= -2944439 THEN 'accept_h0'
+        |            ELSE 'continue' END AS decision
+        |FROM r CROSS JOIN f CROSS JOIN t
+        |WHERE r.n = coalesce(f.n_dec, t.n_obs)""".stripMargin,
 
     // Same daily rollup, pair signs, and tie-corrected variance in
     // exact integers; z is the identical single division + IEEE sqrt.
