@@ -284,6 +284,54 @@ object Graph {
       .groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
   }
 
+  /** Fixed-round k-truss peel — the EDGE-grained sibling of [[kCore]]:
+    * iteratively remove edges supported by fewer than k−2 triangles in
+    * the surviving subgraph, `rounds` times, then report each surviving
+    * edge's induced support (0 for edges in no triangle, via the left
+    * join — they survive the report exactly as a 0-support row, the
+    * same "report, don't re-filter" convention as kCore's final degree).
+    * Trusses are the community-core primitive one notch stricter than
+    * cores: every k-truss edge sits inside a (k−1)-core, but not
+    * conversely — spam-farm and citation-ring detection use the truss
+    * because triangle support resists the star-shaped padding that
+    * inflates degrees.
+    *
+    * Support counting per round: canonical undirected edges (a<b,
+    * distinct) joined twice against the round's adjacency — wedge
+    * (a,c) matched to (b,c) — one shuffle on each endpoint plus one
+    * partial-aggregable count per edge. Per-round cost is Σ_v deg(v)²
+    * in wedge candidates, the honest triangle-enumeration shape; at
+    * 100 TB the caller bounds it exactly as [[commonNeighbors]] does —
+    * a degree cap on the middle vertex (trusses of interest live far
+    * below hub degrees). Edge sets only shrink; each round's survivor
+    * set is localCheckpointed to cut the doubling lineage
+    * ([[bfsDistance]] policy). */
+  def kTruss(edges: DataFrame, k: Int, rounds: Int,
+             srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    require(k >= 3, s"k must be >= 3, got $k")
+    require(rounds >= 1 && rounds <= 64,
+      s"rounds must be in [1, 64], got $rounds")
+    val d = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    var und = d.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct().localCheckpoint()
+    def support(u: DataFrame): DataFrame = {
+      val adj = u.select(col("a").as("s"), col("b").as("t"))
+        .unionAll(u.select(col("b").as("s"), col("a").as("t")))
+      u.join(adj.select(col("s").as("a"), col("t").as("c")), "a")
+        .join(adj.select(col("s").as("b"), col("t").as("c")), Seq("b", "c"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("support"))
+    }
+    (1 to rounds).foreach { _ =>
+      und = support(und).filter(col("support") >= k - 2)
+        .select("a", "b").localCheckpoint()
+    }
+    und.join(support(und), Seq("a", "b"), "left")
+      .select(col("a"), col("b"),
+        coalesce(col("support"), lit(0L)).as("support"))
+  }
+
   /** Multi-source BFS: the DIRECTED hop distance from the nearest source
     * node, for every node reachable within `rounds` hops — landmark
     * distance, blast-radius, and "how far is this doc from a trusted

@@ -136,15 +136,29 @@ object Multimodal {
     * oracle recomputes the expected values from the formula. Channels ∈
     * {1, 2}, rate ∈ {8000, 16000, 22050, 44100} Hz, 16-bit PCM.
     * Everything is `unhex`/`concat` column expressions — synthesis runs
-    * at scan speed, no UDF, no shuffle. */
+    * at scan speed, no UDF, no shuffle.
+    *
+    * ASCII-payload contract (ENFORCED): the audio oracles decode PCM
+    * samples by CHARACTER-indexed substr over the text column, which
+    * equals the byte-indexed slice only while every char is single-byte
+    * (< 0x80) — chars == bytes and no UTF-8 high-byte sign-flips. The
+    * synthesis asserts this per row, so a future non-ASCII fixture fails
+    * the job loudly here instead of shipping sign-flipped sample diffs. */
   def synthesizeAudioPayload(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val text = col(textCol)
     val body = text.cast("binary")
+    // NULL on success; the `dataSize + coalesce(.., 0)` weave below keeps
+    // the assert inside a live header column that pruning cannot drop.
+    val asciiOk = assert_true(
+      coalesce(text.rlike("^[\\x00-\\x7F]*$"), lit(true)),
+      lit("synthesizeAudioPayload: non-ASCII text breaks the chars==bytes" +
+        " PCM decode contract shared with the DuckDB oracles"))
     val nch = conv(substring(md5(text), 9, 4), 16, 10).cast("long") % 2 + 1
     val rate = element_at(
       array(lit(8000L), lit(16000L), lit(22050L), lit(44100L)),
       (conv(substring(md5(text), 13, 4), 16, 10).cast("long") % 4 + 1).cast("int"))
-    val dataSize = length(body).cast("long")
+    val dataSize = length(body).cast("long") +
+      coalesce(asciiOk.cast("long"), lit(0L))
     // RIFF <size> WAVE | fmt <16> pcm=1 nch rate byteRate blockAlign bits
     // | data <size> <samples> — 44 header bytes total
     val wav = concat(unhex(concat(

@@ -48,7 +48,7 @@ object ParityQueries {
     * ~3–5 s per suite pass). Checkpoints, query names, and memory
     * sinks stay per-run and unique; only input data is shared.
     * `computeIfAbsent` makes the first build exclusive per key. */
-  private object StagedInputs {
+  private[queries] object StagedInputs {
     private val cache = new java.util.concurrent.ConcurrentHashMap[String, String]()
     def apply(key: String)(build: String => Unit): String =
       cache.computeIfAbsent(key, _ => {

@@ -3314,7 +3314,19 @@ object RelationalQueries {
       val run = Sweep.runningSum(
         byVal, col("cnt") * lit(2147483648L) + col("npos"), "packed",
         col("cents").desc)
-      val tot = byVal.agg(sum(col("npos")).as("p"))
+      // Loud ceiling guard: the cnt·2³¹+npos pack is exact only while
+      // total positives < 2³¹ and total rows < 2³², so the 1-row total
+      // asserts both — a corpus past the ceiling fails the job with this
+      // message instead of silently wrapping. assert_true returns NULL
+      // on success, so `p + coalesce(assert, 0)` keeps the check inside
+      // a LIVE column that pruning cannot drop.
+      val tot = byVal.agg(sum(col("npos")).as("p0"), sum(col("cnt")).as("c0"))
+        .select((col("p0") + coalesce(
+          assert_true(
+            col("p0") < lit(2147483648L) && col("c0") < lit(4294967296L),
+            lit("q_pr_curve: totals exceed the cnt*2^31+npos BIGINT pack" +
+              " ceiling - widen the pack to decimal(38,0)")).cast("long"),
+          lit(0L))).as("p"))
       run.crossJoin(broadcast(tot))
         .select(col("cents"), expr("packed div 2147483648").as("cumn"),
           pmod(col("packed"), lit(2147483648L)).as("tp"), col("p"))

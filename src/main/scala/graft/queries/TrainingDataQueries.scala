@@ -26,12 +26,6 @@ import graft.sources.Tables
   */
 object TrainingDataQueries {
 
-  /** Per-JVM random tag for one-time layout paths (partitioned rewrite)
-    * so concurrent processes never overwrite each other's directories —
-    * same discipline as the bucketed warehouse in RelationalQueries. */
-  private val processTag: String =
-    java.util.UUID.randomUUID().toString.take(8)
-
   private val stopList = TextAnalysis.Stopwords.map(s => s"'$s'").mkString(", ")
 
   /** Count-Min probe set: a mix of genuinely-frequent fixture vocabulary
@@ -1652,10 +1646,18 @@ object TrainingDataQueries {
             col("d_tot").cast(dec) * col("d_tot").cast(dec)).as("cnum"))
       val t = co.agg(sum(col("cnum")).as("qnum"))
       val denom = lit(4.0) * col("m").cast("double") * col("m").cast("double")
+      // `+ 0.0` normalizes IEEE signed zero: a community whose cnum is a
+      // tiny negative rounds to -0.0 under DuckDB's float round but +0.0
+      // under Spark's BigDecimal HALF_UP round — numerically equal, but
+      // the driver hashes doubles BIT-exactly, so -0.0 vs 0.0 is a
+      // mismatch (the r7 red row). x + 0.0 is the identity for every
+      // double except -0.0 → +0.0, and neither engine folds it away.
       co.crossJoin(broadcast(t))
         .select(col("label"), col("n_nodes"), col("e_in"), col("d_tot"),
-          round(col("cnum").cast("double") / denom, 6).as("contrib"),
-          round(col("qnum").cast("double") / denom, 6).as("modularity"))
+          (round(col("cnum").cast("double") / denom, 6) + lit(0.0))
+            .as("contrib"),
+          (round(col("qnum").cast("double") / denom, 6) + lit(0.0))
+            .as("modularity"))
         .orderBy("label")
     }),
 
@@ -1716,6 +1718,33 @@ object TrainingDataQueries {
           explode(array(lit(1L), lit(2L), lit(3L), lit(4L), lit(5L))).as("j"))
         .select(col("src"), pmod(col("src") + col("j"), lit(40L)).as("dst"))
       Graph.kCore(ring.unionAll(planted), k = 8, rounds = 4).orderBy("id")
+    }),
+
+    // 4-truss over the same planted graph — the EDGE-grained core: an
+    // edge survives iff ≥ 2 triangles support it in the surviving
+    // subgraph, peeled 3 rounds. The planted 0–39 ring-of-5 community
+    // is triangle-dense (consecutive ring offsets close wedges), while
+    // the multiplicative bulk ring closes almost none — so the truss
+    // isolates the community by SUPPORT where kcore isolated it by
+    // degree, and star-shaped degree padding that would fool the core
+    // cannot fool the truss. The oracle unrolls the identical
+    // support-count-then-filter rounds; the final row set reports
+    // support WITHOUT re-filtering (the kCore reporting convention), so
+    // a premature or missed peel in any round hash-mismatches.
+    "graph_ktruss" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"))
+      val n = docs.count()
+      val ring = docs
+        .select(col("doc_id").as("src"),
+          explode(array(lit(1L), lit(2L), lit(3L))).as("k"))
+        .select(col("src"),
+          pmod(col("src") * 7 + col("k") * 13, lit(n)).as("dst"))
+      val planted = docs.filter(col("doc_id") < 40)
+        .select(col("doc_id").as("src"),
+          explode(array(lit(1L), lit(2L), lit(3L), lit(4L), lit(5L))).as("j"))
+        .select(col("src"), pmod(col("src") + col("j"), lit(40L)).as("dst"))
+      Graph.kTruss(ring.unionAll(planted), k = 4, rounds = 3)
+        .orderBy("a", "b")
     }),
 
     // HyperBall neighborhood function N(t) = Σ_v |B(v,t)| over the
@@ -2430,12 +2459,13 @@ object TrainingDataQueries {
     // inlined as a literal so pruning happens at plan time; the oracle
     // applies the same predicate to the unpartitioned parquet.
     "q_partition_prune" -> ((s, dir) => {
-      val tag = dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + processTag +
-        "_" + Integer.toHexString(System.identityHashCode(s))
-      val out = new java.io.File(
-        sys.props("java.io.tmpdir"), s"graft_part_$tag").getPath
-      if (!new java.io.File(out).exists())
-        Tables.documents(s, dir).write.partitionBy("source").parquet(out)
+      // Same single-writer computeIfAbsent staging as the stream
+      // tertiles: one exclusive partitioned rewrite per JVM, no
+      // exists()-then-write race with a concurrent grader.
+      val out = ParityQueries.StagedInputs(s"$dir|documents|hive-by-source") { d =>
+        Tables.documents(s, dir).write.mode("overwrite")
+          .partitionBy("source").parquet(d)
+      }
       val minSource = Tables.documents(s, dir)
         .agg(min(col("source"))).first().getString(0)
       s.read.parquet(out)
@@ -2699,12 +2729,12 @@ object TrainingDataQueries {
     // engines).
     "stream_neardup" -> ((s, dir) =>
       ParityQueries.withShufflePartitions(s, 4) {
-        val tag = dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + processTag +
-          "_" + Integer.toHexString(System.identityHashCode(s))
-        val hand = new java.io.File(
-          sys.props("java.io.tmpdir"), s"graft_sndp_$tag").getPath
-        if (!new java.io.File(hand).exists()) {
-          new java.io.File(hand).mkdirs()
+        // Doc-tertile staging rides the same single-writer
+        // computeIfAbsent cache as the event tertiles: the slice content
+        // is a pure function of the fixture dir, and the cache makes the
+        // first build exclusive per JVM — no exists()/mkdirs race, no
+        // partially-written directory visible to a concurrent grader.
+        val hand = ParityQueries.StagedInputs(s"$dir|documents|tertiles-ndp") { d =>
           val docs = Tables.documents(s, dir).select("doc_id", "text")
           val n = docs.count()
           val base = System.currentTimeMillis()
@@ -2714,7 +2744,7 @@ object TrainingDataQueries {
             docs.filter(expr(s"(doc_id * 3) div $n + 1") === k)
               .withColumn("ts_ms", (col("doc_id") + 1) * 60000L)
               .repartition(1).write.mode("overwrite").parquet(tmp)
-            val dst = new java.io.File(hand, s"slice-$k.parquet")
+            val dst = new java.io.File(d, s"slice-$k.parquet")
             java.nio.file.Files.copy(new java.io.File(tmp).listFiles()
               .filter(_.getName.endsWith(".parquet")).head.toPath, dst.toPath)
             dst.setLastModified(base + k * 10000L)
@@ -4298,8 +4328,8 @@ object TrainingDataQueries {
          |       FROM dt LEFT JOIN ein USING (label) CROSS JOIN m),
          |t AS (SELECT sum(cnum) AS qnum FROM co)
          |SELECT label, n_nodes, e_in, d_tot,
-         |       round(CAST(cnum AS DOUBLE) / denom, 6) AS contrib,
-         |       round(CAST(t.qnum AS DOUBLE) / denom, 6) AS modularity
+         |       round(CAST(cnum AS DOUBLE) / denom, 6) + 0.0 AS contrib,
+         |       round(CAST(t.qnum AS DOUBLE) / denom, 6) + 0.0 AS modularity
          |FROM co CROSS JOIN t ORDER BY label""".stripMargin,
 
     "graph_link_pred" ->
@@ -4362,6 +4392,44 @@ object TrainingDataQueries {
          |SELECT e.src AS id, count(*) AS deg FROM e
          |WHERE e.src IN (SELECT id FROM a4) AND e.dst IN (SELECT id FROM a4)
          |GROUP BY 1 ORDER BY id""".stripMargin
+    },
+
+    // Unrolled 4-truss peel on the same planted graph: per round,
+    // support = triangles per canonical edge ((a,c)-(b,c) wedge match
+    // within the surviving adjacency), filter sup >= k-2 = 2; after 3
+    // rounds, report support over the final survivor set WITHOUT
+    // re-filtering (LEFT JOIN keeps triangle-free survivors as
+    // support 0) — the exact Spark sequence.
+    "graph_ktruss" -> {
+      val peelRounds = (1 to 3).map { i =>
+        s"""adj${i - 1} AS (SELECT a AS s, b AS t FROM u${i - 1}
+           |        UNION ALL SELECT b, a FROM u${i - 1}),
+           |s$i AS (SELECT u.a, u.b, count(*) AS sup
+           |      FROM u${i - 1} u
+           |      JOIN adj${i - 1} x ON x.s = u.a
+           |      JOIN adj${i - 1} y ON y.s = u.b AND y.t = x.t
+           |      GROUP BY u.a, u.b),
+           |u$i AS (SELECT a, b FROM s$i WHERE sup >= 2)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH d AS (SELECT doc_id AS src,
+         |        (doc_id * 7 + k * 13) % (SELECT count(*) FROM documents) AS dst
+         |      FROM documents CROSS JOIN (SELECT unnest([1, 2, 3]) AS k) ks
+         |      UNION ALL
+         |      SELECT doc_id AS src, (doc_id + j) % 40 AS dst
+         |      FROM documents CROSS JOIN (SELECT unnest([1, 2, 3, 4, 5]) AS j) js
+         |      WHERE doc_id < 40),
+         |u0 AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |       FROM d WHERE src <> dst),
+         |$peelRounds,
+         |adjF AS (SELECT a AS s, b AS t FROM u3 UNION ALL SELECT b, a FROM u3),
+         |sF AS (SELECT u.a, u.b, count(*) AS sup
+         |       FROM u3 u
+         |       JOIN adjF x ON x.s = u.a
+         |       JOIN adjF y ON y.s = u.b AND y.t = x.t
+         |       GROUP BY u.a, u.b)
+         |SELECT u.a, u.b, CAST(coalesce(sF.sup, 0) AS BIGINT) AS support
+         |FROM u3 u LEFT JOIN sF USING (a, b)
+         |ORDER BY a, b""".stripMargin
     },
 
     // Register-for-register HyperBall replay: per-node registers of

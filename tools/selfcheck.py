@@ -44,7 +44,12 @@ def values_equal(a, b):
             # The grading driver hashes values bit-exactly; --exact makes
             # this gate as strict, surfacing order-dependent float sums
             # that a tolerance would mask (the r6 graph_modularity trap).
-            return fa == fb
+            # Compare the raw IEEE bits, not ==: -0.0 == 0.0 is True in
+            # Python but the two hash differently in the driver (the r7
+            # graph_modularity trap — DuckDB's float round keeps the sign
+            # of a tiny negative, Spark's BigDecimal round does not).
+            import struct
+            return struct.pack("<d", fa) == struct.pack("<d", fb)
         return fa == fb or abs(fa - fb) <= 1e-9 * max(1.0, abs(fa), abs(fb))
     if isinstance(a, (list, tuple)) and isinstance(b, (list, tuple)):
         return len(a) == len(b) and all(values_equal(x, y) for x, y in zip(a, b))
