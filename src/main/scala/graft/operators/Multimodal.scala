@@ -633,6 +633,65 @@ object Multimodal {
       }
   }
 
+  /** Dominant quantized color of a decoded image — 2 bits per channel,
+    * 64 buckets. */
+  case class PaletteStats(media_id: Long, format: String,
+                          width: Option[Long], height: Option[Long],
+                          bucket: Option[Long], bucket_r: Option[Long],
+                          bucket_g: Option[Long], bucket_b: Option[Long],
+                          n_px: Option[Long])
+
+  /** REAL decode → dominant-color extraction: quantize every pixel to a
+    * 2-bit-per-channel bucket (`(r div 64)·16 + (g div 64)·4 + b div
+    * 64`, 64 buckets) and report the argmax bucket with its pixel count
+    * — the palette/thumbnail-color primitive of image curation (near-dup
+    * triage, monochrome/flat-image filtering). A histogram is
+    * position-BLIND but value-distribution-strict, so it grades decode
+    * through a different projection than the linear channel sums
+    * ([[decodeImageStats]]) or the quadratic luma moment
+    * ([[lumaStats]]): any per-pixel value error moves some pixel across
+    * a bucket boundary. Ties break to the SMALLEST bucket id
+    * (deterministic, oracle-replayable). Per-image state is a fixed
+    * 64-slot histogram — scan-speed, no shuffle; the quarantine
+    * contract matches every decode operator (unreadable → 'unknown',
+    * null stats). */
+  def dominantColor(withPayload: DataFrame): Dataset[PaletteStats] = {
+    implicit val enc = Encoders.product[PaletteStats]
+    withPayload.select(col("media_id"), col("payload"))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .mapPartitions { it =>
+        it.map { case (id, p) =>
+          val img = try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
+                    catch { case _: Exception => null }
+          if (img == null)
+            PaletteStats(id, "unknown", None, None, None, None, None, None, None)
+          else {
+            val hist = new Array[Long](64)
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                val px = img.getRGB(x, y)
+                val b = (((px >> 16) & 0xff) / 64) * 16 +
+                  (((px >> 8) & 0xff) / 64) * 4 + ((px & 0xff) / 64)
+                hist(b) += 1L
+                x += 1
+              }
+              y += 1
+            }
+            var best = 0
+            var i = 1
+            while (i < 64) { if (hist(i) > hist(best)) best = i; i += 1 }
+            PaletteStats(id, "png",
+              Some(img.getWidth.toLong), Some(img.getHeight.toLong),
+              Some(best.toLong), Some((best / 16).toLong),
+              Some((best / 4 % 4).toLong), Some((best % 4).toLong),
+              Some(hist(best)))
+          }
+        }
+      }
+  }
+
   /** REAL resize: decode with `ImageIO.read`, nearest-neighbor scale to
     * `width`×`height` (source pixel = (x·w)/W, (y·h)/H, floor — the
     * documented mapping the oracle replays), re-encode with

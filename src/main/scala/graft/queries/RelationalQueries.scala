@@ -3339,6 +3339,48 @@ object RelationalQueries {
         .orderBy(col("score").desc)
     }),
 
+    // Union-of-intervals coverage per user — "how much wall-clock was
+    // this user actually active", the dwell-time / ad-exposure /
+    // machine-utilization primitive. Each event opens a VARIABLE-length
+    // interval (duration carved from the value column), so intervals
+    // genuinely nest and overlap and the merge needs the running-max
+    // END (a lag of the previous start+len would silently lose
+    // containment — the classic interval-union bug; q_sessionize's
+    // fixed-gap rule never faces it). Exactness: durations are
+    // floor(value·1000) — one correctly-rounded IEEE multiply both
+    // engines share — then pure BIGINT ms arithmetic. Shape: windows
+    // are all PARTITIONED by user (running max / running sum / rollup),
+    // so the plan is one shuffle on user_id followed by
+    // partition-local sorts — no global window, scales with users, not
+    // events.
+    "q_interval_union" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("ts_ms"), col("event_id"),
+          (col("ts_ms") +
+            pmod(expr("cast(floor(value * 1000) as bigint)"), lit(540001L)) +
+            lit(60000L)).as("end_ms"))
+      val order = Seq(col("ts_ms"), col("event_id"))
+      val wPrev = Window.partitionBy("user_id").orderBy(order: _*)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wRun = Window.partitionBy("user_id").orderBy(order: _*)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val marked = ev
+        .withColumn("prev_max_end", max(col("end_ms")).over(wPrev))
+        .withColumn("is_new",
+          when(col("prev_max_end").isNull ||
+            col("ts_ms") > col("prev_max_end"), 1L).otherwise(0L))
+        .withColumn("island", sum(col("is_new")).over(wRun))
+      marked.groupBy(col("user_id"), col("island"))
+        .agg(min(col("ts_ms")).as("st"), max(col("end_ms")).as("en"),
+          count(lit(1)).as("n_ev"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_intervals"),
+          sum(col("n_ev")).as("n_events"),
+          sum(col("en") - col("st")).as("covered_ms"),
+          (max(col("en")) - min(col("st"))).as("span_ms"))
+        .orderBy("user_id")
+    }),
+
     // Expected calibration error — the reliability audit every
     // quality-classifier pipeline runs before trusting model scores as
     // probabilities: bin predictions by confidence decile, compare each
@@ -4179,6 +4221,40 @@ object RelationalQueries {
         |       round(sum(o_totalprice), 2) AS sum_tp
         |FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    // Interval-union replay: variable-length intervals (pmod-carved
+    // duration, mirrored as ((x % m) + m) % m against DuckDB's signed
+    // %), merged via the running-max end over PRECEDING rows — the
+    // containment-safe rule — then per-island and per-user rollups.
+    "q_interval_union" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+        |         epoch_ms(ts)
+        |           + ((CAST(floor(value * 1000) AS BIGINT) % 540001) + 540001)
+        |             % 540001 + 60000 AS end_ms
+        |  FROM events),
+        |m AS (
+        |  SELECT *, max(end_ms) OVER (PARTITION BY user_id
+        |           ORDER BY ts_ms, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+        |  FROM e),
+        |k AS (
+        |  SELECT *, CASE WHEN pme IS NULL OR ts_ms > pme THEN 1 ELSE 0 END
+        |           AS is_new FROM m),
+        |i AS (
+        |  SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id
+        |           ORDER BY ts_ms, event_id ROWS UNBOUNDED PRECEDING)
+        |         AS BIGINT) AS island
+        |  FROM k),
+        |g AS (
+        |  SELECT user_id, island, min(ts_ms) AS st, max(end_ms) AS en,
+        |         count(*) AS n_ev
+        |  FROM i GROUP BY 1, 2)
+        |SELECT user_id, count(*) AS n_intervals,
+        |       CAST(sum(n_ev) AS BIGINT) AS n_events,
+        |       CAST(sum(en - st) AS BIGINT) AS covered_ms,
+        |       max(en) - min(st) AS span_ms
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+
     "q_sessionize" ->
       """WITH e AS (
         |  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,

@@ -2487,6 +2487,21 @@ object TrainingDataQueries {
         .toDF()
         .orderBy("media_id")),
 
+    // Dominant 2-bit-per-channel color from REAL decode: per-pixel
+    // quantization to 64 buckets, argmax with smallest-bucket
+    // tie-break. The histogram is position-blind but
+    // value-DISTRIBUTION-strict — a third independent projection of
+    // the decode (linear sums: multimodal_decode; quadratic moment:
+    // multimodal_contrast), so a decode error that cancels in the sums
+    // still moves a pixel across a bucket boundary here. The oracle
+    // re-rasterizes the closed-form pixel formula over the (x, y) grid
+    // and re-quantizes.
+    "multimodal_palette" -> ((s, dir) =>
+      Multimodal.dominantColor(
+          Multimodal.synthesizeRealPng(Tables.documents(s, dir), "doc_id"))
+        .toDF()
+        .orderBy("media_id")),
+
     // REAL resize: decode → nearest-neighbor scale to 8×6 → RE-ENCODE
     // as PNG → decode AGAIN for grading. The oracle replays the
     // nearest-neighbor source mapping (⌊x'·w/W⌋) over the pixel
@@ -2767,6 +2782,64 @@ object TrainingDataQueries {
           .orderBy("doc_a", "doc_b")
       }),
 
+    // STREAMING QUANTILES with BOUNDED state: per event type, a
+    // 1024-bucket value histogram accumulates across three replayed
+    // micro-batches in complete mode, then P50/P90/P99 read off the
+    // cumulative counts — the fixed-memory quantile recipe (histogram /
+    // DDSketch family) whose state is |types|·1024 rows BY CONSTRUCTION
+    // (the clamp), independent of stream length or value cardinality —
+    // the property that makes streaming percentile SLOs possible at
+    // 100 TB/day. Exactness: cents = floor(value·100) is one
+    // correctly-rounded IEEE op both engines share; buckets are
+    // nonneg-clamped BEFORE the truncating division (Spark `div`
+    // truncates toward zero, DuckDB `//` floors — identical only on
+    // nonnegatives); the quantile rule "smallest bucket with
+    // cum·100 ≥ q·n" is a pure integer comparison (percentile_disc
+    // semantics at bucket granularity). The oracle replays the batch
+    // histogram — legal because the count merge is commutative, the
+    // same argument as stream_hll's register max.
+    "stream_quantile_hist" -> ((s, dir) =>
+      ParityQueries.withShufflePartitions(s, 4) {
+        val hand = ParityQueries.StagedInputs(s"$dir|events|rep3") { d =>
+          s.read.parquet(s"$dir/events.parquet").repartition(3)
+            .write.mode("overwrite").parquet(d)
+        }
+        val schema = s.read.parquet(hand).schema
+        val stream = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(hand)
+        val hist = stream.select(col("event_type"),
+            least(expr("greatest(cast(floor(value * 100) as bigint), 0) div 500"),
+              lit(1023L)).as("bucket"))
+          .groupBy(col("event_type"), col("bucket"))
+          .agg(count(lit(1)).as("cnt"))
+        val qn = "stream_qh_" + java.util.UUID.randomUUID().toString.take(8)
+        val ckpt = java.nio.file.Files
+          .createTempDirectory("graft-sqh-ckpt").toString
+        val q = hist.writeStream
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation", ckpt)
+          .outputMode("complete").format("memory").queryName(qn).start()
+        q.awaitTermination()
+        // Snapshot the sketch-sized sink (|types|·1024 rows, bounded by
+        // construction) before the batch-side quantile extraction —
+        // the stream_hll memory-sink convention.
+        val sink = s.table(qn)
+        val snap = s.createDataFrame(sink.collectAsList(), sink.schema)
+        val tot = snap.groupBy(col("event_type")).agg(sum(col("cnt")).as("n"))
+        val wCum = Window.partitionBy("event_type").orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        snap.withColumn("cum", sum(col("cnt")).over(wCum))
+          .join(tot, "event_type")
+          .crossJoin(s.range(1).select(
+            explode(array(lit(50L), lit(90L), lit(99L))).as("quantile")))
+          .filter(col("cum") * 100 >= col("quantile") * col("n"))
+          .groupBy(col("event_type"), col("quantile"), col("n"))
+          .agg(min(col("bucket")).as("bucket"))
+          .select(col("event_type"), col("quantile"), col("bucket"),
+            (col("bucket") * 5.0).as("value_lo"), col("n"))
+          .orderBy("event_type", "quantile")
+      }),
+
     // RLHF/DPO preference-pair construction — per source stratum, pair
     // the highest-scoring document (chosen) against the lowest
     // (rejected), the standard seed for preference-tuning data. The
@@ -2777,6 +2850,132 @@ object TrainingDataQueries {
     // the pack under 2⁵³ — exact even as a double, safe in BIGINT
     // through any corpus). One scan, one partial-aggregable groupBy on
     // source; no joins, no window.
+    // Hamilton (largest-remainder) apportionment of a fixed training
+    // budget of 10,000 sampling slots across source strata by exact
+    // character mass — the canonical "give every stratum its
+    // proportional share, distribute the integer leftovers to the
+    // largest remainders" allocation every mixture-weighted corpus uses
+    // (floor division alone under-allocates; naive rounding
+    // over-allocates). Exactness: quota numerator/remainder are exact
+    // decimal(38,0)/HUGEINT products (B·weight ≈ 1e4·1e14 at 100 TB —
+    // past BIGINT, fine in decimal), ranked by an exact integer
+    // remainder with a source tie-break. Shape: one partial-aggregable
+    // rollup to |sources| rows; the unpartitioned window runs over
+    // those |sources| rows only — bounded by the stratum universe,
+    // never the corpus.
+    "data_budget_allocation" -> ((s, dir) => {
+      val budget = 10000L
+      val dec = "decimal(38,0)"
+      val bySrc = Tables.documents(s, dir)
+        .groupBy(col("source")).agg(sum(col("n_chars")).as("weight"))
+      val tot = bySrc.agg(sum(col("weight")).as("v"))
+      val quota = bySrc.crossJoin(broadcast(tot))
+        .select(col("source"), col("weight"),
+          expr(s"($budget * cast(weight as $dec)) div v").as("base"),
+          expr(s"cast(($budget * cast(weight as $dec)) % v as bigint)")
+            .as("rem"))
+      val allocated = quota.agg(sum(col("base")).as("allocated"))
+      val w = Window.orderBy(col("rem").desc, col("source").asc)
+      quota.crossJoin(broadcast(allocated))
+        .withColumn("rk", row_number().over(w))
+        .select(col("source"), col("weight"), col("base"), col("rem"),
+          (col("base") +
+            when(col("rk") <= lit(budget) - col("allocated"), 1L)
+              .otherwise(0L)).as("alloc"))
+        .orderBy("source")
+    }),
+
+    // DSIR-flavored importance weighting (Xie et al. 2023, "Data
+    // Selection via Importance Resampling"): hashed word-bigram bucket
+    // counts build a target-vs-raw importance ratio per bucket, and
+    // each document scores the mean importance of its bigram
+    // occurrences — the standard recipe for tilting a 100 TB crawl
+    // toward a target distribution. The target here is the corpus's
+    // min(lang) slice (a formula-stable stand-in for "looks like the
+    // reference corpus"). Exactness: per-bucket weights are ONE floor
+    // division of exact Laplace-smoothed integer products in
+    // decimal(38,0) — the paper's log-ratio sum becomes an
+    // exactly-replayable mean of micro-unit ratios (same monotone
+    // ranking within a document length class, no cross-engine libm).
+    // Shape: one bigram explode feeds both count tables; the 256-row
+    // weight table broadcasts back onto the exploded corpus — the only
+    // data-sized stages are the explode and one partial-aggregable
+    // per-doc sum.
+    "data_importance_sample" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val bigramsExpr =
+        """transform(sequence(1, size(__w) - 1),
+          |  i -> concat(element_at(__w, i), ' ', element_at(__w, i + 1)))""".stripMargin
+      val bg = docs
+        .select(col("doc_id"), col("lang"),
+          TextFunctions.words(col("text")).as("__w"))
+        .filter(size(col("__w")) >= 2)
+        .select(col("doc_id"), col("lang"), explode(expr(bigramsExpr)).as("bg"))
+        .withColumn("bucket",
+          expr("cast(conv(substr(md5(bg), 1, 6), 16, 10) as bigint) % 256"))
+      val raw = bg.groupBy(col("bucket")).agg(count(lit(1)).as("c_raw"))
+      val tgt = bg.join(
+          broadcast(docs.agg(min(col("lang")).as("lang"))), Seq("lang"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("c_tgt"))
+      val tot = raw.agg(sum(col("c_raw")).as("t_raw"))
+        .crossJoin(tgt.agg(sum(col("c_tgt")).as("t_tgt")))
+      val dec = "decimal(38,0)"
+      val weights = raw.join(tgt, Seq("bucket"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("bucket"),
+          expr(s"(cast(coalesce(c_tgt, 0) + 1 as $dec)" +
+            s" * (cast(t_raw as $dec) + 256) * 1000000)" +
+            s" div ((c_raw + 1) * (cast(t_tgt as $dec) + 256))")
+            .as("w_micro"))
+      bg.join(broadcast(weights), "bucket")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("w_micro")).as("sw"))
+        .select(col("doc_id"), col("n_bigrams"),
+          (expr("sw div n_bigrams") / 1e6).as("importance"))
+        .orderBy("doc_id")
+    }),
+
+    // Kneser–Ney-smoothed bigram probabilities (the n-gram LM smoothing
+    // standard; Kneser & Ney 1995) for the corpus's top-40 bigrams —
+    // entirely in EXACT integer arithmetic: discount D = 0.75 is the
+    // micro literal 750000, the discounted term max(c12·1e6 − D, 0)/c1,
+    // the backoff weight λ(w1) = D·N1+(w1·)/c1, and the continuation
+    // probability Pcont(w2) = N1+(·w2)/|bigram types| are each ONE
+    // floor division of exact counts, composed by ONE micro-product
+    // division — no ln, no float sum, so the smoothing that is usually
+    // "approximately equal across engines" is replayed digit-for-digit.
+    // Shape: one bigram explode → one count table that feeds head,
+    // continuation, and type-total aggregates (never a second corpus
+    // pass); the final join is vocabulary-sized, shuffled on the
+    // bigram/word keys.
+    "text_kn_bigram" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val bigramsExpr =
+        """transform(sequence(1, size(__w) - 1),
+          |  i -> concat(element_at(__w, i), ' ', element_at(__w, i + 1)))""".stripMargin
+      val bc = docs
+        .select(TextFunctions.words(col("text")).as("__w"))
+        .filter(size(col("__w")) >= 2)
+        .select(explode(expr(bigramsExpr)).as("bg"))
+        .groupBy(col("bg")).agg(count(lit(1)).as("c12"))
+        .withColumn("w1", substring_index(col("bg"), " ", 1))
+        .withColumn("w2", substring_index(col("bg"), " ", -1))
+      val head = bc.groupBy(col("w1"))
+        .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n_cont"))
+      val cont = bc.groupBy(col("w2")).agg(count(lit(1)).as("n_left"))
+      val types = bc.agg(count(lit(1)).as("b_types"))
+      val dec = "decimal(38,0)"
+      bc.join(head, "w1").join(cont, "w2").crossJoin(broadcast(types))
+        .select(col("w1"), col("w2"), col("c12"), col("c1"),
+          col("n_cont"), col("n_left"),
+          ((expr(s"greatest(cast(c12 as $dec) * 1000000 - 750000, 0) div c1") +
+            expr("(((750000 * n_cont) div c1)" +
+              " * ((n_left * 1000000) div b_types)) div 1000000")) / 1e6)
+            .as("p_kn"))
+        .orderBy(col("c12").desc, col("w1"), col("w2"))
+        .limit(40)
+    }),
+
     "data_preference_pairs" -> ((s, dir) => {
       val pack = 8589934592L // 2^33
       val scored = Tables.documents(s, dir)
@@ -4071,6 +4270,104 @@ object TrainingDataQueries {
          |       round(sum(nats_e4) / (count(*) * 10000.0), 4) AS avg_neg_logp
          |FROM sc GROUP BY doc_id ORDER BY doc""".stripMargin,
 
+    // KN replay: one bigram count table feeds head / continuation /
+    // type-total aggregates; every probability term is the identical
+    // floor-division composition in HUGEINT.
+    "text_kn_bigram" ->
+      s"""WITH w AS (SELECT doc_id, $wordsSql AS l FROM documents),
+         |b AS (SELECT unnest(list_transform(generate_series(1, len(l) - 1),
+         |          i -> l[i] || ' ' || l[i+1])) AS bg
+         |      FROM w WHERE len(l) >= 2),
+         |bc AS (SELECT bg, string_split(bg, ' ')[1] AS w1,
+         |         string_split(bg, ' ')[2] AS w2, count(*) AS c12
+         |       FROM b GROUP BY 1, 2, 3),
+         |hd AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+         |         count(*) AS n_cont FROM bc GROUP BY 1),
+         |ct AS (SELECT w2, count(*) AS n_left FROM bc GROUP BY 1),
+         |tt AS (SELECT count(*) AS b_types FROM bc),
+         |j AS (SELECT bc.w1, bc.w2, bc.c12, hd.c1, hd.n_cont, ct.n_left,
+         |        (greatest(CAST(bc.c12 AS HUGEINT) * 1000000 - 750000, 0) // hd.c1
+         |         + (((750000 * hd.n_cont) // hd.c1)
+         |            * ((ct.n_left * 1000000) // tt.b_types)) // 1000000)
+         |          / 1e6 AS p_kn,
+         |        row_number() OVER (ORDER BY bc.c12 DESC, bc.w1, bc.w2) AS rk
+         |      FROM bc JOIN hd USING (w1) JOIN ct USING (w2) CROSS JOIN tt)
+         |SELECT w1, w2, c12, c1, n_cont, n_left, p_kn
+         |FROM j WHERE rk <= 40
+         |ORDER BY c12 DESC, w1, w2""".stripMargin,
+
+    // DSIR replay: hashed-bigram bucket counts, Laplace-smoothed
+    // target/raw ratio per bucket as ONE HUGEINT floor division, per-doc
+    // mean of its occurrences' micro weights.
+    "data_importance_sample" ->
+      s"""WITH w AS (SELECT doc_id, lang, $wordsSql AS l FROM documents),
+         |b AS (SELECT doc_id, lang,
+         |        unnest(list_transform(generate_series(1, len(l) - 1),
+         |          i -> l[i] || ' ' || l[i+1])) AS bg
+         |      FROM w WHERE len(l) >= 2),
+         |bb AS (SELECT doc_id, lang,
+         |         ('0x' || substr(md5(bg), 1, 6))::BIGINT % 256 AS bucket
+         |       FROM b),
+         |raw AS (SELECT bucket, count(*) AS c_raw FROM bb GROUP BY 1),
+         |tg AS (SELECT bucket, count(*) AS c_tgt FROM bb
+         |       WHERE lang = (SELECT min(lang) FROM documents) GROUP BY 1),
+         |tot AS (SELECT (SELECT sum(c_raw) FROM raw) AS t_raw,
+         |               (SELECT sum(c_tgt) FROM tg) AS t_tgt),
+         |wt AS (SELECT raw.bucket,
+         |         (CAST(coalesce(tg.c_tgt, 0) + 1 AS HUGEINT)
+         |            * (CAST(t_raw AS HUGEINT) + 256) * 1000000)
+         |         // ((raw.c_raw + 1) * (CAST(t_tgt AS HUGEINT) + 256)) AS w_micro
+         |       FROM raw LEFT JOIN tg USING (bucket) CROSS JOIN tot)
+         |SELECT bb.doc_id, count(*) AS n_bigrams,
+         |       (CAST(sum(w_micro) AS HUGEINT) // count(*)) / 1e6 AS importance
+         |FROM bb JOIN wt USING (bucket)
+         |GROUP BY bb.doc_id ORDER BY doc_id""".stripMargin,
+
+    // Hamilton apportionment replay: exact HUGEINT quota base/remainder,
+    // leftover slots to the largest remainders (source tie-break).
+    "data_budget_allocation" ->
+      """WITH b AS (SELECT source, CAST(sum(n_chars) AS HUGEINT) AS weight
+        |           FROM documents GROUP BY 1),
+        |t AS (SELECT sum(weight) AS v FROM b),
+        |q AS (SELECT source, weight, (10000 * weight) // v AS base,
+        |             (10000 * weight) % v AS rem
+        |      FROM b CROSS JOIN t),
+        |sb AS (SELECT sum(base) AS allocated FROM q),
+        |r AS (SELECT q.*, sb.allocated,
+        |        row_number() OVER (ORDER BY rem DESC, source) AS rk
+        |      FROM q CROSS JOIN sb)
+        |SELECT source, CAST(weight AS BIGINT) AS weight,
+        |       CAST(base AS BIGINT) AS base, CAST(rem AS BIGINT) AS rem,
+        |       CAST(base + CASE WHEN rk <= 10000 - allocated THEN 1 ELSE 0 END
+        |         AS BIGINT) AS alloc
+        |FROM r ORDER BY source""".stripMargin,
+
+    // Batch replay of the streaming histogram — legal because count
+    // merge across micro-batches is commutative (the stream_hll
+    // argument). Same nonneg clamp BEFORE the division (// floors,
+    // Spark div truncates — identical only on nonnegatives), same
+    // smallest-bucket-with-cum·100 ≥ q·n selection.
+    "stream_quantile_hist" ->
+      """WITH h AS (SELECT event_type,
+        |             least(greatest(CAST(floor(value * 100) AS BIGINT), 0)
+        |                   // 500, 1023) AS bucket,
+        |             count(*) AS cnt
+        |           FROM events GROUP BY 1, 2),
+        |t AS (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n FROM h GROUP BY 1),
+        |c AS (SELECT event_type, bucket, cnt,
+        |        CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY bucket
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |          AS cum
+        |      FROM h)
+        |SELECT c.event_type, CAST(qs.quantile AS BIGINT) AS quantile,
+        |       min(c.bucket) AS bucket,
+        |       min(c.bucket) * 5.0 AS value_lo, t.n
+        |FROM c JOIN t USING (event_type)
+        |CROSS JOIN (SELECT unnest([50, 90, 99]) AS quantile) qs
+        |WHERE c.cum * 100 >= qs.quantile * t.n
+        |GROUP BY c.event_type, qs.quantile, t.n
+        |ORDER BY event_type, quantile""".stripMargin,
+
     // Eval-set pipeline: the contamination CTEs (exact variant) feed a
     // quota-sampled per-source roll-up of the clean test docs.
     "pipeline_eval_set" ->
@@ -5132,6 +5429,33 @@ object TrainingDataQueries {
         |       CAST(1 * h * (w * (w-1) // 2) + 4 * w * (h * (h-1) // 2)
         |            + w * h * (doc_id % 13) AS BIGINT) AS sum_b
         |FROM m ORDER BY media_id""".stripMargin,
+
+    // Palette replay: re-rasterize the closed-form pixel formula over
+    // the (x, y) grid (x = i % w, y = i // w — the formula is
+    // per-pixel, so enumeration order is irrelevant), quantize each
+    // channel by // 64, count per 64-way bucket, argmax with the
+    // smallest-bucket tie-break the walker uses.
+    "multimodal_palette" ->
+      """WITH m AS (SELECT doc_id, doc_id % 29 + 4 AS w, doc_id % 23 + 4 AS h
+        |           FROM documents),
+        |g AS (SELECT m.doc_id, m.w, m.h,
+        |        ((3 * (u.i % m.w) + 5 * (u.i // m.w) + m.doc_id % 7) // 64) * 16
+        |        + ((2 * (u.i % m.w) + 7 * (u.i // m.w) + m.doc_id % 11) // 64) * 4
+        |        + ((1 * (u.i % m.w) + 4 * (u.i // m.w) + m.doc_id % 13) // 64)
+        |          AS bucket
+        |      FROM m, LATERAL unnest(generate_series(0, m.w * m.h - 1)) AS u(i)),
+        |c AS (SELECT doc_id, w, h, bucket, count(*) AS n_px,
+        |        row_number() OVER (PARTITION BY doc_id
+        |          ORDER BY count(*) DESC, bucket) AS rk
+        |      FROM g GROUP BY doc_id, w, h, bucket)
+        |SELECT doc_id AS media_id, 'png' AS format,
+        |       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |       CAST(bucket AS BIGINT) AS bucket,
+        |       CAST(bucket // 16 AS BIGINT) AS bucket_r,
+        |       CAST(bucket // 4 % 4 AS BIGINT) AS bucket_g,
+        |       CAST(bucket % 4 AS BIGINT) AS bucket_b,
+        |       CAST(n_px AS BIGINT) AS n_px
+        |FROM c WHERE rk = 1 ORDER BY media_id""".stripMargin,
 
     // Nearest-neighbor replay: target 8×6, source pixel (⌊x'·w/8⌋,
     // ⌊y'·h/6⌋), summed over the 48 target pixels per doc.

@@ -150,6 +150,37 @@ class GraphSpec extends SparkSpec {
     assert(Graph.kCore(edges, k = 10, rounds = 3).count() === 0L)
   }
 
+  test("kTruss: clique support, triangle-free peel, cascade, 0-support report") {
+    // 4-clique + tail 4-5-6: every clique edge sits in exactly 2
+    // triangles; the tail edges sit in none and peel round 1.
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L)).toDF("src", "dst")
+    val t4 = Graph.kTruss(edges, k = 4, rounds = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(t4 === Set((1L, 2L, 2L), (1L, 3L, 2L), (1L, 4L, 2L), (2L, 3L, 2L),
+      (2L, 4L, 2L), (3L, 4L, 2L)),
+      s"the 4-truss is the clique with support 2 per edge, got $t4")
+
+    // Two triangles sharing edge (1,2): that edge has support 2, the
+    // wings support 1. k=4 round 1 peels the wings; the shared edge
+    // SURVIVES round 1 and must report support 0 (the left-join row)
+    // after one round — then CASCADE: round 2 peels it too.
+    val shared = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L), (2L, 4L))
+      .toDF("src", "dst")
+    val r1 = Graph.kTruss(shared, k = 4, rounds = 1)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(r1 === Set((1L, 2L, 0L)),
+      s"one round keeps the shared edge, reported at its NEW support 0, got $r1")
+    assert(Graph.kTruss(shared, k = 4, rounds = 2).count() === 0L,
+      "round 2 cascades the now-unsupported shared edge away")
+
+    // k=3 (support >= 1): a lone triangle survives, a pendant peels.
+    val tri = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)).toDF("src", "dst")
+    val t3 = Graph.kTruss(tri, k = 3, rounds = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(t3 === Set((1L, 2L, 1L), (1L, 3L, 1L), (2L, 3L, 1L)))
+  }
+
   test("personalizedPageRank: mass flows FROM sources only; non-source restart is 0") {
     // chain 1->2->3 plus isolated pair 4->5 (no path from the source 1)
     val edges = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("src", "dst")

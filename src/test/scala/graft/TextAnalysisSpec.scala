@@ -479,6 +479,37 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("multimodal: dominantColor replays the quantized-histogram argmax from the formula") {
+    val withPng = Multimodal.synthesizeRealPng(docs, "doc_id")
+    val got = Multimodal.dominantColor(withPng).collect()
+    assert(got.length === 3)
+    got.foreach { g =>
+      val (w, h) = Multimodal.formulaDims(g.media_id)
+      assert(g.width === Some(w.toLong) && g.height === Some(h.toLong))
+      // replay: quantize every formula pixel, argmax with smallest-bucket
+      // tie-break
+      val hist = new Array[Long](64)
+      for (y <- 0 until h; x <- 0 until w) {
+        val p = Multimodal.formulaRgb(g.media_id, 0, x, y)
+        hist((((p >> 16) & 0xff) / 64) * 16 + (((p >> 8) & 0xff) / 64) * 4 +
+          ((p & 0xff) / 64)) += 1
+      }
+      val best = hist.indices.maxBy(i => (hist(i), -i))
+      assert(g.bucket === Some(best.toLong))
+      assert(g.n_px === Some(hist(best)))
+      assert(g.bucket_r === Some((best / 16).toLong))
+      assert(g.bucket_g === Some((best / 4 % 4).toLong))
+      assert(g.bucket_b === Some((best % 4).toLong))
+      // buckets conserve: dominant count is positive and <= pixel count
+      assert(hist(best) > 0 && hist(best) <= w.toLong * h)
+    }
+    // quarantine: junk bytes yield 'unknown' with null stats
+    import spark.implicits._
+    val junk = Seq((99L, Array[Byte](1, 2, 3))).toDF("media_id", "payload")
+    val q = Multimodal.dominantColor(junk).collect().head
+    assert(q.format === "unknown" && q.bucket.isEmpty && q.n_px.isEmpty)
+  }
+
   test("multimodal: imageMeta parses real PNG/BMP headers, independent ground truth") {
     // hand-built literal containers with KNOWN dimensions — ground truth
     // independent of synthesizeImagePayload, so a shared offset/endian
