@@ -167,7 +167,14 @@ object PlanDump {
     "q_bitmap_overlap" -> "bitmap index: distinct pass -> partial-aggregable bit_or groupBy (62 users/word); the overlap join is per-word with |types|^2-bounded output — the user sets are never joined row-wise",
     "q_sql_native_funcs" -> "SparkSessionExtensions path: the SQL-text functions resolve to graft's NATIVE codegen expressions (no ScalaUDF node in this plan — check the Project), one broadcast-able equi-join, presentation sort only",
     "pipeline_lang_rebalance" -> "mixture rebalance: one corpus scan for token counts, |langs|-row budget rollup broadcast back for the md5 keep gate; the report groupBy is partial-aggregable on the bounded language key",
-    "multimodal_audio_flux" -> "real PCM decode in mapPartitions; flux needs the sample SEQUENCE so the loop is genuinely imperative codec work; plan side is pure projection + presentation sort")
+    "multimodal_audio_flux" -> "real PCM decode in mapPartitions; flux needs the sample SEQUENCE so the loop is genuinely imperative codec work; plan side is pure projection + presentation sort",
+    "graph_ktruss" -> "k-truss peel: per round the canonical edge set joins the symmetrized adjacency TWICE ((a,c) wedge matched to (b,c) on an equi-key) + one partial-aggregable support count; survivor sets checkpoint each round (the kCore policy); wedge fan-out is Σdeg² — the honest triangle shape, degree-cappable exactly as commonNeighbors at hub-heavy scale",
+    "data_importance_sample" -> "DSIR weights: ONE bigram explode feeds both bucket-count tables (raw, and the broadcast-lang-gated target); the 256-row weight table is ONE floor division of decimal(38,0) products and broadcasts back onto the exploded corpus — the only data-sized stages are the explode and one partial-aggregable per-doc sum",
+    "text_kn_bigram" -> "Kneser–Ney: ONE explode -> one bigram count table that feeds head/continuation/type-total aggregates (never a second corpus pass); every probability term is a floor division of exact counts composed by one micro-product division — no ln anywhere; top-40 via TakeOrderedAndProject",
+    "data_budget_allocation" -> "Hamilton apportionment: one partial-aggregable rollup to |sources| rows; quota base/remainder are exact decimal(38,0) products with single floor divisions; the remainder-rank window runs over the |sources|-row rollup only — bounded by the stratum universe, never the corpus",
+    "q_interval_union" -> "interval union: ALL windows (running-max end, island id, per-island rollup) partition by user_id — one shuffle, partition-local sorts, no global window; variable-length intervals make the running-max end load-bearing (a lag would lose containment)",
+    "stream_quantile_hist" -> "streaming quantiles: complete-mode groupBy whose state is |types|·1024 rows BY CONSTRUCTION (clamped buckets — independent of stream length and value cardinality); the batch-side extraction windows over the bounded sketch snapshot only",
+    "multimodal_palette" -> "dominant color: real decode + fixed 64-slot histogram in mapPartitions (imperative codec work); plan side is scan -> decode -> presentation sort, parallel by file, no shuffle")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
