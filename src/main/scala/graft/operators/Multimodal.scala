@@ -351,6 +351,56 @@ object Multimodal {
     (fmt.getChannels, nFrames, smp)
   }
 
+  case class AudioSilence(media_id: Long, format: String,
+                          n_windows: Option[Long], n_silent: Option[Long],
+                          longest_run: Option[Long])
+
+  /** Silence-segment detection over REAL decoded PCM: fixed 64-sample
+    * windows over the interleaved sample sequence; a window is silent
+    * iff its exact integer sample SUM sits under the threshold (fixture
+    * samples are nonnegative by the ASCII contract, so the sum is a
+    * monotone energy proxy with no abs/square needed). Reports window
+    * count, silent-window count, and the LONGEST silent run — the run
+    * is sequence-sensitive (a shuffled decode with the right multiset
+    * still breaks it), making this the windowed sibling of
+    * [[audioFlux]]'s ordering grade. Trailing partial windows are
+    * excluded on both engines. Same decode contract and quarantine
+    * rule as [[audioFeatures]]. */
+  def audioSilence(withPayload: DataFrame, windowSize: Int = 64,
+                   thresholdPerSample: Long = 25000L): Dataset[AudioSilence] = {
+    require(windowSize >= 1, s"windowSize must be >= 1, got $windowSize")
+    implicit val enc = Encoders.product[AudioSilence]
+    val threshold = windowSize * thresholdPerSample
+    withPayload.select(col("media_id"), col("payload"))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .mapPartitions { it =>
+        it.map { case (id, p) =>
+          val decoded = try Some(decodePcm16le(p))
+                        catch { case _: Exception => None }
+          decoded match {
+            case None => AudioSilence(id, "unknown", None, None, None)
+            case Some((_, _, smp)) =>
+              val nw = smp.length / windowSize
+              var silent = 0L
+              var run = 0L
+              var best = 0L
+              var k = 0
+              while (k < nw) {
+                var sum = 0L
+                var j = k * windowSize
+                val end = j + windowSize
+                while (j < end) { sum += smp(j); j += 1 }
+                if (sum < threshold) {
+                  silent += 1; run += 1; if (run > best) best = run
+                } else run = 0
+                k += 1
+              }
+              AudioSilence(id, "wav", Some(nw.toLong), Some(silent), Some(best))
+          }
+        }
+      }
+  }
+
   case class AudioFlux(media_id: Long, format: String,
                        n_samples: Option[Long], ssq: Option[Long],
                        diff2: Option[Long], hf_ratio: Option[Double])

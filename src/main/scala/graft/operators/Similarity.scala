@@ -55,6 +55,64 @@ object Similarity {
           .otherwise(expr("transform(__v, x -> CAST(round(x / scale) AS INT))"))
           .as("q"))
 
+  /** Top principal direction of the embedding matrix by MATRIX-FREE
+    * power iteration: v ← normalize(XᵀXv), `rounds` times — X is never
+    * materialized, each round is one corpus pass (the 100 TB PCA
+    * shape). EXACTLY replayable: embeddings quantize once to micro
+    * BIGINTs (floor(e·1e6), one shared IEEE multiply), the per-row dot
+    * is a codegen zip_with/aggregate fold over the round's vector
+    * LITERALS, per-dimension accumulations are associative
+    * decimal(38,0) sums, and the L∞ normalization is a sign-split
+    * floor division — so the usually-"approximately equal" iterative
+    * linear algebra carries a digit-for-digit oracle (the
+    * pageRank/kmeans discipline applied to eigenvectors).
+    *
+    * Driver state: ONE dim-long vector per round (the kmeans-centroid
+    * precedent — bounded by the model, not the data). Per round: one
+    * corpus pass + one dim-group partial aggregate (map-side combined
+    * to `dim` rows per partition); no joins. Returns (d, vm, component)
+    * with vm the exact micro weight, component = vm/1e6. Init is the
+    * all-ones micro vector; ties in the L∞ max are harmless (max is
+    * max). Convergence after `rounds` is the standard power-method
+    * guarantee when λ1 > λ2; the returned vector is the exact integer
+    * trajectory either way. */
+  def powerIteration(df: DataFrame, rounds: Int = 3, dim: Int = 64,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    require(rounds >= 1 && rounds <= 16,
+      s"rounds must be in [1, 16], got $rounds")
+    val s = df.sparkSession
+    val dec = "decimal(38,0)"
+    val xm = df.select(col(idCol),
+        expr(s"transform($vecCol," +
+          " e -> cast(floor(cast(e as double) * 1000000) as bigint))")
+        .as("xm"))
+      .localCheckpoint()
+    var v: Array[Long] = Array.fill(dim)(1000000L)
+    (1 to rounds).foreach { _ =>
+      val vLit = array(v.toIndexedSeq.map(lit(_)): _*)
+      val sd = xm
+        .select(col("xm"),
+          aggregate(zip_with(col("xm"), vLit, (a, b) => a * b),
+            lit(0L), (acc, x) => acc + x).as("dot"))
+        .selectExpr("dot", "posexplode(xm) as (d, x)")
+        .groupBy(col("d"))
+        .agg(sum(expr(s"cast(x as $dec) * dot")).as("sd"))
+      val m = sd.agg(max(abs(col("sd"))).as("m"))
+      v = sd.crossJoin(broadcast(m))
+        .select(col("d"),
+          when(col("sd") < 0, -expr("((- sd) * 1000000) div m"))
+            .otherwise(expr("(sd * 1000000) div m")).as("vm"))
+        .orderBy("d")
+        .collect().map(_.getLong(1))
+    }
+    val vLit = array(v.toIndexedSeq.map(lit(_)): _*)
+    s.range(dim.toLong)
+      .select(col("id").as("d"),
+        element_at(vLit, (col("id") + 1).cast("int")).as("vm"))
+      .select(col("d"), col("vm"), (col("vm") / 1e6).as("component"))
+  }
+
   /** Per-DIMENSION corpus statistics — the transpose of the per-vector
     * profile: count, mean, std, min, max for every embedding dimension.
     * This is the whitening/normalization prep pass (feature scaling,

@@ -562,6 +562,47 @@ object TrainingDataQueries {
         .orderBy("stage")
     }),
 
+    // Curation v5: budget-constrained best-of selection — Hamilton
+    // apportionment of a 300-doc budget across sources by char mass
+    // (the data_budget_allocation algebra), then fill each source's
+    // allocation with its HIGHEST-quality docs (exact alpha-ratio micro
+    // score, doc_id tie-break). The composition every mixture-weighted
+    // corpus build runs: "spend the token budget proportionally, take
+    // the best of each stratum". Shape: the allocation is |sources|-row
+    // algebra broadcast back; selection is one per-source rank window
+    // (as many partitions as sources); the report is a bounded rollup.
+    "pipeline_curation_v5" -> ((s, dir) => {
+      val budget = 300L
+      val dec = "decimal(38,0)"
+      val docs = Tables.documents(s, dir)
+      val bySrc = docs.groupBy(col("source")).agg(sum(col("n_chars")).as("weight"))
+      val tot = bySrc.agg(sum(col("weight")).as("v"))
+      val quota = bySrc.crossJoin(broadcast(tot))
+        .select(col("source"), col("weight"),
+          expr(s"($budget * cast(weight as $dec)) div v").as("base"),
+          expr(s"cast(($budget * cast(weight as $dec)) % v as bigint)").as("rem"))
+      val allocated = quota.agg(sum(col("base")).as("allocated"))
+      val wr = Window.orderBy(col("rem").desc, col("source").asc)
+      val alloc = quota.crossJoin(broadcast(allocated))
+        .withColumn("rk", row_number().over(wr))
+        .select(col("source"),
+          (col("base") + when(col("rk") <= lit(budget) - col("allocated"), 1L)
+            .otherwise(0L)).as("alloc"))
+      val scored = docs.select(col("source"), col("doc_id"), col("n_chars"),
+        expr("(length(regexp_replace(text, '[^A-Za-z]', '')) * 1000000)" +
+          " div length(text)").as("score_micro"))
+      val ws = Window.partitionBy("source")
+        .orderBy(col("score_micro").desc, col("doc_id").asc)
+      scored.join(broadcast(alloc), "source")
+        .withColumn("rk", row_number().over(ws))
+        .filter(col("rk") <= col("alloc"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_taken"),
+          sum(col("n_chars")).as("chars_taken"),
+          (min(col("score_micro")) / 1e6).as("worst_kept_score"))
+        .orderBy("source")
+    }),
+
     "pipeline_curation_v3" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val keepers = docs.groupBy(col("text"))
@@ -836,6 +877,16 @@ object TrainingDataQueries {
       Similarity.maxSimTopK(emb, emb.filter(col("vec_id") < 8), 5)
         .orderBy("q_id", "rank")
     }),
+
+    // Distributed PCA power iteration (Similarity.powerIteration): the
+    // top principal direction by three matrix-free v ← normalize(XᵀXv)
+    // rounds in exact micro-BIGINT arithmetic — the oracle unrolls the
+    // identical HUGEINT rounds, so the iterative linear algebra is
+    // graded digit-for-digit (see the operator scaladoc for the scale
+    // shape: one corpus pass + one dim-group aggregate per round).
+    "embedding_power_iter" -> ((s, dir) =>
+      Similarity.powerIteration(Tables.embeddings(s, dir), rounds = 3)
+        .orderBy("d")),
 
     // Multi-probe LSH: Hamming-1 band-key probes on the QUERY side only —
     // candidate superset of ann_lsh at identical corpus-side cost; recall
@@ -1189,6 +1240,33 @@ object TrainingDataQueries {
     "text_lm_score" -> ((s, dir) =>
       TextAnalysis.bigramLmScore(Tables.documents(s, dir), "doc_id", "text")
         .orderBy("doc")),
+
+    // Multi-phrase blocklist scan — the curation primitive behind
+    // banned-phrase filters and policy audits, done as a JOIN instead
+    // of a per-row regex alternation: the corpus explodes once into
+    // positional word bigrams and meets the phrase table on an
+    // equi-key, so 10 or 10,000 phrases cost the same corpus pass
+    // (the scaled-out shape of Aho–Corasick: broadcast the pattern
+    // set, stream the corpus). Occurrences count per (doc, phrase) —
+    // overlapping matches included, exact counts. Only docs with ≥1
+    // hit emit (the audit row set).
+    "text_phrase_scan" -> ((s, dir) => {
+      val phrases = Seq("the customer", "slow query", "hash join",
+        "of the", "join the")
+      val bigramsExpr =
+        """transform(sequence(1, size(__w) - 1),
+          |  i -> concat(element_at(__w, i), ' ', element_at(__w, i + 1)))""".stripMargin
+      val bg = Tables.documents(s, dir)
+        .select(col("doc_id"), TextFunctions.words(col("text")).as("__w"))
+        .filter(size(col("__w")) >= 2)
+        .select(col("doc_id"), explode(expr(bigramsExpr)).as("phrase"))
+      val pl = broadcast(s.createDataset(phrases)(
+        org.apache.spark.sql.Encoders.STRING).toDF("phrase"))
+      bg.join(pl, "phrase")
+        .groupBy(col("doc_id"), col("phrase"))
+        .agg(count(lit(1)).as("n_hits"))
+        .orderBy("doc_id", "phrase")
+    }),
 
     // Eval-set construction end-to-end: leak-proof test split →
     // decontamination against the train shingle universe → fixed
@@ -1747,6 +1825,33 @@ object TrainingDataQueries {
         .orderBy("a", "b")
     }),
 
+    // Directed-graph reciprocity — the share of links that are
+    // mutual, the citation-ring / follow-back signal (a crawl graph
+    // with high reciprocity is link-farm-shaped; organic web graphs sit
+    // near 0). Edge (a,b) is reciprocated iff (b,a) exists: ONE
+    // self-join of the distinct directed edge set on the swapped key
+    // pair, then exact counts and one micro floor division. Shape: two
+    // shuffles of the |E|-sized edge set (distinct + the swap join),
+    // both partial-aggregable — no per-node state, no windows.
+    "graph_reciprocity" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"))
+      val n = docs.count()
+      val e = docs
+        .select(col("doc_id").as("src"),
+          explode(array(lit(1L), lit(2L), lit(3L))).as("k"))
+        .select(col("src"),
+          pmod(col("src") * 7 + col("k") * 13, lit(n)).as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+      val recip = e.join(
+        e.select(col("dst").as("src"), col("src").as("dst")),
+        Seq("src", "dst"), "left_semi")
+      e.agg(count(lit(1)).as("n_edges"))
+        .crossJoin(broadcast(recip.agg(count(lit(1)).as("n_recip"))))
+        .select(col("n_edges"), col("n_recip"),
+          (expr("(n_recip * 1000000) div n_edges") / 1e6).as("reciprocity"))
+    }),
+
     // HyperBall neighborhood function N(t) = Σ_v |B(v,t)| over the
     // synthetic link graph (3 rounds): per-node HLL sketches merged
     // along out-edges — THE web-scale reachability/effective-diameter
@@ -2263,6 +2368,36 @@ object TrainingDataQueries {
           sum(when(col("_corrupt_record").isNull, col("n_chars"))).as("good_chars"))
     }),
 
+    // Fixed-width ingest — the mainframe/legacy-feed format that still
+    // feeds real estates: documents rendered as 30-char records
+    // (doc_id 12 zero-padded | lang 8 space-padded | n_chars 10
+    // zero-padded), written as text, parsed back by POSITION with a
+    // length gate quarantining short records (every 13th record is
+    // deterministically truncated — the ingest must exclude exactly
+    // those, never die, never silently keep a ragged row). The oracle
+    // reads the ORIGINAL table minus the planted corruption, so any
+    // off-by-one in the column positions or a swallowed bad record
+    // flips the hash. Parsing is pure codegen substring/trim/cast —
+    // scan speed.
+    "ingest_fixed_width" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val lines = docs.select(
+        concat(lpad(col("doc_id").cast("string"), 12, "0"),
+          rpad(col("lang"), 8, " "),
+          lpad(col("n_chars").cast("string"), 10, "0")).as("rec"))
+        .select(when(col("rec").substr(1, 12).cast("long") % 13 === 0,
+          col("rec").substr(1, 17)).otherwise(col("rec")).as("value"))
+      val path = ParityQueries.StagedInputs(s"$dir|documents|fixed-width") { d =>
+        lines.write.mode("overwrite").text(d)
+      }
+      s.read.text(path)
+        .filter(length(col("value")) === 30)
+        .select(col("value").substr(1, 12).cast("long").as("doc_id"),
+          trim(col("value").substr(13, 8)).as("lang"),
+          col("value").substr(21, 10).cast("long").as("n_chars"))
+        .orderBy("doc_id")
+    }),
+
     // Schema evolution across corpus versions: v1 shards carry
     // (doc_id, text, lang), v2 shards added `source`/`n_chars` and
     // dropped `lang`. A long-lived corpus ALWAYS hits this; the
@@ -2434,6 +2569,18 @@ object TrainingDataQueries {
         .toDF()
         .select(col("media_id"), col("format"), col("n_samples"),
           col("ssq"), col("diff2"), col("hf_ratio"))
+        .orderBy("media_id")),
+
+    // Silence detection over the decoded PCM: 64-sample windows, exact
+    // integer sum threshold, LONGEST silent run — the windowed
+    // sequence-order grade (a right-multiset wrong-order decode breaks
+    // the run length). The oracle replays windows as i//64 groups over
+    // the character-pair samples and the run via gaps-and-islands on
+    // the silent window indexes.
+    "multimodal_audio_silence" -> ((s, dir) =>
+      Multimodal.audioSilence(
+          Multimodal.synthesizeAudioPayload(Tables.documents(s, dir), "doc_id", "text"))
+        .toDF()
         .orderBy("media_id")),
 
     // The VARIABLE-OFFSET leg: synthesized JPEGs carry an md5-length COM
@@ -4367,6 +4514,133 @@ object TrainingDataQueries {
         |WHERE c.cum * 100 >= qs.quantile * t.n
         |GROUP BY c.event_type, qs.quantile, t.n
         |ORDER BY event_type, quantile""".stripMargin,
+
+    // Reciprocity replay: distinct directed edges, mutual pairs via the
+    // swapped-key EXISTS, one micro floor division.
+    "graph_reciprocity" ->
+      """WITH d AS (SELECT doc_id AS src,
+        |        (doc_id * 7 + k * 13) % (SELECT count(*) FROM documents) AS dst
+        |      FROM documents CROSS JOIN (SELECT unnest([1, 2, 3]) AS k) ks),
+        |e AS (SELECT DISTINCT src, dst FROM d WHERE src <> dst),
+        |r AS (SELECT count(*) AS n_recip FROM e
+        |      WHERE EXISTS (SELECT 1 FROM e e2
+        |                    WHERE e2.src = e.dst AND e2.dst = e.src)),
+        |t AS (SELECT count(*) AS n_edges FROM e)
+        |SELECT n_edges, n_recip,
+        |       ((n_recip * 1000000) // n_edges) / 1e6 AS reciprocity
+        |FROM t CROSS JOIN r""".stripMargin,
+
+    // Fixed-width ingest oracle: ground truth minus the planted
+    // corruption — any positional parse error or swallowed bad record
+    // diverges.
+    "ingest_fixed_width" ->
+      """SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+        |FROM documents WHERE doc_id % 13 <> 0 ORDER BY doc_id""".stripMargin,
+
+    // Phrase scan replay: the same positional bigram explode joined to
+    // the inlined phrase list.
+    "text_phrase_scan" ->
+      s"""WITH w AS (SELECT doc_id, $wordsSql AS l FROM documents),
+         |b AS (SELECT doc_id,
+         |        unnest(list_transform(generate_series(1, len(l) - 1),
+         |          i -> l[i] || ' ' || l[i+1])) AS phrase
+         |      FROM w WHERE len(l) >= 2),
+         |p AS (SELECT unnest(['the customer', 'slow query', 'hash join',
+         |                     'of the', 'join the']) AS phrase)
+         |SELECT doc_id, phrase, count(*) AS n_hits
+         |FROM b JOIN p USING (phrase)
+         |GROUP BY 1, 2 ORDER BY doc_id, phrase""".stripMargin,
+
+    // Silence replay: character-pair samples (the audio ASCII
+    // contract), i//64 full windows, sum threshold 64·25000, longest
+    // run via gaps-and-islands over the silent window indexes.
+    "multimodal_audio_silence" ->
+      """WITH m AS (SELECT doc_id, text, octet_length(encode(text)) AS nb,
+        |         ('0x' || substr(md5(text), 9, 4))::BIGINT % 2 + 1 AS nch
+        |       FROM documents),
+        |smp AS (SELECT m.doc_id, u.i AS i,
+        |          ord(substr(m.text, 2*u.i + 1, 1))
+        |          + 256 * ord(substr(m.text, 2*u.i + 2, 1)) AS sv
+        |        FROM m, LATERAL unnest(generate_series(0,
+        |               (m.nb // (2 * m.nch)) * m.nch - 1)) AS u(i)),
+        |w AS (SELECT doc_id, i // 64 AS wk, sum(sv) AS wsum,
+        |             count(*) AS wn
+        |      FROM smp GROUP BY 1, 2),
+        |f AS (SELECT doc_id, wk, (wsum < 1600000) AS silent
+        |      FROM w WHERE wn = 64),
+        |ag AS (SELECT doc_id, count(*) AS n_windows,
+        |              count(*) FILTER (WHERE silent) AS n_silent
+        |       FROM f GROUP BY 1),
+        |runs AS (SELECT doc_id,
+        |           wk - row_number() OVER (PARTITION BY doc_id ORDER BY wk)
+        |             AS grp
+        |         FROM f WHERE silent),
+        |rl AS (SELECT doc_id, max(cnt) AS longest FROM
+        |         (SELECT doc_id, grp, count(*) AS cnt FROM runs GROUP BY 1, 2)
+        |       GROUP BY 1)
+        |SELECT m.doc_id AS media_id, 'wav' AS format,
+        |       CAST(coalesce(ag.n_windows, 0) AS BIGINT) AS n_windows,
+        |       CAST(coalesce(ag.n_silent, 0) AS BIGINT) AS n_silent,
+        |       CAST(coalesce(rl.longest, 0) AS BIGINT) AS longest_run
+        |FROM m LEFT JOIN ag USING (doc_id) LEFT JOIN rl USING (doc_id)
+        |ORDER BY media_id""".stripMargin,
+
+    // Power-iteration replay: micro-quantized embeddings, three
+    // unrolled v ← normalize(XᵀXv) rounds in HUGEINT with the identical
+    // sign-split floor-division L∞ normalization.
+    "embedding_power_iter" -> {
+      val rounds = (1 to 3).map { i =>
+        s"""dot$i AS (SELECT e.vec_id, CAST(sum(e.x * v${i - 1}.vm) AS HUGEINT) AS dot
+           |        FROM e JOIN v${i - 1} USING (d) GROUP BY 1),
+           |s$i AS (SELECT e.d,
+           |         CAST(sum(CAST(e.x AS HUGEINT) * dot$i.dot) AS HUGEINT) AS sd
+           |      FROM e JOIN dot$i USING (vec_id) GROUP BY 1),
+           |m$i AS (SELECT max(abs(sd)) AS m FROM s$i),
+           |v$i AS (SELECT d, CASE WHEN sd < 0 THEN -(((-sd) * 1000000) // m)
+           |               ELSE (sd * 1000000) // m END AS vm
+           |      FROM s$i CROSS JOIN m$i)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH x AS (SELECT vec_id,
+         |        list_transform(embedding,
+         |          e -> CAST(floor(CAST(e AS DOUBLE) * 1000000) AS BIGINT)) AS xm
+         |      FROM embeddings),
+         |e AS (SELECT vec_id, u.d, xm[u.d + 1] AS x
+         |      FROM x, LATERAL unnest(generate_series(0, 63)) AS u(d)),
+         |v0 AS (SELECT unnest(generate_series(0, 63)) AS d,
+         |              CAST(1000000 AS HUGEINT) AS vm),
+         |$rounds
+         |SELECT CAST(d AS BIGINT) AS d, CAST(vm AS BIGINT) AS vm,
+         |       CAST(vm AS DOUBLE) / 1e6 AS component
+         |FROM v3 ORDER BY d""".stripMargin
+    },
+
+    // Curation v5 replay: Hamilton allocation CTEs + the alpha-ratio
+    // score + per-source rank-within-allocation.
+    "pipeline_curation_v5" ->
+      """WITH b AS (SELECT source, CAST(sum(n_chars) AS HUGEINT) AS weight
+        |           FROM documents GROUP BY 1),
+        |t AS (SELECT sum(weight) AS v FROM b),
+        |q AS (SELECT source, weight, (300 * weight) // v AS base,
+        |             (300 * weight) % v AS rem
+        |      FROM b CROSS JOIN t),
+        |sb AS (SELECT sum(base) AS allocated FROM q),
+        |a AS (SELECT source,
+        |        base + CASE WHEN row_number() OVER (ORDER BY rem DESC, source)
+        |                         <= 300 - allocated THEN 1 ELSE 0 END AS alloc
+        |      FROM q CROSS JOIN sb),
+        |sc AS (SELECT source, doc_id, n_chars,
+        |         (length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+        |          * 1000000) // length(text) AS score_micro
+        |       FROM documents),
+        |r AS (SELECT sc.*, a.alloc,
+        |        row_number() OVER (PARTITION BY sc.source
+        |          ORDER BY score_micro DESC, doc_id) AS rk
+        |      FROM sc JOIN a USING (source))
+        |SELECT source, count(*) AS n_taken,
+        |       CAST(sum(n_chars) AS BIGINT) AS chars_taken,
+        |       min(score_micro) / 1e6 AS worst_kept_score
+        |FROM r WHERE rk <= alloc
+        |GROUP BY source ORDER BY source""".stripMargin,
 
     // Eval-set pipeline: the contamination CTEs (exact variant) feed a
     // quota-sampled per-source roll-up of the clean test docs.

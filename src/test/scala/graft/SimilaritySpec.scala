@@ -33,6 +33,29 @@ class SimilaritySpec extends SparkSpec {
       (1, 2L, 3.0, 1.0, 2.0, 4.0)))
   }
 
+  test("powerIteration: recovers the dominant axis; exact trajectory is partition-invariant") {
+    // 2-dim data with a dominant first axis: XᵀX is diagonal-ish with
+    // λ1 >> λ2, so after 3 rounds the L∞-normalized vector puts the
+    // full micro unit on dim 0 and a small weight on dim 1.
+    val df = Seq(
+      (1L, Seq(1.0f, 0.1f)), (2L, Seq(-1.0f, -0.1f)),
+      (3L, Seq(0.9f, 0.0f)), (4L, Seq(-0.95f, 0.05f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.powerIteration(df, rounds = 3, dim = 2)
+      .orderBy("d").as[(Long, Long, Double)].collect()
+    assert(got.length === 2)
+    val byDim = got.map(r => r._1 -> r._2).toMap
+    assert(math.abs(byDim(0L)) === 1000000L,
+      s"dominant axis holds the full L-inf unit, got $byDim")
+    assert(math.abs(byDim(1L)) < 200000L,
+      s"minor axis stays small, got $byDim")
+    // exact integer trajectory: a different partitioning computes the
+    // IDENTICAL vector (the associative-decimal-sum argument)
+    val repart = Similarity.powerIteration(df.repartition(7), rounds = 3, dim = 2)
+      .orderBy("d").as[(Long, Long, Double)].collect()
+    assert(repart.toSeq === got.toSeq)
+  }
+
   test("quantizeInt8: values in [-127,127], dequantized roundtrip within scale/2, zero vector safe") {
     val got = Similarity.quantizeInt8(emb)
       .join(emb.select(col("vec_id"), col("embedding")), "vec_id")

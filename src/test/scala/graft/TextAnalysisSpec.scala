@@ -479,6 +479,27 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("multimodal: audioSilence windows, threshold, and longest run on a planned PCM body") {
+    import spark.implicits._
+    // Character pairs are the samples (ASCII contract): ' ' pairs give
+    // 32+256*32 = 8224 (< 25000, silent), 'z' pairs 122+256*122 = 31354
+    // (loud). 128 chars = 64 samples = one window, so the layout below
+    // is [loud][silent][loud][silent][silent] + a trailing partial
+    // window of 'z' that must be EXCLUDED, not counted loud.
+    val text = "z" * 128 + " " * 128 + "z" * 128 + " " * 256 + "z" * 50
+    val doc = Seq((7L, text)).toDF("doc_id", "text")
+    val got = Multimodal.audioSilence(
+      Multimodal.synthesizeAudioPayload(doc, "doc_id", "text")).collect().head
+    assert(got.format === "wav")
+    assert(got.n_windows === Some(5L), s"5 full windows, partial excluded: $got")
+    assert(got.n_silent === Some(3L))
+    assert(got.longest_run === Some(2L))
+    // quarantine: junk bytes yield 'unknown' with null stats
+    val junk = Seq((99L, Array[Byte](9, 9, 9))).toDF("media_id", "payload")
+    val q = Multimodal.audioSilence(junk).collect().head
+    assert(q.format === "unknown" && q.n_windows.isEmpty)
+  }
+
   test("multimodal: dominantColor replays the quantized-histogram argmax from the formula") {
     val withPng = Multimodal.synthesizeRealPng(docs, "doc_id")
     val got = Multimodal.dominantColor(withPng).collect()
