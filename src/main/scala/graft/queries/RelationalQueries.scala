@@ -3381,6 +3381,29 @@ object RelationalQueries {
         .orderBy("user_id")
     }),
 
+    // Recency-decayed engagement score — the freshness weighting every
+    // ranking/retention rollup applies, with the half-life decay done
+    // as EXACT integer halving: weight = cents >> (age_days div 30),
+    // the power-of-2 half-life approximation (2^-k decay per 30-day
+    // epoch — stated approximation, zero libm, identical on both
+    // engines because the operands are nonneg-clamped integers and the
+    // shift count is capped). Shape: the "now" anchor is a broadcast
+    // 1-row max; the per-user rollup is one partial-aggregable
+    // HashAggregate.
+    "q_decay_score" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("user_id"), col("ts_ms"),
+        expr("greatest(cast(floor(value * 100) as bigint), 0)").as("cents"))
+      val now = ev.agg(max(col("ts_ms")).as("now_ms"))
+      ev.crossJoin(broadcast(now))
+        .withColumn("hl",
+          expr("least(((now_ms - ts_ms) div 86400000) div 30, 62)"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("cents")).as("raw_cents"),
+          sum(expr("shiftright(cents, cast(hl as int))")).as("decayed_cents"))
+        .orderBy("user_id")
+    }),
+
     // Expected calibration error — the reliability audit every
     // quality-classifier pipeline runs before trusting model scores as
     // probabilities: bin predictions by confidence decile, compare each
@@ -4254,6 +4277,20 @@ object RelationalQueries {
         |       CAST(sum(en - st) AS BIGINT) AS covered_ms,
         |       max(en) - min(st) AS span_ms
         |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // Decay replay: shift count from the broadcast "now", nonneg cents,
+    // arithmetic >> on both engines over nonnegatives.
+    "q_decay_score" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS ts_ms,
+        |             greatest(CAST(floor(value * 100) AS BIGINT), 0) AS cents
+        |           FROM events),
+        |n AS (SELECT max(ts_ms) AS now_ms FROM e)
+        |SELECT user_id, count(*) AS n_events,
+        |       CAST(sum(cents) AS BIGINT) AS raw_cents,
+        |       CAST(sum(cents >> least(((now_ms - ts_ms) // 86400000) // 30,
+        |                               62)) AS BIGINT) AS decayed_cents
+        |FROM e CROSS JOIN n
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q_sessionize" ->
       """WITH e AS (

@@ -1133,6 +1133,68 @@ object TrainingDataQueries {
       Similarity.silhouette(Tables.embeddings(s, dir), k = 8)
         .orderBy("cell_id")),
 
+    // External clustering evaluation #1 — PURITY against the embedding
+    // labels: per cluster, the modal label and its count (packed-BIGINT
+    // argmax with the smallest-label tie-break — the q_mode discipline),
+    // corpus purity = Σ modal / N as one micro division. Shape: the
+    // contingency table is two stacked partial-aggregable
+    // HashAggregates bounded by |cells|·|labels|; the total is a
+    // broadcast 1-row aggregate. Pack headroom: counts < 2⁴² before
+    // the 2²¹ label pack wraps — widen to decimal past that.
+    "cluster_purity" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val (_, asg) = Similarity.kmeans(emb, k = 8, iterations = 0)
+      val pack = 2097152L // 2^21
+      val cells = asg.select(col("c_id"), col("cell_id"))
+        .join(emb.select(col("vec_id").as("c_id"),
+          col("label").cast("long").as("label")), "c_id")
+        .groupBy(col("cell_id"), col("label")).agg(count(lit(1)).as("n"))
+      val per = cells.groupBy(col("cell_id"))
+        .agg(count(lit(1)).as("n_labels"), sum(col("n")).as("n_points"),
+          max(col("n") * pack + (lit(pack - 1) - col("label"))).as("pmax"))
+        .select(col("cell_id"), col("n_labels"), col("n_points"),
+          (lit(pack - 1) - pmod(col("pmax"), lit(pack))).as("modal_label"),
+          expr("pmax div 2097152").as("modal_n"))
+      val tot = per.agg(sum(col("modal_n")).as("sm"),
+        sum(col("n_points")).as("sp"))
+      per.crossJoin(broadcast(tot))
+        .select(col("cell_id"), col("n_labels"), col("n_points"),
+          col("modal_label"), col("modal_n"),
+          (expr("(sm * 1000000) div sp") / 1e6).as("purity"))
+        .orderBy("cell_id")
+    }),
+
+    // External clustering evaluation #2 — RAND INDEX against the
+    // labels, by pure pair counting on the contingency table: with
+    // t_X = Σ x(x−1) over the relevant marginals, RI = (T + 2·t_ij −
+    // t_i − t_j) / T where T = n(n−1) — the ½ in every C(·,2) cancels,
+    // so the whole statistic is ONE integer division of exact
+    // decimal(38,0) sums (no factorials, no floats). Shape: one
+    // contingency aggregate, then algebra over its |cells|·|labels|
+    // rows and two bounded marginal rollups.
+    "cluster_rand_index" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val (_, asg) = Similarity.kmeans(emb, k = 8, iterations = 0)
+      val dec = "decimal(38,0)"
+      val cells = asg.select(col("c_id"), col("cell_id"))
+        .join(emb.select(col("vec_id").as("c_id"),
+          col("label").cast("long").as("label")), "c_id")
+        .groupBy(col("cell_id"), col("label")).agg(count(lit(1)).as("n"))
+      val tij = cells.agg(
+        sum(expr(s"cast(n as $dec) * (n - 1)")).as("t_ij"))
+      val ti = cells.groupBy(col("cell_id")).agg(sum(col("n")).as("a"))
+        .agg(sum(expr(s"cast(a as $dec) * (a - 1)")).as("t_i"),
+          sum(col("a")).as("n_tot"), count(lit(1)).as("n_clusters"))
+      val tj = cells.groupBy(col("label")).agg(sum(col("n")).as("b"))
+        .agg(sum(expr(s"cast(b as $dec) * (b - 1)")).as("t_j"),
+          count(lit(1)).as("n_classes"))
+      ti.crossJoin(broadcast(tij)).crossJoin(broadcast(tj))
+        .select(col("n_tot"), col("n_clusters"), col("n_classes"),
+          (expr(s"((cast(n_tot as $dec) * (n_tot - 1) + 2 * t_ij - t_i - t_j)" +
+            s" * 1000000) div (cast(n_tot as $dec) * (n_tot - 1))") / 1e6)
+            .as("rand_index"))
+    }),
+
     // SemDeDup (cluster-blocked semantic dedup): deterministic
     // nearest-centroid assignment as the blocking key, intra-cluster
     // round-6 cosine pairs at eps, drop every member with a MORE
@@ -2395,6 +2457,32 @@ object TrainingDataQueries {
         .select(col("value").substr(1, 12).cast("long").as("doc_id"),
           trim(col("value").substr(13, 8)).as("lang"),
           col("value").substr(21, 10).cast("long").as("n_chars"))
+        .orderBy("doc_id")
+    }),
+
+    // Quoted-CSV round-trip — the robustness leg of CSV ingest: every
+    // field value is ENRICHED with an embedded delimiter, quote, and
+    // newline, written with quoteAll, read back with multiLine, and
+    // graded (md5 + length) against the same enrichment applied to the
+    // ORIGINAL table — any quoting/escaping/newline lossiness in the
+    // write→read chain flips the hash. Scale note, stated not hidden:
+    // quoted-newline CSV is NOT splittable (multiLine pins a file to a
+    // task) — this ingest exists for interchange; the first thing a
+    // 100 TB pipeline does with it is rewrite to parquet.
+    "ingest_csv_quoted" -> ((s, dir) => {
+      val enriched = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          concat(col("text"), lit(", \"tricky\"\nline2,end")).as("text"))
+      val path = ParityQueries.StagedInputs(s"$dir|documents|csv-quoted") { d =>
+        enriched.write.mode("overwrite")
+          .option("header", "true").option("quoteAll", "true").csv(d)
+      }
+      s.read.option("header", "true").option("multiLine", "true")
+        .schema("doc_id LONG, lang STRING, text STRING")
+        .csv(path)
+        .select(col("doc_id"), col("lang"),
+          md5(col("text")).as("text_md5"),
+          length(col("text")).cast("long").as("n_chars_rt"))
         .orderBy("doc_id")
     }),
 
@@ -3924,6 +4012,61 @@ object TrainingDataQueries {
          |          FROM e CROSS JOIN cent) t WHERE rn = 1)
          |SELECT c_id, cell_id, sim FROM asg ORDER BY c_id""".stripMargin,
 
+    // Purity replay: the cluster_assign CTEs feed a label join, the
+    // packed-2²¹ modal argmax, and one micro division.
+    "cluster_purity" ->
+      s"""WITH $embCte,
+         |cent AS (SELECT vec_id AS cell_id, v AS cv, nrm AS cn FROM e
+         |         ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 8),
+         |asg AS (SELECT c_id, cell_id FROM (
+         |          SELECT e.vec_id AS c_id, cent.cell_id,
+         |                 row_number() OVER (PARTITION BY e.vec_id
+         |                   ORDER BY round(list_inner_product(e.v, cent.cv) / (e.nrm * cent.cn), 6) DESC,
+         |                            cent.cell_id) AS rn
+         |          FROM e CROSS JOIN cent) t WHERE rn = 1),
+         |j AS (SELECT asg.cell_id, CAST(e2.label AS BIGINT) AS label
+         |      FROM asg JOIN embeddings e2 ON e2.vec_id = asg.c_id),
+         |cells AS (SELECT cell_id, label, count(*) AS n FROM j GROUP BY 1, 2),
+         |per AS (SELECT cell_id, count(*) AS n_labels,
+         |          CAST(sum(n) AS BIGINT) AS n_points,
+         |          max(n * 2097152 + (2097151 - label)) AS pmax
+         |        FROM cells GROUP BY 1),
+         |tot AS (SELECT sum(pmax // 2097152) AS sm, sum(n_points) AS sp FROM per)
+         |SELECT cell_id, n_labels, n_points,
+         |       CAST(2097151 - (pmax % 2097152) AS BIGINT) AS modal_label,
+         |       CAST(pmax // 2097152 AS BIGINT) AS modal_n,
+         |       ((sm * 1000000) // sp) / 1e6 AS purity
+         |FROM per CROSS JOIN tot ORDER BY cell_id""".stripMargin,
+
+    // Rand index replay: same contingency, the ½-cancelled pair algebra
+    // in HUGEINT, one division.
+    "cluster_rand_index" ->
+      s"""WITH $embCte,
+         |cent AS (SELECT vec_id AS cell_id, v AS cv, nrm AS cn FROM e
+         |         ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 8),
+         |asg AS (SELECT c_id, cell_id FROM (
+         |          SELECT e.vec_id AS c_id, cent.cell_id,
+         |                 row_number() OVER (PARTITION BY e.vec_id
+         |                   ORDER BY round(list_inner_product(e.v, cent.cv) / (e.nrm * cent.cn), 6) DESC,
+         |                            cent.cell_id) AS rn
+         |          FROM e CROSS JOIN cent) t WHERE rn = 1),
+         |j AS (SELECT asg.cell_id, CAST(e2.label AS BIGINT) AS label
+         |      FROM asg JOIN embeddings e2 ON e2.vec_id = asg.c_id),
+         |cells AS (SELECT cell_id, label, count(*) AS n FROM j GROUP BY 1, 2),
+         |tij AS (SELECT sum(CAST(n AS HUGEINT) * (n - 1)) AS t_ij FROM cells),
+         |ti AS (SELECT sum(CAST(a AS HUGEINT) * (a - 1)) AS t_i,
+         |              CAST(sum(a) AS BIGINT) AS n_tot,
+         |              count(*) AS n_clusters
+         |       FROM (SELECT cell_id, sum(n) AS a FROM cells GROUP BY 1)),
+         |tj AS (SELECT sum(CAST(b AS HUGEINT) * (b - 1)) AS t_j,
+         |              count(*) AS n_classes
+         |       FROM (SELECT label, sum(n) AS b FROM cells GROUP BY 1))
+         |SELECT n_tot, n_clusters, n_classes,
+         |       (((CAST(n_tot AS HUGEINT) * (n_tot - 1) + 2 * t_ij - t_i - t_j)
+         |         * 1000000) // (CAST(n_tot AS HUGEINT) * (n_tot - 1))) / 1e6
+         |         AS rand_index
+         |FROM ti CROSS JOIN tij CROSS JOIN tj""".stripMargin,
+
     // Same seed-prefix centroids, round-6 top-2 similarities with the
     // cell_id tie-break, and exact micro-unit silhouette scores.
     "cluster_silhouette" ->
@@ -4529,6 +4672,17 @@ object TrainingDataQueries {
         |SELECT n_edges, n_recip,
         |       ((n_recip * 1000000) // n_edges) / 1e6 AS reciprocity
         |FROM t CROSS JOIN r""".stripMargin,
+
+    // Quoted-CSV oracle: the enrichment applied to the ORIGINAL table —
+    // the write→read chain must be byte-lossless through embedded
+    // delimiter, quote, and newline.
+    "ingest_csv_quoted" ->
+      """SELECT doc_id, lang,
+        |       md5(text || ', "tricky"' || chr(10) || 'line2,end')
+        |         AS text_md5,
+        |       CAST(length(text || ', "tricky"' || chr(10) || 'line2,end')
+        |         AS BIGINT) AS n_chars_rt
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // Fixed-width ingest oracle: ground truth minus the planted
     // corruption — any positional parse error or swallowed bad record
