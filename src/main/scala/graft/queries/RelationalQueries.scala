@@ -3381,6 +3381,65 @@ object RelationalQueries {
         .orderBy("user_id")
     }),
 
+    // Rolling z-score anomaly detection over the daily revenue series —
+    // the windowed control-chart every ops dashboard runs. Exactness:
+    // the trailing-14-day moments are exact decimal(38,0) sums; the
+    // z denominator n·Σx²−(Σx)² is an exact integer, so z is ONE
+    // division + ONE sqrt of exact integers (identical IEEE both
+    // engines, no round()), and the |z|>3 outlier FLAG avoids floats
+    // entirely — num² > 9·den is a pure integer comparison, so the
+    // alarm can never flip on a ulp. Shape: the fact table collapses to
+    // the calendar-bounded daily rollup FIRST (the q_drawdown
+    // contract); the unpartitioned window runs over ≤2.4k dimension
+    // rows, never the data.
+    "q_rolling_zscore" -> ((s, dir) => {
+      val dec = "decimal(38,0)"
+      val daily = Tables.events(s, dir)
+        .groupBy(expr("ts_ms div 86400000").as("day"))
+        .agg(sum(expr("cast(floor(value * 100) as bigint)")).as("cents"))
+      val w = Window.orderBy("day").rowsBetween(-13, 0)
+      daily
+        .withColumn("n", count(lit(1)).over(w))
+        .withColumn("sx", sum(col("cents").cast(dec)).over(w))
+        .withColumn("sx2",
+          sum(col("cents").cast(dec) * col("cents")).over(w))
+        .select(col("day"), col("cents"), col("n"),
+          expr(s"cast(n as $dec) * cents - sx").as("num"),
+          expr(s"cast(n as $dec) * sx2 - sx * sx").as("den"))
+        .select(col("day"), col("cents"), col("n"),
+          when(col("den") > 0,
+            col("num").cast("double") / sqrt(col("den").cast("double")))
+            .otherwise(lit(null).cast("double")).as("z"),
+          (col("num") * col("num") > lit(9) * col("den") && col("den") > 0)
+            .as("is_outlier"))
+        .orderBy("day")
+    }),
+
+    // Seasonal-naive backtest — forecast(d) = actual(d−7), the baseline
+    // every forecasting system must beat, evaluated as an exact MAE:
+    // per-day absolute errors are exact BIGINT cents, MAE is ONE micro
+    // floor division, and the worst day rides a packed-BIGINT argmax
+    // (err·2²¹ + complemented epoch-day — epoch days sit far below 2²¹;
+    // the pack is exact while err < 2⁴² cents). Same daily-rollup-first
+    // shape; the lag window runs over the calendar-bounded series.
+    "q_backtest_snaive" -> ((s, dir) => {
+      val pack = 2097152L // 2^21
+      val daily = Tables.events(s, dir)
+        .groupBy(expr("ts_ms div 86400000").as("day"))
+        .agg(sum(expr("cast(floor(value * 100) as bigint)")).as("cents"))
+      val w = Window.orderBy("day")
+      daily.withColumn("fc", lag(col("cents"), 7).over(w))
+        .filter(col("fc").isNotNull)
+        .withColumn("err", abs(col("cents") - col("fc")))
+        .agg(count(lit(1)).as("n_days"),
+          sum(col("err")).as("total_err"),
+          max(col("err") * pack + (lit(pack - 1) - col("day"))).as("pmax"))
+        .select(col("n_days"), col("total_err"),
+          (expr("(total_err * 1000000) div n_days") / 1e6).as("mae"),
+          expr("pmax div 2097152").as("max_err"),
+          (lit(pack - 1) - pmod(col("pmax"), lit(pack))).as("worst_day"))
+    }),
+
     // Recency-decayed engagement score — the freshness weighting every
     // ranking/retention rollup applies, with the half-life decay done
     // as EXACT integer halving: weight = cents >> (age_days div 30),
@@ -4277,6 +4336,51 @@ object RelationalQueries {
         |       CAST(sum(en - st) AS BIGINT) AS covered_ms,
         |       max(en) - min(st) AS span_ms
         |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // Rolling z replay: trailing-14 HUGEINT moments, one division + one
+    // sqrt of exact integers, integer-compared outlier flag.
+    "q_rolling_zscore" ->
+      """WITH daily AS (SELECT epoch_ms(ts) // 86400000 AS day,
+        |                 CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+        |                   AS cents
+        |               FROM events GROUP BY 1),
+        |w AS (SELECT day, cents,
+        |        count(*) OVER r AS n,
+        |        sum(CAST(cents AS HUGEINT)) OVER r AS sx,
+        |        sum(CAST(cents AS HUGEINT) * cents) OVER r AS sx2
+        |      FROM daily
+        |      WINDOW r AS (ORDER BY day ROWS BETWEEN 13 PRECEDING
+        |                   AND CURRENT ROW)),
+        |t AS (SELECT day, cents, n,
+        |        CAST(n AS HUGEINT) * cents - sx AS num,
+        |        CAST(n AS HUGEINT) * sx2 - sx * sx AS den
+        |      FROM w)
+        |SELECT day, cents, n,
+        |       CASE WHEN den > 0
+        |            THEN CAST(num AS DOUBLE) / sqrt(CAST(den AS DOUBLE))
+        |            ELSE NULL END AS z,
+        |       (num * num > 9 * den AND den > 0) AS is_outlier
+        |FROM t ORDER BY day""".stripMargin,
+
+    // Seasonal-naive replay: lag-7 forecast over the daily rollup,
+    // exact MAE micro division, packed-BIGINT worst-day argmax.
+    "q_backtest_snaive" ->
+      """WITH daily AS (SELECT epoch_ms(ts) // 86400000 AS day,
+        |                 CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+        |                   AS cents
+        |               FROM events GROUP BY 1),
+        |f AS (SELECT day, cents,
+        |        lag(cents, 7) OVER (ORDER BY day) AS fc
+        |      FROM daily),
+        |e AS (SELECT day, abs(cents - fc) AS err FROM f WHERE fc IS NOT NULL),
+        |a AS (SELECT count(*) AS n_days, CAST(sum(err) AS BIGINT) AS total_err,
+        |        max(err * 2097152 + (2097151 - day)) AS pmax
+        |      FROM e)
+        |SELECT n_days, total_err,
+        |       ((total_err * 1000000) // n_days) / 1e6 AS mae,
+        |       CAST(pmax // 2097152 AS BIGINT) AS max_err,
+        |       CAST(2097151 - (pmax % 2097152) AS BIGINT) AS worst_day
+        |FROM a""".stripMargin,
 
     // Decay replay: shift count from the broadcast "now", nonneg cents,
     // arithmetic >> on both engines over nonnegatives.

@@ -174,7 +174,18 @@ object PlanDump {
     "data_budget_allocation" -> "Hamilton apportionment: one partial-aggregable rollup to |sources| rows; quota base/remainder are exact decimal(38,0) products with single floor divisions; the remainder-rank window runs over the |sources|-row rollup only — bounded by the stratum universe, never the corpus",
     "q_interval_union" -> "interval union: ALL windows (running-max end, island id, per-island rollup) partition by user_id — one shuffle, partition-local sorts, no global window; variable-length intervals make the running-max end load-bearing (a lag would lose containment)",
     "stream_quantile_hist" -> "streaming quantiles: complete-mode groupBy whose state is |types|·1024 rows BY CONSTRUCTION (clamped buckets — independent of stream length and value cardinality); the batch-side extraction windows over the bounded sketch snapshot only",
-    "multimodal_palette" -> "dominant color: real decode + fixed 64-slot histogram in mapPartitions (imperative codec work); plan side is scan -> decode -> presentation sort, parallel by file, no shuffle")
+    "multimodal_palette" -> "dominant color: real decode + fixed 64-slot histogram in mapPartitions (imperative codec work); plan side is scan -> decode -> presentation sort, parallel by file, no shuffle",
+    "embedding_power_iter" -> "matrix-free power iteration: per round ONE corpus pass (the dot is a codegen zip_with/aggregate fold against the round's vector LITERALS — no join) + one 64-group partial aggregate (map-side combined to 64 rows per partition); driver state is one 64-long vector per round, the kmeans-centroid precedent; exact decimal sums make the trajectory partition-invariant",
+    "text_phrase_scan" -> "blocklist scan as a JOIN: the corpus explodes once into positional bigrams and meets the BROADCAST phrase table on an equi-key — pattern count never multiplies the corpus pass (the scaled Aho-Corasick shape); hit counting is one partial-aggregable HashAggregate",
+    "graph_reciprocity" -> "mutual-link share: distinct edge set + ONE left-semi self-join on the swapped key pair; both aggregates partial-aggregable, ratio is one micro floor division over broadcast 1-row counts",
+    "q_decay_score" -> "half-life decay with zero libm: the now anchor is a broadcast 1-row max; decay is an arithmetic shift (cents >> capped epochs) inside the scan projection; one partial-aggregable per-user rollup",
+    "pipeline_curation_v5" -> "budget-constrained best-of: Hamilton allocation is |sources|-row algebra broadcast back; selection is ONE per-source rank window (as many partitions as sources); the report is a bounded rollup — the corpus is scanned once for scoring",
+    "cluster_purity" -> "external cluster eval: contingency = two stacked partial-aggregable HashAggregates bounded by |cells|x|labels|; modal label rides the packed-BIGINT argmax (the q_mode discipline); purity is one micro division over a broadcast 1-row total",
+    "cluster_rand_index" -> "pair-counting Rand index: the half in every C(x,2) cancels algebraically, so the statistic is ONE integer division of exact decimal pair sums — contingency + two bounded marginal rollups, no factorials, no floats",
+    "ingest_csv_quoted" -> "quoted-newline CSV: multiLine read pins a file to a task (stated: NOT splittable — interchange only, rewrite to parquet first at scale); the grade is a per-row md5/length projection against the enriched original",
+    "multimodal_audio_silence" -> "windowed silence: real PCM decode + fixed 64-sample window fold in mapPartitions (sequence-sensitive longest-run state is one counter); plan side scan -> decode -> presentation sort",
+    "q_rolling_zscore" -> "control chart: the fact table collapses to the calendar-bounded daily rollup FIRST; the trailing-14 window runs over <=2.4k dimension rows; z is one division + one sqrt of exact integers and the |z|>3 flag is a pure integer comparison (num^2 > 9*den) that can never flip on a ulp",
+    "q_backtest_snaive" -> "seasonal-naive backtest: daily rollup -> one lag window over the bounded series -> a single aggregate carrying exact MAE and the packed-BIGINT worst-day argmax")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"

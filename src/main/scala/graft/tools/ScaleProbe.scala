@@ -158,6 +158,17 @@ object ScaleProbe {
         val (rows2, sec2) = time(ivfpq())
         println(f"PROBE x$factor ivfpq vecs=$nVecs " +
           f"rows=$rows2 time=$sec2%.2fs")
+        // Power iteration at xN vectors: each round is ONE corpus pass
+        // (codegen dot against round literals) + a 64-group partial
+        // aggregate, so cross-factor growth must track the corpus
+        // linearly with a flat per-round constant — a superlinear jump
+        // would mean the per-dimension aggregation picked up a
+        // corpus-sized key or the checkpoint stopped holding.
+        val pit = () => Similarity.powerIteration(embN, rounds = 3).count()
+        pit() // warm
+        val (rows3, sec3) = time(pit())
+        println(f"PROBE x$factor power_iter vecs=$nVecs " +
+          f"rows=$rows3 time=$sec3%.2fs")
       }
       // BPE trainer at xN: the per-round pair count runs over the
       // word-TYPE table, whose size is bounded by the vocabulary — the
@@ -226,6 +237,19 @@ object ScaleProbe {
         val (modRows, modSec) = time(mod())
         println(f"PROBE x$factor graph_modularity nodes=${nBase * factor} " +
           f"communities=$modRows time=$modSec%.2fs")
+        // k-truss at xN nodes: 3 support-count rounds, each Σdeg² in
+        // wedge candidates over the 3N-edge graph + 40-node planted
+        // block. Degrees are bounded by the generator (≤ ~6 bulk, ~16
+        // planted), so wedge mass — and per-round cost — must track
+        // |E| linearly across factors; superlinear growth would mean
+        // the adjacency join picked up a hub or the survivor
+        // checkpoints stopped holding.
+        val truss = () =>
+          graft.SparkEntry.queries("graph_ktruss")(spark, tmp).count()
+        truss() // warm
+        val (trussRows, trussSec) = time(truss())
+        println(f"PROBE x$factor graph_ktruss nodes=${nBase * factor} " +
+          f"edges_kept=$trussRows time=$trussSec%.2fs")
       }
       // Jaro–Winkler pair probe: TPC-H-shaped names over xN ids in 25
       // blocks. The sorted-chars deletion-neighborhood candidate join
