@@ -18,6 +18,16 @@ object TextFunctions {
   def words(text: Column): Column =
     split(lower(trim(text)), "\\s+")
 
+  /** Positional word-bigram SQL fragment over a words-array column —
+    * THE bigram definition (space-joined adjacent tokens) every bigram
+    * consumer shares (LM score, KN smoothing, DSIR buckets, phrase
+    * scan, repetition stats), so "what a bigram is" cannot drift
+    * between graded queries. Callers must guard `size(wordsCol) >= 2`:
+    * `sequence(1, 0)` is the DESCENDING [1, 0] in Spark, not empty. */
+  def bigramsExpr(wordsCol: String = "__w"): String =
+    s"""transform(sequence(1, size($wordsCol) - 1),
+       |  i -> concat(element_at($wordsCol, i), ' ', element_at($wordsCol, i + 1)))""".stripMargin
+
   /** Distinct word n-gram shingles (default 3) over a words-array column
     * named `wordsCol` — the standard unit for near-dup detection; empty
     * array for texts shorter than n words. (Guarded because Spark's

@@ -26,6 +26,65 @@ object Sampling {
     expr(s"pmod(cast(conv(substr(md5(cast($keyCol as string)), 1, 8), 16, 10) as bigint), $n)")
   }
 
+  /** Hamilton (largest-remainder) apportionment of an integer `budget`
+    * across strata: each stratum gets ⌊budget·weight/Σweight⌋ plus one
+    * leftover slot if its remainder ranks among the largest (ties to
+    * the smaller key). THE proportional-integer-allocation rule (floor
+    * alone under-allocates, naive rounding over-allocates) — used for
+    * sampling budgets, crawl quotas, shard counts. Exactness: quota
+    * base/remainder are exact decimal(38,0) products with single floor
+    * divisions (budget·weight ≈ 1e4·1e14 at 100 TB — past BIGINT, fine
+    * in decimal). Shape: input is an already-aggregated |strata|-row
+    * frame; the total broadcasts back and the remainder-rank window
+    * runs over those |strata| rows only — bounded by the stratum
+    * universe, never the corpus.
+    *
+    * Input: (`keyCol`, `weightCol`) one row per stratum, weights > 0.
+    * Output: (keyCol, weight, base, rem, alloc) with Σalloc = budget
+    * (when budget ≤ Σweight slots are distinguishable; budget larger
+    * than the stratum count per remainder rule still conserves). */
+  def hamiltonAllocation(weights: DataFrame, budget: Long,
+                         keyCol: String = "source",
+                         weightCol: String = "weight"): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    val dec = "decimal(38,0)"
+    val base = weights.select(col(keyCol), col(weightCol).as("weight"))
+    val tot = base.agg(sum(col("weight")).as("v"))
+    val quota = base.crossJoin(broadcast(tot))
+      .select(col(keyCol), col("weight"),
+        expr(s"($budget * cast(weight as $dec)) div v").as("base"),
+        expr(s"cast(($budget * cast(weight as $dec)) % v as bigint)")
+          .as("rem"))
+    val allocated = quota.agg(sum(col("base")).as("allocated"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rem").desc, col(keyCol).asc)
+    quota.crossJoin(broadcast(allocated))
+      .withColumn("rk", row_number().over(w))
+      .select(col(keyCol), col("weight"), col("base"), col("rem"),
+        (col("base") +
+          when(col("rk") <= lit(budget) - col("allocated"), 1L)
+            .otherwise(0L)).as("alloc"))
+  }
+
+  /** The DuckDB CTE chain mirroring [[hamiltonAllocation]] — ONE
+    * source of the oracle algebra so the graded queries that share the
+    * Spark helper cannot drift from each other's SQL. Emits CTEs
+    * `b/t/q/sb/a` with `a(source, weight, base, rem, alloc)`;
+    * `weightsSql` must select (source, weight). */
+  def hamiltonAllocSql(weightsSql: String, budget: Long): String =
+    s"""b AS (SELECT source, CAST(weight AS HUGEINT) AS weight
+       |      FROM ($weightsSql)),
+       |t AS (SELECT sum(weight) AS v FROM b),
+       |q AS (SELECT source, weight, ($budget * weight) // v AS base,
+       |             ($budget * weight) % v AS rem
+       |      FROM b CROSS JOIN t),
+       |sb AS (SELECT sum(base) AS allocated FROM q),
+       |a AS (SELECT source, weight, base, rem,
+       |        base + CASE WHEN row_number() OVER (ORDER BY rem DESC, source)
+       |                         <= $budget - allocated THEN 1 ELSE 0 END
+       |          AS alloc
+       |      FROM q CROSS JOIN sb)""".stripMargin
+
   /** Deterministic ~`permille`/1000 sample of rows by key hash. */
   def sample(df: DataFrame, keyCol: String, permille: Int): DataFrame =
     df.filter(bucket1000(keyCol) < permille)

@@ -88,6 +88,22 @@ object Similarity {
           " e -> cast(floor(cast(e as double) * 1000000) as bigint))")
         .as("xm"))
       .localCheckpoint()
+    // Loud exactness ceiling (the q_pr_curve guard discipline): the
+    // per-row dot folds in LongType, and |dot| ≤ dim·max|xm|·1e6 (every
+    // round's |vm| ≤ 1e6 by the L∞ normalization), so max|xm| must stay
+    // under 2⁶³/(dim·1e6) ≈ 1.4e11 at dim 64 (|e| ≤ ~1.4e5) — embedding
+    // magnitudes beyond that fail HERE with this message instead of
+    // silently wrapping to a wrong eigenvector (the oracle computes the
+    // same dot in HUGEINT and would diverge quietly).
+    val maxAbs = xm.agg(coalesce(
+        max(expr("aggregate(xm, 0L, (a, x) -> greatest(a, abs(x)))")),
+        lit(0L)).as("m"))
+      .first().getLong(0)
+    val ceiling = Long.MaxValue / (dim.toLong * 1000000L)
+    require(maxAbs <= ceiling,
+      s"powerIteration: max quantized component $maxAbs exceeds the " +
+        s"LongType dot-product ceiling $ceiling for dim=$dim - rescale " +
+        "the embeddings or widen the fold to decimal")
     var v: Array[Long] = Array.fill(dim)(1000000L)
     (1 to rounds).foreach { _ =>
       val vLit = array(v.toIndexedSeq.map(lit(_)): _*)

@@ -146,9 +146,7 @@ object TextAnalysis {
   def repetition(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     // sequence(1, n-1) would go DESCENDING for n=1 (sequence infers a
     // negative step) — guard bigrams behind n >= 2.
-    val bigrams =
-      """transform(sequence(1, size(__w) - 1),
-        |  i -> concat(element_at(__w, i), ' ', element_at(__w, i + 1)))""".stripMargin
+    val bigrams = TextFunctions.bigramsExpr()
     df.withColumn("__w", TextFunctions.words(col(textCol)))
       .select(col(idCol),
         size(col("__w")).as("n_words"),
@@ -585,9 +583,7 @@ object TextAnalysis {
     * vocabulary table — the "model" IS a DataFrame, shuffled on its
     * key, never collected). */
   def bigramLmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val bigramsExpr =
-      """transform(sequence(1, size(__w) - 1),
-        |  i -> concat(element_at(__w, i), ' ', element_at(__w, i + 1)))""".stripMargin
+    val bigramsExpr = TextFunctions.bigramsExpr()
     val bg = df
       .select(col(idCol).as("doc"), TextFunctions.words(col(textCol)).as("__w"))
       .filter(size(col("__w")) >= 2)

@@ -3320,10 +3320,16 @@ object RelationalQueries {
       // message instead of silently wrapping. assert_true returns NULL
       // on success, so `p + coalesce(assert, 0)` keeps the check inside
       // a LIVE column that pruning cannot drop.
+      // coalesce(cond, true): empty input makes both sums NULL and a
+      // NULL condition would RAISE (assert_true treats NULL as failed)
+      // — an empty slice must yield an empty result, not a misleading
+      // ceiling error.
       val tot = byVal.agg(sum(col("npos")).as("p0"), sum(col("cnt")).as("c0"))
         .select((col("p0") + coalesce(
           assert_true(
-            col("p0") < lit(2147483648L) && col("c0") < lit(4294967296L),
+            coalesce(
+              col("p0") < lit(2147483648L) && col("c0") < lit(4294967296L),
+              lit(true)),
             lit("q_pr_curve: totals exceed the cnt*2^31+npos BIGINT pack" +
               " ceiling - widen the pack to decimal(38,0)")).cast("long"),
           lit(0L))).as("p"))
@@ -3382,21 +3388,29 @@ object RelationalQueries {
     }),
 
     // Rolling z-score anomaly detection over the daily revenue series —
-    // the windowed control-chart every ops dashboard runs. Exactness:
-    // the trailing-14-day moments are exact decimal(38,0) sums; the
+    // the windowed control-chart every ops dashboard runs. The daily
+    // rollup is GAP-FILLED onto the dense calendar spine (a zero-event
+    // day is 0 revenue, and without the spine a gap would silently
+    // stretch the ROWS frame past 14 calendar days). Exactness: the
+    // trailing-14-day moments are exact decimal(38,0) sums; the
     // z denominator n·Σx²−(Σx)² is an exact integer, so z is ONE
     // division + ONE sqrt of exact integers (identical IEEE both
     // engines, no round()), and the |z|>3 outlier FLAG avoids floats
     // entirely — num² > 9·den is a pure integer comparison, so the
     // alarm can never flip on a ulp. Shape: the fact table collapses to
     // the calendar-bounded daily rollup FIRST (the q_drawdown
-    // contract); the unpartitioned window runs over ≤2.4k dimension
+    // contract); the spine is a sequence-explode of the 1-row min/max
+    // aggregate; the unpartitioned window runs over ≤2.4k dimension
     // rows, never the data.
     "q_rolling_zscore" -> ((s, dir) => {
       val dec = "decimal(38,0)"
-      val daily = Tables.events(s, dir)
+      val rollup = Tables.events(s, dir)
         .groupBy(expr("ts_ms div 86400000").as("day"))
         .agg(sum(expr("cast(floor(value * 100) as bigint)")).as("cents"))
+      val spine = rollup.agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+        .select(explode(expr("sequence(mn, mx)")).as("day"))
+      val daily = spine.join(rollup, Seq("day"), "left")
+        .select(col("day"), coalesce(col("cents"), lit(0L)).as("cents"))
       val w = Window.orderBy("day").rowsBetween(-13, 0)
       daily
         .withColumn("n", count(lit(1)).over(w))
@@ -3420,16 +3434,18 @@ object RelationalQueries {
     // per-day absolute errors are exact BIGINT cents, MAE is ONE micro
     // floor division, and the worst day rides a packed-BIGINT argmax
     // (err·2²¹ + complemented epoch-day — epoch days sit far below 2²¹;
-    // the pack is exact while err < 2⁴² cents). Same daily-rollup-first
-    // shape; the lag window runs over the calendar-bounded series.
+    // the pack is exact while err < 2⁴² cents). The lag-7 is a
+    // CALENDAR-day self-join on day = day−7, not a row offset — a
+    // zero-event day in the rollup must not slide every later forecast
+    // to the wrong weekday. Same daily-rollup-first shape; the
+    // self-join is dimension-sized.
     "q_backtest_snaive" -> ((s, dir) => {
       val pack = 2097152L // 2^21
       val daily = Tables.events(s, dir)
         .groupBy(expr("ts_ms div 86400000").as("day"))
         .agg(sum(expr("cast(floor(value * 100) as bigint)")).as("cents"))
-      val w = Window.orderBy("day")
-      daily.withColumn("fc", lag(col("cents"), 7).over(w))
-        .filter(col("fc").isNotNull)
+      daily.join(daily.select((col("day") + 7).as("day"),
+          col("cents").as("fc")), Seq("day"))
         .withColumn("err", abs(col("cents") - col("fc")))
         .agg(count(lit(1)).as("n_days"),
           sum(col("err")).as("total_err"),
@@ -4340,10 +4356,15 @@ object RelationalQueries {
     // Rolling z replay: trailing-14 HUGEINT moments, one division + one
     // sqrt of exact integers, integer-compared outlier flag.
     "q_rolling_zscore" ->
-      """WITH daily AS (SELECT epoch_ms(ts) // 86400000 AS day,
+      """WITH rollup_d AS (SELECT epoch_ms(ts) // 86400000 AS day,
         |                 CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
         |                   AS cents
         |               FROM events GROUP BY 1),
+        |spine AS (SELECT unnest(generate_series((SELECT min(day) FROM rollup_d),
+        |                                        (SELECT max(day) FROM rollup_d)))
+        |            AS day),
+        |daily AS (SELECT spine.day, coalesce(rollup_d.cents, 0) AS cents
+        |          FROM spine LEFT JOIN rollup_d USING (day)),
         |w AS (SELECT day, cents,
         |        count(*) OVER r AS n,
         |        sum(CAST(cents AS HUGEINT)) OVER r AS sx,
@@ -4369,10 +4390,8 @@ object RelationalQueries {
         |                 CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
         |                   AS cents
         |               FROM events GROUP BY 1),
-        |f AS (SELECT day, cents,
-        |        lag(cents, 7) OVER (ORDER BY day) AS fc
-        |      FROM daily),
-        |e AS (SELECT day, abs(cents - fc) AS err FROM f WHERE fc IS NOT NULL),
+        |e AS (SELECT d.day, abs(d.cents - f.cents) AS err
+        |      FROM daily d JOIN daily f ON d.day = f.day + 7),
         |a AS (SELECT count(*) AS n_days, CAST(sum(err) AS BIGINT) AS total_err,
         |        max(err * 2097152 + (2097151 - day)) AS pmax
         |      FROM e)

@@ -138,6 +138,10 @@ object TrainingDataQueries {
   }
 
   private val wordsSql = "string_split_regex(lower(trim(text)), '\\s+')"
+  // THE oracle bigram definition — one source, mirrored by
+  // TextFunctions.bigramsExpr on the Spark side.
+  private val bigramListSql =
+    "list_transform(generate_series(1, len(l) - 1), i -> l[i] || ' ' || l[i+1])"
   private val wordCte = s"w AS (SELECT doc_id, $wordsSql AS l FROM documents)"
   private def shingleCteFrom(tbl: String) =
     s"""w AS (SELECT doc_id, $wordsSql AS l FROM $tbl),
@@ -154,6 +158,37 @@ object TrainingDataQueries {
       |       FROM embeddings)""".stripMargin
   private def cos(a: String, b: String) =
     s"list_inner_product($a.v, $b.v) / ($a.nrm * $b.nrm)"
+
+  /** Shared (cell_id, label, n) contingency of the deterministic
+    * seed-centroid assignment vs the embedding labels — ONE builder so
+    * cluster_purity and cluster_rand_index grade the IDENTICAL table
+    * (the priorityContingency discipline from q_chi_squared/
+    * q_cramers_v: a drifted assignment convention in one of the two
+    * would silently de-synchronize queries that claim to share it). */
+  private def labelContingency(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val (_, asg) = Similarity.kmeans(emb, k = 8, iterations = 0)
+    asg.select(col("c_id"), col("cell_id"))
+      .join(emb.select(col("vec_id").as("c_id"),
+        col("label").cast("long").as("label")), "c_id")
+      .groupBy(col("cell_id"), col("label")).agg(count(lit(1)).as("n"))
+  }
+
+  /** Oracle twin of [[labelContingency]]: CTEs `e/cent/asg/j/cells`
+    * with `cells(cell_id, label, n)`. */
+  private val labelContingencyCtes =
+    s"""$embCte,
+       |cent AS (SELECT vec_id AS cell_id, v AS cv, nrm AS cn FROM e
+       |         ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 8),
+       |asg AS (SELECT c_id, cell_id FROM (
+       |          SELECT e.vec_id AS c_id, cent.cell_id,
+       |                 row_number() OVER (PARTITION BY e.vec_id
+       |                   ORDER BY round(list_inner_product(e.v, cent.cv) / (e.nrm * cent.cn), 6) DESC,
+       |                            cent.cell_id) AS rn
+       |          FROM e CROSS JOIN cent) t WHERE rn = 1),
+       |j AS (SELECT asg.cell_id, CAST(e2.label AS BIGINT) AS label
+       |      FROM asg JOIN embeddings e2 ON e2.vec_id = asg.c_id),
+       |cells AS (SELECT cell_id, label, count(*) AS n FROM j GROUP BY 1, 2)""".stripMargin
 
   // Shared minhash signature/band CTEs (16 hashes, 4 bands) — the
   // per-doc half of the LSH recipe, reused by the pair oracles below
@@ -572,22 +607,11 @@ object TrainingDataQueries {
     // algebra broadcast back; selection is one per-source rank window
     // (as many partitions as sources); the report is a bounded rollup.
     "pipeline_curation_v5" -> ((s, dir) => {
-      val budget = 300L
-      val dec = "decimal(38,0)"
       val docs = Tables.documents(s, dir)
-      val bySrc = docs.groupBy(col("source")).agg(sum(col("n_chars")).as("weight"))
-      val tot = bySrc.agg(sum(col("weight")).as("v"))
-      val quota = bySrc.crossJoin(broadcast(tot))
-        .select(col("source"), col("weight"),
-          expr(s"($budget * cast(weight as $dec)) div v").as("base"),
-          expr(s"cast(($budget * cast(weight as $dec)) % v as bigint)").as("rem"))
-      val allocated = quota.agg(sum(col("base")).as("allocated"))
-      val wr = Window.orderBy(col("rem").desc, col("source").asc)
-      val alloc = quota.crossJoin(broadcast(allocated))
-        .withColumn("rk", row_number().over(wr))
-        .select(col("source"),
-          (col("base") + when(col("rk") <= lit(budget) - col("allocated"), 1L)
-            .otherwise(0L)).as("alloc"))
+      val alloc = Sampling.hamiltonAllocation(
+          docs.groupBy(col("source")).agg(sum(col("n_chars")).as("weight")),
+          budget = 300L)
+        .select("source", "alloc")
       val scored = docs.select(col("source"), col("doc_id"), col("n_chars"),
         expr("(length(regexp_replace(text, '[^A-Za-z]', '')) * 1000000)" +
           " div length(text)").as("score_micro"))
@@ -1142,13 +1166,8 @@ object TrainingDataQueries {
     // broadcast 1-row aggregate. Pack headroom: counts < 2⁴² before
     // the 2²¹ label pack wraps — widen to decimal past that.
     "cluster_purity" -> ((s, dir) => {
-      val emb = Tables.embeddings(s, dir)
-      val (_, asg) = Similarity.kmeans(emb, k = 8, iterations = 0)
       val pack = 2097152L // 2^21
-      val cells = asg.select(col("c_id"), col("cell_id"))
-        .join(emb.select(col("vec_id").as("c_id"),
-          col("label").cast("long").as("label")), "c_id")
-        .groupBy(col("cell_id"), col("label")).agg(count(lit(1)).as("n"))
+      val cells = labelContingency(s, dir)
       val per = cells.groupBy(col("cell_id"))
         .agg(count(lit(1)).as("n_labels"), sum(col("n")).as("n_points"),
           max(col("n") * pack + (lit(pack - 1) - col("label"))).as("pmax"))
@@ -1173,13 +1192,8 @@ object TrainingDataQueries {
     // contingency aggregate, then algebra over its |cells|·|labels|
     // rows and two bounded marginal rollups.
     "cluster_rand_index" -> ((s, dir) => {
-      val emb = Tables.embeddings(s, dir)
-      val (_, asg) = Similarity.kmeans(emb, k = 8, iterations = 0)
       val dec = "decimal(38,0)"
-      val cells = asg.select(col("c_id"), col("cell_id"))
-        .join(emb.select(col("vec_id").as("c_id"),
-          col("label").cast("long").as("label")), "c_id")
-        .groupBy(col("cell_id"), col("label")).agg(count(lit(1)).as("n"))
+      val cells = labelContingency(s, dir)
       val tij = cells.agg(
         sum(expr(s"cast(n as $dec) * (n - 1)")).as("t_ij"))
       val ti = cells.groupBy(col("cell_id")).agg(sum(col("n")).as("a"))
@@ -1315,9 +1329,7 @@ object TrainingDataQueries {
     "text_phrase_scan" -> ((s, dir) => {
       val phrases = Seq("the customer", "slow query", "hash join",
         "of the", "join the")
-      val bigramsExpr =
-        """transform(sequence(1, size(__w) - 1),
-          |  i -> concat(element_at(__w, i), ' ', element_at(__w, i + 1)))""".stripMargin
+      val bigramsExpr = TextFunctions.bigramsExpr()
       val bg = Tables.documents(s, dir)
         .select(col("doc_id"), TextFunctions.words(col("text")).as("__w"))
         .filter(size(col("__w")) >= 2)
@@ -3098,27 +3110,12 @@ object TrainingDataQueries {
     // rollup to |sources| rows; the unpartitioned window runs over
     // those |sources| rows only — bounded by the stratum universe,
     // never the corpus.
-    "data_budget_allocation" -> ((s, dir) => {
-      val budget = 10000L
-      val dec = "decimal(38,0)"
-      val bySrc = Tables.documents(s, dir)
-        .groupBy(col("source")).agg(sum(col("n_chars")).as("weight"))
-      val tot = bySrc.agg(sum(col("weight")).as("v"))
-      val quota = bySrc.crossJoin(broadcast(tot))
-        .select(col("source"), col("weight"),
-          expr(s"($budget * cast(weight as $dec)) div v").as("base"),
-          expr(s"cast(($budget * cast(weight as $dec)) % v as bigint)")
-            .as("rem"))
-      val allocated = quota.agg(sum(col("base")).as("allocated"))
-      val w = Window.orderBy(col("rem").desc, col("source").asc)
-      quota.crossJoin(broadcast(allocated))
-        .withColumn("rk", row_number().over(w))
-        .select(col("source"), col("weight"), col("base"), col("rem"),
-          (col("base") +
-            when(col("rk") <= lit(budget) - col("allocated"), 1L)
-              .otherwise(0L)).as("alloc"))
-        .orderBy("source")
-    }),
+    "data_budget_allocation" -> ((s, dir) =>
+      Sampling.hamiltonAllocation(
+          Tables.documents(s, dir).groupBy(col("source"))
+            .agg(sum(col("n_chars")).as("weight")),
+          budget = 10000L)
+        .orderBy("source")),
 
     // DSIR-flavored importance weighting (Xie et al. 2023, "Data
     // Selection via Importance Resampling"): hashed word-bigram bucket
@@ -3138,9 +3135,7 @@ object TrainingDataQueries {
     // per-doc sum.
     "data_importance_sample" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val bigramsExpr =
-        """transform(sequence(1, size(__w) - 1),
-          |  i -> concat(element_at(__w, i), ' ', element_at(__w, i + 1)))""".stripMargin
+      val bigramsExpr = TextFunctions.bigramsExpr()
       val bg = docs
         .select(col("doc_id"), col("lang"),
           TextFunctions.words(col("text")).as("__w"))
@@ -3185,9 +3180,7 @@ object TrainingDataQueries {
     // bigram/word keys.
     "text_kn_bigram" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val bigramsExpr =
-        """transform(sequence(1, size(__w) - 1),
-          |  i -> concat(element_at(__w, i), ' ', element_at(__w, i + 1)))""".stripMargin
+      val bigramsExpr = TextFunctions.bigramsExpr()
       val bc = docs
         .select(TextFunctions.words(col("text")).as("__w"))
         .filter(size(col("__w")) >= 2)
@@ -4015,18 +4008,7 @@ object TrainingDataQueries {
     // Purity replay: the cluster_assign CTEs feed a label join, the
     // packed-2²¹ modal argmax, and one micro division.
     "cluster_purity" ->
-      s"""WITH $embCte,
-         |cent AS (SELECT vec_id AS cell_id, v AS cv, nrm AS cn FROM e
-         |         ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 8),
-         |asg AS (SELECT c_id, cell_id FROM (
-         |          SELECT e.vec_id AS c_id, cent.cell_id,
-         |                 row_number() OVER (PARTITION BY e.vec_id
-         |                   ORDER BY round(list_inner_product(e.v, cent.cv) / (e.nrm * cent.cn), 6) DESC,
-         |                            cent.cell_id) AS rn
-         |          FROM e CROSS JOIN cent) t WHERE rn = 1),
-         |j AS (SELECT asg.cell_id, CAST(e2.label AS BIGINT) AS label
-         |      FROM asg JOIN embeddings e2 ON e2.vec_id = asg.c_id),
-         |cells AS (SELECT cell_id, label, count(*) AS n FROM j GROUP BY 1, 2),
+      s"""WITH $labelContingencyCtes,
          |per AS (SELECT cell_id, count(*) AS n_labels,
          |          CAST(sum(n) AS BIGINT) AS n_points,
          |          max(n * 2097152 + (2097151 - label)) AS pmax
@@ -4041,18 +4023,7 @@ object TrainingDataQueries {
     // Rand index replay: same contingency, the ½-cancelled pair algebra
     // in HUGEINT, one division.
     "cluster_rand_index" ->
-      s"""WITH $embCte,
-         |cent AS (SELECT vec_id AS cell_id, v AS cv, nrm AS cn FROM e
-         |         ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 8),
-         |asg AS (SELECT c_id, cell_id FROM (
-         |          SELECT e.vec_id AS c_id, cent.cell_id,
-         |                 row_number() OVER (PARTITION BY e.vec_id
-         |                   ORDER BY round(list_inner_product(e.v, cent.cv) / (e.nrm * cent.cn), 6) DESC,
-         |                            cent.cell_id) AS rn
-         |          FROM e CROSS JOIN cent) t WHERE rn = 1),
-         |j AS (SELECT asg.cell_id, CAST(e2.label AS BIGINT) AS label
-         |      FROM asg JOIN embeddings e2 ON e2.vec_id = asg.c_id),
-         |cells AS (SELECT cell_id, label, count(*) AS n FROM j GROUP BY 1, 2),
+      s"""WITH $labelContingencyCtes,
          |tij AS (SELECT sum(CAST(n AS HUGEINT) * (n - 1)) AS t_ij FROM cells),
          |ti AS (SELECT sum(CAST(a AS HUGEINT) * (a - 1)) AS t_i,
          |              CAST(sum(a) AS BIGINT) AS n_tot,
@@ -4545,8 +4516,7 @@ object TrainingDataQueries {
     "text_lm_score" ->
       s"""WITH w AS (SELECT doc_id, $wordsSql AS l FROM documents),
          |b AS (SELECT doc_id,
-         |        unnest(list_transform(generate_series(1, len(l) - 1),
-         |          i -> l[i] || ' ' || l[i+1])) AS bg
+         |        unnest($bigramListSql) AS bg
          |      FROM w WHERE len(l) >= 2),
          |bc AS (SELECT bg, count(*) AS c_bg FROM b GROUP BY bg),
          |hc AS (SELECT string_split(bg, ' ')[1] AS w1,
@@ -4565,8 +4535,7 @@ object TrainingDataQueries {
     // floor-division composition in HUGEINT.
     "text_kn_bigram" ->
       s"""WITH w AS (SELECT doc_id, $wordsSql AS l FROM documents),
-         |b AS (SELECT unnest(list_transform(generate_series(1, len(l) - 1),
-         |          i -> l[i] || ' ' || l[i+1])) AS bg
+         |b AS (SELECT unnest($bigramListSql) AS bg
          |      FROM w WHERE len(l) >= 2),
          |bc AS (SELECT bg, string_split(bg, ' ')[1] AS w1,
          |         string_split(bg, ' ')[2] AS w2, count(*) AS c12
@@ -4592,8 +4561,7 @@ object TrainingDataQueries {
     "data_importance_sample" ->
       s"""WITH w AS (SELECT doc_id, lang, $wordsSql AS l FROM documents),
          |b AS (SELECT doc_id, lang,
-         |        unnest(list_transform(generate_series(1, len(l) - 1),
-         |          i -> l[i] || ' ' || l[i+1])) AS bg
+         |        unnest($bigramListSql) AS bg
          |      FROM w WHERE len(l) >= 2),
          |bb AS (SELECT doc_id, lang,
          |         ('0x' || substr(md5(bg), 1, 6))::BIGINT % 256 AS bucket
@@ -4613,24 +4581,17 @@ object TrainingDataQueries {
          |FROM bb JOIN wt USING (bucket)
          |GROUP BY bb.doc_id ORDER BY doc_id""".stripMargin,
 
-    // Hamilton apportionment replay: exact HUGEINT quota base/remainder,
-    // leftover slots to the largest remainders (source tie-break).
+    // Hamilton apportionment replay: the SHARED hamiltonAllocSql CTE
+    // chain (one source of the oracle algebra, same as the Spark
+    // helper both allocation queries call).
     "data_budget_allocation" ->
-      """WITH b AS (SELECT source, CAST(sum(n_chars) AS HUGEINT) AS weight
-        |           FROM documents GROUP BY 1),
-        |t AS (SELECT sum(weight) AS v FROM b),
-        |q AS (SELECT source, weight, (10000 * weight) // v AS base,
-        |             (10000 * weight) % v AS rem
-        |      FROM b CROSS JOIN t),
-        |sb AS (SELECT sum(base) AS allocated FROM q),
-        |r AS (SELECT q.*, sb.allocated,
-        |        row_number() OVER (ORDER BY rem DESC, source) AS rk
-        |      FROM q CROSS JOIN sb)
-        |SELECT source, CAST(weight AS BIGINT) AS weight,
-        |       CAST(base AS BIGINT) AS base, CAST(rem AS BIGINT) AS rem,
-        |       CAST(base + CASE WHEN rk <= 10000 - allocated THEN 1 ELSE 0 END
-        |         AS BIGINT) AS alloc
-        |FROM r ORDER BY source""".stripMargin,
+      s"""WITH ${Sampling.hamiltonAllocSql(
+             "SELECT source, sum(n_chars) AS weight FROM documents GROUP BY 1",
+             budget = 10000L)}
+         |SELECT source, CAST(weight AS BIGINT) AS weight,
+         |       CAST(base AS BIGINT) AS base, CAST(rem AS BIGINT) AS rem,
+         |       CAST(alloc AS BIGINT) AS alloc
+         |FROM a ORDER BY source""".stripMargin,
 
     // Batch replay of the streaming histogram — legal because count
     // merge across micro-batches is commutative (the stream_hll
@@ -4696,8 +4657,7 @@ object TrainingDataQueries {
     "text_phrase_scan" ->
       s"""WITH w AS (SELECT doc_id, $wordsSql AS l FROM documents),
          |b AS (SELECT doc_id,
-         |        unnest(list_transform(generate_series(1, len(l) - 1),
-         |          i -> l[i] || ' ' || l[i+1])) AS phrase
+         |        unnest($bigramListSql) AS phrase
          |      FROM w WHERE len(l) >= 2),
          |p AS (SELECT unnest(['the customer', 'slow query', 'hash join',
          |                     'of the', 'join the']) AS phrase)
@@ -4768,21 +4728,13 @@ object TrainingDataQueries {
          |FROM v3 ORDER BY d""".stripMargin
     },
 
-    // Curation v5 replay: Hamilton allocation CTEs + the alpha-ratio
-    // score + per-source rank-within-allocation.
+    // Curation v5 replay: the SHARED hamiltonAllocSql CTE chain + the
+    // alpha-ratio score + per-source rank-within-allocation.
     "pipeline_curation_v5" ->
-      """WITH b AS (SELECT source, CAST(sum(n_chars) AS HUGEINT) AS weight
-        |           FROM documents GROUP BY 1),
-        |t AS (SELECT sum(weight) AS v FROM b),
-        |q AS (SELECT source, weight, (300 * weight) // v AS base,
-        |             (300 * weight) % v AS rem
-        |      FROM b CROSS JOIN t),
-        |sb AS (SELECT sum(base) AS allocated FROM q),
-        |a AS (SELECT source,
-        |        base + CASE WHEN row_number() OVER (ORDER BY rem DESC, source)
-        |                         <= 300 - allocated THEN 1 ELSE 0 END AS alloc
-        |      FROM q CROSS JOIN sb),
-        |sc AS (SELECT source, doc_id, n_chars,
+      s"""WITH ${Sampling.hamiltonAllocSql(
+             "SELECT source, sum(n_chars) AS weight FROM documents GROUP BY 1",
+             budget = 300L)},
+         |sc AS (SELECT source, doc_id, n_chars,
         |         (length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
         |          * 1000000) // length(text) AS score_micro
         |       FROM documents),
