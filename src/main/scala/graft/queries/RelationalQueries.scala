@@ -3456,6 +3456,43 @@ object RelationalQueries {
           (lit(pack - 1) - pmod(col("pmax"), lit(pack))).as("worst_day"))
     }),
 
+    // Duplicate-event / double-charge audit — same user, same dollar
+    // amount, within 30 minutes: the idempotency check every payments
+    // or telemetry pipeline runs. The non-equi time predicate rides as
+    // a RESIDUAL on an equi-join: the later side keeps its 30-min
+    // bucket, the earlier side explodes into (own, next) buckets, so
+    // every qualifying pair meets exactly once on (user, dollars,
+    // bucket) — never a range-join explosion, never a per-user
+    // all-pairs. Exact integer ms/dollars; the (Δt > 0 OR id order)
+    // residual dedups the zero-gap pairs and excludes self-pairs.
+    "q_duplicate_events" -> ((s, dir) => {
+      // PLANTED duplicates (the stream_late_drop fixture idiom): every
+      // 37th event re-fires 60 s later under a new id — so the audit
+      // has a known-positive set at every SF (organic collisions alone
+      // are too thin at small fixtures to grade the join non-vacuously),
+      // and the oracle replays the same plant.
+      val base = Tables.events(s, dir).select(col("user_id"),
+        col("event_id"), col("ts_ms"),
+        expr("cast(floor(value * 100) as bigint) div 100").as("dollars"))
+      val planted = base.filter(col("event_id") % 37 === 0)
+        .select(col("user_id"), (col("event_id") + 100000000L).as("event_id"),
+          (col("ts_ms") + 60000L).as("ts_ms"), col("dollars"))
+      val ev = base.unionAll(planted)
+      val a = ev.select(col("user_id"), col("dollars"),
+          col("event_id").as("id_a"), col("ts_ms").as("ts_a"))
+        .withColumn("bkt", explode(array(expr("ts_a div 1800000"),
+          expr("ts_a div 1800000 + 1"))))
+      val b = ev.select(col("user_id"), col("dollars"),
+        col("event_id").as("id_b"), col("ts_ms").as("ts_b"),
+        expr("ts_ms div 1800000").as("bkt"))
+      a.join(b, Seq("user_id", "dollars", "bkt"))
+        .filter((col("ts_b") - col("ts_a")).between(0, 1800000) &&
+          (col("ts_b") > col("ts_a") || col("id_a") < col("id_b")))
+        .select(col("user_id"), col("dollars"), col("id_a"), col("id_b"),
+          (col("ts_b") - col("ts_a")).as("gap_ms"))
+        .orderBy("user_id", "id_a", "id_b")
+    }),
+
     // Recency-decayed engagement score — the freshness weighting every
     // ranking/retention rollup applies, with the half-life decay done
     // as EXACT integer halving: weight = cents >> (age_days div 30),
@@ -4400,6 +4437,25 @@ object RelationalQueries {
         |       CAST(pmax // 2097152 AS BIGINT) AS max_err,
         |       CAST(2097151 - (pmax % 2097152) AS BIGINT) AS worst_day
         |FROM a""".stripMargin,
+
+    // Duplicate-pair replay: the oracle skips the bucketing device (a
+    // plain self-join is fine at oracle scale) — identical pair set by
+    // construction since the buckets only partition the match space.
+    "q_duplicate_events" ->
+      """WITH b0 AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+        |              CAST(floor(value * 100) AS BIGINT) // 100 AS dollars
+        |            FROM events),
+        |e AS (SELECT * FROM b0
+        |      UNION ALL
+        |      SELECT user_id, event_id + 100000000, ts_ms + 60000, dollars
+        |      FROM b0 WHERE event_id % 37 = 0)
+        |SELECT a.user_id, a.dollars, a.event_id AS id_a, b.event_id AS id_b,
+        |       b.ts_ms - a.ts_ms AS gap_ms
+        |FROM e a JOIN e b
+        |  ON a.user_id = b.user_id AND a.dollars = b.dollars
+        | AND b.ts_ms - a.ts_ms BETWEEN 0 AND 1800000
+        | AND (b.ts_ms > a.ts_ms OR a.event_id < b.event_id)
+        |ORDER BY a.user_id, id_a, id_b""".stripMargin,
 
     // Decay replay: shift count from the broadcast "now", nonneg cents,
     // arithmetic >> on both engines over nonnegatives.

@@ -597,6 +597,33 @@ object TrainingDataQueries {
         .orderBy("stage")
     }),
 
+    // Dataset card — the per-source summary every corpus release ships
+    // (docs, token/char mass, language spread, exact-dup rate, mean
+    // quality): ONE partial-aggregable pass over scan-speed projections
+    // (words/md5/quality are per-row codegen), with the dup rate and
+    // mean quality as exact permille/micro floor divisions over the
+    // aggregate — the whole card costs one corpus scan at any size.
+    "pipeline_dataset_card" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      docs.select(col("source"), col("lang"), col("n_chars"),
+          size(TextFunctions.words(col("text"))).cast("long").as("n_words"),
+          md5(col("text")).as("fp"),
+          expr("(length(regexp_replace(text, '[^A-Za-z]', '')) * 1000000)" +
+            " div length(text)").as("q_micro"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum(col("n_words")).as("total_words"),
+          sum(col("n_chars")).as("total_chars"),
+          countDistinct(col("fp")).as("n_unique"),
+          sum(col("q_micro")).as("q_sum"))
+        .select(col("source"), col("n_docs"), col("n_langs"),
+          col("total_words"), col("total_chars"),
+          expr("((n_docs - n_unique) * 1000) div n_docs").as("dup_permille"),
+          (expr("q_sum div n_docs") / 1e6).as("mean_quality"))
+        .orderBy("source")
+    }),
+
     // Curation v5: budget-constrained best-of selection — Hamilton
     // apportionment of a 300-doc budget across sources by char mass
     // (the data_budget_allocation algebra), then fill each source's
@@ -1316,6 +1343,49 @@ object TrainingDataQueries {
     "text_lm_score" -> ((s, dir) =>
       TextAnalysis.bigramLmScore(Tables.documents(s, dir), "doc_id", "text")
         .orderBy("doc")),
+
+    // Code-vs-prose detection — the router every mixed crawl runs
+    // before tokenization (code goes to the code pipeline, prose to the
+    // text one): symbol density, keyword hits, and indented-line share,
+    // combined into an exact micro score with an integer-compared
+    // verdict. The keyword counter is written as the IDIOMATIC
+    // size(filter(words, x IN (...))) — the exact pattern the
+    // RewriteCountInSet optimizer rule upgrades to the native codegen
+    // expression when the graft extensions are active, and evaluates
+    // identically without them (rule is semantics-preserving — this
+    // graded query pins that). All ratios are floor divisions; the
+    // verdict can never flip on a float ulp.
+    "text_code_detect" -> ((s, dir) => {
+      // PLANTED code blocks: the prose fixture carries no code signal
+      // at all (zero symbols/keywords/indents — the classifier would
+      // grade vacuously), so every 5th doc gets a deterministic code
+      // tail the oracle replays. The classifier must then separate
+      // exactly the planted 20%.
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 0,
+            concat(col("text"), lit("\ndef f(x):\n  return (x + 1);\n" +
+              "  var y = {x};\n  public void g() { y = x; }")))
+            .otherwise(col("text")).as("text"))
+      docs.select(col("doc_id"),
+          length(col("text")).cast("long").as("n_chars"),
+          (length(col("text")) -
+            length(regexp_replace(col("text"), "[{}();=<>\\[\\]]", "")))
+            .cast("long").as("n_syms"),
+          expr("cast(size(filter(split(lower(trim(text)), '\\\\s+')," +
+            " x -> x IN ('class', 'def', 'function', 'import', 'public'," +
+            " 'return', 'var', 'void'))) as bigint)").as("kw_hits"),
+          expr("cast(size(filter(split(text, '\\n'), x -> x like '  %'))" +
+            " as bigint)").as("n_indent"),
+          expr("cast(size(split(text, '\\n')) as bigint)").as("n_lines"))
+        .select(col("doc_id"), col("n_syms"), col("kw_hits"), col("n_indent"),
+          (expr("(n_syms * 1000000) div n_chars") + col("kw_hits") * 50000L +
+            expr("((n_indent * 1000000) div n_lines) div 4")).as("score_micro"))
+        .select(col("doc_id"), col("n_syms"), col("kw_hits"), col("n_indent"),
+          (col("score_micro") / 1e6).as("code_score"),
+          (col("score_micro") >= 80000L).as("is_code"))
+        .orderBy("doc_id")
+    }),
 
     // Multi-phrase blocklist scan — the curation primitive behind
     // banned-phrase filters and policy audits, done as a JOIN instead
@@ -4651,6 +4721,60 @@ object TrainingDataQueries {
     "ingest_fixed_width" ->
       """SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
         |FROM documents WHERE doc_id % 13 <> 0 ORDER BY doc_id""".stripMargin,
+
+    // Code-detect replay: identical symbol class, keyword membership
+    // over the shared word split, indent LIKE, and the micro score.
+    "text_code_detect" ->
+      s"""WITH docs2 AS (SELECT doc_id,
+         |         CASE WHEN doc_id % 5 = 0 THEN text || chr(10) ||
+         |           'def f(x):' || chr(10) || '  return (x + 1);' || chr(10)
+         |           || '  var y = {x};' || chr(10)
+         |           || '  public void g() { y = x; }'
+         |         ELSE text END AS text
+         |       FROM documents),
+         |w AS (SELECT doc_id, text, $wordsSql AS l FROM docs2),
+         |c AS (SELECT doc_id,
+         |        CAST(length(text) AS BIGINT) AS n_chars,
+         |        CAST(length(text) - length(regexp_replace(text,
+         |          '[{}();=<>\\[\\]]', '', 'g')) AS BIGINT) AS n_syms,
+         |        CAST(len(list_filter(l, x -> list_contains(
+         |          ['class', 'def', 'function', 'import', 'public',
+         |           'return', 'var', 'void'], x))) AS BIGINT) AS kw_hits,
+         |        CAST(len(list_filter(string_split(text, chr(10)),
+         |          x -> x LIKE '  %')) AS BIGINT) AS n_indent,
+         |        CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines
+         |      FROM w),
+         |sc AS (SELECT doc_id, n_syms, kw_hits, n_indent,
+         |         (n_syms * 1000000) // n_chars + kw_hits * 50000
+         |           + ((n_indent * 1000000) // n_lines) // 4 AS score_micro
+         |       FROM c)
+         |SELECT doc_id, n_syms, kw_hits, n_indent,
+         |       score_micro / 1e6 AS code_score,
+         |       score_micro >= 80000 AS is_code
+         |FROM sc ORDER BY doc_id""".stripMargin,
+
+    // Dataset-card replay: one grouped pass over the same per-row
+    // projections; dup rate and mean quality as the identical floor
+    // divisions.
+    "pipeline_dataset_card" ->
+      s"""WITH d AS (SELECT source, lang, n_chars,
+         |             CAST(len($wordsSql) AS BIGINT) AS n_words,
+         |             md5(text) AS fp,
+         |             (length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+         |              * 1000000) // length(text) AS q_micro
+         |           FROM documents),
+         |g AS (SELECT source, count(*) AS n_docs,
+         |        count(DISTINCT lang) AS n_langs,
+         |        CAST(sum(n_words) AS BIGINT) AS total_words,
+         |        CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         |        count(DISTINCT fp) AS n_unique,
+         |        CAST(sum(q_micro) AS BIGINT) AS q_sum
+         |      FROM d GROUP BY 1)
+         |SELECT source, n_docs, n_langs, total_words, total_chars,
+         |       CAST(((n_docs - n_unique) * 1000) // n_docs AS BIGINT)
+         |         AS dup_permille,
+         |       (q_sum // n_docs) / 1e6 AS mean_quality
+         |FROM g ORDER BY source""".stripMargin,
 
     // Phrase scan replay: the same positional bigram explode joined to
     // the inlined phrase list.
