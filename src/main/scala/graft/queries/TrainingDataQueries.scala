@@ -1969,6 +1969,36 @@ object TrainingDataQueries {
         .orderBy("a", "b")
     }),
 
+    // Degree distribution in log₂ buckets — the power-law audit run on
+    // every crawl/link graph before trusting degree-based heuristics
+    // (hub caps, PageRank damping): bucket = ⌊log₂ deg⌋ + 1 computed
+    // EXACTLY as length(bin(deg)) — a string-length integer, no libm
+    // log2 edge. The generator here is the HEAVY-TAILED reciprocal map
+    // dst = n div (u + 1) (u uniform): node n div m collects in-links
+    // from a Θ(n/m²)-sized preimage, so degrees span ~log₂ n buckets —
+    // a near-regular graph would collapse the histogram to one row and
+    // grade nothing. Shape: one symmetrized distinct + one degree
+    // count + one bucket rollup, all partial-aggregable; output bounded
+    // by 64 buckets at any scale.
+    "graph_degree_hist" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"))
+      val n = docs.count()
+      val d = docs
+        .select(col("doc_id").as("src"),
+          explode(array(lit(1L), lit(2L), lit(3L))).as("k"))
+        .select(col("src"),
+          expr(s"$n div (pmod(src * 7 + k * 13, $n) + 1)").as("dst"))
+      val e = d.select("src", "dst")
+        .union(d.select(col("dst").as("src"), col("src").as("dst")))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+      e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .groupBy(length(bin(col("deg"))).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n_nodes"), min(col("deg")).as("min_deg"),
+          max(col("deg")).as("max_deg"), sum(col("deg")).as("sum_deg"))
+        .orderBy("bucket")
+    }),
+
     // Directed-graph reciprocity — the share of links that are
     // mutual, the citation-ring / follow-back signal (a crawl graph
     // with high reciprocity is link-farm-shaped; organic web graphs sit
@@ -4688,6 +4718,26 @@ object TrainingDataQueries {
         |WHERE c.cum * 100 >= qs.quantile * t.n
         |GROUP BY c.event_type, qs.quantile, t.n
         |ORDER BY event_type, quantile""".stripMargin,
+
+    // Degree-histogram replay: identical heavy-tailed reciprocal
+    // generator and symmetrized distinct edge set, bucket as the
+    // bin-string length.
+    "graph_degree_hist" ->
+      """WITH nn AS (SELECT count(*) AS n FROM documents),
+        |d AS (SELECT doc_id AS src,
+        |        n // ((doc_id * 7 + k * 13) % n + 1) AS dst
+        |      FROM documents CROSS JOIN nn
+        |      CROSS JOIN (SELECT unnest([1, 2, 3]) AS k) ks),
+        |e AS (SELECT src, dst FROM
+        |        (SELECT src, dst FROM d UNION SELECT dst, src FROM d)
+        |      WHERE src <> dst),
+        |g AS (SELECT src, count(*) AS deg FROM e GROUP BY 1)
+        |SELECT CAST(length(bin(deg)) AS BIGINT) AS bucket,
+        |       count(*) AS n_nodes,
+        |       CAST(min(deg) AS BIGINT) AS min_deg,
+        |       CAST(max(deg) AS BIGINT) AS max_deg,
+        |       CAST(sum(deg) AS BIGINT) AS sum_deg
+        |FROM g GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     // Reciprocity replay: distinct directed edges, mutual pairs via the
     // swapped-key EXISTS, one micro floor division.
