@@ -48,7 +48,22 @@ object Sampling {
                          weightCol: String = "weight"): DataFrame = {
     require(budget >= 0, s"budget must be >= 0, got $budget")
     val dec = "decimal(38,0)"
-    val base = weights.select(col(keyCol), col(weightCol).as("weight"))
+    // The "weights > 0" contract, ENFORCED (the q_pr_curve weave): a
+    // zero/negative/NULL stratum weight would surface as a NULL quota
+    // (Spark's non-ANSI x div 0) or a silent negative allocation —
+    // divergent from the DuckDB oracle, which raises on division by
+    // zero. assert_true returns NULL on success and treats a NULL
+    // condition as failed (so NULL weights are loud too); the
+    // `w + coalesce(assert, 0)` form keeps the check inside a live
+    // column that pruning cannot drop.
+    val base = weights.select(col(keyCol),
+      (col(weightCol) + coalesce(
+        assert_true(col(weightCol) > 0,
+          lit("hamiltonAllocation: every stratum weight must be > 0 " +
+            "(zero, negative, or NULL weights make the largest-remainder " +
+            "quota undefined) - filter or repair the strata first"))
+          .cast("long"),
+        lit(0L))).as("weight"))
     val tot = base.agg(sum(col("weight")).as("v"))
     val quota = base.crossJoin(broadcast(tot))
       .select(col(keyCol), col("weight"),

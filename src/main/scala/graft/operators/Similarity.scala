@@ -95,15 +95,36 @@ object Similarity {
     // magnitudes beyond that fail HERE with this message instead of
     // silently wrapping to a wrong eigenvector (the oracle computes the
     // same dot in HUGEINT and would diverge quietly).
-    val maxAbs = xm.agg(coalesce(
+    val stats = xm.agg(coalesce(
         max(expr("aggregate(xm, 0L, (a, x) -> greatest(a, abs(x)))")),
-        lit(0L)).as("m"))
-      .first().getLong(0)
+        lit(0L)).as("m"), count(lit(1)).as("n"))
+      .first()
+    val maxAbs = stats.getLong(0)
+    val rowCount = stats.getLong(1)
     val ceiling = Long.MaxValue / (dim.toLong * 1000000L)
     require(maxAbs <= ceiling,
       s"powerIteration: max quantized component $maxAbs exceeds the " +
         s"LongType dot-product ceiling $ceiling for dim=$dim - rescale " +
         "the embeddings or widen the fold to decimal")
+    // Second ceiling — the decimal(38,0) ACCUMULATION stage: for each
+    // dimension, sd = Σ_rows x·dot with |x| ≤ maxAbs and
+    // |dot| ≤ dim·maxAbs·1e6, then the normalization multiplies by 1e6
+    // again, so the peak magnitude is rowCount·dim·maxAbs²·1e12. Under
+    // non-ANSI semantics a decimal(38,0) overflow is a silent NULL that
+    // max(abs(sd)) would ignore — the job would then die with an opaque
+    // NPE at the collect (and diverge from the DuckDB HUGEINT oracle)
+    // instead of this message. BigInt arithmetic: the bound itself
+    // (≈1e38) does not fit a Long.
+    val decPeak = BigInt(rowCount) * BigInt(dim) *
+      BigInt(maxAbs) * BigInt(maxAbs) * BigInt(10).pow(12)
+    require(decPeak < BigInt(10).pow(38),
+      s"powerIteration: rowCount=$rowCount x dim=$dim x maxAbs=$maxAbs " +
+        "exceeds the decimal(38,0) accumulation headroom " +
+        "(rowCount*dim*maxAbs^2*1e12 must stay under 1e38) - rescale the " +
+        "embeddings or shard the corpus before decomposing")
+    require(maxAbs > 0 || rowCount == 0,
+      "powerIteration: every embedding quantizes to the zero vector - " +
+        "there is no dominant eigenvector to converge to")
     var v: Array[Long] = Array.fill(dim)(1000000L)
     (1 to rounds).foreach { _ =>
       val vLit = array(v.toIndexedSeq.map(lit(_)): _*)
@@ -115,12 +136,22 @@ object Similarity {
         .groupBy(col("d"))
         .agg(sum(expr(s"cast(x as $dec) * dot")).as("sd"))
       val m = sd.agg(max(abs(col("sd"))).as("m"))
+      // Defense-in-depth behind the decimal-headroom require above: a
+      // NULL here means the non-ANSI decimal stage overflowed (or m hit
+      // an unexpected zero) — fail with the diagnosis, not the bare NPE
+      // that getLong(1) would throw.
       v = sd.crossJoin(broadcast(m))
         .select(col("d"),
           when(col("sd") < 0, -expr("((- sd) * 1000000) div m"))
             .otherwise(expr("(sd * 1000000) div m")).as("vm"))
         .orderBy("d")
-        .collect().map(_.getLong(1))
+        .collect().map { r =>
+          if (r.isNullAt(1)) throw new IllegalStateException(
+            s"powerIteration: normalized component for d=${r.get(0)} is " +
+              "NULL - the decimal(38,0) stage overflowed or the round's " +
+              "max |sd| was zero; the input violates the guarded ceiling")
+          r.getLong(1)
+        }
     }
     val vLit = array(v.toIndexedSeq.map(lit(_)): _*)
     s.range(dim.toLong)

@@ -3447,11 +3447,28 @@ object RelationalQueries {
       daily.join(daily.select((col("day") + 7).as("day"),
           col("cents").as("fc")), Seq("day"))
         .withColumn("err", abs(col("cents") - col("fc")))
+        // Ceiling weave (the q_pr_curve discipline): the err·2²¹ pack
+        // is exact only while every per-day err < 2⁴² cents — a corpus
+        // past that fails HERE with the named contract instead of a
+        // silent BIGINT wrap (DuckDB would raise; Spark's non-ANSI
+        // multiply would not). coalesce(cond, true): an empty rollup
+        // must stay empty-aggregate NULL, not a misleading error.
         .agg(count(lit(1)).as("n_days"),
           sum(col("err")).as("total_err"),
-          max(col("err") * pack + (lit(pack - 1) - col("day"))).as("pmax"))
+          (max(col("err") * pack + (lit(pack - 1) - col("day"))) + coalesce(
+            assert_true(coalesce(max(col("err")) < lit(1L << 42), lit(true)),
+              lit("q_backtest_snaive: a per-day error tops the err*2^21 " +
+                "BIGINT pack ceiling (2^42 cents) - widen the pack to " +
+                "decimal(38,0)")).cast("long"),
+            lit(0L))).as("pmax"))
+        // total_err·1e6 widens to decimal(38,0) FIRST: at ~9.2e12 total
+        // cents of error the BIGINT product would wrap silently in
+        // Spark while the HUGEINT oracle kept going — the classic
+        // silent-divergence trap. decimal div bigint is an integral
+        // divide (LongType), so the micro quotient stays exact.
         .select(col("n_days"), col("total_err"),
-          (expr("(total_err * 1000000) div n_days") / 1e6).as("mae"),
+          (expr("(cast(total_err as decimal(38,0)) * 1000000) div n_days")
+            / 1e6).as("mae"),
           expr("pmax div 2097152").as("max_err"),
           (lit(pack - 1) - pmod(col("pmax"), lit(pack))).as("worst_day"))
     }),
@@ -3470,12 +3487,18 @@ object RelationalQueries {
       // 37th event re-fires 60 s later under a new id — so the audit
       // has a known-positive set at every SF (organic collisions alone
       // are too thin at small fixtures to grade the join non-vacuously),
-      // and the oracle replays the same plant.
+      // and the oracle replays the same plant. The planted-id offset is
+      // bit 62 (2⁶²), NOT a decimal constant inside the organic range:
+      // organic event_ids are a dense 0-based sequence, so any offset
+      // the id space can reach (1e8 at ~23 GB of events) would collide
+      // a plant with a real id and silently corrupt the known-positive
+      // set; 2⁶² is unreachable (4.6e18 rows) yet keeps id+offset < 2⁶³.
+      val plantBit = 1L << 62
       val base = Tables.events(s, dir).select(col("user_id"),
         col("event_id"), col("ts_ms"),
         expr("cast(floor(value * 100) as bigint) div 100").as("dollars"))
       val planted = base.filter(col("event_id") % 37 === 0)
-        .select(col("user_id"), (col("event_id") + 100000000L).as("event_id"),
+        .select(col("user_id"), (col("event_id") + plantBit).as("event_id"),
           (col("ts_ms") + 60000L).as("ts_ms"), col("dollars"))
       val ev = base.unionAll(planted)
       val a = ev.select(col("user_id"), col("dollars"),
@@ -4433,7 +4456,10 @@ object RelationalQueries {
         |        max(err * 2097152 + (2097151 - day)) AS pmax
         |      FROM e)
         |SELECT n_days, total_err,
-        |       ((total_err * 1000000) // n_days) / 1e6 AS mae,
+        |       -- HUGEINT widening mirrors the Spark decimal(38,0) cast:
+        |       -- both engines take the exact integral quotient, one
+        |       -- display division
+        |       ((CAST(total_err AS HUGEINT) * 1000000) // n_days) / 1e6 AS mae,
         |       CAST(pmax // 2097152 AS BIGINT) AS max_err,
         |       CAST(2097151 - (pmax % 2097152) AS BIGINT) AS worst_day
         |FROM a""".stripMargin,
@@ -4441,13 +4467,17 @@ object RelationalQueries {
     // Duplicate-pair replay: the oracle skips the bucketing device (a
     // plain self-join is fine at oracle scale) — identical pair set by
     // construction since the buckets only partition the match space.
+    // Planted ids carry bit 62 (4611686018427387904 = 2⁶²), mirroring
+    // the Spark side: an offset inside the reachable id range would
+    // collide plants with organic events at large SFs.
     "q_duplicate_events" ->
       """WITH b0 AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
         |              CAST(floor(value * 100) AS BIGINT) // 100 AS dollars
         |            FROM events),
         |e AS (SELECT * FROM b0
         |      UNION ALL
-        |      SELECT user_id, event_id + 100000000, ts_ms + 60000, dollars
+        |      SELECT user_id, event_id + 4611686018427387904, ts_ms + 60000,
+        |             dollars
         |      FROM b0 WHERE event_id % 37 = 0)
         |SELECT a.user_id, a.dollars, a.event_id AS id_a, b.event_id AS id_b,
         |       b.ts_ms - a.ts_ms AS gap_ms

@@ -161,4 +161,28 @@ class SamplingSpec extends SparkSpec {
     assert(o1.toSet === o2.toSet, "a shuffle permutes, never drops or duplicates")
     assert(!o1.sameElements(o1.sorted), "order must not be the natural key order")
   }
+
+  test("hamiltonAllocation: conserves the budget exactly; rejects non-positive weights loudly") {
+    val w = Seq(("a", 5L), ("b", 3L), ("c", 2L)).toDF("source", "weight")
+    val got = Sampling.hamiltonAllocation(w, budget = 7L)
+      .orderBy("source").as[(String, Long, Long, Long, Long)].collect()
+    // floor quotas 3/2/1 sum to 6; the one leftover goes to the largest
+    // remainder (a: 35%10=5, b: 21%10=1, c: 14%10=4 → a wins)
+    assert(got.map(_._5).sum === 7L, "largest-remainder must conserve the budget")
+    assert(got.toSeq.map(r => r._1 -> r._5) === Seq("a" -> 4L, "b" -> 2L, "c" -> 1L))
+    // the weights>0 contract is enforced, not just documented: a zero
+    // weight (total still positive) used to flow into a silent div
+    // result; now the weave fails the job with the named contract
+    val zero = Seq(("a", 5L), ("b", 0L)).toDF("source", "weight")
+    val ez = intercept[Throwable] {
+      Sampling.hamiltonAllocation(zero, budget = 3L).collect()
+    }
+    assert(ez.getMessage.contains("weight must be > 0"),
+      s"zero weight must name the contract, got: ${ez.getMessage}")
+    val neg = Seq(("a", 5L), ("b", -2L)).toDF("source", "weight")
+    val en = intercept[Throwable] {
+      Sampling.hamiltonAllocation(neg, budget = 3L).collect()
+    }
+    assert(en.getMessage.contains("weight must be > 0"))
+  }
 }

@@ -56,6 +56,41 @@ class SimilaritySpec extends SparkSpec {
     assert(repart.toSeq === got.toSeq)
   }
 
+  test("powerIteration: loud ceilings — Long dot fold, decimal accumulation, zero corpus") {
+    // (a) LongType dot-fold ceiling: one component past 2^63/(dim·1e6).
+    // dim=2 → ceiling ≈ 4.61e12 micro units (|e| ≈ 4.61e6).
+    val overLong = Seq((1L, Seq(5.0e6f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val eLong = intercept[IllegalArgumentException] {
+      Similarity.powerIteration(overLong, rounds = 1, dim = 2)
+    }
+    assert(eLong.getMessage.contains("LongType dot-product ceiling"))
+    // (b) Decimal(38,0)-stage ceiling (the ADVICE medium): components
+    // UNDER the Long ceiling (4e12 micro ≤ 4.61e12) but with enough
+    // rows that rowCount·dim·maxAbs²·1e12 = 4·2·1.6e25·1e12 ≈ 1.28e38
+    // tops 1e38. Pre-guard this was a silent decimal NULL → opaque NPE;
+    // now it fails upfront with the named headroom.
+    val overDec = (1L to 4L).map(i => (i, Seq(4.0e6f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val eDec = intercept[IllegalArgumentException] {
+      Similarity.powerIteration(overDec, rounds = 1, dim = 2)
+    }
+    assert(eDec.getMessage.contains("decimal(38,0) accumulation headroom"))
+    // ...and the SAME magnitudes with fewer rows (headroom 6.4e37 <
+    // 1e38) pass both guards and produce the full L∞ unit on dim 0.
+    val under = (1L to 2L).map(i => (i, Seq(4.0e6f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val ok = Similarity.powerIteration(under, rounds = 1, dim = 2)
+      .orderBy("d").as[(Long, Long, Double)].collect()
+    assert(ok.map(_._2).toSeq === Seq(1000000L, 0L))
+    // (c) all-zero corpus: no dominant eigenvector — loud, not div-by-0.
+    val zeros = Seq((1L, Seq(0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val eZero = intercept[IllegalArgumentException] {
+      Similarity.powerIteration(zeros, rounds = 1, dim = 2)
+    }
+    assert(eZero.getMessage.contains("zero vector"))
+  }
+
   test("quantizeInt8: values in [-127,127], dequantized roundtrip within scale/2, zero vector safe") {
     val got = Similarity.quantizeInt8(emb)
       .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
