@@ -2571,6 +2571,107 @@ object RelationalQueries {
           col("p_size"))
     }),
 
+    // TPC-H Q11 shape — important stock: the value of each part's
+    // stock positions held by one region's suppliers, keeping parts
+    // whose value clears a global threshold — THE decorrelated
+    // scalar-subquery pattern (HAVING value > (SELECT fraction·total)).
+    // No partsupp in the fixture (the q2/q9/q16 idiom), so a position
+    // is an observed (part, supplier) pair from lineitem: availqty :=
+    // Σ⌊qty⌋, supplycost := the pair's minimum exact unit price
+    // (cents·10⁴ div qty, positive so truncation ≡ floor on both
+    // engines). The threshold is SF-ROBUST: keep parts worth > 2× the
+    // average position value — TPC-H's 0.0001/SF fraction re-pinned to
+    // the part universe so the slice stays non-vacuous from sf0.001
+    // (4 rows) through 100 TB, instead of drifting with corpus mass.
+    // Plan: region→nation→supplier collapses to a broadcast key dim
+    // BEFORE the fact scan; the fact then aggregates twice on
+    // shrinking keys ((part,supp) → part); the scalar (total, n_parts)
+    // is a broadcast 1-row crossJoin — exactly the plan Catalyst's
+    // scalar-subquery decorrelation rewrites to, declared directly.
+    // Exactness: value_e6 is a decimal(38,0) sum of qty·unit_e6
+    // products (HUGEINT in the oracle); the threshold cross-multiplies
+    // in decimal (value·n_parts > total·2) so no float fraction ever
+    // exists; ONE display division; ordered by the EXACT value, not
+    // its double rendering, then the key.
+    "q11_important_stock" -> ((s, dir) => {
+      val supEur = Tables.supplier(s, dir)
+        .join(broadcast(Tables.nation(s, dir)
+          .join(broadcast(Tables.region(s, dir)
+            .filter(col("r_name") === "EUROPE").select(col("r_regionkey"))),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"))
+      val pos = Tables.lineitem(s, dir)
+        .select(col("l_partkey"), col("l_suppkey"),
+          floor(col("l_quantity")).cast("long").as("qty_i"),
+          expr("(CAST(floor(l_extendedprice * 100) AS BIGINT) * 10000) div " +
+            "CAST(floor(l_quantity) AS BIGINT)").as("u_e6"))
+        .join(broadcast(supEur), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(col("qty_i")).as("avail_qty"), min(col("u_e6")).as("cost_e6"))
+      // localCheckpoint: v feeds BOTH the kept rows and the scalar
+      // total — without it Catalyst plans two full fact scans (no
+      // ReuseExchange across the extra aggregate), a doubled 100 TB
+      // pass for a part-universe-bounded intermediate (~|parts| rows).
+      val v = pos.groupBy(col("l_partkey").as("partkey"))
+        .agg(sum(expr("cast(avail_qty as decimal(38,0)) * cost_e6"))
+          .as("value_e6"))
+        .localCheckpoint()
+      val tot = v.agg(sum(col("value_e6")).as("total_e6"),
+        count(lit(1)).as("n_parts"))
+      v.crossJoin(broadcast(tot))
+        .filter(col("value_e6") * col("n_parts") > col("total_e6") * 2)
+        .orderBy(col("value_e6").desc, col("partkey"))
+        .select(col("partkey"),
+          (col("value_e6").cast("double") / 1e6).as("value"))
+    }),
+
+    // TPC-H Q20 shape — potential part promotion: suppliers in one
+    // nation sitting on enough stock of the promoted parts — the
+    // NESTED SEMI-JOIN CHAIN (supplier ← qualifying pairs ← name-
+    // filtered parts) with a correlated quantity threshold, the
+    // decorrelation shape Q20 exists to stress. Fixture adaptation
+    // (no partsupp): a supplier's stock position in a red part is its
+    // observed 1995 shipped quantity, the demand is the 1996 quantity,
+    // and the position qualifies when 1995 stock strictly exceeds the
+    // ENTIRE 1996 demand (qty96 > 0 grounds the test in observed
+    // demand — at sf0.01 this keeps 2 of NATION_3's 3 suppliers, so
+    // the semi-join genuinely discriminates). Plan: the name filter
+    // prunes part to a broadcast dim BEFORE the fact scan; the
+    // correlated per-(part,supp) two-year comparison is ONE
+    // partial-aggregable pass (two sum(CASE)s — never a self-join or
+    // per-year re-scan); the qualifying set enters supplier as a LEFT
+    // SEMI (existence — a supplier with many qualifying parts appears
+    // once, no fan-out, no distinct needed); nation rides broadcast.
+    // Exact integer quantities end to end; no division anywhere.
+    "q20_potential_promotion" -> ((s, dir) => {
+      val redParts = Tables.part(s, dir)
+        .filter(col("p_name").startsWith("red")).select(col("p_partkey"))
+      val qualifying = Tables.lineitem(s, dir)
+        .select(col("l_partkey"), col("l_suppkey"),
+          floor(col("l_quantity")).cast("long").as("qty_i"),
+          col("l_shipdate"))
+        .join(broadcast(redParts), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(
+          sum(when(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1996-01-01").cast("timestamp"),
+            col("qty_i")).otherwise(0L)).as("qty95"),
+          sum(when(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1997-01-01").cast("timestamp"),
+            col("qty_i")).otherwise(0L)).as("qty96"))
+        .filter(col("qty95") > col("qty96") && col("qty96") > 0)
+        .select(col("l_suppkey"))
+      Tables.supplier(s, dir)
+        .join(broadcast(Tables.nation(s, dir)
+          .filter(col("n_name") === "NATION_3").select(col("n_nationkey"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(qualifying, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select(col("s_suppkey"), col("s_name"))
+        .orderBy("s_name")
+    }),
+
     // TPC-H Q17 shape — small-quantity-order revenue: lines below 20%
     // of their part's average quantity. The correlated avg is a
     // per-part rollup joined back to the filtered lines, and the
@@ -5447,6 +5548,58 @@ object RelationalQueries {
         |                        WHERE contains(s_name, '7'))
         |GROUP BY 1, 2, 3
         |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+
+    // Q11 replay: positions = observed (part, supplier) pairs of one
+    // region's suppliers; HUGEINT value algebra mirrors the Spark
+    // decimal(38,0); the scalar threshold is the literal correlated
+    // form (the engine side declares the decorrelated crossJoin —
+    // same rows by construction). Ordered by the exact value.
+    "q11_important_stock" ->
+      """WITH pos AS (
+        |  SELECT l_partkey, l_suppkey,
+        |         CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT)
+        |           AS avail_qty,
+        |         min((CAST(floor(l_extendedprice * 100) AS BIGINT) * 10000)
+        |             // CAST(floor(l_quantity) AS BIGINT)) AS cost_e6
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE'
+        |  GROUP BY 1, 2),
+        |v AS (SELECT l_partkey AS partkey,
+        |        CAST(sum(CAST(avail_qty AS HUGEINT) * cost_e6) AS HUGEINT)
+        |          AS value_e6
+        |      FROM pos GROUP BY 1),
+        |t AS (SELECT CAST(sum(value_e6) AS HUGEINT) AS total_e6,
+        |        count(*) AS n_parts FROM v)
+        |SELECT partkey, CAST(value_e6 AS DOUBLE) / 1e6 AS value
+        |FROM v, t
+        |WHERE value_e6 * n_parts > total_e6 * 2
+        |ORDER BY value_e6 DESC, partkey""".stripMargin,
+
+    // Q20 replay: the nested-semi chain in its literal IN-subquery
+    // form; one conditional rollup builds both years' quantities.
+    "q20_potential_promotion" ->
+      """WITH pos AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    sum(CASE WHEN l_shipdate >= TIMESTAMP '1995-01-01'
+        |              AND l_shipdate < TIMESTAMP '1996-01-01'
+        |             THEN CAST(floor(l_quantity) AS BIGINT) ELSE 0 END)
+        |      AS qty95,
+        |    sum(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01'
+        |              AND l_shipdate < TIMESTAMP '1997-01-01'
+        |             THEN CAST(floor(l_quantity) AS BIGINT) ELSE 0 END)
+        |      AS qty96
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_name LIKE 'red%'
+        |  GROUP BY 1, 2)
+        |SELECT s_suppkey, s_name
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_name = 'NATION_3'
+        |  AND s_suppkey IN (SELECT l_suppkey FROM pos
+        |                    WHERE qty95 > qty96 AND qty96 > 0)
+        |ORDER BY s_name""".stripMargin,
 
     "q17_small_quantity" ->
       """WITH li AS (SELECT l_partkey,
