@@ -60,13 +60,30 @@ object Bench {
             System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
         if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
-      name -> (if (times.contains(-1.0)) -1.0 else times.sorted.apply(passes / 2))
+      // Median AND min per query: the r9 verdict showed medians drifting
+      // +25% on byte-identical code under shared-sandbox load — the min
+      // of N is far more load-robust (a pass can only be SLOWED by
+      // noise, never sped up), so cross-round regressions should be
+      // adjudicated on min, suite health on the median.
+      val (med, mn) = if (times.contains(-1.0)) (-1.0, -1.0)
+        else (times.sorted.apply(passes / 2), times.min)
+      name -> (med, mn)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v._1 }
       .mkString("{", ",", "}")
+    val qsMin = results.map { case (k, v) => s"\"" + k + "\":" + v._2 }
+      .mkString("{", ",", "}")
+    // Variance self-flag: a query whose median exceeds 1.5x its min
+    // inside ONE run was visibly load-contaminated — its cross-round
+    // delta is environment, not code, and the list makes that
+    // machine-readable instead of a per-round forensic exercise.
+    val unstable = results
+      .filter { case (_, (med, mn)) => mn > 0.05 && med / mn > 1.5 }
+      .map { case (k, _) => "\"" + k + "\"" }.mkString("[", ",", "]")
     // total sums only successful queries — the -1.0 sentinels must not
     // shrink the headline metric and make a broken run look fast
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val total = results.map(_._2._1).filter(_ >= 0).sum
+    val totalMin = results.map(_._2._2).filter(_ >= 0).sum
 
     // Isolated re-measurement of the slowest tail: a 100+-query shared
     // JVM contaminates late/heavy queries with accumulated GC debt and
@@ -85,7 +102,7 @@ object Bench {
         .getInputArguments.asScala.toSeq
         .filterNot(a => a.startsWith("-agentlib") || a.startsWith("-javaagent"))
       val cp = sys.props("java.class.path")
-      results.filter(_._2 >= 0).sortBy(-_._2).take(10).map { case (name, _) =>
+      results.filter(_._2._1 >= 0).sortBy(-_._2._1).take(10).map { case (name, _) =>
         val t = try {
           val pb = new ProcessBuilder(
             (Seq(javaBin) ++ jvmArgs ++ Seq("-cp", cp, "graft.Bench")).asJava)
@@ -107,10 +124,15 @@ object Bench {
           else {
             drainer.join(10000)
             val out = outBuf.toString("UTF-8")
-            val re = ("\"" + java.util.regex.Pattern.quote(name) +
+            // Anchor on the child's "queries" (median) map: the r10
+            // JSON also carries a "queries_min" map with the same key,
+            // so a bare last-match would silently switch the isolated
+            // series from median to min semantics mid-stream.
+            val re = ("\"queries\":\\{[^}]*\"" +
+              java.util.regex.Pattern.quote(name) +
               "\":(-?[0-9.eE+-]+)").r
-            re.findAllMatchIn(out).map(_.group(1).toDouble).toSeq
-              .lastOption.getOrElse(-1.0)
+            re.findFirstMatchIn(out).map(_.group(1).toDouble)
+              .getOrElse(-1.0)
           }
         } catch { case e: Throwable =>
           System.err.println(s"[bench] isolated $name failed: ${e.getMessage}")
@@ -128,9 +150,11 @@ object Bench {
     //   2 = r2 noop-sink materialization, target-SF warmup, median-of-3
     //   3 = r3+ per-query isolation (clearCache + GC + settle per query)
     //       (r5 adds the additive "isolated" map: fresh-JVM medians of
-    //        the 10 slowest — in-suite "queries" semantics unchanged)
+    //        the 10 slowest — in-suite "queries" semantics unchanged;
+    //        r10 adds the additive "queries_min"/"value_min"/"unstable"
+    //        variance guard — "queries"/"value" semantics unchanged)
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","stat":"median_of_$passes","bench_rev":3,"queries":$qs,"isolated":$iso,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","stat":"median_of_$passes","bench_rev":3,"value_min":$totalMin,"queries":$qs,"queries_min":$qsMin,"unstable":$unstable,"isolated":$iso,"sf":"$sfDir"}"""
     // The metric must be un-missable: sbt prefixes stdout with [info],
     // so ALSO write it to a plain file next to the build.
     if (!sys.env.contains("SPARK_GRAFT_SKIP_OUTFILE"))

@@ -40,6 +40,22 @@ object ParityQueries {
     try body finally s.conf.set(key, prev)
   }
 
+  /** Conf-scoped streaming state-store provider override (the
+    * withShufflePartitions pattern): the provider class is read from
+    * SQLConf when a StreamingQuery starts, so a set/restore scoped
+    * around one bounded run pins the state BACKEND for that query
+    * only — the surface a 100 TB deployment flips to move streaming
+    * state off executor heaps. */
+  private[queries] def withStateStoreProvider[T](s: SparkSession, cls: String)(body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, cls)
+    try body finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
   /** Per-JVM cache of staged stream-INPUT directories, keyed by a
     * content descriptor (fixture dir + slice recipe). Staged files are
     * immutable once written, so every later graded query — and every
@@ -264,6 +280,45 @@ object ParityQueries {
           col("event_type"), col("n"),
           round(col("sum_value"), 2).as("sum_value"))
         .orderBy("window_start_ms", "event_type")
+    }),
+
+    // The RocksDB state-store leg: the SAME cross-batch stateful
+    // windowed aggregation, but with streaming state held by
+    // RocksDBStateStoreProvider (rocksdbjni ships in /opt/spark/jars)
+    // instead of the default in-heap HDFSBackedStateStore. This is THE
+    // streaming scale surface: at a 100 TB key universe the in-heap
+    // store caps state at executor heap size, while RocksDB keeps
+    // state on local disk with an LRU block cache — same engine
+    // semantics, different backend. Graded against the identical
+    // batch oracle: the backend must be semantically INVISIBLE
+    // (hash-identical windows/counts/sums from a different state
+    // engine). 3-file staging + maxFilesPerTrigger=1 forces the state
+    // to genuinely persist and merge across three micro-batch commits
+    // (a single-batch run would never touch the store's recovery path).
+    "stream_rocksdb_state" -> ((s, dir) => withShufflePartitions(s, 4) {
+      withStateStoreProvider(s, "org.apache.spark.sql.execution." +
+          "streaming.state.RocksDBStateStoreProvider") {
+        val hand = StagedInputs(s"$dir|events|rep3") { d =>
+          s.read.parquet(s"$dir/events.parquet").repartition(3)
+            .write.mode("overwrite").parquet(d)
+        }
+        val schema = s.read.parquet(hand).schema
+        val stream = Tables.withTsMs(s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(hand))
+        val agg = graft.streaming.Streaming.windowedCounts(stream)
+        val qn = "stream_rdb_" + java.util.UUID.randomUUID().toString.take(8)
+        val ckpt = java.nio.file.Files.createTempDirectory("graft-srdb-ckpt").toString
+        val q = agg.writeStream
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation", ckpt)
+          .outputMode("complete").format("memory").queryName(qn).start()
+        q.awaitTermination()
+        s.table(qn)
+          .select(unix_millis(col("window_start")).as("window_start_ms"),
+            col("event_type"), col("n"),
+            round(col("sum_value"), 2).as("sum_value"))
+          .orderBy("window_start_ms", "event_type")
+      }
     }),
 
     // Stream–stream INNER interval join graded: clicks and purchases
@@ -688,6 +743,12 @@ object ParityQueries {
         |       row_number() OVER (ORDER BY c_custkey, c_name) AS pos
         |FROM customer ORDER BY pos""".stripMargin,
     "stream_windowed_counts" ->
+      """SELECT epoch_ms(date_trunc('hour', ts)) AS window_start_ms, event_type,
+        |       count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY window_start_ms, event_type""".stripMargin,
+    // Identical to the stream_windowed_counts oracle: the state
+    // BACKEND (RocksDB vs in-heap) must not change a single value.
+    "stream_rocksdb_state" ->
       """SELECT epoch_ms(date_trunc('hour', ts)) AS window_start_ms, event_type,
         |       count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY window_start_ms, event_type""".stripMargin,

@@ -698,6 +698,37 @@ object RelationalQueries {
         .orderBy(col("column"))
     }),
 
+    // The profile's 100 TB path, GRADED: `exact = false` swaps the
+    // 6-way countDistinct expand (q_profile's known cost — the
+    // grading path) for HLL++ sketches in ONE expand-free scan. Two
+    // HLL implementations never agree digit-for-digit, so the approx
+    // VALUE cannot be hash-compared across engines; what this row
+    // grades instead is (a) the exact legs (rows/nulls/distinct/
+    // min/max) value-for-value against DuckDB and (b) the HLL
+    // estimate's accuracy contract — |approx − exact| ≤ 15% (3σ at
+    // the default rsd 0.05) of the SAME exact count DuckDB just
+    // confirmed — as an integer cross-multiplied boolean. A broken or
+    // drifting sketch path flips nd_approx_ok and fails the hash
+    // gate. The exact leg exists here only to adjudicate the band;
+    // production profiling at 100 TB runs the HLL leg alone.
+    "q_profile_approx" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .withColumn("o_orderpriority",
+          when(col("o_orderkey") % 7 === 0, lit(null).cast("string"))
+            .otherwise(col("o_orderpriority")))
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority")
+      val approx = Profiling.profile(o, cols, exact = false)
+        .select(col("column"), col("n_distinct").as("nd_approx"))
+      Profiling.profile(o, cols)
+        .join(broadcast(approx), "column")
+        .select(col("column"), col("n_rows"), col("n_nulls"),
+          col("n_distinct"), col("min_value"), col("max_value"),
+          (abs(col("nd_approx") - col("n_distinct")) * 100 <=
+            col("n_distinct") * 15).as("nd_approx_ok"))
+        .orderBy(col("column"))
+    }),
+
     // Referential-integrity audit: orphaned-FK counts for three
     // relationships in one report. Parents are filtered (%5 / %7) so
     // the orphan branches are non-trivial; null FKs are injected into
@@ -4377,6 +4408,30 @@ object RelationalQueries {
            |       count(DISTINCT $c) AS n_distinct,
            |       CAST(min($c) AS VARCHAR) AS min_value,
            |       CAST(max($c) AS VARCHAR) AS max_value FROM o""".stripMargin
+      }
+      s"""WITH o AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+         |             o_orderdate,
+         |             CASE WHEN o_orderkey % 7 = 0 THEN NULL
+         |                  ELSE o_orderpriority END AS o_orderpriority
+         |           FROM orders)
+         |SELECT * FROM (${legs.mkString("\nUNION ALL\n")})
+         |ORDER BY "column"""".stripMargin
+    },
+    // HLL-path replay: the exact legs replay value-for-value; the
+    // approx estimate is engine-local by nature (two HLL
+    // implementations never match digit-for-digit), so the oracle
+    // contributes the exact count the band is measured against and
+    // the literal contract verdict the Spark side must reproduce.
+    "q_profile_approx" -> {
+      val cols = Seq("o_custkey", "o_orderdate", "o_orderkey",
+        "o_orderpriority", "o_orderstatus", "o_totalprice")
+      val legs = cols.map { c =>
+        s"""SELECT '$c' AS "column", count(*) AS n_rows,
+           |       CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           |       count(DISTINCT $c) AS n_distinct,
+           |       CAST(min($c) AS VARCHAR) AS min_value,
+           |       CAST(max($c) AS VARCHAR) AS max_value,
+           |       true AS nd_approx_ok FROM o""".stripMargin
       }
       s"""WITH o AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
          |             o_orderdate,
