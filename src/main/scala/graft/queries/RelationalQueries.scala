@@ -339,6 +339,35 @@ object RelationalQueries {
           "user_id", salts = 8)
         .orderBy(col("event_type"))),
 
+    // The JOIN-STRATEGY HINT surface: the SAME logical fact⋈dim rollup
+    // under all three strategy hints — broadcast, shuffle_hash, merge —
+    // each overriding what AQE/Catalyst would pick on its own (the
+    // knob a tuner reaches for when statistics mislead the optimizer:
+    // a "small" dim that explodes after a filter-join, a build side
+    // that OOMs the hash table, a sort the data already has). Graded
+    // claim: the physical strategy is semantically INVISIBLE —
+    // hash-identical rollups from three different join operators
+    // (the stream_rocksdb_state discipline applied to join execution).
+    // The triple fact scan is the demonstration harness, not a
+    // production shape; each leg alone is the standard one-shuffle (or
+    // zero-shuffle broadcast) dimension join. Exact integer cents; one
+    // display division per row.
+    "q_join_strategy_hints" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).select(col("l_suppkey"),
+        floor(col("l_extendedprice") * 100).cast("long").as("cents"))
+      val sup = Tables.supplier(s, dir)
+        .select(col("s_suppkey"), col("s_nationkey"))
+      def leg(strategy: String) =
+        li.join(sup.hint(strategy), col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("s_nationkey"))
+          .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+          .withColumn("strategy", lit(strategy))
+      leg("broadcast").unionByName(leg("shuffle_hash")).unionByName(leg("merge"))
+        .select(col("strategy"), col("s_nationkey"), col("n"),
+          (col("cents") / 100.0).as("revenue"))
+        .orderBy("strategy", "s_nationkey")
+    }),
+
     // Custom typed UDAF (bounded top-k buffer) inside groupBy().agg() —
     // the shuffle carries k values per group, never the value list.
     "q_topk_udaf" -> ((s, dir) => {
@@ -3998,6 +4027,21 @@ object RelationalQueries {
         |JOIN (SELECT event_type, count(*) AS type_total
         |      FROM events GROUP BY event_type) t USING (event_type)
         |ORDER BY e.event_id""".stripMargin,
+    // One rollup crossed with the three strategy tags: the hints must
+    // not change a value, so the oracle computes the join ONCE.
+    "q_join_strategy_hints" ->
+      """WITH base AS (
+        |  SELECT s_nationkey, count(*) AS n,
+        |         CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT))
+        |           AS BIGINT) AS cents
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |  GROUP BY 1)
+        |SELECT t.strategy, b.s_nationkey, b.n, b.cents / 100.0 AS revenue
+        |FROM base b
+        |CROSS JOIN (VALUES ('broadcast'), ('shuffle_hash'), ('merge'))
+        |  AS t(strategy)
+        |ORDER BY t.strategy, b.s_nationkey""".stripMargin,
+
     "q_skew_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_distinct
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
