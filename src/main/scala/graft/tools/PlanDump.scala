@@ -229,6 +229,103 @@ object PlanDump {
     "stream_rocksdb_state" -> "the state-BACKEND surface: same cross-batch windowed aggregation as stream_windowed_counts but with streaming state in RocksDBStateStoreProvider (off-heap, disk-backed — the 100 TB key-universe path) via a conf-scoped provider override; the backend must be plan- and hash-invisible, which is exactly what this audit + its oracle check",
     "q_join_strategy_hints" -> "the strategy-hint override surface: the SAME logical fact⋈dim join plans as THREE different operators in one tree — BroadcastHashJoin (broadcast hint), ShuffledHashJoin (shuffle_hash), SortMergeJoin (merge) — each overriding what AQE would pick; graded on hash-identical rollups, the physical-choice-is-invisible claim")
 
+  /** Flags the automated sweep is allowed to see, with the reason each is
+    * the intended plan (kept next to the lint so a new hit is loud). */
+  val ExpectedFlags: Map[String, Map[String, String]] = Map(
+    "q_null_semantics" -> Map(
+      "BNLJ" -> "the NOT IN leg IS Spark's null-aware anti join — BroadcastNestedLoopJoin LeftAnti is the only operator with that null contract"),
+    "q_sql_surface" -> Map(
+      "BNLJ" -> "the scalar-subquery comparison broadcasts a 1-row aggregate"),
+    "q_referential_integrity" -> Map(
+      "BNLJ" -> "orphan percentage crosses against a broadcast 1-row total"),
+    "validate_monotonic" -> Map(
+      "BNLJ" -> "the final crossJoin is two 1-row summary aggregates (within-partition inversions × seam inversions)"),
+    "text_tfidf" -> Map(
+      "BNLJ" -> "the corpus nDocs 1-row aggregate broadcasts onto the (doc,word) table for the IDF term"),
+    "text_bm25" -> Map(
+      "BNLJ" -> "the corpus stats (N, avgdl) 1-row aggregate broadcasts onto the per-term scores"),
+    "q_range_join" -> Map(
+      "BNLJ" -> "the intended plan: a non-equi band predicate against a broadcast 3-ROW interval dimension — the fact side is scanned once, never shuffled"),
+    "q_ab_sequential" -> Map(
+      "BNLJ" -> "the SPRT boundary crossings are broadcast 1-row aggregates (first-cross index, totals)"),
+    "dedup_semantic" -> Map(
+      "BNLJ" -> "the small-regime exact leg scores blocks against broadcast block stats; the LSH-banded equi-join regime takes over past the 10k-block threshold"),
+    "data_mixture_sample" -> Map(
+      "BNLJ" -> "the max-count scaling factor is a broadcast 1-row aggregate crossed onto the label table"),
+    "cluster_assign" -> Map(
+      "BNLJ" -> "point × broadcast(k centroids) assignment product — fan-out bounded by k, the standard k-means assignment shape"),
+    "ann_recall_eval" -> Map(
+      "BNLJ" -> "the exact leg IS the brute-force baseline: corpus scanned once against the broadcast 10-query side (the ann_bruteforce contract); the recall join itself is a hash equi-join")
+  )
+
+  /** One sweep row: operator census + lint flags for a query's pre-AQE
+    * physical plan (subqueries included). */
+  final case class SweepRow(name: String, census: String, flags: Seq[String])
+
+  def sweepQuery(spark: SparkSession, sfDir: String, name: String): SweepRow = {
+    import org.apache.spark.sql.execution._
+    import org.apache.spark.sql.execution.aggregate._
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins._
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    val phys = df.queryExecution.sparkPlan
+    val nodes = phys.collectWithSubqueries { case p => p }
+
+    // a subtree is "bounded" if anything between the scan and here already
+    // collapsed the data (aggregate, limit, top-k, or a leaf-only tree)
+    def bounded(p: SparkPlan): Boolean = p.collect {
+      case _: BaseAggregateExec => true
+      case _: TakeOrderedAndProjectExec => true
+      case _: LocalLimitExec => true
+      case _: GlobalLimitExec => true
+      case _: CollectLimitExec => true
+    }.nonEmpty
+
+    def count[T](pf: PartialFunction[SparkPlan, T]): Int =
+      nodes.collect(pf).size
+
+    val shuffles = count { case e: ShuffleExchangeExec => e }
+    val singleRaw = nodes.collect {
+      case e: ShuffleExchangeExec if e.outputPartitioning == SinglePartition => e
+    }
+    val singleUnbounded = singleRaw.count(e => !bounded(e.child))
+    val bhj = count { case j: BroadcastHashJoinExec => j }
+    val smj = count { case j: SortMergeJoinExec => j }
+    val shj = count { case j: ShuffledHashJoinExec => j }
+    val bnlj = count { case j: BroadcastNestedLoopJoinExec => j }
+    val cart = count { case j: CartesianProductExec => j }
+    val hashAgg = count { case a: HashAggregateExec => a }
+    val objAgg = count { case a: ObjectHashAggregateExec => a }
+    val sortAgg = count { case a: SortAggregateExec => a }
+    val windows = nodes.collect { case w: WindowExec => w }
+    val globalWinUnbounded =
+      windows.count(w => w.partitionSpec.isEmpty && !bounded(w.child))
+    val sorts = count { case s: SortExec => s }
+
+    val flags = Seq(
+      (cart > 0) -> "CARTESIAN",
+      (bnlj > 0) -> "BNLJ",
+      (singleUnbounded > 0) -> "1PART-UNBOUNDED",
+      (globalWinUnbounded > 0) -> "GLOBAL-WINDOW-UNBOUNDED"
+    ).collect { case (true, f) => f }
+
+    val joins = Seq("bhj" -> bhj, "smj" -> smj, "shj" -> shj, "bnlj" -> bnlj,
+      "cart" -> cart).collect { case (k, v) if v > 0 => s"$k:$v" }
+    val aggs = Seq("hash" -> hashAgg, "obj" -> objAgg, "sort" -> sortAgg)
+      .collect { case (k, v) if v > 0 => s"$k:$v" }
+    val census = Seq(
+      s"shuffles=$shuffles" + (if (singleRaw.nonEmpty) s" (1part=${singleRaw.size})" else ""),
+      if (joins.nonEmpty) s"joins=${joins.mkString(",")}" else "",
+      if (aggs.nonEmpty) s"aggs=${aggs.mkString(",")}" else "",
+      if (windows.nonEmpty) s"windows=${windows.size}" else "",
+      if (sorts > 0) s"sorts=$sorts" else ""
+    ).filter(_.nonEmpty).mkString("; ")
+    SweepRow(name, if (census.isEmpty) "leaf-only" else census, flags)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
     val out = if (args.length > 1) args(1) else "/root/repo/PLANS.md"
@@ -260,8 +357,48 @@ object PlanDump {
       if (details.nonEmpty) sb.append(details.mkString("", "\n", "\n"))
       sb.append("```\n")
     }
+    // full-registry automated sweep over every query the curated section
+    // does not cover: operator census + red-flag lint on the pre-AQE plan
+    val curated = Selected.map(_._1).toSet
+    val rest = SparkEntry.queries.keys.toSeq.sorted.filterNot(curated)
+    sb.append("\n## Appendix: full-registry automated sweep\n\n")
+    sb.append(s"Every registered query not audited above (${rest.size} of ")
+    sb.append(s"${SparkEntry.queries.size}) — operator census of the pre-AQE ")
+    sb.append("physical plan (subqueries included) with red-flag lint: ")
+    sb.append("`CARTESIAN` (any CartesianProduct), `BNLJ` (any ")
+    sb.append("BroadcastNestedLoopJoin), `1PART-UNBOUNDED` (a SinglePartition ")
+    sb.append("shuffle whose input subtree has no aggregate/limit bound — a ")
+    sb.append("raw-data funnel through one task), `GLOBAL-WINDOW-UNBOUNDED` ")
+    sb.append("(an empty-partition window over unbounded input). Flags listed ")
+    sb.append("under *expected* carry the justification from ")
+    sb.append("`PlanDump.ExpectedFlags`; anything else fails the lint.\n\n")
+    sb.append("| query | plan census | flags |\n|---|---|---|\n")
+    var unexpected = List.empty[(String, String)]
+    rest.foreach { name =>
+      val row = sweepQuery(spark, sfDir, name)
+      val expl = ExpectedFlags.getOrElse(name, Map.empty)
+      val rendered = row.flags.map { f =>
+        expl.get(f) match {
+          case Some(_) => s"$f (expected)"
+          case None => unexpected ::= (name, f); s"**$f (UNEXPECTED)**"
+        }
+      }
+      sb.append(s"| `$name` | ${row.census} | ${rendered.mkString(", ")} |\n")
+    }
+    sb.append("\nExpected-flag justifications:\n")
+    ExpectedFlags.toSeq.sortBy(_._1).foreach { case (q, fs) =>
+      fs.foreach { case (f, why) => sb.append(s"- `$q` $f — $why\n") }
+    }
+    if (unexpected.isEmpty)
+      sb.append("\n**Sweep lint: 0 unexpected flags across the registry.**\n")
+    else {
+      sb.append(s"\n**Sweep lint: ${unexpected.size} UNEXPECTED flags:** ")
+      sb.append(unexpected.map { case (q, f) => s"$q:$f" }.mkString(", "))
+      sb.append("\n")
+    }
     Files.writeString(Paths.get(out), sb.toString)
-    println(s"wrote $out")
+    println(s"wrote $out; unexpected flags: ${unexpected.size}")
+    unexpected.foreach { case (q, f) => println(s"  UNEXPECTED $q $f") }
     spark.stop()
   }
 }
