@@ -324,6 +324,78 @@ object ParityQueries {
       }
     }),
 
+    // The state-store READER surface graded: after the windowed
+    // aggregation stream commits, its internal state is read back as a
+    // BATCH table through the `statestore` DataSourceV2 (key =
+    // (window, event_type), value = the live agg buffer (count, sum),
+    // plus partition_id; the companion `state-metadata` source lists
+    // operators/stores/batch ranges). This is the debugging/ops surface
+    // for stateful pipelines at scale — inspect, audit, or repair
+    // checkpointed state WITHOUT replaying the stream — and it is graded
+    // hard: the state contents must equal the batch GROUP BY oracle
+    // exactly (complete-mode agg state IS the final aggregate).
+    "stream_state_inspect" -> ((s, dir) => withShufflePartitions(s, 4) {
+      val hand = StagedInputs(s"$dir|events|rep3") { d =>
+        s.read.parquet(s"$dir/events.parquet").repartition(3)
+          .write.mode("overwrite").parquet(d)
+      }
+      val schema = s.read.parquet(hand).schema
+      val stream = Tables.withTsMs(s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(hand))
+      val agg = graft.streaming.Streaming.windowedCounts(stream)
+      val qn = "stream_ssi_" + java.util.UUID.randomUUID().toString.take(8)
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-sssi-ckpt").toString
+      val q = agg.writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .outputMode("complete").format("memory").queryName(qn).start()
+      q.awaitTermination()
+      s.read.format("statestore").load(ckpt)
+        .select(unix_millis(col("key.window.start")).as("window_start_ms"),
+          col("key.event_type").as("event_type"),
+          col("value.count").as("n"),
+          round(col("value.sum"), 2).as("sum_value"))
+        .orderBy("window_start_ms", "event_type")
+    }),
+
+    // The arbitrary-stateful-processing v2 surface graded:
+    // transformWithState (Spark 4's StatefulProcessor API — named state
+    // primitives on the RocksDB store, the successor to
+    // flatMapGroupsWithState for long-lived keyed state) maintains a
+    // per-user ValueState account across three genuine micro-batch
+    // commits. Append mode emits a running snapshot per (user, batch);
+    // the snapshot count is strictly monotone per user, so the final
+    // account is recovered batch-boundary-INDEPENDENTLY as the argmax-n
+    // row — and graded against the plain batch GROUP BY oracle. Cents
+    // are floored integers, so cross-batch accumulation is exact in any
+    // arrival order.
+    "stream_transform_with_state" -> ((s, dir) => withShufflePartitions(s, 4) {
+      withStateStoreProvider(s, "org.apache.spark.sql.execution." +
+          "streaming.state.RocksDBStateStoreProvider") {
+        val hand = StagedInputs(s"$dir|events|rep3") { d =>
+          s.read.parquet(s"$dir/events.parquet").repartition(3)
+            .write.mode("overwrite").parquet(d)
+        }
+        val schema = s.read.parquet(hand).schema
+        val stream = Tables.withTsMs(s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(hand))
+        val snapshots = graft.streaming.Streaming.userAccumStream(stream)
+        val qn = "stream_tws_" + java.util.UUID.randomUUID().toString.take(8)
+        val ckpt = java.nio.file.Files.createTempDirectory("graft-stws-ckpt").toString
+        val q = snapshots.toDF().writeStream
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation", ckpt)
+          .outputMode("append").format("memory").queryName(qn).start()
+        q.awaitTermination()
+        s.table(qn)
+          .groupBy(col("user_id"))
+          .agg(max(col("n")).as("n"),
+            max_by(col("cents"), col("n")).as("cents"),
+            max(col("max_eid")).as("max_eid"))
+          .orderBy("user_id")
+      }
+    }),
+
     // Stream–stream INNER interval join graded: clicks and purchases
     // are staged as SEPARATE 3-file directories read with
     // maxFilesPerTrigger=1, so a click in batch 0 must stay buffered in
@@ -757,6 +829,20 @@ object ParityQueries {
         |FROM events GROUP BY 1, 2 ORDER BY window_start_ms, event_type""".stripMargin,
     "stream_dedup" ->
       "SELECT DISTINCT user_id FROM events ORDER BY user_id",
+    // The checkpointed agg state read back through the statestore source
+    // must BE the final aggregate — same statement as the windowed
+    // counts oracle.
+    "stream_state_inspect" ->
+      """SELECT epoch_ms(date_trunc('hour', ts)) AS window_start_ms, event_type,
+        |       count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY window_start_ms, event_type""".stripMargin,
+    // The final per-user account the StatefulProcessor converges to must
+    // equal the plain batch rollup, whatever the micro-batch slicing.
+    "stream_transform_with_state" ->
+      """SELECT user_id, count(*) AS n,
+        |       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+        |       max(event_id) AS max_eid
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     // Identical to the batch q_session_window oracle (30-minute gap):
     // the streaming engine's merged session state must converge to the
     // batch gap-and-island answer on bounded input.

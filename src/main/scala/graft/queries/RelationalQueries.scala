@@ -431,6 +431,50 @@ object RelationalQueries {
         get_json_object(col("props"), "$.k").cast("int").as("k"))
         .orderBy(col("event_id"))),
 
+    // The VARIANT semi-structured type (Spark 4's binary JSON): ingest
+    // both the fixture's props JSON and a nested document synthesized
+    // from typed columns through parse_json, then extract typed values
+    // back out with variant_get path expressions. Grades the full
+    // encode→binary-variant→typed-decode roundtrip against the ground
+    // truth the JSON was built from — any shredding/coercion defect in
+    // the variant path flips the hash. At 100 TB this is the schema-
+    // on-read lever: ONE binary column absorbs heterogeneous event
+    // payloads and the typed paths are extracted at scan time (no
+    // per-row string re-parse in every downstream query, no brittle
+    // full-schema inference over the corpus).
+    "q_variant" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val js = ev.select(col("event_id"), col("props"),
+        to_json(struct(col("user_id").as("u"), col("event_type").as("t"),
+          struct(floor(col("value") * 100).cast("long").as("cents"))
+            .as("m"))).as("doc"))
+      js.select(col("event_id"),
+          variant_get(parse_json(col("doc")), "$.u", "bigint").as("u"),
+          variant_get(parse_json(col("doc")), "$.t", "string").as("t"),
+          variant_get(parse_json(col("doc")), "$.m.cents", "bigint").as("cents"),
+          variant_get(parse_json(col("props")), "$.k", "int").as("k"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Case-insensitive grouping through the COLLATION surface (Spark 4
+    // collated string type), not through a lower() rewrite: the segment
+    // labels are deterministically re-cased (even keys upper, odd keys
+    // lower) and grouped under UTF8_LCASE — the ENGINE's collation-aware
+    // hash/equality does the folding. The presented key re-canonicalizes
+    // via lower() only so the oracle (which has no collated types) can
+    // state the same answer. Balances aggregate as exact integer cents.
+    "q_collation" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      c.select(
+          when(col("c_custkey") % 2 === 0, upper(col("c_mktsegment")))
+            .otherwise(lower(col("c_mktsegment"))).as("seg_mixed"),
+          floor(col("c_acctbal") * 100).cast("long").as("bal_cents"))
+        .groupBy(collate(col("seg_mixed"), "UTF8_LCASE").as("seg_key"))
+        .agg(count(lit(1)).as("n"), sum(col("bal_cents")).as("bal_cents"))
+        .select(lower(col("seg_key")).as("segment"), col("n"), col("bal_cents"))
+        .orderBy(col("segment"))
+    }),
+
     // Event-time tumbling window aggregation (batch form of the streaming
     // windowed agg — same date_trunc bucketing Structured Streaming uses).
     // `ts` is epoch nanos (Long); hour bucket = integer-floor to the hour.
@@ -4083,6 +4127,24 @@ object RelationalQueries {
       """SELECT event_id,
         |       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
         |FROM events ORDER BY event_id""".stripMargin,
+    // The variant roundtrip must hand back exactly the typed values the
+    // JSON documents were built from.
+    "q_variant" ->
+      """SELECT event_id, user_id AS u, event_type AS t,
+        |       CAST(floor(value * 100) AS BIGINT) AS cents,
+        |       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+    // UTF8_LCASE grouping folds the re-cased labels back together — the
+    // collation-free statement of the same answer groups by lower().
+    "q_collation" ->
+      """WITH m AS (
+        |  SELECT CASE WHEN c_custkey % 2 = 0 THEN upper(c_mktsegment)
+        |              ELSE lower(c_mktsegment) END AS seg_mixed,
+        |         CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_cents
+        |  FROM customer)
+        |SELECT lower(seg_mixed) AS segment, count(*) AS n,
+        |       CAST(sum(bal_cents) AS BIGINT) AS bal_cents
+        |FROM m GROUP BY 1 ORDER BY segment""".stripMargin,
     "q_time_window" ->
       """SELECT epoch_ms(date_trunc('hour', ts)) AS window_start_ms, event_type,
         |       count(*) AS n, round(sum(value), 2) AS sum_value

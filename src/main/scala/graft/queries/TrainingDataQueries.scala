@@ -2514,6 +2514,34 @@ object TrainingDataQueries {
         .orderBy("doc_id")
     }),
 
+    // XML ingest through Spark 4's native from_xml: order rows render to
+    // XML documents in-query (concat projection — the "export feed" a
+    // partner system would hand us), then parse back through the binary
+    // XML path with an explicit schema and the typed fields are graded
+    // against the columns the documents were built from. Money rides as
+    // integer cents INSIDE the XML so the roundtrip is exact. The parse
+    // is a per-row codegen-friendly projection — schema-on-read at scan
+    // speed, no DOM materialization, nothing shuffles until the
+    // presentation sort.
+    "ingest_xml" -> ((s, dir) => {
+      import org.apache.spark.sql.types.{LongType, StringType, StructType}
+      val o = Tables.orders(s, dir)
+      val xml = o.select(col("o_orderkey"), concat(
+        lit("<order><id>"), col("o_orderkey"),
+        lit("</id><status>"), col("o_orderstatus"),
+        lit("</status><priority>"), col("o_orderpriority"),
+        lit("</priority><total_cents>"),
+        floor(col("o_totalprice") * 100).cast("long"),
+        lit("</total_cents></order>")).as("x"))
+      val schema = new StructType()
+        .add("id", LongType).add("status", StringType)
+        .add("priority", StringType).add("total_cents", LongType)
+      xml.select(from_xml(col("x"), schema).as("r"))
+        .select(col("r.id").as("o_orderkey"), col("r.status").as("status"),
+          col("r.priority").as("priority"), col("r.total_cents").as("total_cents"))
+        .orderBy("o_orderkey")
+    }),
+
     // Resilient ingest: corrupt JSONL records are QUARANTINED (PERMISSIVE
     // mode + _corrupt_record), never fatal and never silently dropped —
     // at 100 TB some shard always has a bad line, and both failure modes
@@ -5678,6 +5706,14 @@ object TrainingDataQueries {
 
     "ingest_orc" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id",
+
+    // The XML roundtrip must reproduce the exact columns the documents
+    // were rendered from.
+    "ingest_xml" ->
+      """SELECT o_orderkey, o_orderstatus AS status,
+        |       o_orderpriority AS priority,
+        |       CAST(floor(o_totalprice * 100) AS BIGINT) AS total_cents
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "ingest_schema_evolution" ->
       """SELECT doc_id,

@@ -227,7 +227,13 @@ object PlanDump {
     "q11_important_stock" -> "TPC-H Q11: region→nation→supplier collapses to a broadcast key dim BEFORE the fact scan; positions aggregate on shrinking keys ((part,supp) → part); the scalar (total, n_parts) is a broadcast 1-row crossJoin — the decorrelated scalar-subquery plan declared directly; the part-level rollup localCheckpoints so the kept-rows branch and the scalar total share ONE fact scan (the scan below is that RDD — without the cut Catalyst planned TWO full lineitem passes)",
     "q20_potential_promotion" -> "TPC-H Q20: the name-filtered part dim broadcasts into the fact scan; the correlated two-year comparison is ONE partial-aggregable conditional rollup (two sum(CASE)s — never a self-join or per-year re-scan); qualifying keys enter supplier as LEFT SEMI (existence, no fan-out, no distinct); nation rides broadcast",
     "stream_rocksdb_state" -> "the state-BACKEND surface: same cross-batch windowed aggregation as stream_windowed_counts but with streaming state in RocksDBStateStoreProvider (off-heap, disk-backed — the 100 TB key-universe path) via a conf-scoped provider override; the backend must be plan- and hash-invisible, which is exactly what this audit + its oracle check",
-    "q_join_strategy_hints" -> "the strategy-hint override surface: the SAME logical fact⋈dim join plans as THREE different operators in one tree — BroadcastHashJoin (broadcast hint), ShuffledHashJoin (shuffle_hash), SortMergeJoin (merge) — each overriding what AQE would pick; graded on hash-identical rollups, the physical-choice-is-invisible claim")
+    "q_join_strategy_hints" -> "the strategy-hint override surface: the SAME logical fact⋈dim join plans as THREE different operators in one tree — BroadcastHashJoin (broadcast hint), ShuffledHashJoin (shuffle_hash), SortMergeJoin (merge) — each overriding what AQE would pick; graded on hash-identical rollups, the physical-choice-is-invisible claim",
+    // r10 wave 2: the Spark-4-native surfaces
+    "q_variant" -> "the VARIANT path: parse_json/variant_get compile to scan-speed projections (StaticInvoke over the binary variant — no shuffle, no UDF); at 100 TB one binary column absorbs heterogeneous payloads and typed paths extract at scan time instead of re-parsing JSON strings per query",
+    "q_collation" -> "collation-aware grouping: the UTF8_LCASE group key makes the ENGINE's hash/equality fold case variants inside the standard two-phase HashAggregate — no lower() rewrite of the data, same exchange shape as any groupBy",
+    "ingest_xml" -> "from_xml is a per-row projection over the scan (XmlToStructs — no DOM stage, no shuffle before the presentation sort); schema-on-read for the 'partner feed' format at scan parallelism",
+    "stream_transform_with_state" -> "transformWithStateExec over RocksDB: ONE exchange on the grouping key, then per-key named-state updates (fixed-width ValueState snapshot per user — never the event list); the append emission log collapses batch-boundary-independently via the argmax-n aggregate",
+    "stream_state_inspect" -> "the state-store READER: checkpointed streaming state scanned as a BATCH DSv2 table (StateScan — partition-parallel over the store's shards, no stream replay); the ops/debug surface for 100 TB stateful pipelines, graded bit-exact against the batch GROUP BY")
 
   /** Flags the automated sweep is allowed to see, with the reason each is
     * the intended plan (kept next to the lint so a new hit is loud). */

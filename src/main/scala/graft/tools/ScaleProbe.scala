@@ -413,6 +413,31 @@ object ScaleProbe {
           Seq("k"), watermark = "1 hour"), dir)
       println(f"PROBE stream x$label dedup slices=$nSlices batches=$dnb " +
         f"kept=$dout peak_state_rows=$dr peak_state_mb=${dm / 1e6}%.1f")
+      // transformWithState per-key ValueState accumulator: the claim is
+      // "state tracks the KEY UNIVERSE, not the stream length" — a
+      // fixed-width snapshot per key, never the event list. Keys are
+      // folded to a fixed 2500-id universe, so PASS = peak state rows
+      // pinned at ~2500 while the stream grows 16×. (RocksDB provider:
+      // transformWithState requires it.)
+      val provKey = "spark.sql.streaming.stateStore.providerClass"
+      val prevProv = spark.conf.getOption(provKey)
+      spark.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
+        "state.RocksDBStateStoreProvider")
+      try {
+        val (tr, tm, tout, tnb) = runStream(
+          in => graft.streaming.Streaming.userAccumStream(
+            in.select(pmod(col("doc_id"), lit(2500L)).as("user_id"),
+              col("doc_id").as("event_id"),
+              (pmod(col("doc_id"), lit(97L)) / lit(10.0)).as("value"))).toDF(),
+          dir)
+        println(f"PROBE stream x$label tws slices=$nSlices batches=$tnb " +
+          f"snapshots=$tout peak_state_rows=$tr peak_state_mb=${tm / 1e6}%.1f")
+      } finally {
+        prevProv match {
+          case Some(v) => spark.conf.set(provKey, v)
+          case None => spark.conf.unset(provKey)
+        }
+      }
     }
     spark.stop()
   }

@@ -436,4 +436,73 @@ class StreamingSpec extends SparkSpec {
       (1L, 5000L, 5400L, 2L),  // closed by the 5400 -> 99000 gap
       (2L, 100L, 100L, 1L)))   // closed by the 100 -> 10000 gap
   }
+
+  test("userAccumStream (transformWithState): ValueState persists across micro-batches") {
+    // transformWithState requires the RocksDB state store provider
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
+      "RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[(Long, Long, Double)](spark)
+      val df = input.toDF().toDF("user_id", "event_id", "value")
+      val q = Streaming.userAccumStream(df).toDF().writeStream
+        .format("memory").queryName("tws_acc")
+        .outputMode(OutputMode.Append())
+        .option("checkpointLocation", tmp("graft-tws-ckpt"))
+        .start()
+      // batch 0: user 1 twice, user 2 once
+      input.addData((1L, 10L, 1.50), (1L, 11L, 2.25), (2L, 12L, 5.00))
+      q.processAllAvailable()
+      // batch 1: user 1 again (state must carry), user 3 new
+      input.addData((1L, 13L, 0.75), (3L, 14L, 1.00))
+      q.processAllAvailable()
+      q.stop()
+
+      val log = spark.table("tws_acc")
+      // user 1 was touched by both batches -> exactly two snapshots,
+      // and the second one CONTINUES the first (state persisted)
+      val u1 = log.filter(col("user_id") === 1)
+        .select("n", "cents", "max_eid")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(u1 === Set((2L, 375L, 11L), (3L, 450L, 13L)))
+      // the argmax-n collapse (the graded query's final step) recovers
+      // exactly the batch GROUP BY totals
+      val fin = log.groupBy(col("user_id"))
+        .agg(max(col("n")).as("n"), max_by(col("cents"), col("n")).as("cents"),
+          max(col("max_eid")).as("max_eid"))
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(fin === Set((1L, 3L, 450L, 13L), (2L, 1L, 500L, 12L),
+        (3L, 1L, 100L, 14L)))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
+  test("statestore batch source: checkpointed agg state equals the batch aggregate") {
+    val input = MemoryStream[(Long, String, Double)](spark)
+    val df = input.toDF().toDF("ts_ms", "event_type", "value")
+    val ckpt = tmp("graft-ssr-ckpt")
+    val q = Streaming.windowedCounts(df).writeStream
+      .format("memory").queryName("ssr_state")
+      .outputMode(OutputMode.Complete())
+      .option("checkpointLocation", ckpt)
+      .start()
+    val H = 3600000L
+    input.addData((H, "a", 1.0), (H + 10, "a", 2.0), (2 * H, "b", 4.0))
+    q.processAllAvailable()
+    input.addData((H + 20, "a", 3.0)) // merges INTO hour-1's live state
+    q.processAllAvailable()
+    q.stop()
+
+    val st = spark.read.format("statestore").load(ckpt)
+      .select(unix_millis(col("key.window.start")).as("ws"),
+        col("key.event_type").as("t"),
+        col("value.count").as("n"), col("value.sum").as("s"))
+      .as[(Long, String, Long, Double)].collect().toSet
+    assert(st === Set((H, "a", 3L, 6.0), (2 * H, "b", 1L, 4.0)))
+  }
 }
