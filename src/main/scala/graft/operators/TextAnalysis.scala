@@ -436,6 +436,53 @@ object TextAnalysis {
           " ")).as("cleaned_md5"))
   }
 
+  /** T5-style span corruption — the denoising-objective prep step of a
+    * text-to-text training pipeline (Raffel et al. 2020 §3.1.4): mask
+    * deterministic word spans, replace each with a numbered sentinel in
+    * the input, and emit the sentinel-delimited masked spans as the
+    * target. Spans start at word index `offset` and every `period`
+    * words after (length `spanLen`), so sentinel ids have the CLOSED
+    * FORM `(wi - offset) div period` — no window pass, no running
+    * count: the whole op is one posexplode + one per-doc ordered
+    * reassembly (the removeDuplicatedSpans ObjectHashAggregate
+    * discipline, state bounded by one document). Output carries md5 of
+    * both reassembled texts + mask counts, so any tokenization,
+    * numbering, or ordering defect flips the hash.
+    *
+    * Scale shape at 100 TB: one explode, zero joins, one shuffle on
+    * doc — embarrassingly parallel corpus-wide. */
+  def spanCorrupt(df: DataFrame, idCol: String, textCol: String,
+                  period: Int = 7, offset: Int = 3,
+                  spanLen: Int = 2): DataFrame = {
+    require(spanLen >= 1 && offset >= 0 && offset + spanLen <= period,
+      s"need 1 <= spanLen and offset + spanLen <= period; " +
+        s"got period=$period offset=$offset spanLen=$spanLen")
+    val words = df.select(col(idCol).as("doc"),
+      posexplode(TextFunctions.words(col(textCol))).as(Seq("wi", "word")))
+    val tagged = words
+      .withColumn("masked", col("wi") >= offset &&
+        pmod(col("wi") - offset, lit(period)) < spanLen)
+      .withColumn("phase", pmod(col("wi") - offset, lit(period)))
+      .withColumn("sid", expr(s"(wi - $offset) div $period"))
+    val sentinel = concat(lit("<extra_id_"), col("sid"), lit(">"))
+    val tok = tagged.select(col("doc"), col("wi"), col("masked"),
+      when(!col("masked"), col("word"))
+        .when(col("phase") === 0, sentinel).as("in_tok"),
+      when(col("masked") && col("phase") === 0,
+          concat(sentinel, lit(" "), col("word")))
+        .when(col("masked"), col("word")).as("tgt_tok"))
+    // array_join skips the NULL (dropped) tokens; struct sort is by wi
+    tok.groupBy(col("doc")).agg(
+      count(lit(1)).as("n_words"),
+      sum(when(col("masked"), 1L).otherwise(0L)).as("n_masked"),
+      md5(array_join(expr(
+        "transform(sort_array(collect_list(struct(wi, in_tok))), s -> s.in_tok)"),
+        " ")).as("input_md5"),
+      md5(array_join(expr(
+        "transform(sort_array(collect_list(struct(wi, tgt_tok))), s -> s.tgt_tok)"),
+        " ")).as("target_md5"))
+  }
+
   /** Inverted-index (postings) construction — the materialized
     * retrieval artifact behind [[bm25Search]]: one row per index term
     * with its document frequency and the first `maxPostings` doc ids.

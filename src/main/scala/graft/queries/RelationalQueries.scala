@@ -318,6 +318,52 @@ object RelationalQueries {
         .orderBy(col("event_type"))
     }),
 
+    // Datasketches THETA sketches (Spark 4 built-ins): the set-ALGEBRA
+    // sketch family — unlike HLL, theta supports intersection and
+    // difference, the audience-overlap algebra at sketch size. One
+    // sketch per audience (theta_sketch_agg over user ids), then
+    // union/intersection estimates from the two 4 KB sketch blobs —
+    // at 100 TB the exact pairwise-overlap join is replaced by
+    // constant-size sketch merges. Graded by the q_profile_approx
+    // discipline: the EXACT legs (countDistinct per audience, union,
+    // intersection) hash-grade against DuckDB, and each theta estimate
+    // is adjudicated within a 5% band of that oracle-confirmed exact
+    // value (theta RSE at lgK=12 is ~1.6%; 3σ ≈ 5%) — the bands are
+    // TRUE/TRUE/TRUE/TRUE rows the oracle states literally.
+    "q_theta_sketch" -> ((s, dir) => {
+      val ut = Tables.events(s, dir)
+        .filter(col("event_type").isin("view", "click"))
+        .select(col("event_type"), col("user_id")).distinct()
+      val sk = ut.groupBy(col("event_type"))
+        .agg(theta_sketch_agg(col("user_id")).as("sk"))
+      val a = sk.filter(col("event_type") === "view").select(col("sk").as("ska"))
+      val b = sk.filter(col("event_type") === "click").select(col("sk").as("skb"))
+      val est = a.crossJoin(b).select(
+        theta_sketch_estimate(col("ska")).as("est_a"),
+        theta_sketch_estimate(col("skb")).as("est_b"),
+        theta_sketch_estimate(theta_union(col("ska"), col("skb"))).as("est_u"),
+        theta_sketch_estimate(theta_intersection(col("ska"), col("skb")))
+          .as("est_i"))
+      val exact = ut.groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "view", 1).otherwise(0)).as("va"),
+          max(when(col("event_type") === "click", 1).otherwise(0)).as("cb"))
+        .agg(sum(col("va")).as("exact_a"), sum(col("cb")).as("exact_b"),
+          count(lit(1)).as("exact_union"),
+          sum(when(col("va") === 1 && col("cb") === 1, 1).otherwise(0))
+            .as("exact_inter"))
+      def ok(estC: Column, exC: Column): Column =
+        abs(estC.cast("double") / exC.cast("double") - 1.0) <= 0.05
+      exact.crossJoin(broadcast(est)).select(
+        col("exact_a").cast("long").as("exact_a"),
+        col("exact_b").cast("long").as("exact_b"),
+        col("exact_union").cast("long").as("exact_union"),
+        col("exact_inter").cast("long").as("exact_inter"),
+        ok(col("est_a"), col("exact_a")).as("ok_a"),
+        ok(col("est_b"), col("exact_b")).as("ok_b"),
+        ok(col("est_u"), col("exact_union")).as("ok_union"),
+        ok(col("est_i"), col("exact_inter")).as("ok_inter"))
+    }),
+
     // Explicit salting — the defense for shuffle joins AQE won't split:
     // the skewed side's join key is widened to (key, salt). Results are
     // row-identical to the plain join, which is exactly what the oracle
@@ -641,6 +687,66 @@ object RelationalQueries {
           |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
           |GROUP BY n_name, o_orderpriority
           |ORDER BY n_name, o_orderpriority""".stripMargin)
+    }),
+
+    // SQL user-defined functions (Spark 4's CREATE FUNCTION ... RETURN):
+    // a scalar money-algebra UDF and a table UDF defined in PURE SQL,
+    // then used in a graded rollup. The analyzer INLINES the function
+    // body into the plan (ResolveSQLFunctions), so unlike a JVM/Python
+    // UDF the call costs nothing at scale — it stays inside whole-stage
+    // codegen and predicate pushdown still sees through it. The oracle
+    // states the same query with the bodies inlined by hand — the
+    // function indirection must be plan- and hash-invisible.
+    "q_sql_udf" -> ((s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_sqludf")
+      s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_margin_cents(
+              |    price DOUBLE, disc DOUBLE, tax DOUBLE) RETURNS BIGINT
+              |RETURN CAST(floor(price * (1 - disc) * (1 + tax) * 100)
+              |            AS BIGINT)""".stripMargin)
+      s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_flag_bucket(
+              |    flag STRING, status STRING) RETURNS STRING
+              |RETURN concat(flag, '/', status)""".stripMargin)
+      // a SQL TABLE function: the per-bucket rollup itself, parameterized
+      // by a quantity floor — inlined by the analyzer like the scalars
+      s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_bucket_rollup(
+              |    min_qty DOUBLE)
+              |RETURNS TABLE (bucket STRING, n BIGINT, margin_cents BIGINT)
+              |RETURN SELECT graft_flag_bucket(l_returnflag, l_linestatus),
+              |              count(*),
+              |              sum(graft_margin_cents(l_extendedprice,
+              |                                     l_discount, l_tax))
+              |       FROM lineitem_sqludf WHERE l_quantity >= min_qty
+              |       GROUP BY 1""".stripMargin)
+      s.sql("""SELECT bucket, n, margin_cents
+              |FROM graft_bucket_rollup(2.0D) ORDER BY bucket""".stripMargin)
+    }),
+
+    // Query-metrics observability (df.observe / CollectMetrics): audit
+    // aggregates ride the SAME scan as the pipeline's real action (a
+    // noop-sink write here) — at 100 TB this is how row counts, money
+    // totals, and null/flag tallies are captured WITHOUT a second pass
+    // over the data. The graded result is the observed metrics row
+    // itself (O(1), driver-side by design), checked against the oracle
+    // stating the same aggregates — the piggybacked metrics must equal
+    // what a dedicated aggregation pass would have produced.
+    "q_observe_metrics" -> ((s, dir) => {
+      import s.implicits._
+      val obs = org.apache.spark.sql.Observation()
+      val li = Tables.lineitem(s, dir).select(col("l_orderkey"),
+        floor(col("l_extendedprice") * 100).cast("long").as("cents"),
+        col("l_returnflag"))
+      li.observe(obs,
+          count(lit(1)).as("n_rows"),
+          sum(col("cents")).as("total_cents"),
+          count(when(col("l_returnflag") === "R", 1)).as("n_returned"),
+          min(col("cents")).as("min_cents"),
+          max(col("cents")).as("max_cents"))
+        .write.format("noop").mode("overwrite").save()
+      val m = obs.get
+      Seq((m("n_rows").asInstanceOf[Long], m("total_cents").asInstanceOf[Long],
+          m("n_returned").asInstanceOf[Long], m("min_cents").asInstanceOf[Long],
+          m("max_cents").asInstanceOf[Long]))
+        .toDF("n_rows", "total_cents", "n_returned", "min_cents", "max_cents")
     }),
 
     // As-of join (no native Spark equivalent): latest order at-or-before
@@ -4065,6 +4171,24 @@ object RelationalQueries {
          |       round(e, 2) AS hll_estimate,
          |       round((round(e, 2) - exact_users) / exact_users, 4) AS rel_err
          |FROM est ORDER BY event_type""".stripMargin,
+    // Exact set-algebra legs hash-graded; the theta estimates are
+    // adjudicated in-plan within 5% of these exacts, so the oracle
+    // states the bands as literal TRUEs.
+    "q_theta_sketch" ->
+      """WITH ut AS (SELECT DISTINCT event_type, user_id FROM events
+        |            WHERE event_type IN ('view', 'click')),
+        |x AS (SELECT user_id,
+        |        max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS va,
+        |        max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS cb
+        |      FROM ut GROUP BY user_id)
+        |SELECT CAST(sum(va) AS BIGINT) AS exact_a,
+        |       CAST(sum(cb) AS BIGINT) AS exact_b,
+        |       count(*) AS exact_union,
+        |       CAST(sum(CASE WHEN va = 1 AND cb = 1 THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS exact_inter,
+        |       TRUE AS ok_a, TRUE AS ok_b,
+        |       TRUE AS ok_union, TRUE AS ok_inter
+        |FROM x""".stripMargin,
     "q_skew_salted_join" ->
       """SELECT e.event_id, e.event_type, t.type_total
         |FROM events e
@@ -4232,6 +4356,25 @@ object RelationalQueries {
         |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
         |GROUP BY n_name, o_orderpriority
         |ORDER BY n_name, o_orderpriority""".stripMargin,
+    // The SQL-UDF bodies inlined by hand: the function indirection must
+    // be invisible in the answer.
+    "q_sql_udf" ->
+      """SELECT l_returnflag || '/' || l_linestatus AS bucket,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+        |                           * (1 + l_tax) * 100) AS BIGINT))
+        |            AS BIGINT) AS margin_cents
+        |FROM lineitem WHERE l_quantity >= 2.0
+        |GROUP BY 1 ORDER BY bucket""".stripMargin,
+    // The observed metrics must equal a dedicated aggregation pass.
+    "q_observe_metrics" ->
+      """WITH c AS (SELECT CAST(floor(l_extendedprice * 100) AS BIGINT)
+        |             AS cents, l_returnflag
+        |           FROM lineitem)
+        |SELECT count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS total_cents,
+        |       count(CASE WHEN l_returnflag = 'R' THEN 1 END) AS n_returned,
+        |       min(cents) AS min_cents, max(cents) AS max_cents
+        |FROM c""".stripMargin,
     "q_asof_join" ->
       """WITH r AS (SELECT o_custkey, epoch_ms(o_orderdate) AS o_ms,
         |                  max(o_orderkey) AS o_orderkey

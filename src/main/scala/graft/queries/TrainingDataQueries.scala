@@ -1700,6 +1700,15 @@ object TrainingDataQueries {
       TextAnalysis.removeDuplicatedSpans(Tables.documents(s, dir), "doc_id", "text")
         .orderBy("doc")),
 
+    // T5-style span corruption (the denoising-objective prep): mask every
+    // 7th-word-aligned 2-word span, numbered sentinels in the input,
+    // sentinel-delimited spans as the target. Sentinel ids come from a
+    // CLOSED FORM (no window/running count), so the whole op is one
+    // explode + one per-doc reassembly — embarrassingly parallel.
+    "data_span_corrupt" -> ((s, dir) =>
+      TextAnalysis.spanCorrupt(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc")),
+
     // Fractional-epoch mixture expansion: per-source epoch weights
     // (derived per src index; 0 drops, <1 downsamples, 2.x yields two
     // full copies + a hash-selected partial) turned into the actual
@@ -2828,6 +2837,26 @@ object TrainingDataQueries {
     // Partition pruning end-to-end: a one-time hive-partitioned rewrite
     // of documents by source (the layout every 100 TB corpus uses for
     // its coarse access dimension), then an aggregate whose source
+    // Hidden file-metadata columns (_metadata.file_path / row_index):
+    // the lineage-and-debugging surface of every lake-scale incident
+    // ("which file produced this row?"). Graded on the contract the
+    // surface promises: per source file, row_index is a dense 0..n-1
+    // ordinal (min 0, max n-1, all distinct) and file_path resolves to
+    // the fixture file — stated by the oracle from plain count(*). The
+    // metadata columns are generated AT the scan (constant per
+    // file/position), so requesting them adds no pass and no shuffle.
+    "q_metadata_columns" -> ((s, dir) => {
+      val raw = s.read.parquet(s"$dir/events.parquet")
+      raw.select(
+          expr("regexp_extract(_metadata.file_path, '([^/]+)$', 1)").as("file"),
+          col("_metadata.row_index").as("ri"))
+        .groupBy(col("file"))
+        .agg(count(lit(1)).as("n_rows"), min(col("ri")).as("min_ri"),
+          max(col("ri")).as("max_ri"),
+          countDistinct(col("ri")).as("n_distinct_ri"))
+        .orderBy("file")
+    }),
+
     // predicate is answered by DIRECTORY pruning — the scan lists only
     // the matching partition (PLANS.md shows it as PartitionFilters
     // with the data filter gone). The filter value is the min source,
@@ -5050,6 +5079,37 @@ object TrainingDataQueries {
          |       md5(string_agg(word, ' ' ORDER BY wi)) AS cleaned_md5
          |FROM kept GROUP BY doc_id ORDER BY doc""".stripMargin,
 
+    // Same mask rule stated independently: spans of 2 starting at word
+    // indices ≡ 3 (mod 7), 0-based; string_agg skips the NULL (dropped)
+    // tokens exactly as array_join does.
+    "data_span_corrupt" ->
+      s"""WITH w AS (SELECT doc_id, $wordsSql AS l FROM documents),
+         |wp AS (SELECT doc_id,
+         |         unnest(list_transform(generate_series(1, len(l)),
+         |           i -> {'wi': i - 1, 'wd': l[i]})) AS u
+         |       FROM w),
+         |t AS (SELECT doc_id, u.wi AS wi, u.wd AS word,
+         |        u.wi >= 3 AND (u.wi - 3) % 7 < 2 AS masked,
+         |        (u.wi - 3) % 7 AS phase, (u.wi - 3) // 7 AS sid
+         |      FROM wp),
+         |k AS (SELECT doc_id, wi, masked,
+         |        CASE WHEN NOT masked THEN word
+         |             WHEN phase = 0 THEN '<extra_id_' || sid || '>'
+         |        END AS in_tok,
+         |        CASE WHEN masked AND phase = 0
+         |               THEN '<extra_id_' || sid || '> ' || word
+         |             WHEN masked THEN word
+         |        END AS tgt_tok
+         |      FROM t)
+         |SELECT doc_id AS doc, count(*) AS n_words,
+         |       CAST(sum(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_masked,
+         |       md5(coalesce(string_agg(in_tok, ' ' ORDER BY wi), ''))
+         |         AS input_md5,
+         |       md5(coalesce(string_agg(tgt_tok, ' ' ORDER BY wi), ''))
+         |         AS target_md5
+         |FROM k GROUP BY doc_id ORDER BY doc""".stripMargin,
+
     "data_epochs" -> {
       val vals = epochConfig.map { case (s, e) =>
         val full = math.floor(e).toLong
@@ -6001,6 +6061,15 @@ object TrainingDataQueries {
         |FROM documents
         |WHERE source = (SELECT min(source) FROM documents)
         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // The metadata-column contract stated from plain counts: one fixture
+    // file, dense 0-based row_index.
+    "q_metadata_columns" ->
+      """SELECT 'events.parquet' AS file, count(*) AS n_rows,
+        |       CAST(0 AS BIGINT) AS min_ri,
+        |       CAST(count(*) - 1 AS BIGINT) AS max_ri,
+        |       count(*) AS n_distinct_ri
+        |FROM events""".stripMargin,
 
     // Arithmetic replay of the closed-form pixel formula the real-PNG
     // synthesizer rasterizes: w = id%29+4, h = id%23+4, per-channel

@@ -233,7 +233,13 @@ object PlanDump {
     "q_collation" -> "collation-aware grouping: the UTF8_LCASE group key makes the ENGINE's hash/equality fold case variants inside the standard two-phase HashAggregate — no lower() rewrite of the data, same exchange shape as any groupBy",
     "ingest_xml" -> "from_xml is a per-row projection over the scan (XmlToStructs — no DOM stage, no shuffle before the presentation sort); schema-on-read for the 'partner feed' format at scan parallelism",
     "stream_transform_with_state" -> "transformWithStateExec over RocksDB: ONE exchange on the grouping key, then per-key named-state updates (fixed-width ValueState snapshot per user — never the event list); the append emission log collapses batch-boundary-independently via the argmax-n aggregate",
-    "stream_state_inspect" -> "the state-store READER: checkpointed streaming state scanned as a BATCH DSv2 table (StateScan — partition-parallel over the store's shards, no stream replay); the ops/debug surface for 100 TB stateful pipelines, graded bit-exact against the batch GROUP BY")
+    "stream_state_inspect" -> "the state-store READER: checkpointed streaming state scanned as a BATCH DSv2 table (StateScan — partition-parallel over the store's shards, no stream replay); the ops/debug surface for 100 TB stateful pipelines, graded bit-exact against the batch GROUP BY",
+    "q_sql_udf" -> "SQL UDFs (scalar + TABLE function): the analyzer INLINES the bodies (ResolveSQLFunctions), so the plan is the plain scan→filter→two-phase HashAggregate it would be with the expressions written inline — the function indirection costs nothing, stays in whole-stage codegen, and pushdown sees through it (l_quantity filter in PushedFilters)",
+    "q_observe_metrics" -> "df.observe/CollectMetrics: the audit aggregates ride the SAME scan as the pipeline's write action — zero extra pass at 100 TB; the graded output is the O(1) observed metrics row, so the plan below the CollectMetrics node is the noop-write pipeline itself",
+    "data_span_corrupt" -> "T5 span corruption: sentinel ids are a CLOSED FORM of the word ordinal ((wi-3) div 7 — no window, no running count), so the whole op is posexplode → codegen token projections → ONE shuffle on doc for the ordered per-doc reassembly (ObjectHashAggregate state = one document)",
+    "q_metadata_columns" -> "_metadata.file_path/row_index are generated AT the parquet scan (constant-per-file / position columns — no extra pass, no shuffle); the rollup is one two-phase HashAggregate keyed by file",
+    "q_theta_sketch" -> "Datasketches theta: one sketch per audience via theta_sketch_agg (partial-aggregable — 4 KB blobs merge through the exchange), set algebra (union/intersection) on the TWO final blobs in a 1-row broadcast crossJoin; the exact adjudication legs are the standard distinct + conditional rollup",
+    "stream_state_changelog" -> "the state CHANGE FEED: RocksDB changelog checkpointing journals each batch's puts; the statestore source replays the journal partition-parallel as a batch table, and the last-write-per-key reconstruction is one max_by HashAggregate — state audit with NO stream replay")
 
   /** Flags the automated sweep is allowed to see, with the reason each is
     * the intended plan (kept next to the lint so a new hit is loud). */

@@ -505,4 +505,57 @@ class StreamingSpec extends SparkSpec {
       .as[(Long, String, Long, Double)].collect().toSet
     assert(st === Set((H, "a", 3L, 6.0), (2 * H, "b", 1L, 4.0)))
   }
+
+  test("statestore change feed: replayed puts reconstruct the final state") {
+    // change feed needs RocksDB + changelog checkpointing
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val clKey = "spark.sql.streaming.stateStore.rocksdb." +
+      "changelogCheckpointing.enabled"
+    val prevProv = spark.conf.getOption(provKey)
+    val prevCl = spark.conf.getOption(clKey)
+    spark.conf.set(provKey, "org.apache.spark.sql.execution.streaming.state." +
+      "RocksDBStateStoreProvider")
+    spark.conf.set(clKey, "true")
+    try {
+      val input = MemoryStream[(Long, String, Double)](spark)
+      val df = input.toDF().toDF("ts_ms", "event_type", "value")
+      val ckpt = tmp("graft-cf-ckpt")
+      val q = Streaming.windowedCounts(df).writeStream
+        .format("memory").queryName("cf_state")
+        .outputMode(OutputMode.Complete())
+        .option("checkpointLocation", ckpt)
+        .start()
+      val H = 3600000L
+      input.addData((H, "a", 1.0), (2 * H, "b", 4.0))
+      q.processAllAvailable()
+      input.addData((H + 10, "a", 2.0))
+      q.processAllAvailable()
+      q.stop()
+
+      val feed = spark.read.format("statestore")
+        .option("readChangeFeed", "true")
+        .option("changeStartBatchId", "0")
+        .load(ckpt)
+      // the (H, a) key was updated in BOTH batches -> two change rows,
+      // and the last one carries the merged (2, 3.0) buffer
+      val last = feed
+        .groupBy(unix_millis(col("key.window.start")).as("ws"),
+          col("key.event_type").as("t"))
+        .agg(max_by(struct(col("value.count"), col("value.sum")),
+          col("batch_id")).as("v"), count(lit(1)).as("n_changes"))
+        .select(col("ws"), col("t"), col("v.count").as("n"),
+          col("v.sum").as("s"), col("n_changes"))
+        .as[(Long, String, Long, Double, Long)].collect().toSet
+      assert(last === Set((H, "a", 2L, 3.0, 2L), (2 * H, "b", 1L, 4.0, 1L)))
+    } finally {
+      prevProv match {
+        case Some(v) => spark.conf.set(provKey, v)
+        case None => spark.conf.unset(provKey)
+      }
+      prevCl match {
+        case Some(v) => spark.conf.set(clKey, v)
+        case None => spark.conf.unset(clKey)
+      }
+    }
+  }
 }
