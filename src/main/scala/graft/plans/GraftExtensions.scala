@@ -33,6 +33,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_jaro_winkler"),
       new ExpressionInfo(classOf[JaroWinkler].getName, "graft_jaro_winkler"),
       (children: Seq[Expression]) => JaroWinkler(children(0), children(1))))
+    // table-generating function (UDTF): LATERAL VIEW graft_pos_ngrams(w, 3)
+    ext.injectFunction((
+      new FunctionIdentifier("graft_pos_ngrams"),
+      new ExpressionInfo(classOf[PosNgramsGen].getName, "graft_pos_ngrams"),
+      (children: Seq[Expression]) => PosNgramsGen(children(0),
+        PosNgramsGen.foldWidth(children(1)))))
     // optimizer rule: size(filter(w, x -> x IN (...))) -> CountInSet
     ext.injectOptimizerRule(_ => RewriteCountInSet)
   }
@@ -57,6 +63,9 @@ object GraftExtensions {
       children => CharStats(children(0)))
     registerFunction(spark, "graft_jaro_winkler",
       children => JaroWinkler(children(0), children(1)))
+    registerFunction(spark, "graft_pos_ngrams",
+      children => PosNgramsGen(children(0),
+        PosNgramsGen.foldWidth(children(1))))
     if (!spark.experimental.extraOptimizations.contains(RewriteCountInSet))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ RewriteCountInSet

@@ -96,6 +96,25 @@ object ShingleHashes {
     if (w == nShingles) out else java.util.Arrays.copyOf(out, w)
   }
 
+  /** Hash of the single `width`-gram starting at word `i` — the
+    * per-gram kernel of [[compute]], shared by the streaming
+    * [[PosNgramsGen]] generator so the gram key CANNOT drift between
+    * the array and table-function forms. */
+  def hashAt(words: ArrayData, i: Int, width: Int): Long = {
+    val sb = new java.lang.StringBuilder(64)
+    var k = 0
+    while (k < width) {
+      if (k > 0) sb.append(' ')
+      sb.append(words.getUTF8String(i + k).toString)
+      k += 1
+    }
+    val d = org.apache.commons.codec.digest.DigestUtils.md5(
+      sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    ((d(0) & 0xffL) << 40) | ((d(1) & 0xffL) << 32) |
+      ((d(2) & 0xffL) << 24) | ((d(3) & 0xffL) << 16) |
+      ((d(4) & 0xffL) << 8) | (d(5) & 0xffL)
+  }
+
   /** Column API over an `array<string>` WORDS column. */
   def apply(words: Column): Column =
     Bridge.column(ShingleHashes(Bridge.expression(words)))

@@ -364,6 +364,32 @@ object RelationalQueries {
         ok(col("est_i"), col("exact_inter")).as("ok_inter"))
     }),
 
+    // The MERGEABLE sketch-table pattern (Datasketches HLL built-ins):
+    // stage 1 materializes one HLL sketch per (audience, day) — the
+    // daily sketch table a 100 TB estate maintains; stage 2 answers
+    // "distinct users over the whole period" by hll_union_agg over the
+    // SKETCH COLUMN — merging 4 KB blobs, never re-scanning raw events.
+    // That mergeability (pre-aggregate once, re-slice forever) is the
+    // entire point vs a one-shot approx_count_distinct. Graded by the
+    // band discipline: exact legs (distinct users, day count) hash-
+    // graded, the unioned estimate adjudicated within 5% in-plan.
+    "q_hll_union" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("event_type"),
+        col("user_id"), expr("ts_ms div 86400000").as("day"))
+      val daily = ev.groupBy(col("event_type"), col("day"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      val est = daily.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"),
+          hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_users"))
+      val exact = ev.select(col("event_type"), col("user_id")).distinct()
+        .groupBy(col("event_type")).agg(count(lit(1)).as("exact_users"))
+      exact.join(est, "event_type")
+        .select(col("event_type"), col("exact_users"), col("n_days"),
+          (abs(col("est_users").cast("double") /
+            col("exact_users").cast("double") - 1.0) <= 0.05).as("ok_est"))
+        .orderBy("event_type")
+    }),
+
     // Explicit salting — the defense for shuffle joins AQE won't split:
     // the skewed side's join key is widened to (key, salt). Results are
     // row-identical to the plain join, which is exactly what the oracle
@@ -719,6 +745,28 @@ object RelationalQueries {
               |       GROUP BY 1""".stripMargin)
       s.sql("""SELECT bucket, n, margin_cents
               |FROM graft_bucket_rollup(2.0D) ORDER BY bucket""".stripMargin)
+    }),
+
+    // Native Catalyst GENERATOR (true UDTF): graft_pos_ngrams streams
+    // one (pos, gram_hash) row per word trigram through Catalyst's
+    // Generate operator — per-partition fan-out, no shuffle introduced,
+    // and unlike posexplode(ShingleHashes.positional(w)) it never
+    // materializes the per-document hash array (peak memory per doc is
+    // ONE gram). Exercised through the SQL LATERAL VIEW path so the
+    // injectFunction registration is graded too; the 48-bit gram key is
+    // the corpus-wide ShingleHashes.hashAt kernel, mirrored exactly by
+    // the DuckDB oracle.
+    "q_udtf_ngrams" -> ((s, dir) => {
+      graft.plans.GraftExtensions.register(s)
+      Tables.documents(s, dir).createOrReplaceTempView("docs_udtf")
+      s.sql("""SELECT source, count(*) AS n_grams,
+              |       count(DISTINCT gram_hash) AS n_distinct,
+              |       CAST(sum(pmod(gram_hash, 1000)) AS BIGINT) AS checksum,
+              |       CAST(max(pos) AS BIGINT) AS max_pos
+              |FROM (SELECT source, split(lower(trim(text)), '\\s+') AS w
+              |      FROM docs_udtf) d
+              |LATERAL VIEW graft_pos_ngrams(w, 3) t AS pos, gram_hash
+              |GROUP BY source ORDER BY source""".stripMargin)
     }),
 
     // Query-metrics observability (df.observe / CollectMetrics): audit
@@ -4171,6 +4219,17 @@ object RelationalQueries {
          |       round(e, 2) AS hll_estimate,
          |       round((round(e, 2) - exact_users) / exact_users, 4) AS rel_err
          |FROM est ORDER BY event_type""".stripMargin,
+    // Exact legs hash-graded; the sketch-union estimate is adjudicated
+    // in-plan within 5%, so the oracle states the band as literal TRUE.
+    "q_hll_union" ->
+      """WITH e AS (SELECT event_type, user_id,
+        |             epoch_ms(ts) // 86400000 AS day
+        |           FROM events)
+        |SELECT event_type,
+        |       count(DISTINCT user_id) AS exact_users,
+        |       count(DISTINCT day) AS n_days,
+        |       TRUE AS ok_est
+        |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
     // Exact set-algebra legs hash-graded; the theta estimates are
     // adjudicated in-plan within 5% of these exacts, so the oracle
     // states the bands as literal TRUEs.
@@ -4366,6 +4425,23 @@ object RelationalQueries {
         |            AS BIGINT) AS margin_cents
         |FROM lineitem WHERE l_quantity >= 2.0
         |GROUP BY 1 ORDER BY bucket""".stripMargin,
+    // The generator's gram stream re-stated with the shared 48-bit md5
+    // gram key: positional trigrams, 0-based positions.
+    "q_udtf_ngrams" ->
+      """WITH w AS (SELECT source,
+        |             string_split_regex(lower(trim(text)), '\s+') AS l
+        |           FROM documents),
+        |g AS (SELECT source,
+        |        unnest(list_transform(generate_series(1, len(l) - 2),
+        |          i -> {'p': i - 1,
+        |                'h': ('0x' || substr(md5(l[i] || ' ' || l[i+1] || ' ' ||
+        |                                        l[i+2]), 1, 12))::BIGINT})) AS u
+        |      FROM w)
+        |SELECT source, count(*) AS n_grams,
+        |       count(DISTINCT u.h) AS n_distinct,
+        |       CAST(sum(u.h % 1000) AS BIGINT) AS checksum,
+        |       CAST(max(u.p) AS BIGINT) AS max_pos
+        |FROM g GROUP BY source ORDER BY source""".stripMargin,
     // The observed metrics must equal a dedicated aggregation pass.
     "q_observe_metrics" ->
       """WITH c AS (SELECT CAST(floor(l_extendedprice * 100) AS BIGINT)

@@ -239,7 +239,9 @@ object PlanDump {
     "data_span_corrupt" -> "T5 span corruption: sentinel ids are a CLOSED FORM of the word ordinal ((wi-3) div 7 — no window, no running count), so the whole op is posexplode → codegen token projections → ONE shuffle on doc for the ordered per-doc reassembly (ObjectHashAggregate state = one document)",
     "q_metadata_columns" -> "_metadata.file_path/row_index are generated AT the parquet scan (constant-per-file / position columns — no extra pass, no shuffle); the rollup is one two-phase HashAggregate keyed by file",
     "q_theta_sketch" -> "Datasketches theta: one sketch per audience via theta_sketch_agg (partial-aggregable — 4 KB blobs merge through the exchange), set algebra (union/intersection) on the TWO final blobs in a 1-row broadcast crossJoin; the exact adjudication legs are the standard distinct + conditional rollup",
-    "stream_state_changelog" -> "the state CHANGE FEED: RocksDB changelog checkpointing journals each batch's puts; the statestore source replays the journal partition-parallel as a batch table, and the last-write-per-key reconstruction is one max_by HashAggregate — state audit with NO stream replay")
+    "stream_state_changelog" -> "the state CHANGE FEED: RocksDB changelog checkpointing journals each batch's puts; the statestore source replays the journal partition-parallel as a batch table, and the last-write-per-key reconstruction is one max_by HashAggregate — state audit with NO stream replay",
+    "q_hll_union" -> "mergeable sketch tables: stage 1 is one partial-aggregable hll_sketch_agg per (audience, day); stage 2 unions the 4 KB SKETCH BLOBS (hll_union_agg — raw events never re-scanned); the exact adjudication legs are standard distinct rollups sharing the scan",
+    "q_udtf_ngrams" -> "native Generator UDTF through SQL LATERAL VIEW: the plan is scan → Generate graft_pos_ngrams (per-partition streaming fan-out, NO shuffle introduced, no per-doc array materialization) → two-phase HashAggregate; same Generate operator explode lowers to, custom row logic inside")
 
   /** Flags the automated sweep is allowed to see, with the reason each is
     * the intended plan (kept next to the lint so a new hit is loud). */

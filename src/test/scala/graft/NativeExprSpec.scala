@@ -218,4 +218,24 @@ class NativeExprSpec extends SparkSpec {
       .map(t => t._1 -> (t._2, t._3, t._4)).toMap
     assert(native.nonEmpty && native === interpreted)
   }
+
+  test("PosNgramsGen (UDTF) streams exactly posexplode(ShingleHashes.positional)") {
+    import org.apache.spark.sql.graftbridge.Bridge
+    val gen = withWords.select(col("doc_id"),
+        Bridge.column(graft.plans.PosNgramsGen(Bridge.expression(col("w")), 3))
+          .as(Seq("pos", "gram_hash")))
+      .as[(Long, Int, Long)].collect().toSet
+    val composed = withWords.filter(size(col("w")) >= 3)
+      .select(col("doc_id"),
+        posexplode(ShingleHashes.positional(col("w"))).as(Seq("pos", "gram_hash")))
+      .as[(Long, Int, Long)].collect().toSet
+    assert(gen.nonEmpty && gen === composed)
+    // generator contract: short docs emit NOTHING (no null row, no crash)
+    val short = Seq((1L, Seq("a", "b"))).toDF("doc_id", "w")
+    val none = short.select(
+        Bridge.column(graft.plans.PosNgramsGen(Bridge.expression(col("w")), 3))
+          .as(Seq("pos", "gram_hash")))
+      .collect()
+    assert(none.isEmpty)
+  }
 }
