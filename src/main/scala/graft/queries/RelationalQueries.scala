@@ -769,6 +769,72 @@ object RelationalQueries {
               |GROUP BY source ORDER BY source""".stripMargin)
     }),
 
+    // Native WITH RECURSIVE (Spark 4's UnionLoop execution): ancestor
+    // expansion over the synthetic org chain c → c div 8 — every
+    // (customer, ancestor) pair down to the root, rolled up per id.
+    // Each iteration is ONE equi-join of the live frontier against the
+    // dimension plus a union; the frontier shrinks monotonically (node
+    // strictly decreases), so per-round work is bounded by the frontier,
+    // and depth is log₈(N) — 4 rounds at sf0.01, ~7 at 100 TB. This is
+    // the standard SQL recursion surface; for DEEP chains (depth ~ N)
+    // the pointer-doubling operator behind q_recursive_hierarchy stays
+    // the declared 100 TB path (O(log depth) rounds vs linear).
+    "q_recursive_cte" -> ((s, dir) => {
+      Tables.customer(s, dir).createOrReplaceTempView("customer_rcte")
+      s.sql("""WITH RECURSIVE anc(id, node, depth) AS (
+              |  SELECT c_custkey, c_custkey div 8, 1 FROM customer_rcte
+              |  WHERE c_custkey div 8 >= 1
+              |  UNION ALL
+              |  SELECT a.id, e.c_custkey div 8, a.depth + 1
+              |  FROM anc a JOIN customer_rcte e ON a.node = e.c_custkey
+              |  WHERE e.c_custkey div 8 >= 1
+              |)
+              |SELECT id, count(*) AS n_anc,
+              |       CAST(max(depth) AS BIGINT) AS height,
+              |       CAST(sum(node) AS BIGINT) AS anc_sum
+              |FROM anc GROUP BY id ORDER BY id""".stripMargin)
+    }),
+
+    // SQL pipe syntax (Spark 4's |> operator): the linear dataflow form
+    // of the classic SELECT — each stage reads top-to-bottom the way the
+    // engine executes it. The stages are pure PARSER sugar: WHERE before
+    // AGGREGATE plans as the pushed scan filter, WHERE after AGGREGATE
+    // as HAVING, EXTEND as a projection — the physical plan is identical
+    // to the classic restatement the oracle states, which is exactly
+    // what the hash grade proves.
+    "q_pipe_syntax" -> ((s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_pipe")
+      s.sql("""FROM lineitem_pipe
+              ||> WHERE l_quantity >= 2
+              ||> EXTEND CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+              |     AS BIGINT) AS rev_cents
+              ||> AGGREGATE count(*) AS n, sum(rev_cents) AS rev_cents_sum
+              |     GROUP BY l_returnflag, l_linestatus
+              ||> WHERE n > 50
+              ||> ORDER BY l_returnflag, l_linestatus""".stripMargin)
+    }),
+
+    // Parameterized SQL with IDENTIFIER binding: named parameters bind
+    // as LITERALS at parse time (`:floor` lands in PushedFilters like a
+    // hand-written constant) and IDENTIFIER() resolves attacker-safe
+    // table/column names — the injection-proof templating surface a
+    // multi-tenant 100 TB catalog fronts every ad-hoc query with. The
+    // bound plan must be byte-identical to the hand-written query; the
+    // oracle states that hand-written form.
+    "q_param_sql" -> ((s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("orders_param")
+      s.sql(
+        """SELECT IDENTIFIER(:grp) AS grp, count(*) AS n,
+          |       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+          |            AS BIGINT) AS total_cents
+          |FROM IDENTIFIER(:tbl)
+          |WHERE o_totalprice > :floor
+          |GROUP BY IDENTIFIER(:grp)
+          |ORDER BY grp""".stripMargin,
+        Map("tbl" -> "orders_param", "grp" -> "o_orderpriority",
+          "floor" -> 5000))
+    }),
+
     // Query-metrics observability (df.observe / CollectMetrics): audit
     // aggregates ride the SAME scan as the pipeline's real action (a
     // noop-sink write here) — at 100 TB this is how row counts, money
@@ -4442,6 +4508,38 @@ object RelationalQueries {
         |       CAST(sum(u.h % 1000) AS BIGINT) AS checksum,
         |       CAST(max(u.p) AS BIGINT) AS max_pos
         |FROM g GROUP BY source ORDER BY source""".stripMargin,
+    // DuckDB's own recursive CTE walks the same chain (`//` is its
+    // integral divide); both engines iterate to a fixpoint, so the
+    // grade covers termination and per-round semantics, not just shape.
+    "q_recursive_cte" ->
+      """WITH RECURSIVE anc(id, node, depth) AS (
+        |  SELECT c_custkey, c_custkey // 8, 1 FROM customer
+        |  WHERE c_custkey // 8 >= 1
+        |  UNION ALL
+        |  SELECT a.id, e.c_custkey // 8, a.depth + 1
+        |  FROM anc a JOIN customer e ON a.node = e.c_custkey
+        |  WHERE e.c_custkey // 8 >= 1
+        |)
+        |SELECT id, count(*) AS n_anc,
+        |       CAST(max(depth) AS BIGINT) AS height,
+        |       CAST(sum(node) AS BIGINT) AS anc_sum
+        |FROM anc GROUP BY id ORDER BY id""".stripMargin,
+    // The pipe stages restated in classic SQL: post-aggregate WHERE is
+    // HAVING, EXTEND is the select-list expression.
+    "q_pipe_syntax" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+        |                     AS BIGINT)) AS BIGINT) AS rev_cents_sum
+        |FROM lineitem WHERE l_quantity >= 2
+        |GROUP BY 1, 2 HAVING count(*) > 50
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    // The parameterized query with every binding written out by hand.
+    "q_param_sql" ->
+      """SELECT o_orderpriority AS grp, count(*) AS n,
+        |       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+        |            AS BIGINT) AS total_cents
+        |FROM orders WHERE o_totalprice > 5000
+        |GROUP BY o_orderpriority ORDER BY grp""".stripMargin,
     // The observed metrics must equal a dedicated aggregation pass.
     "q_observe_metrics" ->
       """WITH c AS (SELECT CAST(floor(l_extendedprice * 100) AS BIGINT)

@@ -241,7 +241,11 @@ object PlanDump {
     "q_theta_sketch" -> "Datasketches theta: one sketch per audience via theta_sketch_agg (partial-aggregable — 4 KB blobs merge through the exchange), set algebra (union/intersection) on the TWO final blobs in a 1-row broadcast crossJoin; the exact adjudication legs are the standard distinct + conditional rollup",
     "stream_state_changelog" -> "the state CHANGE FEED: RocksDB changelog checkpointing journals each batch's puts; the statestore source replays the journal partition-parallel as a batch table, and the last-write-per-key reconstruction is one max_by HashAggregate — state audit with NO stream replay",
     "q_hll_union" -> "mergeable sketch tables: stage 1 is one partial-aggregable hll_sketch_agg per (audience, day); stage 2 unions the 4 KB SKETCH BLOBS (hll_union_agg — raw events never re-scanned); the exact adjudication legs are standard distinct rollups sharing the scan",
-    "q_udtf_ngrams" -> "native Generator UDTF through SQL LATERAL VIEW: the plan is scan → Generate graft_pos_ngrams (per-partition streaming fan-out, NO shuffle introduced, no per-doc array materialization) → two-phase HashAggregate; same Generate operator explode lowers to, custom row logic inside")
+    "q_udtf_ngrams" -> "native Generator UDTF through SQL LATERAL VIEW: the plan is scan → Generate graft_pos_ngrams (per-partition streaming fan-out, NO shuffle introduced, no per-doc array materialization) → two-phase HashAggregate; same Generate operator explode lowers to, custom row logic inside",
+    // r10 wave 5: the Spark-4 SQL-language surfaces
+    "q_recursive_cte" -> "native WITH RECURSIVE (UnionLoop): each round is ONE equi-join of the live frontier against the dimension + a union — the frontier shrinks monotonically so per-round work is frontier-bounded, and depth is log₈(N) (4 rounds at sf0.01, ~7 at 100 TB); the standard SQL recursion surface, with the pointer-doubling operator (q_recursive_hierarchy) the declared deep-chain path (O(log depth) rounds vs linear)",
+    "q_pipe_syntax" -> "SQL pipe syntax: the |> stages are pure PARSER sugar — the plan is the identical pushed scan filter → projection → two-phase HashAggregate → HAVING filter → sort the classic form compiles to; zero new operators, zero plan cost, graded hash-identical against the classic restatement",
+    "q_param_sql" -> "parameterized SQL + IDENTIFIER: named parameters bind as LITERALS at parse time (the :floor bound shows in PushedFilters like a hand-written constant) and IDENTIFIER() resolves table/column names injection-safe — the bound plan is byte-identical to the hand-written query the oracle states")
 
   /** Flags the automated sweep is allowed to see, with the reason each is
     * the intended plan (kept next to the lint so a new hit is loud). */

@@ -162,4 +162,60 @@ class PlanShapeSpec extends SparkSpec {
     assert(offenders.isEmpty,
       s"queries with UDF/Python eval or unplannable:\n${offenders.mkString("\n")}")
   }
+
+  test("q_recursive_cte plans as a native UnionLoop and matches a chain walk") {
+    val p = formatted("q_recursive_cte")
+    assert(p.contains("UnionLoop"), "native recursion operator missing:\n" + p)
+    val got = SparkEntry.queries("q_recursive_cte")(spark, sf("sf0.001"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    // sequential replay: the ancestors of c are c/8, c/64, ... while >= 1
+    val keys = sources.Tables.customer(spark, sf("sf0.001"))
+      .select("c_custkey").collect().map(_.getLong(0))
+    val expected = keys.sorted.flatMap { c =>
+      val chain = Iterator.iterate(c / 8)(_ / 8).takeWhile(_ >= 1).toSeq
+      if (chain.isEmpty) None
+      else Some((c, chain.size.toLong, chain.size.toLong, chain.sum))
+    }.toSeq
+    assert(got == expected)
+  }
+
+  test("q_pipe_syntax compiles to the identical plan as the classic form") {
+    val pipe = SparkEntry.queries("q_pipe_syntax")(spark, sf("sf0.001"))
+    // the classic nested form the pipe stages desugar to: EXTEND is the
+    // inner projection, post-aggregate WHERE is HAVING
+    val classic = spark.sql(
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |       sum(rev_cents) AS rev_cents_sum
+        |FROM (SELECT l_returnflag, l_linestatus,
+        |             CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+        |                  AS BIGINT) AS rev_cents
+        |      FROM lineitem_pipe WHERE l_quantity >= 2)
+        |GROUP BY l_returnflag, l_linestatus HAVING count(*) > 50
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+    assert(pipe.queryExecution.optimizedPlan
+        .sameResult(classic.queryExecution.optimizedPlan),
+      s"pipe form diverged from classic:\n${pipe.queryExecution.optimizedPlan}" +
+        s"\nvs\n${classic.queryExecution.optimizedPlan}")
+  }
+
+  test("q_param_sql: bound parameters are plan-identical to hand-written SQL") {
+    val bound = SparkEntry.queries("q_param_sql")(spark, sf("sf0.001"))
+    val hand = spark.sql(
+      """SELECT o_orderpriority AS grp, count(*) AS n,
+        |       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |         AS total_cents
+        |FROM orders_param WHERE o_totalprice > 5000
+        |GROUP BY o_orderpriority ORDER BY grp""".stripMargin)
+    assert(bound.queryExecution.optimizedPlan
+        .sameResult(hand.queryExecution.optimizedPlan),
+      s"bound plan diverged from hand-written:\n" +
+        s"${bound.queryExecution.optimizedPlan}\nvs\n" +
+        s"${hand.queryExecution.optimizedPlan}")
+    // the bound :floor literal must reach the parquet scan
+    val p = formatted("q_param_sql")
+    assert(p.contains("GreaterThan(o_totalprice,5000"),
+      "bound literal not pushed:\n" + p)
+  }
 }
