@@ -835,6 +835,115 @@ object RelationalQueries {
           "floor" -> 5000))
     }),
 
+    // Session variables (SQL DECLARE / SET VAR): a data-derived scalar —
+    // the exact-integer mean in cents — is computed ONCE into a session
+    // variable, then referenced in the big query, where the analyzer
+    // substitutes it as a foldable LITERAL. The scale contract: the
+    // threshold scan carries a constant predicate (one small aggregate
+    // up front) instead of a scalar-subquery join replanned per query —
+    // the two-phase "compute a knob, then parameterize the fleet of
+    // queries with it" pattern every orchestrated 100 TB pipeline uses.
+    // The variable's value itself is graded (th_cents column).
+    "q_session_vars" -> ((s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("orders_var")
+      s.sql("DECLARE OR REPLACE VARIABLE graft_th_cents BIGINT DEFAULT 0L")
+      s.sql("""SET VAR graft_th_cents =
+              |  (SELECT sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+              |          div count(*) FROM orders_var)""".stripMargin)
+      s.sql("""SELECT o_orderpriority, count(*) AS n,
+              |       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+              |            AS BIGINT) AS cents,
+              |       max(graft_th_cents) AS th_cents
+              |FROM orders_var
+              |WHERE CAST(floor(o_totalprice * 100) AS BIGINT)
+              |      >= graft_th_cents
+              |GROUP BY 1 ORDER BY 1""".stripMargin)
+    }),
+
+    // EXECUTE IMMEDIATE — dynamic SQL: the statement TEXT lives in a
+    // session variable, binds positional ? parameters at execution, and
+    // lands its result in variables via multi-column INTO. This is the
+    // orchestration surface for metadata-driven pipelines (statements
+    // assembled from a catalog, thresholds bound per run) — with
+    // IDENTIFIER/named-params (q_param_sql) covering the injection-safe
+    // leg, this covers the fully dynamic one. Both splits are graded in
+    // one output row against a single conditional-aggregation oracle,
+    // so the two dynamic executions must exactly tile the table.
+    "q_execute_immediate" -> ((s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("orders_dyn")
+      s.sql("DECLARE OR REPLACE VARIABLE graft_stmt STRING DEFAULT ''")
+      s.sql("DECLARE OR REPLACE VARIABLE graft_n_hi BIGINT DEFAULT 0L")
+      s.sql("DECLARE OR REPLACE VARIABLE graft_hi_cents BIGINT DEFAULT 0L")
+      s.sql("DECLARE OR REPLACE VARIABLE graft_n_lo BIGINT DEFAULT 0L")
+      s.sql("DECLARE OR REPLACE VARIABLE graft_lo_cents BIGINT DEFAULT 0L")
+      s.sql("""SET VAR graft_stmt =
+              |'SELECT count(*),
+              |        coalesce(sum(CAST(floor(o_totalprice * 100)
+              |                           AS BIGINT)), 0L)
+              | FROM orders_dyn
+              | WHERE o_totalprice >= ? AND o_totalprice < ?'""".stripMargin)
+      s.sql("""EXECUTE IMMEDIATE graft_stmt
+              |INTO graft_n_hi, graft_hi_cents
+              |USING 150000.0D, 1000000000.0D""".stripMargin)
+      s.sql("""EXECUTE IMMEDIATE graft_stmt
+              |INTO graft_n_lo, graft_lo_cents
+              |USING 0.0D, 150000.0D""".stripMargin)
+      s.sql("""SELECT graft_n_hi AS n_hi, graft_hi_cents AS hi_cents,
+              |       graft_n_lo AS n_lo, graft_lo_cents AS lo_cents,
+              |       graft_n_hi + graft_n_lo AS n_total""".stripMargin)
+    }),
+
+    // SQL scripting (BEGIN … WHILE … END): an iteratively re-trimmed
+    // mean — threshold starts at max(cents) and each round becomes the
+    // integer mean of the values at-or-under the previous threshold.
+    // No single SQL statement expresses this without recursion; the
+    // script's WHILE loop is DRIVER-side control flow where every round
+    // is an independent distributed query (fixed round count, so plan
+    // depth is bounded; at 100 TB the scanned input would be cached
+    // once). The DuckDB oracle unrolls the same five rounds as chained
+    // CTEs — the grade pins every iteration's exact integer arithmetic.
+    "q_sql_script" -> ((s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("orders_scr")
+      s.conf.set("spark.sql.scripting.enabled", "true")
+      s.sql("""BEGIN
+              |  DECLARE th BIGINT DEFAULT 0;
+              |  DECLARE i INT DEFAULT 0;
+              |  SET th = (SELECT max(CAST(floor(o_totalprice * 100)
+              |                            AS BIGINT))
+              |            FROM orders_scr);
+              |  WHILE i < 5 DO
+              |    SET th = (SELECT sum(CAST(floor(o_totalprice * 100)
+              |                              AS BIGINT)) div count(*)
+              |              FROM orders_scr
+              |              WHERE CAST(floor(o_totalprice * 100)
+              |                         AS BIGINT) <= th);
+              |    SET i = i + 1;
+              |  END WHILE;
+              |  SELECT th AS trimmed_mean_cents,
+              |         CAST(i AS BIGINT) AS rounds,
+              |         (SELECT count(*) FROM orders_scr
+              |          WHERE CAST(floor(o_totalprice * 100) AS BIGINT)
+              |                <= th) AS n_below;
+              |END""".stripMargin)
+    }),
+
+    // approx_top_k (Spark 4.1's frequent-items sketch): heavy hitters
+    // without materializing the full distinct-key aggregate — the
+    // sketch's bounded state merges partially through the exchange, so
+    // at 100 TB the shuffle carries one fixed-size summary per
+    // partition instead of |distinct keys| rows (the built-in sibling
+    // of the Misra-Gries UDAF behind text_heavy_hitters). At the graded
+    // cardinality (5 event types ≫ tracked slots) the sketch is exact,
+    // so the oracle is the exact top-3 by (count desc, key) — verified
+    // tie-free at both graded SFs.
+    "q_approx_topk" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .agg(expr("approx_top_k(event_type, 3)").as("tk"))
+        .select(explode(col("tk")).as("t"))
+        .select(col("t.item").as("event_type"), col("t.count").as("n"))
+        .orderBy(col("n").desc, col("event_type"))
+    }),
+
     // Query-metrics observability (df.observe / CollectMetrics): audit
     // aggregates ride the SAME scan as the pipeline's real action (a
     // noop-sink write here) — at 100 TB this is how row counts, money
@@ -4540,6 +4649,70 @@ object RelationalQueries {
         |            AS BIGINT) AS total_cents
         |FROM orders WHERE o_totalprice > 5000
         |GROUP BY o_orderpriority ORDER BY grp""".stripMargin,
+    // The session-variable assignment restated as a scalar CTE; the
+    // graded th_cents column pins the variable's exact value.
+    "q_session_vars" ->
+      """WITH t AS (SELECT CAST(sum(CAST(floor(o_totalprice * 100)
+        |                               AS BIGINT)) // count(*)
+        |                  AS BIGINT) AS th FROM orders)
+        |SELECT o_orderpriority, count(*) AS n,
+        |       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+        |            AS BIGINT) AS cents,
+        |       CAST(max(t.th) AS BIGINT) AS th_cents
+        |FROM orders, t
+        |WHERE CAST(floor(o_totalprice * 100) AS BIGINT) >= t.th
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Both dynamic executions in one conditional-aggregation pass: the
+    // two bound ranges must exactly tile the table.
+    "q_execute_immediate" ->
+      """WITH c AS (SELECT o_totalprice,
+        |                  CAST(floor(o_totalprice * 100) AS BIGINT)
+        |                    AS cents FROM orders)
+        |SELECT count(CASE WHEN o_totalprice >= 150000.0
+        |                   AND o_totalprice < 1000000000.0 THEN 1 END)
+        |         AS n_hi,
+        |       CAST(coalesce(sum(CASE WHEN o_totalprice >= 150000.0
+        |                          AND o_totalprice < 1000000000.0
+        |                          THEN cents END), 0) AS BIGINT)
+        |         AS hi_cents,
+        |       count(CASE WHEN o_totalprice >= 0.0
+        |                   AND o_totalprice < 150000.0 THEN 1 END)
+        |         AS n_lo,
+        |       CAST(coalesce(sum(CASE WHEN o_totalprice >= 0.0
+        |                          AND o_totalprice < 150000.0
+        |                          THEN cents END), 0) AS BIGINT)
+        |         AS lo_cents,
+        |       count(*) AS n_total
+        |FROM c""".stripMargin,
+    // The script's five WHILE rounds unrolled as chained CTEs — every
+    // iteration's integer arithmetic is pinned, not just the fixpoint.
+    "q_sql_script" ->
+      """WITH c AS (SELECT CAST(floor(o_totalprice * 100) AS BIGINT)
+        |             AS cents FROM orders),
+        |t0 AS (SELECT max(cents) AS th FROM c),
+        |t1 AS (SELECT CAST(sum(cents) // count(*) AS BIGINT) AS th
+        |       FROM c, t0 WHERE cents <= t0.th),
+        |t2 AS (SELECT CAST(sum(cents) // count(*) AS BIGINT) AS th
+        |       FROM c, t1 WHERE cents <= t1.th),
+        |t3 AS (SELECT CAST(sum(cents) // count(*) AS BIGINT) AS th
+        |       FROM c, t2 WHERE cents <= t2.th),
+        |t4 AS (SELECT CAST(sum(cents) // count(*) AS BIGINT) AS th
+        |       FROM c, t3 WHERE cents <= t3.th),
+        |t5 AS (SELECT CAST(sum(cents) // count(*) AS BIGINT) AS th
+        |       FROM c, t4 WHERE cents <= t4.th)
+        |SELECT t5.th AS trimmed_mean_cents,
+        |       CAST(5 AS BIGINT) AS rounds,
+        |       (SELECT count(*) FROM c WHERE cents <= t5.th) AS n_below
+        |FROM t5""".stripMargin,
+    // Exact top-3 by (count desc, key): the sketch is exact at this
+    // cardinality and the boundary is tie-free at both graded SFs.
+    "q_approx_topk" ->
+      """SELECT event_type, n FROM (
+        |  SELECT event_type, count(*) AS n,
+        |         row_number() OVER (ORDER BY count(*) DESC, event_type)
+        |           AS r
+        |  FROM events GROUP BY 1)
+        |WHERE r <= 3 ORDER BY n DESC, event_type""".stripMargin,
     // The observed metrics must equal a dedicated aggregation pass.
     "q_observe_metrics" ->
       """WITH c AS (SELECT CAST(floor(l_extendedprice * 100) AS BIGINT)

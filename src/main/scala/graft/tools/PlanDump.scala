@@ -245,7 +245,11 @@ object PlanDump {
     // r10 wave 5: the Spark-4 SQL-language surfaces
     "q_recursive_cte" -> "native WITH RECURSIVE (UnionLoop): each round is ONE equi-join of the live frontier against the dimension + a union — the frontier shrinks monotonically so per-round work is frontier-bounded, and depth is log₈(N) (4 rounds at sf0.01, ~7 at 100 TB); the standard SQL recursion surface, with the pointer-doubling operator (q_recursive_hierarchy) the declared deep-chain path (O(log depth) rounds vs linear)",
     "q_pipe_syntax" -> "SQL pipe syntax: the |> stages are pure PARSER sugar — the plan is the identical pushed scan filter → projection → two-phase HashAggregate → HAVING filter → sort the classic form compiles to; zero new operators, zero plan cost, graded hash-identical against the classic restatement",
-    "q_param_sql" -> "parameterized SQL + IDENTIFIER: named parameters bind as LITERALS at parse time (the :floor bound shows in PushedFilters like a hand-written constant) and IDENTIFIER() resolves table/column names injection-safe — the bound plan is byte-identical to the hand-written query the oracle states")
+    "q_param_sql" -> "parameterized SQL + IDENTIFIER: named parameters bind as LITERALS at parse time (the :floor bound shows in PushedFilters like a hand-written constant) and IDENTIFIER() resolves table/column names injection-safe — the bound plan is byte-identical to the hand-written query the oracle states",
+    "q_session_vars" -> "session variables: the SET VAR aggregate ran ONCE up front; the graded query sees the variable as a foldable LITERAL — the threshold is a constant in the Filter (no scalar-subquery join, no re-plan per query): compute the knob once, parameterize the fleet of queries with it",
+    "q_execute_immediate" -> "EXECUTE IMMEDIATE: the two dynamic executions (statement text from a variable, ? params bound per run, results INTO variables) each planned as a plain pushed scan + two-phase aggregate at execute time; the graded plan below is the O(1) variable read-back — the data-sized work happened in the INTO statements",
+    "q_sql_script" -> "SQL scripting: WHILE is DRIVER-side control flow — each of the 5 rounds planned as an independent pushed scan + aggregate at script-execution time (fixed round count bounds total work; cache the input once at cluster scale); the script runs eagerly, so the returned plan is its materialized 1-row result (LocalTableScan) — the data-sized work already happened inside the rounds",
+    "q_approx_topk" -> "approx_top_k frequent-items sketch: bounded sketch state merges PARTIALLY through the exchange (one fixed-size summary per partition — never |distinct keys| rows), the built-in sibling of the Misra-Gries UDAF; exact at the graded cardinality, tie-free boundary verified at both SFs")
 
   /** Flags the automated sweep is allowed to see, with the reason each is
     * the intended plan (kept next to the lint so a new hit is loud). */

@@ -218,4 +218,38 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("GreaterThan(o_totalprice,5000"),
       "bound literal not pushed:\n" + p)
   }
+
+  test("q_session_vars folds the variable to a literal — no subquery joins") {
+    val p = formatted("q_session_vars")
+    // the threshold must be substituted as a constant: a Subquery node in
+    // the graded plan would mean the knob is being recomputed per query
+    assert(!p.contains("Subquery"),
+      "session variable did not fold to a literal:\n" + p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("q_sql_script replays the WHILE loop's exact integer trajectory") {
+    import org.apache.spark.sql.functions.{col, floor => sqlFloor}
+    val row = SparkEntry.queries("q_sql_script")(spark, sf("sf0.001"))
+      .collect().head
+    val cents = sources.Tables.orders(spark, sf("sf0.001"))
+      .select(sqlFloor(col("o_totalprice") * 100).cast("long"))
+      .collect().map(_.getLong(0))
+    var th = cents.max
+    for (_ <- 0 until 5) {
+      val kept = cents.filter(_ <= th)
+      th = kept.sum / kept.length
+    }
+    assert(row.getLong(0) == th, s"trimmed mean ${row.getLong(0)} != $th")
+    assert(row.getLong(1) == 5L)
+    assert(row.getLong(2) == cents.count(_ <= th).toLong)
+  }
+
+  test("q_approx_topk: the sketch aggregates partially before the exchange") {
+    val p = formatted("q_approx_topk")
+    assert(p.contains("approx_top_k"), p)
+    // sketch buffer -> ObjectHashAggregate (or SortAggregate fallback)
+    // with a partial mode per partition
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"), p)
+  }
 }
