@@ -835,6 +835,41 @@ object ParityQueries {
         .select(col("user_id"), col("sess_start_ms"), col("sess_end_ms"),
           col("n_events"))
         .orderBy("user_id", "sess_start_ms")
+    }),
+
+    // Event-time TIMERS graded (transformWithState, TimeMode.EventTime):
+    // per-(user, day) inactivity close-out where emission happens ONLY
+    // in handleExpiredTimer — when the WATERMARK crosses the key's
+    // last event + gap — never on an arriving row. The day-based key
+    // confines every key to exactly one time-tertile batch, so the
+    // staged protocol collapses to a batch-independent contract the
+    // oracle can state exactly: a key emits iff last_ms + gap <= the
+    // final watermark (empirically pinned: expiry is boundary-INCLUSIVE
+    // and AvailableNow runs one final timer sweep at the global max
+    // event time). Keys still inside the gap at end-of-stream stay in
+    // state and never emit — the open tail of a live pipeline.
+    // StreamingSpec additionally pins WHICH batch each timer fires in
+    // (mid-stream for tertile-1 keys, the final sweep for late-covered
+    // ones) via a foreachBatch probe on synthetic staged input.
+    "stream_state_timers" -> ((s, dir) => withShufflePartitions(s, 4) {
+      withStateStoreProvider(s, "org.apache.spark.sql.execution." +
+          "streaming.state.RocksDBStateStoreProvider") {
+        val hand = stagedEventTertiles(s, dir)
+        val schema = s.read.parquet(hand).schema
+        val stream = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(hand)
+        val closes = graft.streaming.Streaming
+          .dayCloseStream(stream, gapMs = 3600007L)
+        val qn = "stream_tmr_" + java.util.UUID.randomUUID().toString.take(8)
+        val ckpt =
+          java.nio.file.Files.createTempDirectory("graft-stmr-ckpt").toString
+        val q = closes.toDF().writeStream
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation", ckpt)
+          .outputMode("append").format("memory").queryName(qn).start()
+        q.awaitTermination()
+        s.table(qn).orderBy("user_id", "day")
+      }
     }))
 
   val oracles: Map[String, String] = Map(
@@ -1079,5 +1114,20 @@ object ParityQueries {
         |SELECT g.user_id AS user_id, sess_start_ms, sess_end_ms, n_events
         |FROM g JOIN mx ON g.user_id = mx.user_id
         |WHERE g.session_id < mx.last_sess
-        |ORDER BY g.user_id, sess_start_ms""".stripMargin)
+        |ORDER BY g.user_id, sess_start_ms""".stripMargin,
+
+    // The timer protocol collapsed batch-independently: a (user, day)
+    // key fires iff last_ms + gap <= the final watermark (the global
+    // max event time under the 0s delay); fired_ms is the expiry itself.
+    "stream_state_timers" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) // 86400000 AS day,
+        |                  epoch_ms(ts) AS ts_ms FROM events),
+        |g AS (SELECT user_id, day, count(*) AS n_events,
+        |             max(ts_ms) AS last_ms
+        |      FROM e GROUP BY 1, 2),
+        |w AS (SELECT max(ts_ms) AS wm FROM e)
+        |SELECT user_id, day, n_events, last_ms,
+        |       last_ms + 3600007 AS fired_ms
+        |FROM g, w WHERE last_ms + 3600007 <= w.wm
+        |ORDER BY user_id, day""".stripMargin)
 }

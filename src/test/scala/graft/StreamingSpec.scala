@@ -482,6 +482,64 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("dayCloseStream: event-time timers fire in the right batch and only past the watermark") {
+    // pins the protocol the graded stream_state_timers oracle relies on:
+    // (1) a timer fires in the first batch whose (previous-batch)
+    //     watermark reaches it — boundary INCLUSIVE;
+    // (2) input rows for a key re-arm its timer BEFORE the expiry check
+    //     in the same batch, so an active key never closes;
+    // (3) keys still inside the gap when the stream ends never emit.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
+      "RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[(Long, Long)](spark)
+      val df = input.toDF().toDF("user_id", "ts_ms")
+      val fired =
+        new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long, Long, Long, Long)]()
+      val q = Streaming.dayCloseStream(df, gapMs = 60L).toDF().writeStream
+        .outputMode(OutputMode.Append())
+        .option("checkpointLocation", tmp("graft-tmr-ckpt"))
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          b.collect().foreach(r => fired.add((id, r.getLong(0), r.getLong(1),
+            r.getLong(2), r.getLong(3), r.getLong(4))))
+        }
+        .start()
+      // all ts within day 0; gap = 60 ms. Each data batch that advances
+      // the watermark is followed by a NO-DATA timer-sweep batch (the
+      // engine's standard protocol — the same sweep AvailableNow runs
+      // after its last file), so data batches get even ids (0,2,4,6)
+      // and expiries land in the odd sweep batches.
+      input.addData((1L, 10L), (1L, 20L), (2L, 30L))   // batch 0, wm -> 30
+      q.processAllAvailable()
+      input.addData((2L, 150L), (9L, 199L))            // batch 2, wm -> 199
+      q.processAllAvailable()                          //   sweep 3: u1@80 fires
+      input.addData((8L, 299L))                        // batch 4, wm -> 299
+      q.processAllAvailable()                          //   sweep 5: u2, u9
+      input.addData((7L, 9999999L))                    // batch 6, wm -> 9999999
+      q.processAllAvailable()                          //   sweep 7: u8
+      q.stop()
+
+      val got = new scala.collection.mutable.HashSet[(Long, Long, Long, Long, Long, Long)]
+      fired.forEach(t => got += t)
+      assert(got.toSet === Set(
+        // (batchId, user_id, day, n_events, last_ms, fired_ms)
+        (3L, 1L, 0L, 2L, 20L, 80L),    // fired mid-stream, cross-batch
+        (5L, 2L, 0L, 2L, 150L, 210L),  // re-armed in batch 2, closed later
+        (5L, 9L, 0L, 1L, 199L, 259L),  // boundary-inclusive: 259 <= 299
+        (7L, 8L, 0L, 1L, 299L, 359L)), // u7's arrival advanced wm past it
+        s"unexpected emission set: $got")
+      // u7 (open tail — nothing ever passed its expiry): never emitted,
+      // checked by the exact-set equality above
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("statestore batch source: checkpointed agg state equals the batch aggregate") {
     val input = MemoryStream[(Long, String, Double)](spark)
     val df = input.toDF().toDF("ts_ms", "event_type", "value")
