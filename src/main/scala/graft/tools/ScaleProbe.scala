@@ -126,6 +126,52 @@ object ScaleProbe {
         val (rows, sec) = time(sweep())
         println(f"PROBE x$factor sweep intervals=${nBase * factor} rows=$rows time=$sec%.2fs")
       }
+      // Native WITH RECURSIVE (UnionLoop, the q_recursive_cte shape) at
+      // xN ids: per-round work is bounded by the LIVE FRONTIER (node
+      // strictly decreases), total ancestor rows ≈ N·log₈(N), and the
+      // ROUND COUNT grows log₈(N) — +1 round per 8× data. PASS = time
+      // tracks N ~linearly while rounds grow only logarithmically;
+      // superlinear time (or rounds outpacing the log) would mean the
+      // frontier join stopped shrinking. Discovered here and now
+      // documented on the graded query: the engine GUARDRAILS recursion
+      // at spark.sql.cteRecursionRowLimit = 1e6 total rows (loud
+      // RECURSION_ROW_LIMIT_EXCEEDED, hit at x4 = ~1.85 M ancestor
+      // rows) — a 100 TB run must raise it deliberately, which is the
+      // right default for an operator whose failure mode is divergence.
+      locally {
+        val n = 100000L * factor
+        val limKey = "spark.sql.cteRecursionRowLimit"
+        val prevLim = spark.conf.getOption(limKey)
+        spark.conf.set(limKey, "100000000")
+        spark.range(1L, n + 1).createOrReplaceTempView("rcte_probe_ids")
+        val rec = () => {
+          val r = spark.sql(
+            """WITH RECURSIVE anc(id, node, depth) AS (
+              |  SELECT id, id div 8, 1 FROM rcte_probe_ids
+              |  WHERE id div 8 >= 1
+              |  UNION ALL
+              |  SELECT a.id, e.id div 8, a.depth + 1
+              |  FROM anc a JOIN rcte_probe_ids e ON a.node = e.id
+              |  WHERE e.id div 8 >= 1
+              |)
+              |SELECT count(*) AS n_rows, CAST(max(depth) AS BIGINT) AS rounds
+              |FROM anc""".stripMargin).collect()(0)
+          (r.getLong(0), r.getLong(1))
+        }
+        try {
+          rec() // warm
+          val t0 = System.nanoTime()
+          val (arows, rounds) = rec()
+          val rsec = (System.nanoTime() - t0) / 1e9
+          println(f"PROBE x$factor recursive_cte ids=$n anc_rows=$arows " +
+            f"rounds=$rounds time=$rsec%.2fs")
+        } finally {
+          prevLim match {
+            case Some(v) => spark.conf.set(limKey, v)
+            case None => spark.conf.unset(limKey)
+          }
+        }
+      }
       // PQ (ann_pq shape) at xN vectors: codebook size is FIXED (32
       // seeds), so encode cost must track the corpus linearly (explode
       // x16 subspaces, broadcast join, partial-agg argmin) and the ADC
