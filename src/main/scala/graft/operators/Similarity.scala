@@ -122,7 +122,13 @@ object Similarity {
         "exceeds the decimal(38,0) accumulation headroom " +
         "(rowCount*dim*maxAbs^2*1e12 must stay under 1e38) - rescale the " +
         "embeddings or shard the corpus before decomposing")
-    require(maxAbs > 0 || rowCount == 0,
+    // An empty corpus would sail through the magnitude guards
+    // (maxAbs=0, rowCount=0) and then produce the exact silent-NULL
+    // output they exist to prevent (element_at over an empty per-round
+    // collect) — it deserves the same loud failure.
+    require(rowCount > 0,
+      "powerIteration: empty corpus - nothing to decompose")
+    require(maxAbs > 0,
       "powerIteration: every embedding quantizes to the zero vector - " +
         "there is no dominant eigenvector to converge to")
     var v: Array[Long] = Array.fill(dim)(1000000L)

@@ -50,9 +50,11 @@ case class PosNgramsGen(child: Expression, width: Int = 3)
     val words = arr.asInstanceOf[ArrayData]
     val nGrams = words.numElements() - width + 1
     if (nGrams <= 0) return Nil
-    // stream one row per gram — no per-document array materialization
+    // stream one row per gram — no per-document array materialization;
+    // one reused builder per document through the shared hashGram kernel
+    val sb = new java.lang.StringBuilder(64)
     (0 until nGrams).iterator.map { i =>
-      InternalRow(i, ShingleHashes.hashAt(words, i, width))
+      InternalRow(i, ShingleHashes.hashGram(words, i, width, sb))
     }
   }
 

@@ -70,18 +70,7 @@ object ShingleHashes {
     val sb = new java.lang.StringBuilder(64)
     var i = 0
     while (i < nShingles) {
-      sb.setLength(0)
-      var k = 0
-      while (k < width) {
-        if (k > 0) sb.append(' ')
-        sb.append(words.getUTF8String(i + k).toString)
-        k += 1
-      }
-      val d = org.apache.commons.codec.digest.DigestUtils.md5(
-        sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      out(i) = ((d(0) & 0xffL) << 40) | ((d(1) & 0xffL) << 32) |
-        ((d(2) & 0xffL) << 24) | ((d(3) & 0xffL) << 16) |
-        ((d(4) & 0xffL) << 8) | (d(5) & 0xffL)
+      out(i) = hashGram(words, i, width, sb)
       i += 1
     }
     if (!distinct) return out
@@ -96,16 +85,21 @@ object ShingleHashes {
     if (w == nShingles) out else java.util.Arrays.copyOf(out, w)
   }
 
-  /** Hash of the single `width`-gram starting at word `i` — the
-    * per-gram kernel of [[compute]], shared by the streaming
-    * [[PosNgramsGen]] generator so the gram key CANNOT drift between
-    * the array and table-function forms. */
-  def hashAt(words: ArrayData, i: Int, width: Int): Long = {
-    val sb = new java.lang.StringBuilder(64)
+  /** The ONE per-gram kernel behind [[compute]] and [[hashAt]] — both
+    * forms delegate here, so the 48-bit gram key genuinely cannot
+    * drift between the array and table-function surfaces. A NULL word
+    * hashes as the empty string: deterministic, position-preserving
+    * (the positional variant's element i must stay the gram at word
+    * i), and impossible via split() — it only arises from hand-built
+    * arrays through the SQL registration. */
+  private[plans] def hashGram(words: ArrayData, i: Int, width: Int,
+      sb: java.lang.StringBuilder): Long = {
+    sb.setLength(0)
     var k = 0
     while (k < width) {
       if (k > 0) sb.append(' ')
-      sb.append(words.getUTF8String(i + k).toString)
+      if (!words.isNullAt(i + k))
+        sb.append(words.getUTF8String(i + k).toString)
       k += 1
     }
     val d = org.apache.commons.codec.digest.DigestUtils.md5(
@@ -114,6 +108,13 @@ object ShingleHashes {
       ((d(2) & 0xffL) << 24) | ((d(3) & 0xffL) << 16) |
       ((d(4) & 0xffL) << 8) | (d(5) & 0xffL)
   }
+
+  /** Hash of the single `width`-gram starting at word `i` — the
+    * per-gram kernel of [[compute]], shared by the streaming
+    * [[PosNgramsGen]] generator (both delegate to the same private
+    * [[hashGram]] loop). */
+  def hashAt(words: ArrayData, i: Int, width: Int): Long =
+    hashGram(words, i, width, new java.lang.StringBuilder(64))
 
   /** Column API over an `array<string>` WORDS column. */
   def apply(words: Column): Column =

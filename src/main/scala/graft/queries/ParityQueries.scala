@@ -46,15 +46,23 @@ object ParityQueries {
     * around one bounded run pins the state BACKEND for that query
     * only — the surface a 100 TB deployment flips to move streaming
     * state off executor heaps. */
-  private[queries] def withStateStoreProvider[T](s: SparkSession, cls: String)(body: => T): T = {
-    val key = "spark.sql.streaming.stateStore.providerClass"
+  /** Scoped session-conf override: set, run, restore (or unset if the
+    * key was unset). The ONE save/restore implementation behind every
+    * conf-dependent query — hand-rolled copies of this pattern are how
+    * session-state leaks (a conf left set masking a missing-conf
+    * failure elsewhere in the shared-session harness) creep in. */
+  private[graft] def withConf[T](s: SparkSession, key: String,
+      value: String)(body: => T): T = {
     val prev = s.conf.getOption(key)
-    s.conf.set(key, cls)
+    s.conf.set(key, value)
     try body finally prev match {
       case Some(v) => s.conf.set(key, v)
       case None => s.conf.unset(key)
     }
   }
+
+  private[queries] def withStateStoreProvider[T](s: SparkSession, cls: String)(body: => T): T =
+    withConf(s, "spark.sql.streaming.stateStore.providerClass", cls)(body)
 
   /** Per-JVM cache of staged stream-INPUT directories, keyed by a
     * content descriptor (fixture dir + slice recipe). Staged files are
@@ -368,11 +376,8 @@ object ParityQueries {
     // reconstruct the final aggregate, i.e. the same batch GROUP BY
     // oracle as the state it journals.
     "stream_state_changelog" -> ((s, dir) => withShufflePartitions(s, 4) {
-      val clKey = "spark.sql.streaming.stateStore.rocksdb." +
-        "changelogCheckpointing.enabled"
-      val prevCl = s.conf.getOption(clKey)
-      s.conf.set(clKey, "true")
-      try {
+      withConf(s, "spark.sql.streaming.stateStore.rocksdb." +
+          "changelogCheckpointing.enabled", "true") {
         withStateStoreProvider(s, "org.apache.spark.sql.execution." +
             "streaming.state.RocksDBStateStoreProvider") {
           val hand = StagedInputs(s"$dir|events|rep3") { d =>
@@ -401,11 +406,6 @@ object ParityQueries {
             .select(col("window_start_ms"), col("event_type"),
               col("v.n").as("n"), round(col("v.s"), 2).as("sum_value"))
             .orderBy("window_start_ms", "event_type")
-        }
-      } finally {
-        prevCl match {
-          case Some(v) => s.conf.set(clKey, v)
-          case None => s.conf.unset(clKey)
         }
       }
     }),

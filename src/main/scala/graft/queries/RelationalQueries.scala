@@ -909,7 +909,9 @@ object RelationalQueries {
     // CTEs — the grade pins every iteration's exact integer arithmetic.
     "q_sql_script" -> ((s, dir) => {
       Tables.orders(s, dir).createOrReplaceTempView("orders_scr")
-      s.conf.set("spark.sql.scripting.enabled", "true")
+      // conf-scoped (ParityQueries.withConf): the scripting switch must
+      // not leak into the shared-session harness's other queries
+      ParityQueries.withConf(s, "spark.sql.scripting.enabled", "true") {
       s.sql("""BEGIN
               |  DECLARE th BIGINT DEFAULT 0;
               |  DECLARE i INT DEFAULT 0;
@@ -930,6 +932,7 @@ object RelationalQueries {
               |          WHERE CAST(floor(o_totalprice * 100) AS BIGINT)
               |                <= th) AS n_below;
               |END""".stripMargin)
+      }
     }),
 
     // approx_top_k (Spark 4.1's frequent-items sketch): heavy hitters

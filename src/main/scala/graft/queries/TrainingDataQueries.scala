@@ -2831,12 +2831,6 @@ object TrainingDataQueries {
           Multimodal.synthesizeJpegPayload(Tables.documents(s, dir), "doc_id", "text"))
         .orderBy("media_id")),
 
-    // Stubbed resize: payload re-cut to the byte budget + metadata
-    // rewrite. Graded via the payload md5 (fixture text is pure ASCII,
-    // so DuckDB's string substring mirrors the byte slice exactly).
-    // Partition pruning end-to-end: a one-time hive-partitioned rewrite
-    // of documents by source (the layout every 100 TB corpus uses for
-    // its coarse access dimension), then an aggregate whose source
     // Hidden file-metadata columns (_metadata.file_path / row_index):
     // the lineage-and-debugging surface of every lake-scale incident
     // ("which file produced this row?"). Graded on the contract the
@@ -2857,6 +2851,9 @@ object TrainingDataQueries {
         .orderBy("file")
     }),
 
+    // Partition pruning end-to-end: a one-time hive-partitioned rewrite
+    // of documents by source (the layout every 100 TB corpus uses for
+    // its coarse access dimension), then an aggregate whose source
     // predicate is answered by DIRECTORY pruning — the scan lists only
     // the matching partition (PLANS.md shows it as PartitionFilters
     // with the data filter gone). The filter value is the min source,

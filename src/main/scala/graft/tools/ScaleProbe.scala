@@ -140,9 +140,6 @@ object ScaleProbe {
       // right default for an operator whose failure mode is divergence.
       locally {
         val n = 100000L * factor
-        val limKey = "spark.sql.cteRecursionRowLimit"
-        val prevLim = spark.conf.getOption(limKey)
-        spark.conf.set(limKey, "100000000")
         spark.range(1L, n + 1).createOrReplaceTempView("rcte_probe_ids")
         val rec = () => {
           val r = spark.sql(
@@ -158,18 +155,14 @@ object ScaleProbe {
               |FROM anc""".stripMargin).collect()(0)
           (r.getLong(0), r.getLong(1))
         }
-        try {
+        graft.queries.ParityQueries.withConf(spark,
+            "spark.sql.cteRecursionRowLimit", "100000000") {
           rec() // warm
           val t0 = System.nanoTime()
           val (arows, rounds) = rec()
           val rsec = (System.nanoTime() - t0) / 1e9
           println(f"PROBE x$factor recursive_cte ids=$n anc_rows=$arows " +
             f"rounds=$rounds time=$rsec%.2fs")
-        } finally {
-          prevLim match {
-            case Some(v) => spark.conf.set(limKey, v)
-            case None => spark.conf.unset(limKey)
-          }
         }
       }
       // PQ (ann_pq shape) at xN vectors: codebook size is FIXED (32
@@ -465,11 +458,10 @@ object ScaleProbe {
       // folded to a fixed 2500-id universe, so PASS = peak state rows
       // pinned at ~2500 while the stream grows 16×. (RocksDB provider:
       // transformWithState requires it.)
-      val provKey = "spark.sql.streaming.stateStore.providerClass"
-      val prevProv = spark.conf.getOption(provKey)
-      spark.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
-        "state.RocksDBStateStoreProvider")
-      try {
+      graft.queries.ParityQueries.withConf(spark,
+          "spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming." +
+            "state.RocksDBStateStoreProvider") {
         val (tr, tm, tout, tnb) = runStream(
           in => graft.streaming.Streaming.userAccumStream(
             in.select(pmod(col("doc_id"), lit(2500L)).as("user_id"),
@@ -478,11 +470,6 @@ object ScaleProbe {
           dir)
         println(f"PROBE stream x$label tws slices=$nSlices batches=$tnb " +
           f"snapshots=$tout peak_state_rows=$tr peak_state_mb=${tm / 1e6}%.1f")
-      } finally {
-        prevProv match {
-          case Some(v) => spark.conf.set(provKey, v)
-          case None => spark.conf.unset(provKey)
-        }
       }
     }
     spark.stop()

@@ -237,5 +237,19 @@ class NativeExprSpec extends SparkSpec {
           .as(Seq("pos", "gram_hash")))
       .collect()
     assert(none.isEmpty)
+    // NULL tokens (impossible via split(), reachable through the SQL
+    // registration with a hand-built array) hash as the empty string —
+    // deterministic and position-preserving, never an NPE; the array
+    // form must agree gram-for-gram (shared hashGram kernel)
+    val withNull = Seq((1L, "ok")).toDF("doc_id", "k")
+      .select(col("doc_id"), expr("array('a', NULL, 'b', 'c')").as("w"))
+    val genNull = withNull.select(
+        Bridge.column(graft.plans.PosNgramsGen(Bridge.expression(col("w")), 3))
+          .as(Seq("pos", "gram_hash")))
+      .as[(Int, Long)].collect().toSet
+    val arrNull = withNull.select(
+        posexplode(ShingleHashes.positional(col("w"))).as(Seq("pos", "gram_hash")))
+      .as[(Int, Long)].collect().toSet
+    assert(genNull.size === 2 && genNull === arrNull)
   }
 }

@@ -89,6 +89,14 @@ class SimilaritySpec extends SparkSpec {
       Similarity.powerIteration(zeros, rounds = 1, dim = 2)
     }
     assert(eZero.getMessage.contains("zero vector"))
+    // (d) EMPTY corpus: would pass the magnitude guards (maxAbs=0,
+    // rowCount=0) and then produce the silent-NULL output they exist to
+    // prevent — must fail loudly instead.
+    val empty = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    val eEmpty = intercept[IllegalArgumentException] {
+      Similarity.powerIteration(empty, rounds = 1, dim = 2)
+    }
+    assert(eEmpty.getMessage.contains("empty corpus"))
   }
 
   test("quantizeInt8: values in [-127,127], dequantized roundtrip within scale/2, zero vector safe") {

@@ -439,11 +439,10 @@ class StreamingSpec extends SparkSpec {
 
   test("userAccumStream (transformWithState): ValueState persists across micro-batches") {
     // transformWithState requires the RocksDB state store provider
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
-      "RocksDBStateStoreProvider")
-    try {
+    graft.queries.ParityQueries.withConf(spark,
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state." +
+          "RocksDBStateStoreProvider") {
       val input = MemoryStream[(Long, Long, Double)](spark)
       val df = input.toDF().toDF("user_id", "event_id", "value")
       val q = Streaming.userAccumStream(df).toDF().writeStream
@@ -474,11 +473,6 @@ class StreamingSpec extends SparkSpec {
         .as[(Long, Long, Long, Long)].collect().toSet
       assert(fin === Set((1L, 3L, 450L, 13L), (2L, 1L, 500L, 12L),
         (3L, 1L, 100L, 14L)))
-    } finally {
-      prev match {
-        case Some(v) => spark.conf.set(key, v)
-        case None => spark.conf.unset(key)
-      }
     }
   }
 
@@ -489,11 +483,10 @@ class StreamingSpec extends SparkSpec {
     // (2) input rows for a key re-arm its timer BEFORE the expiry check
     //     in the same batch, so an active key never closes;
     // (3) keys still inside the gap when the stream ends never emit.
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
-      "RocksDBStateStoreProvider")
-    try {
+    graft.queries.ParityQueries.withConf(spark,
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state." +
+          "RocksDBStateStoreProvider") {
       val input = MemoryStream[(Long, Long)](spark)
       val df = input.toDF().toDF("user_id", "ts_ms")
       val fired =
@@ -532,11 +525,6 @@ class StreamingSpec extends SparkSpec {
         s"unexpected emission set: $got")
       // u7 (open tail — nothing ever passed its expiry): never emitted,
       // checked by the exact-set equality above
-    } finally {
-      prev match {
-        case Some(v) => spark.conf.set(key, v)
-        case None => spark.conf.unset(key)
-      }
     }
   }
 
