@@ -2579,6 +2579,36 @@ object TrainingDataQueries {
           sum(when(col("_corrupt_record").isNull, col("n_chars"))).as("good_chars"))
     }),
 
+    // Avro container-file ingest — WITHOUT the spark-avro connector
+    // (absent from the offline classpath, the Kafka-jar situation):
+    // the Avro LIBRARY ships with Spark, so the read path decodes
+    // container files inside mapPartitions over a binaryFile scan —
+    // parallel by file, one DataFileStream codec context per payload
+    // (the multimodal-decode contract; see sources/AvroIngest for the
+    // block-splittable 100 TB note). Staged as FOUR deflate-coded
+    // container files so the decode genuinely fans out; the roundtrip
+    // is graded against the original table — any decode, codec, or
+    // type-mapping defect flips the hash.
+    "ingest_avro" -> ((s, dir) => {
+      val path = ParityQueries.StagedInputs(s"$dir|customer|avro") { d =>
+        val rows = Tables.customer(s, dir)
+          .select(col("c_custkey").cast("long"), col("c_name"),
+            col("c_nationkey").cast("long"),
+            floor(col("c_acctbal") * 100).cast("long").as("ac"))
+          .orderBy("c_custkey")
+          .collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+          .toSeq
+        val per = math.max(1, rows.length / 4 + 1)
+        rows.grouped(per).zipWithIndex.foreach { case (g, i) =>
+          graft.sources.AvroIngest.writeCustomerAvro(g,
+            new java.io.File(d, f"part-$i%02d.avro"))
+        }
+      }
+      graft.sources.AvroIngest.readCustomerAvro(s, path)
+        .orderBy("c_custkey")
+    }),
+
     // Fixed-width ingest — the mainframe/legacy-feed format that still
     // feeds real estates: documents rendered as 30-char records
     // (doc_id 12 zero-padded | lang 8 space-padded | n_chars 10
@@ -4818,6 +4848,14 @@ object TrainingDataQueries {
         |       CAST(length(text || ', "tricky"' || chr(10) || 'line2,end')
         |         AS BIGINT) AS n_chars_rt
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Avro roundtrip oracle: the ORIGINAL table — any decode, codec, or
+    // type-mapping defect in the write→read chain flips the hash.
+    "ingest_avro" ->
+      """SELECT c_custkey, c_name,
+        |       CAST(c_nationkey AS BIGINT) AS c_nationkey,
+        |       CAST(floor(c_acctbal * 100) AS BIGINT) AS acctbal_cents
+        |FROM customer ORDER BY c_custkey""".stripMargin,
 
     // Fixed-width ingest oracle: ground truth minus the planted
     // corruption — any positional parse error or swallowed bad record
