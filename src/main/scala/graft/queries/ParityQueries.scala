@@ -82,6 +82,42 @@ object ParityQueries {
       })
   }
 
+  /** Per-run scratch dirs (checkpoints, staged mutable inputs) with a
+    * JVM-exit recursive delete, so repeated harness runs don't
+    * accumulate temp space — `File.deleteOnExit` alone cannot remove a
+    * non-empty checkpoint tree. One hook, one list; registration is
+    * O(1) per dir. */
+  private[queries] object ScratchDirs {
+    private val dirs = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[java.io.File]())
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      dirs.forEach { root =>
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete(); ()
+        }
+        rm(root)
+      }))
+    def apply(prefix: String): String = {
+      val d = java.nio.file.Files.createTempDirectory(prefix).toFile
+      dirs.add(d)
+      d.toString
+    }
+  }
+
+  /** Snapshot a bounded memory-sink table into a LOCAL DataFrame and
+    * DROP the sink's temp view, so repeated graded runs don't
+    * accumulate UUID-named tables in the session catalog. Sound only
+    * because every memory sink here is bounded (final state /
+    * fixture-sized emission log), and the snapshot is what the stream
+    * grading already hands downstream. */
+  private[queries] def snapshotAndDrop(s: SparkSession, qn: String): DataFrame = {
+    val sink = s.table(qn)
+    val snap = s.createDataFrame(sink.collectAsList(), sink.schema)
+    s.catalog.dropTempView(qn)
+    snap
+  }
+
   /** The clean time-tertile staging of the events fixture (three
     * monotone micro-batch slices with increasing mtimes), shared by
     * stream_upsert_sink, stream_gap_detect, and stream_custom_sessions
@@ -110,6 +146,37 @@ object ParityQueries {
       }
     }
   }
+
+  /** Time-tertile staging of ONE event_type side (event_id, ts_ms,
+    * user_id; three monotone slices sharing the GLOBAL day bounds so
+    * batch k of either side covers the same time band) — the shared
+    * writer behind stream_outer_join and stream_join_then_window
+    * (one StagedInputs key per (dir, type): first-writer-wins, no
+    * drift between the queries that read it). */
+  private[queries] def stagedSideTertiles(s: SparkSession, dir: String,
+      eventType: String): String =
+    StagedInputs(s"$dir|events|$eventType|tertiles") { hand =>
+      val allDays = Tables.events(s, dir)
+        .select(expr("ts_ms div 86400000").as("day"))
+      val bounds = allDays.agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+      val base = System.currentTimeMillis()
+      val side = Tables.events(s, dir).filter(col("event_type") === eventType)
+        .select(col("event_id"), col("ts_ms"), col("user_id"))
+        .withColumn("day", expr("ts_ms div 86400000"))
+        .crossJoin(broadcast(bounds))
+        .withColumn("batch", expr("((day - mn) * 3) div (mx - mn + 1) + 1"))
+      (1 to 3).foreach { k =>
+        val tmp = java.nio.file.Files.createTempDirectory(
+          s"graft-side-$eventType-$k").toString
+        side.filter(col("batch") === k)
+          .select("event_id", "ts_ms", "user_id")
+          .repartition(1).write.mode("overwrite").parquet(tmp)
+        val dst = new java.io.File(hand, s"slice-$k.parquet")
+        java.nio.file.Files.copy(new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head.toPath, dst.toPath)
+        dst.setLastModified(base + k * 10000L)
+      }
+    }
 
   private def eventsProjected(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir).select(
@@ -556,30 +623,8 @@ object ParityQueries {
     // drives null emission. The oracle = all predicate matches UNION
     // unmatched clicks with l_ts + 6 h < min(side maxima) − 1 h.
     "stream_outer_join" -> ((s, dir) => withShufflePartitions(s, 4) {
-      val allDays = Tables.events(s, dir)
-        .select(expr("ts_ms div 86400000").as("day"))
-      val bounds = allDays.agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
-      def stageSide(t: String): String =
-        StagedInputs(s"$dir|events|$t|tertiles") { hand =>
-          val base = System.currentTimeMillis()
-          val side = Tables.events(s, dir).filter(col("event_type") === t)
-            .select(col("event_id"), col("ts_ms"), col("user_id"))
-            .withColumn("day", expr("ts_ms div 86400000"))
-            .crossJoin(broadcast(bounds))
-            .withColumn("batch", expr("((day - mn) * 3) div (mx - mn + 1) + 1"))
-          (1 to 3).foreach { k =>
-            val tmp = java.nio.file.Files.createTempDirectory(s"graft-soj-$t-$k").toString
-            side.filter(col("batch") === k)
-              .select("event_id", "ts_ms", "user_id")
-              .repartition(1).write.mode("overwrite").parquet(tmp)
-            val dst = new java.io.File(hand, s"slice-$k.parquet")
-            java.nio.file.Files.copy(new java.io.File(tmp).listFiles()
-              .filter(_.getName.endsWith(".parquet")).head.toPath, dst.toPath)
-            dst.setLastModified(base + k * 10000L)
-          }
-        }
-      val lDir = stageSide("click")
-      val rDir = stageSide("purchase")
+      val lDir = stagedSideTertiles(s, dir, "click")
+      val rDir = stagedSideTertiles(s, dir, "purchase")
       val schema = s.read.parquet(lDir).schema
       def rd(d: String) = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(d)
@@ -861,15 +906,151 @@ object ParityQueries {
         val closes = graft.streaming.Streaming
           .dayCloseStream(stream, gapMs = 3600007L)
         val qn = "stream_tmr_" + java.util.UUID.randomUUID().toString.take(8)
-        val ckpt =
-          java.nio.file.Files.createTempDirectory("graft-stmr-ckpt").toString
+        // ScratchDirs + snapshotAndDrop: checkpoint tree removed on JVM
+        // exit, memory-sink view dropped after the local snapshot — the
+        // other stream_* queries share the leak-prone raw pattern; this
+        // one (flagged in review) pins the clean form
+        val ckpt = ScratchDirs("graft-stmr-ckpt")
         val q = closes.toDF().writeStream
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .option("checkpointLocation", ckpt)
           .outputMode("append").format("memory").queryName(qn).start()
         q.awaitTermination()
-        s.table(qn).orderBy("user_id", "day")
+        snapshotAndDrop(s, qn).orderBy("user_id", "day")
       }
+    }),
+
+    // CHECKPOINT-RESTART RECOVERY graded — the exactly-once claim the
+    // streaming surface rests on, finally exercised rather than
+    // asserted: a stateful windowed aggregation runs to completion
+    // (AvailableNow) over the FIRST TWO time-tertiles of the fixture,
+    // STOPS, more input lands (tertile 3), and a NEW StreamingQuery
+    // restarts from the SAME checkpoint. The restarted query must (a)
+    // resume rather than restart — enforced in-code: the run-1 commit
+    // files survive verbatim and run 2 APPENDS strictly newer batch
+    // ids — and (b) restore the window state and merge only the new
+    // tertile into it, so the final complete-mode table equals the
+    // batch aggregate over the WHOLE fixture (the DuckDB grade). A
+    // recovery defect is observable either way: reprocessing old files
+    // double-counts (hash flip), lost state drops the run-1 windows
+    // (hash flip), ignoring the checkpoint rewrites batch 0 (require
+    // fails). Input staging is per-run scratch (the input MUTATES
+    // mid-query, so the immutable StagedInputs cache cannot hold it).
+    "stream_restart_recovery" -> ((s, dir) => withShufflePartitions(s, 4) {
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("ts_ms"), col("user_id"),
+          col("event_type"), col("value"))
+        .withColumn("day", expr("ts_ms div 86400000"))
+      val bounds = ev.agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+      val batched = ev.crossJoin(broadcast(bounds))
+        .withColumn("batch", expr("((day - mn) * 3) div (mx - mn + 1) + 1"))
+      val hand = ScratchDirs("graft-srr-in")
+      val ckpt = ScratchDirs("graft-srr-ckpt")
+      val base = System.currentTimeMillis()
+      def stage(k: Int): Unit = {
+        val tmp = java.nio.file.Files.createTempDirectory(s"graft-srr-$k").toString
+        batched.filter(col("batch") === k)
+          .select("event_id", "ts_ms", "user_id", "event_type", "value")
+          .repartition(1).write.mode("overwrite").parquet(tmp)
+        val dst = new java.io.File(hand, s"slice-$k.parquet")
+        java.nio.file.Files.copy(new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head.toPath, dst.toPath)
+        dst.setLastModified(base + k * 10000L)
+        ()
+      }
+      def commitFiles(): Set[String] = {
+        val d = new java.io.File(ckpt, "commits")
+        if (d.isDirectory) d.list().toSet else Set.empty
+      }
+      stage(1); stage(2)
+      val schema = s.read.parquet(hand).schema
+      def run(qn: String): DataFrame = {
+        val stream = s.readStream.schema(schema).parquet(hand)
+        val agg = graft.streaming.Streaming.windowedCounts(stream)
+        val q = agg.writeStream
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation", ckpt)
+          .outputMode("complete").format("memory").queryName(qn).start()
+        q.awaitTermination()
+        snapshotAndDrop(s, qn)
+      }
+      val uid = java.util.UUID.randomUUID().toString.take(8)
+      val first = run(s"stream_rr1_$uid")
+      val commits1 = commitFiles()
+      stage(3)
+      val fin = run(s"stream_rr2_$uid")
+      val commits2 = commitFiles()
+      // the restart proves nothing unless run 1 was genuinely partial
+      // and run 2 genuinely RESUMED (old commits intact, new ones
+      // strictly appended — a from-scratch run would rewrite batch 0)
+      require(first.count() < fin.count(),
+        "restart-recovery fixture defect: run 1 was not partial")
+      require(commits1.nonEmpty && commits1.subsetOf(commits2) &&
+          commits2.size > commits1.size,
+        s"run 2 did not resume the checkpoint: $commits1 -> $commits2")
+      fin
+        .select(unix_millis(col("window_start")).as("window_start_ms"),
+          col("event_type"), col("n"),
+          round(col("sum_value"), 2).as("sum_value"))
+        .orderBy("window_start_ms", "event_type")
+    }),
+
+    // MULTIPLE STATEFUL OPERATORS in one query graded (SPARK-42376,
+    // the Spark-4 pipeline shape): stream-stream interval join
+    // (clicks ⋈ purchases within 6 h on user_id) feeding a 1-day
+    // tumbling-window aggregation — two stateful operators, ONE
+    // checkpoint, with the engine propagating the join's event-time
+    // delay into the downstream agg's watermark (no watermark
+    // re-declaration: the join output already carries the tag, and
+    // redefining it is disallowed under allowMultiple). Emission
+    // protocol made grade-proof instead of modeled: append mode emits
+    // a window only once the PROPAGATED watermark closes it, so the
+    // graded result is sink ∪ open-agg-state — every joined pair is in
+    // exactly one of the two (emitted windows are evicted from state
+    // atomically), making the union equal the batch join+window
+    // aggregate independently of where the close boundary falls. The
+    // open state is read back through the statestore source
+    // (operatorId 0 = the agg; the probe-pinned key/value schema is
+    // key.window.start / value.{count,sum}) — the same ops surface
+    // stream_state_inspect grades. Monotone tertile slices on both
+    // sides keep every row inside the 1-hour watermark (no late
+    // drops), and the inner join cannot lose a match to eviction:
+    // eviction needs wm > l_ts + 6 h, which requires a LATER-batch
+    // event, and all matching purchases arrived by then (time-ordered
+    // slices) and processed before the batch-end eviction.
+    "stream_join_then_window" -> ((s, dir) => withShufflePartitions(s, 4) {
+      val lDir = stagedSideTertiles(s, dir, "click")
+      val rDir = stagedSideTertiles(s, dir, "purchase")
+      val schema = s.read.parquet(lDir).schema
+      def rd(d: String) = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(d)
+      val left = rd(lDir).select(col("event_id").as("l_event"),
+        col("user_id"), col("ts_ms").as("l_ts"))
+      val right = rd(rDir).select(col("event_id").as("r_event"),
+        col("user_id"), col("ts_ms").as("r_ts"))
+      val joined = graft.streaming.Streaming.streamStreamIntervalJoin(
+        left, right, Seq("user_id"), leftTsMs = "l_ts", rightTsMs = "r_ts",
+        lowerMs = 0L, upperMs = 21600000L, watermark = "1 hour")
+      val agg = joined
+        .groupBy(window(col("l_event_time"), "1 day"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("r_ts") - col("l_ts")).as("sum_lag_ms"))
+        .select(unix_millis(col("window.start")).as("win_ms"),
+          col("n_pairs"), col("sum_lag_ms"))
+      val qn = "stream_jtw_" + java.util.UUID.randomUUID().toString.take(8)
+      val ckpt = ScratchDirs("graft-sjtw-ckpt")
+      val q = agg.writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").format("memory").queryName(qn).start()
+      q.awaitTermination()
+      val closed = snapshotAndDrop(s, qn)
+      val open = s.read.format("statestore")
+        .option("operatorId", "0").load(ckpt)
+        .select(unix_millis(col("key.window.start")).as("win_ms"),
+          col("value.count").as("n_pairs"),
+          col("value.sum").as("sum_lag_ms"))
+      closed.unionByName(open).orderBy("win_ms")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -1129,5 +1310,30 @@ object ParityQueries {
         |SELECT user_id, day, n_events, last_ms,
         |       last_ms + 3600007 AS fired_ms
         |FROM g, w WHERE last_ms + 3600007 <= w.wm
-        |ORDER BY user_id, day""".stripMargin)
+        |ORDER BY user_id, day""".stripMargin,
+
+    // Recovery converges to the plain batch aggregate over the WHOLE
+    // fixture — identical statement to the stream_windowed_counts
+    // oracle; the cross-restart protocol (resume, restore, merge-only-
+    // the-new) is what makes the streaming side land on it.
+    "stream_restart_recovery" ->
+      """SELECT epoch_ms(date_trunc('hour', ts)) AS window_start_ms, event_type,
+        |       count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY window_start_ms, event_type""".stripMargin,
+
+    // sink ∪ open-state is the FULL join+window aggregate: every
+    // predicate match lands in exactly one of the two, so the oracle
+    // is simply the batch interval join rolled into 1-day windows of
+    // the click time — no watermark-boundary modeling needed.
+    "stream_join_then_window" ->
+      """WITH e AS (SELECT event_id, epoch_ms(ts) AS ts_ms, user_id, event_type
+        |           FROM events),
+        |l AS (SELECT user_id, ts_ms AS l_ts FROM e WHERE event_type = 'click'),
+        |r AS (SELECT user_id, ts_ms AS r_ts FROM e WHERE event_type = 'purchase'),
+        |m AS (SELECT l.l_ts, r.r_ts FROM l JOIN r ON l.user_id = r.user_id
+        |       AND r.r_ts >= l.l_ts AND r.r_ts <= l.l_ts + 21600000)
+        |SELECT (l_ts // 86400000) * 86400000 AS win_ms,
+        |       count(*) AS n_pairs,
+        |       CAST(sum(r_ts - l_ts) AS BIGINT) AS sum_lag_ms
+        |FROM m GROUP BY 1 ORDER BY win_ms""".stripMargin)
 }

@@ -165,7 +165,13 @@ class ConnectorsSpec extends SparkSpec {
         new java.io.File(d, f"part-$i%02d.avro"))
     }
     val got = AvroIngest.readCustomerAvro(spark, d.getPath)
-    assert(got.rdd.getNumPartitions >= 1)
+    // per-FILE fan-out actually observed, not just claimed: binaryFile's
+    // openCostInBytes (4 MiB) pads each file past the packed-split
+    // target, so three container files must plan as >1 scan partition,
+    // and the decode is a narrow mapPartitions over that scan — a
+    // single-partition plan here would mean the decode is NOT
+    // file-parallel
+    assert(got.rdd.getNumPartitions >= 2)
     val back = got.orderBy("c_custkey")
       .as[(Long, String, Long, Long)].collect().toSeq
     assert(back === rows)
