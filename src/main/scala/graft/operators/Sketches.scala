@@ -32,7 +32,10 @@ object Sketches {
     * taking max(mreg) per bucket). Missing buckets are absent here
     * (register 0); [[hllEstimate]] re-spines them. */
   def hllRegisters(df: DataFrame, groupCol: String, keyCol: Column): DataFrame =
-    df.select(col(groupCol), md5(keyCol.cast("string")).as("hx"))
+    // nulls are not values: distinct-count semantics skip them (a null
+    // key would otherwise land a null bucket and poison the group max)
+    df.filter(keyCol.isNotNull)
+      .select(col(groupCol), md5(keyCol.cast("string")).as("hx"))
       .select(col(groupCol),
         expr("cast(conv(substring(hx, 1, 2), 16, 10) as int)").as("bucket"),
         expr("ltrim('0', substring(hx, 3, 14))").as("stripped"))
@@ -106,45 +109,53 @@ object Sketches {
   }
 
   /** DuckDB replay of [[hllRegisters]] + the register/harmonic half of
-    * [[hllEstimate]], shared by every HLL oracle (q_hll_sketch AND
-    * stream_hll) so the replay cannot drift from the one Spark
-    * implementation above. Emits CTEs `h → r0 → r1 → reg → spine →
-    * regs → agg` over the `events` fixture table, grouped by
-    * event_type, hashing user_id; `agg` exposes (event_type, ssum,
-    * v0). The caller appends its own final SELECT using
-    * [[oracleEstimateExpr]]. */
+    * [[hllEstimate]], PARAMETERIZED over the source relation so every
+    * HLL oracle (q_hll_sketch, stream_hll, q_profile_approx_solo)
+    * instantiates the SAME replay text and cannot drift from the one
+    * Spark implementation above. `src` is a table/CTE name, `grp` a
+    * column of it (kept under its own name throughout), `keyExpr` a
+    * VARCHAR-typed expression over `src` (null keys are skipped —
+    * mirroring the register builder's isNotNull filter; the spine
+    * still covers EVERY distinct `grp`, so an all-null group replays
+    * as 256 empty registers → estimate 0). Emits CTEs `h → r0 → r1 →
+    * reg → spine → regs → agg`; `agg` exposes (grp, ssum, v0), and the
+    * caller appends its own final SELECT using [[oracleEstimateExpr]]. */
+  def oracleCtesOver(src: String, grp: String, keyExpr: String): String =
+    s"""h AS (SELECT $grp,
+       |        md5($keyExpr) AS hx
+       |      FROM $src WHERE $keyExpr IS NOT NULL),
+       |r0 AS (SELECT $grp,
+       |         16 * (strpos('0123456789abcdef', substr(hx, 1, 1)) - 1)
+       |           + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) AS bucket,
+       |         ltrim(substr(hx, 3, 14), '0') AS stripped
+       |       FROM h),
+       |r1 AS (SELECT $grp, bucket,
+       |         CASE WHEN stripped = '' THEN 57
+       |              ELSE 4 * (14 - length(stripped))
+       |                + (4 - CASE WHEN strpos('0123456789abcdef',
+       |                                        substr(stripped, 1, 1)) - 1 >= 8 THEN 4
+       |                           WHEN strpos('0123456789abcdef',
+       |                                        substr(stripped, 1, 1)) - 1 >= 4 THEN 3
+       |                           WHEN strpos('0123456789abcdef',
+       |                                        substr(stripped, 1, 1)) - 1 >= 2 THEN 2
+       |                           ELSE 1 END) + 1 END AS rho
+       |       FROM r0),
+       |reg AS (SELECT $grp, bucket, max(rho) AS mreg
+       |        FROM r1 GROUP BY 1, 2),
+       |spine AS (SELECT $grp, bucket
+       |          FROM (SELECT DISTINCT $grp FROM $src)
+       |          CROSS JOIN (SELECT unnest(generate_series(0, 255)) AS bucket)),
+       |regs AS (SELECT s.$grp, coalesce(reg.mreg, 0) AS mreg
+       |         FROM spine s LEFT JOIN reg
+       |           ON reg.$grp = s.$grp AND reg.bucket = s.bucket),
+       |agg AS (SELECT $grp,
+       |          sum(CAST(1 AS BIGINT) << (60 - mreg)) AS ssum,
+       |          sum(CASE WHEN mreg = 0 THEN 1 ELSE 0 END) AS v0
+       |        FROM regs GROUP BY 1)""".stripMargin
+
+  /** The events-table instantiation (q_hll_sketch, stream_hll). */
   val oracleCtes: String =
-    """h AS (SELECT event_type,
-      |        md5(CAST(user_id AS VARCHAR)) AS hx
-      |      FROM events),
-      |r0 AS (SELECT event_type,
-      |         16 * (strpos('0123456789abcdef', substr(hx, 1, 1)) - 1)
-      |           + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) AS bucket,
-      |         ltrim(substr(hx, 3, 14), '0') AS stripped
-      |       FROM h),
-      |r1 AS (SELECT event_type, bucket,
-      |         CASE WHEN stripped = '' THEN 57
-      |              ELSE 4 * (14 - length(stripped))
-      |                + (4 - CASE WHEN strpos('0123456789abcdef',
-      |                                        substr(stripped, 1, 1)) - 1 >= 8 THEN 4
-      |                           WHEN strpos('0123456789abcdef',
-      |                                        substr(stripped, 1, 1)) - 1 >= 4 THEN 3
-      |                           WHEN strpos('0123456789abcdef',
-      |                                        substr(stripped, 1, 1)) - 1 >= 2 THEN 2
-      |                           ELSE 1 END) + 1 END AS rho
-      |       FROM r0),
-      |reg AS (SELECT event_type, bucket, max(rho) AS mreg
-      |        FROM r1 GROUP BY 1, 2),
-      |spine AS (SELECT event_type, bucket
-      |          FROM (SELECT DISTINCT event_type FROM events)
-      |          CROSS JOIN (SELECT unnest(generate_series(0, 255)) AS bucket)),
-      |regs AS (SELECT s.event_type, coalesce(reg.mreg, 0) AS mreg
-      |         FROM spine s LEFT JOIN reg
-      |           ON reg.event_type = s.event_type AND reg.bucket = s.bucket),
-      |agg AS (SELECT event_type,
-      |          sum(CAST(1 AS BIGINT) << (60 - mreg)) AS ssum,
-      |          sum(CASE WHEN mreg = 0 THEN 1 ELSE 0 END) AS v0
-      |        FROM regs GROUP BY 1)""".stripMargin
+    oracleCtesOver("events", "event_type", "CAST(user_id AS VARCHAR)")
 
   /** The estimate expression over `agg`'s (ssum, v0) — α·m²·2^60/Σ
     * with the linear-counting small-range branch; literal sequence

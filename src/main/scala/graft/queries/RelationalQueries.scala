@@ -1139,6 +1139,45 @@ object RelationalQueries {
         .orderBy(col("column"))
     }),
 
+    // The approx profile SOLO — no exact leg anywhere in the plan, so
+    // the bench finally shows what the 100 TB profile pass actually
+    // costs. The engine-opaque approx_count_distinct is swapped for
+    // the REPLAYABLE graft HLL (operators/Sketches): every column's
+    // values stack into ONE (column, value-string) relation via a
+    // 6-way explode, per-column row/null counts and the per-(column,
+    // bucket) register maxima all ride partial-aggregable
+    // HashAggregates off that single scan (register state ≤ 256 rows
+    // per column through the exchange), and the ESTIMATE ITSELF
+    // hash-grades — the oracle replays md5 → bucket/rho → register
+    // max → harmonic sum bit-for-bit (oracleCtesOver), a strictly
+    // stronger grade than q_profile_approx's 15%-band verdict. Values
+    // hash through their CAST-to-string rendering, the double/date
+    // parity q_profile's min/max strings already pin. An all-null
+    // column has no registers: the left join + coalesce replays the
+    // oracle's empty-spine estimate of 0.
+    "q_profile_approx_solo" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .withColumn("o_orderpriority",
+          when(col("o_orderkey") % 7 === 0, lit(null).cast("string"))
+            .otherwise(col("o_orderpriority")))
+      val cols = Seq("o_custkey", "o_orderdate", "o_orderkey",
+        "o_orderpriority", "o_orderstatus", "o_totalprice")
+      val stacked = o.select(explode(array(cols.map(c =>
+          struct(lit(c).as("column"), col(c).cast("string").as("v"))): _*))
+          .as("p"))
+        .select(col("p.column").as("column"), col("p.v").as("v"))
+      val counts = stacked.groupBy(col("column"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_nulls"))
+      val est = Sketches.hllEstimate(
+        Sketches.hllRegisters(stacked, "column", col("v")), "column")
+      counts.join(est, Seq("column"), "left")
+        .select(col("column"), col("n_rows"), col("n_nulls"),
+          coalesce(col("registers_nonzero"), lit(0L)).as("registers_nonzero"),
+          coalesce(col("hll_estimate"), lit(0.0)).as("hll_estimate"))
+        .orderBy(col("column"))
+    }),
+
     // Referential-integrity audit: orphaned-FK counts for three
     // relationships in one report. Parents are filtered (%5 / %7) so
     // the orphan branches are non-trivial; null FKs are injected into
@@ -5043,6 +5082,34 @@ object RelationalQueries {
          |                  ELSE o_orderpriority END AS o_orderpriority
          |           FROM orders)
          |SELECT * FROM (${legs.mkString("\nUNION ALL\n")})
+         |ORDER BY "column"""".stripMargin
+    },
+    // Solo HLL-profile replay: the stacked (column, value-string)
+    // relation re-created column-for-column, then the SHARED register
+    // replay (Sketches.oracleCtesOver — the one text q_hll_sketch and
+    // stream_hll also instantiate) reproduces the estimate itself.
+    "q_profile_approx_solo" -> {
+      val cols = Seq("o_custkey", "o_orderdate", "o_orderkey",
+        "o_orderpriority", "o_orderstatus", "o_totalprice")
+      val legs = cols.map { c =>
+        s"""SELECT '$c' AS "column", CAST($c AS VARCHAR) AS v FROM o"""
+      }
+      s"""WITH o AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+         |             o_orderdate,
+         |             CASE WHEN o_orderkey % 7 = 0 THEN NULL
+         |                  ELSE o_orderpriority END AS o_orderpriority
+         |           FROM orders),
+         |stk AS (${legs.mkString("\nUNION ALL\n")}),
+         |cnt AS (SELECT "column", count(*) AS n_rows,
+         |          CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |            AS n_nulls
+         |        FROM stk GROUP BY 1),
+         |${graft.operators.Sketches.oracleCtesOver("stk", "\"column\"", "v")}
+         |SELECT c."column" AS "column", c.n_rows, c.n_nulls,
+         |       CAST(256 - a.v0 AS BIGINT) AS registers_nonzero,
+         |       round(${graft.operators.Sketches.oracleEstimateExpr},
+         |             2) AS hll_estimate
+         |FROM cnt c JOIN agg a ON a."column" = c."column"
          |ORDER BY "column"""".stripMargin
     },
     "q_referential_integrity" ->
