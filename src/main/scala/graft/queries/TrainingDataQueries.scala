@@ -2609,6 +2609,43 @@ object TrainingDataQueries {
         .orderBy("c_custkey")
     }),
 
+    // BLOCK-SPLITTING Avro read graded — the 100 TB form ingest_avro's
+    // scale note promises, now built (sources/AvroSplitSource): ONE
+    // container file written with a small sync interval (hundreds of
+    // deflate blocks), read through the AvroSplit DSv2 with a split
+    // size far below the file length, so the single file plans as MANY
+    // byte-range tasks (required > 1 in-code), each sync-aligning its
+    // range start and decoding exactly the blocks that start inside it
+    // — no row lost or doubled across any split boundary, which is
+    // precisely what the roundtrip hash grades. Same oracle as
+    // ingest_avro: the ORIGINAL table.
+    "ingest_avro_split" -> ((s, dir) => {
+      val path = ParityQueries.StagedInputs(s"$dir|customer|avro-1file") { d =>
+        val rows = Tables.customer(s, dir)
+          .select(col("c_custkey").cast("long"), col("c_name"),
+            col("c_nationkey").cast("long"),
+            floor(col("c_acctbal") * 100).cast("long").as("ac"))
+          .orderBy("c_custkey")
+          .collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+          .toSeq
+        graft.sources.AvroIngest.writeCustomerAvro(rows,
+          new java.io.File(d, "all.avro"), syncIntervalBytes = 512)
+      }
+      // split size scaled to the staged file (≈8 splits at any SF) so
+      // the >1-task claim holds from the 150-row fixture up — a real
+      // deployment passes a fixed 128 MiB
+      val len = new java.io.File(path, "all.avro").length()
+      val out = s.read
+        .format(classOf[graft.sources.AvroSplitProvider].getName)
+        .option("path", path)
+        .option("splitBytes", math.max(1024L, len / 8))
+        .load()
+      require(out.rdd.getNumPartitions > 1,
+        "splittable-Avro claim not exercised: single file planned as one task")
+      out.orderBy("c_custkey")
+    }),
+
     // Fixed-width ingest — the mainframe/legacy-feed format that still
     // feeds real estates: documents rendered as 30-char records
     // (doc_id 12 zero-padded | lang 8 space-padded | n_chars 10
@@ -4852,6 +4889,14 @@ object TrainingDataQueries {
     // Avro roundtrip oracle: the ORIGINAL table — any decode, codec, or
     // type-mapping defect in the write→read chain flips the hash.
     "ingest_avro" ->
+      """SELECT c_custkey, c_name,
+        |       CAST(c_nationkey AS BIGINT) AS c_nationkey,
+        |       CAST(floor(c_acctbal * 100) AS BIGINT) AS acctbal_cents
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    // Block-split read must reproduce the same roundtrip: a row lost or
+    // doubled at ANY split boundary flips the hash.
+    "ingest_avro_split" ->
       """SELECT c_custkey, c_name,
         |       CAST(c_nationkey AS BIGINT) AS c_nationkey,
         |       CAST(floor(c_acctbal * 100) AS BIGINT) AS acctbal_cents

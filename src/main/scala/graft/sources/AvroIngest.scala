@@ -36,10 +36,13 @@ object AvroIngest {
     * like the other staged-ingest writers): rows → ONE deflate-coded
     * Avro container file. */
   def writeCustomerAvro(rows: Seq[(Long, String, Long, Long)],
-      file: java.io.File): Unit = {
+      file: java.io.File, syncIntervalBytes: Int = 0): Unit = {
     val schema = new Schema.Parser().parse(CustomerSchemaJson)
     val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
     w.setCodec(CodecFactory.deflateCodec(3))
+    // a small sync interval forces MANY blocks per file — the
+    // multi-block fixture the block-splitting reader grades against
+    if (syncIntervalBytes > 0) w.setSyncInterval(syncIntervalBytes)
     w.create(schema, file)
     try rows.foreach { case (k, n, nk, ac) =>
       val r = new GenericData.Record(schema)

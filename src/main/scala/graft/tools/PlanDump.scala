@@ -252,6 +252,7 @@ object PlanDump {
     "q_approx_topk" -> "approx_top_k frequent-items sketch: bounded sketch state merges PARTIALLY through the exchange (one fixed-size summary per partition — never |distinct keys| rows), the built-in sibling of the Misra-Gries UDAF; exact at the graded cardinality, tie-free boundary verified at both SFs",
     "stream_state_timers" -> "event-time TIMERS (transformWithState, TimeMode.EventTime): per-key close-out emitted by handleExpiredTimer when the WATERMARK crosses last+gap — push-based idle-entity expiry with NO polling scan; state is one fixed-width cell + one timer entry per open key, evicted on fire; the day-based key confines each key to one staged batch, collapsing the protocol to the oracle's batch-independent fires-iff-expiry<=final-watermark contract (boundary inclusivity and the AvailableNow final sweep pinned empirically in StreamingSpec)",
     "ingest_avro" -> "Avro container ingest WITHOUT the connector jar (offline-absent, the Kafka situation): binaryFile scan → per-payload DataFileStream decode in mapPartitions — parallel BY FILE, one codec context per payload, deflate blocks decompressed in-task; Avro blocks are sync-marker splittable, so at 100 TB the same kernel hangs off a block-splitting DSv2 reader — per-file parallelism over many shards is the honest offline form",
+    "ingest_avro_split" -> "BLOCK-splitting Avro DSv2 (the 100 TB form ingest_avro's note promised): one multi-block container file plans as many byte-range tasks (>1 required in-code); each task sync-aligns its range and decodes exactly the blocks starting inside it — the avro-mapred split discipline, so a 10 GB shard is ~80 parallel tasks, not one; driver reads only the header (schema), never data",
     "q_profile_approx_solo" -> "the 100 TB profile pass with NO exact leg in the plan: one 6-way column stack (explode) scanned once; per-column counts and the graft-HLL register maxima are partial-aggregable HashAggregates (register state ≤ 256 rows/column through the exchange); the estimate hash-grades against the shared DuckDB register replay — solo cost is the point, vs q_profile's 6-way countDistinct expand",
     "stream_restart_recovery" -> "checkpoint-restart recovery graded: a stateful windowed agg runs AvailableNow over 2 of 3 tertiles, STOPS, new input lands, and a NEW StreamingQuery resumes the SAME checkpoint — commit log must append strictly (require), state must restore and merge only the new slice (DuckDB hash over the WHOLE fixture); the graded plan below is the final complete-mode snapshot — the exactly-once work is the cross-restart protocol itself",
     "stream_join_then_window" -> "TWO stateful operators, ONE checkpoint (SPARK-42376): stream-stream interval join (state keyed on user_id, evicted past l_ts+6h under the propagated watermark) feeding a 1-day tumbling-window agg whose close watermark the engine derives from the join's event-time delay — no watermark re-declaration; graded as sink ∪ open-agg-state (statestore source, operatorId 0), which equals the batch join+window aggregate independent of where the close boundary falls")

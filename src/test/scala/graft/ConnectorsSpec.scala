@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.{IntegerType, StringType}
 
 import graft.functions.CsvCodec
 import graft.operators.Sorting
-import graft.sources.{AvroIngest, CsvLineSource, KafkaSource, ParquetSink, RecordGenerator}
+import graft.sources.{AvroIngest, AvroSplitProvider, CsvLineSource, KafkaSource, ParquetSink, RecordGenerator}
 
 /** EP2 through the file transport: CSV lines in → key extraction →
   * total sort → sink — the reference pipeline with Parquet/text standing
@@ -152,6 +152,32 @@ class ConnectorsSpec extends SparkSpec {
     // this offline build has no spark-sql-kafka jar; the source must
     // detect that rather than fail at plan time
     assert(!KafkaSource.available)
+  }
+
+  test("AvroSplit: block-split read is exact for EVERY split size") {
+    val d = java.nio.file.Files.createTempDirectory("graft-avrosplit").toFile
+    val rows = (1L to 500L).map(i => (i, s"name-$i", i % 5, i * 101L)).toSeq
+    // one file, tiny sync interval -> many deflate blocks
+    AvroIngest.writeCustomerAvro(rows, new java.io.File(d, "all.avro"),
+      syncIntervalBytes = 64)
+    val len = new java.io.File(d, "all.avro").length()
+    // sweep split sizes across the block-size scale: boundaries land
+    // mid-block, exactly on syncs, and beyond EOF — the union must be
+    // exact (no lost or doubled row) and small splits must fan out
+    Seq(128L, 1024L, 4096L, len, 2 * len).foreach { sb =>
+      val df = spark.read.format(classOf[AvroSplitProvider].getName)
+        .option("path", d.getPath).option("splitBytes", sb).load()
+      val got = df.orderBy("c_custkey")
+        .as[(Long, String, Long, Long)].collect().toSeq
+      assert(got === rows, s"splitBytes=$sb roundtrip diverged")
+      if (sb <= 1024) assert(df.rdd.getNumPartitions > 1,
+        s"splitBytes=$sb must plan >1 task over the ${len}B file")
+    }
+    // inferred schema: long/string fields, non-null (no unions here)
+    val sch = spark.read.format(classOf[AvroSplitProvider].getName)
+      .option("path", d.getPath).load().schema
+    assert(sch.map(_.dataType.simpleString) ===
+      Seq("bigint", "string", "bigint", "bigint"))
   }
 
   test("AvroIngest: multi-file container roundtrip is exact and file-parallel") {
