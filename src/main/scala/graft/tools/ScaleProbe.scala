@@ -472,6 +472,30 @@ object ScaleProbe {
           f"snapshots=$tout peak_state_rows=$tr peak_state_mb=${tm / 1e6}%.1f")
       }
     }
+
+    // BLOCK-SPLIT AVRO read at x1/x4/x16: ONE container file per
+    // factor, FIXED 64 KiB split size — the reader parallelizes WITHIN
+    // the single file, so the planned task count must grow with the
+    // file while decode time stays ~linear (PASS = parts ∝ bytes, no
+    // single-task collapse; the per-file binaryFile form would be
+    // pinned at parts=1 here whatever the size).
+    Seq(1, 4, 16).foreach { factor =>
+      val rows = (1L to 20000L * factor).map(i =>
+        (i, s"name-$i", i % 25, i * 7L))
+      val d = java.nio.file.Files.createTempDirectory("graft-probe-avro").toFile
+      graft.sources.AvroIngest.writeCustomerAvro(rows,
+        new java.io.File(d, "all.avro"), syncIntervalBytes = 4096)
+      val df = spark.read
+        .format(classOf[graft.sources.AvroSplitProvider].getName)
+        .option("path", d.getPath).option("splitBytes", 65536).load()
+      val t0 = System.nanoTime()
+      val n = df.count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"PROBE avrosplit x$factor rows=$n " +
+        f"parts=${df.rdd.getNumPartitions} " +
+        f"file_mb=${new java.io.File(d, "all.avro").length() / 1e6}%.2f " +
+        f"time=$secs%.2f s")
+    }
     spark.stop()
   }
 }

