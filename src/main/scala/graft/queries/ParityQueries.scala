@@ -995,6 +995,85 @@ object ParityQueries {
         .orderBy("window_start_ms", "event_type")
     }),
 
+    // CHECKPOINT-RESTART RECOVERY of the transformWithState surface —
+    // the v2 ARBITRARY-state analog of stream_restart_recovery: where
+    // that query proves the engine restores its own windowed-agg
+    // buffers, this one proves USER-DEFINED named state (the
+    // StatefulProcessor's ValueState on the RocksDB store) survives a
+    // stop, a new-data landing, and a fresh StreamingQuery resuming
+    // the same checkpoint. The per-user account accumulates across the
+    // restart boundary; append mode emits a snapshot per (user,
+    // touched batch), so the final account is recovered
+    // batch-AND-RESTART-independently as the argmax-n row over the
+    // UNION of both runs' emission logs (a user untouched after the
+    // restart keeps its run-1 snapshot; a touched one's run-2 snapshot
+    // must CONTINUE from restored state — lost state restarts its
+    // count and flips the hash). Same resume require()s as
+    // stream_restart_recovery; cents are floored integers so
+    // accumulation is exact in any slicing.
+    "stream_restart_tws" -> ((s, dir) => withShufflePartitions(s, 4) {
+      withStateStoreProvider(s, "org.apache.spark.sql.execution." +
+          "streaming.state.RocksDBStateStoreProvider") {
+        val ev = Tables.events(s, dir)
+          .select(col("event_id"), col("ts_ms"), col("user_id"), col("value"))
+          .withColumn("day", expr("ts_ms div 86400000"))
+        val bounds = ev.agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+        val batched = ev.crossJoin(broadcast(bounds))
+          .withColumn("batch", expr("((day - mn) * 3) div (mx - mn + 1) + 1"))
+        val hand = ScratchDirs("graft-srt-in")
+        val ckpt = ScratchDirs("graft-srt-ckpt")
+        val base = System.currentTimeMillis()
+        def stage(k: Int): Unit = {
+          val tmp = java.nio.file.Files.createTempDirectory(s"graft-srt-$k").toString
+          batched.filter(col("batch") === k)
+            .select("event_id", "ts_ms", "user_id", "value")
+            .repartition(1).write.mode("overwrite").parquet(tmp)
+          val dst = new java.io.File(hand, s"slice-$k.parquet")
+          java.nio.file.Files.copy(new java.io.File(tmp).listFiles()
+            .filter(_.getName.endsWith(".parquet")).head.toPath, dst.toPath)
+          dst.setLastModified(base + k * 10000L)
+          ()
+        }
+        def commitFiles(): Set[String] = {
+          val d = new java.io.File(ckpt, "commits")
+          if (d.isDirectory) d.list().toSet else Set.empty
+        }
+        stage(1); stage(2)
+        val schema = s.read.parquet(hand).schema
+        // the append-mode MEMORY sink refuses checkpoint recovery (only
+        // complete mode regenerates its table) — the recoverable sink
+        // here is the parquet FILE sink, whose _spark_metadata log is
+        // also what makes the cross-restart emission log readable as
+        // ONE exactly-once table afterwards
+        val outDir = ScratchDirs("graft-srt-out")
+        def run(): Unit = {
+          val stream = s.readStream.schema(schema).parquet(hand)
+          val snaps = graft.streaming.Streaming.userAccumStream(stream)
+          val q = snaps.toDF().writeStream
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .format("parquet").option("path", outDir)
+            .start()
+          q.awaitTermination()
+        }
+        run()
+        val commits1 = commitFiles()
+        stage(3)
+        run()
+        val commits2 = commitFiles()
+        require(commits1.nonEmpty && commits1.subsetOf(commits2) &&
+            commits2.size > commits1.size,
+          s"run 2 did not resume the checkpoint: $commits1 -> $commits2")
+        s.read.parquet(outDir)
+          .groupBy(col("user_id"))
+          .agg(max(col("n")).as("n"),
+            max_by(col("cents"), col("n")).as("cents"),
+            max(col("max_eid")).as("max_eid"))
+          .orderBy("user_id")
+      }
+    }),
+
     // MULTIPLE STATEFUL OPERATORS in one query graded (SPARK-42376,
     // the Spark-4 pipeline shape): stream-stream interval join
     // (clicks ⋈ purchases within 6 h on user_id) feeding a 1-day
@@ -1320,6 +1399,17 @@ object ParityQueries {
       """SELECT epoch_ms(date_trunc('hour', ts)) AS window_start_ms, event_type,
         |       count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY window_start_ms, event_type""".stripMargin,
+
+    // The account the restarted StatefulProcessor converges to must
+    // equal the plain batch rollup over the WHOLE fixture — identical
+    // statement to the stream_transform_with_state oracle; the
+    // cross-restart ValueState restore is what makes the streaming
+    // side land on it.
+    "stream_restart_tws" ->
+      """SELECT user_id, count(*) AS n,
+        |       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+        |       max(event_id) AS max_eid
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     // sink ∪ open-state is the FULL join+window aggregate: every
     // predicate match lands in exactly one of the two, so the oracle

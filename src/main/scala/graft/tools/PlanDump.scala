@@ -255,6 +255,7 @@ object PlanDump {
     "ingest_avro_split" -> "BLOCK-splitting Avro DSv2 (the 100 TB form ingest_avro's note promised): one multi-block container file plans as many byte-range tasks (>1 required in-code); each task sync-aligns its range and decodes exactly the blocks starting inside it — the avro-mapred split discipline, so a 10 GB shard is ~80 parallel tasks, not one; driver reads only the header (schema), never data",
     "q_profile_approx_solo" -> "the 100 TB profile pass with NO exact leg in the plan: one 6-way column stack (explode) scanned once; per-column counts and the graft-HLL register maxima are partial-aggregable HashAggregates (register state ≤ 256 rows/column through the exchange); the estimate hash-grades against the shared DuckDB register replay — solo cost is the point, vs q_profile's 6-way countDistinct expand",
     "stream_restart_recovery" -> "checkpoint-restart recovery graded: a stateful windowed agg runs AvailableNow over 2 of 3 tertiles, STOPS, new input lands, and a NEW StreamingQuery resumes the SAME checkpoint — commit log must append strictly (require), state must restore and merge only the new slice (DuckDB hash over the WHOLE fixture); the graded plan below is the final complete-mode snapshot — the exactly-once work is the cross-restart protocol itself",
+    "stream_restart_tws" -> "checkpoint-restart recovery of USER-DEFINED state (transformWithState ValueState on RocksDB): run over 2 of 3 tertiles, stop, restart the same checkpoint on new input — commit log must append strictly (require), and the restored per-user account must CONTINUE (argmax-n over the union of both runs' emission logs hash-grades against the whole-fixture batch rollup); the v2-named-state analog of stream_restart_recovery's engine-buffer grade",
     "stream_join_then_window" -> "TWO stateful operators, ONE checkpoint (SPARK-42376): stream-stream interval join (state keyed on user_id, evicted past l_ts+6h under the propagated watermark) feeding a 1-day tumbling-window agg whose close watermark the engine derives from the join's event-time delay — no watermark re-declaration; graded as sink ∪ open-agg-state (statestore source, operatorId 0), which equals the batch join+window aggregate independent of where the close boundary falls")
 
   /** Flags the automated sweep is allowed to see, with the reason each is
