@@ -34,8 +34,18 @@ object Sketches {
   def hllRegisters(df: DataFrame, groupCol: String, keyCol: Column): DataFrame =
     // nulls are not values: distinct-count semantics skip them (a null
     // key would otherwise land a null bucket and poison the group max)
-    df.filter(keyCol.isNotNull)
-      .select(col(groupCol), md5(keyCol.cast("string")).as("hx"))
+    hllBucketRho(df.filter(keyCol.isNotNull), groupCol, keyCol)
+      .groupBy(col(groupCol), col("bucket"))
+      .agg(max(col("rho")).as("mreg"))
+
+  /** The md5 → (bucket, rho) per-ROW projection behind [[hllRegisters]],
+    * exposed for single-scan composites that fold other per-row
+    * statistics into the same (group, bucket) aggregation (the solo
+    * profile's count/null ride-alongs). A null key yields a null
+    * bucket/rho row — the caller filters or sentinel-groups it; the
+    * register builder above filters. */
+  def hllBucketRho(df: DataFrame, groupCol: String, keyCol: Column): DataFrame =
+    df.select(col(groupCol), md5(keyCol.cast("string")).as("hx"))
       .select(col(groupCol),
         expr("cast(conv(substring(hx, 1, 2), 16, 10) as int)").as("bucket"),
         expr("ltrim('0', substring(hx, 3, 14))").as("stripped"))
@@ -46,8 +56,22 @@ object Sketches {
           .otherwise(lit(4) * (lit(14) - length(col("stripped"))) +
             (lit(4) - when(col("d") >= 8, 4).when(col("d") >= 4, 3)
               .when(col("d") >= 2, 2).otherwise(1)) + lit(1)))
-      .groupBy(col(groupCol), col("bucket"))
-      .agg(max(col("rho")).as("mreg"))
+      .select(col(groupCol), col("bucket"), col("rho"))
+
+  /** α_256·m²·2^60 / Σ with the standard small-range (linear-counting)
+    * branch — THE estimate expression over an exact harmonic sum and a
+    * zero-register count, shared by every finalizer below and written
+    * with the identical literal sequence the DuckDB replay
+    * ([[oracleEstimateExpr]]) uses, so the constants are the same IEEE
+    * doubles in both engines. */
+  def estimateExpr(ssum: Column, v0: Column): Column = {
+    val alphaM2 = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0)) *
+      lit(65536.0) * lit(1.152921504606846976e18)
+    val rawE = alphaM2 / ssum.cast("double")
+    when(rawE <= 640.0 && v0 > 0,
+      lit(256.0) * log(lit(256.0) / v0.cast("double")))
+      .otherwise(rawE)
+  }
 
   /** Finalize registers into the HLL estimate per group: spine the 256
     * buckets, exact-integer harmonic sum, α-corrected raw estimate
@@ -62,17 +86,9 @@ object Sketches {
       .agg(sum(expr("cast(shiftleft(cast(1 as bigint), 60 - mreg) as decimal(38,0))"))
           .as("ssum"),
         sum(when(col("mreg") === 0, 1L).otherwise(0L)).as("v0"))
-    // α_256·m²·2^60 — the oracle writes the identical literal sequence
-    // so the constant is the same IEEE double
-    val alphaM2 = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0)) *
-      lit(65536.0) * lit(1.152921504606846976e18)
-    val rawE = alphaM2 / col("ssum").cast("double")
-    val est = when(rawE <= 640.0 && col("v0") > 0,
-      lit(256.0) * log(lit(256.0) / col("v0").cast("double")))
-      .otherwise(rawE)
     agg.select(col(groupCol),
       (lit(256L) - col("v0")).as("registers_nonzero"),
-      round(est, 2).as("hll_estimate"))
+      round(estimateExpr(col("ssum"), col("v0")), 2).as("hll_estimate"))
   }
 
   /** Per-group HLL estimate quantized to an exact micro-unit BIGINT —
@@ -98,14 +114,9 @@ object Sketches {
           (lit(256L) - count(lit(1))).cast("decimal(38,0)") *
             lit(1152921504606846976L).cast("decimal(38,0)")).as("ssum"),
         (lit(256L) - count(lit(1))).as("v0"))
-    // identical literal sequence to [[hllEstimate]] / the oracle replay
-    val alphaM2 = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0)) *
-      lit(65536.0) * lit(1.152921504606846976e18)
-    val rawE = alphaM2 / col("ssum").cast("double")
-    val est = when(rawE <= 640.0 && col("v0") > 0,
-      lit(256.0) * log(lit(256.0) / col("v0").cast("double")))
-      .otherwise(rawE)
-    agg.select(col(groupCol), floor(est * lit(1000000.0)).as("est_micro"))
+    agg.select(col(groupCol),
+      floor(estimateExpr(col("ssum"), col("v0")) * lit(1000000.0))
+        .as("est_micro"))
   }
 
   /** DuckDB replay of [[hllRegisters]] + the register/harmonic half of

@@ -118,6 +118,33 @@ object ParityQueries {
     snap
   }
 
+  /** Write ONE micro-batch slice: repartition(1) parquet into a
+    * ScratchDirs-tracked scratch dir (no /tmp accumulation), copy the
+    * single part-file into `hand` as `slice-k.parquet` with a strictly
+    * increasing mtime (how maxFilesPerTrigger=1 replays slices as
+    * ordered micro-batches). The ONE slice-staging implementation
+    * behind every tertile-staged stream query — protocol fixes land
+    * here once. */
+  private[queries] def writeSlice(df: DataFrame, hand: String, k: Int,
+      baseMtime: Long, prefix: String): Unit = {
+    val tmp = ScratchDirs(s"$prefix-$k")
+    df.repartition(1).write.mode("overwrite").parquet(tmp)
+    val dst = new java.io.File(hand, s"slice-$k.parquet")
+    java.nio.file.Files.copy(new java.io.File(tmp).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head.toPath, dst.toPath)
+    dst.setLastModified(baseMtime + k * 10000L)
+    ()
+  }
+
+  /** Commit-log file names under a streaming checkpoint — the resume
+    * evidence the restart-recovery grades require on (a resumed query
+    * preserves old commit files and appends strictly newer batch ids;
+    * a from-scratch run rewrites batch 0). */
+  private[queries] def ckptCommits(ckpt: String): Set[String] = {
+    val d = new java.io.File(ckpt, "commits")
+    if (d.isDirectory) d.list().toSet else Set.empty
+  }
+
   /** The clean time-tertile staging of the events fixture (three
     * monotone micro-batch slices with increasing mtimes), shared by
     * stream_upsert_sink, stream_gap_detect, and stream_custom_sessions
@@ -135,14 +162,9 @@ object ParityQueries {
     StagedInputs(s"$dir|events|tertiles-full") { d =>
       val base = System.currentTimeMillis()
       (1 to 3).foreach { k =>
-        val tmp = java.nio.file.Files.createTempDirectory(s"graft-tert-$k").toString
-        batched.filter(col("batch") === k)
-          .select("event_id", "ts_ms", "user_id", "event_type", "value")
-          .repartition(1).write.mode("overwrite").parquet(tmp)
-        val dst = new java.io.File(d, s"slice-$k.parquet")
-        java.nio.file.Files.copy(new java.io.File(tmp).listFiles()
-          .filter(_.getName.endsWith(".parquet")).head.toPath, dst.toPath)
-        dst.setLastModified(base + k * 10000L)
+        writeSlice(batched.filter(col("batch") === k)
+            .select("event_id", "ts_ms", "user_id", "event_type", "value"),
+          d, k, base, "graft-tert")
       }
     }
   }
@@ -166,15 +188,9 @@ object ParityQueries {
         .crossJoin(broadcast(bounds))
         .withColumn("batch", expr("((day - mn) * 3) div (mx - mn + 1) + 1"))
       (1 to 3).foreach { k =>
-        val tmp = java.nio.file.Files.createTempDirectory(
-          s"graft-side-$eventType-$k").toString
-        side.filter(col("batch") === k)
-          .select("event_id", "ts_ms", "user_id")
-          .repartition(1).write.mode("overwrite").parquet(tmp)
-        val dst = new java.io.File(hand, s"slice-$k.parquet")
-        java.nio.file.Files.copy(new java.io.File(tmp).listFiles()
-          .filter(_.getName.endsWith(".parquet")).head.toPath, dst.toPath)
-        dst.setLastModified(base + k * 10000L)
+        writeSlice(side.filter(col("batch") === k)
+            .select("event_id", "ts_ms", "user_id"),
+          hand, k, base, s"graft-side-$eventType")
       }
     }
 
@@ -785,15 +801,9 @@ object ParityQueries {
       val hand = StagedInputs(s"$dir|events|tertiles-lateplant") { d =>
         val base = System.currentTimeMillis()
         (1 to 3).foreach { k =>
-          val tmp = java.nio.file.Files.createTempDirectory(s"graft-sld-$k").toString
-          batched.filter(col("batch") === k)
-            .select("event_id", "ts_ms", "event_type", "value")
-            .repartition(1).write.mode("overwrite").parquet(tmp)
-          val part = new java.io.File(tmp).listFiles()
-            .filter(_.getName.endsWith(".parquet")).head
-          val dst = new java.io.File(d, s"slice-$k.parquet")
-          java.nio.file.Files.copy(part.toPath, dst.toPath)
-          dst.setLastModified(base + k * 10000L)
+          writeSlice(batched.filter(col("batch") === k)
+              .select("event_id", "ts_ms", "event_type", "value"),
+            d, k, base, "graft-sld")
         }
       }
       val schema = s.read.parquet(hand).schema
@@ -947,21 +957,10 @@ object ParityQueries {
       val hand = ScratchDirs("graft-srr-in")
       val ckpt = ScratchDirs("graft-srr-ckpt")
       val base = System.currentTimeMillis()
-      def stage(k: Int): Unit = {
-        val tmp = java.nio.file.Files.createTempDirectory(s"graft-srr-$k").toString
+      def stage(k: Int): Unit = writeSlice(
         batched.filter(col("batch") === k)
-          .select("event_id", "ts_ms", "user_id", "event_type", "value")
-          .repartition(1).write.mode("overwrite").parquet(tmp)
-        val dst = new java.io.File(hand, s"slice-$k.parquet")
-        java.nio.file.Files.copy(new java.io.File(tmp).listFiles()
-          .filter(_.getName.endsWith(".parquet")).head.toPath, dst.toPath)
-        dst.setLastModified(base + k * 10000L)
-        ()
-      }
-      def commitFiles(): Set[String] = {
-        val d = new java.io.File(ckpt, "commits")
-        if (d.isDirectory) d.list().toSet else Set.empty
-      }
+          .select("event_id", "ts_ms", "user_id", "event_type", "value"),
+        hand, k, base, "graft-srr")
       stage(1); stage(2)
       val schema = s.read.parquet(hand).schema
       def run(qn: String): DataFrame = {
@@ -976,10 +975,10 @@ object ParityQueries {
       }
       val uid = java.util.UUID.randomUUID().toString.take(8)
       val first = run(s"stream_rr1_$uid")
-      val commits1 = commitFiles()
+      val commits1 = ckptCommits(ckpt)
       stage(3)
       val fin = run(s"stream_rr2_$uid")
-      val commits2 = commitFiles()
+      val commits2 = ckptCommits(ckpt)
       // the restart proves nothing unless run 1 was genuinely partial
       // and run 2 genuinely RESUMED (old commits intact, new ones
       // strictly appended — a from-scratch run would rewrite batch 0)
@@ -1023,21 +1022,10 @@ object ParityQueries {
         val hand = ScratchDirs("graft-srt-in")
         val ckpt = ScratchDirs("graft-srt-ckpt")
         val base = System.currentTimeMillis()
-        def stage(k: Int): Unit = {
-          val tmp = java.nio.file.Files.createTempDirectory(s"graft-srt-$k").toString
+        def stage(k: Int): Unit = writeSlice(
           batched.filter(col("batch") === k)
-            .select("event_id", "ts_ms", "user_id", "value")
-            .repartition(1).write.mode("overwrite").parquet(tmp)
-          val dst = new java.io.File(hand, s"slice-$k.parquet")
-          java.nio.file.Files.copy(new java.io.File(tmp).listFiles()
-            .filter(_.getName.endsWith(".parquet")).head.toPath, dst.toPath)
-          dst.setLastModified(base + k * 10000L)
-          ()
-        }
-        def commitFiles(): Set[String] = {
-          val d = new java.io.File(ckpt, "commits")
-          if (d.isDirectory) d.list().toSet else Set.empty
-        }
+            .select("event_id", "ts_ms", "user_id", "value"),
+          hand, k, base, "graft-srt")
         stage(1); stage(2)
         val schema = s.read.parquet(hand).schema
         // the append-mode MEMORY sink refuses checkpoint recovery (only
@@ -1058,10 +1046,10 @@ object ParityQueries {
           q.awaitTermination()
         }
         run()
-        val commits1 = commitFiles()
+        val commits1 = ckptCommits(ckpt)
         stage(3)
         run()
-        val commits2 = commitFiles()
+        val commits2 = ckptCommits(ckpt)
         require(commits1.nonEmpty && commits1.subsetOf(commits2) &&
             commits2.size > commits1.size,
           s"run 2 did not resume the checkpoint: $commits1 -> $commits2")

@@ -1166,15 +1166,35 @@ object RelationalQueries {
           struct(lit(c).as("column"), col(c).cast("string").as("v"))): _*))
           .as("p"))
         .select(col("p.column").as("column"), col("p.v").as("v"))
-      val counts = stacked.groupBy(col("column"))
-        .agg(count(lit(1)).as("n_rows"),
-          sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_nulls"))
-      val est = Sketches.hllEstimate(
-        Sketches.hllRegisters(stacked, "column", col("v")), "column")
-      counts.join(est, Seq("column"), "left")
+      // ONE linear chain, ONE scan: null values fold into a −1
+      // sentinel bucket so the (column, bucket) pre-aggregation carries
+      // row counts, null counts, AND the register maxima (≤257 rows per
+      // column through the exchange); the second aggregate then
+      // finalizes EVERYTHING per column in closed form — absent buckets
+      // contribute (256 − present)·2^60 to the harmonic sum and
+      // v0 = 256 − present (the hllEstimateMicro discipline: stored
+      // registers always have mreg ≥ 1, so no 256-bucket spine, no
+      // self-join, no consumer fan-out for column pruning to
+      // specialize). All-null columns fall out for free: present = 0 →
+      // linear-counting branch → estimate 0.
+      val level1 = Sketches.hllBucketRho(stacked, "column", col("v"))
+        .groupBy(col("column"), coalesce(col("bucket"), lit(-1)).as("bucket"))
+        .agg(count(lit(1)).as("nrows"), max(col("rho")).as("mreg"))
+      level1.groupBy(col("column"))
+        .agg(sum(col("nrows")).as("n_rows"),
+          sum(when(col("bucket") === -1, col("nrows")).otherwise(0L))
+            .as("n_nulls"),
+          (sum(when(col("bucket") >= 0, expr(
+              "cast(shiftleft(cast(1 as bigint), 60 - mreg) as decimal(38,0))"))
+              .otherwise(lit(0).cast("decimal(38,0)"))) +
+            (lit(256L) - sum(when(col("bucket") >= 0, 1L).otherwise(0L)))
+              .cast("decimal(38,0)") *
+              lit(1152921504606846976L).cast("decimal(38,0)")).as("ssum"),
+          sum(when(col("bucket") >= 0, 1L).otherwise(0L)).as("present"))
         .select(col("column"), col("n_rows"), col("n_nulls"),
-          coalesce(col("registers_nonzero"), lit(0L)).as("registers_nonzero"),
-          coalesce(col("hll_estimate"), lit(0.0)).as("hll_estimate"))
+          col("present").as("registers_nonzero"),
+          round(Sketches.estimateExpr(col("ssum"), lit(256L) - col("present")),
+            2).as("hll_estimate"))
         .orderBy(col("column"))
     }),
 

@@ -148,13 +148,30 @@ private[sources] class AvroSplitReaderFactory(schema: StructType)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val sp = p.asInstanceOf[AvroSplitPartition]
-    new PartitionReader[InternalRow] {
-      private val reader = new DataFileReader(
-        new SeekableFileInput(new java.io.File(sp.path)),
-        new GenericDatumReader[GenericRecord]())
+    // open + validate + align OUTSIDE the anonymous class: a corrupt or
+    // schema-divergent file must fail loudly WITHOUT leaking the open
+    // handle (an initializer throw would escape before Spark ever holds
+    // a reader to close, and task retries would exhaust descriptors)
+    val in = new SeekableFileInput(new java.io.File(sp.path))
+    val openReader =
+      try new DataFileReader(in, new GenericDatumReader[GenericRecord]())
+      catch { case e: Throwable => in.close(); throw e }
+    try {
+      // rows decode POSITIONALLY against the table schema, so a file
+      // whose writer schema diverges (reordered/extended fields, or a
+      // user-supplied schema that matches no file) must be rejected
+      // here, not served as silently column-shifted values
+      val fileSchema = AvroSplit.toSparkSchema(openReader.getSchema)
+      require(fileSchema == schema,
+        s"AvroSplit: ${sp.path} writer schema $fileSchema does not match " +
+          s"the table schema $schema (every file of a split read must " +
+          "share the first file's schema)")
       // align to the first block at-or-after the split start; blocks
       // whose start lies inside [start, end) belong to THIS split
-      reader.sync(sp.start)
+      openReader.sync(sp.start)
+    } catch { case e: Throwable => openReader.close(); throw e }
+    new PartitionReader[InternalRow] {
+      private val reader = openReader
       private var rec: GenericRecord = _
       private var row: InternalRow = _
       override def next(): Boolean =

@@ -495,6 +495,9 @@ object ScaleProbe {
         f"parts=${df.rdd.getNumPartitions} " +
         f"file_mb=${new java.io.File(d, "all.avro").length() / 1e6}%.2f " +
         f"time=$secs%.2f s")
+      // probe fixtures are MBs at x16 — clean up instead of leaking /tmp
+      Option(d.listFiles()).foreach(_.foreach(_.delete()))
+      d.delete()
     }
     spark.stop()
   }

@@ -662,7 +662,8 @@ class StreamingSpec extends SparkSpec {
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", ckpt)
       .outputMode("append").format("memory").queryName("jtw_spec").start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000),
+      "AvailableNow run did not finish within 120 s — sink/state reads below would race a live query")
     val sink = spark.table("jtw_spec")
       .as[(Long, Long, Long)].collect().toSet
     val state = spark.read.format("statestore")
