@@ -20,7 +20,8 @@ object Bench {
     def selected = SparkEntry.queries.filter { case (n, _) =>
       only.isEmpty || only.contains(n) }.toSeq.sortBy(_._1)
     val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+      // ,2 = task-retry budget (stream_task_retry's injected failure)
+      .master(s"local[$cpus,2]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")

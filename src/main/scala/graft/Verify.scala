@@ -11,7 +11,10 @@ object Verify {
     val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+      // ,2 grants a task-retry budget (local defaults to maxFailures=1):
+      // production clusters retry failed tasks, and stream_task_retry
+      // grades exactly-once through exactly such a retry
+      .master(s"local[$cpus,2]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects by

@@ -30,7 +30,10 @@ object Sketches {
   /** Per-(group, bucket) HLL registers of the distinct values of
     * `keyCol` — the MERGEABLE half of the sketch (union sketches by
     * taking max(mreg) per bucket). Missing buckets are absent here
-    * (register 0); [[hllEstimate]] re-spines them. */
+    * (register 0); [[hllEstimate]] re-spines them. A group whose keys
+    * are ALL null has no registers at all and is therefore absent from
+    * every downstream estimate (the oracle replay spines post-filter
+    * to state the same semantics). */
   def hllRegisters(df: DataFrame, groupCol: String, keyCol: Column): DataFrame =
     // nulls are not values: distinct-count semantics skip them (a null
     // key would otherwise land a null bucket and poison the group max)
@@ -127,8 +130,10 @@ object Sketches {
     * column of it (kept under its own name throughout), `keyExpr` a
     * VARCHAR-typed expression over `src` (null keys are skipped —
     * mirroring the register builder's isNotNull filter; the spine
-    * still covers EVERY distinct `grp`, so an all-null group replays
-    * as 256 empty registers → estimate 0). Emits CTEs `h → r0 → r1 →
+    * derives from the POST-filter rows `h`, matching [[hllEstimate]]
+    * whose spine can only see the registers, so a group whose keys
+    * are ALL null is ABSENT on both sides — not estimate 0).
+    * Emits CTEs `h → r0 → r1 →
     * reg → spine → regs → agg`; `agg` exposes (grp, ssum, v0), and the
     * caller appends its own final SELECT using [[oracleEstimateExpr]]. */
   def oracleCtesOver(src: String, grp: String, keyExpr: String): String =
@@ -154,7 +159,7 @@ object Sketches {
        |reg AS (SELECT $grp, bucket, max(rho) AS mreg
        |        FROM r1 GROUP BY 1, 2),
        |spine AS (SELECT $grp, bucket
-       |          FROM (SELECT DISTINCT $grp FROM $src)
+       |          FROM (SELECT DISTINCT $grp FROM h)
        |          CROSS JOIN (SELECT unnest(generate_series(0, 255)) AS bucket)),
        |regs AS (SELECT s.$grp, coalesce(reg.mreg, 0) AS mreg
        |         FROM spine s LEFT JOIN reg

@@ -76,7 +76,7 @@ object ParityQueries {
     private val cache = new java.util.concurrent.ConcurrentHashMap[String, String]()
     def apply(key: String)(build: String => Unit): String =
       cache.computeIfAbsent(key, _ => {
-        val d = java.nio.file.Files.createTempDirectory("graft-stage").toString
+        val d = ScratchDirs("graft-stage")
         build(d)
         d
       })
@@ -103,6 +103,18 @@ object ParityQueries {
       dirs.add(d)
       d.toString
     }
+  }
+
+  /** MemTopic topics whose lifetime must span the whole run (a returned
+    * plan scans them lazily), dropped in one JVM-exit hook — the
+    * in-heap analog of [[ScratchDirs]], so repeated harness passes
+    * don't accumulate retired sorted-copy topics. */
+  private[queries] object ScratchTopics {
+    private val names = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[String]())
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      names.forEach(t => graft.sources.MemTopic.drop(t))))
+    def register(topic: String): Unit = { names.add(topic); () }
   }
 
   /** Snapshot a bounded memory-sink table into a LOCAL DataFrame and
@@ -286,10 +298,15 @@ object ParityQueries {
       val decoded = CsvCodec.decode(stream, col("line"), Seq(
         "id" -> LongType, "name" -> StringType,
         "nationkey" -> IntegerType, "segment" -> StringType))
-      val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-ckpt").toString
+      val ckpt = ScratchDirs("graft-stream-ckpt")
       graft.streaming.Streaming.sortedCopyToSink(
         decoded, MemTopicRecordSink(dstTopic), ckpt, Seq(col("id"), col("name")))
         .awaitTermination()
+      // the source topic is fully drained and nothing downstream reads
+      // it — drop it now; the sorted topic must outlive this call (the
+      // returned plan scans it lazily), so it drops on JVM exit
+      MemTopic.drop(srcTopic)
+      ScratchTopics.register(dstTopic)
       // ordinal assignment via the globalIds two-pass (range partition +
       // per-partition offsets) — the read-back is graded at topic size, so
       // a global row_number window would funnel it through ONE task
@@ -342,13 +359,13 @@ object ParityQueries {
       val deduped = graft.streaming.Streaming.dedupStream(
         stream, Seq("user_id"), watermark = "87600 hours")
       val qn = "stream_dd_" + java.util.UUID.randomUUID().toString.take(8)
-      val ckpt = java.nio.file.Files.createTempDirectory("graft-sdd-ckpt").toString
+      val ckpt = ScratchDirs("graft-sdd-ckpt")
       val q = deduped.select("user_id").writeStream
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .option("checkpointLocation", ckpt)
         .outputMode("append").format("memory").queryName(qn).start()
       q.awaitTermination()
-      s.table(qn).select("user_id").orderBy("user_id")
+      snapshotAndDrop(s, qn).select("user_id").orderBy("user_id")
     }),
 
     "stream_windowed_counts" -> ((s, dir) => withShufflePartitions(s, 4) {
@@ -363,13 +380,13 @@ object ParityQueries {
       val stream = Tables.withTsMs(s.readStream.schema(schema).parquet(hand))
       val agg = graft.streaming.Streaming.windowedCounts(stream)
       val qn = "stream_wc_" + java.util.UUID.randomUUID().toString.take(8)
-      val ckpt = java.nio.file.Files.createTempDirectory("graft-swc-ckpt").toString
+      val ckpt = ScratchDirs("graft-swc-ckpt")
       val q = agg.writeStream
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .option("checkpointLocation", ckpt)
         .outputMode("complete").format("memory").queryName(qn).start()
       q.awaitTermination()
-      s.table(qn)
+      snapshotAndDrop(s, qn)
         .select(unix_millis(col("window_start")).as("window_start_ms"),
           col("event_type"), col("n"),
           round(col("sum_value"), 2).as("sum_value"))
@@ -401,13 +418,13 @@ object ParityQueries {
           .option("maxFilesPerTrigger", "1").parquet(hand))
         val agg = graft.streaming.Streaming.windowedCounts(stream)
         val qn = "stream_rdb_" + java.util.UUID.randomUUID().toString.take(8)
-        val ckpt = java.nio.file.Files.createTempDirectory("graft-srdb-ckpt").toString
+        val ckpt = ScratchDirs("graft-srdb-ckpt")
         val q = agg.writeStream
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .option("checkpointLocation", ckpt)
           .outputMode("complete").format("memory").queryName(qn).start()
         q.awaitTermination()
-        s.table(qn)
+        snapshotAndDrop(s, qn)
           .select(unix_millis(col("window_start")).as("window_start_ms"),
             col("event_type"), col("n"),
             round(col("sum_value"), 2).as("sum_value"))
@@ -435,12 +452,15 @@ object ParityQueries {
         .option("maxFilesPerTrigger", "1").parquet(hand))
       val agg = graft.streaming.Streaming.windowedCounts(stream)
       val qn = "stream_ssi_" + java.util.UUID.randomUUID().toString.take(8)
-      val ckpt = java.nio.file.Files.createTempDirectory("graft-sssi-ckpt").toString
+      val ckpt = ScratchDirs("graft-sssi-ckpt")
       val q = agg.writeStream
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .option("checkpointLocation", ckpt)
         .outputMode("complete").format("memory").queryName(qn).start()
       q.awaitTermination()
+      // the graded result is the checkpointed STATE, not the sink — the
+      // memory-sink view still needs dropping (catalog hygiene)
+      s.catalog.dropTempView(qn)
       s.read.format("statestore").load(ckpt)
         .select(unix_millis(col("key.window.start")).as("window_start_ms"),
           col("key.event_type").as("event_type"),
@@ -472,12 +492,13 @@ object ParityQueries {
             .option("maxFilesPerTrigger", "1").parquet(hand))
           val agg = graft.streaming.Streaming.windowedCounts(stream)
           val qn = "stream_scl_" + java.util.UUID.randomUUID().toString.take(8)
-          val ckpt = java.nio.file.Files.createTempDirectory("graft-sscl-ckpt").toString
+          val ckpt = ScratchDirs("graft-sscl-ckpt")
           val q = agg.writeStream
             .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
             .option("checkpointLocation", ckpt)
             .outputMode("complete").format("memory").queryName(qn).start()
           q.awaitTermination()
+          s.catalog.dropTempView(qn)
           s.read.format("statestore")
             .option("readChangeFeed", "true")
             .option("changeStartBatchId", "0")
@@ -516,13 +537,13 @@ object ParityQueries {
           .option("maxFilesPerTrigger", "1").parquet(hand))
         val snapshots = graft.streaming.Streaming.userAccumStream(stream)
         val qn = "stream_tws_" + java.util.UUID.randomUUID().toString.take(8)
-        val ckpt = java.nio.file.Files.createTempDirectory("graft-stws-ckpt").toString
+        val ckpt = ScratchDirs("graft-stws-ckpt")
         val q = snapshots.toDF().writeStream
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .option("checkpointLocation", ckpt)
           .outputMode("append").format("memory").queryName(qn).start()
         q.awaitTermination()
-        s.table(qn)
+        snapshotAndDrop(s, qn)
           .groupBy(col("user_id"))
           .agg(max(col("n")).as("n"),
             max_by(col("cents"), col("n")).as("cents"),
@@ -557,13 +578,13 @@ object ParityQueries {
       val stream = Tables.withTsMs(s.readStream.schema(schema).parquet(hand))
       val agg = graft.streaming.Streaming.sessionWindowAgg(stream, "30 minutes")
       val qn = "stream_sw_" + java.util.UUID.randomUUID().toString.take(8)
-      val ckpt = java.nio.file.Files.createTempDirectory("graft-ssw-ckpt").toString
+      val ckpt = ScratchDirs("graft-ssw-ckpt")
       val q = agg.writeStream
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .option("checkpointLocation", ckpt)
         .outputMode("complete").format("memory").queryName(qn).start()
       q.awaitTermination()
-      s.table(qn).select("user_id", "sess_start_ms", "sess_end_ms", "n_events")
+      snapshotAndDrop(s, qn).select("user_id", "sess_start_ms", "sess_end_ms", "n_events")
         .orderBy("user_id", "sess_start_ms")
     }),
 
@@ -586,14 +607,14 @@ object ParityQueries {
         left, right, Seq("user_id"), leftTsMs = "l_ts", rightTsMs = "r_ts",
         lowerMs = 0L, upperMs = 21600000L, watermark = "87600 hours")
       val qn = "stream_ssj_" + java.util.UUID.randomUUID().toString.take(8)
-      val ckpt = java.nio.file.Files.createTempDirectory("graft-ssj-ckpt").toString
+      val ckpt = ScratchDirs("graft-ssj-ckpt")
       val q = joined.select("l_event", "r_event", "user_id", "l_ts", "r_ts")
         .writeStream
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .option("checkpointLocation", ckpt)
         .outputMode("append").format("memory").queryName(qn).start()
       q.awaitTermination()
-      s.table(qn).orderBy("l_event", "r_event")
+      snapshotAndDrop(s, qn).orderBy("l_event", "r_event")
     }),
 
     // Stream–static enrichment graded: events arrive as 3 staged files
@@ -616,13 +637,13 @@ object ParityQueries {
         .select(col("c_custkey").as("user_id"), col("c_name"), col("c_mktsegment"))
       val enriched = graft.streaming.Streaming.enrichStream(stream, dim, Seq("user_id"))
       val qn = "stream_en_" + java.util.UUID.randomUUID().toString.take(8)
-      val ckpt = java.nio.file.Files.createTempDirectory("graft-sen-ckpt").toString
+      val ckpt = ScratchDirs("graft-sen-ckpt")
       val q = enriched.writeStream
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .option("checkpointLocation", ckpt)
         .outputMode("append").format("memory").queryName(qn).start()
       q.awaitTermination()
-      s.table(qn)
+      snapshotAndDrop(s, qn)
         .select(col("event_id"), col("user_id"), col("event_type"),
           round(col("value"), 4).as("value_r"), col("c_name"), col("c_mktsegment"))
         .orderBy("event_id")
@@ -652,14 +673,14 @@ object ParityQueries {
         left, right, Seq("user_id"), leftTsMs = "l_ts", rightTsMs = "r_ts",
         lowerMs = 0L, upperMs = 21600000L, watermark = "1 hour")
       val qn = "stream_oj_" + java.util.UUID.randomUUID().toString.take(8)
-      val ckpt = java.nio.file.Files.createTempDirectory("graft-soj-ckpt").toString
+      val ckpt = ScratchDirs("graft-soj-ckpt")
       val q = joined.select("l_event", "r_event", "user_id", "l_ts", "r_ts")
         .writeStream
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .option("checkpointLocation", ckpt)
         .outputMode("append").format("memory").queryName(qn).start()
       q.awaitTermination()
-      s.table(qn).orderBy(col("l_event"), col("r_event").asc_nulls_first)
+      snapshotAndDrop(s, qn).orderBy(col("l_event"), col("r_event").asc_nulls_first)
     }),
 
     // foreachBatch MERGE SINK graded: the production pattern for
@@ -674,12 +695,12 @@ object ParityQueries {
     // latest-row-per-user oracle.
     "stream_upsert_sink" -> ((s, dir) => withShufflePartitions(s, 4) {
       val hand = stagedEventTertiles(s, dir)
-      val stateRoot = java.nio.file.Files.createTempDirectory("graft-sus-state")
+      val stateRoot = ScratchDirs("graft-sus-state")
       @volatile var statePath: Option[String] = None
       val schema = s.read.parquet(hand).schema
       val stream = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(hand)
-      val ckpt = java.nio.file.Files.createTempDirectory("graft-sus-ckpt").toString
+      val ckpt = ScratchDirs("graft-sus-ckpt")
       val q = stream.writeStream
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .option("checkpointLocation", ckpt)
@@ -724,13 +745,13 @@ object ParityQueries {
       val stream = Tables.withTsMs(s.readStream.schema(schema).parquet(hand))
       val agg = graft.streaming.Streaming.slidingCounts(stream)
       val qn = "stream_slw_" + java.util.UUID.randomUUID().toString.take(8)
-      val ckpt = java.nio.file.Files.createTempDirectory("graft-slw-ckpt").toString
+      val ckpt = ScratchDirs("graft-slw-ckpt")
       val q = agg.writeStream
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .option("checkpointLocation", ckpt)
         .outputMode("complete").format("memory").queryName(qn).start()
       q.awaitTermination()
-      s.table(qn)
+      snapshotAndDrop(s, qn)
         .select(unix_millis(col("window_start")).as("window_start_ms"),
           col("event_type"), col("n"),
           round(col("sum_value"), 2).as("sum_value"))
@@ -756,7 +777,7 @@ object ParityQueries {
         stream.select(col("event_type"), col("user_id")),
         "event_type", col("user_id"))
       val qn = "stream_hll_" + java.util.UUID.randomUUID().toString.take(8)
-      val ckpt = java.nio.file.Files.createTempDirectory("graft-shll-ckpt").toString
+      val ckpt = ScratchDirs("graft-shll-ckpt")
       val q = regs.writeStream
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .option("checkpointLocation", ckpt)
@@ -766,9 +787,8 @@ object ParityQueries {
       // registers against their own group spine, and the memory-sink
       // VIEW exposes identical attribute ids on both sides (analyzer
       // conflict). The sink is sketch-sized (|types|·256 rows), so a
-      // local snapshot is exact and bounded.
-      val sink = s.table(qn)
-      val snap = s.createDataFrame(sink.collectAsList(), sink.schema)
+      // local snapshot is exact and bounded; the view is dropped.
+      val snap = snapshotAndDrop(s, qn)
       graft.operators.Sketches.hllEstimate(snap, "event_type")
         .orderBy("event_type")
     }),
@@ -811,13 +831,13 @@ object ParityQueries {
         .option("maxFilesPerTrigger", "1").parquet(hand)
       val agg = graft.streaming.Streaming.windowedCounts(stream)
       val qn = "stream_ld_" + java.util.UUID.randomUUID().toString.take(8)
-      val ckpt = java.nio.file.Files.createTempDirectory("graft-sld-ckpt").toString
+      val ckpt = ScratchDirs("graft-sld-ckpt")
       val q = agg.writeStream
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .option("checkpointLocation", ckpt)
         .outputMode("append").format("memory").queryName(qn).start()
       q.awaitTermination()
-      s.table(qn)
+      snapshotAndDrop(s, qn)
         .select(unix_millis(col("window_start")).as("window_start_ms"),
           col("event_type"), col("n"),
           round(col("sum_value"), 2).as("sum_value"))
@@ -847,13 +867,13 @@ object ParityQueries {
       val gaps = graft.streaming.Streaming
         .gapDetectStream(ticks, bucketMs = 3600000L)
       val qn = "stream_gd_" + java.util.UUID.randomUUID().toString.take(8)
-      val ckpt = java.nio.file.Files.createTempDirectory("graft-sgd-ckpt").toString
+      val ckpt = ScratchDirs("graft-sgd-ckpt")
       val q = gaps.toDF().writeStream
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .option("checkpointLocation", ckpt)
         .outputMode("append").format("memory").queryName(qn).start()
       q.awaitTermination()
-      s.table(qn).select(col("key"), col("bucket_ms"))
+      snapshotAndDrop(s, qn).select(col("key"), col("bucket_ms"))
         .orderBy("key", "bucket_ms")
     }),
 
@@ -880,13 +900,13 @@ object ParityQueries {
       val sessions = graft.streaming.Streaming
         .sessionize(evts, gapMs = 1800000L)
       val qn = "stream_cs_" + java.util.UUID.randomUUID().toString.take(8)
-      val ckpt = java.nio.file.Files.createTempDirectory("graft-scs-ckpt").toString
+      val ckpt = ScratchDirs("graft-scs-ckpt")
       val q = sessions.toDF().writeStream
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .option("checkpointLocation", ckpt)
         .outputMode("append").format("memory").queryName(qn).start()
       q.awaitTermination()
-      s.table(qn)
+      snapshotAndDrop(s, qn)
         .select(col("user_id"), col("sess_start_ms"), col("sess_end_ms"),
           col("n_events"))
         .orderBy("user_id", "sess_start_ms")
@@ -918,8 +938,9 @@ object ParityQueries {
         val qn = "stream_tmr_" + java.util.UUID.randomUUID().toString.take(8)
         // ScratchDirs + snapshotAndDrop: checkpoint tree removed on JVM
         // exit, memory-sink view dropped after the local snapshot — the
-        // other stream_* queries share the leak-prone raw pattern; this
-        // one (flagged in review) pins the clean form
+        // form every stream_* query now uses (the round-12 hygiene
+        // migration closed the raw-createTempDirectory/undropped-view
+        // debt this comment used to concede)
         val ckpt = ScratchDirs("graft-stmr-ckpt")
         val q = closes.toDF().writeStream
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -1118,6 +1139,73 @@ object ParityQueries {
           col("value.count").as("n_pairs"),
           col("value.sum").as("sum_lag_ms"))
       closed.unionByName(open).orderBy("win_ms")
+    }),
+
+    // TASK-LEVEL FAULT TOLERANCE graded — exactly-once THROUGH a task
+    // retry INSIDE a stateful micro-batch, not just across graceful
+    // stops (stream_restart_recovery's scope): the windowed aggregation
+    // runs over three monotone tertile slices, and a one-shot transient
+    // failure (FaultInjection) is thrown by the first task of the THIRD
+    // micro-batch that touches a tertile-3 window — i.e. inside the
+    // stateful result stage, after the task has loaded and updated two
+    // batches of carried window state but BEFORE its state-store
+    // commit. Spark must abort the uncommitted store changes, retry the
+    // task (attemptNumber 1), reload the last committed state version,
+    // and reapply the batch exactly once. Both halves are
+    // machine-checked: the tag must be CONSUMED (the throw really
+    // happened) and the `retried` accumulator — which only a SUCCESSFUL
+    // task attempt can land — must be positive (the recovery path really
+    // ran). The grade then hash-compares the final complete-mode state
+    // against the whole-fixture batch oracle: a double-applied batch
+    // (commit-then-retry), lost state (reload miss), or dropped rows
+    // all flip the hash. Needs a retry budget: local masters run with
+    // maxFailures=1 unless `local[N,F]` — every session in this repo
+    // (Verify/Bench/specs/PlanDump) grants F=2, and the require makes a
+    // budget-less session fail loudly instead of silently skipping the
+    // injection.
+    "stream_task_retry" -> ((s, dir) => withShufflePartitions(s, 4) {
+      val m = s.sparkContext.master
+      val localRe = """local(?:\[([0-9*]+)(?:,\s*(\d+))?\])?""".r
+      val canRetry = m match {
+        case localRe(_, f) => f != null && f.toInt >= 2
+        case _ => true // cluster masters: spark.task.maxFailures >= 2
+      }
+      require(canRetry,
+        s"stream_task_retry needs a task-retry budget (local[N,2+]); master=$m")
+      val hand = stagedEventTertiles(s, dir)
+      // the tertile-3 day boundary, driver-side: fault marker = windows
+      // at/after it, which first exist in micro-batch 2's output
+      val b = Tables.events(s, dir)
+        .agg(min(expr("ts_ms div 86400000")).as("mn"),
+          max(expr("ts_ms div 86400000")).as("mx")).head()
+      val (mn, mx) = (b.getLong(0), b.getLong(1))
+      val lo3Ms = (mn + (2 * (mx - mn + 1) + 2) / 3) * 86400000L
+      val tag = "graft_retry_" + java.util.UUID.randomUUID().toString.take(8)
+      graft.streaming.FaultInjection.arm(tag)
+      val retried = s.sparkContext.longAccumulator(s"retried_$tag")
+      val schema = s.read.parquet(hand).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(hand)
+      val agg = graft.streaming.Streaming.windowedCounts(stream)
+        .withColumn("n", graft.streaming.FaultInjection.faultOnce(tag, retried)(
+          col("n"), unix_millis(col("window_start")) >= lit(lo3Ms)))
+      val qn = "stream_tr_" + java.util.UUID.randomUUID().toString.take(8)
+      val ckpt = ScratchDirs("graft-str-ckpt")
+      val q = agg.writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .outputMode("complete").format("memory").queryName(qn).start()
+      q.awaitTermination()
+      require(graft.streaming.FaultInjection.consumed(tag),
+        "injected fault never fired: the marker row was never evaluated " +
+          "on a first-attempt task")
+      require(retried.value > 0,
+        "no task attempt > 0 completed: the failure was not retried")
+      snapshotAndDrop(s, qn)
+        .select(unix_millis(col("window_start")).as("window_start_ms"),
+          col("event_type"), col("n"),
+          round(col("sum_value"), 2).as("sum_value"))
+        .orderBy("window_start_ms", "event_type")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -1403,6 +1491,15 @@ object ParityQueries {
     // predicate match lands in exactly one of the two, so the oracle
     // is simply the batch interval join rolled into 1-day windows of
     // the click time — no watermark-boundary modeling needed.
+    // Exactly-once through the injected mid-batch task failure: the
+    // final state must be the plain whole-fixture aggregate — identical
+    // statement to the stream_windowed_counts oracle; a double-applied
+    // or lost batch flips n/sum for every window the retried task held.
+    "stream_task_retry" ->
+      """SELECT epoch_ms(date_trunc('hour', ts)) AS window_start_ms, event_type,
+        |       count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY window_start_ms, event_type""".stripMargin,
+
     "stream_join_then_window" ->
       """WITH e AS (SELECT event_id, epoch_ms(ts) AS ts_ms, user_id, event_type
         |           FROM events),

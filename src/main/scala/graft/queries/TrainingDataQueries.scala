@@ -451,6 +451,42 @@ object TrainingDataQueries {
        |       FROM hh GROUP BY doc_id),
        |sim AS (SELECT doc_id, $simhashBits AS simhash FROM v)""".stripMargin
 
+  /** The single-file multi-block customer Avro fixture (shared by the
+    * three avro-split grades through ONE StagedInputs key, so the
+    * staged bytes cannot drift between them). */
+  private def stagedCustomerAvro1File(s: SparkSession, dir: String): String =
+    ParityQueries.StagedInputs(s"$dir|customer|avro-1file") { d =>
+      val rows = Tables.customer(s, dir)
+        .select(col("c_custkey").cast("long"), col("c_name"),
+          col("c_nationkey").cast("long"),
+          floor(col("c_acctbal") * 100).cast("long").as("ac"))
+        .orderBy("c_custkey")
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .toSeq
+      graft.sources.AvroIngest.writeCustomerAvro(rows,
+        new java.io.File(d, "all.avro"), syncIntervalBytes = 512)
+    }
+
+  /** Open the staged single-file fixture through the AvroSplit DSv2
+    * with a split size that yields ~8 byte-range tasks at any SF. */
+  private def avroSplitRead(s: SparkSession, path: String): DataFrame = {
+    val len = new java.io.File(path, "all.avro").length()
+    s.read.format(classOf[graft.sources.AvroSplitProvider].getName)
+      .option("path", path)
+      .option("splitBytes", math.max(1024L, len / 8))
+      .load()
+  }
+
+  /** The DSv2 scan's pruned read schema(s) in `df`'s optimized plan —
+    * the in-code evidence that a projection genuinely reached the
+    * AvroSplit reader instead of being applied above a full-width scan. */
+  private def v2ReadSchemas(df: DataFrame): Seq[Seq[String]] =
+    df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.scan.readSchema().fieldNames.toSeq
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(Tables.documents(s, dir), "doc_id", Seq("text"))
@@ -2269,14 +2305,55 @@ object TrainingDataQueries {
     // rewrite flips the hash. File-count bounds are asserted in
     // StorageSpec (not SQL-expressible).
     "data_compact" -> ((s, dir) => {
-      val frag = java.nio.file.Files.createTempDirectory("graft-dc-frag").toString
-      val out = java.nio.file.Files.createTempDirectory("graft-dc-out").toString
+      val frag = ParityQueries.ScratchDirs("graft-dc-frag")
+      val out = ParityQueries.ScratchDirs("graft-dc-out")
       Tables.events(s, dir)
         .select("event_id", "user_id", "event_type", "value", "props")
         .repartition(16)
         .write.mode("overwrite").parquet(frag)
       Layout.compact(s, frag, out, targetFiles = 2)
       s.read.parquet(out).orderBy("event_id")
+    }),
+
+    // TIME TRAVEL graded — dataset reproducibility, the read-back-in-
+    // time half q_upsert/data_compact were missing: a versioned
+    // merge-on-read table (operators/TimeTravel: immutable manifests,
+    // O(|delta|) upsert commits, one-max_by snapshot reads) takes two
+    // upserts (v1: updates; v2: updates + an insert) and a compaction
+    // (v3), then reads BACK version 1 after the later versions exist —
+    // and version 3, which must be content-identical to v2 (compaction
+    // is logically a no-op). Both snapshots are hash-graded against a
+    // DuckDB replay of operations ≤ N; the in-code require proves the
+    // post-compaction read planned over base files ONLY (read cost
+    // reset — the point of compaction), not a re-merge of the chain.
+    "q_time_travel" -> ((s, dir) => {
+      import graft.operators.TimeTravel
+      val root = ParityQueries.ScratchDirs("graft-tt")
+      val c = Tables.customer(s, dir).select(col("c_custkey").cast("long"),
+        col("c_mktsegment"),
+        floor(col("c_acctbal") * 100).cast("long").as("acctbal_cents"))
+      TimeTravel.init(c, root)
+      // v1: update every even key (delta carries ONLY changed rows)
+      TimeTravel.upsert(s, root, c.filter(col("c_custkey") % 2 === 0)
+        .select(col("c_custkey"), lit("U1").as("c_mktsegment"),
+          (col("acctbal_cents") + 111).as("acctbal_cents")))
+      // v2: update every third key (values from the BASE state — LWW
+      // replaces the whole row) + insert one brand-new key
+      TimeTravel.upsert(s, root, c.filter(col("c_custkey") % 3 === 0)
+        .select(col("c_custkey"), lit("U2").as("c_mktsegment"),
+          (col("acctbal_cents") + 777).as("acctbal_cents"))
+        .unionByName(s.range(1).select(lit(-1L).as("c_custkey"),
+          lit("NEW").as("c_mktsegment"), lit(4242L).as("acctbal_cents"))))
+      val v3 = TimeTravel.compact(s, root, "c_custkey")
+      val asOf1 = TimeTravel.snapshot(s, root, 1L, "c_custkey")
+      val asOf3 = TimeTravel.snapshot(s, root, v3, "c_custkey")
+      require(asOf3.inputFiles.nonEmpty &&
+          asOf3.inputFiles.forall(_.contains(f"base-$v3%05d")),
+        "post-compaction snapshot must read the compacted base only")
+      asOf1.withColumn("as_of", lit(1L))
+        .unionByName(asOf3.withColumn("as_of", lit(3L)))
+        .select("as_of", "c_custkey", "c_mktsegment", "acctbal_cents")
+        .orderBy("as_of", "c_custkey")
     }),
 
     "text_fingerprint" -> ((s, dir) =>
@@ -2620,30 +2697,63 @@ object TrainingDataQueries {
     // precisely what the roundtrip hash grades. Same oracle as
     // ingest_avro: the ORIGINAL table.
     "ingest_avro_split" -> ((s, dir) => {
-      val path = ParityQueries.StagedInputs(s"$dir|customer|avro-1file") { d =>
-        val rows = Tables.customer(s, dir)
-          .select(col("c_custkey").cast("long"), col("c_name"),
-            col("c_nationkey").cast("long"),
-            floor(col("c_acctbal") * 100).cast("long").as("ac"))
-          .orderBy("c_custkey")
-          .collect()
-          .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
-          .toSeq
-        graft.sources.AvroIngest.writeCustomerAvro(rows,
-          new java.io.File(d, "all.avro"), syncIntervalBytes = 512)
-      }
       // split size scaled to the staged file (≈8 splits at any SF) so
       // the >1-task claim holds from the 150-row fixture up — a real
       // deployment passes a fixed 128 MiB
-      val len = new java.io.File(path, "all.avro").length()
-      val out = s.read
-        .format(classOf[graft.sources.AvroSplitProvider].getName)
-        .option("path", path)
-        .option("splitBytes", math.max(1024L, len / 8))
-        .load()
+      val out = avroSplitRead(s, stagedCustomerAvro1File(s, dir))
       require(out.rdd.getNumPartitions > 1,
         "splittable-Avro claim not exercised: single file planned as one task")
       out.orderBy("c_custkey")
+    }),
+
+    // COLUMN-PRUNED split read graded: the same multi-block fixture,
+    // projected to 2 of its 4 fields. The AvroSplit scan builder
+    // implements SupportsPushDownRequiredColumns, so the projection
+    // reaches the READER — only the requested fields are converted and
+    // materialized per row (Avro is row-oriented: no I/O skip, but the
+    // per-field decode and row width are real at a 50-field 100 TB
+    // shard). The in-code require proves the plan's ReadSchema actually
+    // narrowed (a regression to scan-then-project would still hash-pass,
+    // so the plan shape itself is part of the grade).
+    "ingest_avro_pruned" -> ((s, dir) => {
+      val out = avroSplitRead(s, stagedCustomerAvro1File(s, dir))
+        .select("c_custkey", "acctbal_cents")
+        .orderBy("c_custkey")
+      val scans = v2ReadSchemas(out)
+      require(scans.nonEmpty &&
+          scans.forall(_ == Seq("c_custkey", "acctbal_cents")),
+        s"projection did not reach the AvroSplit scan: ReadSchema=$scans")
+      out
+    }),
+
+    // NESTED-TYPE split read graded — embeddings-in-Avro, the array
+    // shape a real LLM estate ships: the embeddings fixture
+    // (vec_id, array<float>, label) roundtrips through ONE multi-block
+    // Avro container file read as ~8 sync-aligned byte-range tasks,
+    // then EXPLODES to (vec_id, idx, val) so every float is graded
+    // bit-exactly against the parquet original (no arithmetic, no
+    // rounding — a single element lost, reordered, or precision-bent
+    // anywhere in the encode→block-split→decode chain flips the hash).
+    "ingest_avro_embeddings" -> ((s, dir) => {
+      val path = ParityQueries.StagedInputs(s"$dir|embeddings|avro-1file") { d =>
+        val rows = Tables.embeddings(s, dir)
+          .select(col("vec_id").cast("long"), col("embedding"),
+            col("label").cast("int"))
+          .orderBy("vec_id")
+          .collect()
+          .map(r => (r.getLong(0),
+            r.getSeq[Float](1).toSeq, r.getInt(2)))
+          .toSeq
+        graft.sources.AvroIngest.writeEmbeddingAvro(rows,
+          new java.io.File(d, "all.avro"), syncIntervalBytes = 2048)
+      }
+      val out = avroSplitRead(s, path)
+      require(out.rdd.getNumPartitions > 1,
+        "splittable-Avro claim not exercised: single file planned as one task")
+      out.select(col("vec_id"), posexplode(col("embedding")), col("label"))
+        .select(col("vec_id"), col("pos").cast("long").as("idx"),
+          col("col").as("val"), col("label"))
+        .orderBy("vec_id", "idx")
     }),
 
     // Fixed-width ingest — the mainframe/legacy-feed format that still
@@ -3222,8 +3332,7 @@ object TrainingDataQueries {
           val n = docs.count()
           val base = System.currentTimeMillis()
           (1 to 3).foreach { k =>
-            val tmp = java.nio.file.Files
-              .createTempDirectory(s"graft-sndp-$k").toString
+            val tmp = ParityQueries.ScratchDirs(s"graft-sndp-$k")
             docs.filter(expr(s"(doc_id * 3) div $n + 1") === k)
               .withColumn("ts_ms", (col("doc_id") + 1) * 60000L)
               .repartition(1).write.mode("overwrite").parquet(tmp)
@@ -3239,14 +3348,14 @@ object TrainingDataQueries {
         val pairs = graft.streaming.Streaming.minhashNearDupStream(
           stream, "doc_id", "text", "ts_ms", watermark = "87600 hours")
         val qn = "stream_nd_" + java.util.UUID.randomUUID().toString.take(8)
-        val ckpt = java.nio.file.Files
-          .createTempDirectory("graft-sndp-ckpt").toString
+        val ckpt = ParityQueries.ScratchDirs("graft-sndp-ckpt")
         val q = pairs.toDF().writeStream
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .option("checkpointLocation", ckpt)
           .outputMode("append").format("memory").queryName(qn).start()
         q.awaitTermination()
-        s.table(qn).select(col("doc_a"), col("doc_b"), col("est_jaccard"))
+        ParityQueries.snapshotAndDrop(s, qn)
+          .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
           .orderBy("doc_a", "doc_b")
       }),
 
@@ -3281,8 +3390,7 @@ object TrainingDataQueries {
           .groupBy(col("event_type"), col("bucket"))
           .agg(count(lit(1)).as("cnt"))
         val qn = "stream_qh_" + java.util.UUID.randomUUID().toString.take(8)
-        val ckpt = java.nio.file.Files
-          .createTempDirectory("graft-sqh-ckpt").toString
+        val ckpt = ParityQueries.ScratchDirs("graft-sqh-ckpt")
         val q = hist.writeStream
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .option("checkpointLocation", ckpt)
@@ -3290,9 +3398,8 @@ object TrainingDataQueries {
         q.awaitTermination()
         // Snapshot the sketch-sized sink (|types|·1024 rows, bounded by
         // construction) before the batch-side quantile extraction —
-        // the stream_hll memory-sink convention.
-        val sink = s.table(qn)
-        val snap = s.createDataFrame(sink.collectAsList(), sink.schema)
+        // the stream_hll memory-sink convention (view dropped).
+        val snap = ParityQueries.snapshotAndDrop(s, qn)
         val tot = snap.groupBy(col("event_type")).agg(sum(col("cnt")).as("n"))
         val wCum = Window.partitionBy("event_type").orderBy("bucket")
           .rowsBetween(Window.unboundedPreceding, 0)
@@ -4609,6 +4716,31 @@ object TrainingDataQueries {
       """SELECT event_id, user_id, event_type, value, props
         |FROM events ORDER BY event_id""".stripMargin,
 
+    // Time travel replay: operations ≤ N composed in SQL — v1 = base
+    // overridden by the even-key delta; v2 = v1 overridden by the
+    // third-key delta (values from BASE state: LWW replaces the whole
+    // row) plus the insert; v3 (compaction) is content-identical to v2.
+    "q_time_travel" ->
+      """WITH c AS (SELECT CAST(c_custkey AS BIGINT) AS k, c_mktsegment AS seg,
+        |             CAST(floor(c_acctbal * 100) AS BIGINT) AS cents
+        |           FROM customer),
+        |v1 AS (SELECT k,
+        |         CASE WHEN k % 2 = 0 THEN 'U1' ELSE seg END AS seg,
+        |         CASE WHEN k % 2 = 0 THEN cents + 111 ELSE cents END AS cents
+        |       FROM c),
+        |v2 AS (SELECT v1.k,
+        |         CASE WHEN v1.k % 3 = 0 THEN 'U2' ELSE v1.seg END AS seg,
+        |         CASE WHEN v1.k % 3 = 0 THEN c.cents + 777
+        |              ELSE v1.cents END AS cents
+        |       FROM v1 JOIN c ON v1.k = c.k
+        |       UNION ALL
+        |       SELECT CAST(-1 AS BIGINT), 'NEW', CAST(4242 AS BIGINT))
+        |SELECT CAST(1 AS BIGINT) AS as_of, k AS c_custkey,
+        |       seg AS c_mktsegment, cents AS acctbal_cents FROM v1
+        |UNION ALL
+        |SELECT CAST(3 AS BIGINT), k, seg, cents FROM v2
+        |ORDER BY as_of, c_custkey""".stripMargin,
+
     "text_vocab_growth" ->
       s"""WITH $wordCte,
          |mx AS (SELECT max(doc_id) AS mx FROM documents),
@@ -4901,6 +5033,22 @@ object TrainingDataQueries {
         |       CAST(c_nationkey AS BIGINT) AS c_nationkey,
         |       CAST(floor(c_acctbal * 100) AS BIGINT) AS acctbal_cents
         |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    // Pruned projection over the same split read: the VALUES must be
+    // exactly the 2-column slice of the original — the plan-shape half
+    // (ReadSchema narrowed to the projection) is enforced in-code.
+    "ingest_avro_pruned" ->
+      """SELECT c_custkey,
+        |       CAST(floor(c_acctbal * 100) AS BIGINT) AS acctbal_cents
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    // Embeddings-in-Avro roundtrip, graded element-exact: DuckDB zips
+    // the two same-length unnests, reproducing (vec_id, idx, val)
+    // directly from the parquet original.
+    "ingest_avro_embeddings" ->
+      """SELECT vec_id, unnest(range(len(embedding))) AS idx,
+        |       unnest(embedding) AS val, label
+        |FROM embeddings ORDER BY vec_id, idx""".stripMargin,
 
     // Fixed-width ingest oracle: ground truth minus the planted
     // corruption — any positional parse error or swallowed bad record

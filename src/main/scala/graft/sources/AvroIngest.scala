@@ -54,6 +54,34 @@ object AvroIngest {
     } finally w.close()
   }
 
+  /** Record schema for the embeddings roundtrip fixture — the
+    * `array<float>` shape a real LLM estate ships in Avro. */
+  val EmbeddingSchemaJson: String =
+    """{"type":"record","name":"GraftEmbedding","fields":[
+      |{"name":"vec_id","type":"long"},
+      |{"name":"embedding","type":{"type":"array","items":"float"}},
+      |{"name":"label","type":"int"}]}""".stripMargin
+
+  /** Fixture-staging writer for the embeddings table (same driver-side
+    * fixture-sized contract as [[writeCustomerAvro]]). */
+  def writeEmbeddingAvro(rows: Seq[(Long, Seq[Float], Int)],
+      file: java.io.File, syncIntervalBytes: Int = 0): Unit = {
+    val schema = new Schema.Parser().parse(EmbeddingSchemaJson)
+    val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
+    w.setCodec(CodecFactory.deflateCodec(3))
+    if (syncIntervalBytes > 0) w.setSyncInterval(syncIntervalBytes)
+    w.create(schema, file)
+    try rows.foreach { case (id, emb, lbl) =>
+      val r = new GenericData.Record(schema)
+      r.put("vec_id", id)
+      val arr = new java.util.ArrayList[java.lang.Float](emb.length)
+      emb.foreach(f => arr.add(f))
+      r.put("embedding", arr)
+      r.put("label", lbl)
+      w.append(r)
+    } finally w.close()
+  }
+
   /** Parallel-by-file decode of a directory of Avro container files:
     * binaryFile scan → per-payload DataFileStream → typed rows. The
     * Avro block codec (deflate here) decompresses inside the task. */

@@ -253,9 +253,13 @@ object PlanDump {
     "stream_state_timers" -> "event-time TIMERS (transformWithState, TimeMode.EventTime): per-key close-out emitted by handleExpiredTimer when the WATERMARK crosses last+gap — push-based idle-entity expiry with NO polling scan; state is one fixed-width cell + one timer entry per open key, evicted on fire; the day-based key confines each key to one staged batch, collapsing the protocol to the oracle's batch-independent fires-iff-expiry<=final-watermark contract (boundary inclusivity and the AvailableNow final sweep pinned empirically in StreamingSpec)",
     "ingest_avro" -> "Avro container ingest WITHOUT the connector jar (offline-absent, the Kafka situation): binaryFile scan → per-payload DataFileStream decode in mapPartitions — parallel BY FILE, one codec context per payload, deflate blocks decompressed in-task; Avro blocks are sync-marker splittable, so at 100 TB the same kernel hangs off a block-splitting DSv2 reader — per-file parallelism over many shards is the honest offline form",
     "ingest_avro_split" -> "BLOCK-splitting Avro DSv2 (the 100 TB form ingest_avro's note promised): one multi-block container file plans as many byte-range tasks (>1 required in-code); each task sync-aligns its range and decodes exactly the blocks starting inside it — the avro-mapred split discipline, so a 10 GB shard is ~80 parallel tasks, not one; driver reads only the header (schema), never data",
+    "ingest_avro_pruned" -> "COLUMN PRUNING pushed into the AvroSplit DSv2 (SupportsPushDownRequiredColumns): the 2-column projection narrows the scan's ReadSchema (required in-code), so only requested fields are converted/materialized per row — Avro is row-oriented (no I/O skip), but at a 50-field 100 TB shard the per-field decode and row width ARE the cost; plan shows the narrowed ReadSchema, not scan-then-project",
+    "ingest_avro_embeddings" -> "NESTED array<float> through the block-splitting Avro DSv2 — embeddings-in-Avro, the real LLM-estate shape: same sync-aligned byte-range tasks, per-field converters built once per reader (GenericArrayData per row, no per-element boxing logic in the loop); graded element-exact via posexplode (a Generate, per-partition streaming fan-out) against the parquet original",
     "q_profile_approx_solo" -> "the 100 TB profile pass with NO exact leg in the plan: one 6-way column stack (explode) scanned once; per-column counts and the graft-HLL register maxima are partial-aggregable HashAggregates (register state ≤ 256 rows/column through the exchange); the estimate hash-grades against the shared DuckDB register replay — solo cost is the point, vs q_profile's 6-way countDistinct expand",
     "stream_restart_recovery" -> "checkpoint-restart recovery graded: a stateful windowed agg runs AvailableNow over 2 of 3 tertiles, STOPS, new input lands, and a NEW StreamingQuery resumes the SAME checkpoint — commit log must append strictly (require), state must restore and merge only the new slice (DuckDB hash over the WHOLE fixture); the graded plan below is the final complete-mode snapshot — the exactly-once work is the cross-restart protocol itself",
     "stream_restart_tws" -> "checkpoint-restart recovery of USER-DEFINED state (transformWithState ValueState on RocksDB): run over 2 of 3 tertiles, stop, restart the same checkpoint on new input — commit log must append strictly (require), and the restored per-user account must CONTINUE (argmax-n over the union of both runs' emission logs hash-grades against the whole-fixture batch rollup); the v2-named-state analog of stream_restart_recovery's engine-buffer grade",
+    "q_time_travel" -> "TIME TRAVEL on a merge-on-read versioned table (operators/TimeTravel — immutable manifests + data files, the public Hudi-MOR/Iceberg design): upserts commit O(|delta|) writes, never O(|table|); a snapshot read at version N is ONE partial-aggregable max_by over base+deltas≤N (one shuffle on the key, no window); compaction resets read cost to a pure base scan — required in-code via inputFiles — while being content-identical (the v3-equals-v2 half of the hash grade); the dataset-reproducibility primitive a training estate pins runs to",
+    "stream_task_retry" -> "TASK-LEVEL fault tolerance graded: a one-shot transient failure thrown INSIDE the stateful result stage of micro-batch 2 (after two batches of carried window state loaded+updated, before the state-store commit) — Spark aborts the uncommitted store changes, retries the task, reloads the last committed version, reapplies exactly once; throw-consumed AND successful-retry-attempt both machine-checked (require), final state hash-graded against the whole-fixture batch aggregate — the routine-at-100TB failure mode the restart grades (graceful stops) cannot cover",
     "stream_join_then_window" -> "TWO stateful operators, ONE checkpoint (SPARK-42376): stream-stream interval join (state keyed on user_id, evicted past l_ts+6h under the propagated watermark) feeding a 1-day tumbling-window agg whose close watermark the engine derives from the join's event-time delay — no watermark re-declaration; graded as sink ∪ open-agg-state (statestore source, operatorId 0), which equals the batch join+window aggregate independent of where the close boundary falls")
 
   /** Flags the automated sweep is allowed to see, with the reason each is
@@ -359,7 +363,7 @@ object PlanDump {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
     val out = if (args.length > 1) args(1) else "/root/repo/PLANS.md"
     val spark = SparkSession.builder()
-      .master("local[8]")
+      .master("local[8,2]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -180,6 +180,53 @@ class ConnectorsSpec extends SparkSpec {
       Seq("bigint", "string", "bigint", "bigint"))
   }
 
+  test("AvroSplit: column pruning reaches the scan; values exact under splits") {
+    val d = java.nio.file.Files.createTempDirectory("graft-avroprune").toFile
+    val rows = (1L to 300L).map(i => (i, s"name-$i", i % 7, i * 13L)).toSeq
+    AvroIngest.writeCustomerAvro(rows, new java.io.File(d, "all.avro"),
+      syncIntervalBytes = 64)
+    val df = spark.read.format(classOf[AvroSplitProvider].getName)
+      .option("path", d.getPath).option("splitBytes", 1024L).load()
+      .select("acctbal_cents", "c_custkey") // reversed order on purpose
+    // the projection must narrow the DSv2 scan's ReadSchema, not sit
+    // above a full-width scan
+    val readSchemas = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.scan.readSchema().fieldNames.toSeq
+    }
+    assert(readSchemas.nonEmpty && readSchemas.forall(_.toSet ===
+      Set("c_custkey", "acctbal_cents")), s"ReadSchema not pruned: $readSchemas")
+    val got = df.orderBy("c_custkey").as[(Long, Long)].collect().toSeq
+    assert(got === rows.map(r => (r._4, r._1)), "pruned values diverged")
+  }
+
+  test("AvroSplit: array<float> fields decode exactly across split boundaries") {
+    val d = java.nio.file.Files.createTempDirectory("graft-avroarr").toFile
+    val rows = (1L to 200L).map(i =>
+      (i, (0 until 16).map(j => (i * 31 + j * 7).toFloat / 3f), i.toInt % 4)).toSeq
+    AvroIngest.writeEmbeddingAvro(rows, new java.io.File(d, "all.avro"),
+      syncIntervalBytes = 256)
+    val df = spark.read.format(classOf[AvroSplitProvider].getName)
+      .option("path", d.getPath).option("splitBytes", 2048L).load()
+    assert(df.schema.map(_.dataType.simpleString) ===
+      Seq("bigint", "array<float>", "int"))
+    assert(df.rdd.getNumPartitions > 1, "array fixture must split >1 task")
+    val got = df.orderBy("vec_id")
+      .as[(Long, Seq[Float], Int)].collect().toSeq
+    assert(got === rows, "array roundtrip diverged")
+    // pruning composes with arrays: project ONLY the array column
+    val onlyArr = spark.read.format(classOf[AvroSplitProvider].getName)
+      .option("path", d.getPath).option("splitBytes", 2048L).load()
+      .select("embedding")
+    val rs = onlyArr.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.scan.readSchema().fieldNames.toSeq
+    }
+    assert(rs.forall(_ === Seq("embedding")), s"array pruning failed: $rs")
+    assert(onlyArr.collect().map(_.getSeq[Float](0).sum).sum ===
+      rows.map(_._2.sum).sum)
+  }
+
   test("AvroIngest: multi-file container roundtrip is exact and file-parallel") {
     val d = java.nio.file.Files.createTempDirectory("graft-avro").toFile
     val rows = (1L to 37L).map(i =>

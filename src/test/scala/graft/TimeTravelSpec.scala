@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.TimeTravel
+import graft.streaming.FaultInjection
+
+/** Pins the versioned-table protocol (manifests, O(|delta|) commits,
+  * snapshot isolation, compaction as a content no-op) and the
+  * fault-injection one-shot contract the stream_task_retry grade
+  * builds on. */
+class TimeTravelSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, String, Long)] =
+    df.select("k", "seg", "v").as[(Long, String, Long)].collect().toSet
+
+  test("TimeTravel: snapshot reads are versioned; compaction is a content no-op") {
+    val root = java.nio.file.Files.createTempDirectory("graft-tt-spec").toString
+    val base = (1L to 20L).map(k => (k, "a", k * 10)).toDF("k", "seg", "v")
+    assert(TimeTravel.init(base, root) === 0L)
+    // v1: update evens; v2: update multiples of 3 + insert key 99
+    TimeTravel.upsert(spark, root,
+      base.filter($"k" % 2 === 0).select($"k", lit("b").as("seg"), ($"v" + 1).as("v")))
+    TimeTravel.upsert(spark, root,
+      base.filter($"k" % 3 === 0).select($"k", lit("c").as("seg"), ($"v" + 2).as("v"))
+        .unionByName(Seq((99L, "n", 7L)).toDF("k", "seg", "v")))
+    // the delta commit wrote ONLY its rows (O(|delta|), never O(|table|))
+    assert(spark.read.parquet(s"$root/delta-00001").count() === 10L)
+    val v0 = rows(TimeTravel.snapshot(spark, root, 0L, "k"))
+    val v1 = rows(TimeTravel.snapshot(spark, root, 1L, "k"))
+    val v2 = rows(TimeTravel.snapshot(spark, root, 2L, "k"))
+    assert(v0 === base.as[(Long, String, Long)].collect().toSet)
+    assert(v1 === v0.map { case (k, s, v) =>
+      if (k % 2 == 0) (k, "b", v + 1) else (k, s, v) })
+    assert(v2 === v1.map { case (k, s, v) =>
+      if (k % 3 == 0) (k, "c", (k * 10) + 2) else (k, s, v) } + ((99L, "n", 7L)))
+    // compaction: new version, identical content, base-only read plan
+    val v3 = TimeTravel.compact(spark, root, "k")
+    assert(v3 === 3L)
+    val snap3 = TimeTravel.snapshot(spark, root, v3, "k")
+    assert(rows(snap3) === v2)
+    assert(snap3.inputFiles.nonEmpty &&
+      snap3.inputFiles.forall(_.contains("base-00003")))
+    // historical versions remain readable AFTER compaction
+    assert(rows(TimeTravel.snapshot(spark, root, 1L, "k")) === v1)
+    // double-init refuses
+    intercept[IllegalArgumentException] { TimeTravel.init(base, root) }
+  }
+
+  test("FaultInjection: one-shot per tag, retry attempts recorded") {
+    val tag = "spec_" + java.util.UUID.randomUUID().toString.take(8)
+    FaultInjection.arm(tag)
+    assert(!FaultInjection.consumed(tag))
+    val acc = spark.sparkContext.longAccumulator("spec_retried")
+    val f = FaultInjection.faultOnce(tag, acc)
+    // a marked row on a first-attempt task throws ONCE, kills the task,
+    // and the retry (the session grants local[4,2]) completes the job
+    // with the exact result
+    val out = spark.range(1L, 101L, 1L, 4).toDF("n")
+      .withColumn("n2", f($"n", $"n" === 42L))
+      .agg(sum("n2")).as[Long].head()
+    assert(out === 5050L, "exactly-once through the injected retry")
+    assert(FaultInjection.consumed(tag), "the fault must have fired")
+    assert(acc.value > 0, "a successful retry attempt must have recorded itself")
+  }
+}
