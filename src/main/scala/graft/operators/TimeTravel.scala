@@ -98,18 +98,52 @@ object TimeTravel {
   }
 
   /** SNAPSHOT READ as of version `v`: per-key latest across the
-    * version's base + delta chain (merge-on-read). Column order is the
-    * base file's; every file set of one table must share it. */
+    * version's base + delta chain (merge-on-read). SCHEMA EVOLUTION is
+    * additive: a delta may carry columns its predecessors lack (the
+    * union fills them with null), so a row whose latest write predates
+    * a column reads null there — and a snapshot BEFORE the column was
+    * added never shows it (each version keeps the schema of its own
+    * file chain). Column order: first-appearance across the chain. */
   def snapshot(s: SparkSession, root: String, v: Long, key: String): DataFrame = {
     val entries = readManifest(root, v)
     val parts = entries.map { case (_, dir, ver) =>
       s.read.parquet(dir).withColumn("__v", lit(ver))
     }
-    val all = parts.reduce(_.unionByName(_))
+    val all = parts.reduce(_.unionByName(_, allowMissingColumns = true))
     val valueCols = all.columns.filter(c => c != key && c != "__v").toSeq
     val packed = valueCols.mkString(", ")
     all.groupBy(col(key))
       .agg(expr(s"max_by(struct($packed), __v)").as("__r"))
       .select(col(key) +: valueCols.map(c => col(s"__r.$c").as(c)): _*)
+  }
+
+  /** RETENTION: drop every version BEFORE `keepFrom` — manifests below
+    * the horizon are removed, and data file sets referenced by NO
+    * surviving manifest are deleted (a base can outlive its own
+    * version: any younger manifest still listing it keeps it alive).
+    * Versions ≥ `keepFrom` stay byte-identical and readable; reads
+    * below the horizon fail loudly at the missing manifest. Run AFTER
+    * a compaction ≥ the horizon, or the surviving manifests keep the
+    * whole old chain alive (nothing would be reclaimed — correct, just
+    * pointless). */
+  def vacuum(root: String, keepFrom: Long): Unit = {
+    val latest = latestVersion(root)
+    require(keepFrom >= 0 && keepFrom <= latest,
+      s"keepFrom=$keepFrom outside [0, $latest]")
+    val referenced = (keepFrom to latest)
+      .filter(v => Files.exists(manifestPath(root, v)))
+      .flatMap(v => readManifest(root, v).map(_._2)).toSet
+    def rmTree(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmTree))
+      f.delete(); ()
+    }
+    new java.io.File(root).listFiles().foreach { f =>
+      val n = f.getName
+      if ((n.startsWith("base-") || n.startsWith("delta-")) &&
+          !referenced.contains(f.getPath)) rmTree(f)
+      else if (n.startsWith("manifest-") &&
+          n.stripPrefix("manifest-").stripSuffix(".txt").toLong < keepFrom)
+        { f.delete(); () }
+    }
   }
 }

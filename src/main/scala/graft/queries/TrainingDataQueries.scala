@@ -2356,6 +2356,69 @@ object TrainingDataQueries {
         .orderBy("as_of", "c_custkey")
     }),
 
+    // RETENTION graded — the other half of reproducibility (a 100 TB
+    // estate cannot keep every version forever): the same
+    // init → upsert → upsert → compact chain, then vacuum(keepFrom =
+    // compaction version). The in-code requires prove the reclaim
+    // actually happened (the pre-compaction base, both delta sets, and
+    // the old manifests are GONE from disk) and that history below the
+    // horizon fails loudly instead of returning something stale. The
+    // hash grade then proves the reclaim was SAFE: the surviving
+    // snapshot still equals the full DuckDB replay of all operations.
+    "q_time_travel_vacuum" -> ((s, dir) => {
+      import graft.operators.TimeTravel
+      val root = ParityQueries.ScratchDirs("graft-ttv")
+      val c = Tables.customer(s, dir).select(col("c_custkey").cast("long"),
+        col("c_mktsegment"),
+        floor(col("c_acctbal") * 100).cast("long").as("acctbal_cents"))
+      TimeTravel.init(c, root)
+      TimeTravel.upsert(s, root, c.filter(col("c_custkey") % 2 === 0)
+        .select(col("c_custkey"), lit("U1").as("c_mktsegment"),
+          (col("acctbal_cents") + 111).as("acctbal_cents")))
+      TimeTravel.upsert(s, root, c.filter(col("c_custkey") % 3 === 0)
+        .select(col("c_custkey"), lit("U2").as("c_mktsegment"),
+          (col("acctbal_cents") + 777).as("acctbal_cents")))
+      val v3 = TimeTravel.compact(s, root, "c_custkey")
+      TimeTravel.vacuum(root, keepFrom = v3)
+      val left = new java.io.File(root).list().toSet
+      require(left == Set(f"manifest-$v3%05d.txt", f"base-$v3%05d"),
+        s"vacuum left unexpected files: $left")
+      val failedBelowHorizon =
+        try { TimeTravel.snapshot(s, root, 1L, "c_custkey").count(); false }
+        catch { case _: Exception => true }
+      require(failedBelowHorizon, "reads below the horizon must fail loudly")
+      TimeTravel.snapshot(s, root, v3, "c_custkey")
+        .select("c_custkey", "c_mktsegment", "acctbal_cents")
+        .orderBy("c_custkey")
+    }),
+
+    // SCHEMA EVOLUTION graded — additive columns on the versioned
+    // table, the lakehouse change a curation pipeline hits first (a new
+    // quality score lands mid-corpus): v1's delta carries a column the
+    // base lacks; the v1 snapshot shows it (null for every row whose
+    // latest write predates the column — merge-on-read fills, no base
+    // rewrite, no backfill job), while the v0 snapshot does NOT show
+    // the column at all (in-code require: historical schemas are
+    // immutable). Values hash-graded against the DuckDB replay.
+    "q_schema_evolution" -> ((s, dir) => {
+      import graft.operators.TimeTravel
+      val root = ParityQueries.ScratchDirs("graft-tts")
+      val c = Tables.customer(s, dir).select(col("c_custkey").cast("long"),
+        col("c_mktsegment"),
+        floor(col("c_acctbal") * 100).cast("long").as("acctbal_cents"))
+      TimeTravel.init(c, root)
+      TimeTravel.upsert(s, root, c.filter(col("c_custkey") % 2 === 0)
+        .select(col("c_custkey"), lit("U1").as("c_mktsegment"),
+          (col("acctbal_cents") + 111).as("acctbal_cents"),
+          (col("c_custkey") % 5).as("quality")))
+      require(!TimeTravel.snapshot(s, root, 0L, "c_custkey")
+          .columns.contains("quality"),
+        "a snapshot BEFORE the column was added must not show it")
+      TimeTravel.snapshot(s, root, 1L, "c_custkey")
+        .select("c_custkey", "c_mktsegment", "acctbal_cents", "quality")
+        .orderBy("c_custkey")
+    }),
+
     "text_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprints(Tables.documents(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
@@ -4740,6 +4803,38 @@ object TrainingDataQueries {
         |UNION ALL
         |SELECT CAST(3 AS BIGINT), k, seg, cents FROM v2
         |ORDER BY as_of, c_custkey""".stripMargin,
+
+    // Vacuum safety: the surviving (compacted) snapshot still equals
+    // the full replay of all operations — same v1/v2 composition as
+    // q_time_travel, minus the insert (this chain has none).
+    "q_time_travel_vacuum" ->
+      """WITH c AS (SELECT CAST(c_custkey AS BIGINT) AS k, c_mktsegment AS seg,
+        |             CAST(floor(c_acctbal * 100) AS BIGINT) AS cents
+        |           FROM customer),
+        |v1 AS (SELECT k,
+        |         CASE WHEN k % 2 = 0 THEN 'U1' ELSE seg END AS seg,
+        |         CASE WHEN k % 2 = 0 THEN cents + 111 ELSE cents END AS cents
+        |       FROM c)
+        |SELECT v1.k AS c_custkey,
+        |       CASE WHEN v1.k % 3 = 0 THEN 'U2' ELSE v1.seg END AS c_mktsegment,
+        |       CASE WHEN v1.k % 3 = 0 THEN c.cents + 777
+        |            ELSE v1.cents END AS acctbal_cents
+        |FROM v1 JOIN c ON v1.k = c.k ORDER BY c_custkey""".stripMargin,
+
+    // Additive-column replay: rows the delta touched carry the new
+    // column's value; every other row reads NULL there (merge-on-read
+    // fill — the base was never rewritten).
+    "q_schema_evolution" ->
+      """SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+        |       CASE WHEN c_custkey % 2 = 0 THEN 'U1'
+        |            ELSE c_mktsegment END AS c_mktsegment,
+        |       CASE WHEN c_custkey % 2 = 0
+        |            THEN CAST(floor(c_acctbal * 100) AS BIGINT) + 111
+        |            ELSE CAST(floor(c_acctbal * 100) AS BIGINT) END
+        |         AS acctbal_cents,
+        |       CASE WHEN c_custkey % 2 = 0
+        |            THEN CAST(c_custkey AS BIGINT) % 5 END AS quality
+        |FROM customer ORDER BY c_custkey""".stripMargin,
 
     "text_vocab_growth" ->
       s"""WITH $wordCte,

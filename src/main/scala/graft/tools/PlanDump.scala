@@ -258,6 +258,9 @@ object PlanDump {
     "q_profile_approx_solo" -> "the 100 TB profile pass with NO exact leg in the plan: one 6-way column stack (explode) scanned once; per-column counts and the graft-HLL register maxima are partial-aggregable HashAggregates (register state ≤ 256 rows/column through the exchange); the estimate hash-grades against the shared DuckDB register replay — solo cost is the point, vs q_profile's 6-way countDistinct expand",
     "stream_restart_recovery" -> "checkpoint-restart recovery graded: a stateful windowed agg runs AvailableNow over 2 of 3 tertiles, STOPS, new input lands, and a NEW StreamingQuery resumes the SAME checkpoint — commit log must append strictly (require), state must restore and merge only the new slice (DuckDB hash over the WHOLE fixture); the graded plan below is the final complete-mode snapshot — the exactly-once work is the cross-restart protocol itself",
     "stream_restart_tws" -> "checkpoint-restart recovery of USER-DEFINED state (transformWithState ValueState on RocksDB): run over 2 of 3 tertiles, stop, restart the same checkpoint on new input — commit log must append strictly (require), and the restored per-user account must CONTINUE (argmax-n over the union of both runs' emission logs hash-grades against the whole-fixture batch rollup); the v2-named-state analog of stream_restart_recovery's engine-buffer grade",
+    "stream_task_retry_rocksdb" -> "the stream_task_retry protocol against the RocksDB state store — the backend a 100 TB deployment actually runs: the aborted task must roll back its native store instance and the retry must reload the last committed checkpoint version; same in-code failure proofs, same whole-fixture hash grade (backend invisible to exactly-once)",
+    "q_time_travel_vacuum" -> "RETENTION on the versioned table: vacuum(keepFrom) deletes manifests below the horizon and every data file set no surviving manifest references (reclaim proven in-code: only the compacted base + its manifest remain on disk; sub-horizon reads fail loudly); the hash grade proves the reclaim is SAFE — the surviving snapshot still equals the full operation replay",
+    "q_schema_evolution" -> "ADDITIVE schema evolution on the versioned table: a delta introduces a column the base lacks — merge-on-read fills null for rows whose latest write predates it (no base rewrite, no backfill job: the O(|delta|) commit property survives schema change), and historical snapshots keep their own schema (required in-code: v0 does not show the column)",
     "q_time_travel" -> "TIME TRAVEL on a merge-on-read versioned table (operators/TimeTravel — immutable manifests + data files, the public Hudi-MOR/Iceberg design): upserts commit O(|delta|) writes, never O(|table|); a snapshot read at version N is ONE partial-aggregable max_by over base+deltas≤N (one shuffle on the key, no window); compaction resets read cost to a pure base scan — required in-code via inputFiles — while being content-identical (the v3-equals-v2 half of the hash grade); the dataset-reproducibility primitive a training estate pins runs to",
     "stream_task_retry" -> "TASK-LEVEL fault tolerance graded: a one-shot transient failure thrown INSIDE the stateful result stage of micro-batch 2 (after two batches of carried window state loaded+updated, before the state-store commit) — Spark aborts the uncommitted store changes, retries the task, reloads the last committed version, reapplies exactly once; throw-consumed AND successful-retry-attempt both machine-checked (require), final state hash-graded against the whole-fixture batch aggregate — the routine-at-100TB failure mode the restart grades (graceful stops) cannot cover",
     "stream_join_then_window" -> "TWO stateful operators, ONE checkpoint (SPARK-42376): stream-stream interval join (state keyed on user_id, evicted past l_ts+6h under the propagated watermark) feeding a 1-day tumbling-window agg whose close watermark the engine derives from the join's event-time delay — no watermark re-declaration; graded as sink ∪ open-agg-state (statestore source, operatorId 0), which equals the batch join+window aggregate independent of where the close boundary falls")

@@ -46,6 +46,27 @@ class TimeTravelSpec extends SparkSpec {
     assert(rows(TimeTravel.snapshot(spark, root, 1L, "k")) === v1)
     // double-init refuses
     intercept[IllegalArgumentException] { TimeTravel.init(base, root) }
+
+    // additive schema evolution: v4's delta carries a column nothing
+    // else has; v4 shows it (null-filled for stale rows), v3 does not
+    TimeTravel.upsert(spark, root,
+      Seq((1L, "d", 100L, 9L)).toDF("k", "seg", "v", "extra"))
+    val v4 = TimeTravel.snapshot(spark, root, 4L, "k")
+    assert(v4.columns.toSeq === Seq("k", "seg", "v", "extra"))
+    val extras = v4.select("k", "extra").as[(Long, Option[Long])]
+      .collect().toMap
+    assert(extras(1L) === Some(9L) && extras(2L) === None)
+    assert(!TimeTravel.snapshot(spark, root, 3L, "k").columns.contains("extra"))
+
+    // vacuum at the compaction horizon: the v3 base survives (still
+    // referenced by manifest-4), everything older is reclaimed, v4 and
+    // v3 stay exact, sub-horizon reads fail
+    TimeTravel.vacuum(root, keepFrom = 3L)
+    val left = new java.io.File(root).list().toSet
+    assert(left === Set("manifest-00003.txt", "manifest-00004.txt",
+      "base-00003", "delta-00004"), s"unexpected survivors: $left")
+    assert(rows(TimeTravel.snapshot(spark, root, 3L, "k")) === v2)
+    intercept[Exception] { TimeTravel.snapshot(spark, root, 1L, "k") }
   }
 
   test("FaultInjection: one-shot per tag, retry attempts recorded") {
