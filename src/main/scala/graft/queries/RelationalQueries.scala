@@ -5126,10 +5126,10 @@ object RelationalQueries {
          |        FROM stk GROUP BY 1),
          |${graft.operators.Sketches.oracleCtesOver("stk", "\"column\"", "v")}
          |SELECT c."column" AS "column", c.n_rows, c.n_nulls,
-         |       CAST(256 - a.v0 AS BIGINT) AS registers_nonzero,
-         |       round(${graft.operators.Sketches.oracleEstimateExpr},
-         |             2) AS hll_estimate
-         |FROM cnt c JOIN agg a ON a."column" = c."column"
+         |       coalesce(CAST(256 - a.v0 AS BIGINT), 0) AS registers_nonzero,
+         |       coalesce(round(${graft.operators.Sketches.oracleEstimateExpr},
+         |                      2), 0.0) AS hll_estimate
+         |FROM cnt c LEFT JOIN agg a ON a."column" = c."column"
          |ORDER BY "column"""".stripMargin
     },
     "q_referential_integrity" ->

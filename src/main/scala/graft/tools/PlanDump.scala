@@ -448,6 +448,18 @@ object PlanDump {
         |`isolated{}` map re-measures any flagged query on every full
         |run, so this stays self-diagnosing.
         |""".stripMargin)
+    sb.append("\n## Appendix: `text_bpe` drift triage (round 12)\n\n")
+    sb.append(
+      """The round-11 verdict flagged `text_bpe` as the round's only
+        |>1.5× move (0.62 → 0.97 s in-suite) on a byte-unchanged kernel
+        |(the round-11 TextAnalysis diff was Scaladoc-only). Isolated
+        |rerun this round (fresh JVM, SPARK_GRAFT_ONLY=text_bpe, sf0.1,
+        |median-of-3): **0.77 s median / 0.68 s min** — between the two
+        |rounds' in-suite numbers and within the co-tenancy band the
+        |round-11 triage above pinned for the round-10 six. No plan
+        |change exists to find (the kernel is byte-identical); verdict:
+        |**suite co-tenancy, de-flagged.**
+        |""".stripMargin)
     if (unexpected.isEmpty)
       sb.append("\n**Sweep lint: 0 unexpected flags across the registry.**\n")
     else {
