@@ -117,6 +117,55 @@ object TimeTravel {
       .select(col(key) +: valueCols.map(c => col(s"__r.$c").as(c)): _*)
   }
 
+  /** CHANGES BETWEEN VERSIONS (the CDC/change-data-feed read the
+    * lakehouse formats expose as `table_changes(from, to)`): every row
+    * committed by a DELTA in (fromV, toV], tagged with its version and
+    * whether it INSERTED a new key or UPDATED one that existed in the
+    * `fromV` snapshot. The delta files ARE the change log — no diffing
+    * of snapshots, no base scan beyond the one anti-join membership
+    * probe against snapshot(fromV) (one shuffle on the key; at scale
+    * the delta side is small and broadcasts). A key updated twice in
+    * the range emits once per committing version (the replay log, not
+    * the collapsed net change), and the tag is PER COMMIT: a key
+    * absent at fromV is an insert at its first committing version in
+    * the range and an update at every later one — decided from the
+    * fromV membership probe plus a min-version aggregate over the
+    * range's own deltas, never a per-commit snapshot read. Compaction
+    * commits no rows, so a base version in the range contributes
+    * nothing — a content no-op is also a change no-op. */
+  def changes(s: SparkSession, root: String, fromV: Long, toV: Long,
+              key: String): DataFrame = {
+    // each version's OWN manifest names its commit (a compacted
+    // manifest deliberately drops the delta chain it superseded, so
+    // reading only manifest(toV) would silently miss every delta
+    // before the compaction); versions vacuumed past retention fail
+    // loudly rather than yielding a silently incomplete feed
+    val missing = ((fromV + 1) to toV)
+      .filterNot(v => Files.exists(manifestPath(root, v)))
+    require(missing.isEmpty,
+      s"changes($fromV, $toV): versions $missing are beyond retention")
+    val deltas = ((fromV + 1) to toV).flatMap(v =>
+      readManifest(root, v).filter { case (kind, _, ver) =>
+        kind == "delta" && ver == v })
+    val changed = deltas.map { case (_, dir, ver) =>
+      s.read.parquet(dir).withColumn("_commit_version", lit(ver))
+    }
+    val all = changed.reduceOption(_.unionByName(_, allowMissingColumns = true))
+      .getOrElse(s.emptyDataFrame)
+    if (changed.isEmpty) return all
+    val existed = snapshot(s, root, fromV, key).select(col(key))
+      .withColumn("__existed", lit(true))
+    val firstInRange = all.groupBy(col(key))
+      .agg(min(col("_commit_version")).as("__first_v"))
+    all.join(existed, Seq(key), "left")
+      .join(firstInRange, Seq(key))
+      .withColumn("_change_type",
+        when(col("__existed").isNotNull ||
+          col("_commit_version") > col("__first_v"), lit("update"))
+          .otherwise(lit("insert")))
+      .drop("__existed", "__first_v")
+  }
+
   /** RETENTION: drop every version BEFORE `keepFrom` — manifests below
     * the horizon are removed, and data file sets referenced by NO
     * surviving manifest are deleted (a base can outlive its own

@@ -103,6 +103,14 @@ object ParityQueries {
       dirs.add(d)
       d.toString
     }
+    /** Register an EXISTING (or about-to-exist) path for the same
+      * JVM-exit delete — for per-JVM-tagged scratch the caller names
+      * itself (the bucketed-join warehouse). Safe only for paths no
+      * other JVM shares; every registered tag embeds this process. */
+    def track(path: String): String = {
+      dirs.add(new java.io.File(path))
+      path
+    }
   }
 
   /** MemTopic topics whose lifetime must span the whole run (a returned

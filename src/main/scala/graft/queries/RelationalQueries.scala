@@ -1025,7 +1025,10 @@ object RelationalQueries {
       val tag = dir.replaceAll("[^A-Za-z0-9]", "_") + "_" +
         RelationalQueries.processTag + "_" +
         Integer.toHexString(System.identityHashCode(s))
-      val wh = new java.io.File(sys.props("java.io.tmpdir"), s"graft_wh_$tag").getPath
+      // tracked for JVM-exit delete: the tag embeds this process, so no
+      // other JVM can be reading the directory when the hook fires
+      val wh = ParityQueries.ScratchDirs.track(
+        new java.io.File(sys.props("java.io.tmpdir"), s"graft_wh_$tag").getPath)
       // Bucketed layout is a ONE-TIME cost amortized over every later
       // join — so build each (session, sfDir) table once and let
       // repeated runs measure the join itself, which is the bucketing

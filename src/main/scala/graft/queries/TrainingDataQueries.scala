@@ -2356,6 +2356,44 @@ object TrainingDataQueries {
         .orderBy("as_of", "c_custkey")
     }),
 
+    // CHANGE DATA FEED graded — the table_changes(from, to) read the
+    // lakehouse formats expose, here for free because the versioned
+    // table's DELTA FILES are the change log (no snapshot diffing):
+    // every row committed in (0, v3] tagged with its commit version
+    // and a PER-COMMIT insert/update type — the key inserted by v1 and
+    // updated again by v2 must tag insert THEN update (decided from
+    // one fromV membership probe + a min-version aggregate over the
+    // range's deltas, never a per-commit snapshot read), and the
+    // compaction inside the range must contribute NOTHING (a content
+    // no-op is a change no-op). The consumer this feeds is incremental
+    // downstream maintenance — re-embed only changed docs, not the
+    // corpus.
+    "q_table_changes" -> ((s, dir) => {
+      import graft.operators.TimeTravel
+      val root = ParityQueries.ScratchDirs("graft-ttc")
+      val c = Tables.customer(s, dir).select(col("c_custkey").cast("long"),
+        col("c_mktsegment"),
+        floor(col("c_acctbal") * 100).cast("long").as("acctbal_cents"))
+      TimeTravel.init(c, root)
+      // v1: update evens + INSERT key -1
+      TimeTravel.upsert(s, root, c.filter(col("c_custkey") % 2 === 0)
+        .select(col("c_custkey"), lit("U1").as("c_mktsegment"),
+          (col("acctbal_cents") + 111).as("acctbal_cents"))
+        .unionByName(s.range(1).select(lit(-1L).as("c_custkey"),
+          lit("NEW").as("c_mktsegment"), lit(4242L).as("acctbal_cents"))))
+      // v2: update thirds + UPDATE the v1-inserted key
+      TimeTravel.upsert(s, root, c.filter(col("c_custkey") % 3 === 0)
+        .select(col("c_custkey"), lit("U2").as("c_mktsegment"),
+          (col("acctbal_cents") + 777).as("acctbal_cents"))
+        .unionByName(s.range(1).select(lit(-1L).as("c_custkey"),
+          lit("NEW2").as("c_mktsegment"), lit(4343L).as("acctbal_cents"))))
+      val v3 = TimeTravel.compact(s, root, "c_custkey")
+      TimeTravel.changes(s, root, 0L, v3, "c_custkey")
+        .select(col("c_custkey"), col("c_mktsegment"), col("acctbal_cents"),
+          col("_commit_version"), col("_change_type"))
+        .orderBy("_commit_version", "c_custkey")
+    }),
+
     // RETENTION graded — the other half of reproducibility (a 100 TB
     // estate cannot keep every version forever): the same
     // init → upsert → upsert → compact chain, then vacuum(keepFrom =
@@ -4803,6 +4841,32 @@ object TrainingDataQueries {
         |UNION ALL
         |SELECT CAST(3 AS BIGINT), k, seg, cents FROM v2
         |ORDER BY as_of, c_custkey""".stripMargin,
+
+    // Change-feed replay: the two deltas verbatim, tagged with their
+    // commit version; the only insert is key -1 at v1 (its v2 row is
+    // an update — per-commit tagging); the compaction adds no rows.
+    "q_table_changes" ->
+      """WITH c AS (SELECT CAST(c_custkey AS BIGINT) AS k, c_mktsegment AS seg,
+        |             CAST(floor(c_acctbal * 100) AS BIGINT) AS cents
+        |           FROM customer),
+        |d1 AS (SELECT k, 'U1' AS seg, cents + 111 AS cents,
+        |              CAST(1 AS BIGINT) AS v
+        |       FROM c WHERE k % 2 = 0
+        |       UNION ALL
+        |       SELECT CAST(-1 AS BIGINT), 'NEW', CAST(4242 AS BIGINT),
+        |              CAST(1 AS BIGINT)),
+        |d2 AS (SELECT k, 'U2' AS seg, cents + 777 AS cents,
+        |              CAST(2 AS BIGINT) AS v
+        |       FROM c WHERE k % 3 = 0
+        |       UNION ALL
+        |       SELECT CAST(-1 AS BIGINT), 'NEW2', CAST(4343 AS BIGINT),
+        |              CAST(2 AS BIGINT))
+        |SELECT k AS c_custkey, seg AS c_mktsegment, cents AS acctbal_cents,
+        |       v AS _commit_version,
+        |       CASE WHEN k = -1 AND v = 1 THEN 'insert'
+        |            ELSE 'update' END AS _change_type
+        |FROM (SELECT * FROM d1 UNION ALL SELECT * FROM d2)
+        |ORDER BY _commit_version, c_custkey""".stripMargin,
 
     // Vacuum safety: the surviving (compacted) snapshot still equals
     // the full replay of all operations — same v1/v2 composition as

@@ -499,6 +499,41 @@ object ScaleProbe {
       Option(d.listFiles()).foreach(_.foreach(_.delete()))
       d.delete()
     }
+
+    // TIME-TRAVEL commit/read costs at x1/x4/x16 TABLE size with a
+    // FIXED-size delta: the O(|delta|) claim is that upsert commit time
+    // and bytes stay ~FLAT as the table grows (only the delta is
+    // written), while the merge-on-read snapshot grows ~linearly with
+    // base+deltas (one max_by pass). A commit that rewrote the table
+    // would show commit bytes ∝ table — the failure signature.
+    Seq(1, 4, 16).foreach { factor =>
+      val root = java.nio.file.Files.createTempDirectory("graft-probe-tt").toString
+      val tbl = spark.range(100000L * factor).select(col("id").as("k"),
+        (col("id") % 97).as("v"), concat(lit("seg"), col("id") % 7).as("seg"))
+      graft.operators.TimeTravel.init(tbl, root)
+      val delta = spark.range(5000L).select((col("id") * 13).as("k"),
+        lit(-1L).as("v"), lit("upd").as("seg"))
+      val tc0 = System.nanoTime()
+      val v = graft.operators.TimeTravel.upsert(spark, root, delta)
+      val commitSec = (System.nanoTime() - tc0) / 1e9
+      def dirBytes(p: String): Long = {
+        def walk(f: java.io.File): Long =
+          if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).map(walk).sum
+          else f.length()
+        walk(new java.io.File(p))
+      }
+      val commitBytes = dirBytes(f"$root/delta-$v%05d")
+      val tr0 = System.nanoTime()
+      val n = graft.operators.TimeTravel.snapshot(spark, root, v, "k").count()
+      val readSec = (System.nanoTime() - tr0) / 1e9
+      println(f"PROBE timetravel x$factor table=${100000L * factor} rows=$n " +
+        f"commit_s=$commitSec%.2f commit_kb=${commitBytes / 1024} " +
+        f"read_s=$readSec%.2f")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(root))
+    }
     spark.stop()
   }
 }

@@ -69,6 +69,31 @@ class TimeTravelSpec extends SparkSpec {
     intercept[Exception] { TimeTravel.snapshot(spark, root, 1L, "k") }
   }
 
+  test("TimeTravel.changes: per-commit tags, range bounds, compaction no-op") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ttc-spec").toString
+    val base = (1L to 10L).map(k => (k, "a", k)).toDF("k", "seg", "v")
+    TimeTravel.init(base, root)
+    // v1 inserts 99; v2 updates 99 and key 4; v3 = compaction
+    TimeTravel.upsert(spark, root, Seq((99L, "n", 1L)).toDF("k", "seg", "v"))
+    TimeTravel.upsert(spark, root,
+      Seq((99L, "n2", 2L), (4L, "b", 40L)).toDF("k", "seg", "v"))
+    TimeTravel.compact(spark, root, "k")
+    val ch = TimeTravel.changes(spark, root, 0L, 3L, "k")
+      .select("k", "_commit_version", "_change_type")
+      .as[(Long, Long, String)].collect().toSet
+    // 99 is insert at v1 then UPDATE at v2 (per-commit, not net); 4 is
+    // update (existed at fromV); compaction (v3) contributes nothing
+    assert(ch === Set((99L, 1L, "insert"), (99L, 2L, "update"),
+      (4L, 2L, "update")))
+    // range start after the insert: only v2's rows, 99 still an update
+    val ch2 = TimeTravel.changes(spark, root, 1L, 3L, "k")
+      .select("k", "_commit_version", "_change_type")
+      .as[(Long, Long, String)].collect().toSet
+    assert(ch2 === Set((99L, 2L, "update"), (4L, 2L, "update")))
+    // empty range (compaction only) -> zero change rows
+    assert(TimeTravel.changes(spark, root, 2L, 3L, "k").count() === 0L)
+  }
+
   test("FaultInjection: one-shot per tag, retry attempts recorded") {
     val tag = "spec_" + java.util.UUID.randomUUID().toString.take(8)
     FaultInjection.arm(tag)
