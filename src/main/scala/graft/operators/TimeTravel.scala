@@ -71,7 +71,7 @@ object TimeTravel {
   /** Commit `delta` (key-unique upsert rows — inserts and updates) as
     * the next version: one O(|delta|) write + a manifest extending the
     * previous version's file list. */
-  def upsert(s: SparkSession, root: String, delta: DataFrame): Long = {
+  def upsert(root: String, delta: DataFrame): Long = {
     val prev = latestVersion(root)
     require(prev >= 0, s"no table at $root")
     val v = prev + 1
@@ -139,8 +139,9 @@ object TimeTravel {
     // manifest deliberately drops the delta chain it superseded, so
     // reading only manifest(toV) would silently miss every delta
     // before the compaction); versions vacuumed past retention fail
-    // loudly rather than yielding a silently incomplete feed
-    val missing = ((fromV + 1) to toV)
+    // loudly rather than yielding a silently incomplete feed — fromV
+    // included: the membership probe below reads ITS manifest too
+    val missing = (fromV to toV)
       .filterNot(v => Files.exists(manifestPath(root, v)))
     require(missing.isEmpty,
       s"changes($fromV, $toV): versions $missing are beyond retention")
@@ -150,9 +151,20 @@ object TimeTravel {
     val changed = deltas.map { case (_, dir, ver) =>
       s.read.parquet(dir).withColumn("_commit_version", lit(ver))
     }
-    val all = changed.reduceOption(_.unionByName(_, allowMissingColumns = true))
-      .getOrElse(s.emptyDataFrame)
-    if (changed.isEmpty) return all
+    // a delta-free range (compactions only) is an EMPTY feed with the
+    // table's full CDC schema — not a zero-column DataFrame a
+    // downstream projection would choke on
+    if (changed.isEmpty) {
+      val full = org.apache.spark.sql.types.StructType(
+        snapshot(s, root, fromV, key).schema.fields ++ Seq(
+          org.apache.spark.sql.types.StructField("_commit_version",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("_change_type",
+            org.apache.spark.sql.types.StringType, nullable = false)))
+      return s.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](), full)
+    }
+    val all = changed.reduce(_.unionByName(_, allowMissingColumns = true))
     val existed = snapshot(s, root, fromV, key).select(col(key))
       .withColumn("__existed", lit(true))
     val firstInRange = all.groupBy(col(key))

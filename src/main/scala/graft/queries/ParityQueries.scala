@@ -106,9 +106,12 @@ object ParityQueries {
     /** Register an EXISTING (or about-to-exist) path for the same
       * JVM-exit delete — for per-JVM-tagged scratch the caller names
       * itself (the bucketed-join warehouse). Safe only for paths no
-      * other JVM shares; every registered tag embeds this process. */
+      * other JVM shares; every registered tag embeds this process.
+      * Idempotent: repeat registrations of the same path (one per
+      * bucketed-join invocation) don't grow the list. */
     def track(path: String): String = {
-      dirs.add(new java.io.File(path))
+      val f = new java.io.File(path)
+      dirs.synchronized { if (!dirs.contains(f)) dirs.add(f) }
       path
     }
   }
@@ -1202,13 +1205,17 @@ object ParityQueries {
       require(canRetry,
         s"stream_task_retry needs a task-retry budget (local[N,2+]); master=$m")
       val hand = stagedEventTertiles(s, dir)
-      // the tertile-3 day boundary, driver-side: fault marker = windows
-      // at/after it, which first exist in micro-batch 2's output
-      val b = Tables.events(s, dir)
-        .agg(min(expr("ts_ms div 86400000")).as("mn"),
-          max(expr("ts_ms div 86400000")).as("mx")).head()
-      val (mn, mx) = (b.getLong(0), b.getLong(1))
-      val lo3Ms = (mn + (2 * (mx - mn + 1) + 2) / 3) * 86400000L
+      // the fault marker = windows of the THIRD staged slice, which
+      // first exist in micro-batch 2's output. Derived from slice-3
+      // ITSELF (min ts, floored to the window grain) — definitionally
+      // synchronized with whatever the staging wrote, no second copy
+      // of the tertile formula, no full-table scan; day-aligned
+      // tertiles mean the floor-hour window holds only slice-3 rows
+      val slice3Min = s.read
+        .parquet(new java.io.File(hand, "slice-3.parquet").getPath)
+        .agg(min(col("ts_ms"))).head()
+      require(!slice3Min.isNullAt(0), "staged slice 3 is empty")
+      val lo3Ms = (slice3Min.getLong(0) / 3600000L) * 3600000L
       val tag = "graft_retry_" + java.util.UUID.randomUUID().toString.take(8)
       graft.streaming.FaultInjection.arm(tag)
       val retried = s.sparkContext.longAccumulator(s"retried_$tag")

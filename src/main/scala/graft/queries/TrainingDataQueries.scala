@@ -2334,12 +2334,12 @@ object TrainingDataQueries {
         floor(col("c_acctbal") * 100).cast("long").as("acctbal_cents"))
       TimeTravel.init(c, root)
       // v1: update every even key (delta carries ONLY changed rows)
-      TimeTravel.upsert(s, root, c.filter(col("c_custkey") % 2 === 0)
+      TimeTravel.upsert(root, c.filter(col("c_custkey") % 2 === 0)
         .select(col("c_custkey"), lit("U1").as("c_mktsegment"),
           (col("acctbal_cents") + 111).as("acctbal_cents")))
       // v2: update every third key (values from the BASE state — LWW
       // replaces the whole row) + insert one brand-new key
-      TimeTravel.upsert(s, root, c.filter(col("c_custkey") % 3 === 0)
+      TimeTravel.upsert(root, c.filter(col("c_custkey") % 3 === 0)
         .select(col("c_custkey"), lit("U2").as("c_mktsegment"),
           (col("acctbal_cents") + 777).as("acctbal_cents"))
         .unionByName(s.range(1).select(lit(-1L).as("c_custkey"),
@@ -2376,13 +2376,13 @@ object TrainingDataQueries {
         floor(col("c_acctbal") * 100).cast("long").as("acctbal_cents"))
       TimeTravel.init(c, root)
       // v1: update evens + INSERT key -1
-      TimeTravel.upsert(s, root, c.filter(col("c_custkey") % 2 === 0)
+      TimeTravel.upsert(root, c.filter(col("c_custkey") % 2 === 0)
         .select(col("c_custkey"), lit("U1").as("c_mktsegment"),
           (col("acctbal_cents") + 111).as("acctbal_cents"))
         .unionByName(s.range(1).select(lit(-1L).as("c_custkey"),
           lit("NEW").as("c_mktsegment"), lit(4242L).as("acctbal_cents"))))
       // v2: update thirds + UPDATE the v1-inserted key
-      TimeTravel.upsert(s, root, c.filter(col("c_custkey") % 3 === 0)
+      TimeTravel.upsert(root, c.filter(col("c_custkey") % 3 === 0)
         .select(col("c_custkey"), lit("U2").as("c_mktsegment"),
           (col("acctbal_cents") + 777).as("acctbal_cents"))
         .unionByName(s.range(1).select(lit(-1L).as("c_custkey"),
@@ -2410,10 +2410,10 @@ object TrainingDataQueries {
         col("c_mktsegment"),
         floor(col("c_acctbal") * 100).cast("long").as("acctbal_cents"))
       TimeTravel.init(c, root)
-      TimeTravel.upsert(s, root, c.filter(col("c_custkey") % 2 === 0)
+      TimeTravel.upsert(root, c.filter(col("c_custkey") % 2 === 0)
         .select(col("c_custkey"), lit("U1").as("c_mktsegment"),
           (col("acctbal_cents") + 111).as("acctbal_cents")))
-      TimeTravel.upsert(s, root, c.filter(col("c_custkey") % 3 === 0)
+      TimeTravel.upsert(root, c.filter(col("c_custkey") % 3 === 0)
         .select(col("c_custkey"), lit("U2").as("c_mktsegment"),
           (col("acctbal_cents") + 777).as("acctbal_cents")))
       val v3 = TimeTravel.compact(s, root, "c_custkey")
@@ -2445,7 +2445,7 @@ object TrainingDataQueries {
         col("c_mktsegment"),
         floor(col("c_acctbal") * 100).cast("long").as("acctbal_cents"))
       TimeTravel.init(c, root)
-      TimeTravel.upsert(s, root, c.filter(col("c_custkey") % 2 === 0)
+      TimeTravel.upsert(root, c.filter(col("c_custkey") % 2 === 0)
         .select(col("c_custkey"), lit("U1").as("c_mktsegment"),
           (col("acctbal_cents") + 111).as("acctbal_cents"),
           (col("c_custkey") % 5).as("quality")))

@@ -514,7 +514,7 @@ object ScaleProbe {
       val delta = spark.range(5000L).select((col("id") * 13).as("k"),
         lit(-1L).as("v"), lit("upd").as("seg"))
       val tc0 = System.nanoTime()
-      val v = graft.operators.TimeTravel.upsert(spark, root, delta)
+      val v = graft.operators.TimeTravel.upsert(root, delta)
       val commitSec = (System.nanoTime() - tc0) / 1e9
       def dirBytes(p: String): Long = {
         def walk(f: java.io.File): Long =

@@ -20,9 +20,9 @@ class TimeTravelSpec extends SparkSpec {
     val base = (1L to 20L).map(k => (k, "a", k * 10)).toDF("k", "seg", "v")
     assert(TimeTravel.init(base, root) === 0L)
     // v1: update evens; v2: update multiples of 3 + insert key 99
-    TimeTravel.upsert(spark, root,
+    TimeTravel.upsert(root,
       base.filter($"k" % 2 === 0).select($"k", lit("b").as("seg"), ($"v" + 1).as("v")))
-    TimeTravel.upsert(spark, root,
+    TimeTravel.upsert(root,
       base.filter($"k" % 3 === 0).select($"k", lit("c").as("seg"), ($"v" + 2).as("v"))
         .unionByName(Seq((99L, "n", 7L)).toDF("k", "seg", "v")))
     // the delta commit wrote ONLY its rows (O(|delta|), never O(|table|))
@@ -49,7 +49,7 @@ class TimeTravelSpec extends SparkSpec {
 
     // additive schema evolution: v4's delta carries a column nothing
     // else has; v4 shows it (null-filled for stale rows), v3 does not
-    TimeTravel.upsert(spark, root,
+    TimeTravel.upsert(root,
       Seq((1L, "d", 100L, 9L)).toDF("k", "seg", "v", "extra"))
     val v4 = TimeTravel.snapshot(spark, root, 4L, "k")
     assert(v4.columns.toSeq === Seq("k", "seg", "v", "extra"))
@@ -74,8 +74,8 @@ class TimeTravelSpec extends SparkSpec {
     val base = (1L to 10L).map(k => (k, "a", k)).toDF("k", "seg", "v")
     TimeTravel.init(base, root)
     // v1 inserts 99; v2 updates 99 and key 4; v3 = compaction
-    TimeTravel.upsert(spark, root, Seq((99L, "n", 1L)).toDF("k", "seg", "v"))
-    TimeTravel.upsert(spark, root,
+    TimeTravel.upsert(root, Seq((99L, "n", 1L)).toDF("k", "seg", "v"))
+    TimeTravel.upsert(root,
       Seq((99L, "n2", 2L), (4L, "b", 40L)).toDF("k", "seg", "v"))
     TimeTravel.compact(spark, root, "k")
     val ch = TimeTravel.changes(spark, root, 0L, 3L, "k")
