@@ -110,12 +110,32 @@ object TimeTravel {
       s.read.parquet(dir).withColumn("__v", lit(ver))
     }
     val all = parts.reduce(_.unionByName(_, allowMissingColumns = true))
+    // __tombstone rides inside the max_by struct (the WINNER's type
+    // decides liveness) but never reaches the output schema
     val valueCols = all.columns.filter(c => c != key && c != "__v").toSeq
     val packed = valueCols.mkString(", ")
-    all.groupBy(col(key))
+    val merged = all.groupBy(col(key))
       .agg(expr(s"max_by(struct($packed), __v)").as("__r"))
-      .select(col(key) +: valueCols.map(c => col(s"__r.$c").as(c)): _*)
+    val live =
+      if (valueCols.contains("__tombstone"))
+        merged.filter(!coalesce(col("__r.__tombstone"), lit(false)))
+      else merged
+    val outCols = valueCols.filter(_ != "__tombstone")
+    live.select(col(key) +: outCols.map(c => col(s"__r.$c").as(c)): _*)
   }
+
+  /** DELETE keys as a VERSIONED commit — the takedown/right-to-erasure
+    * path a curated corpus needs with the same reproducibility
+    * contract as everything else: the commit writes ONLY tombstone
+    * rows (key + `__tombstone` = true, O(|keys|)); a snapshot at or
+    * after it excludes the keys, a snapshot BEFORE it still shows
+    * them (legal hold and audit both read the version they need), and
+    * a later upsert legitimately REVIVES a key (last-writer-wins).
+    * Physical erasure is [[vacuum]]'s job: once retention passes the
+    * delete, the pre-delete file sets — the bytes themselves — are
+    * reclaimed. */
+  def delete(root: String, keys: DataFrame): Long =
+    upsert(root, keys.withColumn("__tombstone", lit(true)))
 
   /** CHANGES BETWEEN VERSIONS (the CDC/change-data-feed read the
     * lakehouse formats expose as `table_changes(from, to)`): every row
@@ -169,13 +189,23 @@ object TimeTravel {
       .withColumn("__existed", lit(true))
     val firstInRange = all.groupBy(col(key))
       .agg(min(col("_commit_version")).as("__first_v"))
+    // tombstone commits tag 'delete'; insert-vs-update for the rest is
+    // net-membership (existed at fromV, or preceded by ANY range
+    // commit) — a key deleted and re-upserted inside one range tags
+    // the revival 'update', the one place this diverges from a strict
+    // per-commit replay (documented, spec-pinned)
+    val tomb =
+      if (all.columns.contains("__tombstone"))
+        coalesce(col("__tombstone"), lit(false))
+      else lit(false)
     all.join(existed, Seq(key), "left")
       .join(firstInRange, Seq(key))
       .withColumn("_change_type",
-        when(col("__existed").isNotNull ||
-          col("_commit_version") > col("__first_v"), lit("update"))
+        when(tomb, lit("delete"))
+          .when(col("__existed").isNotNull ||
+            col("_commit_version") > col("__first_v"), lit("update"))
           .otherwise(lit("insert")))
-      .drop("__existed", "__first_v")
+      .drop("__existed", "__first_v", "__tombstone")
   }
 
   /** RETENTION: drop every version BEFORE `keepFrom` — manifests below

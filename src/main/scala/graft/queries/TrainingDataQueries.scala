@@ -2356,6 +2356,38 @@ object TrainingDataQueries {
         .orderBy("as_of", "c_custkey")
     }),
 
+    // VERSIONED DELETES graded — the takedown/right-to-erasure path
+    // with the reproducibility contract intact: v1 tombstones every
+    // fifth key (an O(|keys|) commit, no table rewrite), v2 upserts
+    // every seventh — REVIVING the multiples of 35 (last-writer-wins
+    // over a tombstone). The graded output reads BOTH versions back:
+    // as-of 1 excludes the deleted keys; as-of 2 additionally carries
+    // the upsert, including the revived keys with the upsert's values.
+    // A delete that leaked into an earlier snapshot, a tombstone that
+    // survived revival, or a tombstone column escaping into the output
+    // schema all flip the hash. Physical erasure composes via vacuum
+    // (graded separately): once retention passes the delete, the
+    // pre-delete bytes are reclaimed.
+    "q_time_travel_delete" -> ((s, dir) => {
+      import graft.operators.TimeTravel
+      val root = ParityQueries.ScratchDirs("graft-ttd")
+      val c = Tables.customer(s, dir).select(col("c_custkey").cast("long"),
+        col("c_mktsegment"),
+        floor(col("c_acctbal") * 100).cast("long").as("acctbal_cents"))
+      TimeTravel.init(c, root)
+      TimeTravel.delete(root,
+        c.filter(col("c_custkey") % 5 === 0).select("c_custkey"))
+      TimeTravel.upsert(root, c.filter(col("c_custkey") % 7 === 0)
+        .select(col("c_custkey"), lit("U7").as("c_mktsegment"),
+          (col("acctbal_cents") + 55).as("acctbal_cents")))
+      val asOf1 = TimeTravel.snapshot(s, root, 1L, "c_custkey")
+      val asOf2 = TimeTravel.snapshot(s, root, 2L, "c_custkey")
+      asOf1.withColumn("as_of", lit(1L))
+        .unionByName(asOf2.withColumn("as_of", lit(2L)))
+        .select("as_of", "c_custkey", "c_mktsegment", "acctbal_cents")
+        .orderBy("as_of", "c_custkey")
+    }),
+
     // CHANGE DATA FEED graded — the table_changes(from, to) read the
     // lakehouse formats expose, here for free because the versioned
     // table's DELTA FILES are the change log (no snapshot diffing):
@@ -4840,6 +4872,24 @@ object TrainingDataQueries {
         |       seg AS c_mktsegment, cents AS acctbal_cents FROM v1
         |UNION ALL
         |SELECT CAST(3 AS BIGINT), k, seg, cents FROM v2
+        |ORDER BY as_of, c_custkey""".stripMargin,
+
+    // Delete replay: as-of 1 = base minus the tombstoned fifths; as-of
+    // 2 = that state plus the seventh-key upsert, which REVIVES the
+    // multiples of 35 with the upsert's values.
+    "q_time_travel_delete" ->
+      """WITH c AS (SELECT CAST(c_custkey AS BIGINT) AS k, c_mktsegment AS seg,
+        |             CAST(floor(c_acctbal * 100) AS BIGINT) AS cents
+        |           FROM customer),
+        |v1 AS (SELECT k, seg, cents FROM c WHERE k % 5 <> 0),
+        |v2 AS (SELECT k,
+        |         CASE WHEN k % 7 = 0 THEN 'U7' ELSE seg END AS seg,
+        |         CASE WHEN k % 7 = 0 THEN cents + 55 ELSE cents END AS cents
+        |       FROM c WHERE k % 5 <> 0 OR k % 7 = 0)
+        |SELECT CAST(1 AS BIGINT) AS as_of, k AS c_custkey,
+        |       seg AS c_mktsegment, cents AS acctbal_cents FROM v1
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), k, seg, cents FROM v2
         |ORDER BY as_of, c_custkey""".stripMargin,
 
     // Change-feed replay: the two deltas verbatim, tagged with their

@@ -259,6 +259,7 @@ object PlanDump {
     "stream_restart_recovery" -> "checkpoint-restart recovery graded: a stateful windowed agg runs AvailableNow over 2 of 3 tertiles, STOPS, new input lands, and a NEW StreamingQuery resumes the SAME checkpoint — commit log must append strictly (require), state must restore and merge only the new slice (DuckDB hash over the WHOLE fixture); the graded plan below is the final complete-mode snapshot — the exactly-once work is the cross-restart protocol itself",
     "stream_restart_tws" -> "checkpoint-restart recovery of USER-DEFINED state (transformWithState ValueState on RocksDB): run over 2 of 3 tertiles, stop, restart the same checkpoint on new input — commit log must append strictly (require), and the restored per-user account must CONTINUE (argmax-n over the union of both runs' emission logs hash-grades against the whole-fixture batch rollup); the v2-named-state analog of stream_restart_recovery's engine-buffer grade",
     "stream_task_retry_rocksdb" -> "the stream_task_retry protocol against the RocksDB state store — the backend a 100 TB deployment actually runs: the aborted task must roll back its native store instance and the retry must reload the last committed checkpoint version; same in-code failure proofs, same whole-fixture hash grade (backend invisible to exactly-once)",
+    "q_time_travel_delete" -> "VERSIONED DELETES on the merge-on-read table: a tombstone commit is O(|keys|) (no table rewrite); snapshots at/after it exclude the keys, snapshots before still show them (audit/legal-hold reads), and a later upsert revives a key last-writer-wins; the tombstone marker rides inside the max_by merge struct and never reaches an output schema; physical erasure composes with vacuum (retention past the delete reclaims the pre-delete bytes)",
     "q_table_changes" -> "CHANGE DATA FEED on the versioned table (the table_changes(from,to) read): the delta files ARE the log — no snapshot diffing; per-commit insert/update tags from ONE fromV membership probe + a min-version aggregate over the range's deltas (both shuffle on the key once; the delta side broadcasts at scale); compaction in the range contributes nothing — feeds incremental downstream maintenance (re-embed only changed docs)",
     "q_time_travel_vacuum" -> "RETENTION on the versioned table: vacuum(keepFrom) deletes manifests below the horizon and every data file set no surviving manifest references (reclaim proven in-code: only the compacted base + its manifest remain on disk; sub-horizon reads fail loudly); the hash grade proves the reclaim is SAFE — the surviving snapshot still equals the full operation replay",
     "q_schema_evolution" -> "ADDITIVE schema evolution on the versioned table: a delta introduces a column the base lacks — merge-on-read fills null for rows whose latest write predates it (no base rewrite, no backfill job: the O(|delta|) commit property survives schema change), and historical snapshots keep their own schema (required in-code: v0 does not show the column)",

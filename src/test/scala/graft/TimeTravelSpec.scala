@@ -90,8 +90,37 @@ class TimeTravelSpec extends SparkSpec {
       .select("k", "_commit_version", "_change_type")
       .as[(Long, Long, String)].collect().toSet
     assert(ch2 === Set((99L, 2L, "update"), (4L, 2L, "update")))
-    // empty range (compaction only) -> zero change rows
-    assert(TimeTravel.changes(spark, root, 2L, 3L, "k").count() === 0L)
+    // empty range (compaction only) -> zero change rows, with the
+    // full CDC schema intact (a downstream projection must not choke)
+    val empty = TimeTravel.changes(spark, root, 2L, 3L, "k")
+    assert(empty.count() === 0L)
+    assert(empty.columns.toSeq ===
+      Seq("k", "seg", "v", "_commit_version", "_change_type"))
+  }
+
+  test("TimeTravel.delete: versioned tombstones, revival, changes tagging") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ttd-spec").toString
+    val base = (1L to 10L).map(k => (k, "a", k)).toDF("k", "seg", "v")
+    TimeTravel.init(base, root)
+    TimeTravel.delete(root, Seq(Tuple1(4L), Tuple1(6L)).toDF("k")) // v1
+    TimeTravel.upsert(root, Seq((6L, "r", 60L)).toDF("k", "seg", "v")) // v2 revives 6
+    // deletes are versioned: v0 still shows both keys; v1 shows
+    // neither; v2 revives 6 with the upsert's values, 4 stays gone
+    assert(rows(TimeTravel.snapshot(spark, root, 0L, "k")).map(_._1) ===
+      (1L to 10L).toSet)
+    val k1 = rows(TimeTravel.snapshot(spark, root, 1L, "k")).map(_._1)
+    assert(!k1.contains(4L) && !k1.contains(6L) && k1.size === 8)
+    val s2 = rows(TimeTravel.snapshot(spark, root, 2L, "k"))
+    assert(!s2.map(_._1).contains(4L) && s2.contains((6L, "r", 60L)))
+    // the tombstone column never reaches a snapshot's schema
+    assert(!TimeTravel.snapshot(spark, root, 2L, "k")
+      .columns.contains("__tombstone"))
+    // the change feed tags tombstone commits 'delete'
+    val ch = TimeTravel.changes(spark, root, 0L, 2L, "k")
+      .select("k", "_commit_version", "_change_type")
+      .as[(Long, Long, String)].collect().toSet
+    assert(ch === Set((4L, 1L, "delete"), (6L, 1L, "delete"),
+      (6L, 2L, "update")))
   }
 
   test("FaultInjection: one-shot per tag, retry attempts recorded") {
