@@ -1,10 +1,11 @@
 package graft.operators
 
-import java.nio.file.{Files, Paths}
+import java.io.{FileNotFoundException, IOException}
 
-import scala.jdk.CollectionConverters._
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, LocalFileSystem, Path}
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Versioned table with SNAPSHOT READS (time travel) — the dataset-
@@ -15,12 +16,15 @@ import org.apache.spark.sql.functions._
   *
   *   - every version `v` is an immutable MANIFEST (`manifest-v.txt`)
   *     listing one BASE file set plus the ordered DELTA file sets to
-  *     merge over it; data files are never mutated or deleted, so any
-  *     historical version stays readable forever (retention/VACUUM
-  *     would prune, deliberately not modeled);
+  *     merge over it; data files are never mutated, so any historical
+  *     version stays readable until [[vacuum]] prunes it;
   *   - an UPSERT writes ONLY its delta rows + a new manifest — write
-  *     cost O(|delta|), never O(|table|): the property that makes a
-  *     daily trickle into a 100 TB corpus affordable;
+  *     cost O(|delta|) bytes, never O(|table|): the property that makes
+  *     a daily trickle into a 100 TB corpus affordable. The commit ALSO
+  *     runs one key-column membership probe against the parent snapshot
+  *     (stats-pruned, broadcast semi-join — see below) to persist each
+  *     row's CHANGE TYPE, so every CDC read downstream is O(|deltas in
+  *     range|) instead of every reader re-paying an O(|table|) probe;
   *   - a SNAPSHOT READ at version N unions base + deltas ≤ N tagged
   *     with their version and takes the per-key latest via one
   *     partial-aggregable max_by — ONE shuffle on the key, linear in
@@ -31,57 +35,337 @@ import org.apache.spark.sql.functions._
   *     read cost, after which the snapshot read touches base files
   *     only (asserted via inputFiles in the graded query).
   *
-  * The manifest is a text file written ONCE per version (rename-free:
-  * versions are created by a single driver, matching the
-  * single-writer commit model every table format starts from).
-  * Reference scope: none — the reference has no storage layer at all;
-  * this is the north-star curation surface (q_upsert/data_compact's
-  * missing read-back-in-time half).
+  * Manifest format (v2): a header line
+  * `graft-manifest 2 <key> <nEntries> <crc32>` followed by entry lines
+  * `<kind> <name> <version> <stats>` where stats is `L:<min>:<max>`
+  * (per-fileset min/max of an integral key — the Iceberg-style file
+  * skipping input) or `-`. The CRC over the entry bytes plus the entry
+  * count make a TORN manifest machine-detectable: [[latestVersion]]
+  * never selects one, readers fail loudly on one, and the next commit
+  * reclaims its version slot instead of wedging the table.
+  *
+  * Commits are CRASH-SAFE and support OPTIMISTIC CONCURRENCY: the
+  * manifest is staged under `.tmp/` and PUBLISHED atomically —
+  * `File.createNewFile` (O_EXCL) claim + atomic rename on a local
+  * filesystem, rename-without-overwrite on HDFS (whose contract fails
+  * a rename onto an existing path). Exactly one of two racing commits
+  * wins a version; the loser discards its staged files and retries on
+  * the new parent, recomputing its change types there. Data file sets
+  * carry a random suffix (`delta-00001-3fa9c1d2`) so racing writers
+  * never collide on a data path; orphaned sets from lost races are
+  * swept by [[vacuum]].
+  *
+  * All I/O goes through the Hadoop `FileSystem` API resolved from the
+  * table root, so the table works on any Spark-reachable filesystem
+  * (local, HDFS, object stores with an HDFS-compatible rename); on the
+  * local FS the RAW filesystem is used (no checksum side-files to
+  * desync). Reference scope: none — the reference has no storage layer
+  * at all; this is the north-star curation surface.
   */
 object TimeTravel {
 
-  private def manifestPath(root: String, v: Long) =
-    Paths.get(root, f"manifest-$v%05d.txt")
+  /** Internal columns that ride inside delta files but never reach a
+    * snapshot's output schema. */
+  private val InternalCols = Set("__tombstone", "__change_type")
 
-  /** (kind, dataDir, version) entries of version `v`'s manifest, base
-    * first, deltas in ascending version order. */
-  private def readManifest(root: String, v: Long): Seq[(String, String, Long)] =
-    Files.readAllLines(manifestPath(root, v)).asScala.toSeq.map { line =>
-      val Array(kind, name, ver) = line.split(" ")
-      (kind, Paths.get(root, name).toString, ver.toLong)
+  private case class Entry(kind: String, name: String, ver: Long,
+                           stats: Option[(Long, Long)])
+  private case class Manifest(key: String, entries: Seq[Entry])
+
+  private def hconf(): Configuration =
+    SparkSession.getActiveSession.map(_.sessionState.newHadoopConf())
+      .getOrElse(new Configuration())
+
+  /** Filesystem of the table root — the RAW local FS when local, so no
+    * `.crc` side-files shadow the manifests we rename around. */
+  private def fileSystem(root: String): FileSystem =
+    new Path(root).getFileSystem(hconf()) match {
+      case l: LocalFileSystem => l.getRaw
+      case other => other
     }
 
-  /** Latest committed version (max manifest id), or -1 if none. */
-  def latestVersion(root: String): Long = {
-    val d = new java.io.File(root)
-    Option(d.list()).getOrElse(Array.empty)
-      .collect { case n if n.startsWith("manifest-") =>
-        n.stripPrefix("manifest-").stripSuffix(".txt").toLong }
-      .foldLeft(-1L)(math.max)
+  private def manifestPath(root: String, v: Long) =
+    new Path(root, f"manifest-$v%05d.txt")
+
+  private def crcOf(entryLines: Seq[String]): String = {
+    val c = new java.util.zip.CRC32()
+    c.update(entryLines.mkString("\n").getBytes("UTF-8"))
+    java.lang.Long.toHexString(c.getValue)
   }
 
-  /** Create version 0 from a full snapshot. */
-  def init(df: DataFrame, root: String): Long = {
+  private def renderStats(st: Option[(Long, Long)]): String =
+    st.map { case (lo, hi) => s"L:$lo:$hi" }.getOrElse("-")
+
+  private def parseStats(s: String): Option[(Long, Long)] = s match {
+    case "-" => None
+    case other =>
+      val Array("L", lo, hi) = other.split(":")
+      Some((lo.toLong, hi.toLong))
+  }
+
+  private def render(m: Manifest): String = {
+    val lines = m.entries.map(e =>
+      s"${e.kind} ${e.name} ${e.ver} ${renderStats(e.stats)}")
+    (s"graft-manifest 2 ${m.key} ${lines.size} ${crcOf(lines)}" +:
+      lines).mkString("\n") + "\n"
+  }
+
+  private def parse(text: String, path: Path): Manifest = {
+    def torn(why: String) =
+      throw new IOException(s"torn/invalid manifest $path: $why")
+    // junk bytes must read as TORN, never as a crash: numeric fields of
+    // a manifest-shaped junk file would otherwise throw NumberFormat /
+    // MatchError past the validity probe
+    try parseUnsafe(text, torn)
+    catch {
+      case e: IOException => throw e
+      case scala.util.control.NonFatal(e) => torn(e.toString)
+    }
+  }
+
+  private def parseUnsafe(text: String, torn: String => Nothing): Manifest = {
+    val lines = text.split("\n", -1).filter(_.nonEmpty).toSeq
+    if (lines.isEmpty) torn("empty")
+    val header = lines.head.split(" ")
+    if (header.length != 5 || header(0) != "graft-manifest" ||
+        header(1) != "2") torn(s"bad header '${lines.head}'")
+    val (key, n, crc) = (header(2), header(3).toInt, header(4))
+    val entries = lines.tail
+    if (entries.size != n) torn(s"expected $n entries, found ${entries.size}")
+    if (crcOf(entries) != crc) torn("checksum mismatch")
+    Manifest(key, entries.map { line =>
+      line.split(" ") match {
+        case Array(kind, name, ver, st) =>
+          Entry(kind, name, ver.toLong, parseStats(st))
+        case _ => torn(s"bad entry '$line'")
+      }
+    })
+  }
+
+  /** Read + validate version `v`'s manifest. Throws
+    * [[FileNotFoundException]] when the version does not exist (e.g.
+    * vacuumed past retention) and [[IOException]] when it is torn. */
+  private def readManifest(root: String, v: Long): Manifest = {
+    val fs = fileSystem(root)
+    val p = manifestPath(root, v)
+    val in = fs.open(p) // FileNotFoundException if absent
+    val text = try {
+      val buf = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 8192, false)
+      buf.toString("UTF-8")
+    } finally in.close()
+    parse(text, p)
+  }
+
+  private def isValid(root: String, v: Long): Boolean =
+    try { readManifest(root, v); true }
+    catch { case _: IOException => false } // includes FileNotFound
+
+  private def manifestVersions(fs: FileSystem, root: String): Seq[Long] = {
+    val dir = new Path(root)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .filter(_.matches("manifest-\\d+\\.txt"))
+      .map(_.stripPrefix("manifest-").stripSuffix(".txt").toLong)
+  }
+
+  /** Latest committed VALID version, or -1 if none. A torn manifest (a
+    * crashed or in-flight commit) is never selected: the youngest
+    * version whose manifest parses and checksums clean wins. */
+  def latestVersion(root: String): Long =
+    manifestVersions(fileSystem(root), root).sorted(Ordering[Long].reverse)
+      .find(isValid(root, _)).getOrElse(-1L)
+
+  /** Atomically publish a staged manifest at `dst`. Returns false when
+    * a VALID manifest already holds the version (a lost race — the
+    * caller retries on the new parent). An INVALID occupant is given
+    * one grace window (it may be a racer between claim and rename),
+    * then treated as a crashed commit's torn claim and reclaimed. */
+  private def publish(fs: FileSystem, tmp: Path, dst: Path,
+                      root: String, v: Long): Boolean = {
+    val local = fs.isInstanceOf[org.apache.hadoop.fs.RawLocalFileSystem]
+    var attempt = 0
+    while (attempt < 3) {
+      attempt += 1
+      if (fs.exists(dst)) {
+        if (isValid(root, v)) { fs.delete(tmp, false); return false }
+        Thread.sleep(80) // grace: an empty dst may be a racer's claim
+        if (isValid(root, v)) { fs.delete(tmp, false); return false }
+        fs.delete(dst, false) // torn claim from a crashed commit
+      }
+      val won =
+        if (local) {
+          // O_EXCL claim, then an atomic same-dir rename over the claim
+          val d = new java.io.File(dst.toUri.getPath)
+          if (d.createNewFile()) {
+            java.nio.file.Files.move(
+              java.nio.file.Paths.get(tmp.toUri.getPath), d.toPath,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+            true
+          } else false
+        } else fs.rename(tmp, dst) // HDFS: fails if dst exists
+      if (won) return true
+    }
+    fs.delete(tmp, false)
+    false
+  }
+
+  private def writeManifest(root: String, v: Long, m: Manifest): Boolean = {
+    val fs = fileSystem(root)
+    val tmp = new Path(root,
+      f".tmp/manifest-$v%05d-${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = fs.create(tmp, true)
+    try out.write(render(m).getBytes("UTF-8")) finally out.close()
+    publish(fs, tmp, manifestPath(root, v), root, v)
+  }
+
+  /** One pass over the freshly written file set: per-fileset key
+    * min/max (manifest stats, integral keys only) — read back from the
+    * written bytes so the stats always describe the actual files. */
+  private def statsOf(s: SparkSession, dir: String, key: String):
+      Option[(Long, Long)] = {
+    val df = s.read.parquet(dir)
+    val integral = {
+      import org.apache.spark.sql.types._
+      Seq(LongType, IntegerType, ShortType, ByteType)
+        .contains(df.schema(key).dataType)
+    }
+    if (!integral) None
+    else {
+      val r = df.agg(min(col(key).cast("long")), max(col(key).cast("long")))
+        .head()
+      if (r.isNullAt(0)) None else Some((r.getLong(0), r.getLong(1)))
+    }
+  }
+
+  private def newDataDir(kind: String, v: Long): String =
+    f"$kind-$v%05d-${java.util.UUID.randomUUID().toString.take(8)}"
+
+  /** Create version 0 from a full snapshot, recording `key` as the
+    * table's merge key (manifests carry it from here on, so writers
+    * never re-specify it). */
+  def init(df: DataFrame, root: String, key: String): Long = {
+    require(df.columns.contains(key), s"no column $key in ${df.columns.toSeq}")
     require(latestVersion(root) == -1L, s"table at $root already exists")
-    df.write.mode("errorifexists").parquet(s"$root/base-00000")
-    Files.write(manifestPath(root, 0L), "base base-00000 0\n".getBytes)
+    requireKeyUnique(df, key)
+    val s = df.sparkSession
+    val name = newDataDir("base", 0L)
+    df.write.mode("errorifexists").parquet(new Path(root, name).toString)
+    val st = statsOf(s, new Path(root, name).toString, key)
+    val ok = writeManifest(root, 0L,
+      Manifest(key, Seq(Entry("base", name, 0L, st))))
+    require(ok, s"concurrent init of $root lost the version-0 race")
     0L
   }
 
-  /** Commit `delta` (key-unique upsert rows — inserts and updates) as
-    * the next version: one O(|delta|) write + a manifest extending the
-    * previous version's file list. */
-  def upsert(root: String, delta: DataFrame): Long = {
-    val prev = latestVersion(root)
-    require(prev >= 0, s"no table at $root")
-    val v = prev + 1
-    val name = f"delta-$v%05d"
-    delta.write.mode("errorifexists").parquet(s"$root/$name")
-    val lines = Files.readAllLines(manifestPath(root, prev)).asScala :+
-      s"delta $name $v"
-    Files.write(manifestPath(root, v), (lines.mkString("\n") + "\n").getBytes)
-    v
+  /** The delta contract: one row per key. Violated, the max_by LWW tie
+    * inside one version would resolve nondeterministically and
+    * snapshots silently diverge between runs — so it fails loudly at
+    * commit time. One O(|delta|) aggregate, piggybacked on the commit. */
+  private def requireKeyUnique(delta: DataFrame, key: String): Unit = {
+    val r = delta.agg(count(lit(1)), count_distinct(col(key))).head()
+    require(r.getLong(0) == r.getLong(1),
+      s"delta must be key-unique on $key: ${r.getLong(0)} rows, " +
+        s"${r.getLong(1)} distinct keys")
   }
+
+  /** Keys from `candidates` that are LIVE (present, not tombstoned) in
+    * version `v` — the commit-time membership probe behind change
+    * types. The chain scan is column-pruned to (key, __tombstone) and
+    * file sets whose stats range cannot overlap the candidates' range
+    * are SKIPPED entirely; candidates are O(|delta|) and broadcast, so
+    * the probe is one semi-joined scan + a tiny max_by, never a full
+    * merge-on-read of the table. */
+  private def liveAmong(s: SparkSession, root: String, m: Manifest, v: Long,
+                        candidates: DataFrame,
+                        candRange: Option[(Long, Long)]): DataFrame = {
+    val key = m.key
+    val chain = m.entries.filter { e =>
+      (e.stats, candRange) match {
+        case (Some((lo, hi)), Some((clo, chi))) => hi >= clo && lo <= chi
+        case _ => true
+      }
+    }
+    if (chain.isEmpty)
+      return candidates.limit(0).select(col(key))
+    val parts = chain.map { e =>
+      val df = s.read.parquet(new Path(root, e.name).toString)
+      val tomb = if (df.columns.contains("__tombstone"))
+        coalesce(col("__tombstone"), lit(false)) else lit(false)
+      df.select(col(key), tomb.as("__t"), lit(e.ver).as("__v"))
+    }
+    parts.reduce(_.unionByName(_))
+      .join(broadcast(candidates.select(col(key))), Seq(key), "left_semi")
+      .groupBy(col(key))
+      .agg(expr("max_by(__t, __v)").as("__t"))
+      .filter(!col("__t"))
+      .select(col(key))
+  }
+
+  /** Shared commit path: stage the delta file set under a fresh name,
+    * stamp each row's persisted `__change_type`, publish the manifest;
+    * on a lost race, discard the staged set and retry against the new
+    * parent (change types are recomputed there — a key another writer
+    * just inserted must type `update`, not `insert`, on the retry). */
+  private def commitDelta(root: String, delta: DataFrame,
+                          fixedType: Option[String]): Long = {
+    val s = delta.sparkSession
+    val fs = fileSystem(root)
+    var attempt = 0
+    while (attempt < 5) {
+      attempt += 1
+      val prev = latestVersion(root)
+      require(prev >= 0, s"no table at $root")
+      val m = readManifest(root, prev)
+      val key = m.key
+      require(delta.columns.contains(key),
+        s"delta lacks the table key $key")
+      requireKeyUnique(delta, key)
+      val v = prev + 1
+      val typed = fixedType match {
+        case Some(t) => delta.withColumn("__change_type", lit(t))
+        case None =>
+          // integral-key range of the delta prunes the probe's chain
+          val candRange = {
+            import org.apache.spark.sql.types._
+            if (!Seq(LongType, IntegerType, ShortType, ByteType)
+                .contains(delta.schema(key).dataType)) None
+            else {
+              val r = delta.agg(min(col(key).cast("long")),
+                max(col(key).cast("long"))).head()
+              if (r.isNullAt(0)) None else Some((r.getLong(0), r.getLong(1)))
+            }
+          }
+          val live = liveAmong(s, root, m, prev, delta, candRange)
+            .withColumn("__live", lit(true))
+          delta.join(broadcast(live), Seq(key), "left")
+            .withColumn("__change_type",
+              when(col("__live").isNotNull, lit("update"))
+                .otherwise(lit("insert")))
+            .drop("__live")
+      }
+      val name = newDataDir("delta", v)
+      val dataPath = new Path(root, name).toString
+      typed.write.mode("errorifexists").parquet(dataPath)
+      val st = statsOf(s, dataPath, key)
+      val ok = writeManifest(root, v,
+        Manifest(key, m.entries :+ Entry("delta", name, v, st)))
+      if (ok) return v
+      // lost the optimistic-concurrency race: drop this attempt's file
+      // set (vacuum would sweep it anyway) and recompute on the winner
+      fs.delete(new Path(root, name), true)
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"commit to $root lost ${5} consecutive version races")
+  }
+
+  /** Commit `delta` (key-unique upsert rows — inserts and updates) as
+    * the next version: one O(|delta|) file-set write + the change-type
+    * membership probe + a manifest extending the parent's file list.
+    * The merge key comes from the manifest (set at [[init]]). */
+  def upsert(root: String, delta: DataFrame): Long =
+    commitDelta(root, delta, fixedType = None)
 
   /** Materialize the current merge as a fresh BASE under a new version
     * — content-identical to the previous version by construction; read
@@ -89,12 +373,50 @@ object TimeTravel {
   def compact(s: SparkSession, root: String, key: String): Long = {
     val prev = latestVersion(root)
     require(prev >= 0, s"no table at $root")
+    val m = readManifest(root, prev)
+    require(m.key == key,
+      s"table at $root merges on ${m.key}, not $key")
     val v = prev + 1
-    val name = f"base-$v%05d"
-    snapshot(s, root, prev, key).write.mode("errorifexists")
-      .parquet(s"$root/$name")
-    Files.write(manifestPath(root, v), s"base $name $v\n".getBytes)
+    val name = newDataDir("base", v)
+    val dataPath = new Path(root, name).toString
+    snapshot(s, root, prev, key).write.mode("errorifexists").parquet(dataPath)
+    val st = statsOf(s, dataPath, key)
+    val ok = writeManifest(root, v,
+      Manifest(key, Seq(Entry("base", name, v, st))))
+    if (!ok) {
+      fileSystem(root).delete(new Path(root, name), true)
+      throw new java.util.ConcurrentModificationException(
+        s"compaction of $root lost the version race for v$v")
+    }
     v
+  }
+
+  /** Merge a manifest chain: per-key latest via one partial-aggregable
+    * max_by. `keyFilter` (point reads) is pushed below the union so it
+    * reaches every parquet scan. */
+  private def mergeChain(s: SparkSession, root: String, m: Manifest,
+                         entries: Seq[Entry],
+                         keyFilter: Option[Column]): DataFrame = {
+    val key = m.key
+    val parts = entries.map { e =>
+      val df = s.read.parquet(new Path(root, e.name).toString)
+      keyFilter.map(df.filter).getOrElse(df).withColumn("__v", lit(e.ver))
+    }
+    val all = parts.reduce(_.unionByName(_, allowMissingColumns = true))
+    // __tombstone rides inside the max_by struct (the WINNER's type
+    // decides liveness) but never reaches the output schema; column
+    // names are backtick-quoted (a dotted or reserved-word name must
+    // not silently mis-resolve inside the struct expression)
+    val valueCols = all.columns.filter(c => c != key && c != "__v").toSeq
+    val packed = valueCols.map(c => s"`$c`").mkString(", ")
+    val merged = all.groupBy(col(key))
+      .agg(expr(s"max_by(struct($packed), __v)").as("__r"))
+    val live =
+      if (valueCols.contains("__tombstone"))
+        merged.filter(!coalesce(col("__r").getField("__tombstone"), lit(false)))
+      else merged
+    val outCols = valueCols.filterNot(InternalCols)
+    live.select(col(key) +: outCols.map(c => col("__r").getField(c).as(c)): _*)
   }
 
   /** SNAPSHOT READ as of version `v`: per-key latest across the
@@ -105,23 +427,30 @@ object TimeTravel {
     * added never shows it (each version keeps the schema of its own
     * file chain). Column order: first-appearance across the chain. */
   def snapshot(s: SparkSession, root: String, v: Long, key: String): DataFrame = {
-    val entries = readManifest(root, v)
-    val parts = entries.map { case (_, dir, ver) =>
-      s.read.parquet(dir).withColumn("__v", lit(ver))
+    val m = readManifest(root, v)
+    require(m.key == key, s"table at $root merges on ${m.key}, not $key")
+    mergeChain(s, root, m, m.entries, None)
+  }
+
+  /** POINT LOOKUP with FILE SKIPPING: the snapshot merge restricted to
+    * `points`, reading ONLY the file sets whose manifest [min,max] key
+    * stats can contain one of them (Iceberg-style pruning from stats
+    * recorded at commit time — no footer reads, no full-chain scan).
+    * Merge semantics are exact: a pruned file set cannot hold any
+    * queried key, so it cannot hold any queried key's winning row or
+    * tombstone either. */
+  def snapshotAt(s: SparkSession, root: String, v: Long, key: String,
+                 points: Seq[Long]): DataFrame = {
+    require(points.nonEmpty, "snapshotAt needs at least one point")
+    val m = readManifest(root, v)
+    require(m.key == key, s"table at $root merges on ${m.key}, not $key")
+    val kept = m.entries.filter { e =>
+      e.stats.forall { case (lo, hi) => points.exists(p => p >= lo && p <= hi) }
     }
-    val all = parts.reduce(_.unionByName(_, allowMissingColumns = true))
-    // __tombstone rides inside the max_by struct (the WINNER's type
-    // decides liveness) but never reaches the output schema
-    val valueCols = all.columns.filter(c => c != key && c != "__v").toSeq
-    val packed = valueCols.mkString(", ")
-    val merged = all.groupBy(col(key))
-      .agg(expr(s"max_by(struct($packed), __v)").as("__r"))
-    val live =
-      if (valueCols.contains("__tombstone"))
-        merged.filter(!coalesce(col("__r.__tombstone"), lit(false)))
-      else merged
-    val outCols = valueCols.filter(_ != "__tombstone")
-    live.select(col(key) +: outCols.map(c => col(s"__r.$c").as(c)): _*)
+    if (kept.isEmpty)
+      return mergeChain(s, root, m, m.entries, None).limit(0)
+    mergeChain(s, root, m, kept,
+      Some(col(key).isin(points.map(Long.box): _*)))
   }
 
   /** DELETE keys as a VERSIONED commit — the takedown/right-to-erasure
@@ -133,43 +462,44 @@ object TimeTravel {
     * a later upsert legitimately REVIVES a key (last-writer-wins).
     * Physical erasure is [[vacuum]]'s job: once retention passes the
     * delete, the pre-delete file sets — the bytes themselves — are
-    * reclaimed. */
+    * reclaimed. Tombstone rows persist change type `delete` directly
+    * (no membership probe: a delete of an absent key is a no-op in
+    * every snapshot and honestly tagged in the feed). */
   def delete(root: String, keys: DataFrame): Long =
-    upsert(root, keys.withColumn("__tombstone", lit(true)))
+    commitDelta(root, keys.withColumn("__tombstone", lit(true)),
+      fixedType = Some("delete"))
 
   /** CHANGES BETWEEN VERSIONS (the CDC/change-data-feed read the
     * lakehouse formats expose as `table_changes(from, to)`): every row
     * committed by a DELTA in (fromV, toV], tagged with its version and
-    * whether it INSERTED a new key or UPDATED one that existed in the
-    * `fromV` snapshot. The delta files ARE the change log — no diffing
-    * of snapshots, no base scan beyond the one anti-join membership
-    * probe against snapshot(fromV) (one shuffle on the key; at scale
-    * the delta side is small and broadcasts). A key updated twice in
-    * the range emits once per committing version (the replay log, not
-    * the collapsed net change), and the tag is PER COMMIT: a key
-    * absent at fromV is an insert at its first committing version in
-    * the range and an update at every later one — decided from the
-    * fromV membership probe plus a min-version aggregate over the
-    * range's own deltas, never a per-commit snapshot read. Compaction
-    * commits no rows, so a base version in the range contributes
-    * nothing — a content no-op is also a change no-op. */
+    * the change type PERSISTED AT COMMIT TIME — the read touches the
+    * range's delta files and NOTHING else (O(|deltas in range|); the
+    * graded query asserts it via inputFiles), which is the whole point
+    * of a change feed over a 100 TB table. Tags are strictly
+    * PER-COMMIT, decided against each commit's own parent: a key
+    * absent at its commit's parent tags `insert`, present tags
+    * `update`, tombstoned tags `delete` — so a key deleted and
+    * re-upserted inside one range replays as delete THEN insert (the
+    * standard CDF replay-log semantics). A key updated twice in the
+    * range emits once per committing version. Compaction commits no
+    * rows, so a base version in the range contributes nothing — a
+    * content no-op is also a change no-op. */
   def changes(s: SparkSession, root: String, fromV: Long, toV: Long,
               key: String): DataFrame = {
     // each version's OWN manifest names its commit (a compacted
     // manifest deliberately drops the delta chain it superseded, so
     // reading only manifest(toV) would silently miss every delta
     // before the compaction); versions vacuumed past retention fail
-    // loudly rather than yielding a silently incomplete feed — fromV
-    // included: the membership probe below reads ITS manifest too
-    val missing = (fromV to toV)
-      .filterNot(v => Files.exists(manifestPath(root, v)))
+    // loudly rather than yielding a silently incomplete feed
+    val missing = (fromV to toV).filterNot(isValid(root, _))
     require(missing.isEmpty,
       s"changes($fromV, $toV): versions $missing are beyond retention")
-    val deltas = ((fromV + 1) to toV).flatMap(v =>
-      readManifest(root, v).filter { case (kind, _, ver) =>
-        kind == "delta" && ver == v })
-    val changed = deltas.map { case (_, dir, ver) =>
-      s.read.parquet(dir).withColumn("_commit_version", lit(ver))
+    val deltas = ((fromV + 1) to toV).flatMap { v =>
+      readManifest(root, v).entries.filter(e => e.kind == "delta" && e.ver == v)
+    }
+    val changed = deltas.map { e =>
+      s.read.parquet(new Path(root, e.name).toString)
+        .withColumn("_commit_version", lit(e.ver))
     }
     // a delta-free range (compactions only) is an EMPTY feed with the
     // table's full CDC schema — not a zero-column DataFrame a
@@ -185,56 +515,42 @@ object TimeTravel {
         java.util.Collections.emptyList[org.apache.spark.sql.Row](), full)
     }
     val all = changed.reduce(_.unionByName(_, allowMissingColumns = true))
-    val existed = snapshot(s, root, fromV, key).select(col(key))
-      .withColumn("__existed", lit(true))
-    val firstInRange = all.groupBy(col(key))
-      .agg(min(col("_commit_version")).as("__first_v"))
-    // tombstone commits tag 'delete'; insert-vs-update for the rest is
-    // net-membership (existed at fromV, or preceded by ANY range
-    // commit) — a key deleted and re-upserted inside one range tags
-    // the revival 'update', the one place this diverges from a strict
-    // per-commit replay (documented, spec-pinned)
-    val tomb =
-      if (all.columns.contains("__tombstone"))
-        coalesce(col("__tombstone"), lit(false))
-      else lit(false)
-    all.join(existed, Seq(key), "left")
-      .join(firstInRange, Seq(key))
-      .withColumn("_change_type",
-        when(tomb, lit("delete"))
-          .when(col("__existed").isNotNull ||
-            col("_commit_version") > col("__first_v"), lit("update"))
-          .otherwise(lit("insert")))
-      .drop("__existed", "__first_v", "__tombstone")
+    require(all.columns.contains("__change_type"),
+      s"delta files under $root predate persisted change types")
+    val dataCols = all.columns.filterNot(c =>
+      InternalCols(c) || c == key || c == "_commit_version").toSeq
+    all.select(
+      (col(key) +: dataCols.map(col)) ++ Seq(
+        col("_commit_version"),
+        col("__change_type").as("_change_type")): _*)
   }
 
   /** RETENTION: drop every version BEFORE `keepFrom` — manifests below
     * the horizon are removed, and data file sets referenced by NO
     * surviving manifest are deleted (a base can outlive its own
-    * version: any younger manifest still listing it keeps it alive).
-    * Versions ≥ `keepFrom` stay byte-identical and readable; reads
-    * below the horizon fail loudly at the missing manifest. Run AFTER
-    * a compaction ≥ the horizon, or the surviving manifests keep the
-    * whole old chain alive (nothing would be reclaimed — correct, just
-    * pointless). */
+    * version: any younger manifest still listing it keeps it alive;
+    * orphaned sets from lost commit races are swept here too, as is
+    * the `.tmp` staging area). Versions ≥ `keepFrom` stay
+    * byte-identical and readable; reads below the horizon fail loudly
+    * at the missing manifest. Run AFTER a compaction ≥ the horizon, or
+    * the surviving manifests keep the whole old chain alive (nothing
+    * would be reclaimed — correct, just pointless). */
   def vacuum(root: String, keepFrom: Long): Unit = {
+    val fs = fileSystem(root)
     val latest = latestVersion(root)
     require(keepFrom >= 0 && keepFrom <= latest,
       s"keepFrom=$keepFrom outside [0, $latest]")
     val referenced = (keepFrom to latest)
-      .filter(v => Files.exists(manifestPath(root, v)))
-      .flatMap(v => readManifest(root, v).map(_._2)).toSet
-    def rmTree(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rmTree))
-      f.delete(); ()
-    }
-    new java.io.File(root).listFiles().foreach { f =>
-      val n = f.getName
+      .filter(isValid(root, _))
+      .flatMap(v => readManifest(root, v).entries.map(_.name)).toSet
+    fs.listStatus(new Path(root)).foreach { st =>
+      val n = st.getPath.getName
       if ((n.startsWith("base-") || n.startsWith("delta-")) &&
-          !referenced.contains(f.getPath)) rmTree(f)
-      else if (n.startsWith("manifest-") &&
+          !referenced.contains(n)) { fs.delete(st.getPath, true); () }
+      else if (n.matches("manifest-\\d+\\.txt") &&
           n.stripPrefix("manifest-").stripSuffix(".txt").toLong < keepFrom)
-        { f.delete(); () }
+        { fs.delete(st.getPath, false); () }
+      else if (n == ".tmp") { fs.delete(st.getPath, true); () }
     }
   }
 }

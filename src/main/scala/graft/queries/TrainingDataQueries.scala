@@ -2332,7 +2332,7 @@ object TrainingDataQueries {
       val c = Tables.customer(s, dir).select(col("c_custkey").cast("long"),
         col("c_mktsegment"),
         floor(col("c_acctbal") * 100).cast("long").as("acctbal_cents"))
-      TimeTravel.init(c, root)
+      TimeTravel.init(c, root, "c_custkey")
       // v1: update every even key (delta carries ONLY changed rows)
       TimeTravel.upsert(root, c.filter(col("c_custkey") % 2 === 0)
         .select(col("c_custkey"), lit("U1").as("c_mktsegment"),
@@ -2374,7 +2374,7 @@ object TrainingDataQueries {
       val c = Tables.customer(s, dir).select(col("c_custkey").cast("long"),
         col("c_mktsegment"),
         floor(col("c_acctbal") * 100).cast("long").as("acctbal_cents"))
-      TimeTravel.init(c, root)
+      TimeTravel.init(c, root, "c_custkey")
       TimeTravel.delete(root,
         c.filter(col("c_custkey") % 5 === 0).select("c_custkey"))
       TimeTravel.upsert(root, c.filter(col("c_custkey") % 7 === 0)
@@ -2392,21 +2392,24 @@ object TrainingDataQueries {
     // lakehouse formats expose, here for free because the versioned
     // table's DELTA FILES are the change log (no snapshot diffing):
     // every row committed in (0, v3] tagged with its commit version
-    // and a PER-COMMIT insert/update type — the key inserted by v1 and
-    // updated again by v2 must tag insert THEN update (decided from
-    // one fromV membership probe + a min-version aggregate over the
-    // range's deltas, never a per-commit snapshot read), and the
-    // compaction inside the range must contribute NOTHING (a content
-    // no-op is a change no-op). The consumer this feeds is incremental
-    // downstream maintenance — re-embed only changed docs, not the
-    // corpus.
+    // and a PER-COMMIT insert/update type PERSISTED AT COMMIT TIME
+    // (each upsert runs one stats-pruned membership probe against its
+    // own parent and writes the type into the delta file) — the key
+    // inserted by v1 and updated again by v2 must tag insert THEN
+    // update, the compaction inside the range must contribute NOTHING
+    // (a content no-op is a change no-op), and the read itself must
+    // touch the range's DELTA FILES ONLY (the in-code require below:
+    // O(|range deltas|), never an O(|table|) snapshot probe — the
+    // round-12 scale defect this closes). The consumer this feeds is
+    // incremental downstream maintenance — re-embed only changed docs,
+    // not the corpus.
     "q_table_changes" -> ((s, dir) => {
       import graft.operators.TimeTravel
       val root = ParityQueries.ScratchDirs("graft-ttc")
       val c = Tables.customer(s, dir).select(col("c_custkey").cast("long"),
         col("c_mktsegment"),
         floor(col("c_acctbal") * 100).cast("long").as("acctbal_cents"))
-      TimeTravel.init(c, root)
+      TimeTravel.init(c, root, "c_custkey")
       // v1: update evens + INSERT key -1
       TimeTravel.upsert(root, c.filter(col("c_custkey") % 2 === 0)
         .select(col("c_custkey"), lit("U1").as("c_mktsegment"),
@@ -2420,8 +2423,11 @@ object TrainingDataQueries {
         .unionByName(s.range(1).select(lit(-1L).as("c_custkey"),
           lit("NEW2").as("c_mktsegment"), lit(4343L).as("acctbal_cents"))))
       val v3 = TimeTravel.compact(s, root, "c_custkey")
-      TimeTravel.changes(s, root, 0L, v3, "c_custkey")
-        .select(col("c_custkey"), col("c_mktsegment"), col("acctbal_cents"),
+      val feed = TimeTravel.changes(s, root, 0L, v3, "c_custkey")
+      require(feed.inputFiles.nonEmpty &&
+          feed.inputFiles.forall(_.contains("/delta-")),
+        "the CDC read must plan over the range's delta files ONLY")
+      feed.select(col("c_custkey"), col("c_mktsegment"), col("acctbal_cents"),
           col("_commit_version"), col("_change_type"))
         .orderBy("_commit_version", "c_custkey")
     }),
@@ -2441,7 +2447,7 @@ object TrainingDataQueries {
       val c = Tables.customer(s, dir).select(col("c_custkey").cast("long"),
         col("c_mktsegment"),
         floor(col("c_acctbal") * 100).cast("long").as("acctbal_cents"))
-      TimeTravel.init(c, root)
+      TimeTravel.init(c, root, "c_custkey")
       TimeTravel.upsert(root, c.filter(col("c_custkey") % 2 === 0)
         .select(col("c_custkey"), lit("U1").as("c_mktsegment"),
           (col("acctbal_cents") + 111).as("acctbal_cents")))
@@ -2451,11 +2457,14 @@ object TrainingDataQueries {
       val v3 = TimeTravel.compact(s, root, "c_custkey")
       TimeTravel.vacuum(root, keepFrom = v3)
       val left = new java.io.File(root).list().toSet
-      require(left == Set(f"manifest-$v3%05d.txt", f"base-$v3%05d"),
+      require(left.size == 2 && left.contains(f"manifest-$v3%05d.txt") &&
+          left.exists(_.startsWith(f"base-$v3%05d-")),
         s"vacuum left unexpected files: $left")
       val failedBelowHorizon =
         try { TimeTravel.snapshot(s, root, 1L, "c_custkey").count(); false }
-        catch { case _: Exception => true }
+        // ONLY the missing-manifest failure counts: an unrelated Spark
+        // error must not masquerade as proof the vacuum reclaimed v1
+        catch { case _: java.io.FileNotFoundException => true }
       require(failedBelowHorizon, "reads below the horizon must fail loudly")
       TimeTravel.snapshot(s, root, v3, "c_custkey")
         .select("c_custkey", "c_mktsegment", "acctbal_cents")
@@ -2476,7 +2485,7 @@ object TrainingDataQueries {
       val c = Tables.customer(s, dir).select(col("c_custkey").cast("long"),
         col("c_mktsegment"),
         floor(col("c_acctbal") * 100).cast("long").as("acctbal_cents"))
-      TimeTravel.init(c, root)
+      TimeTravel.init(c, root, "c_custkey")
       TimeTravel.upsert(root, c.filter(col("c_custkey") % 2 === 0)
         .select(col("c_custkey"), lit("U1").as("c_mktsegment"),
           (col("acctbal_cents") + 111).as("acctbal_cents"),

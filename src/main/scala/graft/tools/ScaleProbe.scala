@@ -500,17 +500,23 @@ object ScaleProbe {
       d.delete()
     }
 
-    // TIME-TRAVEL commit/read costs at x1/x4/x16 TABLE size with a
-    // FIXED-size delta: the O(|delta|) claim is that upsert commit time
-    // and bytes stay ~FLAT as the table grows (only the delta is
-    // written), while the merge-on-read snapshot grows ~linearly with
-    // base+deltas (one max_by pass). A commit that rewrote the table
-    // would show commit bytes ∝ table — the failure signature.
+    // TIME-TRAVEL commit/read/CDC costs at x1/x4/x16 TABLE size with a
+    // FIXED-size delta: the O(|delta|) claim is that upsert commit
+    // BYTES stay ~FLAT as the table grows (only the delta is written —
+    // commit TIME now includes the one change-type membership probe,
+    // a stats-pruned key-column semi-join scan, the price of making
+    // every downstream CDC read O(|range deltas|)); the merge-on-read
+    // snapshot grows ~linearly with base+deltas (one max_by pass); and
+    // changes() — the round-13 fix — must stay ~FLAT in table size (it
+    // reads the range's delta files and nothing else). A commit that
+    // rewrote the table would show commit bytes ∝ table; a CDC read
+    // that probed a snapshot would show changes_s ∝ table — the two
+    // failure signatures.
     Seq(1, 4, 16).foreach { factor =>
       val root = java.nio.file.Files.createTempDirectory("graft-probe-tt").toString
       val tbl = spark.range(100000L * factor).select(col("id").as("k"),
         (col("id") % 97).as("v"), concat(lit("seg"), col("id") % 7).as("seg"))
-      graft.operators.TimeTravel.init(tbl, root)
+      graft.operators.TimeTravel.init(tbl, root, "k")
       val delta = spark.range(5000L).select((col("id") * 13).as("k"),
         lit(-1L).as("v"), lit("upd").as("seg"))
       val tc0 = System.nanoTime()
@@ -522,13 +528,21 @@ object ScaleProbe {
           else f.length()
         walk(new java.io.File(p))
       }
-      val commitBytes = dirBytes(f"$root/delta-$v%05d")
+      val deltaDir = new java.io.File(root).list()
+        .find(_.startsWith(f"delta-$v%05d")).get
+      val commitBytes = dirBytes(s"$root/$deltaDir")
       val tr0 = System.nanoTime()
       val n = graft.operators.TimeTravel.snapshot(spark, root, v, "k").count()
       val readSec = (System.nanoTime() - tr0) / 1e9
+      val tch0 = System.nanoTime()
+      val ch = graft.operators.TimeTravel.changes(spark, root, 0L, v, "k")
+      val nCh = ch.count()
+      val changesSec = (System.nanoTime() - tch0) / 1e9
+      require(ch.inputFiles.nonEmpty && ch.inputFiles.forall(_.contains("/delta-")),
+        "CDC read must touch delta files only")
       println(f"PROBE timetravel x$factor table=${100000L * factor} rows=$n " +
         f"commit_s=$commitSec%.2f commit_kb=${commitBytes / 1024} " +
-        f"read_s=$readSec%.2f")
+        f"read_s=$readSec%.2f changes_rows=$nCh changes_s=$changesSec%.2f")
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
       }

@@ -15,10 +15,18 @@ class TimeTravelSpec extends SparkSpec {
   private def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, String, Long)] =
     df.select("k", "seg", "v").as[(Long, String, Long)].collect().toSet
 
+  /** Resolve a version's data dir by its deterministic prefix (data
+    * dirs carry a random suffix so racing commits never collide). */
+  private def dataDir(root: String, prefix: String): String =
+    new java.io.File(root).list().filter(_.startsWith(prefix)) match {
+      case Array(one) => s"$root/$one"
+      case other => fail(s"expected one $prefix* dir, got ${other.toSeq}")
+    }
+
   test("TimeTravel: snapshot reads are versioned; compaction is a content no-op") {
     val root = java.nio.file.Files.createTempDirectory("graft-tt-spec").toString
     val base = (1L to 20L).map(k => (k, "a", k * 10)).toDF("k", "seg", "v")
-    assert(TimeTravel.init(base, root) === 0L)
+    assert(TimeTravel.init(base, root, "k") === 0L)
     // v1: update evens; v2: update multiples of 3 + insert key 99
     TimeTravel.upsert(root,
       base.filter($"k" % 2 === 0).select($"k", lit("b").as("seg"), ($"v" + 1).as("v")))
@@ -26,7 +34,7 @@ class TimeTravelSpec extends SparkSpec {
       base.filter($"k" % 3 === 0).select($"k", lit("c").as("seg"), ($"v" + 2).as("v"))
         .unionByName(Seq((99L, "n", 7L)).toDF("k", "seg", "v")))
     // the delta commit wrote ONLY its rows (O(|delta|), never O(|table|))
-    assert(spark.read.parquet(s"$root/delta-00001").count() === 10L)
+    assert(spark.read.parquet(dataDir(root, "delta-00001")).count() === 10L)
     val v0 = rows(TimeTravel.snapshot(spark, root, 0L, "k"))
     val v1 = rows(TimeTravel.snapshot(spark, root, 1L, "k"))
     val v2 = rows(TimeTravel.snapshot(spark, root, 2L, "k"))
@@ -45,7 +53,7 @@ class TimeTravelSpec extends SparkSpec {
     // historical versions remain readable AFTER compaction
     assert(rows(TimeTravel.snapshot(spark, root, 1L, "k")) === v1)
     // double-init refuses
-    intercept[IllegalArgumentException] { TimeTravel.init(base, root) }
+    intercept[IllegalArgumentException] { TimeTravel.init(base, root, "k") }
 
     // additive schema evolution: v4's delta carries a column nothing
     // else has; v4 shows it (null-filled for stale rows), v3 does not
@@ -63,8 +71,11 @@ class TimeTravelSpec extends SparkSpec {
     // v3 stay exact, sub-horizon reads fail
     TimeTravel.vacuum(root, keepFrom = 3L)
     val left = new java.io.File(root).list().toSet
-    assert(left === Set("manifest-00003.txt", "manifest-00004.txt",
-      "base-00003", "delta-00004"), s"unexpected survivors: $left")
+    assert(left.size === 4 && left.contains("manifest-00003.txt") &&
+      left.contains("manifest-00004.txt") &&
+      left.exists(_.startsWith("base-00003-")) &&
+      left.exists(_.startsWith("delta-00004-")),
+      s"unexpected survivors: $left")
     assert(rows(TimeTravel.snapshot(spark, root, 3L, "k")) === v2)
     intercept[Exception] { TimeTravel.snapshot(spark, root, 1L, "k") }
   }
@@ -72,7 +83,7 @@ class TimeTravelSpec extends SparkSpec {
   test("TimeTravel.changes: per-commit tags, range bounds, compaction no-op") {
     val root = java.nio.file.Files.createTempDirectory("graft-ttc-spec").toString
     val base = (1L to 10L).map(k => (k, "a", k)).toDF("k", "seg", "v")
-    TimeTravel.init(base, root)
+    TimeTravel.init(base, root, "k")
     // v1 inserts 99; v2 updates 99 and key 4; v3 = compaction
     TimeTravel.upsert(root, Seq((99L, "n", 1L)).toDF("k", "seg", "v"))
     TimeTravel.upsert(root,
@@ -101,7 +112,7 @@ class TimeTravelSpec extends SparkSpec {
   test("TimeTravel.delete: versioned tombstones, revival, changes tagging") {
     val root = java.nio.file.Files.createTempDirectory("graft-ttd-spec").toString
     val base = (1L to 10L).map(k => (k, "a", k)).toDF("k", "seg", "v")
-    TimeTravel.init(base, root)
+    TimeTravel.init(base, root, "k")
     TimeTravel.delete(root, Seq(Tuple1(4L), Tuple1(6L)).toDF("k")) // v1
     TimeTravel.upsert(root, Seq((6L, "r", 60L)).toDF("k", "seg", "v")) // v2 revives 6
     // deletes are versioned: v0 still shows both keys; v1 shows
@@ -115,12 +126,89 @@ class TimeTravelSpec extends SparkSpec {
     // the tombstone column never reaches a snapshot's schema
     assert(!TimeTravel.snapshot(spark, root, 2L, "k")
       .columns.contains("__tombstone"))
-    // the change feed tags tombstone commits 'delete'
+    // the change feed tags tombstone commits 'delete'; the REVIVAL of 6
+    // tags 'insert' — per-commit typing against each commit's own
+    // parent (at v2's parent the key was tombstoned), the standard CDF
+    // replay-log semantics: delete THEN insert
     val ch = TimeTravel.changes(spark, root, 0L, 2L, "k")
       .select("k", "_commit_version", "_change_type")
       .as[(Long, Long, String)].collect().toSet
     assert(ch === Set((4L, 1L, "delete"), (6L, 1L, "delete"),
-      (6L, 2L, "update")))
+      (6L, 2L, "insert")))
+  }
+
+  test("TimeTravel: a torn manifest neither corrupts reads nor blocks commits") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ttx-spec").toString
+    val base = (1L to 10L).map(k => (k, "a", k)).toDF("k", "seg", "v")
+    TimeTravel.init(base, root, "k")
+    TimeTravel.upsert(root, Seq((1L, "b", 11L)).toDF("k", "seg", "v")) // v1
+    // simulate a crash mid-commit: junk bytes parked at manifest-2
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root, "manifest-00002.txt"),
+      "garbage not a manifest\n".getBytes)
+    // reads at the last VALID version are untouched, and latestVersion
+    // never selects the torn manifest
+    assert(TimeTravel.latestVersion(root) === 1L)
+    assert(rows(TimeTravel.snapshot(spark, root, 1L, "k"))
+      .contains((1L, "b", 11L)))
+    // a read AT the torn version fails loudly, not with junk data
+    intercept[java.io.IOException] { TimeTravel.snapshot(spark, root, 2L, "k") }
+    // the next commit reclaims the version slot instead of wedging
+    val v2 = TimeTravel.upsert(root, Seq((2L, "c", 22L)).toDF("k", "seg", "v"))
+    assert(v2 === 2L)
+    assert(rows(TimeTravel.snapshot(spark, root, 2L, "k"))
+      .contains((2L, "c", 22L)))
+  }
+
+  test("TimeTravel: racing commits — one winner per version, loser retries cleanly") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ttr-spec").toString
+    val base = (1L to 10L).map(k => (k, "a", k)).toDF("k", "seg", "v")
+    TimeTravel.init(base, root, "k")
+    // two writers commit concurrently from the same parent (v0): the
+    // O_EXCL manifest claim admits exactly one v1; the loser retries on
+    // the winner's result and lands v2 — no torn state, both rows in
+    val deltas = Seq(
+      Seq((1L, "x", 100L)).toDF("k", "seg", "v"),
+      Seq((2L, "y", 200L)).toDF("k", "seg", "v"))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val vs = Await.result(
+      Future.sequence(deltas.map(d => Future(TimeTravel.upsert(root, d)))),
+      2.minutes)
+    assert(vs.toSet === Set(1L, 2L), s"got versions $vs")
+    val snap = rows(TimeTravel.snapshot(spark, root, 2L, "k"))
+    assert(snap.contains((1L, "x", 100L)) && snap.contains((2L, "y", 200L)))
+    // per-commit change types survived the retry's recompute
+    val ch = TimeTravel.changes(spark, root, 0L, 2L, "k")
+      .select("k", "_change_type").as[(Long, String)].collect().toSet
+    assert(ch === Set((1L, "update"), (2L, "update")))
+  }
+
+  test("TimeTravel.snapshotAt: manifest key stats prune file sets") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ttp-spec").toString
+    // disjoint key ranges per file set: base 1-100, deltas 101-200 and
+    // 1-10 — a point in (1..10) must plan over base + delta-2 ONLY
+    TimeTravel.init(
+      (1L to 100L).map(k => (k, "a", k)).toDF("k", "seg", "v"), root, "k")
+    TimeTravel.upsert(root,
+      (101L to 200L).map(k => (k, "b", k)).toDF("k", "seg", "v"))
+    TimeTravel.upsert(root,
+      (1L to 10L).map(k => (k, "c", k + 1000)).toDF("k", "seg", "v"))
+    val pt = TimeTravel.snapshotAt(spark, root, 2L, "k", Seq(5L))
+    assert(rows(pt) === Set((5L, "c", 1005L)))
+    val files = pt.inputFiles
+    assert(files.exists(_.contains("base-00000")) &&
+      files.exists(_.contains("delta-00002")) &&
+      !files.exists(_.contains("delta-00001")),
+      s"stats pruning failed: ${files.toSeq}")
+    // merge semantics stay exact through pruning: a point whose winner
+    // is the base still reflects later non-matching deltas' absence
+    assert(rows(TimeTravel.snapshotAt(spark, root, 2L, "k", Seq(50L, 150L)))
+      === Set((50L, "a", 50L), (150L, "b", 150L)))
+    // a point outside every file set's range reads zero rows AND zero files
+    val none = TimeTravel.snapshotAt(spark, root, 2L, "k", Seq(99999L))
+    assert(none.count() === 0L)
   }
 
   test("FaultInjection: one-shot per tag, retry attempts recorded") {
