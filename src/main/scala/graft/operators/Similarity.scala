@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -825,6 +825,65 @@ object Similarity {
     *    algorithm is oracle-gradeable (`cluster_kmeans`). The ~1e-6
     *    centroid quantization is far below the round-6 similarity
     *    granularity the assignment step already uses. */
+  /** Centroids as a COLLECTED local relation — k rows of k×dim doubles
+    * by definition, so collecting them bounds lineage to one corpus
+    * scan per action instead of replaying every previous iteration's
+    * cross-join + aggregation. Output (cell_id, cell_vec, cell_nrm). */
+  private def localizeCentroids(spark: SparkSession, df: DataFrame): DataFrame = {
+    import spark.implicits._
+    val rows = df.select(col("cell_id"), col("cell_vec"))
+      .as[(Long, Seq[Double])].collect().toSeq.sortBy(_._1)
+    rows.toDF("cell_id", "cell_vec")
+      .withColumn("cell_nrm", VectorFunctions.norm(col("cell_vec")))
+  }
+
+  /** Nearest-centroid assignment over a prepped corpus — the one
+    * partial-aggregable arg-max every centroid consumer shares (kmeans
+    * iterations, the IVF index, and the incremental reindex pipeline):
+    * min_by carries the vector payload so a means pass needs no
+    * re-join; round-6 + cell_id tie-break matches the oracle's rank-1
+    * window exactly. A drifted copy of this arithmetic in any one
+    * consumer would silently de-synchronize queries that claim to
+    * share the assignment convention. */
+  private def assignCore(c: DataFrame, cent: DataFrame): DataFrame =
+    c.crossJoin(broadcast(cent))
+      .withColumn("__sim",
+        round(VectorFunctions.dot(col("c_vec"), col("cell_vec")) /
+          (col("c_nrm") * col("cell_nrm")), 6))
+      .groupBy(col("c_id"))
+      .agg(expr("min_by(struct(c_vec, cell_id, __sim), struct(-__sim, cell_id))").as("__b"))
+      .select(col("c_id"), col("__b.c_vec").as("c_vec"),
+        col("__b.cell_id").as("cell_id"), col("__b.__sim").as("__sim"))
+
+  /** The deterministic seed centroids [[kmeans]] starts from (first k
+    * vectors by md5(id) — a pure function of the data, so oracles can
+    * replay it), exposed for consumers that assign against a FIXED
+    * corpus state while the corpus itself moves on — the incremental
+    * reindex pipeline's contract. Output (cell_id, cell_vec, cell_nrm),
+    * collected local (k×dim doubles by definition). */
+  def seedCentroids(corpus: DataFrame, k: Int, idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    require(k > 0, s"bad k=$k")
+    val c = prep(corpus, idCol, vecCol, "c_id", "c_vec", "c_nrm")
+    localizeCentroids(corpus.sparkSession,
+      c.orderBy(md5(col("c_id").cast("string")), col("c_id"))
+        .limit(k)
+        .select(col("c_id").as("cell_id"), col("c_vec").as("cell_vec")))
+  }
+
+  /** Assign `corpus` rows to fixed `centroids` (a [[seedCentroids]] /
+    * [[kmeans]] output): (id, cell_id, sim) with the exact shared
+    * assignment arithmetic. The centroid side is local/broadcast, so
+    * the plan is one map-side cross join + a partial-aggregable arg-max
+    * — linear in |corpus| with no corpus-side shuffle beyond the
+    * groupBy on the id. */
+  def assignToCentroids(corpus: DataFrame, centroids: DataFrame,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding"): DataFrame =
+    assignCore(prep(corpus, idCol, vecCol, "c_id", "c_vec", "c_nrm"),
+        centroids)
+      .select(col("c_id").as(idCol), col("cell_id"), col("__sim").as("sim"))
+
   def kmeans(corpus: DataFrame, k: Int, iterations: Int = 5,
              idCol: String = "vec_id", vecCol: String = "embedding",
              exactMeans: Boolean = false): (DataFrame, DataFrame) = {
@@ -842,33 +901,11 @@ object Similarity {
     val c = prep(corpus, idCol, vecCol, "c_id", "c_vec", "c_nrm")
     val dim = corpus.select(size(col(vecCol))).first().getInt(0)
 
-    // Centroids live as a COLLECTED local relation between iterations —
-    // k rows of k×dim doubles by definition, so collecting them bounds
-    // the lineage to one corpus scan per action instead of replaying
-    // every previous iteration's cross-join + aggregation.
-    def localize(df: DataFrame): DataFrame = {
-      val rows = df.select(col("cell_id"), col("cell_vec"))
-        .as[(Long, Seq[Double])].collect().toSeq.sortBy(_._1)
-      rows.toDF("cell_id", "cell_vec")
-        .withColumn("cell_nrm", VectorFunctions.norm(col("cell_vec")))
-    }
-    var centroids = localize(
+    var centroids = localizeCentroids(spark,
       c.orderBy(md5(col("c_id").cast("string")), col("c_id"))
         .limit(k)
         .select(col("c_id").as("cell_id"), col("c_vec").as("cell_vec")))
-    def assign(cent: DataFrame): DataFrame = {
-      // same partial-aggregable arg-max as ivfIndex — min_by carries the
-      // vector payload so the means pass needs no re-join; round-6 +
-      // cell_id tie-break matches the rank-1 window exactly
-      c.crossJoin(broadcast(cent))
-        .withColumn("__sim",
-          round(VectorFunctions.dot(col("c_vec"), col("cell_vec")) /
-            (col("c_nrm") * col("cell_nrm")), 6))
-        .groupBy(col("c_id"))
-        .agg(expr("min_by(struct(c_vec, cell_id, __sim), struct(-__sim, cell_id))").as("__b"))
-        .select(col("c_id"), col("__b.c_vec").as("c_vec"),
-          col("__b.cell_id").as("cell_id"), col("__b.__sim").as("__sim"))
-    }
+    def assign(cent: DataFrame): DataFrame = assignCore(c, cent)
     (0 until iterations).foreach { _ =>
       val a = assign(centroids)
       // element-wise mean per cell: aggregate the 64-ish dims as columns
@@ -890,9 +927,9 @@ object Similarity {
       }
       // a cell that captured no points vanishes from the means — keep
       // its previous centroid so k never silently shrinks
-      val kept = localize(means)
+      val kept = localizeCentroids(spark, means)
       val emptyCells = centroids.join(kept, Seq("cell_id"), "left_anti")
-      centroids = localize(kept.select("cell_id", "cell_vec")
+      centroids = localizeCentroids(spark, kept.select("cell_id", "cell_vec")
         .unionByName(emptyCells.select("cell_id", "cell_vec")))
     }
     (centroids, assign(centroids).select(col("c_id"), col("cell_id"), col("__sim")))

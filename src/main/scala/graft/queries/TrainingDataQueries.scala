@@ -2498,6 +2498,95 @@ object TrainingDataQueries {
         .orderBy("c_custkey")
     }),
 
+    // POINT LOOKUP WITH FILE SKIPPING graded — every commit records its
+    // file set's [min, max] key range in the manifest (stats gathered
+    // from the written bytes, O(|delta|)); snapshotAt() prunes file
+    // sets that CANNOT contain a queried key before the merge. The
+    // chain here makes pruning observable: v1 inserts a DISJOINT high
+    // key range (+1M), v2 updates low keys — a low-key point read must
+    // plan over base + v2 ONLY (the in-code require: v1's file set
+    // never enters the scan), while merge semantics stay exact (point
+    // 42 wins from the base THROUGH the pruned chain, point 3 from
+    // v2). At 100 TB this is the difference between a key lookup
+    // reading GBs and reading the whole chain.
+    "q_time_travel_point" -> ((s, dir) => {
+      import graft.operators.TimeTravel
+      val root = ParityQueries.ScratchDirs("graft-ttp")
+      val c = Tables.customer(s, dir).select(col("c_custkey").cast("long"),
+        col("c_mktsegment"),
+        floor(col("c_acctbal") * 100).cast("long").as("acctbal_cents"))
+      TimeTravel.init(c, root, "c_custkey")
+      // v1: a disjoint high-key insert wave (stats [1e6+1, 1e6+N])
+      TimeTravel.upsert(root, c.select(
+        (col("c_custkey") + 1000000L).as("c_custkey"),
+        lit("HI").as("c_mktsegment"),
+        (col("acctbal_cents") + 5).as("acctbal_cents")))
+      // v2: update keys ending in 3 (stats back inside the base range)
+      TimeTravel.upsert(root, c.filter(col("c_custkey") % 10 === 3)
+        .select(col("c_custkey"), lit("P2").as("c_mktsegment"),
+          (col("acctbal_cents") + 99).as("acctbal_cents")))
+      val pt = TimeTravel.snapshotAt(s, root, 2L, "c_custkey",
+        Seq(3L, 42L, 57L))
+      require(pt.inputFiles.nonEmpty &&
+          !pt.inputFiles.exists(_.contains("/delta-00001")),
+        "stats pruning must skip the disjoint high-key file set")
+      pt.select("c_custkey", "c_mktsegment", "acctbal_cents")
+        .orderBy("c_custkey")
+    }),
+
+    // INCREMENTAL INDEX MAINTENANCE graded — the consumer the change
+    // feed exists for ("re-embed only changed documents"), closed
+    // end-to-end: the embeddings corpus lives in the versioned table;
+    // v1 re-embeds every 7th vector and inserts new ones, v2 takes
+    // down every 11th. The maintained IVF assignment index is updated
+    // from changes(0, 2) ALONE — net per-key effect via one max_by on
+    // the feed, nearest-centroid reassignment of the non-deleted
+    // survivors against the FIXED v0 seed centroids (broadcast, k×dim),
+    // anti-join to retire stale index rows. The in-code require proves
+    // the feed side never touches the corpus (delta files only) — cost
+    // ∝ |changes|, not |corpus|. Hash-graded against a DuckDB FULL
+    // REBUILD of the v2 state: incremental maintenance must be
+    // indistinguishable from rebuilding the index from scratch.
+    "pipeline_incremental_reindex" -> ((s, dir) => {
+      import graft.operators.TimeTravel
+      import graft.functions.VectorFunctions
+      val root = ParityQueries.ScratchDirs("graft-reidx")
+      val emb0 = Tables.embeddings(s, dir).select(
+        col("vec_id").cast("long").as("vec_id"),
+        VectorFunctions.asDouble(col("embedding")).as("embedding"))
+      TimeTravel.init(emb0, root, "vec_id")
+      // the index being maintained: fixed v0 seed centroids + the v0
+      // full assignment (built once — the initial indexing job)
+      val cent = Similarity.seedCentroids(emb0, 8)
+      val idx0 = Similarity.assignToCentroids(emb0, cent)
+      // v1: re-embed every 7th + insert a transformed copy of every
+      // 13th under a fresh id; v2: take down every 11th
+      TimeTravel.upsert(root, emb0.filter(col("vec_id") % 7 === 0)
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> x * 0.5D + 0.01D)").as("embedding"))
+        .unionByName(emb0.filter(col("vec_id") % 13 === 0)
+          .select((col("vec_id") + 100000L).as("vec_id"),
+            expr("transform(embedding, x -> 1.0D - x)").as("embedding"))))
+      TimeTravel.delete(root,
+        emb0.filter(col("vec_id") % 11 === 0).select("vec_id"))
+      val feed = TimeTravel.changes(s, root, 0L, 2L, "vec_id")
+      require(feed.inputFiles.nonEmpty &&
+          feed.inputFiles.forall(_.contains("/delta-")),
+        "incremental reindex must read the change feed, not the corpus")
+      // net per-key effect of the range (a key re-embedded then taken
+      // down nets to delete); reassign survivors, retire stale rows
+      val net = feed.groupBy(col("vec_id"))
+        .agg(expr("max_by(struct(embedding, _change_type), _commit_version)")
+          .as("__n"))
+        .select(col("vec_id"), col("__n.embedding").as("embedding"),
+          col("__n._change_type").as("ct"))
+      val reassigned = Similarity.assignToCentroids(
+        net.filter(col("ct") =!= "delete").select("vec_id", "embedding"), cent)
+      idx0.join(net.select("vec_id"), Seq("vec_id"), "left_anti")
+        .unionByName(reassigned)
+        .orderBy("vec_id")
+    }),
+
     "text_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprints(Tables.documents(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
@@ -4958,6 +5047,55 @@ object TrainingDataQueries {
         |       CASE WHEN c_custkey % 2 = 0
         |            THEN CAST(c_custkey AS BIGINT) % 5 END AS quality
         |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    // Point-lookup replay: the v2 state restricted to the queried keys
+    // — keys ending in 3 carry the v2 update, the rest read the base;
+    // the v1 high-key inserts (+1M) are outside the point set. File
+    // skipping is graded by the in-code inputFiles require; the hash
+    // grades that pruning never changed WHAT the points read.
+    "q_time_travel_point" ->
+      """WITH c AS (SELECT CAST(c_custkey AS BIGINT) AS k, c_mktsegment AS seg,
+        |             CAST(floor(c_acctbal * 100) AS BIGINT) AS cents
+        |           FROM customer)
+        |SELECT k AS c_custkey,
+        |       CASE WHEN k % 10 = 3 THEN 'P2' ELSE seg END AS c_mktsegment,
+        |       CASE WHEN k % 10 = 3 THEN cents + 99 ELSE cents END
+        |         AS acctbal_cents
+        |FROM c WHERE k IN (3, 42, 57) ORDER BY c_custkey""".stripMargin,
+
+    // Incremental-reindex replay as a FULL REBUILD: the v2 corpus state
+    // composed in SQL (7th-multiples re-embedded, 13th-multiples copied
+    // to +100000 ids, 11th-multiples gone), then every surviving vector
+    // assigned to the SAME deterministic v0 seed centroids (first 8 by
+    // md5(vec_id) — the cluster_assign convention) with the identical
+    // round-6 cosine + cell_id tie-break. The Spark side maintained the
+    // index incrementally from the change feed; equality to this
+    // rebuild is the whole claim.
+    "pipeline_incremental_reindex" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |cent AS (SELECT vec_id AS cell_id, v AS cv,
+        |                sqrt(list_inner_product(v, v)) AS cn
+        |         FROM e ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 8),
+        |st AS (SELECT vec_id,
+        |         CASE WHEN vec_id % 7 = 0
+        |              THEN list_transform(v, x -> x * 0.5 + 0.01)
+        |              ELSE v END AS v
+        |       FROM e WHERE vec_id % 11 <> 0
+        |       UNION ALL
+        |       SELECT vec_id + 100000, list_transform(v, x -> 1.0 - x)
+        |       FROM e WHERE vec_id % 13 = 0),
+        |stn AS (SELECT vec_id, v,
+        |          sqrt(list_inner_product(v, v)) AS nrm FROM st),
+        |asg AS (SELECT vec_id, cell_id, sim FROM (
+        |          SELECT stn.vec_id, cent.cell_id,
+        |                 round(list_inner_product(stn.v, cent.cv)
+        |                   / (stn.nrm * cent.cn), 6) AS sim,
+        |                 row_number() OVER (PARTITION BY stn.vec_id
+        |                   ORDER BY round(list_inner_product(stn.v, cent.cv)
+        |                     / (stn.nrm * cent.cn), 6) DESC,
+        |                            cent.cell_id) AS rn
+        |          FROM stn CROSS JOIN cent) t WHERE rn = 1)
+        |SELECT vec_id, cell_id, sim FROM asg ORDER BY vec_id""".stripMargin,
 
     "text_vocab_growth" ->
       s"""WITH $wordCte,

@@ -335,6 +335,23 @@ class SimilaritySpec extends SparkSpec {
       "a stray self-code must be a zero-distance tie won by a lower code id")
   }
 
+  test("assignToCentroids matches kmeans' own assignment convention exactly") {
+    // the shared-arithmetic contract: assigning a corpus to the seed
+    // centroids through the public helpers must be BIT-identical to
+    // kmeans(iterations = 0) — a drifted copy of the round-6 cosine or
+    // the cell_id tie-break would silently de-synchronize the
+    // incremental-reindex pipeline from the cluster_assign oracle
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val (_, viaKmeans) = Similarity.kmeans(emb, k = 8, iterations = 0)
+    val viaHelper = Similarity.assignToCentroids(
+      emb, Similarity.seedCentroids(emb, 8))
+    val a = viaKmeans.select($"c_id", $"cell_id", $"__sim".as("sim"))
+      .as[(Long, Long, Double)].collect().toSet
+    val b = viaHelper.select($"vec_id", $"cell_id", $"sim")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(a === b)
+  }
+
   test("kmeans: separates well-separated synthetic blobs and improves the cosine objective") {
     // three orthogonal-ish blobs in 8 dims, 20 vectors each, small noise
     val rnd = new scala.util.Random(7)
