@@ -281,7 +281,7 @@ object TimeTravel {
                         candidates: DataFrame,
                         candRange: Option[(Long, Long)]): DataFrame = {
     val key = m.key
-    val chain = m.entries.filter { e =>
+    val chain = dataEntries(m.entries).filter { e =>
       (e.stats, candRange) match {
         case (Some((lo, hi)), Some((clo, chi))) => hi >= clo && lo <= chi
         case _ => true
@@ -309,7 +309,8 @@ object TimeTravel {
     * parent (change types are recomputed there — a key another writer
     * just inserted must type `update`, not `insert`, on the retry). */
   private def commitDelta(root: String, delta: DataFrame,
-                          fixedType: Option[String]): Long = {
+                          fixedType: Option[String],
+                          txnId: Option[String] = None): Long = {
     val s = delta.sparkSession
     val fs = fileSystem(root)
     var attempt = 0
@@ -318,6 +319,13 @@ object TimeTravel {
       val prev = latestVersion(root)
       require(prev >= 0, s"no table at $root")
       val m = readManifest(root, prev)
+      // idempotence: a txn id already recorded in the CURRENT manifest
+      // was applied by an earlier attempt of the same logical commit (a
+      // replayed micro-batch, a restarted driver) — return its version
+      // without writing anything
+      val applied = txnId.flatMap(id =>
+        m.entries.find(e => e.kind == "txn" && e.name == id))
+      if (applied.isDefined) return applied.get.ver
       val key = m.key
       require(delta.columns.contains(key),
         s"delta lacks the table key $key")
@@ -349,8 +357,9 @@ object TimeTravel {
       val dataPath = new Path(root, name).toString
       typed.write.mode("errorifexists").parquet(dataPath)
       val st = statsOf(s, dataPath, key)
-      val ok = writeManifest(root, v,
-        Manifest(key, m.entries :+ Entry("delta", name, v, st)))
+      val newEnts = Entry("delta", name, v, st) +:
+        txnId.map(Entry("txn", _, v, None)).toSeq
+      val ok = writeManifest(root, v, Manifest(key, m.entries ++ newEnts))
       if (ok) return v
       // lost the optimistic-concurrency race: drop this attempt's file
       // set (vacuum would sweep it anyway) and recompute on the winner
@@ -367,10 +376,39 @@ object TimeTravel {
   def upsert(root: String, delta: DataFrame): Long =
     commitDelta(root, delta, fixedType = None)
 
+  /** EXACTLY-ONCE upsert: like [[upsert]], but the commit records
+    * `txnId` as an idempotence marker in the manifest — a SECOND call
+    * with the same id (a replayed foreachBatch micro-batch after a
+    * driver restart, the standard Structured-Streaming at-least-once
+    * redelivery) returns the already-committed version WITHOUT writing
+    * a duplicate delta. This is the public `txn`/`txnVersion` design
+    * Delta Lake's streaming sink uses to turn at-least-once batch
+    * delivery into an exactly-once table. Markers survive compaction
+    * (a content no-op must not reopen a replayed batch) and cost one
+    * manifest line each; [[vacuum]] never needs to know about them. */
+  def upsertOnce(root: String, delta: DataFrame, txnId: String): Long = {
+    require(txnId.nonEmpty && txnId.forall(c => !c.isWhitespace),
+      s"txn id must be non-empty and whitespace-free: '$txnId'")
+    commitDelta(root, delta, fixedType = None, txnId = Some(txnId))
+  }
+
   /** Materialize the current merge as a fresh BASE under a new version
     * — content-identical to the previous version by construction; read
-    * cost resets to a pure base scan. */
-  def compact(s: SparkSession, root: String, key: String): Long = {
+    * cost resets to a pure base scan.
+    *
+    * `buckets > 1` additionally KEY-RANGE-BUCKETS the new base (one
+    * `repartitionByRange` on the merge key — disjoint ranges, no extra
+    * shuffle beyond the rewrite compaction already pays) and records
+    * per-FILE min/max stats in the manifest, so a post-compaction
+    * [[snapshotAt]] point lookup prunes to the bucket files that can
+    * hold the keys instead of rescanning the whole base — on a 100 TB
+    * table the difference between a key read costing one bucket and
+    * costing the corpus. Transaction markers ([[upsertOnce]]) are
+    * carried through: a content no-op must not reopen replayed
+    * streaming batches. */
+  def compact(s: SparkSession, root: String, key: String,
+              buckets: Int = 1): Long = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
     val prev = latestVersion(root)
     require(prev >= 0, s"no table at $root")
     val m = readManifest(root, prev)
@@ -379,10 +417,15 @@ object TimeTravel {
     val v = prev + 1
     val name = newDataDir("base", v)
     val dataPath = new Path(root, name).toString
-    snapshot(s, root, prev, key).write.mode("errorifexists").parquet(dataPath)
-    val st = statsOf(s, dataPath, key)
-    val ok = writeManifest(root, v,
-      Manifest(key, Seq(Entry("base", name, v, st))))
+    val merged = snapshot(s, root, prev, key)
+    val shaped =
+      if (buckets == 1) merged else merged.repartitionByRange(buckets, col(key))
+    shaped.write.mode("errorifexists").parquet(dataPath)
+    val dataEnts =
+      if (buckets == 1) Seq(Entry("base", name, v, statsOf(s, dataPath, key)))
+      else perFileEntries(s, root, name, v, key)
+    val txns = m.entries.filter(_.kind == "txn")
+    val ok = writeManifest(root, v, Manifest(key, txns ++ dataEnts))
     if (!ok) {
       fileSystem(root).delete(new Path(root, name), true)
       throw new java.util.ConcurrentModificationException(
@@ -391,13 +434,45 @@ object TimeTravel {
     v
   }
 
+  /** One manifest entry PER PART FILE of a bucketed base, each with its
+    * own key min/max — the stats [[snapshotAt]] prunes on. One scan of
+    * the written bytes grouped by file; the collect is O(buckets) rows
+    * (file name + two longs), never row data. */
+  private def perFileEntries(s: SparkSession, root: String, name: String,
+                             v: Long, key: String): Seq[Entry] = {
+    val dirPath = new Path(root, name)
+    val files = fileSystem(root).listStatus(dirPath).toSeq
+      .map(_.getPath.getName).filter(_.startsWith("part-")).sorted
+    val df = s.read.parquet(dirPath.toString)
+    val integral = {
+      import org.apache.spark.sql.types._
+      Seq(LongType, IntegerType, ShortType, ByteType)
+        .contains(df.schema(key).dataType)
+    }
+    val statsByFile: Map[String, (Long, Long)] =
+      if (!integral) Map.empty
+      else df.groupBy(input_file_name().as("__f"))
+        .agg(min(col(key).cast("long")).as("mn"),
+          max(col(key).cast("long")).as("mx"))
+        .collect()
+        .map(r => (new Path(r.getString(0)).getName, (r.getLong(1), r.getLong(2))))
+        .toMap
+    files.map(f => Entry("base", s"$name/$f", v, statsByFile.get(f)))
+  }
+
+  /** Manifest entries that name DATA (a `txn` idempotence marker — see
+    * [[upsertOnce]] — rides the same entry list but holds no rows). */
+  private def dataEntries(entries: Seq[Entry]): Seq[Entry] =
+    entries.filter(e => e.kind == "base" || e.kind == "delta")
+
   /** Merge a manifest chain: per-key latest via one partial-aggregable
     * max_by. `keyFilter` (point reads) is pushed below the union so it
     * reaches every parquet scan. */
   private def mergeChain(s: SparkSession, root: String, m: Manifest,
-                         entries: Seq[Entry],
+                         rawEntries: Seq[Entry],
                          keyFilter: Option[Column]): DataFrame = {
     val key = m.key
+    val entries = dataEntries(rawEntries)
     val parts = entries.map { e =>
       val df = s.read.parquet(new Path(root, e.name).toString)
       keyFilter.map(df.filter).getOrElse(df).withColumn("__v", lit(e.ver))
@@ -444,7 +519,7 @@ object TimeTravel {
     require(points.nonEmpty, "snapshotAt needs at least one point")
     val m = readManifest(root, v)
     require(m.key == key, s"table at $root merges on ${m.key}, not $key")
-    val kept = m.entries.filter { e =>
+    val kept = dataEntries(m.entries).filter { e =>
       e.stats.forall { case (lo, hi) => points.exists(p => p >= lo && p <= hi) }
     }
     if (kept.isEmpty)
@@ -540,9 +615,13 @@ object TimeTravel {
     val latest = latestVersion(root)
     require(keepFrom >= 0 && keepFrom <= latest,
       s"keepFrom=$keepFrom outside [0, $latest]")
+    // reference by the FIRST path segment: a bucketed base's entries
+    // name individual part files (`base-00003-xx/part-...`), and the
+    // directory they live in is what the sweep below must keep
     val referenced = (keepFrom to latest)
       .filter(isValid(root, _))
-      .flatMap(v => readManifest(root, v).entries.map(_.name)).toSet
+      .flatMap(v => readManifest(root, v).entries
+        .map(_.name.split("/").head)).toSet
     fs.listStatus(new Path(root)).foreach { st =>
       val n = st.getPath.getName
       if ((n.startsWith("base-") || n.startsWith("delta-")) &&

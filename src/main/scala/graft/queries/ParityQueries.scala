@@ -741,6 +741,66 @@ object ParityQueries {
         .orderBy("user_id")
     }),
 
+    // EXACTLY-ONCE VERSIONED STREAMING SINK graded — foreachBatch
+    // delivery is AT-LEAST-ONCE (a micro-batch replays after a driver
+    // restart), so a transactional sink must make the replay a no-op.
+    // This is the public Delta-Lake txn/txnVersion design on our
+    // versioned table: each micro-batch commits through
+    // TimeTravel.upsertOnce with the batch id as the transaction id,
+    // which records the id in the manifest alongside the delta — and
+    // the query REPLAYS every batch on purpose (a second upsertOnce
+    // with the same id, the restart case, machine-checked per batch):
+    // the replay must return the SAME version and commit NOTHING. The
+    // final latestVersion require proves exactly 3 micro-batch commits
+    // landed for 3 staged slices + replays; the hash grade proves the
+    // table's final snapshot equals the per-user last event over the
+    // whole stream (within-batch dedup via one max_by struct; across
+    // batches last-writer-wins on version order = arrival order, the
+    // same LWW a 100 TB CDC-ingest trickle relies on).
+    "stream_versioned_sink" -> ((s, dir) => withShufflePartitions(s, 4) {
+      import graft.operators.TimeTravel
+      val hand = stagedEventTertiles(s, dir)
+      val root = ScratchDirs("graft-svs")
+      val schema = s.read.parquet(hand).schema
+      // v0: an EMPTY base — the table exists before the first batch,
+      // so every micro-batch goes through the same idempotent path
+      TimeTravel.init(
+        s.read.schema(schema).parquet(hand).limit(0)
+          .select(col("user_id"), col("ts_ms"), col("event_type"),
+            col("value")),
+        root, "user_id")
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(hand)
+      val ckpt = ScratchDirs("graft-svs-ckpt")
+      val q = stream.writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+          val delta = batch
+            .groupBy(col("user_id"))
+            .agg(max(struct(col("ts_ms"), col("event_id"), col("event_type"),
+              col("value"))).as("last"))
+            .select(col("user_id"), col("last.ts_ms").as("ts_ms"),
+              col("last.event_type").as("event_type"),
+              col("last.value").as("value"))
+          val txn = s"svs-batch-$batchId"
+          val v = TimeTravel.upsertOnce(root, delta, txn)
+          val replay = TimeTravel.upsertOnce(root, delta, txn)
+          require(replay == v && TimeTravel.latestVersion(root) == v,
+            s"replayed batch $batchId must be a no-op: v$replay after v$v")
+          ()
+        }
+        .start()
+      q.awaitTermination()
+      val vEnd = TimeTravel.latestVersion(root)
+      require(vEnd == 3L,
+        s"3 slices + per-batch replays must commit exactly 3 versions, got $vEnd")
+      TimeTravel.snapshot(s, root, vEnd, "user_id")
+        .select(col("user_id"), col("ts_ms"), col("event_type"),
+          round(col("value"), 4).as("value_r"))
+        .orderBy("user_id")
+    }),
+
     // SLIDING-window streaming aggregation graded: 1-hour windows every
     // 30 minutes, so each event fans into exactly TWO overlapping
     // windows — the semantic tumbling windows cannot express. Complete
@@ -1373,6 +1433,20 @@ object ParityQueries {
     // The accumulated foreachBatch state must equal the batch
     // latest-row-per-key reduction over the full fixture.
     "stream_upsert_sink" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_id,
+        |             event_type, value
+        |           FROM events),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+        |                  ORDER BY ts_ms DESC, event_id DESC) AS rk
+        |      FROM e)
+        |SELECT user_id, ts_ms, event_type, round(value, 4) AS value_r
+        |FROM r WHERE rk = 1 ORDER BY user_id""".stripMargin,
+
+    // Same per-user last-event replay as stream_upsert_sink: the
+    // versioned sink's LWW across batch-ordered commits + within-batch
+    // max_by dedup reduces to the global (ts_ms, event_id) argmax
+    // because the staged tertiles are time-monotone.
+    "stream_versioned_sink" ->
       """WITH e AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_id,
         |             event_type, value
         |           FROM events),

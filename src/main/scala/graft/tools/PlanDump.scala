@@ -261,6 +261,10 @@ object PlanDump {
     "stream_task_retry_rocksdb" -> "the stream_task_retry protocol against the RocksDB state store — the backend a 100 TB deployment actually runs: the aborted task must roll back its native store instance and the retry must reload the last committed checkpoint version; same in-code failure proofs, same whole-fixture hash grade (backend invisible to exactly-once)",
     "q_time_travel_delete" -> "VERSIONED DELETES on the merge-on-read table: a tombstone commit is O(|keys|) (no table rewrite); snapshots at/after it exclude the keys, snapshots before still show them (audit/legal-hold reads), and a later upsert revives a key last-writer-wins; the tombstone marker rides inside the max_by merge struct and never reaches an output schema; physical erasure composes with vacuum (retention past the delete reclaims the pre-delete bytes)",
     "q_table_changes" -> "CHANGE DATA FEED on the versioned table (the table_changes(from,to) read): the delta files ARE the log — no snapshot diffing; per-commit insert/update tags from ONE fromV membership probe + a min-version aggregate over the range's deltas (both shuffle on the key once; the delta side broadcasts at scale); compaction in the range contributes nothing — feeds incremental downstream maintenance (re-embed only changed docs)",
+    "q_time_travel_point" -> "POINT LOOKUP with FILE SKIPPING on the versioned table: every commit records its file set's [min,max] key range in the manifest (stats read from the written bytes, O(|delta|)); snapshotAt prunes file sets that cannot contain a queried key BEFORE the merge and pushes the key filter below the union so it reaches every surviving parquet scan — the in-query require proves a disjoint-range delta never enters the plan; at 100 TB a key read costs the overlapping file sets, never the chain",
+    "q_time_travel_bucketed" -> "BUCKETED COMPACTION: compact(buckets=N) range-partitions the rewritten base on the merge key (one repartitionByRange — no shuffle beyond the rewrite itself) and records per-FILE min/max manifest stats, so a post-compaction point lookup prunes to the buckets that can hold its keys (required in-code: strictly fewer files than the base); the full-snapshot half of the hash grade proves bucketing is semantically invisible",
+    "pipeline_incremental_reindex" -> "INCREMENTAL INDEX MAINTENANCE from the change feed: the IVF assignment index updates from changes(from,to) ALONE — net per-key effect via one max_by on the feed (delta files only, required in-code), nearest-centroid reassignment joins the k×dim broadcast seed centroids, stale rows retire via anti-join on the bounded changed-key set; hash-graded against a FULL REBUILD of the target state, so maintenance cost ∝ |changes| while the result is indistinguishable from reindexing the corpus",
+    "stream_versioned_sink" -> "EXACTLY-ONCE VERSIONED STREAMING SINK: foreachBatch is at-least-once, so each micro-batch commits via upsertOnce(batch, txn=batchId) — the manifest records the txn id next to the delta, and the graded query REPLAYS every batch (second upsertOnce, same id) requiring the same version back with nothing re-committed (the public Delta txn/txnVersion design); within-batch dedup is one max_by struct, across batches LWW on version order; final snapshot hash-equals the per-user last event over the whole stream",
     "q_time_travel_vacuum" -> "RETENTION on the versioned table: vacuum(keepFrom) deletes manifests below the horizon and every data file set no surviving manifest references (reclaim proven in-code: only the compacted base + its manifest remain on disk; sub-horizon reads fail loudly); the hash grade proves the reclaim is SAFE — the surviving snapshot still equals the full operation replay",
     "q_schema_evolution" -> "ADDITIVE schema evolution on the versioned table: a delta introduces a column the base lacks — merge-on-read fills null for rows whose latest write predates it (no base rewrite, no backfill job: the O(|delta|) commit property survives schema change), and historical snapshots keep their own schema (required in-code: v0 does not show the column)",
     "q_time_travel" -> "TIME TRAVEL on a merge-on-read versioned table (operators/TimeTravel — immutable manifests + data files, the public Hudi-MOR/Iceberg design): upserts commit O(|delta|) writes, never O(|table|); a snapshot read at version N is ONE partial-aggregable max_by over base+deltas≤N (one shuffle on the key, no window); compaction resets read cost to a pure base scan — required in-code via inputFiles — while being content-identical (the v3-equals-v2 half of the hash grade); the dataset-reproducibility primitive a training estate pins runs to",
@@ -461,6 +465,47 @@ object PlanDump {
         |round-11 triage above pinned for the round-10 six. No plan
         |change exists to find (the kernel is byte-identical); verdict:
         |**suite co-tenancy, de-flagged.**
+        |""".stripMargin)
+    sb.append("\n## Appendix: round-13 bench re-anchor + r12 mover adjudication\n\n")
+    sb.append(
+      """Round 12 closed with the first cross-round regression signal in
+        |three rounds (1.23x median on the 365-query common subset) on
+        |byte-mostly-unchanged code, so round 13 opened — before any code
+        |change — with a controlled ANCHOR PAIR: the full 374-query
+        |registry run twice back-to-back from a FROZEN classpath snapshot
+        |of the r12-identical tree (`anchor_cp_r13/`, committed script
+        |`tools/run_bench_anchor.sh`), so recompiles during the round
+        |cannot perturb the measurement. Results
+        |(BENCH_r13_anchor_{a,b}.json): A = 360.8 s median / 321.1 s min,
+        |B = 336.6 s / 297.2 s — 7% apart on IDENTICAL bytes (the ambient
+        |band), zero A-vs-B per-query min-of-3 spreads above 2x, zero
+        |failures, and `q_time_travel_delete` (unbenched in r12) now has
+        |rows in both anchors. vs the r12 full run on the 373-query
+        |common subset: 1.09x median / 1.08x min — the r12 "regression"
+        |does not reproduce on its own bytes.
+        |
+        |Each of the eight r12 >2x min-of-3 movers was adjudicated
+        |against the pair. Seven snapped back to their r11 levels in
+        |BOTH anchors on byte-identical code — `q_sql_script`
+        |2.05 -> 0.74/0.76 s min (r11: 0.62), `q_sql_udf` 0.84 -> 0.33/
+        |0.35 (0.30), `q_sql_surface` 0.88 -> 0.37/0.36 (0.34),
+        |`q_sql_native_funcs` 0.87 -> 0.38/0.34 (0.35), `q_string_agg`
+        |0.66 -> 0.41/0.38 (0.32), `q_survival_km` 0.59 -> 0.24/0.30
+        |(0.21), `q_seasonality` 0.45 -> 0.26/0.30 (0.22) — verdict:
+        |**suite co-tenancy during the r12 run, de-flagged** (consistent
+        |with the r12 observation that the movers clustered alphabetically
+        |around the then-new versioned-table queries' disk traffic). The
+        |eighth, `q_hll_sketch`, stayed at ~0.88/0.80 s in both anchors
+        |(r11 in-suite: 0.51/0.37); its r12 kernel diff is scaladoc +
+        |DuckDB-oracle-side only (git c480f86 — the benched Spark plan is
+        |byte-identical), and two further ISOLATED fresh-JVM reruns from
+        |the frozen classpath landed 0.95/0.93 and 0.95/0.91 s — tight to
+        |1% of each other. Verdict: **environment re-basing** (today's
+        |sandbox runs this register-array aggregate slower than r11's
+        |did), self-consistent across both anchors and both isolated
+        |JVMs; no plan change exists to find. The anchors ARE the new
+        |cross-round baseline; r13+ deltas should be read against them,
+        |not against r11/r12 in-suite numbers.
         |""".stripMargin)
     if (unexpected.isEmpty)
       sb.append("\n**Sweep lint: 0 unexpected flags across the registry.**\n")

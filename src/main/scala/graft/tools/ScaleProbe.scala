@@ -540,9 +540,25 @@ object ScaleProbe {
       val changesSec = (System.nanoTime() - tch0) / 1e9
       require(ch.inputFiles.nonEmpty && ch.inputFiles.forall(_.contains("/delta-")),
         "CDC read must touch delta files only")
+      // bucketed compaction: a point lookup afterwards must read only
+      // the bucket files that can hold its keys — cost ∝ one bucket
+      // (table/buckets), never the base; files_read/files_total makes
+      // the pruning machine-visible at every factor
+      val vb = graft.operators.TimeTravel.compact(spark, root, "k", buckets = 8)
+      val tp0 = System.nanoTime()
+      val pt = graft.operators.TimeTravel.snapshotAt(spark, root, vb, "k",
+        Seq(7L, 11L, 13L))
+      val nPt = pt.count()
+      val pointSec = (System.nanoTime() - tp0) / 1e9
+      val ptFiles = pt.inputFiles.length
+      val allFiles = graft.operators.TimeTravel
+        .snapshot(spark, root, vb, "k").inputFiles.length
+      require(nPt == 3 && ptFiles < allFiles,
+        s"bucketed point lookup must prune: read $ptFiles of $allFiles")
       println(f"PROBE timetravel x$factor table=${100000L * factor} rows=$n " +
         f"commit_s=$commitSec%.2f commit_kb=${commitBytes / 1024} " +
-        f"read_s=$readSec%.2f changes_rows=$nCh changes_s=$changesSec%.2f")
+        f"read_s=$readSec%.2f changes_rows=$nCh changes_s=$changesSec%.2f " +
+        f"point_s=$pointSec%.2f point_files=$ptFiles/$allFiles")
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
       }

@@ -211,6 +211,67 @@ class TimeTravelSpec extends SparkSpec {
     assert(none.count() === 0L)
   }
 
+  test("TimeTravel.compact(buckets): per-file stats prune, vacuum keeps the bucketed base") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ttb-spec").toString
+    TimeTravel.init(
+      (1L to 200L).map(k => (k, "a", k)).toDF("k", "seg", "v"), root, "k")
+    TimeTravel.upsert(root,
+      (1L to 20L).map(k => (k, "b", k + 500)).toDF("k", "seg", "v"))
+    val v2 = TimeTravel.compact(spark, root, "k", buckets = 4)
+    assert(v2 === 2L)
+    // bucketing is semantically invisible: the compacted snapshot equals
+    // the pre-compaction merge, and reads plan over the new base only
+    val snap = TimeTravel.snapshot(spark, root, v2, "k")
+    assert(rows(snap) === rows(TimeTravel.snapshot(spark, root, 1L, "k")))
+    val baseFiles = snap.inputFiles
+    assert(baseFiles.length >= 3 && baseFiles.forall(_.contains("base-00002")),
+      s"expected a split base, got ${baseFiles.toSeq}")
+    // per-file stats: a low-key point lookup reads strictly fewer files
+    val pt = TimeTravel.snapshotAt(spark, root, v2, "k", Seq(3L))
+    assert(rows(pt) === Set((3L, "b", 503L)))
+    assert(pt.inputFiles.length < baseFiles.length,
+      s"pruning read ${pt.inputFiles.length} of ${baseFiles.length}")
+    // vacuum must key its reachability on the bucketed base's DIRECTORY
+    // (entries name part files inside it), not delete it as unreferenced
+    TimeTravel.vacuum(root, keepFrom = v2)
+    assert(rows(TimeTravel.snapshot(spark, root, v2, "k")) === rows(snap))
+    val left = new java.io.File(root).list().toSet
+    assert(left.exists(_.startsWith("base-00002-")) &&
+      !left.exists(_.startsWith("base-00000-")) &&
+      !left.exists(_.startsWith("delta-00001-")),
+      s"unexpected survivors: $left")
+  }
+
+  test("TimeTravel.upsertOnce: a replayed txn commits nothing; markers survive compaction") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ttt-spec").toString
+    TimeTravel.init(
+      (1L to 10L).map(k => (k, "a", k)).toDF("k", "seg", "v"), root, "k")
+    val d1 = Seq((1L, "b", 11L)).toDF("k", "seg", "v")
+    assert(TimeTravel.upsertOnce(root, d1, "batch-0") === 1L)
+    // the replay (at-least-once redelivery): same version back, no new
+    // manifest, no new delta file set on disk
+    assert(TimeTravel.upsertOnce(root, d1, "batch-0") === 1L)
+    assert(TimeTravel.latestVersion(root) === 1L)
+    assert(new java.io.File(root).list().count(_.startsWith("delta-")) === 1)
+    // a DIFFERENT txn commits normally
+    assert(TimeTravel.upsertOnce(root,
+      Seq((2L, "c", 22L)).toDF("k", "seg", "v"), "batch-1") === 2L)
+    // markers survive compaction: a content no-op must not reopen
+    // already-applied batches
+    val v3 = TimeTravel.compact(spark, root, "k")
+    assert(TimeTravel.upsertOnce(root, d1, "batch-0") === 1L)
+    assert(TimeTravel.latestVersion(root) === v3)
+    // plain upsert still works on a txn-bearing manifest chain
+    val v4 = TimeTravel.upsert(root, Seq((3L, "d", 33L)).toDF("k", "seg", "v"))
+    assert(v4 === 4L)
+    assert(rows(TimeTravel.snapshot(spark, root, v4, "k"))
+      .contains((3L, "d", 33L)))
+    // malformed txn ids fail loudly (they'd corrupt the manifest line)
+    intercept[IllegalArgumentException] {
+      TimeTravel.upsertOnce(root, d1, "has space")
+    }
+  }
+
   test("FaultInjection: one-shot per tag, retry attempts recorded") {
     val tag = "spec_" + java.util.UUID.randomUUID().toString.take(8)
     FaultInjection.arm(tag)
