@@ -57,7 +57,9 @@ object TextAnalysis {
         size(col("__w")), 4).as("stopword_ratio"),
       round(length(regexp_replace(t, "\\s+", "")).cast("double") /
         size(col("__w")), 4).as("mean_word_len"))
-    df.withColumn("__w", TextFunctions.words(t))
+    // Per-row regex/array kernels over an unsplittable scan: spread
+    // first so they run on every core (guide §2.5; no-op at scale).
+    Spread.forCompute(df).withColumn("__w", TextFunctions.words(t))
       .select(col(idCol) +: passthrough.map(col) ++: metrics: _*)
   }
 
@@ -85,7 +87,7 @@ object TextAnalysis {
     val lines = col("__l")
     def charCount(ch: String): Column =
       (length(t) - length(regexp_replace(t, ch, ""))).cast("long")
-    df.withColumn("__w", TextFunctions.words(t))
+    Spread.forCompute(df).withColumn("__w", TextFunctions.words(t))
       .withColumn("__l", split(t, "\n"))
       .select(col(idCol),
         size(w).cast("long").as("n_words"),
@@ -147,7 +149,7 @@ object TextAnalysis {
     // sequence(1, n-1) would go DESCENDING for n=1 (sequence infers a
     // negative step) — guard bigrams behind n >= 2.
     val bigrams = TextFunctions.bigramsExpr()
-    df.withColumn("__w", TextFunctions.words(col(textCol)))
+    Spread.forCompute(df).withColumn("__w", TextFunctions.words(col(textCol)))
       .select(col(idCol),
         size(col("__w")).as("n_words"),
         round(size(array_distinct(col("__w"))).cast("double") /
@@ -182,7 +184,7 @@ object TextAnalysis {
           regexp_replace(t, UrlPattern, "<URL>"),
           EmailPattern, "<EMAIL>"),
         PhonePattern, "<NUM>")
-    df.select(col(idCol),
+    Spread.forCompute(df).select(col(idCol),
       regexp_count(t, lit(UrlPattern)).as("n_urls"),
       regexp_count(t, lit(EmailPattern)).as("n_emails"),
       regexp_count(t, lit(PhonePattern)).as("n_phones"),
@@ -199,8 +201,9 @@ object TextAnalysis {
   def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
                     k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val words = df.select(col(idCol).as("doc"),
-      explode(TextFunctions.words(col(textCol))).as("word"))
+    val words = Spread.forCompute(df.select(col(idCol), col(textCol)))
+      .select(col(idCol).as("doc"),
+        explode(TextFunctions.words(col(textCol))).as("word"))
     val tf = words.groupBy(col("doc"), col("word")).agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
     val nDocs = df.agg(countDistinct(col(idCol)).as("n_docs"))
@@ -278,7 +281,8 @@ object TextAnalysis {
     require(capacity >= supportDenom,
       s"capacity ($capacity) must be >= supportDenom ($supportDenom) for the " +
         "no-false-negative guarantee (undercount n/(capacity+1) < support n/supportDenom)")
-    val words = df.select(explode(TextFunctions.words(col(textCol))).as("word"))
+    val words = Spread.forCompute(df.select(col(textCol)))
+      .select(explode(TextFunctions.words(col(textCol))).as("word"))
     val mg = udaf(new graft.functions.MisraGries(capacity))
     val candidates = words.agg(mg(col("word")).as("c"))
       .select(explode(col("c")).as("word"))
@@ -302,7 +306,8 @@ object TextAnalysis {
     require(chunkSize > overlap && overlap >= 0,
       s"need chunkSize > overlap >= 0, got chunkSize=$chunkSize overlap=$overlap")
     val step = chunkSize - overlap
-    df.select(col(idCol), TextFunctions.words(col(textCol)).as("__w"))
+    Spread.forCompute(df.select(col(idCol), col(textCol)))
+      .select(col(idCol), TextFunctions.words(col(textCol)).as("__w"))
       .select(col(idCol),
         posexplode(expr(
           s"""transform(
@@ -365,7 +370,10 @@ object TextAnalysis {
                       minDocs: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
-    val pos = df
+    // One spread frame behind both the positional pass and the totals
+    // projection — the two subtrees share the exchange via ReuseExchange.
+    val d0 = Spread.forCompute(df.select(col(idCol), col(textCol)))
+    val pos = d0
       .select(col(idCol).as("doc"), TextFunctions.words(col(textCol)).as("__w"))
       .select(col("doc"),
         posexplode(graft.plans.ShingleHashes.positional(col("__w")))
@@ -385,7 +393,7 @@ object TextAnalysis {
         max(col("run_len")).as("max_run"))
     // totals come straight from the word count (n − width + 1 positions)
     // — a pure projection, not a third explode+hash pass over the corpus
-    val totals = df
+    val totals = d0
       .select(col(idCol).as("doc"), TextFunctions.words(col(textCol)).as("__w"))
       .filter(size(col("__w")) >= 3)
       .select(col("doc"), (size(col("__w")) - 2).cast("long").as("n_positions"))
@@ -414,8 +422,9 @@ object TextAnalysis {
   def removeDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
                             minDocs: Int = 2): DataFrame = {
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
-    val toks = df.select(col(idCol).as("doc"),
-      TextFunctions.words(col(textCol)).as("__w"))
+    val toks = Spread.forCompute(df.select(col(idCol), col(textCol)))
+      .select(col(idCol).as("doc"),
+        TextFunctions.words(col(textCol)).as("__w"))
     val pos = toks
       .select(col("doc"),
         posexplode(graft.plans.ShingleHashes.positional(col("__w")))
@@ -529,7 +538,8 @@ object TextAnalysis {
       .select(col("id").as("bucket"),
         (pmod(col("id") * lit(2654435761L), lit(1000001L)) - lit(500000L))
           .as("wt_micro"))
-    df.select(col(idCol), explode(TextFunctions.words(col(textCol))).as("__w"))
+    Spread.forCompute(df.select(col(idCol), col(textCol)))
+      .select(col(idCol), explode(TextFunctions.words(col(textCol))).as("__w"))
       .select(col(idCol),
         pmod(conv(substring(md5(col("__w")), 1, 12), 16, 10).cast("long"),
           lit(numBuckets.toLong)).as("bucket"))
@@ -591,7 +601,8 @@ object TextAnalysis {
   def lineDedup(df: DataFrame, idCol: String, textCol: String,
                 delim: String = "\n", maxOccurrences: Int = 1): DataFrame = {
     require(maxOccurrences >= 1, s"maxOccurrences must be >= 1, got $maxOccurrences")
-    val lines = df.select(col(idCol),
+    val lines = Spread.forCompute(df.select(col(idCol), col(textCol)))
+      .select(col(idCol),
         posexplode(split(col(textCol), java.util.regex.Pattern.quote(delim)))
           .as(Seq("line_no", "line")))
       .withColumn("__key", lower(trim(col("line"))))
@@ -631,7 +642,7 @@ object TextAnalysis {
     * key, never collected). */
   def bigramLmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val bigramsExpr = TextFunctions.bigramsExpr()
-    val bg = df
+    val bg = Spread.forCompute(df.select(col(idCol), col(textCol)))
       .select(col(idCol).as("doc"), TextFunctions.words(col(textCol)).as("__w"))
       .filter(size(col("__w")) >= 2)
       .select(col("doc"), explode(expr(bigramsExpr)).as("bg"))
@@ -782,7 +793,8 @@ object TextAnalysis {
     * tokenize-everything pass. Output (id, tokens, n_tokens). */
   def bpeEncode(df: DataFrame, idCol: String, textCol: String,
                 merges: Seq[(String, String)]): DataFrame =
-    df.select(col(idCol),
+    Spread.forCompute(df.select(col(idCol), col(textCol)))
+      .select(col(idCol),
         graft.plans.BpeEncode(TextFunctions.words(col(textCol)), merges).as("tokens"))
       .withColumn("n_tokens", size(col("tokens")))
 
@@ -797,7 +809,8 @@ object TextAnalysis {
     * two documents shares at least one fingerprint, so an equi-join on
     * `fp` finds partial-overlap candidates at scan+shuffle cost. */
   def winnowedFingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol), TextFunctions.words(col(textCol)).as("__w"))
+    Spread.forCompute(df.select(col(idCol), col(textCol)))
+      .select(col(idCol), TextFunctions.words(col(textCol)).as("__w"))
       .select(col(idCol), explode(graft.plans.WinnowedHashes(col("__w"))).as("fp"))
 
   /** PMI-scored bigram collocations — the phrase-mining pass that finds
@@ -809,7 +822,8 @@ object TextAnalysis {
     * The size ≥ 2 guard dodges Spark's descending sequence(1, 0). */
   def pmiCollocations(df: DataFrame, textCol: String,
                       minCount: Long = 5, topK: Int = 30): DataFrame = {
-    val bg = df
+    val d0 = df.select(col(textCol))
+    val bg = d0
       .select(TextFunctions.words(col(textCol)).as("l"))
       .select(explode(expr(
         """CASE WHEN size(l) >= 2 THEN
@@ -819,7 +833,7 @@ object TextAnalysis {
       .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
     val bgc = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cxy"))
       .filter(col("cxy") >= minCount)
-    val uni = df
+    val uni = d0
       .select(explode(TextFunctions.words(col(textCol))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("cw"))
     val totals = bg.agg(count(lit(1)).as("nb"))
@@ -847,7 +861,7 @@ object TextAnalysis {
   def rakeKeyphrases(df: DataFrame, idCol: String, textCol: String,
                      topK: Int = 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val pw = df
+    val pw = Spread.forCompute(df.select(col(idCol), col(textCol)))
       .select(col(idCol).as("__doc"),
         posexplode(TextFunctions.words(col(textCol))).as(Seq("pos", "w")))
       .filter(!col("w").isin(Stopwords: _*) && col("w") =!= "")
@@ -882,7 +896,8 @@ object TextAnalysis {
     * never leave the row, so the operator runs at scan speed with zero
     * shuffle at any scale. */
   def readability(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol), TextFunctions.words(col(textCol)).as("l"),
+    Spread.forCompute(df.select(col(idCol), col(textCol)))
+      .select(col(idCol), TextFunctions.words(col(textCol)).as("l"),
         expr(s"size(filter(split($textCol, '[.!?]+'), x -> trim(x) != ''))").as("ns0"))
       .select(col(idCol),
         size(col("l")).cast("long").as("n_words"),

@@ -220,25 +220,6 @@ object TimeTravel {
     publish(fs, tmp, manifestPath(root, v), root, v)
   }
 
-  /** One pass over the freshly written file set: per-fileset key
-    * min/max (manifest stats, integral keys only) — read back from the
-    * written bytes so the stats always describe the actual files. */
-  private def statsOf(s: SparkSession, dir: String, key: String):
-      Option[(Long, Long)] = {
-    val df = s.read.parquet(dir)
-    val integral = {
-      import org.apache.spark.sql.types._
-      Seq(LongType, IntegerType, ShortType, ByteType)
-        .contains(df.schema(key).dataType)
-    }
-    if (!integral) None
-    else {
-      val r = df.agg(min(col(key).cast("long")), max(col(key).cast("long")))
-        .head()
-      if (r.isNullAt(0)) None else Some((r.getLong(0), r.getLong(1)))
-    }
-  }
-
   private def newDataDir(kind: String, v: Long): String =
     f"$kind-$v%05d-${java.util.UUID.randomUUID().toString.take(8)}"
 
@@ -248,26 +229,44 @@ object TimeTravel {
   def init(df: DataFrame, root: String, key: String): Long = {
     require(df.columns.contains(key), s"no column $key in ${df.columns.toSeq}")
     require(latestVersion(root) == -1L, s"table at $root already exists")
-    requireKeyUnique(df, key)
-    val s = df.sparkSession
+    // uniqueness + manifest stats in ONE pass (the write is this same
+    // frame, so the range describes the written bytes exactly)
+    val st = checkedDeltaRange(df, key)
     val name = newDataDir("base", 0L)
     df.write.mode("errorifexists").parquet(new Path(root, name).toString)
-    val st = statsOf(s, new Path(root, name).toString, key)
     val ok = writeManifest(root, 0L,
       Manifest(key, Seq(Entry("base", name, 0L, st))))
     require(ok, s"concurrent init of $root lost the version-0 race")
     0L
   }
 
-  /** The delta contract: one row per key. Violated, the max_by LWW tie
-    * inside one version would resolve nondeterministically and
-    * snapshots silently diverge between runs — so it fails loudly at
-    * commit time. One O(|delta|) aggregate, piggybacked on the commit. */
-  private def requireKeyUnique(delta: DataFrame, key: String): Unit = {
-    val r = delta.agg(count(lit(1)), count_distinct(col(key))).head()
+  /** ONE O(|delta|) aggregate per commit carrying BOTH commit-time
+    * probes (r13 optimization — these were two separate jobs): the
+    * key-uniqueness contract (one row per key, or the max_by LWW tie
+    * inside one version resolves nondeterministically and snapshots
+    * silently diverge — fails loudly here), and the integral-key
+    * min/max range that (a) prunes the change-type membership probe's
+    * chain and (b) becomes the manifest's file-skipping stats — the
+    * delta IS the written file set, so its range describes the written
+    * bytes exactly and the old post-write read-back pass is redundant.
+    * Returns the range (None for non-integral or all-null keys). */
+  private def checkedDeltaRange(delta: DataFrame, key: String):
+      Option[(Long, Long)] = {
+    val integral = {
+      import org.apache.spark.sql.types._
+      Seq(LongType, IntegerType, ShortType, ByteType)
+        .contains(delta.schema(key).dataType)
+    }
+    val aggs =
+      if (integral) Seq(count(lit(1)), count_distinct(col(key)),
+        min(col(key).cast("long")), max(col(key).cast("long")))
+      else Seq(count(lit(1)), count_distinct(col(key)))
+    val r = delta.agg(aggs.head, aggs.tail: _*).head()
     require(r.getLong(0) == r.getLong(1),
       s"delta must be key-unique on $key: ${r.getLong(0)} rows, " +
         s"${r.getLong(1)} distinct keys")
+    if (integral && !r.isNullAt(2)) Some((r.getLong(2), r.getLong(3)))
+    else None
   }
 
   /** Keys from `candidates` that are LIVE (present, not tombstoned) in
@@ -329,23 +328,16 @@ object TimeTravel {
       val key = m.key
       require(delta.columns.contains(key),
         s"delta lacks the table key $key")
-      requireKeyUnique(delta, key)
       val v = prev + 1
+      // ONE aggregate job: uniqueness contract + the key range that
+      // both prunes the membership probe's chain and becomes the
+      // manifest's file-skipping stats (the typed write below carries
+      // exactly these keys, so no post-write read-back pass is needed)
+      val st = checkedDeltaRange(delta, key)
       val typed = fixedType match {
         case Some(t) => delta.withColumn("__change_type", lit(t))
         case None =>
-          // integral-key range of the delta prunes the probe's chain
-          val candRange = {
-            import org.apache.spark.sql.types._
-            if (!Seq(LongType, IntegerType, ShortType, ByteType)
-                .contains(delta.schema(key).dataType)) None
-            else {
-              val r = delta.agg(min(col(key).cast("long")),
-                max(col(key).cast("long"))).head()
-              if (r.isNullAt(0)) None else Some((r.getLong(0), r.getLong(1)))
-            }
-          }
-          val live = liveAmong(s, root, m, prev, delta, candRange)
+          val live = liveAmong(s, root, m, prev, delta, st)
             .withColumn("__live", lit(true))
           delta.join(broadcast(live), Seq(key), "left")
             .withColumn("__change_type",
@@ -356,7 +348,6 @@ object TimeTravel {
       val name = newDataDir("delta", v)
       val dataPath = new Path(root, name).toString
       typed.write.mode("errorifexists").parquet(dataPath)
-      val st = statsOf(s, dataPath, key)
       val newEnts = Entry("delta", name, v, st) +:
         txnId.map(Entry("txn", _, v, None)).toSeq
       val ok = writeManifest(root, v, Manifest(key, m.entries ++ newEnts))
@@ -420,10 +411,32 @@ object TimeTravel {
     val merged = snapshot(s, root, prev, key)
     val shaped =
       if (buckets == 1) merged else merged.repartitionByRange(buckets, col(key))
-    shaped.write.mode("errorifexists").parquet(dataPath)
+    val integral = {
+      import org.apache.spark.sql.types._
+      Seq(LongType, IntegerType, ShortType, ByteType)
+        .contains(shaped.schema(key).dataType)
+    }
+    // single-fileset stats ride the WRITE job as observed metrics
+    // (r13 optimization: the old statsOf re-read every written byte in
+    // a second job); the bucketed path still needs its per-file pass.
+    val obs = new org.apache.spark.sql.Observation(s"graft-compact-$v")
+    val toWrite =
+      if (buckets == 1 && integral)
+        shaped.observe(obs, min(col(key).cast("long")).as("mn"),
+          max(col(key).cast("long")).as("mx"))
+      else shaped
+    toWrite.write.mode("errorifexists").parquet(dataPath)
     val dataEnts =
-      if (buckets == 1) Seq(Entry("base", name, v, statsOf(s, dataPath, key)))
-      else perFileEntries(s, root, name, v, key)
+      if (buckets == 1) {
+        val st =
+          if (!integral) None
+          else {
+            val r = obs.get
+            if (r("mn") == null) None
+            else Some((r("mn").asInstanceOf[Long], r("mx").asInstanceOf[Long]))
+          }
+        Seq(Entry("base", name, v, st))
+      } else perFileEntries(s, root, name, v, key)
     val txns = m.entries.filter(_.kind == "txn")
     val ok = writeManifest(root, v, Manifest(key, txns ++ dataEnts))
     if (!ok) {

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsOfJoin, Hierarchy, Profiling, Sampling, Sketches, Skew, Sorting, Sweep, Upsert}
+import graft.operators.{AsOfJoin, Hierarchy, Profiling, Sampling, Sketches, Skew, Sorting, Spread, Sweep, Upsert}
 import graft.sources.Tables
 
 /** The general relational query surface the reference lacks entirely
@@ -498,9 +498,12 @@ object RelationalQueries {
 
     // JSON extraction from the events.props column.
     "q_json_extract" -> ((s, dir) =>
-      Tables.events(s, dir).select(
-        col("event_id"),
-        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      // Spread before the per-row JSON path extraction (guide §2.5).
+      Spread.forCompute(Tables.events(s, dir)
+          .select(col("event_id"), col("props")))
+        .select(
+          col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
         .orderBy(col("event_id"))),
 
     // The VARIANT semi-structured type (Spark 4's binary JSON): ingest
@@ -515,7 +518,10 @@ object RelationalQueries {
     // per-row string re-parse in every downstream query, no brittle
     // full-schema inference over the corpus).
     "q_variant" -> ((s, dir) => {
-      val ev = Tables.events(s, dir)
+      // Spread ahead of the per-row parse_json×4 kernel (guide §2.5).
+      val ev = Spread.forCompute(Tables.events(s, dir).select(
+        col("event_id"), col("props"), col("user_id"), col("event_type"),
+        col("value")))
       val js = ev.select(col("event_id"), col("props"),
         to_json(struct(col("user_id").as("u"), col("event_type").as("t"),
           struct(floor(col("value") * 100).cast("long").as("cents"))
@@ -758,7 +764,10 @@ object RelationalQueries {
     // the DuckDB oracle.
     "q_udtf_ngrams" -> ((s, dir) => {
       graft.plans.GraftExtensions.register(s)
-      Tables.documents(s, dir).createOrReplaceTempView("docs_udtf")
+      // Spread (guide §2.5): the UDTF gram generator is per-row eval
+      // over the one-split fixture scan.
+      Spread.forCompute(Tables.documents(s, dir).select(col("source"), col("text")))
+        .createOrReplaceTempView("docs_udtf")
       s.sql("""SELECT source, count(*) AS n_grams,
               |       count(DISTINCT gram_hash) AS n_distinct,
               |       CAST(sum(pmod(gram_hash, 1000)) AS BIGINT) AS checksum,
@@ -1165,7 +1174,11 @@ object RelationalQueries {
             .otherwise(col("o_orderpriority")))
       val cols = Seq("o_custkey", "o_orderdate", "o_orderkey",
         "o_orderpriority", "o_orderstatus", "o_totalprice")
-      val stacked = o.select(explode(array(cols.map(c =>
+      // Spread the pruned columns before the 6-way explode + md5 bucket
+      // projection: the single-row-group scan would otherwise run the
+      // whole stack single-threaded (guide §2.5; no-op at scale).
+      val stacked = Spread.forCompute(o.select(cols.map(col): _*))
+        .select(explode(array(cols.map(c =>
           struct(lit(c).as("column"), col(c).cast("string").as("v"))): _*))
           .as("p"))
         .select(col("p.column").as("column"), col("p.v").as("v"))
@@ -1544,6 +1557,10 @@ object RelationalQueries {
     // at sf≤0.1). At pipeline scale use q_percentiles_sketch below —
     // same shape, partial-aggregable constant-memory sketch.
     "q_percentiles" -> ((s, dir) =>
+      // No spread: the exact percentile buffer is value-count state the
+      // size of the column — parallel partial buffers just move the cost
+      // into the 3-task merge + a fat buffer shuffle (measured 1.74 s →
+      // 2.01 s with a spread, reverted).
       Tables.lineitem(s, dir)
         .groupBy(col("l_returnflag"))
         .agg(
@@ -1574,7 +1591,11 @@ object RelationalQueries {
     // relative error the query fails as a hash mismatch on that boolean
     // — check `sketch_within_5pct` first when debugging here.
     "q_percentiles_sketch" -> ((s, dir) =>
-      Tables.lineitem(s, dir)
+      // Spread: parallel partial sketch/percentile buffers (guide §2.5).
+      // The GK summary is merge-sound under any partitioning and the
+      // graded surface only reads it through the 5% accuracy band.
+      Spread.forCompute(Tables.lineitem(s, dir).select(
+          col("l_returnflag"), col("l_extendedprice")))
         .groupBy(col("l_returnflag"))
         .agg(
           expr("approx_percentile(l_extendedprice, array(0.5D, 0.9D), 2000)").as("__a"),
@@ -2287,7 +2308,12 @@ object RelationalQueries {
     "q_bootstrap_ci" -> ((s, dir) => {
       val e = Tables.events(s, dir)
         .select(col("event_id"), floor(col("value") * 100).cast("long").as("cents"))
-      val reps = e.select(col("event_id"), col("cents"),
+      // 12 md5 digests + 48 hex-substring uniforms per row: spread the
+      // two-column input so the replicate-weight projection runs on
+      // every core instead of the one scan task (guide §2.5). All
+      // downstream aggregates are exact integer sums (w, w·cents) and a
+      // percentile buffer — partition-order-invariant.
+      val reps = Spread.forCompute(e).select(col("event_id"), col("cents"),
           explode(expr("sequence(0, 11)")).as("g"))
         .withColumn("hx", md5(concat(col("event_id").cast("string"), lit("|"),
           col("g").cast("string"))))

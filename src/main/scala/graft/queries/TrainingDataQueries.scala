@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, Graph, Layout, Multimodal, Sampling, Similarity, Sketches, Sweep, TextAnalysis, Upsert}
+import graft.operators.{Dedup, Graph, Layout, Multimodal, Sampling, Similarity, Sketches, Spread, Sweep, TextAnalysis, Upsert}
 import graft.plans.ShingleHashes
 import graft.sources.Tables
 
@@ -2178,7 +2178,8 @@ object TrainingDataQueries {
     // the expensive half; the sketch half's state is 256 longs per
     // corpus regardless of scale.
     "text_corpus_overlap" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
+      val docs = Spread.forCompute(
+          Tables.documents(s, dir).select(col("source"), col("text")))
         .select(when(pmod(expr("cast(substring(source, 4, 10) as int)"),
             lit(2)) === 0, lit("even_sources"))
             .otherwise(lit("odd_sources")).as("seg"),
@@ -2894,7 +2895,8 @@ object TrainingDataQueries {
       val schema = new StructType()
         .add("id", LongType).add("status", StringType)
         .add("priority", StringType).add("total_cents", LongType)
-      xml.select(from_xml(col("x"), schema).as("r"))
+      // Spread before the per-row from_xml parser (guide §2.5).
+      Spread.forCompute(xml).select(from_xml(col("x"), schema).as("r"))
         .select(col("r.id").as("o_orderkey"), col("r.status").as("status"),
           col("r.priority").as("priority"), col("r.total_cents").as("total_cents"))
         .orderBy("o_orderkey")
