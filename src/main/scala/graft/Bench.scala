@@ -23,18 +23,15 @@ object Bench {
       // ,2 = task-retry budget (stream_task_retry's injected failure)
       .master(s"local[$cpus,2]")
       .config("spark.sql.shuffle.partitions", cpus)
-      // AQE coalescing sizes post-shuffle partitions by BYTES with a
-      // 1 MB floor (coalescePartitions.minPartitionSize) — at fixture
-      // scale that packs a 3 MB shuffle into ~3 tasks and runs
-      // compute-heavy post-shuffle operators (window folds, candidate
-      // verification kernels) on a sliver of the machine. Lowering the
-      // floor lets parallelismFirst target defaultParallelism; at
-      // production scale totalBytes/parallelism >> 1 MB, so the floor
-      // never binds and this setting is inert (guide §2.2/§2.5 —
-      // partitioning derived from input size and cluster, not a local
-      // constant).
-      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
-        sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION_SIZE", "256k"))
+      // r14: the r13 session-wide AQE floor override
+      // (coalescePartitions.minPartitionSize 1 MB → 256k) is GONE. It
+      // bought the window-family wins by multiplying tasks on every
+      // KB-sized shuffle, which regressed all 15 graph_* queries
+      // (iterative rounds pay the task-count tax every round) and the
+      // cheap-aggregation tail. The window parallelism now comes from
+      // an explicit scale-gated keyed repartition at the three window
+      // query sites (Spread.byKey — an engine change, not a bench
+      // conf), and AQE coalescing runs at its defaults.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

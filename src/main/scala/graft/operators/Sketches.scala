@@ -48,11 +48,12 @@ object Sketches {
     * bucket/rho row — the caller filters or sentinel-groups it; the
     * register builder above filters. */
   def hllBucketRho(df: DataFrame, groupCol: String, keyCol: Column): DataFrame =
-    // Spread the pruned rows ahead of the per-row md5→(bucket,rho)
-    // kernel (guide §2.5) — no-op on streaming frames and at real scan
-    // widths; already-spread callers pass through unchanged.
-    Spread.forCompute(df.select(col(groupCol), keyCol.as("__k")))
-      .select(col(groupCol), md5(col("__k").cast("string")).as("hx"))
+    // No spread (r14): the md5→(bucket,rho) projection feeds a partial
+    // aggregate that collapses to ≤256 rows per (group, bucket)
+    // map-side — the r13 spread exchange was a measured net loss
+    // (driver: q_hll_sketch 0.88 → 1.13 s) and its `__k` alias could
+    // shadow a groupCol named `__k` (ADVICE r13). Inline the key.
+    df.select(col(groupCol), md5(keyCol.cast("string")).as("hx"))
       .select(col(groupCol),
         expr("cast(conv(substring(hx, 1, 2), 16, 10) as int)").as("bucket"),
         expr("ltrim('0', substring(hx, 3, 14))").as("stripped"))

@@ -36,6 +36,31 @@ import org.apache.spark.sql.DataFrame
   */
 object Spread {
 
+  /** Composite-caller suppression (r14, verdict item 3): when a caller
+    * composes several spread-bearing operators under a dominating
+    * join/aggregate (dedup_pair_eval's full-outer join over two
+    * candidate generators, the pipeline_* curation chains), each
+    * operator-internal exchange is paid but the consumer above
+    * dominates — the driver measured the composites 1.3–1.9× SLOWER
+    * with the internal spreads than without (dedup_pair_eval
+    * 2.05 → 3.90 s round 12 → 13). Query builders run synchronously on
+    * one thread, so a thread-local scope is exact: everything built
+    * inside `suppress { ... }` skips the spread, everything outside
+    * keeps it. This is a call-site approximation of "look up the
+    * consuming plan", which forCompute cannot do (the consumer does
+    * not exist yet when the operator builds its frame). */
+  private val suppressed = new ThreadLocal[Boolean] {
+    override def initialValue(): Boolean = false
+  }
+
+  /** Build `body` with every [[forCompute]]/[[byKey]] inside it
+    * disabled. Nests safely (re-entrant). */
+  def suppress[T](body: => T): T = {
+    val prev = suppressed.get()
+    suppressed.set(true)
+    try body finally suppressed.set(prev)
+  }
+
   /** Repartition `df` to the session's default parallelism IFF it is a
     * batch frame whose plan is a narrow (exchange-free) scan chain.
     * Round-robin keeps no key assumptions; Spark's
@@ -52,23 +77,48 @@ object Spread {
     * exchange-free chain `.rdd` only instantiates the narrow RDD
     * lineage: no job, a few ms of planning. */
   def forCompute(df: DataFrame): DataFrame = {
-    if (df.isStreaming) return df
-    // Cheap structural gate on the ANALYZED plan (no physical planning,
-    // no AQE): spread only pure scan chains — projections/filters/
-    // generators over leaves. Anything with a join/aggregate/window/
-    // sort in it either already crossed an exchange (parallel
-    // downstream) or is about to, and `.rdd` on such a plan would
-    // eagerly materialize AQE stages (double execution).
-    import org.apache.spark.sql.catalyst.plans.logical._
-    val simpleChain = !df.queryExecution.analyzed.exists {
-      case _: Project | _: Filter | _: Generate | _: SubqueryAlias |
-           _: View | _: LeafNode => false
-      case _ => true
-    }
-    if (!simpleChain) return df
+    if (suppressed.get() || df.isStreaming) return df
+    if (!narrowScanChain(df)) return df
     val target = df.sparkSession.sparkContext.defaultParallelism
     // safe here: an exchange-free chain's .rdd builds narrow lineage
     // only — no job; cost is a few ms of planning per query build.
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
+  /** KEYED variant for window/aggregation consumers (r14, verdict item
+    * 1): hash-repartition the narrow scan chain by the downstream
+    * partition key so the window's required ClusteredDistribution is
+    * satisfied by THIS exchange — no second shuffle — and the
+    * compute-heavy window frame work (collect_list folds, running
+    * aggregates) runs on `defaultParallelism` tasks instead of the
+    * handful AQE's byte-based coalescing (1 MB minPartitionSize floor)
+    * leaves for a KB-sized shuffle. The explicit partition count makes
+    * the exchange REPARTITION_BY_NUM, which AQE never coalesces.
+    *
+    * Same scale gate as [[forCompute]]: a 100 TB scan arrives wider
+    * than the cluster, this is a no-op there, and the window's own
+    * ENSURE_REQUIREMENTS exchange is then sized by AQE's byte-based
+    * advisory — the production behaviour is untouched. */
+  def byKey(df: DataFrame, keys: org.apache.spark.sql.Column*): DataFrame = {
+    if (suppressed.get() || df.isStreaming) return df
+    if (!narrowScanChain(df)) return df
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target, keys: _*)
+    else df
+  }
+
+  /** Cheap structural gate on the ANALYZED plan (no physical planning,
+    * no AQE): spread only pure scan chains — projections/filters/
+    * generators over leaves. Anything with a join/aggregate/window/
+    * sort in it either already crossed an exchange (parallel
+    * downstream) or is about to, and `.rdd` on such a plan would
+    * eagerly materialize AQE stages (double execution). */
+  private def narrowScanChain(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    !df.queryExecution.analyzed.exists {
+      case _: Project | _: Filter | _: Generate | _: SubqueryAlias |
+           _: View | _: LeafNode => false
+      case _ => true
+    }
   }
 }

@@ -201,9 +201,12 @@ object TextAnalysis {
   def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
                     k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val words = Spread.forCompute(df.select(col(idCol), col(textCol)))
-      .select(col(idCol).as("doc"),
-        explode(TextFunctions.words(col(textCol))).as("word"))
+    // No spread here (r14): the tokenize+explode kernel is cheaper than
+    // the exchange that would feed it — the driver measured text_tfidf
+    // 0.82 s (r12, no spread) → 1.55 s (r13, spread). The groupBy right
+    // below already parallelizes everything downstream of the scan.
+    val words = df.select(col(idCol).as("doc"),
+      explode(TextFunctions.words(col(textCol))).as("word"))
     val tf = words.groupBy(col("doc"), col("word")).agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
     val nDocs = df.agg(countDistinct(col(idCol)).as("n_docs"))
@@ -281,8 +284,11 @@ object TextAnalysis {
     require(capacity >= supportDenom,
       s"capacity ($capacity) must be >= supportDenom ($supportDenom) for the " +
         "no-false-negative guarantee (undercount n/(capacity+1) < support n/supportDenom)")
-    val words = Spread.forCompute(df.select(col(textCol)))
-      .select(explode(TextFunctions.words(col(textCol))).as("word"))
+    // No spread (r14): the Misra-Gries partial aggregate collapses each
+    // partition to ≤capacity counters map-side, so the kernel is
+    // shuffle-light already; the driver measured the spread exchange as
+    // a net loss (text_heavy_hitters 1.4× slower r12 → r13).
+    val words = df.select(explode(TextFunctions.words(col(textCol))).as("word"))
     val mg = udaf(new graft.functions.MisraGries(capacity))
     val candidates = words.agg(mg(col("word")).as("c"))
       .select(explode(col("c")).as("word"))
@@ -370,9 +376,11 @@ object TextAnalysis {
                       minDocs: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
-    // One spread frame behind both the positional pass and the totals
-    // projection — the two subtrees share the exchange via ReuseExchange.
-    val d0 = Spread.forCompute(df.select(col(idCol), col(textCol)))
+    // No spread (r14): both subtrees aggregate/join immediately after
+    // the gram kernel, so the exchange moved the full text payload to
+    // win a kernel that costs less than the shuffle (driver: text_dup_spans
+    // 1.57 s r12 → 2.41 s r13; 8 cores beat 32 — over-parallelized).
+    val d0 = df.select(col(idCol), col(textCol))
     val pos = d0
       .select(col(idCol).as("doc"), TextFunctions.words(col(textCol)).as("__w"))
       .select(col("doc"),
@@ -642,18 +650,29 @@ object TextAnalysis {
     * key, never collected). */
   def bigramLmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val bigramsExpr = TextFunctions.bigramsExpr()
+    // 64-bit HASH join keys (r14, guide §2.3 "shuffle keys instead of
+    // payloads"): the exploded bigram table is the biggest intermediate
+    // and it crosses three exchanges (bigram counts, head counts, the
+    // score join-back). Hashing the bigram and its head word to
+    // xxhash64 longs right after the explode makes every exchange carry
+    // (doc, 2×long) instead of the bigram STRING — at 100 TB the
+    // difference between shuffling the corpus's token stream twice and
+    // shuffling 24 bytes/row. c(w1) aggregates directly from the bigram
+    // ROWS by head hash (count of occurrences whose head is w1 — same
+    // number as the old sum of c_bg per head), so no string ever
+    // survives past the explode projection.
     val bg = Spread.forCompute(df.select(col(idCol), col(textCol)))
       .select(col(idCol).as("doc"), TextFunctions.words(col(textCol)).as("__w"))
       .filter(size(col("__w")) >= 2)
       .select(col("doc"), explode(expr(bigramsExpr)).as("bg"))
-    val bgCounts = bg.groupBy(col("bg")).agg(count(lit(1)).as("c_bg"))
-    // head-word counts FROM the bigram table: c(w1) as a bigram head
-    val headCounts = bgCounts
-      .groupBy(substring_index(col("bg"), " ", 1).as("w1"))
-      .agg(sum(col("c_bg")).as("c_head"))
-    bg.join(bgCounts, "bg")
-      .withColumn("w1", substring_index(col("bg"), " ", 1))
-      .join(headCounts, "w1")
+      .select(col("doc"), xxhash64(col("bg")).as("bgh"),
+        xxhash64(substring_index(col("bg"), " ", 1)).as("w1h"))
+    val bgCounts = bg.groupBy(col("bgh")).agg(count(lit(1)).as("c_bg"))
+    // head-word counts straight from the bigram rows: c(w1) = number of
+    // bigram occurrences headed by w1 (≡ the old Σ c_bg per head)
+    val headCounts = bg.groupBy(col("w1h")).agg(count(lit(1)).as("c_head"))
+    bg.join(bgCounts, "bgh")
+      .join(headCounts, "w1h")
       .withColumn("nats_e4", expr(
         "cast(round(ln(cast(c_head as double) / cast(c_bg as double)) * 10000) as bigint)"))
       .groupBy(col("doc"))
@@ -809,8 +828,10 @@ object TextAnalysis {
     * two documents shares at least one fingerprint, so an equi-join on
     * `fp` finds partial-overlap candidates at scan+shuffle cost. */
   def winnowedFingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    Spread.forCompute(df.select(col(idCol), col(textCol)))
-      .select(col(idCol), TextFunctions.words(col(textCol)).as("__w"))
+    // No spread (r14): the winnow projection is codegen'd and cheap —
+    // the driver measured text_fingerprint 1.4× slower with the
+    // exchange (r12 → r13); consumers aggregate right after.
+    df.select(col(idCol), TextFunctions.words(col(textCol)).as("__w"))
       .select(col(idCol), explode(graft.plans.WinnowedHashes(col("__w"))).as("fp"))
 
   /** PMI-scored bigram collocations — the phrase-mining pass that finds

@@ -69,7 +69,8 @@ object TimeTravel {
   private val InternalCols = Set("__tombstone", "__change_type")
 
   private case class Entry(kind: String, name: String, ver: Long,
-                           stats: Option[(Long, Long)])
+                           stats: Option[(Long, Long)],
+                           bloom: Option[Array[Byte]] = None)
   private case class Manifest(key: String, entries: Seq[Entry])
 
   private def hconf(): Configuration =
@@ -104,8 +105,11 @@ object TimeTravel {
   }
 
   private def render(m: Manifest): String = {
-    val lines = m.entries.map(e =>
-      s"${e.kind} ${e.name} ${e.ver} ${renderStats(e.stats)}")
+    val lines = m.entries.map { e =>
+      val base = s"${e.kind} ${e.name} ${e.ver} ${renderStats(e.stats)}"
+      e.bloom.map(b => s"$base B:${graft.plans.KeyBloom.toBase64(b)}")
+        .getOrElse(base)
+    }
     (s"graft-manifest 2 ${m.key} ${lines.size} ${crcOf(lines)}" +:
       lines).mkString("\n") + "\n"
   }
@@ -134,9 +138,14 @@ object TimeTravel {
     if (entries.size != n) torn(s"expected $n entries, found ${entries.size}")
     if (crcOf(entries) != crc) torn("checksum mismatch")
     Manifest(key, entries.map { line =>
+      // optional 5th field `B:<base64>`: the file set's key Bloom (r14
+      // — a compatible extension; 4-field entries parse as bloom-less)
       line.split(" ") match {
         case Array(kind, name, ver, st) =>
           Entry(kind, name, ver.toLong, parseStats(st))
+        case Array(kind, name, ver, st, b) if b.startsWith("B:") =>
+          Entry(kind, name, ver.toLong, parseStats(st),
+            Some(graft.plans.KeyBloom.fromBase64(b.drop(2))))
         case _ => torn(s"bad entry '$line'")
       }
     })
@@ -223,72 +232,154 @@ object TimeTravel {
   private def newDataDir(kind: String, v: Long): String =
     f"$kind-$v%05d-${java.util.UUID.randomUUID().toString.take(8)}"
 
+  private def integralKey(df: DataFrame, key: String): Boolean = {
+    import org.apache.spark.sql.types._
+    Seq(LongType, IntegerType, ShortType, ByteType)
+      .contains(df.schema(key).dataType)
+  }
+
+  /** Writer-side parquet options: the OutputCommitter v2 algorithm
+    * commits task files straight to the destination (one directory
+    * rename per write instead of two). Safe HERE specifically because
+    * the table's atomicity never rests on the data write — file sets
+    * live under fresh random-suffixed names and are invisible until the
+    * MANIFEST publish; a torn data dir from a crashed commit is
+    * unreferenced garbage that [[vacuum]] sweeps. */
+  private def fastCommit(w: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row]) =
+    w.option("mapreduce.fileoutputcommitter.algorithm.version", "2")
+
+  /** DETERMINISM CONTRACT (ADVICE r13): a commit executes its delta
+    * frame more than once — the metadata aggregate below, the
+    * change-type probe's candidate set, and the data write are separate
+    * executions of the same plan. A delta containing a
+    * non-deterministic expression (rand/uuid/shuffle-order-dependent
+    * limit) could therefore write bytes its recorded stats/Bloom do not
+    * describe, and snapshot file-skipping would silently drop live
+    * rows. Commit deltas MUST be deterministic. (The alternative —
+    * observing the metrics on the write job itself — was built and
+    * measured in this round: `Observation.get` waits on the async
+    * listener bus after EVERY commit, +0.2–0.3 s per commit at bench
+    * scale, so the documented contract is the better trade; compaction
+    * keeps its single observation because re-executing the merge would
+    * cost a full second job.) */
+
+  /** ONE O(|delta|) aggregate per commit (r13; r14 folds in the key
+    * Bloom and the per-entry Bloom probes): the key-uniqueness contract
+    * (one row per key, or the max_by LWW tie inside one version
+    * resolves nondeterministically and snapshots silently diverge —
+    * fails loudly here), the integral-key min/max range, the delta's
+    * own key Bloom (both become the manifest's file-skipping metadata),
+    * and — for every parent chain entry that recorded a Bloom — whether
+    * ANY delta key might live in that file set. Range and Bloom hits
+    * prune the membership probe's chain: a file set that can contain no
+    * candidate key cannot hold a winning row or tombstone for one
+    * either, so skipping it never changes a change type. */
+  private case class DeltaProbe(range: Option[(Long, Long)],
+                                bloom: Option[Array[Byte]],
+                                bloomHit: Map[String, Boolean])
+
+  private def deltaProbe(delta: DataFrame, key: String,
+                         chain: Seq[Entry]): DeltaProbe = {
+    val integral = integralKey(delta, key)
+    val normKey = graft.plans.KeyBloom.normalize(col(key), delta.schema(key).dataType)
+    // Bloom build/probe only for NON-INTEGRAL keys: integral chains
+    // already have the [min,max] range skip, and the Bloom's aggregate
+    // + per-entry probe expressions cost a measured ~0.1–0.25 s per
+    // commit at bench scale — pure waste where the range already
+    // decides. Non-integral (string) keys have no range stats at all;
+    // there the Bloom is the ONLY chain pruner (VERDICT r13 item 4).
+    val wantBloom = !integral
+    val bloomEnts = if (wantBloom) chain.filter(_.bloom.isDefined) else Seq.empty
+    // Two-level shape, deliberately DISTINCT-free: a count_distinct in
+    // the same Aggregate as the Bloom would trigger Spark's
+    // distinct-expand rewrite, whose partial phase groups by the
+    // distinct key — materializing one 16 KiB Bloom buffer PER KEY
+    // (measured: q_time_travel 3.1 s → 6.7 s). groupBy(key).count +
+    // a keyless rollup computes the same uniqueness contract with one
+    // partial-aggregable shuffle and exactly one Bloom buffer per task.
+    val perKey = delta.groupBy(col(key)).agg(count(lit(1)).as("__c"))
+    val aggs = (Seq(sum(col("__c")), count(col(key))) ++
+      (if (integral) Seq(min(col(key).cast("long")), max(col(key).cast("long")))
+       else Seq.empty) ++
+      (if (wantBloom) Seq(graft.plans.KeyBloom.agg(normKey)) else Seq.empty) ++
+      bloomEnts.map { e =>
+        max(when(graft.plans.KeyBloom.mightContain(normKey, e.bloom.get), 1L)
+          .otherwise(0L))
+      })
+    val r = perKey.agg(aggs.head, aggs.tail: _*).head()
+    // rows == distinct NON-NULL keys (count(key) skips the null group),
+    // exactly the old count(*) == count_distinct(key) contract; an
+    // empty delta sums to null = 0 rows and passes, as before
+    val nRows = if (r.isNullAt(0)) 0L else r.getLong(0)
+    require(nRows == r.getLong(1),
+      s"delta must be key-unique on $key: $nRows rows, " +
+        s"${r.getLong(1)} distinct keys")
+    val range =
+      if (integral && !r.isNullAt(2)) Some((r.getLong(2), r.getLong(3)))
+      else None
+    val bloom = if (wantBloom) Some(r.getAs[Array[Byte]](2)) else None
+    val base = (if (integral) 4 else 2) + (if (wantBloom) 1 else 0)
+    val hits = bloomEnts.zipWithIndex.map { case (e, j) =>
+      e.name -> (!r.isNullAt(base + j) && r.getLong(base + j) == 1L)
+    }.toMap
+    DeltaProbe(range, bloom, hits)
+  }
+
   /** Create version 0 from a full snapshot, recording `key` as the
     * table's merge key (manifests carry it from here on, so writers
-    * never re-specify it). */
+    * never re-specify it). Uniqueness + manifest stats + Bloom in ONE
+    * pass; the write is this same (deterministic — see the contract
+    * above) frame, so the metadata describes the written bytes. */
   def init(df: DataFrame, root: String, key: String): Long = {
     require(df.columns.contains(key), s"no column $key in ${df.columns.toSeq}")
     require(latestVersion(root) == -1L, s"table at $root already exists")
-    // uniqueness + manifest stats in ONE pass (the write is this same
-    // frame, so the range describes the written bytes exactly)
-    val st = checkedDeltaRange(df, key)
     val name = newDataDir("base", 0L)
-    df.write.mode("errorifexists").parquet(new Path(root, name).toString)
+    val probe = overlappedCommitJobs(df, root, name, key) {
+      fastCommit(df.write).mode("errorifexists")
+        .parquet(new Path(root, name).toString)
+    }
     val ok = writeManifest(root, 0L,
-      Manifest(key, Seq(Entry("base", name, 0L, st))))
+      Manifest(key, Seq(Entry("base", name, 0L, probe.range, probe.bloom))))
     require(ok, s"concurrent init of $root lost the version-0 race")
     0L
   }
 
-  /** ONE O(|delta|) aggregate per commit carrying BOTH commit-time
-    * probes (r13 optimization — these were two separate jobs): the
-    * key-uniqueness contract (one row per key, or the max_by LWW tie
-    * inside one version resolves nondeterministically and snapshots
-    * silently diverge — fails loudly here), and the integral-key
-    * min/max range that (a) prunes the change-type membership probe's
-    * chain and (b) becomes the manifest's file-skipping stats — the
-    * delta IS the written file set, so its range describes the written
-    * bytes exactly and the old post-write read-back pass is redundant.
-    * Returns the range (None for non-integral or all-null keys). */
-  private def checkedDeltaRange(delta: DataFrame, key: String):
-      Option[(Long, Long)] = {
-    val integral = {
-      import org.apache.spark.sql.types._
-      Seq(LongType, IntegerType, ShortType, ByteType)
-        .contains(delta.schema(key).dataType)
+  /** Overlap the metadata aggregate with the DATA WRITE when the two
+    * are independent (init and fixed-type commits: the written rows do
+    * not depend on the probe — guide §2.6 "overlap independent jobs").
+    * The manifest is only published after BOTH succeed, and the staged
+    * file set is unreferenced until then, so a uniqueness failure still
+    * aborts the commit cleanly: the staged dir is deleted and the
+    * failure rethrown. Wall time per commit: max(agg, write) instead of
+    * agg + write. */
+  private def overlappedCommitJobs(delta: DataFrame, root: String,
+                                   name: String, key: String)
+                                  (write: => Unit): DeltaProbe = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val probeF = Future { deltaProbe(delta, key, Seq.empty) }
+    try {
+      write
+      Await.result(probeF, Duration.Inf)
+    } catch {
+      case e: Throwable =>
+        // reap the staged (unreferenced) file set before failing loudly
+        try fileSystem(root).delete(new Path(root, name), true)
+        catch { case _: Throwable => () }
+        throw e
     }
-    val aggs =
-      if (integral) Seq(count(lit(1)), count_distinct(col(key)),
-        min(col(key).cast("long")), max(col(key).cast("long")))
-      else Seq(count(lit(1)), count_distinct(col(key)))
-    val r = delta.agg(aggs.head, aggs.tail: _*).head()
-    require(r.getLong(0) == r.getLong(1),
-      s"delta must be key-unique on $key: ${r.getLong(0)} rows, " +
-        s"${r.getLong(1)} distinct keys")
-    if (integral && !r.isNullAt(2)) Some((r.getLong(2), r.getLong(3)))
-    else None
   }
 
-  /** Keys from `candidates` that are LIVE (present, not tombstoned) in
-    * version `v` — the commit-time membership probe behind change
-    * types. The chain scan is column-pruned to (key, __tombstone) and
-    * file sets whose stats range cannot overlap the candidates' range
-    * are SKIPPED entirely; candidates are O(|delta|) and broadcast, so
+  /** Keys from `candidates` that are LIVE (present, not tombstoned)
+    * across the PRUNED chain `kept` — the commit-time membership probe
+    * behind change types. The chain scan is column-pruned to
+    * (key, __tombstone); candidates are O(|delta|) and broadcast, so
     * the probe is one semi-joined scan + a tiny max_by, never a full
     * merge-on-read of the table. */
-  private def liveAmong(s: SparkSession, root: String, m: Manifest, v: Long,
-                        candidates: DataFrame,
-                        candRange: Option[(Long, Long)]): DataFrame = {
-    val key = m.key
-    val chain = dataEntries(m.entries).filter { e =>
-      (e.stats, candRange) match {
-        case (Some((lo, hi)), Some((clo, chi))) => hi >= clo && lo <= chi
-        case _ => true
-      }
-    }
-    if (chain.isEmpty)
-      return candidates.limit(0).select(col(key))
-    val parts = chain.map { e =>
+  private def liveAmong(s: SparkSession, root: String, key: String,
+                        kept: Seq[Entry], candidates: DataFrame): DataFrame = {
+    val parts = kept.map { e =>
       val df = s.read.parquet(new Path(root, e.name).toString)
       val tomb = if (df.columns.contains("__tombstone"))
         coalesce(col("__tombstone"), lit(false)) else lit(false)
@@ -301,6 +392,13 @@ object TimeTravel {
       .filter(!col("__t"))
       .select(col(key))
   }
+
+  /** Test-only diagnostic: how many parent chain entries the LAST
+    * upsert's membership probe actually scanned after range + Bloom
+    * pruning (-1 = no probe ran: init/delete/idempotent-replay).
+    * TimeTravelSpec asserts the disjoint-key skip path (0) through it;
+    * nothing in the engine reads it. */
+  private[graft] var lastProbeScannedEntries: Int = -1
 
   /** Shared commit path: stage the delta file set under a fresh name,
     * stamp each row's persisted `__change_type`, publish the manifest;
@@ -329,26 +427,54 @@ object TimeTravel {
       require(delta.columns.contains(key),
         s"delta lacks the table key $key")
       val v = prev + 1
-      // ONE aggregate job: uniqueness contract + the key range that
-      // both prunes the membership probe's chain and becomes the
-      // manifest's file-skipping stats (the typed write below carries
-      // exactly these keys, so no post-write read-back pass is needed)
-      val st = checkedDeltaRange(delta, key)
-      val typed = fixedType match {
-        case Some(t) => delta.withColumn("__change_type", lit(t))
-        case None =>
-          val live = liveAmong(s, root, m, prev, delta, st)
-            .withColumn("__live", lit(true))
-          delta.join(broadcast(live), Seq(key), "left")
-            .withColumn("__change_type",
-              when(col("__live").isNotNull, lit("update"))
-                .otherwise(lit("insert")))
-            .drop("__live")
-      }
+      // Change types: a fixed-type commit (delete) needs no probe and
+      // is ONE Spark job (uniqueness/stats/Bloom ride the write). An
+      // upsert runs ONE O(|delta|) probe aggregate first (uniqueness +
+      // range + per-entry Bloom hits), prunes the parent chain with
+      // range AND Bloom, and — when the whole chain prunes away (a
+      // disjoint-key delta, of ANY key type) — skips the membership
+      // join entirely: every row is an insert.
+      // ONE aggregate job: uniqueness + range + Bloom + chain-prune
+      // hits. The typed write below carries exactly these keys (the
+      // determinism contract above), so no post-write read-back pass.
+      // Fixed-type commits overlap the aggregate with the write (the
+      // tombstone projection does not depend on the probe); upserts are
+      // inherently sequential — the probe's prune decisions shape the
+      // membership join inside the write plan.
+      val chain = dataEntries(m.entries)
       val name = newDataDir("delta", v)
       val dataPath = new Path(root, name).toString
-      typed.write.mode("errorifexists").parquet(dataPath)
-      val newEnts = Entry("delta", name, v, st) +:
+      val probe = fixedType match {
+        case Some(t) =>
+          val typed = delta.withColumn("__change_type", lit(t))
+          overlappedCommitJobs(delta, root, name, key) {
+            fastCommit(typed.write).mode("errorifexists").parquet(dataPath)
+          }
+        case None =>
+          val p = deltaProbe(delta, key, chain)
+          val kept = chain.filter { e =>
+            val rangeOk = (e.stats, p.range) match {
+              case (Some((lo, hi)), Some((clo, chi))) => hi >= clo && lo <= chi
+              case _ => true
+            }
+            rangeOk && p.bloomHit.getOrElse(e.name, true)
+          }
+          lastProbeScannedEntries = kept.size
+          val typed =
+            if (kept.isEmpty) delta.withColumn("__change_type", lit("insert"))
+            else {
+              val live = liveAmong(s, root, key, kept, delta)
+                .withColumn("__live", lit(true))
+              delta.join(broadcast(live), Seq(key), "left")
+                .withColumn("__change_type",
+                  when(col("__live").isNotNull, lit("update"))
+                    .otherwise(lit("insert")))
+                .drop("__live")
+            }
+          fastCommit(typed.write).mode("errorifexists").parquet(dataPath)
+          p
+      }
+      val newEnts = Entry("delta", name, v, probe.range, probe.bloom) +:
         txnId.map(Entry("txn", _, v, None)).toSeq
       val ok = writeManifest(root, v, Manifest(key, m.entries ++ newEnts))
       if (ok) return v
@@ -409,34 +535,43 @@ object TimeTravel {
     val name = newDataDir("base", v)
     val dataPath = new Path(root, name).toString
     val merged = snapshot(s, root, prev, key)
-    val shaped =
-      if (buckets == 1) merged else merged.repartitionByRange(buckets, col(key))
-    val integral = {
-      import org.apache.spark.sql.types._
-      Seq(LongType, IntegerType, ShortType, ByteType)
-        .contains(shaped.schema(key).dataType)
-    }
-    // single-fileset stats ride the WRITE job as observed metrics
-    // (r13 optimization: the old statsOf re-read every written byte in
-    // a second job); the bucketed path still needs its per-file pass.
-    val obs = new org.apache.spark.sql.Observation(s"graft-compact-$v")
-    val toWrite =
-      if (buckets == 1 && integral)
-        shaped.observe(obs, min(col(key).cast("long")).as("mn"),
-          max(col(key).cast("long")).as("mx"))
-      else shaped
-    toWrite.write.mode("errorifexists").parquet(dataPath)
+    // single-fileset stats + key Bloom ride the WRITE job as observed
+    // metrics (r13 optimization: the old statsOf re-read every written
+    // byte in a second job); the bucketed path still needs its
+    // per-file pass and records per-file ranges only (a per-file Bloom
+    // would need a per-file aggregation of the written bytes — the
+    // range prune already serves the bucketed point-lookup path).
     val dataEnts =
       if (buckets == 1) {
+        // stats (integral range, or the key Bloom for non-integral
+        // keys) ride the write as observed metrics (r13 optimization:
+        // the old statsOf re-read every written byte in a second job;
+        // re-executing the merge pre-write would cost the same, so
+        // compaction keeps its single Observation)
+        val integral = integralKey(merged, key)
+        val normKey = graft.plans.KeyBloom.normalize(
+          col(key), merged.schema(key).dataType)
+        val obs = new org.apache.spark.sql.Observation(
+          s"graft-compact-$v-" + java.util.UUID.randomUUID().toString.take(8))
+        val aggs =
+          if (integral) Seq(min(col(key).cast("long")).as("mn"),
+            max(col(key).cast("long")).as("mx"))
+          else Seq(graft.plans.KeyBloom.agg(normKey).as("bloom"))
+        val toWrite = merged.observe(obs, aggs.head, aggs.tail: _*)
+        fastCommit(toWrite.write).mode("errorifexists").parquet(dataPath)
+        val r = obs.get
         val st =
-          if (!integral) None
-          else {
-            val r = obs.get
-            if (r("mn") == null) None
-            else Some((r("mn").asInstanceOf[Long], r("mx").asInstanceOf[Long]))
-          }
-        Seq(Entry("base", name, v, st))
-      } else perFileEntries(s, root, name, v, key)
+          if (integral && r("mn") != null)
+            Some((r("mn").asInstanceOf[Long], r("mx").asInstanceOf[Long]))
+          else None
+        val bloom =
+          if (integral) None else Some(r("bloom").asInstanceOf[Array[Byte]])
+        Seq(Entry("base", name, v, st, bloom))
+      } else {
+        fastCommit(merged.repartitionByRange(buckets, col(key)).write)
+          .mode("errorifexists").parquet(dataPath)
+        perFileEntries(s, root, name, v, key)
+      }
     val txns = m.entries.filter(_.kind == "txn")
     val ok = writeManifest(root, v, Manifest(key, txns ++ dataEnts))
     if (!ok) {
@@ -486,6 +621,27 @@ object TimeTravel {
                          keyFilter: Option[Column]): DataFrame = {
     val key = m.key
     val entries = dataEntries(rawEntries)
+    // BASE-ONLY FAST PATH (r14): a chain that is one compaction
+    // generation (all `base` entries of one version — what init and
+    // every compact() produce) is key-unique and tombstone-free by
+    // construction, so the per-key max_by merge is a no-op — skip its
+    // exchange + aggregate entirely and read the base directly. This
+    // is the read-cost reset compaction pays for: a post-compaction
+    // snapshot is now a pure scan (one less shuffle per read). The
+    // __tombstone guard keeps any hand-built base with internal
+    // columns on the exact merge path.
+    if (entries.nonEmpty &&
+        entries.forall(e => e.kind == "base" && e.ver == entries.head.ver)) {
+      val parts = entries.map { e =>
+        val df = s.read.parquet(new Path(root, e.name).toString)
+        keyFilter.map(df.filter).getOrElse(df)
+      }
+      val all = parts.reduce(_.unionByName(_, allowMissingColumns = true))
+      if (!all.columns.exists(InternalCols)) {
+        val outCols = all.columns.filter(_ != key).toSeq
+        return all.select(col(key) +: outCols.map(col): _*)
+      }
+    }
     val parts = entries.map { e =>
       val df = s.read.parquet(new Path(root, e.name).toString)
       keyFilter.map(df.filter).getOrElse(df).withColumn("__v", lit(e.ver))

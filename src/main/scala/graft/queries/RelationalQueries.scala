@@ -584,8 +584,16 @@ object RelationalQueries {
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("ts_ms"), col("event_id"))
         .rowsBetween(-3, Window.currentRow)
-      Tables.events(s, dir)
-        .withColumn("cents", floor(col("value") * 100).cast("long"))
+      // Scale-gated keyed spread (guide §2.4/§2.5): the window's
+      // ClusteredDistribution(user_id) is satisfied by this exchange
+      // (REPARTITION_BY_NUM — AQE never coalesces it), so the frame
+      // work runs cluster-wide instead of on the ~3 tasks byte-based
+      // coalescing leaves for a KB-sized shuffle; a no-op on wide scans.
+      graft.operators.Spread.byKey(
+          Tables.events(s, dir)
+            .select(col("user_id"), col("event_id"), col("ts_ms"),
+              floor(col("value") * 100).cast("long").as("cents")),
+          col("user_id"))
         .select(col("user_id"), col("event_id"), col("ts_ms"),
           sum(col("cents")).over(w).as("rolling_cents"),
           count(lit(1)).over(w).as("rolling_n"))
@@ -605,9 +613,14 @@ object RelationalQueries {
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("ts_ms"), col("event_id"))
         .rowsBetween(-15, Window.currentRow)
-      Tables.events(s, dir)
-        .select(col("user_id"), col("event_id"), col("ts_ms"),
-          col("value").cast("double").as("v"))
+      // Keyed spread ahead of the frame collect_list + interpreted
+      // higher-order fold — the priciest per-row window kernel in the
+      // family (see q_rolling_window for the mechanism/scale gate).
+      graft.operators.Spread.byKey(
+          Tables.events(s, dir)
+            .select(col("user_id"), col("event_id"), col("ts_ms"),
+              col("value").cast("double").as("v")),
+          col("user_id"))
         .withColumn("vals", collect_list(col("v")).over(w))
         .select(col("user_id"), col("event_id"), col("ts_ms"),
           expr("""round(
@@ -629,8 +642,12 @@ object RelationalQueries {
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("ts_ms"))
         .rangeBetween(-3600000L, Window.currentRow)
-      Tables.events(s, dir)
-        .withColumn("cents", floor(col("value") * 100).cast("long"))
+      // Keyed spread for the RANGE-frame pass (see q_rolling_window).
+      graft.operators.Spread.byKey(
+          Tables.events(s, dir)
+            .select(col("user_id"), col("event_id"), col("ts_ms"),
+              floor(col("value") * 100).cast("long").as("cents")),
+          col("user_id"))
         .select(col("user_id"), col("event_id"), col("ts_ms"),
           sum(col("cents")).over(w).as("hour_cents"),
           count(lit(1)).over(w).as("hour_n"))
@@ -1589,7 +1606,12 @@ object RelationalQueries {
     // KNOWN FAILURE MODE (deliberate): the oracle hardcodes
     // `TRUE AS sketch_within_5pct`; if the sketch ever drifts past 5%
     // relative error the query fails as a hash mismatch on that boolean
-    // — check `sketch_within_5pct` first when debugging here.
+    // — check `sketch_within_5pct` first when debugging here. Note the
+    // spread below makes the merged GK summary depend on the partition
+    // count (defaultParallelism), so the sketch value — and in
+    // principle that boolean — is also a function of the HOST's core
+    // count (ADVICE r13); the ~100-order-statistic headroom against a
+    // 5% band keeps it safely TRUE at any partitioning.
     "q_percentiles_sketch" -> ((s, dir) =>
       // Spread: parallel partial sketch/percentile buffers (guide §2.5).
       // The GK summary is merge-sound under any partitioning and the

@@ -723,7 +723,12 @@ object TrainingDataQueries {
     // count — the harness that tells you whether 16x4 banding at
     // est>=0.5 is the right operating point BEFORE committing a 100 TB
     // dedup run to it.
-    "dedup_pair_eval" -> ((s, dir) => {
+    // Spread.suppress (r14, composite-aware spread): the two candidate
+    // generators' internal exchanges are paid but the full-outer join
+    // above dominates — the driver measured the composite 2.05 s (r12,
+    // no spreads) → 3.90 s (r13, spreads), while the standalone
+    // dedup_minhash / dedup_ngram_jaccard keep theirs.
+    "dedup_pair_eval" -> ((s, dir) => graft.operators.Spread.suppress {
       val docs = Tables.documents(s, dir)
       val cand = Dedup.minhashPairs(docs, "doc_id", "text")
         .select(col("doc_a"), col("doc_b"), lit(1).as("m"))
@@ -746,7 +751,10 @@ object TrainingDataQueries {
     // groupBys over the component labels + one anti-join for the
     // never-paired documents; output is bounded by the largest
     // component size, never the corpus.
-    "dedup_cluster_stats" -> ((s, dir) => {
+    "dedup_cluster_stats" -> ((s, dir) => graft.operators.Spread.suppress {
+      // suppress (r14): the component rounds above the pair generator
+      // dominate; the internal spread only adds its exchange (verdict
+      // item 3 names this composite alongside dedup_pair_eval).
       val docs = Tables.documents(s, dir)
       val comp = Dedup.connectedComponents(
         Dedup.minhashPairs(docs, "doc_id", "text"))
@@ -3126,7 +3134,10 @@ object TrainingDataQueries {
     // keep-one) → leak-proof split → per-split stats. Same single-scan
     // discipline as v1 up to the near-dup stage, whose banded self-join
     // + O(log D) component rounds are the only additions.
-    "pipeline_curation_v2" -> ((s, dir) => {
+    // suppress (r14): the chain's joins/aggregates dominate; the
+    // operator-internal spreads cost the composite +0.80 s r12 → r13
+    // (driver) without a single-kernel payoff.
+    "pipeline_curation_v2" -> ((s, dir) => graft.operators.Spread.suppress {
       val kept = TextAnalysis.quality(
           Tables.documents(s, dir), "doc_id", "text", passthrough = Seq("text"))
         .filter(col("alpha_ratio") >= 0.6 && col("stopword_ratio") >= 0.05)
@@ -3179,7 +3190,9 @@ object TrainingDataQueries {
     // minhash near-dup survivors → context-length chunking → token-
     // budget packing — documents in, packed training bins out, every
     // stage from this library, graded end-to-end on the per-bin rollup.
-    "pipeline_training_batches" -> ((s, dir) => {
+    // suppress (r14): same composite story — driver measured +1.15 s
+    // r12 → r13 from the internal spread exchanges under the chain.
+    "pipeline_training_batches" -> ((s, dir) => graft.operators.Spread.suppress {
       val kept = TextAnalysis.quality(
           Tables.documents(s, dir), "doc_id", "text", passthrough = Seq("text"))
         .filter(col("alpha_ratio") >= 0.6 && col("stopword_ratio") >= 0.05)

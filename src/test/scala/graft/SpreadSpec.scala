@@ -43,6 +43,43 @@ class SpreadSpec extends SparkSpec {
     assert(a.sameElements(b), "spread must not add, drop, or alter rows")
   }
 
+  test("suppress: composite callers disable the spread inside the scope only") {
+    val narrow = spark.range(0, 1000, 1, numPartitions = 1).toDF("id")
+    val inScope = Spread.suppress { Spread.forCompute(narrow) }
+    assert(inScope.rdd.getNumPartitions === 1,
+      "forCompute inside suppress{} must be a no-op")
+    // nests and restores: after the scope the spread fires again
+    val nested = Spread.suppress { Spread.suppress { 1 } + 1 }
+    assert(nested === 2)
+    assert(Spread.forCompute(narrow).rdd.getNumPartitions === target,
+      "suppression must not leak past its scope")
+  }
+
+  test("byKey: keyed spread satisfies a window's distribution without a second exchange") {
+    import org.apache.spark.sql.expressions.Window
+    val narrow = spark.range(0, 1000, 1, numPartitions = 1)
+      .select((col("id") % 7).as("k"), col("id"))
+    val spreadKeyed = Spread.byKey(narrow, col("k"))
+    assert(spreadKeyed.rdd.getNumPartitions === target)
+    val w = Window.partitionBy(col("k")).orderBy(col("id"))
+    val windowed = spreadKeyed.withColumn("rn", row_number().over(w))
+    // exactly ONE exchange in the executed plan: the keyed spread; the
+    // window reuses its hash partitioning (ClusteredDistribution)
+    windowed.write.format("noop").mode("overwrite").save()
+    val plan = windowed.queryExecution.executedPlan.toString
+    assert(plan.split("Exchange").length - 1 === 1,
+      s"expected exactly one exchange:\n$plan")
+    // results identical to the un-spread computation
+    val base = narrow.withColumn("rn", row_number().over(w))
+      .collect().map(_.toSeq.toString).sorted.toSeq
+    val got = windowed.collect().map(_.toSeq.toString).sorted.toSeq
+    assert(base === got)
+    // no-op on wide inputs (the 100 TB contract), same as forCompute
+    val wide = spark.range(0, 1000, 1, numPartitions = target + 2)
+      .select((col("id") % 7).as("k"))
+    assert(Spread.byKey(wide, col("k")).rdd.getNumPartitions === target + 2)
+  }
+
   test("streaming frames pass through untouched") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val ms = MemoryStream[Long](spark)

@@ -242,6 +242,60 @@ class TimeTravelSpec extends SparkSpec {
       s"unexpected survivors: $left")
   }
 
+  test("KeyBloom: SQL-side build/probe and driver-side probe agree bit-for-bit") {
+    import graft.plans.KeyBloom
+    // driver-side hashLongs must replicate SQL xxhash64(k) / xxhash64(k, 1)
+    val ks = Seq(-1L, 0L, 1L, 42L, 123456789L, Long.MaxValue)
+    val sql = ks.toDF("k")
+      .select(xxhash64($"k"), xxhash64($"k", lit(1L)))
+      .as[(Long, Long)].collect().toSeq
+    assert(sql === ks.map(KeyBloom.hashLongs))
+    // build over 1..500; every inserted key probes TRUE on the driver,
+    // and the SQL-side probe aggregate agrees with membership
+    val bloom = (1L to 500L).toDF("k")
+      .agg(KeyBloom.agg($"k")).as[Array[Byte]].head()
+    assert(KeyBloom.mightContainAny(bloom, Seq(7L)))
+    assert(KeyBloom.mightContainAny(bloom, Seq(900L, 250L)))
+    // 200 disjoint keys: at ~4% worst-case FP for this fill, ANY-hit
+    // over a disjoint probe set can fire; assert per-key FP is rare
+    val fp = (10001L to 10200L).count(k => KeyBloom.mightContainAny(bloom, Seq(k)))
+    assert(fp < 20, s"implausible Bloom false-positive count: $fp/200")
+    val sqlHits = (1L to 500L).toDF("k")
+      .agg(max(when(KeyBloom.mightContain($"k", bloom), 1L).otherwise(0L)))
+      .as[Long].head()
+    assert(sqlHits === 1L)
+    val sqlMiss = Seq(10007L).toDF("k")
+      .agg(max(when(KeyBloom.mightContain($"k", bloom), 1L).otherwise(0L)))
+      .as[Long].head()
+    assert(KeyBloom.mightContainAny(bloom, Seq(10007L)) === (sqlMiss === 1L))
+  }
+
+  test("TimeTravel: a STRING-keyed disjoint delta takes the Bloom skip path") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ttb-spec").toString
+    val base = (1 to 200).map(i => (f"doc-$i%04d", i.toLong)).toDF("k", "v")
+    TimeTravel.init(base, root, "k")
+    // overlapping-key upsert: the probe must SCAN the base (no skip —
+    // string keys have no range stats, so this is pure Bloom behaviour)
+    TimeTravel.upsert(root,
+      Seq(("doc-0001", 101L), ("doc-0002", 102L)).toDF("k", "v"))
+    assert(TimeTravel.lastProbeScannedEntries === 1,
+      "an overlapping string delta must probe the base")
+    // DISJOINT-key upsert: every chain Bloom must miss -> 0 entries
+    // scanned, all rows typed insert without the membership join
+    TimeTravel.upsert(root,
+      Seq(("zzz-9991", 1L), ("zzz-9992", 2L)).toDF("k", "v"))
+    assert(TimeTravel.lastProbeScannedEntries === 0,
+      "a disjoint string delta must skip the whole chain")
+    val ch = TimeTravel.changes(spark, root, 1L, 2L, "k")
+      .select("k", "_change_type").as[(String, String)].collect().toSet
+    assert(ch === Set(("zzz-9991", "insert"), ("zzz-9992", "insert")))
+    // the skip changed no semantics: snapshot equals the full merge
+    val snap = TimeTravel.snapshot(spark, root, 2L, "k")
+      .as[(String, Long)].collect().toSet
+    assert(snap.size === 202 && snap.contains(("doc-0001", 101L)) &&
+      snap.contains(("zzz-9991", 1L)))
+  }
+
   test("TimeTravel.upsertOnce: a replayed txn commits nothing; markers survive compaction") {
     val root = java.nio.file.Files.createTempDirectory("graft-ttt-spec").toString
     TimeTravel.init(

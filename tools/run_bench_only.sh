@@ -1,0 +1,20 @@
+#!/bin/bash
+# Focused min-of-3 bench of a comma-separated query list from a frozen
+# classpath. Usage: run_bench_only.sh <classpath_dir> <outfile> <names-csv> [cpus]
+set -u
+CP="$1"; OUT="$2"; NAMES="$3"; CPUS="${4:-32}"
+ADD_OPENS=""
+for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
+         java.nio java.util java.util.concurrent java.util.concurrent.atomic \
+         sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
+  ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+cd /root/repo
+SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
+SPARK_GRAFT_CPUS="$CPUS" \
+SPARK_GRAFT_ONLY="$NAMES" \
+SPARK_GRAFT_SKIP_OUTFILE=1 \
+java $ADD_OPENS -Xmx8g \
+  -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+  -cp "$CP:/opt/spark/jars/*" graft.Bench \
+  2>/dev/null | grep -v '^\[' | tail -1 > "$OUT"
